@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+sf dir and compare (schema-insensitive: columns sorted by name, rows sorted,
+values compared exactly; floats via repr)."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+    got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    try:
+        exp = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+    mismatch = None
+    for c in got.columns:
+        a, b = got[c].tolist(), exp[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if repr(x) != repr(y):
+                mismatch = (c, i, x, y, type(x), type(y)); break
+        if mismatch: break
+    if mismatch:
+        print(f"FAIL {name}: col={mismatch[0]} row={mismatch[1]} spark={mismatch[2]!r} duck={mismatch[3]!r} types={mismatch[4]}/{mismatch[5]}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)

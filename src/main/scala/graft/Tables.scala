@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet test tables (see TESTDATA.md).
+  *
+  * Every operator in [[SparkEntry.queries]] receives `(spark, sfDir)` and
+  * loads its inputs here, so the same code runs at any scale factor — and,
+  * pointed at a real warehouse path, at cluster scale. Parquet scans get
+  * column pruning + predicate pushdown from Catalyst for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no type for:
+      // read the raw int64 nanos and truncate to micros (exactly what
+      // DuckDB/pyarrow do when converting ns → us for positive epochs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Common builder knobs for a scale-ready session. Local tests use
+    * local[N]; on a cluster the same settings (AQE, skew-join) carry over.
+    */
+  def newSession(appName: String, master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics in batch form: tumbling windows, gap-based
+  * sessionization, JSON prop extraction. The streaming mirrors live in
+  * [[graft.streaming]]; these batch versions are the oracle-checkable
+  * semantics.
+  *
+  * Scale: all three group/shuffle on (time-bucket | user_id | event_type) —
+  * high-cardinality, evenly distributed keys. Sessionization's window sort is
+  * per-user (shuffle on user_id, sort within partition), which scales
+  * linearly with events per user, not total events.
+  */
+object Events {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A14: 5-minute tumbling-window aggregation (epoch-aligned, matching
+    // DuckDB time_bucket's 2000-01-03 origin for minute-divisible widths).
+    "e01_tumbling" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+
+    // A15: gap-based sessionization (30-min inactivity), lag + running sum.
+    "e02_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("tsec", col("ts").cast("double"))
+        .withColumn("gap", col("tsec") - lag(col("tsec"), 1).over(byUser))
+        .withColumn("is_new", when(col("gap").isNull || col("gap") > 1800d, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(running))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // A17: JSON column extraction from the props payload.
+    "e03_json_extract" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "e02_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+        |      - LAG(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "e03_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational/analytic core: scan, filter+projection pushdown, hash agg,
+  * shuffle + broadcast joins, windows, semi/anti joins, rollup, pivot.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent) and are
+  *    cast to DOUBLE only at the end → bit-identical across engines;
+  *  - every query ends in an explicit ORDER BY on non-float keys;
+  *  - integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+  *    HUGEINT by default).
+  *
+  * Scale notes: dims (region/nation/part/supplier) are broadcast; fact-fact
+  * joins shuffle on their keys and rely on AQE; aggregates use partial
+  * map-side combine (Spark default for hash aggregates).
+  */
+object Relational {
+
+  // Exact decimal revenue term, same text for Spark SQL and DuckDB.
+  private val DISC_PRICE =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+  private val REV_TERM =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))"
+
+  private def decSum(term: String): Column = sum(expr(term)).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2: hash aggregation with partial combine (TPC-H Q1 flavor).
+    "q01_agg" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-31"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum("CAST(l_quantity AS DECIMAL(18,2))").as("sum_qty"),
+          decSum("CAST(l_extendedprice AS DECIMAL(18,2))").as("sum_base_price"),
+          decSum(DISC_PRICE).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A1: filter + projection pushdown to the parquet scan (TPC-H Q6 flavor).
+    "q02_filter_project" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.02, 0.08) &&
+          col("l_quantity") < 25)
+        .agg(decSum(REV_TERM).as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // A3: shuffle join chain customer ⨝ orders ⨝ lineitem (TPC-H Q3 flavor).
+    "q03_join_agg" -> { (s, dir) =>
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01"))
+      val lineitem = Tables(s, dir, "lineitem")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(decSum(DISC_PRICE).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+
+    // A4: broadcast hash join against the small part dim.
+    "q04_broadcast_join" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(decSum("CAST(l_quantity AS DECIMAL(18,2))").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // A5: star join across all six TPC-H-ish tables (TPC-H Q5 flavor).
+    "q05_star_join" -> { (s, dir) =>
+      val lineitem = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      val customer = Tables(s, dir, "customer")
+      val supplier = broadcast(Tables(s, dir, "supplier"))
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val region = broadcast(Tables(s, dir, "region"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(decSum(DISC_PRICE).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // A6: window rank per partition (top-2 orders per customer).
+    "q06_window_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // A7: global top-k via sort + limit (TakeOrderedAndProject).
+    "q07_topk" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // A8: distinct aggregation (expand + two-phase agg).
+    "q08_distinct" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // A9: union + dedup.
+    "q09_union" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+
+    // A10: left semi join (EXISTS).
+    "q10_semi_join" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // A11: left anti join (NOT EXISTS).
+    "q11_anti_join" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // A12: rollup hierarchy (grouping sets).
+    "q12_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSum("CAST(l_quantity AS DECIMAL(18,2))").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // A13: pivot (conditional aggregation) on the events stream table.
+    "q13_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", types)
+        .count()
+      p.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // A16: argmax per group (top customer per nation by balance).
+    "q14_argmax" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_nationkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($DISC_PRICE) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      s"""SELECT CAST(SUM($REV_TERM) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.02 AND 0.08
+         |  AND l_quantity < 25""".stripMargin,
+
+    "q03_join_agg" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(SUM($DISC_PRICE) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_broadcast_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q05_star_join" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM($DISC_PRICE) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 2
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+
+    "q08_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q09_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q13_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q14_argmax" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn = 1
+        |ORDER BY c_nationkey""".stripMargin
+  )
+}
