@@ -1,0 +1,316 @@
+package graft.wiki
+
+import java.util.regex.{Matcher, Pattern}
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** Wiki-markup cleaning with the exact semantics of the reference
+  * (/root/reference/WikiExtractor.py), re-implemented from scratch as pure
+  * Scala over a single string — the unit of parallelism is the document, so
+  * these run embarrassingly parallel inside Spark column expressions.
+  *
+  * Parity is fixture-tested: `src/test/resources/wiki_fixtures.json` holds
+  * input→output pairs produced by executing the reference implementation
+  * (see scripts/gen_fixtures.py), including its quirks:
+  *   - single-pass link expansion (inner `[[..]]` first, enclosing links
+  *     removed afterwards; WikiExtractor.py:344-349)
+  *   - the literal two-char "Â«"/"Â»" guillemet replacement
+  *     (WikiExtractor.py:436 — mojibake preserved for parity)
+  *   - the space-punctuation patterns that match a literal sequence rather
+  *     than a char class (WikiExtractor.py:448-449)
+  *   - unbalanced `{{`/`}}` handling (WikiExtractor.py:274-327)
+  */
+object WikiMarkup {
+
+  /** Namespaces whose links/pages are kept (WikiExtractor.py:89). */
+  val acceptedNamespaces: Set[String] = Set("w")
+
+  /** Elements whose entire content is dropped (WikiExtractor.py:94). */
+  val discardElements: Seq[String] = Seq(
+    "gallery", "timeline", "noinclude", "pre",
+    "table", "tr", "td", "th", "caption",
+    "form", "input", "select", "option", "textarea",
+    "ul", "li", "ol", "dl", "dt", "dd", "menu", "dir",
+    "ref", "references", "img", "imagemap", "source")
+
+  val selfClosingTags: Seq[String] = Seq("br", "hr", "nobr", "ref", "references")
+
+  /** Tags stripped but whose content is kept (WikiExtractor.py:153);
+    * "a" is appended when links are not kept, matching the default CLI path.
+    */
+  val ignoredTags: Seq[String] = Seq(
+    "b", "big", "blockquote", "center", "cite", "div", "em",
+    "font", "h1", "h2", "h3", "h4", "hiero", "i", "kbd", "nowiki",
+    "p", "plaintext", "s", "small", "span", "strike", "strong",
+    "sub", "sup", "tt", "u", "var")
+
+  val placeholderTags: Seq[(String, String)] = Seq("math" -> "formula", "code" -> "codice")
+
+  // --- compiled patterns (thread-safe; Matchers are per-call) ---
+  private val comment = Pattern.compile("<!--.*?-->", Pattern.DOTALL)
+  private val selfClosingPats: Seq[Pattern] = selfClosingTags.map(t =>
+    Pattern.compile(s"<\\s*$t\\b[^/]*/\\s*>", Pattern.DOTALL | Pattern.CASE_INSENSITIVE))
+  private def ignoredPats(keepLinks: Boolean): Seq[(Pattern, Pattern)] = {
+    val tags = if (keepLinks) ignoredTags else ignoredTags :+ "a"
+    tags.map(t => (
+      Pattern.compile(s"<\\s*$t\\b[^>]*>", Pattern.CASE_INSENSITIVE),
+      Pattern.compile(s"<\\s*/\\s*$t>", Pattern.CASE_INSENSITIVE)))
+  }
+  private val ignoredPatsKeep = ignoredPats(keepLinks = true)
+  private val ignoredPatsNoKeep = ignoredPats(keepLinks = false)
+  private val discardPats: Seq[Pattern] = discardElements.map(t =>
+    Pattern.compile(s"<\\s*$t\\b[^>]*>.*?<\\s*/\\s*$t>", Pattern.DOTALL | Pattern.CASE_INSENSITIVE))
+  private val placeholderPats: Seq[(Pattern, String)] = placeholderTags.map { case (t, repl) =>
+    (Pattern.compile(s"<\\s*$t(\\s*| [^>]+?)>.*?<\\s*/\\s*$t\\s*>",
+      Pattern.DOTALL | Pattern.CASE_INSENSITIVE), repl)
+  }
+  private val preformatted = Pattern.compile("^ .*?$", Pattern.MULTILINE)
+  private val externalLink = new Regex("\\[\\w+.*? (.*?)\\]")
+  private val externalLinkNoAnchor = Pattern.compile("\\[\\w+[&\\]]*\\]")
+  private val boldItalic = new Regex("'''''([^']*?)'''''")
+  private val bold = new Regex("'''(.*?)'''")
+  private val italicQuote = new Regex("''\"(.*?)\"''")
+  private val italic = new Regex("''([^']*)''")
+  private val quoteQuote = new Regex("\"\"(.*?)\"\"")
+  private val spaces = Pattern.compile(" {2,}")
+  private val dots = Pattern.compile("\\.{4,}")
+  private val wikiLink = new Regex("\\[\\[([^\\[]*?)(?:\\|([^\\[]*?))?\\]\\](\\w*)")
+  private val parametrizedLink = Pattern.compile("\\[\\[.*?\\]\\]")
+  private val entityRef = new Regex("&#?(\\w+);")
+  private val punctOnlyLines = Pattern.compile("\\n\\W+?\\n")
+  private val magicWords = Pattern.compile("__[A-Z]+__")
+  private val sectionRe = Pattern.compile("(==+)\\s*(.*?)\\s*\\1")
+  private val wsUnderscore = Pattern.compile("[\\s_]+")
+  private val titleColon = Pattern.compile("([^:]*):(\\s*)(\\S(?:.*))")
+
+  /** Python-style capitalize: first char upper, rest lower. */
+  private def pyCapitalize(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1).toLowerCase
+
+  /** Canonical page title (WikiExtractor.py:163-197). */
+  def normalizeTitle(title0: String): String = {
+    var title = title0.dropWhile(c => c == ' ' || c == '_')
+      .reverse.dropWhile(c => c == ' ' || c == '_').reverse
+    title = wsUnderscore.matcher(title).replaceAll(" ")
+    val m = titleColon.matcher(title)
+    if (m.lookingAt()) {
+      val prefix = m.group(1)
+      val optionalWhitespace = if (m.group(2).nonEmpty) " " else ""
+      val rest = m.group(3)
+      val ns = pyCapitalize(prefix)
+      if (acceptedNamespaces.contains(ns)) ns + ":" + pyCapitalize(rest)
+      else pyCapitalize(prefix) + ":" + optionalWhitespace + rest
+    } else pyCapitalize(title)
+  }
+
+  /** HTML/XML character-reference unescaping (WikiExtractor.py:205-220):
+    * unknown or invalid references are left untouched.
+    */
+  def unescape(text: String): String =
+    entityRef.replaceAllIn(text, m => {
+      val whole = m.matched
+      val code = m.group(1)
+      val out =
+        try {
+          if (whole.charAt(1) == '#') {
+            val cp = if (whole.charAt(2) == 'x') Integer.parseInt(code.substring(1), 16)
+                     else Integer.parseInt(code)
+            new String(Character.toChars(cp))
+          } else Entities.name2codepoint.get(code) match {
+            case Some(cp) => new String(Character.toChars(cp))
+            case None => whole
+          }
+        } catch { case _: Exception => whole }
+      Regex.quoteReplacement(out)
+    })
+
+  /** Nesting-aware span removal for `{{..}}` / `{\|..\|}`
+    * (WikiExtractor.py:274-327). Stack scanner with the reference's
+    * unbalanced-input behavior (fixture-verified): a stray close is kept; an
+    * open left unclosed at EOF is kept unless some close appeared after it,
+    * in which case everything up to the last close is dropped.
+    */
+  def dropNested(text: String, open: String, close: String): String = {
+    val openRe = Pattern.compile(open)
+    val closeRe = Pattern.compile(close)
+    val om = openRe.matcher(text)
+    val cm = closeRe.matcher(text)
+    val spans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val stack = mutable.ArrayBuffer.empty[Int] // start offsets of open delims
+    var pos = 0
+    var lastCloseEnd = -1
+    var done = false
+    while (!done) {
+      val hasOpen = om.find(pos)
+      val openStart = if (hasOpen) om.start else Int.MaxValue
+      val hasClose = cm.find(pos)
+      val closeStart = if (hasClose) cm.start else Int.MaxValue
+      if (!hasOpen && !hasClose) done = true
+      else if (openStart < closeStart) { stack += openStart; pos = om.end() }
+      else {
+        if (stack.nonEmpty) {
+          val top = stack.remove(stack.length - 1)
+          if (stack.isEmpty) spans += ((top, cm.end()))
+        }
+        lastCloseEnd = cm.end()
+        pos = cm.end()
+      }
+    }
+    if (stack.nonEmpty && lastCloseEnd > stack.head)
+      spans += ((stack.head, lastCloseEnd))
+    dropSpans(spans.sortBy(_._1).toSeq, text)
+  }
+
+  /** Remove the given (start, end) spans (WikiExtractor.py:329-338),
+    * including its tolerance of overlapping spans (cursor moves to each
+    * span's end unconditionally).
+    */
+  private def dropSpans(spans: Seq[(Int, Int)], text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var cur = 0
+    for ((s, e) <- spans) {
+      if (s > cur) sb.append(text, cur, s)
+      cur = e
+    }
+    if (cur < text.length) sb.append(text, cur, text.length)
+    sb.toString
+  }
+
+  /** Link expansion callback (WikiExtractor.py:352-366). */
+  private def anchorFor(link: String, anchorOpt: Option[String], trail: String,
+                        keepLinks: Boolean): String = {
+    val colon = link.indexOf(':')
+    if (colon > 0 && !acceptedNamespaces.contains(link.substring(0, colon))) ""
+    else {
+      val anchor = anchorOpt.filter(_ != null).getOrElse(link) + trail
+      if (keepLinks) s"""<a href="$link">$anchor</a>""" else anchor
+    }
+  }
+
+  private def patSub(p: Pattern, text: String, repl: String): String =
+    p.matcher(text).replaceAll(repl)
+
+  /** Full markup → text cleaning (WikiExtractor.py:368-456), same step
+    * order as the reference.
+    */
+  def clean(text0: String, keepLinks: Boolean = false): String = {
+    var text = text0
+
+    // Transclusions + tables (nesting-aware).
+    text = dropNested(text, "\\{\\{", "\\}\\}")
+    text = dropNested(text, "\\{\\|", "\\|\\}")
+
+    // Links: expand innermost in one pass, then drop remaining enclosing.
+    text = wikiLink.replaceAllIn(text, m =>
+      Regex.quoteReplacement(anchorFor(m.group(1), Option(m.group(2)), m.group(3), keepLinks)))
+    text = patSub(parametrizedLink, text, "")
+
+    // External links.
+    text = externalLink.replaceAllIn(text, m => Regex.quoteReplacement(m.group(1)))
+    text = patSub(externalLinkNoAnchor, text, "")
+
+    // Bold / italic / quotes.
+    text = boldItalic.replaceAllIn(text, m => Regex.quoteReplacement(m.group(1)))
+    text = bold.replaceAllIn(text, m => Regex.quoteReplacement(m.group(1)))
+    text = italicQuote.replaceAllIn(text, m => Regex.quoteReplacement("&quot;" + m.group(1) + "&quot;"))
+    text = italic.replaceAllIn(text, m => Regex.quoteReplacement("&quot;" + m.group(1) + "&quot;"))
+    text = quoteQuote.replaceAllIn(text, m => Regex.quoteReplacement(m.group(1)))
+    text = text.replace("'''", "").replace("''", "&quot;")
+
+    // HTML entities, twice (&amp;nbsp; → &nbsp; →  ).
+    text = unescape(text)
+    text = unescape(text)
+
+    // Comments + self-closing + ignored tags: collected as spans and bulk
+    // dropped, mirroring the reference's dropSpans pass.
+    val spans = mutable.ArrayBuffer.empty[(Int, Int)]
+    def collect(p: Pattern): Unit = {
+      val m = p.matcher(text)
+      while (m.find()) spans += ((m.start, m.end))
+    }
+    collect(comment)
+    selfClosingPats.foreach(collect)
+    val ign = if (keepLinks) ignoredPatsKeep else ignoredPatsNoKeep
+    ign.foreach { case (l, r) => collect(l); collect(r) }
+    text = dropSpans(spans.sortBy(_._1).toSeq, text)
+
+    // Discarded elements (may nest → per-pattern regex sub).
+    for (p <- discardPats) text = patSub(p, text, "")
+
+    // Placeholders: indices assigned from matches over the pre-replacement
+    // text; replacement is by exact string value (reference quirk — two
+    // identical elements collapse to the first index).
+    for ((p, repl) <- placeholderPats) {
+      val m = p.matcher(text)
+      val found = mutable.ArrayBuffer.empty[String]
+      while (m.find()) found += m.group()
+      var idx = 1
+      var t = text
+      for (f <- found) { t = t.replace(f, s"${repl}_$idx"); idx += 1 }
+      text = t
+    }
+
+    // Reference's literal (mojibake) guillemet replacement.
+    text = text.replace("<<", "Â«").replace(">>", "Â»")
+
+    // Preformatted lines (after tag handling, as in the reference).
+    text = patSub(preformatted, text, "")
+
+    // Final cleanup.
+    text = text.replace("\t", " ")
+    text = patSub(spaces, text, " ")
+    text = patSub(dots, text, "...")
+    text = text.replace(" ,:.)]Â»", ",:.)]Â»") // WikiExtractor.py:448 (literal sequence)
+    text = text.replace("[(Â« ", "[(Â«")       // WikiExtractor.py:449
+    text = patSub(punctOnlyLines, text, "\n")
+    text = text.replace(",,", ",").replace(",.", ".")
+    text = patSub(magicWords, text, "")
+    text
+  }
+
+  /** Paragraph assembly (WikiExtractor.py:460-517): section headers are
+    * buffered and only emitted above non-empty sections; list items and
+    * table residuals are dropped (or HTML-ified in structure mode).
+    */
+  def compact(text: String, structure: Boolean = false): Seq[String] = {
+    val page = mutable.ArrayBuffer.empty[String]
+    val headers = mutable.SortedMap.empty[Int, String]
+    var emptySection = false
+
+    for (line <- text.split("\n", -1) if line.nonEmpty) {
+      val m = sectionRe.matcher(line)
+      if (m.lookingAt()) {
+        var title = m.group(2)
+        val lev = m.group(1).length
+        if (structure) page += s"<h$lev>$title</h$lev>"
+        if (title.nonEmpty && !"!?".contains(title.last)) title += "."
+        headers(lev) = title
+        headers.keys.filter(_ > lev).toSeq.foreach(headers.remove)
+        emptySection = true
+      } else if (line.startsWith("++")) {
+        var title = line.substring(2, math.max(2, line.length - 2))
+        if (title.nonEmpty) {
+          if (!"!?".contains(title.last)) title += "."
+          page += title
+        }
+      } else if ("*#:;".contains(line.head)) {
+        if (structure) page += s"<li>${line.substring(1)}</li>"
+      } else if ("{|".contains(line.head) || line.last == '}') {
+        // table/list residuals dropped
+      } else if ((line.head == '(' && line.last == ')') || line.forall(c => c == '.' || c == '-')) {
+        // irrelevant lines dropped
+      } else if (headers.nonEmpty) {
+        headers.values.foreach(page += _)
+        headers.clear()
+        page += line
+        emptySection = false
+      } else if (!emptySection) {
+        page += line
+      }
+    }
+    page.toSeq
+  }
+
+  /** Reference's page URL scheme (WikiExtractor.py:145). */
+  def pageUrl(prefix: String, id: String): String = s"$prefix?curid=$id"
+}
