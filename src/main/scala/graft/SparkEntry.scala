@@ -19,9 +19,17 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Wiki.queries ++
+      graft.queries.TextQ.queries ++
+      graft.queries.DedupQ.queries ++
+      graft.queries.SimilarityQ.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Wiki.oracles ++
+      graft.queries.TextQ.oracles ++
+      graft.queries.DedupQ.oracles ++
+      graft.queries.SimilarityQ.oracles
 }

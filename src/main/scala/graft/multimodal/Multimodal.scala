@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `binary` with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The Spark-side plumbing (schema, batching, partitioning, output shape)
+  * is real and tested; the actual codec work is STUBBED with a
+  * deterministic fake because no image/audio libraries exist in this
+  * container — `decodeStub` is the single seam to swap for a real decoder
+  * (e.g. a JNI codec or an `mapInPandas`-style Python worker on a real
+  * cluster).
+  */
+object Multimodal {
+
+  /** Canonical media schema: content plus typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Wrap arbitrary bytes into the media schema (metadata unknown → null). */
+  def asMedia(df: DataFrame, idCol: String, binCol: String, mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(binCol).cast("binary").as("content"),
+      lit(mime).as("mime"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+
+  /** STUB decode: deterministic pseudo-features from the content bytes.
+    * Real implementation decodes the image/audio and emits embeddings;
+    * the batch shape (one output row per input row, fixed-length
+    * float array) is the contract a real decoder must keep.
+    */
+  private def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
+    if (content == null) Array.fill(dim)(0.0f)
+    else {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = 31 * h + content(i); i += 1 }
+      i = 0
+      while (i < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(i) = (h.toDouble / Long.MaxValue).toFloat
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Feature extraction over media batches: mapPartitions so a real decoder
+    * can amortize model/codec init per partition (the Scala analogue of a
+    * batched pandas UDF). Output schema: (media_id, features array<float>).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      // per-partition init happens here in a real decoder
+      rows.map { r =>
+        Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** STUB resize: a real implementation re-encodes pixels; the stub keeps
+    * the contract (binary→binary, metadata updated).
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media
+      .withColumn("width", lit(w))
+      .withColumn("height", lit(h))
+
+  /** STUB frame sampling for video: emits `n` (media_id, frame_idx) rows
+    * per video — the explode shape a real sampler produces.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.select(col("media_id"),
+      explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
+}

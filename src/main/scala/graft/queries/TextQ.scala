@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextOps
+
+/** Text-analysis queries over documents. t02/t03 are fully SQL-expressible
+  * (oracle-checked); t01/t04 are heuristic/hash ops with rows-only checks
+  * plus unit specs.
+  */
+object TextQ {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L9: language ID (stopword vote + CJK ratio). Rows-only.
+    "t01_langid" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // L10: quality scoring.
+    "t02_quality" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // L11: token counting (whitespace + BPE-ish regex).
+    "t03_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    },
+
+    // L12: rolling-hash fingerprint. Rows-only (spec-verified semantics).
+    "t04_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t02_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  LEAST(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
+        |    (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+        |           AND (n_chars - n_tokens + 1.0) / n_tokens <= 10.0
+        |          THEN 1.0 ELSE 0.5 END) AS quality,
+        |  (n_chars - n_tokens + 1.0) / n_tokens AS mean_tok_len
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t03_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(LENGTH(text) AS INTEGER) AS n_chars_calc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

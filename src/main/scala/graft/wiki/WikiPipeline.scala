@@ -1,0 +1,110 @@
+package graft.wiki
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{WikiPage, WikiXmlSource}
+
+/** The reference's end-to-end flow (dump → filter → clean → render → write),
+  * as Dataset transforms. Every stage is per-row — the whole pipeline runs
+  * in a single Spark stage with no shuffle, which is the property that makes
+  * it hold at 100 TB: wall-clock scales with executors, full stop.
+  */
+object WikiPipeline {
+
+  /** Pipeline knobs, mirroring the reference CLI (WikiExtractor.py:683-698).
+    *
+    * @param keepLinks  render `[[..]]` as `<a>` anchors (WikiExtractor.py:78)
+    * @param structure  emit `<hN>`/`<li>` structure lines (WikiExtractor.py:83)
+    * @param incubator  incubator language filter (WikiExtractor.py:631-636)
+    */
+  case class Config(
+      keepLinks: Boolean = false,
+      structure: Boolean = false,
+      incubator: Option[String] = None)
+
+  /** Redirect + namespace filtering (WikiExtractor.py:627-629), plus
+    * incubator-mode `Wx/lang/Title` selection (WikiExtractor.py:631).
+    */
+  def articles(pages: Dataset[WikiPage], cfg: Config = Config()): Dataset[WikiPage] = {
+    import pages.sparkSession.implicits._
+    val base = pages.filter { p =>
+      val colon = p.title.indexOf(':')
+      !p.redirect && (colon < 0 || WikiMarkup.acceptedNamespaces.contains(p.title.substring(0, colon)))
+    }
+    cfg.incubator match {
+      case None => base
+      case Some(lang) =>
+        base.flatMap { p =>
+          val parts = p.title.split("/")
+          if (parts.length > 2 && parts(1) == lang) Some(p.copy(title = parts(2))) else None
+        }
+    }
+  }
+
+  /** Clean + compact each article: adds `lines` (the compacted paragraphs)
+    * keeping id/title. Pure per-row CPU — stays in one stage.
+    */
+  def extract(articles: Dataset[WikiPage], cfg: Config = Config()): DataFrame = {
+    val keepLinks = cfg.keepLinks
+    val structure = cfg.structure
+    val extractUdf = udf { (text: String) =>
+      WikiMarkup.compact(WikiMarkup.clean(text, keepLinks), structure)
+    }
+    articles.toDF()
+      .withColumn("lines", extractUdf(col("text")))
+      .select("id", "title", "lines")
+  }
+
+  /** Attach vital-article tags via broadcast join and keep only listed
+    * titles (the reference's vital_titles/vital_tags path,
+    * WikiExtractor.py:630-643). `vital` must have columns (title, tags).
+    */
+  def withVitalTags(extracted: DataFrame, vital: DataFrame): DataFrame =
+    extracted.join(broadcast(vital), "title")
+
+  /** Sentence-format rendering (WikiDocumentSentences, WikiExtractor.py:134):
+    * a blank line, `title:tag|||tag`, then one compacted line per row.
+    */
+  def toSentenceFormat(extracted: DataFrame): DataFrame = {
+    val render = udf { (title: String, tags: Seq[String], lines: Seq[String]) =>
+      val tagStr = Option(tags).getOrElse(Seq.empty).mkString("|||")
+      "\n" + title + ":" + tagStr + "\n" + lines.map(_ + "\n").mkString
+    }
+    val withTags =
+      if (extracted.columns.contains("tags")) extracted
+      else extracted.withColumn("tags", array().cast("array<string>"))
+    withTags.select(col("id"),
+      render(col("title"), col("tags"), col("lines")).as("rendered"))
+  }
+
+  /** Tanl document format (`<doc id url title>`, WikiExtractor.py:121-132),
+    * with the reference's URL scheme from the dump's site base.
+    */
+  def toDocFormat(extracted: DataFrame, urlPrefix: String): DataFrame = {
+    val render = udf { (id: String, title: String, lines: Seq[String]) =>
+      val url = WikiMarkup.pageUrl(urlPrefix, id)
+      s"""<doc id="$id" url="$url" title="$title">""" + "\n" + title + "\n" +
+        lines.map(_ + "\n").mkString + "</doc>"
+    }
+    extracted.select(col("id"), render(col("id"), col("title"), col("lines")).as("rendered"))
+  }
+
+  /** Size-split text sink — the OutputSplitter (WikiExtractor.py:526-582)
+    * re-expressed as a parallel write: `maxRecordsPerFile` bounds file size,
+    * `compression` covers the reference's bz2 option, and partitioning keeps
+    * the write distributed (no single-writer bottleneck at scale).
+    */
+  def write(rendered: DataFrame, path: String,
+            compress: Boolean = false, maxRecordsPerFile: Long = 100000): Unit = {
+    val w = rendered.select("rendered").write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (compress) w.option("compression", "bzip2") else w)
+      .mode("overwrite").text(path)
+  }
+
+  /** Full reference flow: dump path → rendered docs. */
+  def run(spark: SparkSession, dumpPath: String, cfg: Config = Config()): DataFrame = {
+    val pages = WikiXmlSource.pages(spark, dumpPath)
+    toSentenceFormat(extract(articles(pages, cfg), cfg))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Event, EventStreams}
+import graft.multimodal.Multimodal
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("streaming tumbling window agg matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.tumbling(input.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0, 10), 1, "click", 1.0),
+        Event(2, ts(1, 0), 1, "click", 2.0),
+        Event(3, ts(6, 0), 2, "view", 3.0),
+        Event(4, ts(7, 0), 2, "click", 4.0))
+      query.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .orderBy("bucket", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(rows == Seq(
+        (ts(0), "click", 2L, 3.0),
+        (ts(5), "click", 1L, 4.0),
+        (ts(5), "view", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and keeps state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10s apart (same session)
+      input.addData(Event(1, ts(0, 0), 7, "click", 1.0), Event(2, ts(0, 10), 7, "view", 1.0))
+      query.processAllAvailable()
+      // batch 2: 5 minutes later → closes session 1, opens session 2
+      input.addData(Event(3, ts(5, 0), 7, "click", 1.0))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSeq
+      assert(closed == Seq((7L, 1L, 2L, ts(0, 0), ts(0, 10))))
+    } finally query.stop()
+  }
+
+  test("batch sessionization helper reports open sessions") {
+    val events = Seq(
+      Event(1, ts(0), 9, "click", 1.0),
+      Event(2, ts(10), 9, "view", 1.0)).toDS()
+    val open = EventStreams.openSessions(events, gapSec = 60).collect().toSeq
+    assert(open.map(s => (s.user_id, s.session_id, s.n_events)) == Seq((9L, 2L, 1L)))
+  }
+
+  test("multimodal: asMedia wraps binary with typed metadata schema") {
+    val df = Seq((1L, "fakejpegbytes"), (2L, "otherbytes")).toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val media = Multimodal.asMedia(df, "id", "payload", "image/jpeg")
+    assert(media.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(media.count() == 2)
+  }
+
+  test("multimodal: feature extraction is deterministic, batched, fixed-dim") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val media = Multimodal.asMedia(df, "id", "payload", "application/octet-stream")
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(feats.forall(_._2.length == 8))
+    assert(feats(0)._2 == feats(2)._2) // same bytes → same features
+    assert(feats(0)._2 != feats(1)._2)
+  }
+
+  test("multimodal: frame sampling explodes n rows per video") {
+    val df = Seq((5L, "video")).toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val media = Multimodal.asMedia(df, "id", "payload", "video/mp4")
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 4)
+    assert(frames.agg(max("frame_idx")).head().getInt(0) == 3)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.wiki
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.SparkSpec
+import graft.sources.{WikiPage, WikiXmlSource}
+
+/** End-to-end parity: the expected output fixture was produced by running
+  * the reference CLI (`python3 WikiExtractor.py --infn dump.xml`) on the
+  * same dump — see scripts/gen_fixtures.py-adjacent capture in git history.
+  */
+class WikiPipelineSpec extends SparkSpec {
+
+  private lazy val dumpPath: String = {
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val p = dir.resolve("wiki_e2e_dump.xml")
+    val in = getClass.getResourceAsStream("/wiki_e2e_dump.xml")
+    Files.copy(in, p, StandardCopyOption.REPLACE_EXISTING)
+    p.toString
+  }
+
+  private lazy val expected: String = {
+    val in = getClass.getResourceAsStream("/wiki_e2e_expected.txt")
+    new String(in.readAllBytes(), "UTF-8")
+  }
+
+  test("pages() parses page records with ids, redirect flags, text") {
+    val pages = WikiXmlSource.pages(spark, dumpPath).collect().sortBy(_.id.toInt)
+    assert(pages.map(_.title).toSeq ==
+      Seq("Alpha Article", "Beta Redirect", "Category:Letters", "w:Wiki Page", "Gamma"))
+    assert(pages.map(_.id).toSeq == Seq("1", "2", "3", "4", "5"))
+    assert(pages.map(_.redirect).toSeq == Seq(false, true, false, false, false))
+    assert(pages.head.text.startsWith("'''Alpha'''"))
+  }
+
+  test("basePrefix discovers the site URL prefix") {
+    assert(WikiXmlSource.basePrefix(spark, dumpPath).contains("http://test.example.org/wiki"))
+  }
+
+  test("end-to-end sentence output matches the reference CLI byte-for-byte") {
+    import spark.implicits._
+    val rendered = WikiPipeline.run(spark, dumpPath)
+      .withColumn("idn", org.apache.spark.sql.functions.col("id").cast("int"))
+      .orderBy("idn")
+      .select("rendered").as[String].collect().mkString
+    assert(rendered == expected)
+  }
+
+  test("incubator mode selects lang subpages and rewrites titles") {
+    import spark.implicits._
+    val pages = Seq(
+      WikiPage("1", "Wp/enm/Middle Page", redirect = false, "text one"),
+      WikiPage("2", "Wp/fr/Autre", redirect = false, "texte"),
+      WikiPage("3", "Wp/enm", redirect = false, "too short"),
+      WikiPage("4", "Plain", redirect = false, "plain")).toDS()
+    val got = WikiPipeline.articles(pages, WikiPipeline.Config(incubator = Some("enm")))
+      .collect().toSeq
+    assert(got.map(_.title) == Seq("Middle Page"))
+  }
+
+  test("vital tags broadcast join keeps only listed titles with tags") {
+    import spark.implicits._
+    val pages = Seq(
+      WikiPage("1", "Keep Me", redirect = false, "body one"),
+      WikiPage("2", "Drop Me", redirect = false, "body two")).toDS()
+    val vital = Seq(("Keep Me", Seq("tag1", "tag2"))).toDF("title", "tags")
+    val out = WikiPipeline.toSentenceFormat(
+      WikiPipeline.withVitalTags(WikiPipeline.extract(WikiPipeline.articles(pages)), vital))
+    val rows = out.as[(String, String)].collect()
+    assert(rows.length == 1)
+    assert(rows.head._2 == "\nKeep Me:tag1|||tag2\nbody one\n")
+  }
+
+  test("doc format renders Tanl <doc> headers with reference URLs") {
+    import spark.implicits._
+    val pages = Seq(WikiPage("7", "Doc Title", redirect = false, "Body line")).toDS()
+    val out = WikiPipeline.toDocFormat(
+      WikiPipeline.extract(WikiPipeline.articles(pages)), "http://test.example.org/wiki")
+    val r = out.as[(String, String)].collect().head._2
+    assert(r ==
+      "<doc id=\"7\" url=\"http://test.example.org/wiki?curid=7\" title=\"Doc Title\">\nDoc Title\nBody line\n</doc>")
+  }
+
+  test("write splits output and reads back losslessly") {
+    import spark.implicits._
+    val rendered = WikiPipeline.run(spark, dumpPath)
+    WikiPipeline.write(rendered, "target/tmp/wiki_out", maxRecordsPerFile = 2)
+    val back = spark.read.textFile("target/tmp/wiki_out").collect()
+    assert(back.count(_.endsWith(":")) == 3) // three doc headers survive
+  }
+}
