@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FloatDot
+import graft.wiki.WikiMarkup
+
+/** Session integration: makes graft's custom expressions and wiki functions
+  * available to SQL users.
+  *
+  * Two entry points:
+  *  - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (the standard injection path, applied at session build);
+  *  - [[GraftExtensions.register]]: imperative registration on a live
+  *    session (tests, notebooks).
+  *
+  * Deliberately small: graft's operators are DataFrame transforms over
+  * native plans, so Catalyst's existing rules (pushdown, pruning, join
+  * selection, AQE) apply unchanged — no custom Rule/Strategy is needed,
+  * which is the point of declaring plans instead of scheduling them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.floatDotDescriptor)
+}
+
+object GraftExtensions {
+
+  private[plans] val floatDotDescriptor =
+    (new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDot(children.head, children(1)))
+
+  /** Register SQL functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      floatDotDescriptor._1, floatDotDescriptor._2, floatDotDescriptor._3)
+    spark.udf.register("wiki_clean", (t: String) => WikiMarkup.clean(t))
+    spark.udf.register("wiki_compact",
+      (t: String) => WikiMarkup.compact(WikiMarkup.clean(t)))
+    spark.udf.register("normalize_title", (t: String) => WikiMarkup.normalizeTitle(t))
+  }
+}
