@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse-layout helpers for the 100 TB path: bucketing co-locates both
+  * sides of a recurring join on the join key at write time, so every
+  * subsequent join/aggregation on that key runs with NO shuffle exchange —
+  * the single biggest lever for repeated fact-fact joins at scale.
+  *
+  * (Time-partitioning for events-style tables composes with this via
+  * `partitionBy`; partition pruning then drops whole directories before
+  * the scan.)
+  */
+object Warehouse {
+
+  /** Write as a bucketed, per-bucket-sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write bucketed and additionally partitioned by a (low-cardinality)
+    * partition column — pruning + co-location together.
+    */
+  def writeBucketedPartitioned(df: DataFrame, table: String, partitionCol: String,
+                               key: String, buckets: Int): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two identically-bucketed tables on their bucket key. With equal
+    * bucket counts Spark plans a SortMergeJoin with no Exchange on either
+    * side.
+    */
+  def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class SourcesSpec extends SparkSpec {
+
+  private def writeCompressed(suffix: String, codec: java.io.OutputStream => java.io.OutputStream): String = {
+    val dump = getClass.getResourceAsStream("/wiki_e2e_dump.xml").readAllBytes()
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val p = dir.resolve(s"wiki_dump$suffix")
+    val out = codec(Files.newOutputStream(p))
+    out.write(dump); out.close()
+    p.toString
+  }
+
+  test("reads gzip-compressed dumps (reference --infn *.gz path)") {
+    val p = writeCompressed(".xml.gz", os => new java.util.zip.GZIPOutputStream(os))
+    val pages = WikiXmlSource.pages(spark, p).collect()
+    assert(pages.length == 5)
+    assert(pages.map(_.id).sorted.toSeq == Seq("1", "2", "3", "4", "5"))
+  }
+
+  test("reads bzip2-compressed dumps via Hadoop codec (splittable at scale)") {
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val dump = getClass.getResourceAsStream("/wiki_e2e_dump.xml").readAllBytes()
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val p = dir.resolve("wiki_dump.xml.bz2")
+    val out = codec.createOutputStream(Files.newOutputStream(p))
+    out.write(dump); out.close()
+    val pages = WikiXmlSource.pages(spark, p.toString).collect()
+    assert(pages.length == 5)
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    Warehouse.writeBucketed(Tables(spark, sf, "orders"), "orders_b", "o_orderkey", 4)
+    Warehouse.writeBucketed(
+      Tables(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Warehouse.colocatedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected bucket-co-located join, got shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("partitioned+bucketed write prunes partitions on read") {
+    val sf = "/root/testdata/sf0.001"
+    Warehouse.writeBucketedPartitioned(Tables(spark, sf, "orders"),
+      "orders_pb", "o_orderstatus", "o_orderkey", 4)
+    val scan = spark.table("orders_pb").filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+    assert(scan.count() > 0)
+    val explained = scan.queryExecution.executedPlan.toString
+    assert(explained.contains("PartitionFilters") || explained.contains("o_orderstatus"))
+  }
+}
