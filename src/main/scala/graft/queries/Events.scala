@@ -51,6 +51,20 @@ object Events {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n_events"))
         .orderBy("event_type")
+    },
+
+    // A18: as-of join — for each purchase, the user's latest preceding
+    // click (graft.operators.AsofJoin: one shuffle, union + running last).
+    "e04_asof" -> { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("asof_click_id").as("click_id"))
+        .orderBy("event_id")
     }
   )
 
@@ -82,6 +96,14 @@ object Events {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "e04_asof" ->
+      """SELECT p.event_id, p.user_id, c.click_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "e03_json_extract" ->
       """SELECT event_type,

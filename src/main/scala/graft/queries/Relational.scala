@@ -174,6 +174,17 @@ object Relational {
         .orderBy("day")
     },
 
+    // A19: exact percentiles (sort-based distributed percentile).
+    "q15_percentile" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // A16: argmax per group (top customer per nation by balance).
     "q14_argmax" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -299,6 +310,15 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q15_percentile" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q14_argmax" ->
       """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (

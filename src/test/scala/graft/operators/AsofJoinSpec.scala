@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("asof join picks latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, 10L, t(100)), // after both rights for key 10 → matches r2
+      (2L, 10L, t(50)),  // between → matches r1
+      (3L, 10L, t(5)),   // before all → null
+      (4L, 20L, t(100)), // other key → matches r3
+      (5L, 30L, t(100))  // key with no rights → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, t(10)),  // r1
+      (102L, 10L, t(60)),  // r2
+      (103L, 20L, t(99))   // r3
+    ).toDF("click_id", "user_id", "rts")
+
+    val out = AsofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("click_id"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out == Map(
+      1L -> Some(102L), 2L -> Some(101L), 3L -> None, 4L -> Some(103L), 5L -> None))
+  }
+
+  test("asof join equal timestamps count as 'at-or-before'") {
+    val left = Seq((1L, 10L, t(60))).toDF("event_id", "user_id", "ts")
+    val right = Seq((102L, 10L, t(60))).toDF("click_id", "user_id", "rts")
+    val out = AsofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("click_id"))
+      .select("asof_click_id").as[Option[Long]].head()
+    assert(out.contains(102L))
+  }
+}

@@ -35,8 +35,22 @@ class SourcesSpec extends SparkSpec {
     assert(pages.length == 5)
   }
 
+  /** Managed-table locations survive the (in-memory) catalog across JVMs —
+    * clear both the catalog entry and the orphan dir before re-creating.
+    */
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), name)
+    if (Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    dropTable("orders_b"); dropTable("lineitem_b")
     Warehouse.writeBucketed(Tables(spark, sf, "orders"), "orders_b", "o_orderkey", 4)
     Warehouse.writeBucketed(
       Tables(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
@@ -57,6 +71,7 @@ class SourcesSpec extends SparkSpec {
 
   test("partitioned+bucketed write prunes partitions on read") {
     val sf = "/root/testdata/sf0.001"
+    dropTable("orders_pb")
     Warehouse.writeBucketedPartitioned(Tables(spark, sf, "orders"),
       "orders_pb", "o_orderstatus", "o_orderkey", 4)
     val scan = spark.table("orders_pb").filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
