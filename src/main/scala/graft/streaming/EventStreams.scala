@@ -64,6 +64,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose content hash was already seen
+    * within the watermark window — the incremental twin of
+    * [[graft.dedup.Dedup.exact]]. State is one 32-byte hash per distinct
+    * document inside the watermark horizon, keyed-sharded across the
+    * cluster's state stores.
+    */
+  def dedupeExact(df: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withColumn("__h", sha2(col(textCol).cast("binary"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Flush the still-open session per user (batch-style finalization used
     * in tests and backfills).
     */

@@ -54,6 +54,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops repeated content across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: Timestamp, text: String)
+    val input = MemoryStream[Event]
+    val query = graft.streaming.EventStreams
+      .dedupeExact(input.toDF(), "event_type", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "samecontent", 1.0),
+        Event(2, ts(1), 2, "samecontent", 1.0),
+        Event(3, ts(2), 3, "other", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(3), 4, "samecontent", 1.0)) // dup in later batch
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally query.stop()
+  }
+
   test("batch sessionization helper reports open sessions") {
     val events = Seq(
       Event(1, ts(0), 9, "click", 1.0),
