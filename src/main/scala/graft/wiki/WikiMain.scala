@@ -44,9 +44,11 @@ object WikiMain {
     val spark: SparkSession = Tables.newSession("graft-wiki", s"local[$cpus]", cpus)
     val cfg = WikiPipeline.Config(keepLinks = keepLinks, structure = structure,
       incubator = incubator)
+    val t0 = System.nanoTime()
     val rendered = WikiPipeline.run(spark, infn, cfg)
     WikiPipeline.write(rendered, out, compress = compress)
-    println(s"wrote ${spark.read.textFile(out).count()} lines to $out")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"wrote ${spark.read.textFile(out).count()} lines to $out in $secs%.1f s")
     spark.stop()
   }
 }

@@ -96,7 +96,12 @@ object WikiPipeline {
     */
   def write(rendered: DataFrame, path: String,
             compress: Boolean = false, maxRecordsPerFile: Long = 100000): Unit = {
-    val w = rendered.select("rendered").write
+    // rendered docs carry their trailing newline (so concatenation equals
+    // the reference's output stream); the text sink adds one per row, so
+    // strip ours to keep the written bytes identical to the reference.
+    val w = rendered
+      .select(regexp_replace(col("rendered"), "\\n$", "").as("rendered"))
+      .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (compress) w.option("compression", "bzip2") else w)
       .mode("overwrite").text(path)

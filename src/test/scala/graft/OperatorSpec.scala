@@ -90,6 +90,14 @@ class OperatorSpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("approx_count_distinct stays within 5% of exact on 100k keys") {
+    val df = spark.range(100000).selectExpr("CAST(id % 37777 AS STRING) AS k")
+    val exact = df.select(countDistinct(col("k"))).head().getLong(0)
+    val approx = df.select(approx_count_distinct(col("k"), 0.01)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("langId detects stopword-heavy languages and CJK") {
     val samples = Seq(
       ("the cat sat on the mat and it was happy", "en"),
