@@ -83,6 +83,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(open.map(s => (s.user_id, s.session_id, s.n_events)) == Seq((9L, 2L, 1L)))
   }
 
+  test("streaming tumbling agg over the real events table via file source") {
+    // the driver's events parquet consumed as a stream: same transform as
+    // e01_tumbling, incremental execution, results equal to the batch run
+    val sf = "/root/testdata/sf0.001"
+    graft.Tables(spark, sf, "events") // sets the nanosAsLong conf
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema // ts: long
+    // file streams take a directory of files
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp/events_stream"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = graft.streaming.EventStreams.tumbling(stream)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("file_tumbling").count()
+      val batch = graft.queries.Events.queries("e01_tumbling")(spark, sf).count()
+      assert(streamed == batch && streamed > 0)
+    } finally query.stop()
+  }
+
   test("multimodal: asMedia wraps binary with typed metadata schema") {
     val df = Seq((1L, "fakejpegbytes"), (2L, "otherbytes")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))

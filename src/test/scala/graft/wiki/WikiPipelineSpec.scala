@@ -45,6 +45,32 @@ class WikiPipelineSpec extends SparkSpec {
     assert(rendered == expected)
   }
 
+  test("incubator-mode end-to-end output matches the reference CLI (--incubator enm)") {
+    import spark.implicits._
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val p = dir.resolve("wiki_incub_dump.xml")
+    Files.copy(getClass.getResourceAsStream("/wiki_incub_dump.xml"), p,
+      StandardCopyOption.REPLACE_EXISTING)
+    val exp = new String(
+      getClass.getResourceAsStream("/wiki_incub_expected.txt").readAllBytes(), "UTF-8")
+    val rendered = WikiPipeline.run(spark, p.toString,
+        WikiPipeline.Config(incubator = Some("enm")))
+      .withColumn("idn", org.apache.spark.sql.functions.col("id").cast("int"))
+      .orderBy("idn").select("rendered").as[String].collect().mkString
+    assert(rendered == exp)
+  }
+
+  test("reads a directory of dump files (multi-file scale path)") {
+    import spark.implicits._
+    val dir = Files.createDirectories(Paths.get("target/tmp/multidump"))
+    Files.copy(getClass.getResourceAsStream("/wiki_e2e_dump.xml"),
+      dir.resolve("part1.xml"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(getClass.getResourceAsStream("/wiki_incub_dump.xml"),
+      dir.resolve("part2.xml"), StandardCopyOption.REPLACE_EXISTING)
+    val pages = WikiXmlSource.pages(spark, dir.toString).collect()
+    assert(pages.length == 9) // 5 + 4 across both files
+  }
+
   test("incubator mode selects lang subpages and rewrites titles") {
     import spark.implicits._
     val pages = Seq(
