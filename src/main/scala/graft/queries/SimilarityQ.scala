@@ -28,6 +28,12 @@ object SimilarityQ {
       val dim = 64
       Similarity.lshKnn(emb, queryVec(s, dir), "vec_id", "embedding",
         k = 20, dim = dim, bits = 8, tables = 4)
+    },
+
+    // L8: IVF probe-based approximate top-20 for the same query.
+    "s03_knn_ivf" -> { (s, dir) =>
+      Similarity.ivfKnn(Tables(s, dir, "embeddings"), queryVec(s, dir),
+        "vec_id", "embedding", k = 20, nCentroids = 16, probes = 4)
     }
   )
 

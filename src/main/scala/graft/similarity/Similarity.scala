@@ -101,6 +101,42 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** IVF top-k: assign every vector to its nearest centroid cell, find the
+    * `probes` cells nearest the query, and run exact cosine only inside
+    * those cells. At warehouse scale the `cell` column is a partition
+    * column, so probing prunes partitions instead of filtering a scan.
+    */
+  def ivfKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+             k: Int, nCentroids: Int = 16, probes: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids)
+    val dim = centroids.head._2.length
+    // cells nearest the query, ranked by squared distance
+    val qAssigned = assignToCentroidsRanked(query, "qvec", centroids, dim, probes)
+    val candidates = assigned.join(broadcast(qAssigned),
+      array_contains(col("probe_cells"), col("cell")))
+    candidates
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def assignToCentroidsRanked(query: DataFrame, vecCol: String,
+                                      centroids: Array[(Int, Array[Double])],
+                                      dim: Int, probes: Int): DataFrame = {
+    val dists = centroids.map { case (i, c) =>
+      val d = aggregate(zip_with(col(vecCol), lit(c), (p, q) => {
+        val diff = p.cast("double") - q
+        diff * diff
+      }), lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    query.withColumn("probe_cells",
+      slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, probes))
+  }
+
   private def assignToCentroids(emb: DataFrame, vecCol: String,
                                 centroids: Array[(Int, Array[Double])], dim: Int): DataFrame = {
     // argmin over centroid distances, built as a fold of when() expressions

@@ -79,6 +79,19 @@ class OperatorSpec extends SparkSpec {
     assert(exact.intersect(approx).size >= 6, s"recall too low: ${exact.intersect(approx).size}/10")
   }
 
+  test("ivf knn achieves reasonable recall vs brute force") {
+    val rng = new scala.util.Random(3)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 10,
+      nCentroids = 8, probes = 4).as[(Long, Double)].collect().map(_._1).toSet
+    assert(exact.intersect(approx).size >= 5,
+      s"recall too low: ${exact.intersect(approx).size}/10")
+  }
+
   test("ivf assigns every vector to a cell and cells partition the data") {
     val rng = new scala.util.Random(2)
     val emb = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
