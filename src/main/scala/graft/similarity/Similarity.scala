@@ -139,18 +139,24 @@ object Similarity {
 
   private def assignToCentroids(emb: DataFrame, vecCol: String,
                                 centroids: Array[(Int, Array[Double])], dim: Int): DataFrame = {
-    // argmin over centroid distances, built as a fold of when() expressions
-    val dists = centroids.map { case (i, c) =>
-      val d = aggregate(zip_with(col(vecCol), lit(c), (p, q) => {
-        val diff = p.cast("double") - q
-        diff * diff
-      }), lit(0.0), (acc, v) => acc + v)
-      (i, d)
+    // argmin over the (closure-broadcast) centroid matrix in one tight
+    // loop per row — k×dim float ops, no per-element lambda dispatch
+    val mat = centroids.map(_._2)
+    val assign = udf { (v: Seq[Float]) =>
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < mat.length) {
+        val cv = mat(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(cv.length, v.length)
+        while (i < n) { val diff = v(i) - cv(i); d += diff * diff; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
     }
-    val best = dists.map(_._2).reduce((a, b) => least(a, b))
-    val cell = dists.foldRight(lit(-1)) { case ((i, d), acc) =>
-      when(d === best, lit(i)).otherwise(acc)
-    }
-    emb.withColumn("cell", cell)
+    emb.withColumn("cell", assign(col(vecCol)))
   }
 }
