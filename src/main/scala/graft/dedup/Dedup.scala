@@ -13,6 +13,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  // Precompiled: String.split(regex) recompiles the pattern per call,
+  // which dominates in per-row UDF loops.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Exact dedup: keep the lowest-id row per distinct content hash.
     * One shuffle on the hash; the text column itself is never shuffled.
     */
@@ -69,7 +73,7 @@ object Dedup {
     val f = udf { (s: String) =>
       if (s == null) signatureOf(Iterator.empty, numHashes, as, bs)
       else {
-        val toks = s.split("\\s+")
+        val toks = WS.split(s)
         val th = new Array[Long](toks.length)
         var i = 0
         while (i < toks.length) {
@@ -136,6 +140,35 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
+  /** The full near-dup pipeline: MinHash-LSH candidate generation →
+    * n-gram Jaccard verification → thresholded pairs (a, b, jaccard).
+    * This is the 100 TB-shaped composition: candidates are linear in
+    * corpus size, gram sets are computed once per involved document, and
+    * the verify join touches only candidates.
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                     threshold: Double = 0.7, shingleK: Int = 3,
+                     numHashes: Int = 64, bands: Int = 16,
+                     jaccardN: Int = 2): DataFrame = {
+    val candidates = minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands)
+    val grams = df.select(col(idCol), ngramHashSet(col(textCol), jaccardN).as("__grams"))
+    candidates
+      .join(grams.withColumnRenamed(idCol, "a").withColumnRenamed("__grams", "__ga"), "a")
+      .join(grams.withColumnRenamed(idCol, "b").withColumnRenamed("__grams", "__gb"), "b")
+      .select(col("a"), col("b"), jaccardOfSets(col("__ga"), col("__gb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Survivors after near-dup removal: keep the lowest id of each dup pair
+    * cluster edge (greedy per-pair: drop the higher id of every pair).
+    */
+  def nearDedup(df: DataFrame, textCol: String, idCol: String,
+                threshold: Double = 0.7): DataFrame = {
+    val drop = nearDuplicates(df, textCol, idCol, threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
     * vote, sign of each bit sum. Near-dups differ in few bits (compare with
     * `bit_count(a ^ b)`).
@@ -182,7 +215,7 @@ object Dedup {
   private def ngramHashUdf(n: Int) = udf { (s: String) =>
     if (s == null) Array.empty[Long]
     else {
-      val toks = s.split("\\s+")
+      val toks = WS.split(s)
       val th = new Array[Long](toks.length)
       var i = 0
       while (i < toks.length) {

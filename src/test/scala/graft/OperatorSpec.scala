@@ -33,6 +33,19 @@ class OperatorSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 && Set(a, b).intersect(Set(1L, 2L, 3L)).size == 1 })
   }
 
+  test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
+    val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
+      bands = 32).as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(ids.contains((1L, 3L)))
+    assert(!ids.exists { case (a, b) => a >= 4L || b >= 4L })
+    val survivors = Dedup.nearDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 4L, 5L))
+  }
+
   test("simhash: identical texts equal, near-dups within few bits, unrelated far") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap

@@ -75,6 +75,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionization (closed+open) equals the batch e02 query on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val eventsDf = graft.Tables(spark, sf, "events")
+    val events = eventsDf.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val input = MemoryStream[Event]
+    val query = graft.streaming.EventStreams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("real_sessions")
+      .outputMode("append").start()
+    try {
+      // two batches split at the median timestamp to exercise cross-batch state
+      val all = events.collect().sortBy(_.ts.getTime)
+      val (b1, b2) = all.splitAt(all.length / 2)
+      input.addData(b1.toSeq); query.processAllAvailable()
+      input.addData(b2.toSeq); query.processAllAvailable()
+      val closed = spark.table("real_sessions")
+        .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect()
+      val open = graft.streaming.EventStreams.openSessions(events, gapSec = 1800)
+        .map(s => (s.user_id, s.session_id, s.n_events)).collect()
+      val streamed = (closed ++ open).toSet
+      val batch = graft.queries.Events.queries("e02_sessionize")(spark, sf)
+        .select("user_id", "session_id", "n_events").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("batch sessionization helper reports open sessions") {
     val events = Seq(
       Event(1, ts(0), 9, "click", 1.0),
