@@ -53,6 +53,27 @@ object Events {
         .orderBy("event_type")
     },
 
+    // A22: sliding window frame (moving sum/count over last 4 events).
+    "e05_moving_sum" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).over(w).cast("double").as("moving_sum"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("event_id")
+    },
+
+    // A23: lead/lag — inter-event gap seconds per user.
+    "e06_lag_delta" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("tsec", col("ts").cast("double"))
+        .select(col("event_id"), col("user_id"),
+          (col("tsec") - lag(col("tsec"), 1).over(w)).as("gap_sec"))
+        .orderBy("event_id")
+    },
+
     // A18: as-of join — for each purchase, the user's latest preceding
     // click (graft.operators.AsofJoin: one shuffle, union + running last).
     "e04_asof" -> { (s, dir) =>
@@ -96,6 +117,23 @@ object Events {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "e05_moving_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+        |  COUNT(*) OVER w AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "e06_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+        |    - LAG(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "e04_asof" ->
       """SELECT p.event_id, p.user_id, c.click_id

@@ -174,6 +174,15 @@ object Relational {
         .orderBy("day")
     },
 
+    // A26: set operations (INTERSECT / EXCEPT).
+    "q16_setops" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val su = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).withColumn("op", lit("both"))
+        .union(c.except(su).withColumn("op", lit("customer_only")))
+        .orderBy("op", "nationkey")
+    },
+
     // A19: exact percentiles (sort-based distributed percentile).
     "q15_percentile" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -310,6 +319,16 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q16_setops" ->
+      """SELECT nationkey, 'both' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS op FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier) b
+        |ORDER BY op, nationkey""".stripMargin,
 
     "q15_percentile" ->
       """SELECT o_orderstatus,

@@ -39,6 +39,26 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // A24: string function suite (case, substring, replace, levenshtein).
+    "t05_string_ops" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"),
+          length(regexp_replace(col("text"), "a", "")).as("len_no_a"),
+          levenshtein(substring(col("text"), 1, 15), col("source")).as("lev_src"),
+          concat_ws("|", col("source"), col("lang")).as("src_lang"))
+        .orderBy("doc_id")
+    },
+
+    // A25: explode/unnest — global token frequencies, top 50.
+    "t06_token_freq" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+
     // L12: rolling-hash fingerprint. Rows-only (spec-verified semantics).
     "t04_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -62,6 +82,22 @@ object TextQ {
         |  (n_chars - n_tokens + 1.0) / n_tokens AS mean_tok_len
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+
+    "t05_string_ops" ->
+      """SELECT doc_id,
+        |  UPPER(SUBSTRING(text, 1, 12)) AS head_upper,
+        |  CAST(LENGTH(REPLACE(text, 'a', '')) AS INTEGER) AS len_no_a,
+        |  CAST(levenshtein(SUBSTRING(text, 1, 15), source) AS INTEGER) AS lev_src,
+        |  CONCAT_WS('|', source, lang) AS src_lang
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t06_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 50""".stripMargin,
 
     "t03_tokens" ->
       """SELECT doc_id,
