@@ -169,6 +169,38 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over dup pairs (a, b): every node labeled with
+    * its component's minimum id — the canonical "keep one per cluster"
+    * semantics, transitive across chains (a~b, b~c ⇒ one cluster).
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the minimum; converges in O(log(diameter)) rounds, each one
+    * shuffle — the standard large-graph CC pattern (no driver-side graph).
+    * Dup clusters are tiny (diameter ≪ 32), so `maxIter` is a safety rail.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      val changed = next.alias("n").join(labels.alias("l"), "id")
+        .filter(col("n.label") =!= col("l.label")).limit(1).count()
+      labels = next.cache()
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
     * vote, sign of each bit sum. Near-dups differ in few bits (compare with
     * `bit_count(a ^ b)`).

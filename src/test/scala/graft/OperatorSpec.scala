@@ -46,6 +46,14 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Seq(1L, 4L, 5L))
   }
 
+  test("dupClusters labels transitive chains with the component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val labels = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
   test("simhash: identical texts equal, near-dups within few bits, unrelated far") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap
