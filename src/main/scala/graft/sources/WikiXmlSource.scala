@@ -31,10 +31,14 @@ object WikiXmlSource {
   private val textRe = Pattern.compile("<text[^>]*>(.*?)</text>", Pattern.DOTALL)
   private val baseRe = Pattern.compile("<base>(.*?)</base>")
 
-  def pages(spark: SparkSession, path: String): Dataset[WikiPage] = {
+  def pages(spark: SparkSession, path: String,
+            maxSplitBytes: Long = 16L * 1024 * 1024): Dataset[WikiPage] = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "</page>")
+    // cap split size so a single-file dump still fans out across all
+    // cores (the 128 MB default gives a 300 MB file only 3 tasks)
+    conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
     spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
