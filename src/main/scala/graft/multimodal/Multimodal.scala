@@ -60,8 +60,13 @@ object Multimodal {
   /** Feature extraction over media batches: mapPartitions so a real decoder
     * can amortize model/codec init per partition (the Scala analogue of a
     * batched pandas UDF). Output schema: (media_id, features array<float>).
+    *
+    * PPM (P6) content is REALLY decoded (pure-JVM [[PpmCodec]]) into a
+    * grid-color feature vector; other formats fall back to the
+    * deterministic stub (no codec libraries in this environment). A corrupt
+    * blob yields stub features, never a task failure.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int = 12): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
@@ -69,18 +74,34 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { rows =>
       // per-partition init happens here in a real decoder
       rows.map { r =>
-        Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1), dim).toSeq)
+        val content = r.getAs[Array[Byte]](1)
+        val feats = PpmCodec.decode(content) match {
+          case Some(img) =>
+            val f = PpmCodec.features(img)
+            if (f.length >= dim) f.take(dim)
+            else f ++ Array.fill(dim - f.length)(0.0f)
+          case None => decodeStub(content, dim)
+        }
+        Row(r.getLong(0), feats.toSeq)
       }
     }(enc)
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub keeps
-    * the contract (binary→binary, metadata updated).
+  /** Resize: REAL nearest-neighbor re-encode for PPM content; other
+    * formats keep their bytes and only update metadata (stub path).
     */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resizeUdf = udf { (content: Array[Byte]) =>
+      PpmCodec.decode(content) match {
+        case Some(img) => PpmCodec.encode(PpmCodec.resize(img, w, h))
+        case None => content
+      }
+    }
     media
+      .withColumn("content", resizeUdf(col("content")))
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
+  }
 
   /** STUB frame sampling for video: emits `n` (media_id, frame_idx) rows
     * per video — the explode shape a real sampler produces.

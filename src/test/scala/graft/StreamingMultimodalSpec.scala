@@ -158,6 +158,48 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(0)._2 != feats(1)._2)
   }
 
+  test("multimodal: real PPM decode produces grid-color features") {
+    import graft.multimodal.PpmCodec
+    // 4x2 image: left half red, right half blue
+    val rgb = Array.tabulate(4 * 2 * 3) { i =>
+      val px = i / 3
+      val x = px % 4
+      ((i % 3, x < 2) match {
+        case (0, true) => 255; case (2, false) => 255; case _ => 0
+      }).toByte
+    }
+    val ppm = PpmCodec.encode(PpmCodec.Image(4, 2, rgb))
+    val df = Seq((1L, ppm)).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/x-portable-pixmap")
+    val feats = Multimodal.extractFeatures(media, dim = 12)
+      .as[(Long, Seq[Float])].collect().head._2
+    // grid cells: TL,TR,BL,BR — left cells pure red, right cells pure blue
+    assert(feats(0) == 1.0f && feats(1) == 0.0f && feats(2) == 0.0f) // TL = red
+    assert(feats(3) == 0.0f && feats(5) == 1.0f)                     // TR = blue
+  }
+
+  test("multimodal: PPM resize re-encodes pixels at the new dimensions") {
+    import graft.multimodal.PpmCodec
+    val rgb = Array.fill(8 * 8 * 3)(200.toByte)
+    val ppm = PpmCodec.encode(PpmCodec.Image(8, 8, rgb))
+    val df = Seq((1L, ppm)).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/x-portable-pixmap")
+    val resized = Multimodal.resize(media, 4, 4)
+    val out = resized.select("content").as[Array[Byte]].head()
+    val img = PpmCodec.decode(out).get
+    assert(img.width == 4 && img.height == 4 && img.rgb.length == 4 * 4 * 3)
+    assert(resized.select("width").head().getInt(0) == 4)
+  }
+
+  test("multimodal: corrupt blobs fall back to stub features, never fail") {
+    val df = Seq((1L, "P6 not really a ppm"), (2L, "junk")).toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val media = Multimodal.asMedia(df, "id", "payload", "image/x-portable-pixmap")
+    val feats = Multimodal.extractFeatures(media, dim = 12)
+      .as[(Long, Seq[Float])].collect()
+    assert(feats.length == 2 && feats.forall(_._2.length == 12))
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     val df = Seq((5L, "video")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
