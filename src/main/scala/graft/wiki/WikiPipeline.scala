@@ -20,16 +20,18 @@ object WikiPipeline {
   case class Config(
       keepLinks: Boolean = false,
       structure: Boolean = false,
-      incubator: Option[String] = None)
+      incubator: Option[String] = None,
+      namespaces: Set[String] = WikiMarkup.acceptedNamespaces)
 
   /** Redirect + namespace filtering (WikiExtractor.py:627-629), plus
     * incubator-mode `Wx/lang/Title` selection (WikiExtractor.py:631).
     */
   def articles(pages: Dataset[WikiPage], cfg: Config = Config()): Dataset[WikiPage] = {
     import pages.sparkSession.implicits._
+    val ns = cfg.namespaces
     val base = pages.filter { p =>
       val colon = p.title.indexOf(':')
-      !p.redirect && (colon < 0 || WikiMarkup.acceptedNamespaces.contains(p.title.substring(0, colon)))
+      !p.redirect && (colon < 0 || ns.contains(p.title.substring(0, colon)))
     }
     cfg.incubator match {
       case None => base
