@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `array<float>` columns, accumulated
   * left-to-right in double.
@@ -17,10 +17,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * allocation-free, which is what the ANN/dedup pair loops need at scale.
   */
 case class FloatDot(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+
+  // Declared input types make SQL calls safe: ArrayData.getFloat on an
+  // array<double> would silently reinterpret bytes, so non-float arrays
+  // (e.g. SQL array literals, which default to double) are implicitly cast
+  // to array<float> by Catalyst — or rejected at analysis if uncastable —
+  // instead of producing garbage at runtime.
+  // (typed Seq[DataType] — the parent's AbstractDataType is private[sql];
+  // covariant override keeps the contract without naming it)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -45,9 +45,12 @@ object AsofJoin {
         struct(rightCols.map(col): _*).as("__payload"),
         lit(null).cast(lrowType).as("__lrow")): _*)
 
-    // rights sort before lefts at equal ts → "<=" semantics
+    // rights sort before lefts at equal ts → "<=" semantics; __payload as the
+    // final key makes the order total when several right rows share a
+    // (key, ts) — last() then deterministically picks the greatest payload
+    // instead of whichever shuffled last (a latent exact-compare flake).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)

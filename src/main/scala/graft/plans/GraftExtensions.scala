@@ -30,7 +30,12 @@ object GraftExtensions {
   private[plans] val floatDotDescriptor =
     (new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"float_dot requires exactly 2 arguments, got ${children.length}")
+        FloatDot(children.head, children(1))
+      })
 
   /** Register SQL functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -39,16 +39,22 @@ object DedupQ {
     },
 
     // L4: n-gram Jaccard verification join. Candidate pairs are linear in
-    // corpus size (consecutive ids within a source — the shape of an LSH
+    // corpus size (adjacent rank within a source — the shape of an LSH
     // candidate list), and crucially each document is tokenized into its
     // distinct bigram set ONCE before the join, so the pair loop only
     // intersects precomputed arrays. Top-50 most similar, deterministic.
+    // Oracle-checked: hashed-gram Jaccard ≡ string-gram Jaccard (64-bit
+    // collisions aside), so DuckDB verifies the ratio with string bigrams.
     "d04_jaccard_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
       val grams = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), Dedup.ngramHashSet(col("text"), 2).as("grams"))
-      val a = grams.select(col("source"), col("doc_id").as("a"), col("grams").as("ga"))
-      val b = grams.select(col("source"), col("doc_id").as("b"), col("grams").as("gb"))
-      a.join(b, "source").filter(col("b") === col("a") + 1)
+        .withColumn("rn", row_number().over(w))
+      val a = grams.select(col("source"), col("rn"), col("doc_id").as("a"), col("grams").as("ga"))
+      val b = grams.select(col("source"), (col("rn") - 1).as("rn"),
+        col("doc_id").as("b"), col("grams").as("gb"))
+      a.join(b, Seq("source", "rn"))
         .select(col("a"), col("b"),
           round(Dedup.jaccardOfSets(col("ga"), col("gb")), 4).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
@@ -82,6 +88,49 @@ object DedupQ {
         |  COUNT(*) AS dup_count
         |FROM documents
         |GROUP BY 1
-        |ORDER BY canonical_id""".stripMargin
+        |ORDER BY canonical_id""".stripMargin,
+
+    // String-bigram Jaccard over the same adjacent-rank candidate pairs:
+    // identical ratios to the hashed-gram sets barring 64-bit collisions.
+    "d04_jaccard_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [text]
+        |      ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    END) AS grams
+        |  FROM (SELECT doc_id, source, text,
+        |          string_split_regex(text, '\s+') AS toks FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+        |    CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
+        |  FROM g a JOIN g b ON a.source = b.source AND b.rn = a.rn + 1)
+        |SELECT a, b, ROUND(inter / (tot - inter), 4) AS jaccard
+        |FROM p
+        |ORDER BY jaccard DESC, a, b
+        |LIMIT 50""".stripMargin,
+
+    // Same arithmetic as the Spark side: double dot products, norms factored
+    // out, ROUND(...,4) before the argmax, ties toward the lower vec_id.
+    "d05_embed_nn" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM n),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, e AS qe, nrm AS qn FROM norms WHERE vec_id < 100),
+        |pairs AS (
+        |  SELECT probe_id, vec_id,
+        |    ROUND(list_dot_product(e, qe) / (nrm * qn), 4) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |                       ORDER BY ROUND(list_dot_product(e, qe) / (nrm * qn), 4) DESC,
+        |                                vec_id) AS rk
+        |  FROM norms CROSS JOIN probes
+        |  WHERE vec_id <> probe_id)
+        |SELECT probe_id, vec_id AS nn_id, sim
+        |FROM pairs WHERE rk = 1
+        |ORDER BY probe_id""".stripMargin
   )
 }

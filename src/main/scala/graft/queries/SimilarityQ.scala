@@ -25,9 +25,8 @@ object SimilarityQ {
     // L7: LSH-bucketed approximate top-20 for the same query.
     "s02_knn_lsh" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val dim = 64
       Similarity.lshKnn(emb, queryVec(s, dir), "vec_id", "embedding",
-        k = 20, dim = dim, bits = 8, tables = 4)
+        k = 20, dim = LshDim, bits = LshBits, tables = LshTables)
     },
 
     // L8: IVF probe-based approximate top-20 for the same query.
@@ -37,7 +36,54 @@ object SimilarityQ {
     }
   )
 
+  // s02's oracle is generated from Similarity.directions, so DuckDB evaluates
+  // the exact same hyperplanes: per table, the signature is the sum of sign
+  // bits of dot products against the literal direction vectors; a row is a
+  // candidate when any table's signature equals the query's, then exact
+  // cosine rerank — the same semantics the one-pass UDF implements.
+  // Shared LSH parameters for s02's query AND oracle (they must agree).
+  // bits sizes the expected bucket occupancy (~n/2^bits per table);
+  // 6 bits / 8 tables keeps the candidate set ~10% of the corpus at sf0.01
+  // so the top-20 rerank has enough candidates to fill k.
+  private val LshDim = 64
+  private val LshBits = 6
+  private val LshTables = 8
+
+  private val lshOracle: String = {
+    val dim = LshDim; val bits = LshBits; val tables = LshTables
+    def dirLit(d: Array[Double]): String = d.mkString("[", ", ", "]")
+    def sigExpr(e: String, t: Int): String =
+      Similarity.directions(dim, bits, 7L + t).zipWithIndex.map { case (dir, b) =>
+        s"(CASE WHEN list_dot_product($e, ${dirLit(dir)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val sigCols = (0 until tables).map(t => s"${sigExpr("e", t)} AS s$t").mkString(",\n    ")
+    val qsigCols = (0 until tables).map(t => s"${sigExpr("qe", t)} AS qs$t").mkString(",\n    ")
+    val anyMatch = (0 until tables).map(t => s"s$t = qs$t").mkString(" OR ")
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |    $sigCols
+       |  FROM n),
+       |qsigs AS (
+       |  SELECT qe,
+       |    $qsigCols
+       |  FROM q),
+       |cand AS (
+       |  SELECT vec_id, e, qe FROM sigs CROSS JOIN qsigs
+       |  WHERE $anyMatch)
+       |SELECT vec_id,
+       |  ROUND(list_dot_product(e, qe)
+       |        / (SQRT(list_dot_product(e, e)) * SQRT(list_dot_product(qe, qe))), 4) AS sim
+       |FROM cand
+       |ORDER BY sim DESC, vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s02_knn_lsh" -> lshOracle,
     // Same arithmetic as Similarity.cosine: double dot products, sequential
     // accumulation, rounded to 4 decimals; ties broken by vec_id.
     "s01_knn_brute" ->

@@ -67,7 +67,40 @@ object TextQ {
     }
   )
 
+  // t01's oracle is generated from TextOps.stopwords so the SQL literal
+  // lists can never drift from the Scala ones. Mirrors langId exactly:
+  // stopword votes (first language in list order wins ties), CJK override,
+  // "und" when no stopword hits.
+  private val langIdOracle: String = {
+    val counts = TextOps.stopwords.map { case (lang, words) =>
+      val lits = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> list_contains([$lits], t))) AS c_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.stopwords.map(_._1)
+    val best = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
+    val vote = langs.init.map(l => s"WHEN c_$l = best THEN '$l'").mkString("\n       ") +
+      s"\n       ELSE '${langs.last}'"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS cjk,
+       |    $counts
+       |  FROM t),
+       |b AS (SELECT *, $best AS best FROM c)
+       |SELECT doc_id,
+       |  CASE WHEN cjk > 0.25 THEN 'zh'
+       |       WHEN best = 0 THEN 'und'
+       |       $vote END AS lang_pred
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t01_langid" -> langIdOracle,
+
     "t02_quality" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -47,6 +47,8 @@ object Similarity {
 
   /** Random-hyperplane signature: `bits` sign bits of projections onto
     * deterministic pseudo-random directions, packed into a long.
+    * (Single-table form, kept for specs; the scan path uses
+    * [[hyperplaneSignatures]], which computes every table in one pass.)
     */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 7L): Column = {
     val dirs = directions(dim, bits, seed)
@@ -58,27 +60,78 @@ object Similarity {
     projections.reduce(_ + _)
   }
 
-  private def directions(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def directions(dim: Int, bits: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** All `tables` hyperplane signatures in ONE pass over the vector,
+    * evaluated by the codegen'd [[graft.functions.HyperplaneSigs]]
+    * expression (primitive loop over a flat direction matrix — no UDF
+    * boxing). Element t carries the table index in its high bits, so
+    * "matches the query in ANY table" is a single native (codegen'd)
+    * `arrays_overlap` — and the exploded form of this column is the bucket
+    * key for [[graft.sources.Warehouse.writeBucketed]]. Table t's low
+    * `bits` equal [[hyperplaneSignature]] with seed 7+t (spec-checked).
+    */
+  def hyperplaneSignatures(vec: Column, dim: Int, bits: Int = 12, tables: Int = 4,
+                           seed: Long = 7L): Column =
+    graft.functions.HyperplaneSigs(vec, dim, bits, tables, seed)
+
   /** Approximate top-k: candidates share the query's signature bucket in at
     * least one of `tables` independent hyperplane tables, then exact cosine
-    * rerank. At warehouse scale the bucket equality predicate prunes
-    * partitions/files instead of scanning.
+    * rerank.
+    *
+    * Scale shape: ONE scan of `emb` computes all table signatures
+    * ([[hyperplaneSignatures]]); the any-table-matches rule is one native
+    * `arrays_overlap` against the broadcast query's signatures — no
+    * per-table rescan, no union, no dropDuplicates. At warehouse scale,
+    * materialize the exploded signature column once and bucket by it
+    * ([[lshProbeBucketed]]) so a probe prunes buckets instead of scanning.
     */
   def lshKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
              k: Int, dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val candidates = (0 until tables).map { t =>
-      val sig = hyperplaneSignature(col(vecCol), dim, bits, seed = 7L + t)
-      val qsig = hyperplaneSignature(col("qvec"), dim, bits, seed = 7L + t)
-      emb.crossJoin(broadcast(query))
-        .filter(sig === qsig)
-    }.reduce(_ union _).dropDuplicates(idCol)
-    candidates
-      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+    val q = query
+      .withColumn("__qsigs", hyperplaneSignatures(col("qvec"), dim, bits, tables))
       .withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))
+    emb.withColumn("__sigs", hyperplaneSignatures(col(vecCol), dim, bits, tables))
+      .crossJoin(broadcast(q))
+      .filter(arrays_overlap(col("__sigs"), col("__qsigs")))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the LSH index as a bucketed table: one row per (vector,
+    * table-signature), bucketed by signature. A probe then filters on
+    * `sig IN (query signatures)` — with bucketed parquet that is bucket
+    * pruning (the scan reads only `tables` of the `buckets` buckets, no
+    * Exchange, no full scan), which is the 100 TB probe path.
+    */
+  def writeLshIndex(emb: DataFrame, idCol: String, vecCol: String, table: String,
+                    dim: Int, bits: Int = 12, tables: Int = 4, buckets: Int = 64): Unit = {
+    val exploded = emb
+      .withColumn("sig", explode(hyperplaneSignatures(col(vecCol), dim, bits, tables)))
+    graft.sources.Warehouse.writeBucketed(exploded, table, "sig", buckets)
+  }
+
+  /** Probe a [[writeLshIndex]] table: candidates via bucket-pruned signature
+    * lookup, then exact cosine rerank.
+    */
+  def lshProbeBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                       query: DataFrame, idCol: String, vecCol: String,
+                       k: Int, dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    val qsigs = query
+      .select(explode(hyperplaneSignatures(col("qvec"), dim, bits, tables)).as("sig"))
+      .collect().map(_.getLong(0))
+    val q = broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec")))))
+    spark.table(table)
+      .filter(col("sig").isin(qsigs.toIndexedSeq: _*))
+      .dropDuplicates(idCol)
+      .crossJoin(q)
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
       .select(col(idCol),
         round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -86,17 +139,37 @@ object Similarity {
   }
 
   /** IVF-style ANN: partition vectors by nearest of `k` centroids (sampled
-    * deterministically, one Lloyd refinement), then search only the
-    * `probes` nearest centroid cells. The centroid table is the one
-    * deliberate driver-side collect (≤ a few hundred rows).
+    * deterministically, then refined with `lloydIters` Lloyd iterations),
+    * and search only the `probes` nearest centroid cells. The centroid
+    * tables are the deliberate driver-side collects (≤ nCentroids×dim
+    * values each, a few KB).
+    *
+    * Each Lloyd iteration is one distributed assign (tight-loop argmin UDF)
+    * plus one per-cell mean. The mean goes through posexplode →
+    * groupBy(cell, pos).avg, which partial-aggregates map-side, so the
+    * shuffle carries only ~(partitions × cells × dim) pre-aggregated rows —
+    * constant-size at any corpus scale. Cells that lose all members keep
+    * their previous centroid.
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                nCentroids: Int = 16): (DataFrame, Array[(Int, Array[Double])]) = {
+                nCentroids: Int = 16, lloydIters: Int = 1): (DataFrame, Array[(Int, Array[Double])]) = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val seedRows = emb.orderBy(xxhash64(col(idCol))).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = seedRows.zipWithIndex.map { case (v, i) => (i, v) }
+    var centroids = seedRows.zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until lloydIters) {
+      val assigned = assignToCentroids(emb, vecCol, centroids, dim)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val updated = centroids.map { case (i, v) => (i, v.clone()) }
+      for (r <- means)
+        updated(r.getInt(0))._2(r.getInt(1)) = r.getDouble(2)
+      centroids = updated
+    }
     val assigned = assignToCentroids(emb, vecCol, centroids, dim)
     (assigned, centroids)
   }
@@ -107,8 +180,9 @@ object Similarity {
     * column, so probing prunes partitions instead of filtering a scan.
     */
   def ivfKnn(emb: DataFrame, query: DataFrame, idCol: String, vecCol: String,
-             k: Int, nCentroids: Int = 16, probes: Int = 4): DataFrame = {
-    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids)
+             k: Int, nCentroids: Int = 16, probes: Int = 4,
+             lloydIters: Int = 1): DataFrame = {
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
     val dim = centroids.head._2.length
     // cells nearest the query, ranked by squared distance
     val qAssigned = assignToCentroidsRanked(query, "qvec", centroids, dim, probes)
@@ -138,25 +212,9 @@ object Similarity {
   }
 
   private def assignToCentroids(emb: DataFrame, vecCol: String,
-                                centroids: Array[(Int, Array[Double])], dim: Int): DataFrame = {
-    // argmin over the (closure-broadcast) centroid matrix in one tight
-    // loop per row — k×dim float ops, no per-element lambda dispatch
-    val mat = centroids.map(_._2)
-    val assign = udf { (v: Seq[Float]) =>
-      var best = -1
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < mat.length) {
-        val cv = mat(c)
-        var d = 0.0
-        var i = 0
-        val n = math.min(cv.length, v.length)
-        while (i < n) { val diff = v(i) - cv(i); d += diff * diff; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    emb.withColumn("cell", assign(col(vecCol)))
-  }
+                                centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =
+    // argmin over the centroid matrix via the codegen'd NearestCentroid
+    // kernel — k×dim primitive ops per row, no UDF boxing
+    emb.withColumn("cell",
+      graft.functions.NearestCentroid(col(vecCol), centroids.map(_._2)))
 }

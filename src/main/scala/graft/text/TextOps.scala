@@ -39,7 +39,8 @@ object TextOps {
   }
 
   // Tiny per-language stopword lists for the n-gram/stopword heuristic.
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  // (graft-visible so the DuckDB oracle SQL is generated from the same lists.)
+  private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "on", "as", "are"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est", "dans", "pour"),
     "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del", "que", "es", "por", "con"),
