@@ -173,27 +173,47 @@ object Dedup {
     * its component's minimum id — the canonical "keep one per cluster"
     * semantics, transitive across chains (a~b, b~c ⇒ one cluster).
     *
-    * Iterative min-label propagation: each round joins labels across edges
-    * and keeps the minimum; converges in O(log(diameter)) rounds, each one
-    * shuffle — the standard large-graph CC pattern (no driver-side graph).
-    * Dup clusters are tiny (diameter ≪ 32), so `maxIter` is a safety rail.
+    * Each round does (1) one-hop min-label propagation across edges and
+    * (2) a pointer-jump (label(id) := label(label(id))), which doubles the
+    * propagation reach per round → O(log diameter) rounds even on long
+    * chains, the property that makes iterative CC viable on real dup
+    * graphs (a pure 1-hop loop needs diameter rounds and never finishes a
+    * 10k-node chain). All driver-side state is the loop counter; labels
+    * stay distributed.
+    *
+    * Iteration hygiene for scale: each round's labels go through an eager
+    * localCheckpoint() — the plan stays constant-depth instead of accreting
+    * every prior join (unbounded lineage = quadratic planning time and
+    * stack overflows at real iteration counts), and because the new round
+    * is materialized with truncated lineage before the old one is
+    * unpersisted, executors never hold more than two label sets and no
+    * unpersist can strand an unrecomputable descendant. Spec-checked on a
+    * 10k-node chain and a random graph vs a driver union-find.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", col("id")).cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
         .select(edges("a").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
+      val hop = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      val jumped = hop.alias("l")
+        .join(hop.select(col("id").as("lid"), col("label").as("plabel")).alias("p"),
+          col("l.label") === col("p.lid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("p.plabel"), col("l.label"))).as("label"))
+      val next = jumped.localCheckpoint() // eager: truncates lineage
       val changed = next.alias("n").join(labels.alias("l"), "id")
         .filter(col("n.label") =!= col("l.label")).limit(1).count()
-      labels = next.cache()
+      hop.unpersist()
+      labels.unpersist()
+      labels = next
       converged = changed == 0
       iter += 1
     }

@@ -119,6 +119,12 @@ object Similarity {
 
   /** Probe a [[writeLshIndex]] table: candidates via bucket-pruned signature
     * lookup, then exact cosine rerank.
+    *
+    * For the pruning to reach the scan (SelectedBucketsCount < buckets in
+    * the plan), set `spark.sql.sources.bucketing.autoBucketedScan.enabled=
+    * false` for probe sessions: Spark's DisableUnnecessaryBucketedScan
+    * heuristic only credits bucketing toward joins/aggregations and would
+    * silently fall back to a full scan for a pure filter probe.
     */
   def lshProbeBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                        query: DataFrame, idCol: String, vecCol: String,

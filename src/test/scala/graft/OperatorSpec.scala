@@ -54,6 +54,50 @@ class OperatorSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("dupClusters converges on a 10k-node chain with a constant-depth plan") {
+    // a path graph is the worst case for 1-hop propagation (diameter = n);
+    // pointer jumping must close it in O(log n) rounds within maxIter
+    val n = 10000L
+    val pairs = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
+    val out = Dedup.dupClusters(pairs)
+    assert(out.filter($"label" =!= 0L).count() == 0, "chain did not fully converge")
+    assert(out.count() == n)
+    // localCheckpoint each round ⇒ the returned plan must NOT contain the
+    // accreted per-round joins (bounded lineage at any iteration count)
+    val planLines = out.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines < 50, s"plan depth grew with iterations: $planLines lines")
+  }
+
+  test("dupClusters matches a driver union-find on a random graph") {
+    val rng = new scala.util.Random(11)
+    val nNodes = 20000
+    val edges = Seq.fill(30000)((rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+      .filter { case (a, b) => a != b }
+    val labels = Dedup.dupClusters(edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val oracle = touched.map(x => x -> find(x)).toMap
+    // union-find roots are path-minimums by construction of the merge rule;
+    // normalize both sides to the component's minimum member
+    val oracleMin = touched.groupBy(oracle).flatMap { case (_, members) =>
+      val m = members.min; members.map(_ -> m)
+    }
+    assert(labels == oracleMin)
+  }
+
   test("simhash: identical texts equal, near-dups within few bits, unrelated far") {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap
@@ -111,6 +155,90 @@ class OperatorSpec extends SparkSpec {
       nCentroids = 8, probes = 4).as[(Long, Double)].collect().map(_._1).toSet
     assert(exact.intersect(approx).size >= 5,
       s"recall too low: ${exact.intersect(approx).size}/10")
+  }
+
+  test("one-pass hyperplane signatures equal the per-table signature column") {
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 50L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val bits = 6; val tables = 4
+    val onePass = emb.select($"vec_id",
+        Similarity.hyperplaneSignatures($"embedding", 16, bits, tables).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for (t <- 0 until tables) {
+      val single = emb.select($"vec_id",
+          Similarity.hyperplaneSignature($"embedding", 16, bits, seed = 7L + t).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      for ((id, sigs) <- onePass) {
+        assert((sigs(t) & ((1L << bits) - 1)) == single(id),
+          s"table $t signature mismatch for vec $id")
+        assert((sigs(t) >> bits) == t.toLong, "table tag missing from high bits")
+      }
+    }
+  }
+
+  test("bucketed LSH probe matches lshKnn and prunes buckets (no full scan)") {
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "lsh_idx")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", "lsh_idx",
+      dim = 16, bits = 6, tables = 8, buckets = 16)
+    val direct = Similarity.lshKnn(emb, q, "vec_id", "embedding", k = 10,
+      dim = 16, bits = 6, tables = 8).as[(Long, Double)].collect().toSeq
+    // point-lookup probes rely on bucket pruning, which the planner's
+    // "unnecessary bucketed scan" heuristic would otherwise turn off
+    // (it only credits joins/aggregations, not filter pruning)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = Similarity.lshProbeBucketed(spark, "lsh_idx", q, "vec_id", "embedding",
+        k = 10, dim = 16, bits = 6, tables = 8)
+      assert(probe.as[(Long, Double)].collect().toSeq == direct)
+      // the probe's scan must select a subset of buckets (bucket pruning),
+      // not read the whole index
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, "probe read every bucket")
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("ivf lloyd refinement does not hurt recall and moves centroids") {
+    val rng = new scala.util.Random(3)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(iters: Int): Int = {
+      val approx = Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 10,
+        nCentroids = 8, probes = 4, lloydIters = iters)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      exact.intersect(approx).size
+    }
+    val (sampled, refined) = (recall(0), recall(1))
+    assert(refined >= sampled, s"refinement hurt recall: $refined < $sampled")
+    val (_, c0) = Similarity.ivfAssign(emb, "vec_id", "embedding", 8, lloydIters = 0)
+    val (_, c1) = Similarity.ivfAssign(emb, "vec_id", "embedding", 8, lloydIters = 1)
+    assert(c0.map(_._2.toSeq) != c1.map(_._2.toSeq), "lloyd iteration was a no-op")
+  }
+
+  test("d04 adjacent-rank jaccard candidates emit rows on the driver tables") {
+    // regression guard for the vacuous-candidate bug: the query must pair
+    // every adjacent rank within a source, so on n docs across s sources it
+    // emits min(50, n - s) rows — never zero
+    val out = graft.queries.DedupQ.queries("d04_jaccard_pairs")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0, "d04 produced no candidate pairs")
   }
 
   test("ivf assigns every vector to a cell and cells partition the data") {
