@@ -37,30 +37,70 @@ object EventStreams {
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): a session closes when event time advances
-    * more than `gapSec` past its last event, emitting one Session row —
-    * the streaming twin of e02_sessionize.
+    * more than `gapSec` past its last event — proven either by a later
+    * event in the stream (emitted immediately) or by the watermark passing
+    * the session's horizon (event-time timeout) — the streaming twin of
+    * e02_sessionize.
+    *
+    * State is bounded: every state entry always carries an event-time
+    * timeout. An open session times out (and is emitted as closed) once the
+    * watermark passes lastEvent + gap; what remains is a 32-byte numbering
+    * tombstone that preserves the user's session_id continuity until
+    * `retentionSec` of event time passes without activity, after which the
+    * user is forgotten entirely (a later event restarts at session 1).
+    *
+    * Ordering: events are sorted by event time within each micro-batch, and
+    * events older than the watermark are dropped by Spark before reaching
+    * the state function. A straggler that arrives in a later micro-batch
+    * but is newer than the watermark is appended to the user's current
+    * session in arrival order — exact event-time placement of such
+    * stragglers would require buffering every session until the watermark
+    * horizon; this operator trades that for immediate emission.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+                 watermark: String = "30 minutes",
+                 retentionSec: Long = 7L * 86400): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(1L, t, t, 1L)
-            else if (t - st.lastMs > gapSec * 1000) {
-              closed += Session(userId, st.sessionId, st.count,
-                new Timestamp(st.startMs), new Timestamp(st.lastMs))
-              st = SessionState(st.sessionId + 1, t, t, 1L)
-            } else st = st.copy(lastMs = t, count = st.count + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (st.count > 0) {
+              // watermark passed lastMs+gap: no event can extend this
+              // session any more — emit it and keep a numbering tombstone
+              state.update(SessionState(st.sessionId + 1, st.lastMs, st.lastMs, 0L))
+              state.setTimeoutTimestamp(st.lastMs + retentionSec * 1000)
+              Iterator.single(Session(userId, st.sessionId, st.count,
+                new Timestamp(st.startMs), new Timestamp(st.lastMs)))
+            } else {
+              state.remove() // tombstone expired: forget the user
+              Iterator.empty
+            }
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(1L, t, t, 1L)
+              else if (st.count == 0L) st = SessionState(st.sessionId, t, t, 1L)
+              else if (t - st.lastMs > gapSec * 1000) {
+                closed += Session(userId, st.sessionId, st.count,
+                  new Timestamp(st.startMs), new Timestamp(st.lastMs))
+                st = SessionState(st.sessionId + 1, t, t, 1L)
+              } else st = st.copy(lastMs = t, count = st.count + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              // +1: an event at exactly lastMs+gap still belongs here
+              state.setTimeoutTimestamp(st.lastMs + gapSec * 1000 + 1)
+            }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
       }
   }
 
@@ -76,6 +116,27 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  /** Streaming near-dup drop: a row is dropped when its 64-bit SimHash
+    * (optionally with the `ignoreBits` lowest bits cleared — bit-sampling
+    * LSH, so docs within that Hamming radius on the low bits collapse)
+    * collides with one already seen inside the watermark horizon — the
+    * incremental twin of the SimHash batch path
+    * ([[graft.dedup.Dedup.simhash]]). State is one 8-byte signature per
+    * distinct surviving document inside the horizon, expired by the
+    * watermark exactly like [[dedupeExact]].
+    */
+  def dedupeNear(df: DataFrame, textCol: String, tsCol: String,
+                 watermark: String = "1 hour", ignoreBits: Int = 0): DataFrame = {
+    val sig = graft.dedup.Dedup.simhash(col(textCol))
+    val masked =
+      if (ignoreBits > 0) sig.bitwiseAND(lit(~((1L << ignoreBits) - 1)))
+      else sig
+    df.withColumn("__sh", masked)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sh")
+      .drop("__sh")
+  }
 
   /** Flush the still-open session per user (batch-style finalization used
     * in tests and backfills).

@@ -7,7 +7,8 @@ import graft.Tables
   *
   * {{{
   *   runMain graft.wiki.WikiMain --infn DUMP [--out DIR] [--incubator LANG]
-  *     [--compress] [--keep-links] [--structure]
+  *     [--vitalfn FILE] [--compress] [--keep-links] [--structure]
+  *     [--expand-templates]
   * }}}
   *
   * Reads a MediaWiki dump (plain/gz/bz2), extracts and cleans articles, and
@@ -21,18 +22,22 @@ object WikiMain {
     var infn = ""
     var out = "wiki_out"
     var incubator: Option[String] = None
+    var vitalfn: Option[String] = None
     var compress = false
     var keepLinks = false
     var structure = false
+    var expandTemplates = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--infn" => infn = args(i + 1); i += 2
         case "--out" => out = args(i + 1); i += 2
         case "--incubator" => incubator = Some(args(i + 1)); i += 2
+        case "--vitalfn" => vitalfn = Some(args(i + 1)); i += 2
         case "--compress" => compress = true; i += 1
         case "--keep-links" => keepLinks = true; i += 1
         case "--structure" => structure = true; i += 1
+        case "--expand-templates" => expandTemplates = true; i += 1
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -43,7 +48,7 @@ object WikiMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = Tables.newSession("graft-wiki", s"local[$cpus]", cpus)
     val cfg = WikiPipeline.Config(keepLinks = keepLinks, structure = structure,
-      incubator = incubator)
+      incubator = incubator, vitalFn = vitalfn, expandTemplates = expandTemplates)
     val t0 = System.nanoTime()
     val rendered = WikiPipeline.run(spark, infn, cfg)
     WikiPipeline.write(rendered, out, compress = compress)

@@ -88,7 +88,8 @@ object WikiMarkup {
     if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1).toLowerCase
 
   /** Canonical page title (WikiExtractor.py:163-197). */
-  def normalizeTitle(title0: String): String = {
+  def normalizeTitle(title0: String,
+                     namespaces: Set[String] = acceptedNamespaces): String = {
     var title = title0.dropWhile(c => c == ' ' || c == '_')
       .reverse.dropWhile(c => c == ' ' || c == '_').reverse
     title = wsUnderscore.matcher(title).replaceAll(" ")
@@ -98,7 +99,7 @@ object WikiMarkup {
       val optionalWhitespace = if (m.group(2).nonEmpty) " " else ""
       val rest = m.group(3)
       val ns = pyCapitalize(prefix)
-      if (acceptedNamespaces.contains(ns)) ns + ":" + pyCapitalize(rest)
+      if (namespaces.contains(ns)) ns + ":" + pyCapitalize(rest)
       else pyCapitalize(prefix) + ":" + optionalWhitespace + rest
     } else pyCapitalize(title)
   }
@@ -178,9 +179,9 @@ object WikiMarkup {
 
   /** Link expansion callback (WikiExtractor.py:352-366). */
   private def anchorFor(link: String, anchorOpt: Option[String], trail: String,
-                        keepLinks: Boolean): String = {
+                        keepLinks: Boolean, namespaces: Set[String]): String = {
     val colon = link.indexOf(':')
-    if (colon > 0 && !acceptedNamespaces.contains(link.substring(0, colon))) ""
+    if (colon > 0 && !namespaces.contains(link.substring(0, colon))) ""
     else {
       val anchor = anchorOpt.filter(_ != null).getOrElse(link) + trail
       if (keepLinks) s"""<a href="$link">$anchor</a>""" else anchor
@@ -191,9 +192,13 @@ object WikiMarkup {
     p.matcher(text).replaceAll(repl)
 
   /** Full markup → text cleaning (WikiExtractor.py:368-456), same step
-    * order as the reference.
+    * order as the reference. `namespaces` governs which `[[Ns:...]]` links
+    * survive link expansion (threaded from the pipeline config so a
+    * configured namespace set applies end to end, not just to page
+    * filtering).
     */
-  def clean(text0: String, keepLinks: Boolean = false): String = {
+  def clean(text0: String, keepLinks: Boolean = false,
+            namespaces: Set[String] = acceptedNamespaces): String = {
     var text = text0
 
     // Transclusions + tables (nesting-aware).
@@ -202,7 +207,8 @@ object WikiMarkup {
 
     // Links: expand innermost in one pass, then drop remaining enclosing.
     text = wikiLink.replaceAllIn(text, m =>
-      Regex.quoteReplacement(anchorFor(m.group(1), Option(m.group(2)), m.group(3), keepLinks)))
+      Regex.quoteReplacement(
+        anchorFor(m.group(1), Option(m.group(2)), m.group(3), keepLinks, namespaces)))
     text = patSub(parametrizedLink, text, "")
 
     // External links.
@@ -313,4 +319,146 @@ object WikiMarkup {
 
   /** Reference's page URL scheme (WikiExtractor.py:145). */
   def pageUrl(prefix: String, id: String): String = s"$prefix?curid=$id"
+
+  // ------------------------------------------------------------------
+  // Template expansion (parity-PLUS: the reference only drops `{{..}}` —
+  // its own FIXME at WikiExtractor.py:370 — so infoboxes/convert output
+  // vanish wholesale. One non-recursive level recovers that text; anything
+  // still unexpanded afterwards is removed by dropNested as before.)
+  // ------------------------------------------------------------------
+
+  private val noincludeRe = Pattern.compile(
+    "<\\s*noinclude\\s*>.*?(<\\s*/\\s*noinclude\\s*>|$)", Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+  private val includeonlyTagRe = Pattern.compile(
+    "<\\s*/?\\s*includeonly\\s*>", Pattern.CASE_INSENSITIVE)
+  private val onlyincludeRe = Pattern.compile(
+    "<\\s*onlyinclude\\s*>(.*?)<\\s*/\\s*onlyinclude\\s*>", Pattern.DOTALL | Pattern.CASE_INSENSITIVE)
+  private val tripleParam = Pattern.compile("\\{\\{\\{([^{}|]*)(?:\\|([^{}]*))?\\}\\}\\}")
+
+  /** Canonical template key: `Template:` prefix stripped, `_`→space,
+    * trimmed, first letter capitalized (MediaWiki's case rule).
+    */
+  def normalizeTemplateName(raw: String): String = {
+    var n = raw.replace('_', ' ').trim
+    val colon = n.indexOf(':')
+    if (colon > 0 && pyCapitalize(n.substring(0, colon)) == "Template")
+      n = n.substring(colon + 1).trim
+    if (n.isEmpty) n else n.substring(0, 1).toUpperCase + n.substring(1)
+  }
+
+  /** Transcluded body of a template page: `<onlyinclude>` sections win if
+    * present; otherwise `<noinclude>` content is dropped and
+    * `<includeonly>` tags unwrapped (standard MediaWiki inclusion rules).
+    */
+  def transclusionBody(pageText: String): String = {
+    val om = onlyincludeRe.matcher(pageText)
+    val sb = new StringBuilder
+    var any = false
+    while (om.find()) { any = true; sb.append(om.group(1)) }
+    val base = if (any) sb.toString else noincludeRe.matcher(pageText).replaceAll("")
+    includeonlyTagRe.matcher(base).replaceAll("")
+  }
+
+  /** Split on `sep` at top-level only (outside `{{..}}`/`[[..]]` nesting). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var curly = 0
+    var square = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '{') { curly += 1; cur.append(c) }
+      else if (c == '}') { curly -= 1; cur.append(c) }
+      else if (c == '[') { square += 1; cur.append(c) }
+      else if (c == ']') { square -= 1; cur.append(c) }
+      else if (c == sep && curly == 0 && square == 0) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** Substitute `{{{name}}}` / `{{{n}}}` / `{{{x|default}}}` parameters in a
+    * template body from the call-site arguments (named args split on the
+    * first top-level `=`, keys and values trimmed; positional args 1-based,
+    * untrimmed — MediaWiki's rules).
+    */
+  def substituteParams(body: String, args: Seq[String]): String = {
+    val named = mutable.Map.empty[String, String]
+    var pos = 0
+    for (a <- args) {
+      val eq = {
+        var depth = 0; var idx = -1; var i = 0
+        while (idx < 0 && i < a.length) {
+          val c = a.charAt(i)
+          if (c == '{' || c == '[') depth += 1
+          else if (c == '}' || c == ']') depth -= 1
+          else if (c == '=' && depth == 0) idx = i
+          i += 1
+        }
+        idx
+      }
+      if (eq >= 0) named(a.substring(0, eq).trim) = a.substring(eq + 1).trim
+      else { pos += 1; named(pos.toString) = a }
+    }
+    val m = tripleParam.matcher(body)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val key = m.group(1).trim
+      val repl = named.get(key).orElse(Option(m.group(2))).getOrElse(m.group())
+      m.appendReplacement(sb, Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** Expand top-level `{{Name|args}}` transclusions ONE level from the
+    * given library (no recursion: an expansion's own `{{..}}` remain and
+    * fall to dropNested). Unknown templates are left in place, preserving
+    * the reference's drop behavior for them.
+    */
+  def expandTemplates(text: String, templates: collection.Map[String, String]): String = {
+    if (templates.isEmpty) return text
+    val openRe = Pattern.compile("\\{\\{")
+    val closeRe = Pattern.compile("\\}\\}")
+    val om = openRe.matcher(text)
+    val cm = closeRe.matcher(text)
+    // top-level spans, same scan discipline as dropNested
+    val spans = mutable.ArrayBuffer.empty[(Int, Int)]
+    val stack = mutable.ArrayBuffer.empty[Int]
+    var pos = 0
+    var done = false
+    while (!done) {
+      val hasOpen = om.find(pos)
+      val openStart = if (hasOpen) om.start else Int.MaxValue
+      val hasClose = cm.find(pos)
+      val closeStart = if (hasClose) cm.start else Int.MaxValue
+      if (!hasOpen && !hasClose) done = true
+      else if (openStart < closeStart) { stack += openStart; pos = om.end() }
+      else {
+        if (stack.nonEmpty) {
+          val top = stack.remove(stack.length - 1)
+          if (stack.isEmpty) spans += ((top, cm.end()))
+        }
+        pos = cm.end()
+      }
+    }
+    if (spans.isEmpty) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var cur = 0
+    for ((s, e) <- spans) {
+      sb.append(text, cur, s)
+      val inner = text.substring(s + 2, e - 2)
+      val parts = splitTopLevel(inner, '|')
+      templates.get(normalizeTemplateName(parts.head)) match {
+        case Some(body) => sb.append(substituteParams(body, parts.tail))
+        case None => sb.append(text, s, e) // unknown: dropNested handles it
+      }
+      cur = e
+    }
+    sb.append(text, cur, text.length)
+    sb.toString
+  }
 }

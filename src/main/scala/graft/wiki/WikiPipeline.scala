@@ -16,12 +16,47 @@ object WikiPipeline {
     * @param keepLinks  render `[[..]]` as `<a>` anchors (WikiExtractor.py:78)
     * @param structure  emit `<hN>`/`<li>` structure lines (WikiExtractor.py:83)
     * @param incubator  incubator language filter (WikiExtractor.py:631-636)
+    * @param vitalFn    vital-titles file: keep only listed titles, attach
+    *                   their tags (WikiExtractor.py:629-643, 654-666)
+    * @param expandTemplates  expand `{{..}}` transclusions one level from
+    *                   the dump's own Template: pages before cleaning
+    *                   (parity-PLUS — default off preserves reference-
+    *                   identical output; the reference drops all templates,
+    *                   its FIXME at WikiExtractor.py:370)
     */
   case class Config(
       keepLinks: Boolean = false,
       structure: Boolean = false,
       incubator: Option[String] = None,
-      namespaces: Set[String] = WikiMarkup.acceptedNamespaces)
+      namespaces: Set[String] = WikiMarkup.acceptedNamespaces,
+      vitalFn: Option[String] = None,
+      expandTemplates: Boolean = false)
+
+  /** The dump's Template: pages as a name → transcluded-body map, for
+    * broadcast into [[extract]]. The template namespace is a small slice of
+    * any dump (curated content, no article bodies), so driver-side collect
+    * + closure broadcast is the right scale shape — every executor needs
+    * the whole library anyway.
+    */
+  def templateLibrary(pages: Dataset[WikiPage]): Map[String, String] = {
+    import pages.sparkSession.implicits._
+    pages
+      .filter(p => !p.redirect && p.title.startsWith("Template:"))
+      .map(p => (WikiMarkup.normalizeTemplateName(p.title),
+        WikiMarkup.transclusionBody(p.text)))
+      .collect().toMap
+  }
+
+  /** Load a vital-titles file (reference load_vital_titles,
+    * WikiExtractor.py:654-666): one `Title|||tag1|||tag2` line per entry.
+    * Returns (title, tags) — small by construction (a curated list), so
+    * downstream joins broadcast it.
+    */
+  def loadVitalTitles(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("line")
+      .select(split(trim(col("line")), "\\|\\|\\|").as("parts"))
+      .select(element_at(col("parts"), 1).as("title"),
+        slice(col("parts"), lit(2), greatest(size(col("parts")) - 1, lit(0))).as("tags"))
 
   /** Redirect + namespace filtering (WikiExtractor.py:627-629), plus
     * incubator-mode `Wx/lang/Title` selection (WikiExtractor.py:631).
@@ -44,13 +79,19 @@ object WikiPipeline {
   }
 
   /** Clean + compact each article: adds `lines` (the compacted paragraphs)
-    * keeping id/title. Pure per-row CPU — stays in one stage.
+    * keeping id/title. Pure per-row CPU — stays in one stage. A non-empty
+    * `templates` library is broadcast once per executor (not serialized per
+    * task closure) and applied before cleaning.
     */
-  def extract(articles: Dataset[WikiPage], cfg: Config = Config()): DataFrame = {
+  def extract(articles: Dataset[WikiPage], cfg: Config = Config(),
+              templates: Map[String, String] = Map.empty): DataFrame = {
     val keepLinks = cfg.keepLinks
     val structure = cfg.structure
+    val ns = cfg.namespaces
+    val bcTemplates = articles.sparkSession.sparkContext.broadcast(templates)
     val extractUdf = udf { (text: String) =>
-      WikiMarkup.compact(WikiMarkup.clean(text, keepLinks), structure)
+      val expanded = WikiMarkup.expandTemplates(text, bcTemplates.value)
+      WikiMarkup.compact(WikiMarkup.clean(expanded, keepLinks, ns), structure)
     }
     articles.toDF()
       .withColumn("lines", extractUdf(col("text")))
@@ -109,9 +150,25 @@ object WikiPipeline {
       .mode("overwrite").text(path)
   }
 
-  /** Full reference flow: dump path → rendered docs. */
+  /** Full reference flow: dump path → rendered docs. With a vital-titles
+    * file, unlisted pages are dropped by a broadcast semi-join BEFORE the
+    * (expensive) markup cleaning — the curated list is tiny, the dump is
+    * not — and tags are attached after extraction.
+    */
   def run(spark: SparkSession, dumpPath: String, cfg: Config = Config()): DataFrame = {
     val pages = WikiXmlSource.pages(spark, dumpPath)
-    toSentenceFormat(extract(articles(pages, cfg), cfg))
+    // template library from the raw pages (articles() filters Template: out)
+    val templates =
+      if (cfg.expandTemplates) templateLibrary(pages) else Map.empty[String, String]
+    val arts = articles(pages, cfg)
+    cfg.vitalFn match {
+      case None => toSentenceFormat(extract(arts, cfg, templates))
+      case Some(fn) =>
+        import arts.sparkSession.implicits._
+        val vital = loadVitalTitles(spark, fn)
+        val kept = arts.join(broadcast(vital), Seq("title"), "left_semi")
+          .as[graft.sources.WikiPage]
+        toSentenceFormat(withVitalTags(extract(kept, cfg, templates), broadcast(vital)))
+    }
   }
 }

@@ -54,6 +54,56 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionization flushes sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapSec = 60, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_wm_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 has two events; no later user-7 event ever arrives
+      input.addData(Event(1, ts(0, 0), 7, "click", 1.0), Event(2, ts(0, 10), 7, "view", 1.0))
+      query.processAllAvailable()
+      // batch 2: a different user far in the future advances the watermark
+      // past user 7's lastEvent+gap → the open session must flush via the
+      // event-time timeout, not linger forever
+      input.addData(Event(3, ts(30, 0), 9, "click", 1.0))
+      query.processAllAvailable()
+      // batch 3: user 7 returns — numbering must continue at session 2
+      input.addData(Event(4, ts(31, 0), 7, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(5, ts(59, 0), 9, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(6, ts(59, 30), 9, "view", 1.0))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_wm_out")
+        .select("user_id", "session_id", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(closed.contains((7L, 1L, 2L)), s"first session not flushed by timeout: $closed")
+      assert(closed.contains((7L, 2L, 1L)), s"session numbering lost after timeout: $closed")
+    } finally query.stop()
+  }
+
+  test("streaming near-dup drops simhash-identical docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupeNear(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      // same token multiset, different order → identical simhash → dropped
+      input.addData((2L, ts(1), "quick the brown fox jumps the over lazy dog"))
+      // genuinely different content → survives
+      input.addData((3L, ts(2), "completely different text about query engines"))
+      query.processAllAvailable()
+      val ids = spark.table("neardup_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, ts: Timestamp, text: String)

@@ -66,4 +66,39 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(WikiMarkup.pageUrl("http://en.wikipedia.org/wiki", "42") ==
       "http://en.wikipedia.org/wiki?curid=42")
   }
+
+  test("normalizeTemplateName strips prefix, underscores, and capitalizes") {
+    assert(WikiMarkup.normalizeTemplateName("Template:Infobox person") == "Infobox person")
+    assert(WikiMarkup.normalizeTemplateName("template:infobox_person") == "Infobox person")
+    assert(WikiMarkup.normalizeTemplateName("  convert ") == "Convert")
+  }
+
+  test("transclusionBody honors noinclude/includeonly/onlyinclude") {
+    assert(WikiMarkup.transclusionBody("body<noinclude>docs</noinclude>") == "body")
+    assert(WikiMarkup.transclusionBody("<includeonly>only</includeonly>") == "only")
+    assert(WikiMarkup.transclusionBody("junk<onlyinclude>kept</onlyinclude>junk") == "kept")
+    assert(WikiMarkup.transclusionBody("open<noinclude>to eof") == "open")
+  }
+
+  test("substituteParams handles positional, named, and defaults") {
+    assert(WikiMarkup.substituteParams("Hello {{{1}}} and {{{who}}}!",
+      Seq("first", "who = Ada")) == "Hello first and Ada!")
+    assert(WikiMarkup.substituteParams("{{{x|fallback}}}", Seq.empty) == "fallback")
+    assert(WikiMarkup.substituteParams("{{{x}}}", Seq.empty) == "{{{x}}}") // absent, no default
+  }
+
+  test("expandTemplates expands one level; unknown and nested fall to dropNested") {
+    val lib = Map("Hello" -> "Hello {{{name|world}}}!", "Outer" -> "uses {{Inner}}")
+    assert(WikiMarkup.expandTemplates("a {{Hello|name=Spark}} b", lib) == "a Hello Spark! b")
+    assert(WikiMarkup.expandTemplates("a {{hello}} b", lib) == "a Hello world! b")
+    // unknown stays in place — then clean() drops it like the reference
+    assert(WikiMarkup.expandTemplates("a {{Nope|1}} b", lib) == "a {{Nope|1}} b")
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates("a {{Nope|1}} b", lib)) == "a b")
+    // one level only: the inner transclusion is not recursively expanded,
+    // and clean() then removes it
+    assert(WikiMarkup.expandTemplates("x {{Outer}} y", lib) == "x uses {{Inner}} y")
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates("x {{Outer}} y", lib)) == "x uses y")
+    // args containing pipes inside links split correctly
+    assert(WikiMarkup.expandTemplates("{{Hello|name=[[A|B]]}}", lib) == "Hello [[A|B]]!")
+  }
 }

@@ -96,6 +96,95 @@ class WikiPipelineSpec extends SparkSpec {
     assert(rows.head._2 == "\nKeep Me:tag1|||tag2\nbody one\n")
   }
 
+  test("loadVitalTitles parses title|||tag lines like the reference loader") {
+    import spark.implicits._
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val f = dir.resolve("vital.txt")
+    Files.write(f, "Alpha Article|||vital|||level1\nGamma\n  Spaced Title  |||x\n"
+      .getBytes("UTF-8"))
+    val got = WikiPipeline.loadVitalTitles(spark, f.toString)
+      .as[(String, Seq[String])].collect().sortBy(_._1)
+    // note: like the reference's line.strip(), only line ends are trimmed —
+    // spaces before a ||| separator stay part of the title
+    assert(got.toSeq == Seq(
+      ("Alpha Article", Seq("vital", "level1")),
+      ("Gamma", Seq.empty),
+      ("Spaced Title  ", Seq("x"))))
+  }
+
+  test("run with a vital file keeps only listed titles and renders their tags") {
+    import spark.implicits._
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val f = dir.resolve("vital_e2e.txt")
+    Files.write(f, "Alpha Article|||vital|||level1\nGamma\n".getBytes("UTF-8"))
+    val rendered = WikiPipeline.run(spark, dumpPath,
+        WikiPipeline.Config(vitalFn = Some(f.toString)))
+      .withColumn("idn", org.apache.spark.sql.functions.col("id").cast("int"))
+      .orderBy("idn").select("rendered").as[String].collect()
+    assert(rendered.length == 2)
+    assert(rendered(0).startsWith("\nAlpha Article:vital|||level1\n"))
+    assert(rendered(1).startsWith("\nGamma:\n"))
+    // the body must match the no-vital run (tags only change the header)
+    val plain = WikiPipeline.run(spark, dumpPath)
+      .orderBy(org.apache.spark.sql.functions.col("id").cast("int"))
+      .select("rendered").as[String].collect()
+    assert(rendered(0).linesIterator.drop(2).toSeq ==
+      plain.find(_.contains("Alpha Article:")).get.linesIterator.drop(2).toSeq)
+  }
+
+  test("configured namespaces keep their links through clean()") {
+    // Config(namespaces) must reach link expansion, not just page filtering:
+    // with the default set a [[Special:X]] link vanishes; with Special
+    // accepted it renders its anchor text
+    assert(WikiMarkup.clean("see [[Special:Export|the export page]] here")
+      == "see here") // dropped link; double space collapsed by cleanup
+    assert(WikiMarkup.clean("see [[Special:Export|the export page]] here",
+        namespaces = Set("w", "Special"))
+      == "see the export page here")
+  }
+
+  test("expand-templates flag expands dump templates; off preserves parity") {
+    import spark.implicits._
+    val dir = Files.createDirectories(Paths.get("target/tmp"))
+    val p = dir.resolve("wiki_tmpl_dump.xml")
+    val dump =
+      """<mediawiki xmlns="http://www.mediawiki.org/xml/schema" version="0.10" xml:lang="en">
+        |  <siteinfo>
+        |    <base>http://test.example.org/wiki/Main_Page</base>
+        |  </siteinfo>
+        |  <page>
+        |    <title>Template:Hello</title>
+        |    <ns>10</ns>
+        |    <id>20</id>
+        |    <revision>
+        |      <text xml:space="preserve">Hello {{{name|world}}}!<noinclude>documentation</noinclude></text>
+        |    </revision>
+        |  </page>
+        |  <page>
+        |    <title>Greeting Page</title>
+        |    <ns>0</ns>
+        |    <id>21</id>
+        |    <revision>
+        |      <text xml:space="preserve">Opening {{Hello|name=Spark}} then {{hello}} then {{Unknown|x}} closing.
+        |</text>
+        |    </revision>
+        |  </page>
+        |</mediawiki>
+        |""".stripMargin
+    Files.write(p, dump.getBytes("UTF-8"))
+    def render(cfg: WikiPipeline.Config): String =
+      WikiPipeline.run(spark, p.toString, cfg)
+        .select("rendered").as[String].collect().mkString
+    val expanded = render(WikiPipeline.Config(expandTemplates = true))
+    assert(expanded.contains("Opening Hello Spark! then Hello world! then closing."),
+      s"got: $expanded")
+    // flag off: reference behavior — every transclusion dropped wholesale
+    val plain = render(WikiPipeline.Config())
+    assert(plain.contains("Opening then then closing."), s"got: $plain")
+    // Template: pages never appear as articles either way
+    assert(!expanded.contains("Template:Hello") && !plain.contains("Template:Hello"))
+  }
+
   test("doc format renders Tanl <doc> headers with reference URLs") {
     import spark.implicits._
     val pages = Seq(WikiPage("7", "Doc Title", redirect = false, "Body line")).toDS()
