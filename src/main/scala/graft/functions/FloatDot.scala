@@ -22,11 +22,12 @@ case class FloatDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
-  // Declared input types make SQL calls safe: ArrayData.getFloat on an
-  // array<double> would silently reinterpret bytes, so non-float arrays
-  // (e.g. SQL array literals, which default to double) are implicitly cast
-  // to array<float> by Catalyst — or rejected at analysis if uncastable —
-  // instead of producing garbage at runtime.
+  // Declared input types make calls safe: ArrayData.getFloat on an
+  // array<double> would silently reinterpret bytes, so any non-float-array
+  // input is now an analysis error instead of garbage at runtime. (The SQL
+  // builder in GraftExtensions additionally casts numeric arrays, since
+  // SQL array literals default to array<double> and Catalyst's implicit
+  // casts never narrow.)
   // (typed Seq[DataType] — the parent's AbstractDataType is private[sql];
   // covariant override keeps the contract without naming it)
   override def inputTypes: Seq[DataType] =

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.functions.FloatDot
 import graft.wiki.WikiMarkup
 
@@ -34,7 +35,15 @@ object GraftExtensions {
         if (children.length != 2)
           throw new IllegalArgumentException(
             s"float_dot requires exactly 2 arguments, got ${children.length}")
-        FloatDot(children.head, children(1))
+        // SQL array literals default to array<double>, and Catalyst's
+        // implicit casts never narrow — so cast here (double→float is an
+        // explicit-cast-only conversion); non-numeric arrays still fail
+        // analysis with a type error
+        val floatArrays = children.map {
+          case c if c.resolved && c.dataType == ArrayType(FloatType) => c
+          case c => Cast(c, ArrayType(FloatType))
+        }
+        FloatDot(floatArrays.head, floatArrays(1))
       })
 
   /** Register SQL functions on a live session. */

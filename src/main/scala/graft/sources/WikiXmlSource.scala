@@ -66,6 +66,27 @@ object WikiXmlSource {
     }
   }
 
+  /** Re-encode a non-splittable dump (gzip collapses to one task per file)
+    * into a directory of `parts` bzip2-compressed record files that every
+    * later run reads fully parallel — one slow sequential pass, paid once.
+    * Records keep their `</page>` terminator so [[pages]] re-splits them
+    * identically; the siteinfo header lands in some part, so run
+    * [[basePrefix]] against the ORIGINAL dump if the URL prefix is needed.
+    */
+  def recode(spark: SparkSession, inPath: String, outPath: String,
+             parts: Int = 64): Unit = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "</page>")
+    spark.sparkContext
+      .newAPIHadoopFile(inPath, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString + "</page>")
+      .toDS()
+      .repartition(parts)
+      .write.option("compression", "bzip2").mode("overwrite").text(outPath)
+  }
+
   /** Site URL prefix from `/mediawiki/siteinfo/base`
     * (WikiExtractor.py:647-651): everything before the last '/'.
     * The base element sits in the dump header, so only the head of the

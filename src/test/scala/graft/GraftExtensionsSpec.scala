@@ -12,6 +12,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == 11.0)
   }
 
+  test("float_dot casts double-array literals instead of reinterpreting bytes") {
+    GraftExtensions.register(spark)
+    // SQL array literals default to array<double>; before FloatDot declared
+    // inputTypes this reinterpreted half of each double via getFloat and
+    // returned garbage — now Catalyst inserts a cast to array<float>
+    val got = spark.sql("SELECT float_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("float_dot with wrong arity fails at registration, not with IOOBE") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 arguments"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("wiki functions are SQL-callable") {
     GraftExtensions.register(spark)
     val cleaned = spark.sql("SELECT wiki_clean(\"{{tpl}}Hello [[Target|world]]\") AS c")

@@ -185,6 +185,16 @@ class WikiPipelineSpec extends SparkSpec {
     assert(!expanded.contains("Template:Hello") && !plain.contains("Template:Hello"))
   }
 
+  test("recode rewrites a dump into splittable parts with identical pages") {
+    val out = "target/tmp/recoded_dump"
+    WikiXmlSource.recode(spark, dumpPath, out, parts = 3)
+    val orig = WikiXmlSource.pages(spark, dumpPath).collect()
+      .map(p => (p.id, p.title, p.redirect, p.text)).toSet
+    val back = WikiXmlSource.pages(spark, out).collect()
+      .map(p => (p.id, p.title, p.redirect, p.text)).toSet
+    assert(back == orig)
+  }
+
   test("doc format renders Tanl <doc> headers with reference URLs") {
     import spark.implicits._
     val pages = Seq(WikiPage("7", "Doc Title", redirect = false, "Body line")).toDS()
