@@ -312,6 +312,22 @@ object Dedup {
     }
   }
 
+  /** Benchmark-contamination report: for each corpus document, the number
+    * of distinct word n-grams it shares with ANY benchmark document (docs
+    * absent from the output are clean). Benchmark eval sets are tiny and
+    * curated, so their distinct gram set broadcasts; the corpus is touched
+    * once — grams hashed to 8 bytes per doc, exploded, broadcast-joined,
+    * counted. No shuffle of text, no corpus×corpus pairing.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
+    corpus.select(col(idCol), explode(ngramHashSet(col(textCol), n)).as("__g"))
+      .join(broadcast(bench), "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Jaccard similarity of two precomputed distinct-gram arrays. */
   def jaccardOfSets(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb)).cast("double")

@@ -63,6 +63,17 @@ object DedupQ {
         .limit(50)
     },
 
+    // L20: benchmark contamination — corpus docs (id ≥ 20) sharing distinct
+    // 5-grams with the "benchmark" slice (id < 20). Hashed grams in Spark ≡
+    // string grams in the oracle, same argument as d04.
+    "d06_contamination" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.
@@ -112,6 +123,23 @@ object DedupQ {
         |FROM p
         |ORDER BY jaccard DESC, a, b
         |LIMIT 50""".stripMargin,
+
+    // Same 5-gram sets as Dedup.contamination, spelled with string grams.
+    "d06_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                toks[i+3] || ' ' || toks[i+4])
+        |    END) AS grams
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 20)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM corpus JOIN bench USING (gr)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Same arithmetic as the Spark side: double dot products, norms factored
     // out, ROUND(...,4) before the argmax, ties toward the lower vec_id.

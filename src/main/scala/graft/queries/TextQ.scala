@@ -64,6 +64,22 @@ object TextQ {
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp64"))
         .orderBy("doc_id")
+    },
+
+    // L18: deterministic content-hash train/val/test split.
+    "t07_split" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.splitAssign(col("text")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // L19: sequence packing — concatenate each source's docs in id order,
+    // cut into 4096-token context windows, report per-bin stats.
+    "t08_packing" -> { (s, dir) =>
+      TextOps.packBins(Tables(s, dir, "documents"), "source", "doc_id", "text", 4096)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("bin_tokens"))
+        .orderBy("source", "bin")
     }
   )
 
@@ -100,6 +116,31 @@ object TextQ {
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> langIdOracle,
+
+    // Same 24 md5 bits → bucket → split thresholds as TextOps.splitAssign.
+    "t07_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same prefix-sum packing: bin = floor(tokens-before-doc / 4096).
+    "t08_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, toks,
+        |    CAST(FLOOR((SUM(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks)
+        |               / 4096.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        |FROM p
+        |GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
 
     "t02_quality" ->
       """WITH t AS (

@@ -68,6 +68,38 @@ object TextOps {
     when(cjk > 0.25, lit("zh")).when(best === 0, lit("und")).otherwise(vote)
   }
 
+  /** Deterministic train/val/test assignment from a stable content hash.
+    * md5 on purpose (not xxhash/murmur): any engine, language, or later
+    * re-run reproduces the exact same split — the property that keeps a
+    * training corpus's held-out set stable across pipeline rewrites. Uses
+    * 24 hash bits → bucket in [0,100); pure column expression, no UDF.
+    */
+  def splitAssign(text: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val bucket = pmod(conv(substring(md5(text.cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(100))
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Sequential sequence-packing: concatenate each group's documents in
+    * `orderCol` order and cut the stream into `binTokens`-token context
+    * windows — every doc is assigned the bin where it starts
+    * (`floor(tokens-before-this-doc / binTokens)`). Adds `__toks` and
+    * `bin`. One shuffle (the group window); the prefix sum is the same
+    * analytic window any engine runs, so packing plans are auditable and
+    * oracle-checkable.
+    */
+  def packBins(df: org.apache.spark.sql.DataFrame, groupCol: String, orderCol: String,
+               textCol: String, binTokens: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("__toks", tokenCount(col(textCol)))
+      .withColumn("bin",
+        floor((sum(col("__toks")).over(w) - col("__toks")) / lit(binTokens.toDouble))
+          .cast("long"))
+  }
+
   private val FpPrime = 1099511628211L // FNV-64 prime
 
   /** Winnowing-style document fingerprint: minimum 64-bit rolling

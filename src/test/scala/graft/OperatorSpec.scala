@@ -260,6 +260,48 @@ class OperatorSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("splitAssign is deterministic and near the requested fractions") {
+    val docs = spark.range(20000).selectExpr("CAST(id AS STRING) AS text")
+    val counts = docs.select(TextOps.splitAssign(col("text")).as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 18000.0) / 18000.0 < 0.05, s"train off: $counts")
+    assert(math.abs(counts("val") - 1000.0) / 1000.0 < 0.25, s"val off: $counts")
+    assert(math.abs(counts("test") - 1000.0) / 1000.0 < 0.25, s"test off: $counts")
+    // same content → same split, every time (re-run and compare)
+    val a = docs.select(col("text"), TextOps.splitAssign(col("text")).as("s"))
+      .as[(String, String)].collect().toMap
+    val b = docs.select(col("text"), TextOps.splitAssign(col("text")).as("s"))
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("packBins cuts each group's token stream into sequential windows") {
+    val df = Seq(
+      ("s1", 1L, "a " * 99 + "a"),   // 100 tokens → starts at 0   → bin 0
+      ("s1", 2L, "b " * 49 + "b"),   //  50 tokens → starts at 100 → bin 0
+      ("s1", 3L, "c " * 79 + "c"),   //  80 tokens → starts at 150 → bin 1
+      ("s2", 4L, "d " * 9 + "d")     //  10 tokens → starts at 0   → bin 0
+    ).toDF("source", "doc_id", "text")
+    val out = TextOps.packBins(df, "source", "doc_id", "text", binTokens = 128)
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("contamination counts shared distinct n-grams against a benchmark") {
+    val benchmark = Seq((100L, "the secret benchmark question about turtles and rivers"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the secret benchmark question about turtles and rivers copied"),
+      (2L, "entirely unrelated content with no overlap at all whatsoever here"),
+      (3L, "the secret benchmark question about some other topic entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, benchmark, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 contains the full 8-token benchmark run → 4 distinct shared 5-grams;
+    // doc 3 shares exactly one 5-token run; doc 2 is absent (clean)
+    assert(got == Map(1L -> 4L, 3L -> 1L), s"got $got")
+  }
+
   test("langId detects stopword-heavy languages and CJK") {
     val samples = Seq(
       ("the cat sat on the mat and it was happy", "en"),
