@@ -1,21 +1,28 @@
 package graft.multimodal
 
-/** Pure-JVM codec for binary PPM (P6) images — the uncompressed format lets
-  * the multimodal pipeline run REAL decode/feature/resize work in this
+/** Pure-JVM codec for the binary netpbm family — PPM (P6, RGB), PGM (P5,
+  * grayscale), and PBM (P4, bitmap) — the uncompressed formats let the
+  * multimodal pipeline run REAL decode/feature/resize work in this
   * environment (no native image libraries). Compressed formats (JPEG/PNG/
   * video) remain behind the deterministic stub in [[Multimodal]].
   */
 object PpmCodec {
 
-  /** Decoded raster: width, height, packed RGB bytes (3 per pixel). */
+  /** Decoded raster: width, height, packed RGB bytes (3 per pixel).
+    * Grayscale/bitmap sources are expanded to RGB on decode so every
+    * downstream op (resize, grid features) is format-agnostic.
+    */
   final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Parse a P6 PPM (maxval 255). Returns None on any malformed input —
-    * at pipeline scale a corrupt blob must never kill the job.
+  /** Parse a binary netpbm image — P6 (maxval 255), P5 (maxval 255), or
+    * P4. Returns None on any malformed input — at pipeline scale a corrupt
+    * blob must never kill the job.
     */
   def decode(bytes: Array[Byte]): Option[Image] = {
     try {
-      if (bytes == null || bytes.length < 10 || bytes(0) != 'P' || bytes(1) != '6') return None
+      if (bytes == null || bytes.length < 8 || bytes(0) != 'P') return None
+      val kind = bytes(1)
+      if (kind != '6' && kind != '5' && kind != '4') return None
       var pos = 2
       def skipWs(): Unit = {
         var done = false
@@ -34,13 +41,44 @@ object PpmCodec {
         }
         v
       }
-      val w = readInt(); val h = readInt(); val maxval = readInt()
-      pos += 1 // single whitespace after maxval
-      if (w <= 0 || h <= 0 || maxval != 255) return None
-      val n = w * h * 3
-      if (bytes.length - pos < n) return None
-      val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
-      Some(Image(w, h, rgb))
+      val w = readInt(); val h = readInt()
+      val maxval = if (kind == '4') 1 else readInt()
+      pos += 1 // single whitespace before the raster
+      if (w <= 0 || h <= 0 || (kind != '4' && maxval != 255)) return None
+      kind match {
+        case '6' =>
+          val n = w * h * 3
+          if (bytes.length - pos < n) return None
+          Some(Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n)))
+        case '5' =>
+          val n = w * h
+          if (bytes.length - pos < n) return None
+          val rgb = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            val g = bytes(pos + i)
+            rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+            i += 1
+          }
+          Some(Image(w, h, rgb))
+        case _ => // P4: 1 bit/pixel, rows padded to byte boundary; 1 = black
+          val rowBytes = (w + 7) / 8
+          if (bytes.length - pos < rowBytes * h) return None
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = (bytes(pos + y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+              val v: Byte = if (bit == 1) 0 else -1 // 0xFF = white
+              val di = (y * w + x) * 3
+              rgb(di) = v; rgb(di + 1) = v; rgb(di + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          Some(Image(w, h, rgb))
+      }
     } catch { case _: Exception => None }
   }
 

@@ -228,6 +228,27 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats(3) == 0.0f && feats(5) == 1.0f)                     // TR = blue
   }
 
+  test("multimodal: PGM and PBM decode to gray/bilevel RGB rasters") {
+    import graft.multimodal.PpmCodec
+    // P5: 2x1, black then mid-gray
+    val pgm = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 128.toByte)
+    val g = PpmCodec.decode(pgm).get
+    assert(g.width == 2 && g.height == 1)
+    assert(g.rgb.toSeq == Seq[Byte](0, 0, 0, 128.toByte, 128.toByte, 128.toByte))
+    // P4: 9x1 → 2 row bytes; first bit set (black), rest white
+    val pbm = "P4\n9 1\n".getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0x00)
+    val b = PpmCodec.decode(pbm).get
+    assert(b.width == 9 && b.height == 1)
+    assert(b.rgb(0) == 0 && b.rgb(3) == -1 && b.rgb(24) == -1) // black, white, white
+    // features pipeline accepts them end to end
+    val df = Seq((1L, pgm), (2L, pbm)).toDF("id", "payload")
+    val media = graft.multimodal.Multimodal.asMedia(df, "id", "payload", "image/x-portable-anymap")
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dim = 12)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats(1L).length == 12 && feats(2L).length == 12)
+    assert(feats(2L)(0) == 0.8f) // first cell: 4 of 5 pixels white → 0.8
+  }
+
   test("multimodal: PPM resize re-encodes pixels at the new dimensions") {
     import graft.multimodal.PpmCodec
     val rgb = Array.fill(8 * 8 * 3)(200.toByte)
