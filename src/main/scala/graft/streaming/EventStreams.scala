@@ -117,6 +117,22 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Native gap-sessionization via `session_window` — preference (a) of the
+    * custom-operator ladder: when only per-session aggregates are needed
+    * (not lifetime session numbering), Spark's built-in session window
+    * handles state, merging, and watermark expiry with zero custom state
+    * code. Append mode emits each session once the watermark closes it.
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
+
   /** Streaming near-dup drop: a row is dropped when its 64-bit SimHash
     * (optionally with the `ignoreBits` lowest bits cleared — bit-sampling
     * LSH, so docs within that Hamming radius on the low bits collapse)

@@ -84,6 +84,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("native session_window sessionization closes sessions via the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionizeNative(input.toDF(), gap = "1 minute",
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0, 0), 7, "click", 1.5), Event(2, ts(0, 30), 7, "view", 2.0))
+      query.processAllAvailable()
+      // far-future event advances the watermark past the session's close
+      input.addData(Event(3, ts(30, 0), 9, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(Event(4, ts(60, 0), 9, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((7L, 2L, 3.5)), s"session for user 7 not emitted: $rows")
+    } finally query.stop()
+  }
+
   test("streaming near-dup drops simhash-identical docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
