@@ -33,6 +33,17 @@ object SimilarityQ {
     "s03_knn_ivf" -> { (s, dir) =>
       Similarity.ivfKnn(Tables(s, dir, "embeddings"), queryVec(s, dir),
         "vec_id", "embedding", k = 20, nCentroids = 16, probes = 4)
+    },
+
+    // L8b: batched IVF — ten probes answered in one corpus pass; the shape
+    // a serving/training join runs at scale.
+    "s04_knn_ivf_batch" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
+      Similarity.ivfKnnBatch(emb, queries, "vec_id", "embedding", "probe_id",
+        k = 10, nCentroids = 16, probes = 4)
+        .orderBy("probe_id", "sim", "vec_id")
     }
   )
 

@@ -203,19 +203,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF top-k: many probe vectors at once — the shape a serving
+    * or training-data join actually runs. One shared assignment pass over
+    * the corpus, probe cells per query via a tight-loop UDF (the query side
+    * is small relative to the corpus), candidates from one
+    * `array_contains` broadcast join, per-probe top-k via window rank.
+    * Returns (probeIdCol, idCol, sim) rows, ≤ k per probe.
+    */
+  def ivfKnnBatch(emb: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  probeIdCol: String, queryVecCol: String = "qvec",
+                  k: Int = 10, nCentroids: Int = 16, probes: Int = 4,
+                  lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val dim = centroids.head._2.length
+    val qAssigned = queries.withColumn("probe_cells",
+      probeCellsUdf(centroids, probes)(col(queryVecCol)))
+      .withColumn("__norm_q", sqrt(dot(col(queryVecCol), col(queryVecCol))))
+    val w = Window.partitionBy(probeIdCol)
+      .orderBy(col("sim").desc, col(idCol))
+    assigned.join(broadcast(qAssigned), array_contains(col("probe_cells"), col("cell")))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(probeIdCol), col(idCol),
+        round(dot(col(vecCol), col(queryVecCol)) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Top-`probes` nearest cells for a vector, one tight loop over the
+    * centroid matrix per row (selection by repeated argmin — probes ≪ k).
+    */
+  private def probeCellsUdf(centroids: Array[(Int, Array[Double])], probes: Int) = {
+    val mat = centroids.map(_._2)
+    udf { (v: Seq[Float]) =>
+      val x = v.toArray
+      val d = new Array[Double](mat.length)
+      var c = 0
+      while (c < mat.length) {
+        val cv = mat(c)
+        val n = math.min(cv.length, x.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val diff = x(i) - cv(i); s += diff * diff; i += 1 }
+        d(c) = s
+        c += 1
+      }
+      val out = new Array[Int](math.min(probes, mat.length))
+      var p = 0
+      while (p < out.length) {
+        var best = -1
+        var bestD = Double.MaxValue
+        c = 0
+        while (c < d.length) {
+          if (d(c) < bestD) { bestD = d(c); best = c }
+          c += 1
+        }
+        out(p) = centroids(best)._1
+        d(best) = Double.MaxValue
+        p += 1
+      }
+      out
+    }
+  }
+
   private def assignToCentroidsRanked(query: DataFrame, vecCol: String,
                                       centroids: Array[(Int, Array[Double])],
-                                      dim: Int, probes: Int): DataFrame = {
-    val dists = centroids.map { case (i, c) =>
-      val d = aggregate(zip_with(col(vecCol), lit(c), (p, q) => {
-        val diff = p.cast("double") - q
-        diff * diff
-      }), lit(0.0), (acc, v) => acc + v)
-      struct(d.as("d"), lit(i).as("cell"))
-    }
-    query.withColumn("probe_cells",
-      slice(transform(array_sort(array(dists: _*)), s => s.getField("cell")), 1, probes))
-  }
+                                      dim: Int, probes: Int): DataFrame =
+    query.withColumn("probe_cells", probeCellsUdf(centroids, probes)(col(vecCol)))
 
   private def assignToCentroids(emb: DataFrame, vecCol: String,
                                 centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =

@@ -414,12 +414,28 @@ object WikiMarkup {
     sb.toString
   }
 
-  /** Expand top-level `{{Name|args}}` transclusions ONE level from the
-    * given library (no recursion: an expansion's own `{{..}}` remain and
-    * fall to dropNested). Unknown templates are left in place, preserving
-    * the reference's drop behavior for them.
+  /** Expand top-level `{{Name|args}}` transclusions from the given library,
+    * `levels` passes deep (each pass expands one nesting level; recursion —
+    * including self-reference — is therefore bounded by construction).
+    * Whatever is still unexpanded after the last pass falls to dropNested.
+    * Unknown templates are left in place, preserving the reference's drop
+    * behavior for them.
     */
-  def expandTemplates(text: String, templates: collection.Map[String, String]): String = {
+  def expandTemplates(text: String, templates: collection.Map[String, String],
+                      levels: Int = 1): String = {
+    var out = text
+    var l = 0
+    var changed = true
+    while (l < levels && changed) {
+      val next = expandOnce(out, templates)
+      changed = !(next eq out) && next != out
+      out = next
+      l += 1
+    }
+    out
+  }
+
+  private def expandOnce(text: String, templates: collection.Map[String, String]): String = {
     if (templates.isEmpty) return text
     val openRe = Pattern.compile("\\{\\{")
     val closeRe = Pattern.compile("\\}\\}")

@@ -18,11 +18,11 @@ object WikiPipeline {
     * @param incubator  incubator language filter (WikiExtractor.py:631-636)
     * @param vitalFn    vital-titles file: keep only listed titles, attach
     *                   their tags (WikiExtractor.py:629-643, 654-666)
-    * @param expandTemplates  expand `{{..}}` transclusions one level from
-    *                   the dump's own Template: pages before cleaning
-    *                   (parity-PLUS — default off preserves reference-
-    *                   identical output; the reference drops all templates,
-    *                   its FIXME at WikiExtractor.py:370)
+    * @param expandTemplates  expand `{{..}}` transclusions from the dump's
+    *                   own Template: pages before cleaning, `templateLevels`
+    *                   nesting levels deep (parity-PLUS — default off
+    *                   preserves reference-identical output; the reference
+    *                   drops all templates, its FIXME at WikiExtractor.py:370)
     */
   case class Config(
       keepLinks: Boolean = false,
@@ -30,7 +30,8 @@ object WikiPipeline {
       incubator: Option[String] = None,
       namespaces: Set[String] = WikiMarkup.acceptedNamespaces,
       vitalFn: Option[String] = None,
-      expandTemplates: Boolean = false)
+      expandTemplates: Boolean = false,
+      templateLevels: Int = 1)
 
   /** The dump's Template: pages as a name → transcluded-body map, for
     * broadcast into [[extract]]. The template namespace is a small slice of
@@ -88,9 +89,10 @@ object WikiPipeline {
     val keepLinks = cfg.keepLinks
     val structure = cfg.structure
     val ns = cfg.namespaces
+    val levels = cfg.templateLevels
     val bcTemplates = articles.sparkSession.sparkContext.broadcast(templates)
     val extractUdf = udf { (text: String) =>
-      val expanded = WikiMarkup.expandTemplates(text, bcTemplates.value)
+      val expanded = WikiMarkup.expandTemplates(text, bcTemplates.value, levels)
       WikiMarkup.compact(WikiMarkup.clean(expanded, keepLinks, ns), structure)
     }
     articles.toDF()

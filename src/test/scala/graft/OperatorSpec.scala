@@ -241,6 +241,25 @@ class OperatorSpec extends SparkSpec {
     assert(out.count() > 0, "d04 produced no candidate pairs")
   }
 
+  test("batched ivf equals single-query ivf and caps k per probe") {
+    val rng = new scala.util.Random(3)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val single = Similarity.ivfKnn(emb,
+        emb.filter($"vec_id" === 0).select($"embedding".as("qvec")),
+        "vec_id", "embedding", k = 10, nCentroids = 8, probes = 4)
+      .as[(Long, Double)].collect().toSeq
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qvec"))
+    val batch = Similarity.ivfKnnBatch(emb, queries, "vec_id", "embedding",
+      "probe_id", k = 10, nCentroids = 8, probes = 4)
+    val byProbe = batch.as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(byProbe.keySet == Set(0L, 1L, 2L))
+    assert(byProbe.values.forall(_.length == 10))
+    // probe 0's ranked list must equal the single-query path exactly
+    assert(byProbe(0L).sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq == single)
+  }
+
   test("ivf assigns every vector to a cell and cells partition the data") {
     val rng = new scala.util.Random(2)
     val emb = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))

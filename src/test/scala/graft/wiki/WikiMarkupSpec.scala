@@ -98,6 +98,12 @@ class WikiMarkupSpec extends AnyFunSuite {
     // and clean() then removes it
     assert(WikiMarkup.expandTemplates("x {{Outer}} y", lib) == "x uses {{Inner}} y")
     assert(WikiMarkup.clean(WikiMarkup.expandTemplates("x {{Outer}} y", lib)) == "x uses y")
+    // a second level resolves the nested transclusion; self-reference stays
+    // bounded by the level count
+    val lib2 = lib + ("Inner" -> "innermost") + ("Loop" -> "again {{Loop}}")
+    assert(WikiMarkup.expandTemplates("x {{Outer}} y", lib2, levels = 2) == "x uses innermost y")
+    assert(WikiMarkup.expandTemplates("{{Loop}}", lib2, levels = 3)
+      == "again again again {{Loop}}")
     // args containing pipes inside links split correctly
     assert(WikiMarkup.expandTemplates("{{Hello|name=[[A|B]]}}", lib) == "Hello [[A|B]]!")
   }
