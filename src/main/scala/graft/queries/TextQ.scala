@@ -80,6 +80,15 @@ object TextQ {
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("bin_tokens"))
         .orderBy("source", "bin")
+    },
+
+    // L21: weighted corpus mixing — even-length sources upsampled 2.3×,
+    // odd-length downsampled to 40%, deterministically.
+    "t09_mixing" -> { (s, dir) =>
+      val weight = when(length(col("source")) % 2 === 0, lit(2.3)).otherwise(lit(0.4))
+      TextOps.mixCorpus(Tables(s, dir, "documents"), weight, "text")
+        .select(col("doc_id"), col("copy"))
+        .orderBy("doc_id", "copy")
     }
   )
 
@@ -125,6 +134,23 @@ object TextQ {
         |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same md5-bucket copy count as TextOps.mixCorpus, copies unrolled with
+    // generate_series.
+    "t09_mixing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN LENGTH(source) % 2 = 0 THEN 2.3 ELSE 0.4 END AS w,
+        |    CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(w) + (CASE WHEN b < (w - FLOOR(w)) * 10000 THEN 1 ELSE 0 END)
+        |         AS INTEGER) AS n
+        |  FROM t)
+        |SELECT doc_id, CAST(UNNEST(generate_series(1, n)) AS INTEGER) AS copy
+        |FROM c WHERE n > 0
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // Same prefix-sum packing: bin = floor(tokens-before-doc / 4096).
     "t08_packing" ->

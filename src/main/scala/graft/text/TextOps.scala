@@ -100,6 +100,27 @@ object TextOps {
           .cast("long"))
   }
 
+  /** Deterministic weighted corpus mixing: each row is kept/dropped or
+    * replicated according to `weight` (an arbitrary per-row expression —
+    * typically a CASE over the source column or a joined-in dims table).
+    * weight 0.4 keeps a stable 40% sample; weight 2.3 emits 2 copies plus a
+    * stable 30% chance of a third. The decision reuses [[splitAssign]]'s
+    * md5 content bucket, so a rerun — or another engine — reproduces the
+    * exact same mix (no RNG, no partition-order dependence). Output gains a
+    * `copy` index (1..n); replicas stay distinguishable downstream.
+    */
+  def mixCorpus(df: org.apache.spark.sql.DataFrame, weight: Column,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val bucket = pmod(conv(substring(md5(col(textCol).cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(10000))
+    df.withColumn("__copies",
+        (floor(weight) +
+          when(bucket < (weight - floor(weight)) * 10000, 1).otherwise(0)).cast("int"))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies")
+  }
+
   private val FpPrime = 1099511628211L // FNV-64 prime
 
   /** Winnowing-style document fingerprint: minimum 64-bit rolling

@@ -294,6 +294,27 @@ class OperatorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixCorpus up/downsamples deterministically near the target weights") {
+    val docs = spark.range(10000).selectExpr(
+      "id AS doc_id", "CAST(id AS STRING) AS text",
+      "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'wiki' END AS source")
+    val weight = when(col("source") === "web", lit(0.5)).otherwise(lit(2.25))
+    val out = TextOps.mixCorpus(docs, weight, "text").cache()
+    val bySource = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    // web: 5000 × 0.5 ≈ 2500; wiki: 5000 × 2.25 ≈ 11250 (2 copies + 25%)
+    assert(math.abs(bySource("web") - 2500.0) / 2500.0 < 0.05, s"got $bySource")
+    assert(math.abs(bySource("wiki") - 11250.0) / 11250.0 < 0.05, s"got $bySource")
+    // every kept wiki doc has copies 1..n with n ∈ {2, 3}
+    val copies = out.filter($"source" === "wiki").groupBy("doc_id")
+      .agg(max("copy").as("n"), count(lit(1)).as("c"))
+    assert(copies.filter($"n" =!= $"c").count() == 0)
+    assert(copies.filter($"n" < 2 || $"n" > 3).count() == 0)
+    // deterministic: identical output on a second evaluation
+    val again = TextOps.mixCorpus(docs, weight, "text")
+      .select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq
+    assert(again == out.select("doc_id", "copy").as[(Long, Int)].collect().sorted.toSeq)
+  }
+
   test("packBins cuts each group's token stream into sequential windows") {
     val df = Seq(
       ("s1", 1L, "a " * 99 + "a"),   // 100 tokens → starts at 0   → bin 0
