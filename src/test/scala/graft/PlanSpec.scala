@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-quality regression guards: the properties that make the headline
+  * queries scale (pushdown, pruning, broadcast dims, single-scan LSH) are
+  * asserted on the physical plan, so a refactor that silently loses one —
+  * a filter that stops reaching the scan, a dim that falls back to a
+  * sort-merge join, an ANN path that rescans — fails CI instead of
+  * surfacing as a 100× regression on a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02 pushes every predicate into the parquet scan and prunes columns") {
+    val p = executedPlan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    // all four predicates reach the scan
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount"))
+      assert(p.contains(f), s"predicate $f not pushed:\n$p")
+    val schema = "ReadSchema: struct<(.*?)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(schema.exists(_.split(",").length <= 4),
+      s"scan reads more columns than the query needs: $schema")
+  }
+
+  test("q05 star join broadcasts every dimension (no sort-merge fallback)") {
+    val p = executedPlan("q05_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension fell back to sort-merge:\n$p")
+  }
+
+  test("s02 LSH computes signatures in a single scan of the table side") {
+    val p = executedPlan("s02_knn_lsh")
+    // one probe-side scan + one broadcast query-side scan; the round-1
+    // anti-pattern was one scan per hash table (4×). Formatted mode lists
+    // every physical node once as "(n) Scan parquet".
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"LSH rescans the table ($scans scans):\n$p")
+    assert(p.contains("hyperplane_sigs"), s"codegen signature kernel missing:\n$p")
+    assert(p.contains("arrays_overlap"), s"native any-table match missing:\n$p")
+  }
+
+  test("d01 exact dedup shuffles the content hash, never the text") {
+    val p = executedPlan("d01_exact_dedup")
+    assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
+      s"raw text used as a shuffle key:\n$p")
+  }
+
+  test("d05 embedding NN aggregates without a window sort") {
+    val p = executedPlan("d05_embed_nn")
+    assert(!p.contains("Window"), s"argmax regressed to a window sort:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"no partial-aggregatable argmax:\n$p")
+  }
+}
