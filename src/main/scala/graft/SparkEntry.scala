@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Wiki.queries ++
       graft.queries.TextQ.queries ++
       graft.queries.DedupQ.queries ++
-      graft.queries.SimilarityQ.queries
+      graft.queries.SimilarityQ.queries ++
+      graft.queries.PipelineQ.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Wiki.oracles ++
       graft.queries.TextQ.oracles ++
       graft.queries.DedupQ.oracles ++
-      graft.queries.SimilarityQ.oracles
+      graft.queries.SimilarityQ.oracles ++
+      graft.queries.PipelineQ.oracles
 }
