@@ -37,7 +37,9 @@ object WikiBench {
       ).as("value"))
       page.repartition(cpus).write.text(dir)
       // header part so basePrefix() still resolves against the directory
-      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_header.xml"),
+      // (NOT underscore-prefixed: Hadoop's input layer silently ignores
+      // files starting with _ or .)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "aa-header.xml"),
         "<mediawiki xml:lang=\"en\">\n<siteinfo>\n<base>http://perf.example.org/wiki/Main_Page</base>\n</siteinfo>\n".getBytes)
     }
     val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))

@@ -31,6 +31,10 @@ object WikiXmlSource {
   private val textRe = Pattern.compile("<text[^>]*>(.*?)</text>", Pattern.DOTALL)
   private val baseRe = Pattern.compile("<base>(.*?)</base>")
 
+  /** NOTE for directory inputs: Hadoop's input layer silently skips files
+    * whose names start with `_` or `.` (the "hidden" convention used by
+    * `_SUCCESS` markers) — dump parts must not be named that way.
+    */
   def pages(spark: SparkSession, path: String,
             maxSplitBytes: Long = 16L * 1024 * 1024): Dataset[WikiPage] = {
     import spark.implicits._
