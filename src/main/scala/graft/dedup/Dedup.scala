@@ -18,11 +18,17 @@ object Dedup {
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
   /** Exact dedup: keep the lowest-id row per distinct content hash.
-    * One shuffle on the hash; the text column itself is never shuffled.
+    * A `min_by` hash aggregation, not a window: the partial (map-side)
+    * aggregate collapses duplicates before the exchange, so at most one
+    * candidate row per distinct content per partition is shuffled — a
+    * window over the hash would sort-shuffle EVERY row, duplicates
+    * included, which is exactly the waste a 100 TB dedup pass can't afford.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(sha2(col(textCol).cast("binary"), 256)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Word k-shingles as 64-bit hashes (xxhash64 of each shingle string). */
