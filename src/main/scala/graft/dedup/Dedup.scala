@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 /** Deduplication operators for LLM training-data pipelines.
   *
   * Scale design: nothing here ever joins n×n on content. Exact dedup
-  * shuffles a 64/128-bit hash (never the text); MinHash LSH shuffles
+  * collapses duplicates map-side, so only one surviving candidate per
+  * distinct content per partition crosses the wire; MinHash LSH shuffles
   * (band, bucket) keys so candidate generation is linear in corpus size plus
   * bucket collisions; Jaccard verification touches only candidate pairs.
   */
