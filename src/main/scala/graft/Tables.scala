@@ -35,6 +35,10 @@ object Tables {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pushdown: a selective dim-side filter becomes
+      // a bloom probe on the fact scan, skipping row groups before the
+      // join — a pure win for the star joins at warehouse scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
