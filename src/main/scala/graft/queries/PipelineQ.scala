@@ -4,13 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.pipeline.CorpusPipeline
+import graft.text.TextOps
 
-/** The composed curation pipeline as a driver query. Rows-only: the
-  * near-dedup stage is MinHash-based (not DuckDB-expressible); every stage
-  * is individually oracle-gated through its own query (t01/t02/d01/d06/t07)
+/** The composed curation pipeline as driver queries.
+  *
+  * c01 runs the full pipeline (MinHash near-dedup included) — rows-only,
+  * because the MinHash stage is not DuckDB-expressible; every stage is
+  * individually oracle-gated through its own query (t01/t02/d01/d06/t07)
   * and the composition is spec-tested with planted defects.
+  *
+  * c02 runs the SAME composition with the near-dedup stage disabled
+  * (threshold > 1.0): langID → quality gate → exact dedup → contamination
+  * drop → split assignment. Every stage is ANSI-SQL-expressible, so the
+  * whole composed pipeline sits under the driver's hash gate via one
+  * DuckDB WITH-chain — the composition itself (stage order, survivor
+  * plumbing, gate interactions) is what this query certifies.
   */
 object PipelineQ {
+
+  private val CurateLangs = Set("en", "fr", "es", "de", "zh", "und")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L22: full curation over the documents table, benchmark = ids < 20.
@@ -19,8 +31,23 @@ object PipelineQ {
       CorpusPipeline.curate(
         docs.filter(col("doc_id") >= 20), "text", "doc_id",
         CorpusPipeline.Config(
-          langs = Set("en", "fr", "es", "de", "zh", "und"),
+          langs = CurateLangs,
           minQuality = 0.3, nearDupThreshold = 0.7, contaminationNgram = 5),
+        benchmark = Some(docs.filter(col("doc_id") < 20)))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
+          col("split"))
+        .orderBy("doc_id")
+    },
+
+    // L22 (hash-gated): the same composition, near-dedup disabled — fully
+    // DuckDB-expressible end to end.
+    "c02_curate_exact" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.curate(
+        docs.filter(col("doc_id") >= 20), "text", "doc_id",
+        CorpusPipeline.Config(
+          langs = CurateLangs,
+          minQuality = 0.3, nearDupThreshold = 1.5, contaminationNgram = 5),
         benchmark = Some(docs.filter(col("doc_id") < 20)))
         .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
           col("split"))
@@ -28,5 +55,82 @@ object PipelineQ {
     }
   )
 
-  val oracles: Map[String, String] = Map.empty
+  // The c02 oracle replays every stage of curate() in one DuckDB WITH-chain.
+  // The lang CASE is generated from TextOps.stopwords (same literals as the
+  // Scala side, same tie-break: first language in list order wins); quality
+  // is t02's formula; exact dedup keeps the lowest doc_id per distinct text;
+  // contamination mirrors d06's string-5-gram logic against the doc_id < 20
+  // benchmark slice; split is t07's md5-bucket assignment.
+  private val curateExactOracle: String = {
+    val counts = TextOps.stopwords.map { case (lang, words) =>
+      val lits = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.stopwords.map(_._1)
+    val best = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
+    val vote = langs.init.map(l => s"WHEN c_$l = best THEN '$l'").mkString("\n       ") +
+      s"\n       ELSE '${langs.last}'"
+    val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(lower(text), '\\s+') AS ltoks,
+       |    string_split_regex(text, '\\s+') AS toks
+       |  FROM documents WHERE doc_id >= 20),
+       |scored0 AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS cjk,
+       |    $counts,
+       |    CAST(len(toks) AS DOUBLE) AS n_tokens,
+       |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
+       |  FROM t),
+       |scored1 AS (SELECT *, $best AS best FROM scored0),
+       |scored AS (
+       |  SELECT doc_id, text, toks,
+       |    CASE WHEN cjk > 0.25 THEN 'zh'
+       |         WHEN best = 0 THEN 'und'
+       |         $vote END AS lang,
+       |    LEAST(1.0, n_tokens / 64.0) *
+       |      (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+       |             AND (n_chars - n_tokens + 1.0) / n_tokens <= 10.0
+       |            THEN 1.0 ELSE 0.5 END) AS quality
+       |  FROM scored1),
+       |gated AS (
+       |  SELECT * FROM scored
+       |  WHERE lang IN ($langList) AND quality >= 0.3),
+       |exact AS (
+       |  SELECT * FROM gated
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |bgrams AS (
+       |  SELECT DISTINCT unnest(
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                  toks[i+3] || ' ' || toks[i+4])
+       |      END)) AS gr
+       |  FROM (SELECT text, string_split_regex(text, '\\s+') AS toks
+       |        FROM documents WHERE doc_id < 20)),
+       |cgrams AS (
+       |  SELECT doc_id, unnest(
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                  toks[i+3] || ' ' || toks[i+4])
+       |      END)) AS gr
+       |  FROM exact),
+       |dirty AS (
+       |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
+       |  GROUP BY doc_id HAVING COUNT(*) >= 1)
+       |SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT *,
+       |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
+       |      FROM exact) e
+       |WHERE e.doc_id NOT IN (SELECT doc_id FROM dirty)
+       |ORDER BY e.doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "c02_curate_exact" -> curateExactOracle
+  )
 }

@@ -48,4 +48,34 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(nearDupThreshold = 0.9))
     assert(out.count() == 2)
   }
+
+  test("nearDupThreshold > 1.0 disables near-dedup: near dups survive, exact dups don't") {
+    val docs = Seq(
+      (1L, english + "one"),
+      (2L, english + "one"), // exact dup — still removed
+      (3L, english + "two")  // near dup — kept when the stage is off
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"survivors: $ids")
+  }
+
+  test("persistSurvivors=false produces the same output as the default") {
+    val benchmark = Seq((100L, "benchmark question text that is the held out eval set for this run"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, english + "one"),
+      (2L, english + "one"),
+      (3L, english + "two"),
+      (7L, "an entirely different english document about the history of the spark engine " +
+        "that is long enough to pass the quality gate and it was written for this test " * 2)
+    ).toDF("doc_id", "text")
+    def run(persist: Boolean) = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, persistSurvivors = persist),
+      benchmark = Some(benchmark))
+      .select("doc_id", "lang", "quality", "split")
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(true) == run(false))
+  }
 }
