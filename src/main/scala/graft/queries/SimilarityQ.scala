@@ -44,8 +44,31 @@ object SimilarityQ {
       Similarity.ivfKnnBatch(emb, queries, "vec_id", "embedding", "probe_id",
         k = 10, nCentroids = 16, probes = 4)
         .orderBy("probe_id", "sim", "vec_id")
+    },
+
+    // L8c: IVF probe against the PERSISTED cell-partitioned index — the
+    // actual 100 TB serving path. The index (same training parameters as
+    // s03) is built once per sfDir and reused; the probe itself is a
+    // partition-pruned read of 4 of the 16 cell directories plus an exact
+    // rerank — no corpus scan, no per-query training.
+    "s05_knn_ivf_indexed" -> { (s, dir) =>
+      val table = ivfIndexTable(s, dir)
+      Similarity.ivfProbePartitioned(s, table, queryVec(s, dir),
+        "vec_id", "embedding", k = 20, probes = 4)
     }
   )
+
+  /** Build (once per sfDir per warehouse) the persisted IVF index s05
+    * probes. Training parameters match s03's so the indexed probe is
+    * row-identical to the direct path (spec-checked).
+    */
+  private def ivfIndexTable(s: SparkSession, dir: String): String = {
+    val table = "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table) || !s.catalog.tableExists(s"${table}_centroids"))
+      Similarity.writeIvfIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        table, nCentroids = 16, lloydIters = 1, buckets = 8)
+    table
+  }
 
   // s02's oracle is generated from Similarity.directions, so DuckDB evaluates
   // the exact same hyperplanes: per table, the signature is the sum of sign

@@ -203,6 +203,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF index as a cell-PARTITIONED (and id-bucketed)
+    * table, plus a tiny sibling `<table>_centroids` table holding the
+    * trained centroid matrix. This is the warehouse form of [[ivfKnn]]'s
+    * claim that "the cell column is a partition column": the one-time build
+    * pays the Lloyd training and the full-corpus assignment ONCE, and every
+    * subsequent probe is a partition-pruned read of `probes` of the
+    * `nCentroids` cell directories — no per-query corpus scan, no per-query
+    * seeding/means collect. Mirrors [[writeLshIndex]]/[[lshProbeBucketed]].
+    */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String, table: String,
+                    nCentroids: Int = 16, lloydIters: Int = 1,
+                    buckets: Int = 8): Unit = {
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    graft.sources.Warehouse.writeBucketedPartitioned(assigned, table, "cell", idCol, buckets)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Trained centroids of a [[writeIvfIndex]] table (≤ nCentroids rows). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       table: String): Array[(Int, Array[Double])] =
+    spark.table(s"${table}_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Probe a [[writeIvfIndex]] table: the query's `probes` nearest cells are
+    * computed driver-side against the persisted centroid matrix (the query
+    * side is tiny by definition), and the literal `cell IN (...)` predicate
+    * is a static partition filter — the scan lists and reads ONLY the probe
+    * cells' directories (`PartitionFilters` in the plan; spec-guarded).
+    * Exact cosine rerank inside the candidates, identical arithmetic to
+    * [[ivfKnn]] — with the same build parameters the two return the same
+    * rows (spec-checked).
+    */
+  def ivfProbePartitioned(spark: org.apache.spark.sql.SparkSession, table: String,
+                          query: DataFrame, idCol: String, vecCol: String,
+                          k: Int, probes: Int = 4): DataFrame = {
+    val centroids = readIvfCentroids(spark, table)
+    val qvecs = query.select(col("qvec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cells = qvecs.flatMap(v => nearestCells(v, centroids, probes))
+      .distinct.toIndexedSeq
+    val q = broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec")))))
+    spark.table(table)
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(q)
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Batched IVF top-k: many probe vectors at once — the shape a serving
     * or training-data join actually runs. One shared assignment pass over
     * the corpus, probe cells per query via a tight-loop UDF (the query side
@@ -231,40 +286,44 @@ object Similarity {
   }
 
   /** Top-`probes` nearest cells for a vector, one tight loop over the
-    * centroid matrix per row (selection by repeated argmin — probes ≪ k).
+    * centroid matrix (selection by repeated argmin — probes ≪ k). Same
+    * strict-less-than first-wins tiebreak as the codegen'd
+    * [[graft.functions.NearestCentroid]] assignment kernel.
     */
-  private def probeCellsUdf(centroids: Array[(Int, Array[Double])], probes: Int) = {
+  private[graft] def nearestCells(x: Array[Float],
+                                  centroids: Array[(Int, Array[Double])],
+                                  probes: Int): Array[Int] = {
     val mat = centroids.map(_._2)
-    udf { (v: Seq[Float]) =>
-      val x = v.toArray
-      val d = new Array[Double](mat.length)
-      var c = 0
-      while (c < mat.length) {
-        val cv = mat(c)
-        val n = math.min(cv.length, x.length)
-        var s = 0.0
-        var i = 0
-        while (i < n) { val diff = x(i) - cv(i); s += diff * diff; i += 1 }
-        d(c) = s
+    val d = new Array[Double](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val cv = mat(c)
+      val n = math.min(cv.length, x.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val diff = x(i) - cv(i); s += diff * diff; i += 1 }
+      d(c) = s
+      c += 1
+    }
+    val out = new Array[Int](math.min(probes, mat.length))
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < d.length) {
+        if (d(c) < bestD) { bestD = d(c); best = c }
         c += 1
       }
-      val out = new Array[Int](math.min(probes, mat.length))
-      var p = 0
-      while (p < out.length) {
-        var best = -1
-        var bestD = Double.MaxValue
-        c = 0
-        while (c < d.length) {
-          if (d(c) < bestD) { bestD = d(c); best = c }
-          c += 1
-        }
-        out(p) = centroids(best)._1
-        d(best) = Double.MaxValue
-        p += 1
-      }
-      out
+      out(p) = centroids(best)._1
+      d(best) = Double.MaxValue
+      p += 1
     }
+    out
   }
+
+  private def probeCellsUdf(centroids: Array[(Int, Array[Double])], probes: Int) =
+    udf { (v: Seq[Float]) => nearestCells(v.toArray, centroids, probes) }
 
   private def assignToCentroidsRanked(query: DataFrame, vecCol: String,
                                       centroids: Array[(Int, Array[Double])],

@@ -260,6 +260,45 @@ class OperatorSpec extends SparkSpec {
     assert(byProbe(0L).sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq == single)
   }
 
+  test("persisted ivf index probe equals direct ivf and prunes cell partitions") {
+    val rng = new scala.util.Random(3)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    for (t <- Seq("ivf_idx_centroids", "ivf_idx")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_idx",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    // same training parameters → the indexed probe must be row-identical to
+    // the direct (per-call training) path
+    val direct = Similarity.ivfKnn(emb, q, "vec_id", "embedding", k = 10,
+      nCentroids = 8, probes = 4, lloydIters = 1).as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfProbePartitioned(spark, "ivf_idx", q,
+      "vec_id", "embedding", k = 10, probes = 4)
+    assert(probe.as[(Long, Double)].collect().toSeq == direct)
+    // the cell IN-list must reach the scan as a static partition filter —
+    // that is what makes the probe read 4 of 8 directories, not the corpus
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = "PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(plan)
+    assert(pf.isDefined, s"no cell partition pruning in probe plan:\n$plan")
+    // and the index really is laid out as one directory per cell
+    val idxLoc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "ivf_idx")
+    val cellDirs = java.nio.file.Files.list(idxLoc).iterator()
+    var nCells = 0
+    while (cellDirs.hasNext) { if (cellDirs.next().getFileName.toString.startsWith("cell=")) nCells += 1 }
+    assert(nCells == 8, s"expected 8 cell partition dirs, found $nCells")
+  }
+
   test("ivf assigns every vector to a cell and cells partition the data") {
     val rng = new scala.util.Random(2)
     val emb = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))

@@ -45,6 +45,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("arrays_overlap"), s"native any-table match missing:\n$p")
   }
 
+  test("s05 probes the persisted IVF index with cell partition pruning") {
+    val p = executedPlan("s05_knn_ivf_indexed")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probe's cell IN-list is not a partition filter:\n$p")
+    // one index scan + one (broadcast) query-side scan — the probe never
+    // re-reads the corpus for assignment (that was s03's scale-killer)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"IVF probe rescans the corpus ($scans scans):\n$p")
+  }
+
   test("d01 exact dedup shuffles the content hash, never the text") {
     val p = executedPlan("d01_exact_dedup")
     assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
