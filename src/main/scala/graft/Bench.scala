@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line with per-query steady-state seconds.
   *
   * Each query gets one untimed warmup execution (codegen compilation,
-  * parquet footer reads, broadcast builds) and one timed run — the number
-  * that reflects sustained throughput, which is what a long-running cluster
-  * job sees. Total JVM/session bring-up is excluded for the same reason.
+  * parquet footer reads, broadcast builds) and then the MEDIAN of three
+  * timed runs — the number that reflects sustained throughput, which is
+  * what a long-running cluster job sees. A single timed run proved too
+  * noisy to gate on (one GC pause or page-cache miss reads as a 2.5×
+  * regression on unchanged code); the median absorbs one-off stalls in
+  * either direction. Total JVM/session bring-up is excluded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,9 +23,12 @@ object Bench {
       val secs =
         try {
           fn(spark, sfDir).count() // warmup: plan + codegen + IO caches
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          val runs = Seq.fill(3) {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          runs.sorted.apply(1)
         } catch { case _: Throwable => -1.0 }
       name -> secs
     }

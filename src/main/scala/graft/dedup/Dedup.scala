@@ -204,16 +204,30 @@ object Dedup {
     * 10k-node chain). All driver-side state is the loop counter; labels
     * stay distributed.
     *
-    * Iteration hygiene for scale: each round's labels go through an eager
-    * localCheckpoint() — the plan stays constant-depth instead of accreting
+    * Iteration hygiene for scale: each round's labels are eagerly
+    * checkpointed — the plan stays constant-depth instead of accreting
     * every prior join (unbounded lineage = quadratic planning time and
     * stack overflows at real iteration counts), and because the new round
     * is materialized with truncated lineage before the old one is
     * unpersisted, executors never hold more than two label sets and no
     * unpersist can strand an unrecomputable descendant. Spec-checked on a
     * 10k-node chain and a random graph vs a driver union-find.
+    *
+    * Fault-tolerance: lineage truncation is the point of the per-round
+    * checkpoint, so the two modes trade speed for recoverability. The
+    * default `localCheckpoint` stores blocks unreplicated on executors —
+    * fastest, but one executor lost mid-iteration (spot preemption,
+    * dynamic allocation) fails the job. Pass `checkpointDir` (an HDFS path
+    * at cluster scale) to use reliable `checkpoint()` instead: each
+    * round's labels are written to storage and survive any executor loss.
+    * Long CC runs on preemptible clusters should always set it.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 32,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach { dir =>
+      val sc = pairs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -231,7 +245,10 @@ object Dedup {
           col("l.label") === col("p.lid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("p.plabel"), col("l.label"))).as("label"))
-      val next = jumped.localCheckpoint() // eager: truncates lineage
+      // eager, truncates lineage either way; reliable mode survives
+      // executor loss (see scaladoc)
+      val next =
+        if (checkpointDir.isDefined) jumped.checkpoint() else jumped.localCheckpoint()
       val changed = next.alias("n").join(labels.alias("l"), "id")
         .filter(col("n.label") =!= col("l.label")).limit(1).count()
       hop.unpersist()

@@ -2,8 +2,39 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.storage.StorageLevel
 import graft.dedup.Dedup
 import graft.text.TextOps
+
+/** How `curate` materializes an intermediate survivor set that fans out
+  * into multiple downstream reads. The tradeoff is recompute cost vs
+  * fault tolerance at cluster scale:
+  *
+  *  - [[Materialize.Off]]: no materialization. Within a SINGLE action
+  *    Spark already dedupes identical subplans via exchange reuse, so this
+  *    is often free for simple fan-outs — but branches that prune
+  *    different columns (near-dedup's signature vs gram vs anti-join
+  *    reads) plan different exchanges and recompute the full upstream.
+  *  - [[Materialize.Local]]: eager `localCheckpoint` — fastest, but blocks
+  *    live unreplicated on executors with lineage truncated: one lost
+  *    executor (spot preemption, dynamic allocation) makes the job
+  *    unrecoverable. Single-machine / short-job use only.
+  *  - [[Materialize.Disk]] (default): DISK_ONLY persist of the internal
+  *    rows with lineage KEPT — a block lost with its executor is
+  *    recomputed from lineage instead of failing the job. The cluster-safe
+  *    default.
+  *  - [[Materialize.Reliable]]: reliable `checkpoint()` into a (HDFS at
+  *    scale) directory — survives executor loss without any recompute;
+  *    pays a write+read of the survivor set.
+  */
+sealed trait Materialize
+object Materialize {
+  case object Off extends Materialize
+  case object Local extends Materialize
+  case object Disk extends Materialize
+  final case class Reliable(dir: String) extends Materialize
+}
 
 /** The end-to-end training-corpus curation flow, composed from the
   * library's operators in the order a real pipeline runs them — cheap
@@ -16,18 +47,24 @@ import graft.text.TextOps
   *   4. benchmark-contamination drop    (broadcast anti-join, optional)
   *   5. train/val/test assignment       (columnar, deterministic)
   *
-  * Every stage is the already-spec'd operator; this object only fixes the
-  * composition order and threads the columns through.
+  * Every stage keeps the semantics of its already-spec'd standalone
+  * operator; this object fixes the composition order and threads the
+  * columns through. Two measured composition costs are engineered away:
   *
-  * Recompute control: near-dedup reads its input THREE times (the LSH
-  * candidates branch, the gram projection for Jaccard verify, and the
-  * left side of the survivor anti-join), and the contamination stage reads
-  * its input twice more — composed naively, each read re-runs the quality
-  * scan and the exact-dedup shuffle, a ~3× full-corpus recompute that is
-  * real money at 100 TB. `Config.persistSurvivors` (default on)
-  * materializes the post-gate and post-near-dedup survivor sets via an
-  * eager `localCheckpoint`, so every downstream branch reads a
-  * constant-lineage materialized table instead of re-deriving it.
+  *  - **Gate expression blow-up**: composing [[TextOps.langId]] /
+  *    [[TextOps.qualityScore]] as columns lets Catalyst inline their whole
+  *    expression trees into every reference (the gate filter plus each
+  *    projection) and the stopword vote's higher-order lambdas run
+  *    interpreted — measured ~1.1 s/scan at sf0.1 for ~0.1 s of real
+  *    work. The gate therefore uses [[TextOps.langQuality]], the fused
+  *    one-pass kernel with spec-identical semantics.
+  *  - **Fan-out recompute**: near-dedup reads its input three times with
+  *    differently-pruned schemas (no exchange reuse), and contamination
+  *    adds two more reads — composed naively that re-runs the gate scan
+  *    and the exact-dedup shuffle per branch. `Config.materialize`
+  *    (see [[Materialize]]) controls how the post-exact-dedup and
+  *    post-near-dedup survivor sets are materialized; the default keeps
+  *    lineage so the pipeline stays recoverable on a real cluster.
   */
 object CorpusPipeline {
 
@@ -39,10 +76,10 @@ object CorpusPipeline {
     *                          the exact-only configuration
     * @param maxContamination  drop docs sharing ≥ this many distinct n-grams
     *                          with the benchmark (when one is given)
-    * @param persistSurvivors  materialize intermediate survivor sets so the
-    *                          multi-branch dedup stages don't recompute their
-    *                          upstream (turn off only for single-pass plans
-    *                          or when the caller persists externally)
+    * @param materialize       materialization strategy for survivor sets
+    *                          that fan out into multiple downstream reads
+    *                          (see [[Materialize]]; `Off` for single-pass
+    *                          plans or when the caller persists externally)
     */
   case class Config(
       langs: Set[String] = Set("en"),
@@ -52,7 +89,7 @@ object CorpusPipeline {
       maxContamination: Long = 1,
       trainPct: Int = 90,
       valPct: Int = 5,
-      persistSurvivors: Boolean = true)
+      materialize: Materialize = Materialize.Disk)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -62,17 +99,26 @@ object CorpusPipeline {
              cfg: Config = Config(),
              benchmark: Option[DataFrame] = None): DataFrame = {
     val scored = docs
-      .withColumn("lang", TextOps.langId(col(textCol)))
-      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .withColumn("__lq", TextOps.langQuality(col(textCol)))
+      .withColumn("lang", col("__lq._1"))
+      .withColumn("quality", col("__lq._2"))
+      .drop("__lq")
       .filter(col("lang").isin(cfg.langs.toSeq: _*) &&
         col("quality") >= cfg.minQuality)
 
-    // Eager localCheckpoint: materialized before use, lineage truncated, and
-    // the blocks are freed when the DataFrame is GC'd — no session-lifetime
-    // cache entry to leak. Applied only where a stage genuinely fans out
-    // into multiple downstream reads.
+    // Applied only where a stage genuinely fans out into multiple
+    // downstream reads; see Materialize for the strategy tradeoffs.
     def materialize(df: DataFrame, branches: Int): DataFrame =
-      if (cfg.persistSurvivors && branches > 1) df.localCheckpoint() else df
+      if (branches <= 1) df
+      else cfg.materialize match {
+        case Materialize.Off => df
+        case Materialize.Local => df.localCheckpoint()
+        case Materialize.Disk => Bridge.persistedCopy(df, StorageLevel.DISK_ONLY)
+        case Materialize.Reliable(dir) =>
+          val sc = df.sparkSession.sparkContext
+          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+          df.checkpoint()
+      }
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
     // near-dedup reads its input 3×; contamination adds 2 more reads

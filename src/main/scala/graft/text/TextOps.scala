@@ -68,6 +68,81 @@ object TextOps {
     when(cjk > 0.25, lit("zh")).when(best === 0, lit("und")).otherwise(vote)
   }
 
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  private val stopSets: Array[(String, java.util.HashSet[String])] =
+    stopwords.map { case (l, ws) =>
+      val h = new java.util.HashSet[String]
+      ws.foreach(h.add)
+      (l, h)
+    }.toArray
+
+  /** Fused one-pass `(lang, quality)` struct — the exact semantic twin of
+    * [[langId]] and [[qualityScore]], verified field-for-field by spec.
+    *
+    * Exists because the composed form is quadratically wasteful inside a
+    * gate: Catalyst inlines the full langId/qualityScore expression trees
+    * into EVERY reference (the gate filter plus each projection), and the
+    * stopword vote's higher-order `filter` lambdas evaluate interpreted —
+    * profiling the curation gate at sf0.1 measured ~1.1 s for what is one
+    * tokenization pass of actual work (~0.1 s). This kernel tokenizes once,
+    * counts all stopword lists, CJK density, and the quality shape in a
+    * single loop per document. [[langId]]/[[qualityScore]] remain the
+    * oracle-checkable column-expression forms (t01/t02).
+    *
+    * Split semantics match Spark's `split(_, "\\s+")` (limit −1: trailing
+    * empty tokens KEPT); char counts are code points (Spark `length`).
+    */
+  def langQuality(text: Column): Column = langQualityUdf(text)
+
+  private lazy val langQualityUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val toks = WS.split(s, -1)
+      val nLangs = stopSets.length
+      val counts = new Array[Int](nLangs)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i).toLowerCase(java.util.Locale.ROOT)
+        var l = 0
+        while (l < nLangs) {
+          if (stopSets(l)._2.contains(t)) counts(l) += 1
+          l += 1
+        }
+        i += 1
+      }
+      var chars = 0
+      var cjkN = 0
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        if (cp >= 0x4E00 && cp <= 0x9FFF) cjkN += 1
+        chars += 1
+        ci += Character.charCount(cp)
+      }
+      var best = 0
+      var l = 0
+      while (l < nLangs) { if (counts(l) > best) best = counts(l); l += 1 }
+      val cjk = cjkN.toDouble / math.max(chars.toDouble, 1.0)
+      val lang =
+        if (cjk > 0.25) "zh"
+        else if (best == 0) "und"
+        else {
+          var k = 0
+          var out: String = null
+          while (out == null && k < nLangs) {
+            if (counts(k) == best) out = stopSets(k)._1
+            k += 1
+          }
+          out
+        }
+      val n = toks.length.toDouble
+      val lenCredit = math.min(1.0, n / 64.0)
+      val mtl = (chars.toDouble - n + 1.0) / n
+      val shape = if (mtl >= 3.0 && mtl <= 10.0) 1.0 else 0.5
+      (lang, lenCredit * shape)
+    }
+  }
+
   /** Deterministic train/val/test assignment from a stable content hash.
     * md5 on purpose (not xxhash/murmur): any engine, language, or later
     * re-run reproduces the exact same split — the property that keeps a

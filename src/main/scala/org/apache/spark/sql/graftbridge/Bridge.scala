@@ -12,4 +12,23 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A copy of `df` whose internal-row RDD is persisted at `level` —
+    * the cluster-safe materialization primitive. Unlike `localCheckpoint`,
+    * the RDD's lineage is KEPT: a block lost with its executor is
+    * recomputed on access instead of failing the job. Unlike
+    * `Dataset.persist`, nothing is registered in the session's
+    * CacheManager — the blocks are freed by the ContextCleaner as soon as
+    * the returned frame is garbage-collected, so a library call can
+    * materialize an intermediate without leaking a session-lifetime cache
+    * entry. (Internal-row plumbing mirrors `Dataset.checkpoint`; rows are
+    * copied because the scan reuses its row buffer.)
+    */
+  def persistedCopy(df: org.apache.spark.sql.DataFrame,
+                    level: org.apache.spark.storage.StorageLevel): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
 }

@@ -61,7 +61,8 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L), s"survivors: $ids")
   }
 
-  test("persistSurvivors=false produces the same output as the default") {
+  test("every materialization strategy produces identical output") {
+    import graft.pipeline.Materialize
     val benchmark = Seq((100L, "benchmark question text that is the held out eval set for this run"))
       .toDF("doc_id", "text")
     val docs = Seq(
@@ -71,11 +72,37 @@ class CorpusPipelineSpec extends SparkSpec {
       (7L, "an entirely different english document about the history of the spark engine " +
         "that is long enough to pass the quality gate and it was written for this test " * 2)
     ).toDF("doc_id", "text")
-    def run(persist: Boolean) = CorpusPipeline.curate(docs, "text", "doc_id",
-      CorpusPipeline.Config(nearDupThreshold = 0.6, persistSurvivors = persist),
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def run(m: Materialize) = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, materialize = m),
       benchmark = Some(benchmark))
       .select("doc_id", "lang", "quality", "split")
       .collect().map(_.toString).sorted.toSeq
-    assert(run(true) == run(false))
+    val expected = run(Materialize.Off)
+    for (m <- Seq(Materialize.Local, Materialize.Disk, Materialize.Reliable(ckptDir)))
+      assert(run(m) == expected, s"strategy $m diverged")
+  }
+
+  test("fused langQuality kernel matches the langId/qualityScore columns") {
+    import graft.text.TextOps
+    // driver-table text plus adversarial shapes: trailing/leading
+    // whitespace (split keeps empty tokens), CJK, ties between language
+    // stopword counts, sub-5-token docs, empty string
+    val tricky = Seq(
+      "", " ", "  leading and trailing  ", "the of and to in is that it was",
+      "le la les de des et en un une du", "der die das und in den von zu",
+      "一二三四五六七八九十",
+      "the le el der", "one two three", "a b", english
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fromTable = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val df = (tricky ++ fromTable.map { case (i, t) => (i + 1000L, t) })
+      .toDF("doc_id", "text")
+    val cmp = df.select(
+      TextOps.langQuality($"text").as("f"),
+      TextOps.langId($"text").as("lang"),
+      TextOps.qualityScore($"text").as("quality"))
+      .filter($"f._1" =!= $"lang" || $"f._2" =!= $"quality")
+    assert(cmp.count() == 0, s"divergent rows:\n${cmp.take(5).mkString("\n")}")
   }
 }

@@ -54,6 +54,24 @@ class OperatorSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("dupClusters with a reliable checkpoint dir matches the local mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("a", "b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // reliable mode really wrote per-round checkpoints — to `dir`, or to a
+    // checkpoint dir another test already installed on the shared session
+    // (dupClusters deliberately never stomps an existing one)
+    val effective = spark.sparkContext.getCheckpointDir.getOrElse(dir)
+      .stripPrefix("file:")
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(effective))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written in reliable mode")
+  }
+
   test("dupClusters converges on a 10k-node chain with a constant-depth plan") {
     // a path graph is the worst case for 1-hop propagation (diameter = n);
     // pointer jumping must close it in O(log n) rounds within maxIter
