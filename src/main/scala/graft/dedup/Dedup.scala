@@ -80,7 +80,10 @@ object Dedup {
     val f = udf { (s: String) =>
       if (s == null) signatureOf(Iterator.empty, numHashes, as, bs)
       else {
-        val toks = WS.split(s)
+        // limit -1: trailing empty tokens kept, matching Spark's split()
+        // and DuckDB's string_split_regex — the three tokenizations must
+        // agree or hashed grams diverge from their string-gram oracles
+        val toks = WS.split(s, -1)
         val th = new Array[Long](toks.length)
         var i = 0
         while (i < toks.length) {
@@ -287,11 +290,17 @@ object Dedup {
   /** Distinct word n-gram set of a text column. Compute this ONCE per
     * document (projection before any join) — tokenizing inside a pair loop
     * multiplies the regex work by the candidate count.
+    *
+    * Sub-`n`-token documents contribute one degenerate gram built from the
+    * TOKEN SEQUENCE (space-joined), not the raw text: two short docs that
+    * differ only in whitespace ("a  b" vs "a b") share a gram, exactly as
+    * the hashed twin [[ngramHashSet]] folds the token-hash sequence. Raw
+    * text here would silently diverge from the hashed path.
     */
   def ngramSet(c: Column, n: Int = 2): Column = {
     val toks = split(c, "\\s+")
     val cnt = size(toks)
-    when(cnt < n, array(c))
+    when(cnt < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(transform(sequence(lit(1), cnt - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
@@ -307,7 +316,9 @@ object Dedup {
   private def ngramHashUdf(n: Int) = udf { (s: String) =>
     if (s == null) Array.empty[Long]
     else {
-      val toks = WS.split(s)
+      // limit -1: same tokenization as Spark's split()/DuckDB's
+      // string_split_regex (trailing empty tokens kept) — see ngramSet
+      val toks = WS.split(s, -1)
       val th = new Array[Long](toks.length)
       var i = 0
       while (i < toks.length) {

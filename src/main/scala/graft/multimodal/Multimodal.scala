@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` with typed
   * metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing (schema, batching, partitioning, output shape)
-  * is real and tested; the actual codec work is STUBBED with a
-  * deterministic fake because no image/audio libraries exist in this
-  * container — `decodeStub` is the single seam to swap for a real decoder
-  * (e.g. a JNI codec or an `mapInPandas`-style Python worker on a real
-  * cluster).
+  * Still images decode for REAL: netpbm via the pure-JVM [[PpmCodec]] and
+  * PNG/BMP/GIF/JPEG via the JDK's headless ImageIO ([[ImageCodec]]) — no
+  * native dependencies. Only formats the JRE has no reader for (WebP,
+  * audio, video) fall back to `decodeStub`, a deterministic fake that
+  * keeps the batch contract (one fixed-length float array per row) so the
+  * Spark-side plumbing is exercised end to end regardless of codec
+  * coverage.
   */
 object Multimodal {
 
@@ -61,10 +62,10 @@ object Multimodal {
     * can amortize model/codec init per partition (the Scala analogue of a
     * batched pandas UDF). Output schema: (media_id, features array<float>).
     *
-    * PPM (P6) content is REALLY decoded (pure-JVM [[PpmCodec]]) into a
-    * grid-color feature vector; other formats fall back to the
-    * deterministic stub (no codec libraries in this environment). A corrupt
-    * blob yields stub features, never a task failure.
+    * netpbm AND PNG/BMP/GIF/JPEG content is REALLY decoded ([[ImageCodec]])
+    * into a grid-color feature vector; undecodable formats fall back to
+    * the deterministic stub. A corrupt blob yields stub features, never a
+    * task failure.
     */
   def extractFeatures(media: DataFrame, dim: Int = 12): DataFrame = {
     val outSchema = StructType(Seq(
@@ -75,7 +76,7 @@ object Multimodal {
       // per-partition init happens here in a real decoder
       rows.map { r =>
         val content = r.getAs[Array[Byte]](1)
-        val feats = PpmCodec.decode(content) match {
+        val feats = ImageCodec.decode(content) match {
           case Some(img) =>
             val f = PpmCodec.features(img)
             if (f.length >= dim) f.take(dim)
@@ -87,20 +88,29 @@ object Multimodal {
     }(enc)
   }
 
-  /** Resize: REAL nearest-neighbor re-encode for PPM content; other
-    * formats keep their bytes and only update metadata (stub path).
+  /** Resize: REAL nearest-neighbor resample for any [[ImageCodec]]-decodable
+    * content (netpbm, PNG/BMP/GIF/JPEG). netpbm re-encodes as P6; ImageIO
+    * formats re-encode as PNG (lossless, writer in every JRE) and the mime
+    * column is updated to match. Undecodable content keeps its bytes and
+    * only the metadata changes (stub path).
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val resizeUdf = udf { (content: Array[Byte]) =>
       PpmCodec.decode(content) match {
-        case Some(img) => PpmCodec.encode(PpmCodec.resize(img, w, h))
-        case None => content
+        case Some(img) => (PpmCodec.encode(PpmCodec.resize(img, w, h)), "image/x-portable-pixmap")
+        case None => ImageCodec.decode(content) match {
+          case Some(img) => (ImageCodec.encodePng(PpmCodec.resize(img, w, h)), "image/png")
+          case None => (content, null)
+        }
       }
     }
     media
-      .withColumn("content", resizeUdf(col("content")))
+      .withColumn("__r", resizeUdf(col("content")))
+      .withColumn("content", col("__r._1"))
+      .withColumn("mime", coalesce(col("__r._2"), col("mime")))
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
+      .drop("__r")
   }
 
   /** STUB frame sampling for video: emits `n` (media_id, frame_idx) rows

@@ -109,7 +109,7 @@ object DedupQ {
       """WITH g AS (
         |  SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
-        |    list_distinct(CASE WHEN len(toks) < 2 THEN [text]
+        |    list_distinct(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
         |      ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
         |    END) AS grams
         |  FROM (SELECT doc_id, source, text,
@@ -127,7 +127,7 @@ object DedupQ {
     // Same 5-gram sets as Dedup.contamination, spelled with string grams.
     "d06_contamination" ->
       """WITH g AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(1, len(toks) - 3),
         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
         |                toks[i+3] || ' ' || toks[i+4])

@@ -103,7 +103,7 @@ object PipelineQ {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
        |bgrams AS (
        |  SELECT DISTINCT unnest(
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
        |      ELSE list_transform(range(1, len(toks) - 3),
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
        |                  toks[i+3] || ' ' || toks[i+4])
@@ -112,7 +112,7 @@ object PipelineQ {
        |        FROM documents WHERE doc_id < 20)),
        |cgrams AS (
        |  SELECT doc_id, unnest(
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [text]
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
        |      ELSE list_transform(range(1, len(toks) - 3),
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
        |                  toks[i+3] || ' ' || toks[i+4])

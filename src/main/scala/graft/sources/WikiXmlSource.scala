@@ -93,12 +93,18 @@ object WikiXmlSource {
 
   /** Site URL prefix from `/mediawiki/siteinfo/base`
     * (WikiExtractor.py:647-651): everything before the last '/'.
-    * The base element sits in the dump header, so only the head of the
-    * first file is materialized.
+    *
+    * Searches every file of a multi-part input: for a directory of dump
+    * parts (or a [[recode]] output) the `<base>` line may sit in none or
+    * any of them, not just the first. `take(1)` scans partitions
+    * incrementally and stops at the first hit, so the common case — the
+    * element in the dump header — still reads only the head of the first
+    * split; a dump with no `<base>` anywhere pays one full (distributed)
+    * scan before returning None.
     */
   def basePrefix(spark: SparkSession, path: String): Option[String] = {
     import spark.implicits._
-    val head = spark.read.textFile(path).limit(500)
+    val head = spark.read.textFile(path)
       .filter(l => l.contains("<base>")).take(1)
     head.headOption.flatMap { line =>
       val m = baseRe.matcher(line)

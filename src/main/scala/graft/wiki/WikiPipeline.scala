@@ -38,14 +38,32 @@ object WikiPipeline {
     * any dump (curated content, no article bodies), so driver-side collect
     * + closure broadcast is the right scale shape — every executor needs
     * the whole library anyway.
+    *
+    * Guarded: the library's size is measured distributed BEFORE anything
+    * is collected, and if it exceeds `maxChars` (en-wiki's ~10⁶ templates
+    * can reach driver-OOM territory) the collect is skipped and the
+    * library comes back empty — expansion soft-disables instead of killing
+    * the driver. The refusal is logged with the measured size so the
+    * operator can raise the bound (with driver memory to match) or
+    * pre-filter the namespace.
     */
-  def templateLibrary(pages: Dataset[WikiPage]): Map[String, String] = {
+  def templateLibrary(pages: Dataset[WikiPage],
+                      maxChars: Long = 256L * 1024 * 1024): Map[String, String] = {
     import pages.sparkSession.implicits._
-    pages
+    val tpl = pages
       .filter(p => !p.redirect && p.title.startsWith("Template:"))
       .map(p => (WikiMarkup.normalizeTemplateName(p.title),
         WikiMarkup.transclusionBody(p.text)))
-      .collect().toMap
+    val totalChars = tpl
+      .select(sum(length(col("_1")) + length(col("_2"))).cast("long"))
+      .head().getAs[java.lang.Long](0)
+    val size = Option(totalChars).map(_.toLong).getOrElse(0L)
+    if (size > maxChars) {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"template library is $size chars (> $maxChars bound): " +
+          "skipping collect, template expansion disabled for this run")
+      Map.empty
+    } else tpl.collect().toMap
   }
 
   /** Load a vital-titles file (reference load_vital_titles,

@@ -46,6 +46,36 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Seq(1L, 4L, 5L))
   }
 
+  test("hashed grams ≡ string grams on trailing-whitespace and short docs") {
+    // the divergence class the oracle can't see (driver tables are clean):
+    // trailing/leading whitespace makes Spark's split keep empty tokens,
+    // and sub-n-token docs take the degenerate-gram branch — both
+    // representations must induce the SAME similarity on such pairs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta "), // trailing space → empty token kept
+      (2L, "alpha beta gamma delta"),
+      (3L, "a  b"),                    // run of spaces, degenerate length
+      (4L, "a b"),
+      (5L, " lead"),                   // leading space → empty first token
+      (6L, "lead")
+    ).toDF("doc_id", "text")
+    def pairwise(grams: org.apache.spark.sql.Column) = {
+      val g = docs.select($"doc_id", grams.as("g"))
+      g.alias("x").crossJoin(g.alias("y"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+          round(Dedup.jaccardOfSets($"x.g", $"y.g"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    for (n <- Seq(2, 5))
+      assert(pairwise(Dedup.ngramHashSet($"text", n)) == pairwise(Dedup.ngramSet($"text", n)),
+        s"hashed and string $n-grams disagree")
+    // and the degenerate branch keys on the token sequence: a whitespace
+    // run is NOT a distinguishing feature of a short doc
+    assert(pairwise(Dedup.ngramHashSet($"text", 5))
+      .find(r => r._1 == 3L && r._2 == 4L).get._3 == 1.0)
+  }
+
   test("dupClusters labels transitive chains with the component minimum") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("a", "b")

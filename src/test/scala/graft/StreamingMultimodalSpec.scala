@@ -284,6 +284,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(resized.select("width").head().getInt(0) == 4)
   }
 
+  test("multimodal: real PNG/BMP decode via the JDK matches the PPM raster") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    // same 4x2 left-red/right-blue raster as the PPM test, encoded as PNG
+    val rgb = Array.tabulate(4 * 2 * 3) { i =>
+      val px = i / 3
+      val x = px % 4
+      ((i % 3, x < 2) match {
+        case (0, true) => 255; case (2, false) => 255; case _ => 0
+      }).toByte
+    }
+    val raster = PpmCodec.Image(4, 2, rgb)
+    val png = ImageCodec.encodePng(raster)
+    // it really is a PNG, and the JDK decodes it back to the exact raster
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    assert(ImageCodec.decode(png).get.rgb.toSeq == raster.rgb.toSeq)
+    // end to end: PNG content produces the same REAL features as PPM
+    val df = Seq((1L, png), (2L, PpmCodec.encode(raster))).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/png")
+    val feats = Multimodal.extractFeatures(media, dim = 12)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats(1L) == feats(2L), "PNG and PPM of one raster diverged")
+    assert(feats(1L)(0) == 1.0f && feats(1L)(1) == 0.0f) // TL = red — not stub noise
+  }
+
+  test("multimodal: resize resamples PNG content and updates the mime") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    val png = ImageCodec.encodePng(PpmCodec.Image(8, 8, Array.fill(8 * 8 * 3)(200.toByte)))
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/png")
+    val resized = Multimodal.resize(media, 4, 4)
+    val row = resized.select("content", "mime", "width").head()
+    val img = ImageCodec.decode(row.getAs[Array[Byte]](0)).get
+    assert(img.width == 4 && img.height == 4)
+    assert(img.rgb.forall(_ == 200.toByte))
+    assert(row.getString(1) == "image/png" && row.getInt(2) == 4)
+  }
+
   test("multimodal: corrupt blobs fall back to stub features, never fail") {
     val df = Seq((1L, "P6 not really a ppm"), (2L, "junk")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))

@@ -107,4 +107,33 @@ class WikiMarkupSpec extends AnyFunSuite {
     // args containing pipes inside links split correctly
     assert(WikiMarkup.expandTemplates("{{Hello|name=[[A|B]]}}", lib) == "Hello [[A|B]]!")
   }
+
+  test("parser functions and magic invocations stay in place and drop like the reference") {
+    // the reference's grammar comment (WikiExtractor.py:106) names parser
+    // functions ({{#if:}}, {{#expr:}}) and magic words; it drops ALL
+    // {{..}} spans via dropNested. With expansion ON these forms miss the
+    // template library (their normalized names — "#if: ..", "Msg:.." —
+    // never equal a Template: page key), so they are left in place by
+    // expandTemplates and then removed by clean(): reference-identical
+    // output, locked here so a future expansion change can't silently
+    // start evaluating them.
+    val lib = Map("Hello" -> "Hello {{{name|world}}}!")
+    val pf = "a {{#if: x | then | else}} b"
+    assert(WikiMarkup.expandTemplates(pf, lib) == pf)
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(pf, lib)) == "a b")
+    // msg: is MediaWiki's explicit-transclusion prefix — the reference
+    // drops it unexpanded, so we must NOT resolve it to Template:Hello
+    val msg = "a {{msg:Hello}} b"
+    assert(WikiMarkup.expandTemplates(msg, lib) == msg)
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(msg, lib)) == "a b")
+    // magic words look like zero-arg templates; absent from the library
+    // they drop the same way
+    val magic = "a {{PAGENAME}} b"
+    assert(WikiMarkup.expandTemplates(magic, lib) == magic)
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(magic, lib)) == "a b")
+    // nested inside a known template's argument: the known layer expands,
+    // the parser function inside the substituted arg still drops
+    val mixed = "{{Hello|name={{#expr: 1+1}}}}"
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(mixed, lib)) == "Hello !")
+  }
 }

@@ -36,6 +36,40 @@ class WikiPipelineSpec extends SparkSpec {
     assert(WikiXmlSource.basePrefix(spark, dumpPath).contains("http://test.example.org/wiki"))
   }
 
+  test("basePrefix finds the siteinfo in a non-first part of a multi-part dump") {
+    val dir = Files.createTempDirectory("graft-multipart")
+    // part-00000 sorts first and has NO siteinfo; the <base> line sits in
+    // part-00001 — the recoded/multi-part layout the old head-of-first-file
+    // scan missed
+    Files.write(dir.resolve("part-00000"),
+      "<page><title>A</title><id>1</id><text>body</text></page>\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("part-00001"),
+      ("<mediawiki><siteinfo>\n  <base>http://multi.example.org/wiki/Main_Page</base>\n" +
+        "</siteinfo><page><title>B</title><id>2</id><text>b</text></page>\n").getBytes("UTF-8"))
+    assert(WikiXmlSource.basePrefix(spark, dir.toString)
+      .contains("http://multi.example.org/wiki"))
+    // and a dump with no <base> anywhere returns None instead of failing
+    val none = Files.createTempDirectory("graft-nobase")
+    Files.write(none.resolve("part-00000"),
+      "<page><title>A</title><id>1</id><text>x</text></page>\n".getBytes("UTF-8"))
+    assert(WikiXmlSource.basePrefix(spark, none.toString).isEmpty)
+  }
+
+  test("templateLibrary refuses to collect an oversized template namespace") {
+    import spark.implicits._
+    val big = "x" * 10000
+    val pages = Seq(
+      WikiPage("1", "Template:Big1", redirect = false, big),
+      WikiPage("2", "Template:Big2", redirect = false, big),
+      WikiPage("3", "Article", redirect = false, "not a template")).toDS()
+    // under the bound: both templates collected
+    val ok = WikiPipeline.templateLibrary(pages, maxChars = 1L << 20)
+    assert(ok.keySet == Set("Big1", "Big2"))
+    // over the bound: soft-fail to an empty library (expansion off), no throw
+    val refused = WikiPipeline.templateLibrary(pages, maxChars = 5000L)
+    assert(refused.isEmpty)
+  }
+
   test("end-to-end sentence output matches the reference CLI byte-for-byte") {
     import spark.implicits._
     val rendered = WikiPipeline.run(spark, dumpPath)
