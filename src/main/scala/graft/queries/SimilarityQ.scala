@@ -55,6 +55,18 @@ object SimilarityQ {
       val table = ivfIndexTable(s, dir)
       Similarity.ivfProbePartitioned(s, table, queryVec(s, dir),
         "vec_id", "embedding", k = 20, probes = 4)
+    },
+
+    // L8d: the batched serving shape against the same persisted index —
+    // ten probes answered from one partition-pruned read (union of probe
+    // cells), no training, no corpus scan. Row-identical to s04 by spec.
+    "s06_knn_ivf_indexed_batch" -> { (s, dir) =>
+      val table = ivfIndexTable(s, dir)
+      val probes = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
+      Similarity.ivfProbePartitionedBatch(s, table, probes,
+        "vec_id", "embedding", "probe_id", k = 10, probes = 4)
+        .orderBy("probe_id", "sim", "vec_id")
     }
   )
 

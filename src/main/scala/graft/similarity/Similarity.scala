@@ -258,6 +258,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched probe of a [[writeIvfIndex]] table: many query vectors served
+    * from the persisted index in one read. The union of all probe cells
+    * (collected driver-side — the query side is small by definition)
+    * becomes ONE static partition filter, so the scan reads only the cell
+    * directories any probe needs; per-query candidate membership is then
+    * an `array_contains` broadcast join and the top-k a per-probe window —
+    * the index-backed twin of [[ivfKnnBatch]] (which still pays training +
+    * a full assignment pass per call). Returns (probeIdCol, idCol, sim),
+    * ≤ k rows per probe, row-identical to [[ivfKnnBatch]] under the same
+    * build parameters (spec-checked).
+    */
+  def ivfProbePartitionedBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+                               queries: DataFrame, idCol: String, vecCol: String,
+                               probeIdCol: String, queryVecCol: String = "qvec",
+                               k: Int = 10, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = readIvfCentroids(spark, table)
+    val qAssigned = queries.withColumn("probe_cells",
+      probeCellsUdf(centroids, probes)(col(queryVecCol)))
+      .withColumn("__norm_q", sqrt(dot(col(queryVecCol), col(queryVecCol))))
+    val allCells = qAssigned.select(explode(col("probe_cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    val w = Window.partitionBy(probeIdCol)
+      .orderBy(col("sim").desc, col(idCol))
+    spark.table(table)
+      .filter(col("cell").isin(allCells: _*))
+      .join(broadcast(qAssigned), array_contains(col("probe_cells"), col("cell")))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(probeIdCol), col(idCol),
+        round(dot(col(vecCol), col(queryVecCol)) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Batched IVF top-k: many probe vectors at once — the shape a serving
     * or training-data join actually runs. One shared assignment pass over
     * the corpus, probe cells per query via a tight-loop UDF (the query side

@@ -347,6 +347,38 @@ class OperatorSpec extends SparkSpec {
     assert(nCells == 8, s"expected 8 cell partition dirs, found $nCells")
   }
 
+  test("batched probe of the persisted ivf index equals the per-call batch path") {
+    val rng = new scala.util.Random(3)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qvec"))
+    for (t <- Seq("ivf_bidx_centroids", "ivf_bidx")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_bidx",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    val direct = Similarity.ivfKnnBatch(emb, queries, "vec_id", "embedding",
+      "probe_id", k = 10, nCentroids = 8, probes = 4)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val indexed = Similarity.ivfProbePartitionedBatch(spark, "ivf_bidx", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4)
+    assert(indexed.as[(Long, Long, Double)].collect()
+      .sortBy(r => (r._1, -r._3, r._2)).toSeq == direct)
+    // the union-of-probe-cells IN-list must prune partitions at the scan
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(plan).isDefined,
+      s"no cell partition pruning in batched probe plan:\n$plan")
+  }
+
   test("ivf assigns every vector to a cell and cells partition the data") {
     val rng = new scala.util.Random(2)
     val emb = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
