@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.text.TextOps
 
-/** Text-analysis queries over documents. t02/t03 are fully SQL-expressible
-  * (oracle-checked); t01/t04 are heuristic/hash ops with rows-only checks
-  * plus unit specs.
+/** Text-analysis queries over documents. Everything except t04 (wrapping
+  * rolling hash) is oracle-checked — t01's oracle is generated from the
+  * same stopword lists, t10/t11 cover the repetition-quality and
+  * PII-redaction passes a corpus runs before training.
   */
 object TextQ {
 
@@ -89,6 +90,31 @@ object TextQ {
       TextOps.mixCorpus(Tables(s, dir, "documents"), weight, "text")
         .select(col("doc_id"), col("copy"))
         .orderBy("doc_id", "copy")
+    },
+
+    // L10b: Gopher-style repetition + symbol-density quality filters.
+    "t10_repetition" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TextOps.repetitionStats(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"),
+          round(TextOps.symbolRatio(col("text")), 4).as("symbol_ratio")), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // L23: PII redaction. The synthetic corpus is PII-free, so each doc is
+    // salted with a deterministic email + IP + phone derived from its id —
+    // every row exercises all three patterns and the oracle replays the
+    // same salt, making the hash compare non-vacuous.
+    "t11_pii_redact" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents")
+        .withColumn("pii_text", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com on 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 tel +1 555 010 "),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      salted.select(col("doc_id"),
+        TextOps.redactPii(col("pii_text")).as("redacted"))
+        .orderBy("doc_id")
     }
   )
 
@@ -205,6 +231,52 @@ object TextQ {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(LENGTH(text) AS INTEGER) AS n_chars_calc
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same token-count aggregation and double arithmetic as
+    // TextOps.repetitionStats + symbolRatio.
+    "t10_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+        |stats AS (
+        |  SELECT doc_id,
+        |    CAST(MAX(c) AS DOUBLE) AS mx,
+        |    CAST(SUM(c) AS DOUBLE) AS n,
+        |    CAST(COUNT(*) AS DOUBLE) AS d
+        |  FROM tc GROUP BY doc_id),
+        |sym AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS sr
+        |  FROM documents)
+        |SELECT s.doc_id,
+        |  ROUND(mx / n, 4) AS top_word_ratio,
+        |  ROUND(1.0 - d / n, 4) AS dup_word_ratio,
+        |  ROUND(sr, 4) AS symbol_ratio
+        |FROM stats s JOIN sym USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Same salt construction and redaction patterns as the Spark side;
+    // DuckDB needs the 'g' flag (Spark's regexp_replace is global).
+    "t11_pii_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com on 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.7 tel +1 555 010 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(pii_text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM salted
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -196,6 +196,58 @@ object TextOps {
       .drop("__copies")
   }
 
+  /** Fraction of non-alphanumeric, non-whitespace characters — the classic
+    * symbol-density filter (code dumps, markup residue, boilerplate score
+    * high). Pure column expression.
+    */
+  def symbolRatio(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  /** Gopher-style word-repetition metrics per document:
+    * `top_word_ratio` (count of the most frequent token / all tokens) and
+    * `dup_word_ratio` (fraction of tokens that are repeats of an earlier
+    * token) — the filters that catch keyword-stuffed and boilerplate pages
+    * that length/shape heuristics miss.
+    *
+    * Distributed shape: explode → (id, token) count → per-id aggregate.
+    * Both aggregations partial-aggregate map-side, so the shuffle carries
+    * per-partition (id, token) partials, never raw text — the same shape
+    * at any corpus size. (A per-row higher-order-function version would
+    * avoid the shuffle but evaluates an interpreted O(tokens²) lambda per
+    * document — measured slower and it starves whole-stage codegen.)
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        max(col("__c")).cast("double").as("__mx"),
+        sum(col("__c")).cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__d"))
+      .select(col(idCol),
+        round(col("__mx") / col("__n"), 4).as("top_word_ratio"),
+        round(lit(1.0) - col("__d") / col("__n"), 4).as("dup_word_ratio"))
+
+  /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced with typed placeholders — the pass a training corpus runs
+    * before anything is persisted for reuse. Deliberately conservative
+    * patterns (no lookaround) so the same regexes run identically on
+    * Java's engine, RE2, and the DuckDB oracle. Order matters: emails
+    * first (their digits must not be half-eaten by the phone rule), then
+    * IPs (dotted quads are not phone-charset), then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d() -]{7,}\\d"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   private val FpPrime = 1099511628211L // FNV-64 prime
 
   /** Winnowing-style document fingerprint: minimum 64-bit rolling

@@ -46,6 +46,27 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Seq(1L, 4L, 5L))
   }
 
+  test("repetitionStats flags stuffed docs; redactPii masks planted PII") {
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),                    // stuffed: top 4/5
+      (2L, "five distinct words entirely here")            // clean: top 1/5
+    ).toDF("doc_id", "text")
+    val stats = TextOps.repetitionStats(docs, "text", "doc_id")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(stats(0) == ((1L, 0.8, 0.6)))  // 4/5 top word; 1 - 2/5 dup
+    assert(stats(1) == ((2L, 0.2, 0.0)))
+    val pii = Seq((1L,
+      "reach me at jane.doe+spam@mail.example.org or 192.168.1.77, " +
+        "call +44 20 7946 0958 anytime")).toDF("doc_id", "text")
+    val red = pii.select(TextOps.redactPii($"text")).as[String].head()
+    assert(red == "reach me at <EMAIL> or <IP>, call <PHONE> anytime", red)
+    // symbol density: half the chars are punctuation
+    val sr = Seq((1L, "ab!?")).toDF("doc_id", "text")
+      .select(TextOps.symbolRatio($"text")).as[Double].head()
+    assert(sr == 0.5)
+  }
+
   test("hashed grams ≡ string grams on trailing-whitespace and short docs") {
     // the divergence class the oracle can't see (driver tables are clean):
     // trailing/leading whitespace makes Spark's split keep empty tokens,
