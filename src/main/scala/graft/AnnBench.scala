@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** ANN scale benchmark: direct per-call IVF (train + full assignment per
+  * query) vs the persisted cell-partitioned index (one-time build,
+  * partition-pruned probes), plus recall@10 vs exact brute force.
+  *
+  * Deterministic synthetic corpus (per-id seeded Gaussians) written to
+  * parquet first so both paths read the same on-disk table a real
+  * warehouse would serve. Run with the corpus size as the only arg:
+  * `runMain graft.AnnBench 200000`.
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val dim = 32
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = Tables.newSession("graft-annbench", s"local[$cpus]", cpus)
+    import spark.implicits._
+
+    // Clustered corpus (500 centers + noise): isotropic Gaussians are the
+    // degenerate worst case for IVF (neighbors spread uniformly over
+    // cells); real embedding spaces cluster, which is the assumption the
+    // index exploits. Deterministic per id.
+    val nCenters = 500
+    val centers = Array.tabulate(nCenters) { c =>
+      val r = new scala.util.Random(c * 9176L + 11L)
+      Array.fill(dim)(r.nextGaussian() * 2.0)
+    }
+    def makeVec(id: Long): Array[Float] = {
+      val r = new scala.util.Random(id * 2654435761L + 7L)
+      val c = centers((id % nCenters).toInt)
+      Array.tabulate(dim)(i => (c(i) + 0.5 * r.nextGaussian()).toFloat)
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val genVec = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 2654435761L + 7L)
+      val c = bcCenters.value((id % nCenters).toInt)
+      Array.tabulate(dim)(i => (c(i) + 0.5 * r.nextGaussian()).toFloat)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-annbench").toString
+    spark.range(n).select(col("id").as("vec_id"), genVec(col("id")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val emb = spark.read.parquet(s"$dir/emb.parquet")
+
+    def median3(f: => Unit): Double = {
+      f // warm
+      Seq.fill(3) { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+        .sorted.apply(1)
+    }
+    // serving-shaped: the probe vector arrives from the application (a
+    // 1-row local frame), so each path's measurement is its own
+    // corpus-side work — not a shared corpus scan to fetch the query
+    def queryVec(id: Long) = Seq(Tuple1(makeVec(id))).toDF("qvec")
+
+    // 256 cells / 8 probes — the pruning ratio (1/32 of the corpus per
+    // probe) a real deployment sizes for; more cells also make the direct
+    // path's per-call assignment honestly expensive, as it is at scale
+    val cells = 256
+    val table = s"graft_annbench_$n"
+    for (t <- Seq(table, s"${table}_centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previous JVM's managed-table dir survives the in-memory catalog
+      val p = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val t0 = System.nanoTime()
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", table,
+      nCentroids = cells, lloydIters = 1, buckets = 8)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val qids = Seq(1L, 17L, 4242L)
+    val direct = median3 {
+      qids.foreach(q => Similarity.ivfKnn(emb, queryVec(q), "vec_id", "embedding",
+        k = 10, nCentroids = cells, probes = 8, lloydIters = 1).count())
+    }
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val indexed = median3 {
+      qids.foreach(q => Similarity.ivfProbePartitioned(spark, table, queryVec(q),
+        "vec_id", "embedding", k = 10, probes = 8).count())
+    }
+
+    // recall@10 of the indexed probe vs exact brute force
+    val recalls = qids.map { q =>
+      val exact = Similarity.bruteForceKnn(emb, queryVec(q), "vec_id", "embedding", k = 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val approx = Similarity.ivfProbePartitioned(spark, table, queryVec(q),
+        "vec_id", "embedding", k = 10, probes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      exact.intersect(approx).size / 10.0
+    }
+
+    println(f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
+      f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
+      f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f}""")
+    spark.stop()
+  }
+}
