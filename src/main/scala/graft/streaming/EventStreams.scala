@@ -154,6 +154,34 @@ object EventStreams {
       .drop("__sh")
   }
 
+  /** Streaming corpus intake: the curation stages that are row-local run
+    * stateless on the document stream — fused langQuality gate, PII
+    * redaction, md5 split assignment — and exact dedup is the one stateful
+    * stage, reusing [[dedupeExact]]'s hash-within-watermark shape. The
+    * incremental twin of [[graft.pipeline.CorpusPipeline.curate]]'s
+    * exact-only configuration; near-dedup stays a batch compaction (its
+    * candidate join is not incremental).
+    *
+    * Stage order is part of the contract: the split hash is taken on the
+    * RAW text (so batch and streaming ingestion of the same document land
+    * in the same split) and redaction runs last, before the sink.
+    */
+  def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
+                 langs: Set[String], minQuality: Double,
+                 trainPct: Int = 90, valPct: Int = 5,
+                 watermark: String = "1 hour"): DataFrame = {
+    import graft.text.TextOps
+    val gated = docs
+      .withColumn("__lq", TextOps.langQuality(col(textCol)))
+      .filter(col("__lq._1").isin(langs.toSeq: _*) && col("__lq._2") >= minQuality)
+      .withColumn("lang", col("__lq._1"))
+      .withColumn("quality", col("__lq._2"))
+      .drop("__lq")
+      .withColumn("split", TextOps.splitAssign(col(textCol), trainPct, valPct))
+    dedupeExact(gated, textCol, tsCol, watermark)
+      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+  }
+
   /** Flush the still-open session per user (batch-style finalization used
     * in tests and backfills).
     */

@@ -210,6 +210,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curateDocs gates, splits, dedups across batches, and redacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5)
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), english + "one contact admin@example.net please"),
+        (2L, ts(1), "le chat est dans la maison et il est content et le jour est bon " * 3),
+        (3L, ts(2), "x"))
+      query.processAllAvailable()
+      // batch 2: an exact dup of doc 1 arrives later — state must drop it
+      input.addData(
+        (4L, ts(3), english + "one contact admin@example.net please"),
+        (5L, ts(4), english + "two"))
+      query.processAllAvailable()
+      val out = spark.table("curate_stream_out")
+        .select("doc_id", "lang", "split", "text")
+        .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+      assert(out.map(_._1) == Seq(1L, 5L), s"survivors: ${out.map(_._1)}")
+      assert(out.forall(_._2 == "en"))
+      assert(out.forall(r => Set("train", "val", "test")(r._3)))
+      // PII redacted after dedup, before the sink
+      assert(out.head._4.contains("<EMAIL>") && !out.head._4.contains("admin@"))
+      // the split hash is taken on RAW text: batch ingestion of the same
+      // document must land in the same split
+      val batchSplit = Seq(Tuple1(english + "two")).toDF("text")
+        .select(graft.text.TextOps.splitAssign($"text")).as[String].head()
+      assert(out.find(_._1 == 5L).get._3 == batchSplit)
+    } finally query.stop()
+  }
+
   test("multimodal: asMedia wraps binary with typed metadata schema") {
     val df = Seq((1L, "fakejpegbytes"), (2L, "otherbytes")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
