@@ -61,13 +61,8 @@ object AnnBench {
     // path's per-call assignment honestly expensive, as it is at scale
     val cells = 256
     val table = s"graft_annbench_$n"
-    for (t <- Seq(table, s"${table}_centroids")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      // a previous JVM's managed-table dir survives the in-memory catalog
-      val p = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    for (t <- Seq(table, s"${table}_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
     val t0 = System.nanoTime()
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", table,
       nCentroids = cells, lloydIters = 1, buckets = 8)

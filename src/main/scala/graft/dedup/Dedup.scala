@@ -32,11 +32,16 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
-  /** Word k-shingles as 64-bit hashes (xxhash64 of each shingle string). */
+  /** Word k-shingles as 64-bit hashes (xxhash64 of each shingle string).
+    * Sub-`k`-token documents degenerate to one hash of the space-joined
+    * TOKEN SEQUENCE (not the raw text), so whitespace-only differences in
+    * short docs collide here exactly as they do in the fused
+    * [[minhashSignatureFromText]] path.
+    */
   def shingleHashes(text: Column, k: Int = 3): Column = {
     val toks = split(text, "\\s+")
     val n = size(toks)
-    when(n < k, array(xxhash64(text)))
+    when(n < k, array(xxhash64(concat_ws(" ", toks))))
       .otherwise(transform(sequence(lit(1), n - lit(k - 1)),
         i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
   }
@@ -221,16 +226,18 @@ object Dedup {
     * default `localCheckpoint` stores blocks unreplicated on executors —
     * fastest, but one executor lost mid-iteration (spot preemption,
     * dynamic allocation) fails the job. Pass `checkpointDir` (an HDFS path
-    * at cluster scale) to use reliable `checkpoint()` instead: each
-    * round's labels are written to storage and survive any executor loss.
-    * Long CC runs on preemptible clusters should always set it.
+    * at cluster scale) to spill each round's labels as parquet under that
+    * directory instead: rounds survive any executor loss, the requested
+    * directory is honored regardless of SparkContext checkpoint state, and
+    * each round's files are DELETED as soon as the next round supersedes
+    * them — only the final round's files remain (they back the returned
+    * DataFrame; the caller owns deleting the directory once done with the
+    * result). Long CC runs on preemptible clusters should always set it.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 32,
                   checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach { dir =>
-      val sc = pairs.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-    }
+    val spark = pairs.sparkSession
+    def roundPath(dir: String, i: Int) = new org.apache.hadoop.fs.Path(dir, s"cc-round-$i")
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -250,10 +257,23 @@ object Dedup {
           least(col("l.label"), coalesce(col("p.plabel"), col("l.label"))).as("label"))
       // eager, truncates lineage either way; reliable mode survives
       // executor loss (see scaladoc)
-      val next =
-        if (checkpointDir.isDefined) jumped.checkpoint() else jumped.localCheckpoint()
+      val next = checkpointDir match {
+        case Some(dir) =>
+          jumped.write.mode("overwrite").parquet(roundPath(dir, iter).toString)
+          spark.read.parquet(roundPath(dir, iter).toString)
+        case None => jumped.localCheckpoint()
+      }
       val changed = next.alias("n").join(labels.alias("l"), "id")
         .filter(col("n.label") =!= col("l.label")).limit(1).count()
+      // the previous round's spill is unreferenced once `changed` is
+      // computed — delete it so the dir never holds more than two rounds
+      checkpointDir.foreach { dir =>
+        if (iter > 0) {
+          val prev = roundPath(dir, iter - 1)
+          val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(prev)) fs.delete(prev, true)
+        }
+      }
       hop.unpersist()
       labels.unpersist()
       labels = next

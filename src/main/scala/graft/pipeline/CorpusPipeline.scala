@@ -24,9 +24,12 @@ import graft.text.TextOps
   *    rows with lineage KEPT — a block lost with its executor is
   *    recomputed from lineage instead of failing the job. The cluster-safe
   *    default.
-  *  - [[Materialize.Reliable]]: reliable `checkpoint()` into a (HDFS at
-  *    scale) directory — survives executor loss without any recompute;
-  *    pays a write+read of the survivor set.
+  *  - [[Materialize.Reliable]]: spill the survivor set as parquet under
+  *    the given (HDFS at scale) directory and read it back — survives
+  *    executor loss without any recompute, and honors the requested
+  *    directory regardless of any SparkContext checkpoint state. The
+  *    spill files back the returned frame, so the caller owns deleting
+  *    the directory after the run.
   */
 sealed trait Materialize
 object Materialize {
@@ -80,6 +83,14 @@ object CorpusPipeline {
     *                          that fan out into multiple downstream reads
     *                          (see [[Materialize]]; `Off` for single-pass
     *                          plans or when the caller persists externally)
+    * @param redactPii         mask emails/IPs/phones ([[TextOps.redactPii]])
+    *                          in the surviving text as the LAST stage —
+    *                          after dedup and split assignment, which both
+    *                          key on the raw content, so redacted and
+    *                          unredacted ingestion agree on dedup identity
+    *                          and split. Mirrors the streaming intake
+    *                          ([[graft.streaming.EventStreams.curateDocs]]),
+    *                          which always redacts.
     */
   case class Config(
       langs: Set[String] = Set("en"),
@@ -89,7 +100,8 @@ object CorpusPipeline {
       maxContamination: Long = 1,
       trainPct: Int = 90,
       valPct: Int = 5,
-      materialize: Materialize = Materialize.Disk)
+      materialize: Materialize = Materialize.Disk,
+      redactPii: Boolean = false)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -108,6 +120,7 @@ object CorpusPipeline {
 
     // Applied only where a stage genuinely fans out into multiple
     // downstream reads; see Materialize for the strategy tradeoffs.
+    val spillId = new java.util.concurrent.atomic.AtomicInteger()
     def materialize(df: DataFrame, branches: Int): DataFrame =
       if (branches <= 1) df
       else cfg.materialize match {
@@ -115,9 +128,9 @@ object CorpusPipeline {
         case Materialize.Local => df.localCheckpoint()
         case Materialize.Disk => Bridge.persistedCopy(df, StorageLevel.DISK_ONLY)
         case Materialize.Reliable(dir) =>
-          val sc = df.sparkSession.sparkContext
-          if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-          df.checkpoint()
+          val path = s"$dir/curate-spill-${spillId.getAndIncrement()}"
+          df.write.mode("overwrite").parquet(path)
+          df.sparkSession.read.parquet(path)
       }
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
@@ -140,7 +153,9 @@ object CorpusPipeline {
         deduped.join(dirty, Seq(idCol), "left_anti")
     }
 
-    decontaminated.withColumn("split",
+    val split = decontaminated.withColumn("split",
       TextOps.splitAssign(col(textCol), cfg.trainPct, cfg.valPct))
+    if (cfg.redactPii) split.withColumn(textCol, TextOps.redactPii(col(textCol)))
+    else split
   }
 }

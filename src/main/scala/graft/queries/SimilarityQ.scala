@@ -77,17 +77,8 @@ object SimilarityQ {
   private def ivfIndexTable(s: SparkSession, dir: String): String = {
     val table = "graft_ivf_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!s.catalog.tableExists(table) || !s.catalog.tableExists(s"${table}_centroids")) {
-      // a previous JVM may have left the managed-table directories behind
-      // (the in-memory catalog forgets them but the warehouse dir doesn't),
-      // and CREATE TABLE refuses a non-empty location — clear both first
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val hconf = s.sparkContext.hadoopConfiguration
-      for (t <- Seq(table, s"${table}_centroids")) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(wh, t)
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+      for (t <- Seq(table, s"${table}_centroids"))
+        graft.sources.Warehouse.dropTableAndLocation(s, t)
       Similarity.writeIvfIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         table, nCentroids = 16, lloydIters = 1, buckets = 8)
     }

@@ -41,4 +41,18 @@ object Warehouse {
     */
   def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Drop a managed table AND its warehouse directory. With a
+    * non-persistent (in-memory) catalog, a previous JVM's managed-table
+    * directory survives while the catalog forgets it, and the next
+    * CREATE TABLE fails with LOCATION_ALREADY_EXISTS — every index
+    * (re)build goes through this first.
+    */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 }

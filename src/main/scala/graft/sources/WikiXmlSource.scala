@@ -74,8 +74,8 @@ object WikiXmlSource {
     * into a directory of `parts` bzip2-compressed record files that every
     * later run reads fully parallel — one slow sequential pass, paid once.
     * Records keep their `</page>` terminator so [[pages]] re-splits them
-    * identically; the siteinfo header lands in some part, so run
-    * [[basePrefix]] against the ORIGINAL dump if the URL prefix is needed.
+    * identically; the siteinfo header lands in SOME part, which is fine —
+    * [[basePrefix]] searches every part of a directory input.
     */
   def recode(spark: SparkSession, inPath: String, outPath: String,
              parts: Int = 64): Unit = {

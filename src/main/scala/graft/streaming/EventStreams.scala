@@ -159,8 +159,8 @@ object EventStreams {
     * redaction, md5 split assignment — and exact dedup is the one stateful
     * stage, reusing [[dedupeExact]]'s hash-within-watermark shape. The
     * incremental twin of [[graft.pipeline.CorpusPipeline.curate]]'s
-    * exact-only configuration; near-dedup stays a batch compaction (its
-    * candidate join is not incremental).
+    * exact-only configuration with `redactPii = true`; near-dedup stays a
+    * batch compaction (its candidate join is not incremental).
     *
     * Stage order is part of the contract: the split hash is taken on the
     * RAW text (so batch and streaming ingestion of the same document land

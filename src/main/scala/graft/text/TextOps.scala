@@ -95,7 +95,10 @@ object TextOps {
   def langQuality(text: Column): Column = langQualityUdf(text)
 
   private lazy val langQualityUdf = udf { (s: String) =>
-    if (s == null) null
+    // null text: langId's when-chain falls through every null condition to
+    // "und", and qualityScore's null-skipping least() gives 1.0 × the 0.5
+    // shape fallback — verified against the column forms, spec-pinned
+    if (s == null) ("und", 0.5)
     else {
       val toks = WS.split(s, -1)
       val nLangs = stopSets.length

@@ -50,20 +50,25 @@ object WikiPipeline {
   def templateLibrary(pages: Dataset[WikiPage],
                       maxChars: Long = 256L * 1024 * 1024): Map[String, String] = {
     import pages.sparkSession.implicits._
+    // persisted: the size guard and the collect otherwise each re-run the
+    // namespace filter + transclusionBody parse over the whole dump slice
     val tpl = pages
       .filter(p => !p.redirect && p.title.startsWith("Template:"))
       .map(p => (WikiMarkup.normalizeTemplateName(p.title),
         WikiMarkup.transclusionBody(p.text)))
-    val totalChars = tpl
-      .select(sum(length(col("_1")) + length(col("_2"))).cast("long"))
-      .head().getAs[java.lang.Long](0)
-    val size = Option(totalChars).map(_.toLong).getOrElse(0L)
-    if (size > maxChars) {
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"template library is $size chars (> $maxChars bound): " +
-          "skipping collect, template expansion disabled for this run")
-      Map.empty
-    } else tpl.collect().toMap
+      .persist()
+    try {
+      val totalChars = tpl
+        .select(sum(length(col("_1")) + length(col("_2"))).cast("long"))
+        .head().getAs[java.lang.Long](0)
+      val size = Option(totalChars).map(_.toLong).getOrElse(0L)
+      if (size > maxChars) {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"template library is $size chars (> $maxChars bound): " +
+            "skipping collect, template expansion disabled for this run")
+        Map.empty
+      } else tpl.collect().toMap
+    } finally tpl.unpersist()
   }
 
   /** Load a vital-titles file (reference load_vital_titles,

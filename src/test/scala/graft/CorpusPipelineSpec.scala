@@ -61,6 +61,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L), s"survivors: $ids")
   }
 
+  test("redactPii=true masks PII after dedup and split, like the streaming intake") {
+    val docs = Seq(
+      (1L, english + "reach admin@example.net or 10.1.2.3 now"),
+      (2L, english + "reach admin@example.net or 10.1.2.3 now"), // exact dup — still collapses
+      (3L, english + "clean tail")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5, redactPii = true))
+      .select("doc_id", "text", "split").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out.head._2.contains("<EMAIL>") && out.head._2.contains("<IP>"))
+    assert(!out.head._2.contains("admin@"))
+    // split keyed on the RAW text: identical to a run without redaction
+    val plain = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5))
+      .select("doc_id", "split").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3)).toSeq == plain.toSeq)
+  }
+
   test("every materialization strategy produces identical output") {
     import graft.pipeline.Materialize
     val benchmark = Seq((100L, "benchmark question text that is the held out eval set for this run"))
@@ -89,7 +108,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // whitespace (split keeps empty tokens), CJK, ties between language
     // stopword counts, sub-5-token docs, empty string
     val tricky = Seq(
-      "", " ", "  leading and trailing  ", "the of and to in is that it was",
+      null, "", " ", "  leading and trailing  ", "the of and to in is that it was",
       "le la les de des et en un une du", "der die das und in den von zu",
       "一二三四五六七八九十",
       "the le el der", "one two three", "a b", english

@@ -113,14 +113,13 @@ class OperatorSpec extends SparkSpec {
     val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
-    // reliable mode really wrote per-round checkpoints — to `dir`, or to a
-    // checkpoint dir another test already installed on the shared session
-    // (dupClusters deliberately never stomps an existing one)
-    val effective = spark.sparkContext.getCheckpointDir.getOrElse(dir)
-      .stripPrefix("file:")
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(effective))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
-    assert(wrote > 0, "no checkpoint files written in reliable mode")
+    // reliable mode spills rounds into the REQUESTED dir (never a
+    // session-level checkpoint location), and deletes each round as soon
+    // as the next supersedes it — only the final round's files remain
+    import scala.jdk.CollectionConverters._
+    val rounds = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("cc-round-")).toSeq
+    assert(rounds.size == 1, s"expected exactly the final round's spill, found: $rounds")
   }
 
   test("dupClusters converges on a 10k-node chain with a constant-depth plan") {
