@@ -383,6 +383,30 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter contamination — the documented escape hatch of
+    * [[contamination]] for benchmarks too large to broadcast as an exact
+    * gram set. A Bloom filter of the benchmark grams (`fpp` false-positive
+    * rate, sized from the measured distinct-gram count) is broadcast
+    * instead; corpus grams are pruned MAP-SIDE by `mightContain` — no
+    * shuffle, no join for the overwhelmingly-clean majority — and only the
+    * survivors meet the exact gram set in a join that kills the false
+    * positives. Same results as [[contamination]] by construction (the
+    * driver hash-gates d07 against d06's oracle); the broadcast shrinks
+    * from O(grams × 8 bytes) to O(−n·ln(fpp)/ln²2 bits).
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                         idCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
+    val bf = bench.stat.bloomFilter("__g", math.max(bench.count(), 1L), fpp)
+    val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { (g: Long) => bcBf.value.mightContainLong(g) }
+    corpus.select(col(idCol), explode(ngramHashSet(col(textCol), n)).as("__g"))
+      .filter(mightContain(col("__g")))
+      .join(bench, "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Jaccard similarity of two precomputed distinct-gram arrays. */
   def jaccardOfSets(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb)).cast("double")

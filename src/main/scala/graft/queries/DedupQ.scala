@@ -74,6 +74,17 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L20b: the same contamination report computed through the Bloom-filter
+    // escape hatch (map-side prune + exact verify) — must equal d06 exactly,
+    // so it shares d06's oracle and the hash gate proves the equivalence.
+    "d07_contamination_bloom" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminationBloom(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.
@@ -126,6 +137,24 @@ object DedupQ {
 
     // Same 5-gram sets as Dedup.contamination, spelled with string grams.
     "d06_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                toks[i+3] || ' ' || toks[i+4])
+        |    END) AS grams
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id >= 20)
+        |SELECT doc_id, COUNT(*) AS n_shared
+        |FROM corpus JOIN bench USING (gr)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // d07 computes the identical report through the Bloom path — the gate
+    // against the SAME oracle is what certifies the equivalence.
+    "d07_contamination_bloom" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
         |    ELSE list_transform(range(1, len(toks) - 3),

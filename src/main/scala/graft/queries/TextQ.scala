@@ -101,6 +101,14 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L24: corpus-frequency rare-token profile (min corpus freq among the
+    // doc's tokens, hapax count/fraction) — quality filtering against the
+    // corpus itself, no model needed.
+    "t12_rare_tokens" -> { (s, dir) =>
+      TextOps.rareTokenStats(Tables(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // L23: PII redaction. The synthetic corpus is PII-free, so each doc is
     // salted with a deterministic email + IP + phone derived from its id —
     // every row exercises all three patterns and the oracle replays the
@@ -258,6 +266,23 @@ object TextQ {
         |  ROUND(sr, 4) AS symbol_ratio
         |FROM stats s JOIN sym USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Same token-frequency join-back and integer aggregates as
+    // TextOps.rareTokenStats; the one division is rounded identically.
+    "t12_rare_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, COUNT(*) AS freq FROM toks GROUP BY t)
+        |SELECT doc_id,
+        |  CAST(MIN(freq) AS BIGINT) AS min_tok_freq,
+        |  CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  ROUND(CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_frac
+        |FROM toks JOIN vocab USING (t)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Same salt construction and redaction patterns as the Spark side;
     // DuckDB needs the 'g' flag (Spark's regexp_replace is global).

@@ -232,6 +232,32 @@ object TextOps {
         round(col("__mx") / col("__n"), 4).as("top_word_ratio"),
         round(lit(1.0) - col("__d") / col("__n"), 4).as("dup_word_ratio"))
 
+  /** Corpus-frequency rare-token profile per document: the minimum corpus
+    * frequency among the document's tokens, its hapax count (tokens that
+    * appear exactly once in the whole corpus), and the hapax fraction —
+    * the cheap proxy for "is this document made of normal language or
+    * one-off garbage strings" that needs no model, only the corpus itself.
+    *
+    * Two shuffles, both partial-aggregating: (token → corpus count), then
+    * the token-keyed join back and a per-doc integer rollup. All metrics
+    * are integer aggregates (plus one final division), so results are
+    * bit-deterministic under any partitioning — no float-summation order
+    * sensitivity, which is what keeps the oracle hash stable.
+    */
+  def rareTokenStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__freq"))
+    toks.join(vocab, "__t")
+      .groupBy(col(idCol)).agg(
+        min(col("__freq")).as("min_tok_freq"),
+        sum(when(col("__freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        count(lit(1)).as("__n"))
+      .select(col(idCol), col("min_tok_freq"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("__n").cast("double"), 4)
+          .as("hapax_frac"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
     * replaced with typed placeholders — the pass a training corpus runs
     * before anything is persisted for reuse. Deliberately conservative

@@ -46,6 +46,36 @@ class OperatorSpec extends SparkSpec {
     assert(survivors == Seq(1L, 4L, 5L))
   }
 
+  test("bloom contamination equals the exact broadcast path on planted leaks") {
+    val bench = Seq((100L, "held out benchmark question about spark engines and their joins ok"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean document with entirely unrelated words in it for this test of ours"),
+      (2L, "scraped page quoting the held out benchmark question about spark engines and their joins ok verbatim"),
+      (3L, "another clean page of plain words nothing shared here with anything at all")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val exact = rows(Dedup.contamination(corpus, bench, "text", "doc_id", n = 5))
+    val bloom = rows(Dedup.contaminationBloom(corpus, bench, "text", "doc_id", n = 5))
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Seq(2L), s"only doc 2 leaks: $exact")
+  }
+
+  test("rareTokenStats profiles corpus-frequency rarity per document") {
+    val docs = Seq(
+      (1L, "common common unique1"),  // min freq 1, one hapax of 3 tokens
+      (2L, "common common common"),   // min freq = corpus count of 'common'
+      (3L, "unique2 unique3")         // all hapax
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.rareTokenStats(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, 0.3333), // 'common' ×5 corpus-wide, unique1 hapax
+      (2L, 5L, 0L, 0.0),
+      (3L, 1L, 2L, 1.0)))
+  }
+
   test("repetitionStats flags stuffed docs; redactPii masks planted PII") {
     import graft.text.TextOps
     val docs = Seq(
