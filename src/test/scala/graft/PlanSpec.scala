@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"IVF probe rescans the corpus ($scans scans):\n$p")
   }
 
+  test("t10/t12 token aggregations partial-aggregate map-side, no window sort") {
+    for (q <- Seq("t10_repetition", "t12_rare_tokens")) {
+      val p = executedPlan(q)
+      assert(p.contains("partial_"),
+        s"$q shuffles raw tokens instead of map-side partials:\n$p")
+      assert(!p.contains("Window"), s"$q regressed to a window sort:\n$p")
+    }
+  }
+
   test("d01 exact dedup shuffles the content hash, never the text") {
     val p = executedPlan("d01_exact_dedup")
     assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
