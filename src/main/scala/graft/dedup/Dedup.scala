@@ -159,16 +159,44 @@ object Dedup {
   /** Candidate near-dup pairs from LSH buckets: self-join on (band, bucket),
     * deduped across bands. The join key cardinality ~ corpus size × bands,
     * so this scales linearly; skewed (hot) buckets are handled by AQE.
+    *
+    * `maxBucket` bounds the one remaining quadratic edge: a bucket of m
+    * documents emits m·(m−1)/2 pairs from the self-join, and real crawls
+    * have near-identical-boilerplate clusters (templated pages, legal
+    * footers) that survive exact dedup and land m ≫ 10⁴ documents in one
+    * bucket — m² pair emission there stalls the stage no matter how AQE
+    * splits the partition. Members of such a mega-bucket are mutual
+    * near-dups by construction (they agree on an entire signature band),
+    * so full pairing is redundant for dedup: buckets larger than
+    * `maxBucket` instead emit an id-ordered CHAIN (each member paired with
+    * its successor — m−1 pairs), which keeps the whole bucket one
+    * connected component for [[dupClusters]] and still drops all but the
+    * lowest id under [[nearDedup]]'s greedy rule. Cost per oversized
+    * bucket falls from O(m²) pairs to an O(m log m) sort + O(m) pairs;
+    * buckets at or under the bound are exhaustively paired exactly as
+    * before, so results on a corpus with no mega-bucket are unchanged.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                        k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
     val bb = lshBands(sigs, "sig", bands, idCol)
-    val l = bb.select(col(idCol).as("a"), col("band"), col("bucket"))
-    val r = bb.select(col(idCol).as("b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val sizes = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
+    val keyed = bb.join(sizes, Seq("band", "bucket"))
+    val small = keyed.filter(col("__bsz") <= maxBucket)
+    val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))
+    val exhaustive = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b")
+    // mega-buckets: successor chain inside each (band, bucket) — the sort
+    // is per-bucket and bounded by the bucket itself, never corpus-global
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col(idCol))
+    val chained = keyed.filter(col("__bsz") > maxBucket)
+      .withColumn("__b", lead(col(idCol), 1).over(w))
+      .filter(col("__b").isNotNull)
+      .select(col(idCol).as("a"), col("__b").as("b"))
+    exhaustive.union(chained).distinct()
   }
 
   /** The full near-dup pipeline: MinHash-LSH candidate generation →
@@ -180,8 +208,9 @@ object Dedup {
   def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
                      threshold: Double = 0.7, shingleK: Int = 3,
                      numHashes: Int = 64, bands: Int = 16,
-                     jaccardN: Int = 2): DataFrame = {
-    val candidates = minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands)
+                     jaccardN: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val candidates = minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands,
+      maxBucket)
     val grams = df.select(col(idCol), ngramHashSet(col(textCol), jaccardN).as("__grams"))
     candidates
       .join(grams.withColumnRenamed(idCol, "a").withColumnRenamed("__grams", "__ga"), "a")

@@ -238,21 +238,30 @@ object TextOps {
     * the cheap proxy for "is this document made of normal language or
     * one-off garbage strings" that needs no model, only the corpus itself.
     *
-    * Two shuffles, both partial-aggregating: (token → corpus count), then
-    * the token-keyed join back and a per-doc integer rollup. All metrics
-    * are integer aggregates (plus one final division), so results are
-    * bit-deterministic under any partitioning — no float-summation order
-    * sensitivity, which is what keeps the oracle hash stable.
+    * Shuffle shape at scale: raw token OCCURRENCES never cross the wire.
+    * Occurrences are first collapsed to distinct (id, token, cnt) rows —
+    * a partial-aggregating groupBy whose map-side combine absorbs every
+    * within-document repeat, and whose (id, token) shuffle key is NOT
+    * skewed (ids spread hot tokens across partitions). The corpus vocab
+    * derives from those same rows (no second pass over the text), and the
+    * token-keyed join back carries at most one row per (document, distinct
+    * token) — so "the" routes one row per containing doc, not one per
+    * occurrence, through its shuffle partition. min/hapax/total are all
+    * derivable from cnt (a corpus-hapax token necessarily has cnt = 1 in
+    * its single document), so results are bit-identical to the naive
+    * occurrence-level rollup; integer aggregates plus one final division
+    * keep the oracle hash stable under any partitioning.
     */
   def rareTokenStats(df: org.apache.spark.sql.DataFrame, textCol: String,
                      idCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
-    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__freq"))
-    toks.join(vocab, "__t")
+    val perDoc = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__cnt"))
+    val vocab = perDoc.groupBy(col("__t")).agg(sum(col("__cnt")).as("__freq"))
+    perDoc.join(vocab, "__t")
       .groupBy(col(idCol)).agg(
         min(col("__freq")).as("min_tok_freq"),
-        sum(when(col("__freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
-        count(lit(1)).as("__n"))
+        sum(when(col("__freq") === 1, col("__cnt")).otherwise(lit(0L))).as("n_hapax"),
+        sum(col("__cnt")).as("__n"))
       .select(col(idCol), col("min_tok_freq"), col("n_hapax"),
         round(col("n_hapax").cast("double") / col("__n").cast("double"), 4)
           .as("hapax_frac"))

@@ -33,6 +33,30 @@ class OperatorSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 && Set(a, b).intersect(Set(1L, 2L, 3L)).size == 1 })
   }
 
+  test("minhashCandidates caps mega-buckets to a bounded chain") {
+    // 10k identical docs land the whole corpus in ONE bucket per band:
+    // uncapped self-join pairing would emit ~50M candidate pairs; the cap
+    // emits an id-ordered successor chain instead (n−1 pairs, identical
+    // across bands), which keeps the bucket one connected component.
+    val n = 10000
+    val mega = spark.range(1, n + 1).select(col("id").as("doc_id"),
+      lit("identical boilerplate page body repeated across the whole crawl").as("text"))
+    val pairs = Dedup.minhashCandidates(mega, "text", "doc_id", maxBucket = 100)
+      .as[(Long, Long)].collect()
+    assert(pairs.length == n - 1, s"expected a ${n - 1}-pair chain, got ${pairs.length}")
+    // successor chain over ids 1..n: every pair is (i, i+1) — connected,
+    // and nearDedup's drop-higher-id rule still keeps only doc 1
+    assert(pairs.forall { case (a, b) => b == a + 1 })
+    // buckets at or under the bound are exhaustively paired exactly as
+    // before: the capped and effectively-uncapped runs agree on a corpus
+    // with no mega-bucket
+    val base = Dedup.minhashCandidates(docs, "text", "doc_id", bands = 32,
+      maxBucket = Int.MaxValue).as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashCandidates(docs, "text", "doc_id", bands = 32)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == base)
+  }
+
   test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
     val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
       bands = 32).as[(Long, Long, Double)].collect()

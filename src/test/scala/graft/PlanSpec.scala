@@ -61,7 +61,34 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("partial_"),
         s"$q shuffles raw tokens instead of map-side partials:\n$p")
       assert(!p.contains("Window"), s"$q regressed to a window sort:\n$p")
+      // raw token OCCURRENCES must never be a shuffle payload: every
+      // Exchange keyed on the token column has to carry a partial
+      // count/sum alongside it (i.e. a map-side aggregate sits below the
+      // exchange). This is the non-vacuous form of the guard — it checks
+      // the JOIN input too, not just "some partial aggregate exists".
+      for (b <- p.split("\\n\\(\\d+\\) ")
+           if b.startsWith("Exchange") && b.contains("hashpartitioning") &&
+             b.contains("__t")) {
+        assert(b.contains("count#") || b.contains("sum#"),
+          s"$q shuffles raw token occurrences on a token key:\n$b")
+      }
     }
+  }
+
+  test("d07 bloom contamination prunes corpus grams map-side, below any shuffle") {
+    val p = executedPlan("d07_contamination_bloom")
+    // the mightContain prune is a plain Filter on the exploded gram column
+    assert("Condition : UDF\\(__g".r.findFirstIn(p).isDefined,
+      s"bloom mightContain prune missing from the plan:\n$p")
+    // corpus grams never shuffle: the only gram-keyed exchange is the tiny
+    // benchmark-side distinct, and the exact-verify join is broadcast —
+    // the property that makes this the huge-benchmark escape hatch (the
+    // clean majority dies in the scan stage, before any wire transfer)
+    val gramExchanges = "hashpartitioning\\(__g".r.findAllIn(p).size
+    assert(gramExchanges <= 1,
+      s"corpus grams are shuffled ($gramExchanges gram-keyed exchanges):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact-verify join fell back from broadcast:\n$p")
   }
 
   test("d01 exact dedup shuffles the content hash, never the text") {
