@@ -267,6 +267,17 @@ object Dedup {
                   checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     def roundPath(dir: String, i: Int) = new org.apache.hadoop.fs.Path(dir, s"cc-round-$i")
+    // an aborted prior run may have left cc-round-* files behind; clear
+    // them up front so the documented "only the final round's files
+    // remain" contract holds for THIS run (a caller globbing the dir must
+    // never read a stale round's labels)
+    checkpointDir.foreach { dir =>
+      val d = new org.apache.hadoop.fs.Path(dir)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(d))
+        fs.listStatus(d).filter(_.getPath.getName.startsWith("cc-round-"))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -362,7 +373,13 @@ object Dedup {
     */
   def ngramHashSet(c: Column, n: Int = 2): Column = ngramHashUdf(n)(c)
 
-  private def ngramHashUdf(n: Int) = udf { (s: String) =>
+  private def ngramHashUdf(n: Int) = udf { (s: String) => ngramHashSetOf(s, n) }
+
+  /** The per-row kernel behind [[ngramHashSet]], exposed for map-side
+    * consumers (the streaming decontamination filter) that need the gram
+    * set inside their own UDF without a second tokenization pass.
+    */
+  private[graft] def ngramHashSetOf(s: String, n: Int): Array[Long] = {
     if (s == null) Array.empty[Long]
     else {
       // limit -1: same tokenization as Spark's split()/DuckDB's
@@ -423,6 +440,23 @@ object Dedup {
     * driver hash-gates d07 against d06's oracle); the broadcast shrinks
     * from O(grams × 8 bytes) to O(−n·ln(fpp)/ln²2 bits).
     */
+  /** Bloom filter of a benchmark's distinct gram hashes — the broadcastable
+    * artifact behind [[contaminationBloom]] and the streaming
+    * decontamination stage
+    * ([[graft.streaming.EventStreams.curateDocs]]). Stateless once built:
+    * membership tests run map-side wherever the filter is shipped. Sized
+    * from the measured distinct-gram count at the given false-positive
+    * rate; a consumer with no exact-verify join (the streaming path)
+    * over-drops a clean g-gram document with probability ≲ g·fpp, so the
+    * default fpp is tight.
+    */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int = 8,
+                     fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
+    val bench = benchmark
+      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
+    bench.stat.bloomFilter("__g", math.max(bench.count(), 1L), fpp)
+  }
+
   def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
                          idCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
     val bench = benchmark

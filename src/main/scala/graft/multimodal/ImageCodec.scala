@@ -12,12 +12,20 @@ package graft.multimodal
   * downstream op (resize, grid features) format-agnostic. Any malformed
   * or unsupported input returns None — at pipeline scale a corrupt blob
   * must never kill the job.
+  *
+  * Headless note: this class sets `java.awt.headless=true` on first load
+  * UNLESS the embedder already chose a value — and the property is a
+  * no-op once AWT has initialized, so an embedder that touches AWT before
+  * the first decode must configure headless mode itself (executor JVMs in
+  * practice never do; the guard is for exotic driver embeddings).
   */
 object ImageCodec {
 
   // decoding never needs a display, but be explicit so a misconfigured
-  // driver JVM can't try to initialize one
-  System.setProperty("java.awt.headless", "true")
+  // driver JVM can't try to initialize one; respect an embedder's explicit
+  // choice (see the headless note above)
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
 
   def decode(bytes: Array[Byte]): Option[PpmCodec.Image] =
     PpmCodec.decode(bytes).orElse(imageIoDecode(bytes))

@@ -120,6 +120,11 @@ object CorpusPipeline {
 
     // Applied only where a stage genuinely fans out into multiple
     // downstream reads; see Materialize for the strategy tradeoffs.
+    // Reliable spill paths are salted per curate() CALL: two runs sharing a
+    // dir would otherwise both write curate-spill-0 and the second would
+    // overwrite the parquet files still lazily backing the first run's
+    // returned frame. The caller still owns deleting the dir when done.
+    val runSalt = java.util.UUID.randomUUID().toString.take(8)
     val spillId = new java.util.concurrent.atomic.AtomicInteger()
     def materialize(df: DataFrame, branches: Int): DataFrame =
       if (branches <= 1) df
@@ -128,7 +133,7 @@ object CorpusPipeline {
         case Materialize.Local => df.localCheckpoint()
         case Materialize.Disk => Bridge.persistedCopy(df, StorageLevel.DISK_ONLY)
         case Materialize.Reliable(dir) =>
-          val path = s"$dir/curate-spill-${spillId.getAndIncrement()}"
+          val path = s"$dir/curate-$runSalt-spill-${spillId.getAndIncrement()}"
           df.write.mode("overwrite").parquet(path)
           df.sparkSession.read.parquet(path)
       }

@@ -230,6 +230,50 @@ object Similarity {
     spark.table(s"${table}_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 
+  /** Append new vectors to a [[writeIvfIndex]] table WITHOUT retraining:
+    * rows are assigned against the persisted centroids — one codegen'd
+    * [[graft.functions.NearestCentroid]] pass over the new batch only, no
+    * Lloyd iterations, no touch of the existing index rows — and appended
+    * into the cell-partitioned layout (bucket count read from the table's
+    * own catalog spec, so an append can never mismatch the build). This is
+    * what lets a daily-growing corpus keep serving [[ivfProbePartitioned]]
+    * probes from a warm index instead of paying a full retrain+rewrite or
+    * serving a stale one.
+    *
+    * Drift contract: appends never move centroids, so a shifting embedding
+    * distribution degrades recall by inflating a few cells rather than by
+    * returning wrong results (probes stay exact within the cells they
+    * read). Monitor [[ivfCellSizes]] and re-train ([[writeIvfIndex]]) when
+    * the max/mean cell ratio exceeds ~4× the post-build value — until
+    * then, probe results over appended generations are exactly what a
+    * fresh assignment against the same centroids would produce.
+    */
+  def appendToIvfIndex(newRows: DataFrame, idCol: String, vecCol: String,
+                       table: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = readIvfCentroids(spark, table)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val assigned = assignToCentroids(newRows, vecCol, centroids,
+      centroids.head._2.length)
+    assigned.write
+      .partitionBy("cell")
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Per-cell row counts of a persisted IVF index — the drift signal for
+    * the [[appendToIvfIndex]] retrain contract. Partition-count metadata
+    * plus one pruned columnar count per cell; never reads vectors.
+    */
+  def ivfCellSizes(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame =
+    spark.table(table).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
   /** Probe a [[writeIvfIndex]] table: the query's `probes` nearest cells are
     * computed driver-side against the persisted centroid matrix (the query
     * side is tiny by definition), and the literal `cell IN (...)` predicate

@@ -155,22 +155,41 @@ object EventStreams {
   }
 
   /** Streaming corpus intake: the curation stages that are row-local run
-    * stateless on the document stream — fused langQuality gate, PII
-    * redaction, md5 split assignment — and exact dedup is the one stateful
-    * stage, reusing [[dedupeExact]]'s hash-within-watermark shape. The
-    * incremental twin of [[graft.pipeline.CorpusPipeline.curate]]'s
-    * exact-only configuration with `redactPii = true`; near-dedup stays a
-    * batch compaction (its candidate join is not incremental).
+    * stateless on the document stream — fused langQuality gate, benchmark
+    * decontamination, PII redaction, md5 split assignment — and exact
+    * dedup is the one stateful stage, reusing [[dedupeExact]]'s
+    * hash-within-watermark shape. The incremental twin of
+    * [[graft.pipeline.CorpusPipeline.curate]]'s exact-only configuration
+    * with `redactPii = true`; near-dedup stays a batch compaction (its
+    * candidate join is not incremental).
     *
-    * Stage order is part of the contract: the split hash is taken on the
+    * Decontamination (when `benchmark` is given) is a Bloom filter of the
+    * benchmark's distinct gram hashes ([[graft.dedup.Dedup.benchmarkBloom]]),
+    * built ONCE batch-side at stream start and broadcast — in the stream it
+    * is a stateless map-side filter (shingle, test membership, early-exit at
+    * `maxContamination` hits), so the stage adds zero streaming state and no
+    * shuffle. Unlike the batch Bloom path there is no exact-verify join to
+    * kill false positives: a clean g-gram document is over-dropped with
+    * probability ≲ g·fpp, which is why `contaminationFpp` defaults 100×
+    * tighter than the batch escape hatch's.
+    *
+    * Stage order is part of the contract: decontamination runs before the
+    * stateful dedup (same survivor set either way — both drop rows
+    * independently — but dropping contaminated docs first keeps their
+    * hashes out of the dedup state store), the split hash is taken on the
     * RAW text (so batch and streaming ingestion of the same document land
     * in the same split) and redaction runs last, before the sink.
     */
   def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
                  langs: Set[String], minQuality: Double,
                  trainPct: Int = 90, valPct: Int = 5,
-                 watermark: String = "1 hour"): DataFrame = {
+                 watermark: String = "1 hour",
+                 benchmark: Option[DataFrame] = None,
+                 contaminationNgram: Int = 8,
+                 maxContamination: Long = 1,
+                 contaminationFpp: Double = 1e-4): DataFrame = {
     import graft.text.TextOps
+    import graft.dedup.Dedup
     val gated = docs
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .filter(col("__lq._1").isin(langs.toSeq: _*) && col("__lq._2") >= minQuality)
@@ -178,7 +197,26 @@ object EventStreams {
       .withColumn("quality", col("__lq._2"))
       .drop("__lq")
       .withColumn("split", TextOps.splitAssign(col(textCol), trainPct, valPct))
-    dedupeExact(gated, textCol, tsCol, watermark)
+    val decontaminated = benchmark match {
+      case None => gated
+      case Some(b) =>
+        val bf = Dedup.benchmarkBloom(b, textCol, contaminationNgram, contaminationFpp)
+        val bcBf = docs.sparkSession.sparkContext.broadcast(bf)
+        val n = contaminationNgram
+        val bound = maxContamination
+        val clean = udf { (s: String) =>
+          val grams = Dedup.ngramHashSetOf(s, n)
+          var shared = 0L
+          var i = 0
+          while (i < grams.length && shared < bound) {
+            if (bcBf.value.mightContainLong(grams(i))) shared += 1
+            i += 1
+          }
+          shared < bound
+        }
+        gated.filter(clean(col(textCol)))
+    }
+    dedupeExact(decontaminated, textCol, tsCol, watermark)
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
   }
 

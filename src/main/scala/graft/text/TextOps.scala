@@ -38,16 +38,33 @@ object TextOps {
     lenCredit * shapePenalty
   }
 
-  // Tiny per-language stopword lists for the n-gram/stopword heuristic.
-  // (graft-visible so the DuckDB oracle SQL is generated from the same lists.)
+  // Tiny per-language stopword lists for the n-gram/stopword heuristic,
+  // drawn from public most-frequent-function-word lists. List ORDER is the
+  // tie-break (earlier wins), so the four original languages keep priority.
+  // (graft-visible so the DuckDB oracle SQL is generated from the same
+  // lists — widening this table widens t01's oracle in lockstep, and the
+  // fused langQuality kernel derives its hash sets from it too.)
   private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "with", "on", "as", "are"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est", "dans", "pour"),
     "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "del", "que", "es", "por", "con"),
-    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "ein", "auf"))
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist", "des", "im", "ein", "auf"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una", "sono", "con", "non", "del", "gli", "anche", "come", "della"),
+    "pt" -> Seq("o", "de", "que", "do", "da", "em", "um", "para", "com", "não", "uma", "os", "as", "mais"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te", "zijn", "met", "voor", "niet"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för", "med", "till", "den", "har", "inte"),
+    "da" -> Seq("og", "i", "at", "det", "en", "den", "til", "er", "som", "på", "de", "med", "ikke", "af"),
+    "fi" -> Seq("ja", "on", "ei", "että", "oli", "se", "hän", "mutta", "niin", "kuin", "myös", "joka", "sen", "ovat"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest", "jak", "po", "co", "tak"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "он", "с", "как", "это", "по", "его", "но", "она", "из"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "için", "ile", "ne", "ki", "ama", "gibi", "çok", "daha", "var", "ben"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "în", "este", "pe", "care", "mai", "din", "să", "nu", "sau"),
+    "cs" -> Seq("a", "se", "na", "je", "že", "v", "to", "s", "z", "do", "o", "ale", "jako", "pro"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya"))
 
-  /** Stopword-vote + CJK-ratio language ID. Returns a language code
-    * ("en"/"fr"/"es"/"de"/"zh") or "und" when no signal.
+  /** Stopword-vote + CJK-ratio language ID. Returns the code of the
+    * highest-voting language in [[stopwords]] (16 languages across Latin
+    * and Cyrillic scripts), "zh" on CJK density, or "und" when no signal.
     *
     * Pure column expression: tokens are matched against literal stopword
     * arrays with a higher-order `filter`, CJK density via regexp count —
@@ -274,6 +291,16 @@ object TextOps {
     * Java's engine, RE2, and the DuckDB oracle. Order matters: emails
     * first (their digits must not be half-eaten by the phone rule), then
     * IPs (dotted quads are not phone-charset), then phones.
+    *
+    * Recall-over-precision tradeoff, by design: the phone rule matches ANY
+    * ≥9-char run of digits/space/()/−, so legitimate numeric sequences —
+    * year lists, data series like "1000 2000 3000", spaced ids — are also
+    * collapsed to `<PHONE>`. A separator-grouped phone ("555 010 0042")
+    * is structurally indistinguishable from such a series without
+    * lookaround, which the three-engine parity above rules out. A corpus
+    * where numeric runs are signal (tables, scientific text) should
+    * disable redaction (`Config.redactPii = false`) or redact only
+    * email/IP with its own pass.
     */
   def redactPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -111,7 +111,17 @@ class CorpusPipelineSpec extends SparkSpec {
       null, "", " ", "  leading and trailing  ", "the of and to in is that it was",
       "le la les de des et en un une du", "der die das und in den von zu",
       "一二三四五六七八九十",
-      "the le el der", "one two three", "a b", english
+      "the le el der", "one two three", "a b", english,
+      // the widened table: non-ASCII stopwords (Cyrillic, ogonki, cedilla),
+      // cross-language collisions ("de" nl/fr/es, "da" tr/da, "i" pl/da),
+      // and an all-collision tie that must break by list order in BOTH forms
+      "il gatto non è del tutto contento anche come gli altri", "o que não era",
+      "de kat is niet in het huis", "och att det som är för oss",
+      "og i at det ikke er som på", "ja on ei että oli se mutta",
+      "i w nie na się z do to że", "и в не на что он с как это",
+      "bir ve bu da için ile ne ki", "și de la cu un în este pe",
+      "a se na je že v to s z", "yang dan di itu dengan untuk",
+      "de da i o a en un in is on"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val fromTable = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq

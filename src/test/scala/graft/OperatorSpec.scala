@@ -421,6 +421,43 @@ class OperatorSpec extends SparkSpec {
     assert(nCells == 8, s"expected 8 cell partition dirs, found $nCells")
   }
 
+  test("appendToIvfIndex serves both generations without retraining") {
+    val rng = new scala.util.Random(9)
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val gen0 = vecs(0 until 400).toDF("vec_id", "embedding").cache()
+    val gen1 = vecs(400 until 500).toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_app_centroids", "ivf_app"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(gen0, "vec_id", "embedding", "ivf_app",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    Similarity.appendToIvfIndex(gen1, "vec_id", "embedding", "ivf_app")
+    assert(spark.table("ivf_app").count() == 500)
+    // appends are EXACTLY a fixed-centroid assignment: every appended row's
+    // cell equals the nearest persisted centroid (no retrain, no drift)
+    val centroids = Similarity.readIvfCentroids(spark, "ivf_app")
+    val appended = spark.table("ivf_app").filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding", $"cell")
+      .as[(Long, Array[Float], Int)].collect()
+    assert(appended.length == 100)
+    appended.foreach { case (id, v, cell) =>
+      assert(cell == Similarity.nearestCells(v, centroids, 1).head,
+        s"appended vec $id landed in cell $cell, not its nearest centroid") }
+    // a probe sees both generations: the appended query vector itself tops
+    // the ranking and pre-append neighbors still appear
+    val q = gen1.filter($"vec_id" === 450).select($"embedding".as("qvec"))
+    val probe = Similarity.ivfProbePartitioned(spark, "ivf_app", q,
+      "vec_id", "embedding", k = 10, probes = 4)
+    val rows = probe.as[(Long, Double)].collect().toSeq
+    assert(rows.head == ((450L, 1.0)), s"self not top-1: ${rows.head}")
+    assert(rows.exists(_._1 < 400L), s"no pre-append generation rows: $rows")
+    // and the probe still partition-prunes (append kept the cell layout)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(plan).isDefined,
+      s"append broke cell partition pruning:\n$plan")
+  }
+
   test("batched probe of the persisted ivf index equals the per-call batch path") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
@@ -541,6 +578,18 @@ class OperatorSpec extends SparkSpec {
       ("le chat est dans la maison et il est content", "fr"),
       ("el gato es un animal y la casa es grande", "es"),
       ("der hund ist in den haus und das ist gut", "de"),
+      ("il gatto non è del tutto contento anche come gli altri della casa", "it"),
+      ("o gato não está em casa para que os outros vejam mais um", "pt"),
+      ("de kat is niet in het huis en dat is een probleem voor ons", "nl"),
+      ("katten är inte i huset och det är ett problem för oss med den", "sv"),
+      ("katten er ikke i huset og det er et problem som vi har til den", "da"),
+      ("kissa ei ole talossa ja se on ongelma mutta niin on myös muu", "fi"),
+      ("kot nie jest w domu i to jest problem jak się okazuje po tak", "pl"),
+      ("кот не в доме и это как проблема но он по себе из дома", "ru"),
+      ("kedi evde değil ve bu bir sorun ama daha çok var gibi ki ben", "tr"),
+      ("pisica nu este în casă și de la un timp este pe care mai din", "ro"),
+      ("kočka není doma a to je problém ale se to na pro nás jako z", "cs"),
+      ("kucing itu tidak ada di dalam rumah dan ini akan jadi masalah untuk saya", "id"),
       ("这是一个中文句子没有空格", "zh")
     ).toDF("text", "expected")
     val got = samples.select(TextOps.langId(col("text")).as("got"), col("expected"))

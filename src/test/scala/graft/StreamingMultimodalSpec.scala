@@ -246,6 +246,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming curateDocs decontaminates against a benchmark map-side") {
+    implicit val sqlCtx = spark.sqlContext
+    val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val leak = "held out benchmark question on engines and the joins that they run in time"
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5,
+      benchmark = Some(bench), contaminationNgram = 5)
+      .writeStream.format("memory").queryName("curate_decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), english + "one"),    // clean twin — must survive
+        (2L, ts(1), english + leak))     // quotes the benchmark verbatim
+      query.processAllAvailable()
+      // a contaminated doc arriving in a LATER batch is still dropped: the
+      // broadcast Bloom filter is stateless, not tied to the first batch
+      input.addData((3L, ts(2), english + "three " + leak))
+      query.processAllAvailable()
+      val out = spark.table("curate_decon_out").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(out == Seq(1L), s"survivors: $out")
+      // parity with the batch curate-with-benchmark path on the same rows
+      val batchDocs = Seq(
+        (1L, english + "one"), (2L, english + leak),
+        (3L, english + "three " + leak)).toDF("doc_id", "text")
+      val batchOut = graft.pipeline.CorpusPipeline.curate(batchDocs, "text", "doc_id",
+        graft.pipeline.CorpusPipeline.Config(langs = Set("en"), minQuality = 0.5,
+          nearDupThreshold = 2.0, contaminationNgram = 5, redactPii = true),
+        Some(bench)).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(batchOut == out, s"stream $out != batch $batchOut")
+    } finally query.stop()
+  }
+
   test("multimodal: asMedia wraps binary with typed metadata schema") {
     val df = Seq((1L, "fakejpegbytes"), (2L, "otherbytes")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
