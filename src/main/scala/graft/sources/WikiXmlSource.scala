@@ -74,38 +74,70 @@ object WikiXmlSource {
     * into a directory of `parts` bzip2-compressed record files that every
     * later run reads fully parallel — one slow sequential pass, paid once.
     * Records keep their `</page>` terminator so [[pages]] re-splits them
-    * identically; the siteinfo header lands in SOME part, which is fine —
-    * [[basePrefix]] searches every part of a directory input.
+    * identically.
+    *
+    * The repartition scatters the siteinfo header record into an arbitrary
+    * position of an arbitrary part, where [[basePrefix]]'s head-bounded
+    * scan would miss it — so the `<base>` line (captured during the same
+    * single pass via an accumulator, no second read) is re-emitted into a
+    * tiny `aa-siteinfo.txt` sibling whose name sorts first and is NOT
+    * underscore-prefixed (Hadoop input silently skips `_`/`.` files).
+    * [[pages]] ignores it (no `<page>` element); [[basePrefix]] finds it
+    * at a file head, where the contract requires it.
     */
   def recode(spark: SparkSession, inPath: String, outPath: String,
              parts: Int = 64): Unit = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", "</page>")
+    val baseLines = spark.sparkContext.collectionAccumulator[String]("siteinfo-base")
     spark.sparkContext
       .newAPIHadoopFile(inPath, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
-      .map(_._2.toString + "</page>")
+      .map { kv =>
+        val rec = kv._2.toString + "</page>"
+        if (rec.contains("<base>"))
+          rec.linesIterator.find(_.contains("<base>")).foreach(baseLines.add)
+        rec
+      }
       .toDS()
       .repartition(parts)
       .write.option("compression", "bzip2").mode("overwrite").text(outPath)
+    // at-least-once task semantics can duplicate accumulator entries;
+    // any one copy of the line is fine
+    val base = {
+      import scala.jdk.CollectionConverters._
+      baseLines.value.asScala.headOption
+    }
+    base.foreach { line =>
+      val p = new org.apache.hadoop.fs.Path(outPath, "aa-siteinfo.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write((line + "\n").getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Site URL prefix from `/mediawiki/siteinfo/base`
     * (WikiExtractor.py:647-651): everything before the last '/'.
     *
-    * Searches every file of a multi-part input: for a directory of dump
-    * parts (or a [[recode]] output) the `<base>` line may sit in none or
-    * any of them, not just the first. `take(1)` scans partitions
-    * incrementally and stops at the first hit, so the common case — the
-    * element in the dump header — still reads only the head of the first
-    * split; a dump with no `<base>` anywhere pays one full (distributed)
-    * scan before returning None.
+    * Scans only file HEADS: each split contributes its first `headLines`
+    * lines (`mapPartitions` + a lazy `take`, so a split stops reading
+    * once its head is exhausted), and `take(1)` stops everything at the
+    * first hit. A dump with no `<base>` anywhere therefore costs
+    * O(splits × headLines) lines — NOT a full-corpus read, which is what
+    * the old unbounded filter paid before returning None.
+    *
+    * Contract: the `<base>` element must sit within the first `headLines`
+    * lines of whichever file holds it — true by construction for real
+    * dumps (siteinfo precedes the first page) and for [[recode]] outputs
+    * (the header is re-emitted as a head-positioned sibling file).
     */
-  def basePrefix(spark: SparkSession, path: String): Option[String] = {
+  def basePrefix(spark: SparkSession, path: String,
+                 headLines: Int = 4096): Option[String] = {
     import spark.implicits._
     val head = spark.read.textFile(path)
-      .filter(l => l.contains("<base>")).take(1)
+      .mapPartitions(_.take(headLines).filter(_.contains("<base>")))
+      .take(1)
     head.headOption.flatMap { line =>
       val m = baseRe.matcher(line)
       if (m.find()) {

@@ -227,6 +227,24 @@ class WikiPipelineSpec extends SparkSpec {
     val back = WikiXmlSource.pages(spark, out).collect()
       .map(p => (p.id, p.title, p.redirect, p.text)).toSet
     assert(back == orig)
+    // the siteinfo header survives the repartition scatter: recode re-emits
+    // the <base> line head-positioned, where basePrefix's bounded scan looks
+    assert(WikiXmlSource.basePrefix(spark, out)
+      .contains("http://test.example.org/wiki"))
+  }
+
+  test("basePrefix is head-bounded: a baseless dump never pays a full read") {
+    val dir = Files.createTempDirectory("graft-buried")
+    val filler = "<page><title>F</title><id>9</id><text>f</text></page>\n" * 5000
+    Files.write(dir.resolve("part-00000"),
+      (filler + "<base>http://buried.example.org/wiki/Main</base>\n").getBytes("UTF-8"))
+    // boundedness proof: a <base> line buried past the head bound is NEVER
+    // read — the old unbounded filter scanned the whole corpus and found it
+    assert(WikiXmlSource.basePrefix(spark, dir.toString, headLines = 100).isEmpty)
+    // raising the bound past the burial depth finds it again (same scan
+    // machinery, so the None above is the bound working, not a parse bug)
+    assert(WikiXmlSource.basePrefix(spark, dir.toString, headLines = 10000)
+      .contains("http://buried.example.org/wiki"))
   }
 
   test("doc format renders Tanl <doc> headers with reference URLs") {
