@@ -182,20 +182,27 @@ object Dedup {
     val sigs = df.select(col(idCol),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
     val bb = lshBands(sigs, "sig", bands, idCol)
-    val sizes = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("__bsz"))
-    val keyed = bb.join(sizes, Seq("band", "bucket"))
+    // Bucket size and successor are BOTH window functions over the one
+    // (band, bucket) exchange the self-join needs anyway — NOT a separate
+    // count aggregation joined back, which would plan a second independent
+    // branch over `bb` and recompute the (dominant) signature UDF pass for
+    // it (measured ~2× the whole candidate stage). Every consumer below —
+    // small-bucket self-join sides, mega-bucket chain — sits above the
+    // same canonical exchange, which runtime stage reuse evaluates once.
+    // The added per-partition sort orders 24-byte (id, band, bucket) rows,
+    // noise next to one avoided signature pass.
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+    val keyed = bb
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
+      .withColumn("__nxt", lead(col(idCol), 1).over(wBucket.orderBy(col(idCol))))
     val small = keyed.filter(col("__bsz") <= maxBucket)
     val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))
     val exhaustive = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b")
-    // mega-buckets: successor chain inside each (band, bucket) — the sort
-    // is per-bucket and bounded by the bucket itself, never corpus-global
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col(idCol))
-    val chained = keyed.filter(col("__bsz") > maxBucket)
-      .withColumn("__b", lead(col(idCol), 1).over(w))
-      .filter(col("__b").isNotNull)
-      .select(col(idCol).as("a"), col("__b").as("b"))
+    // mega-buckets: id-ordered successor chain inside each (band, bucket)
+    val chained = keyed.filter(col("__bsz") > maxBucket && col("__nxt").isNotNull)
+      .select(col(idCol).as("a"), col("__nxt").as("b"))
     exhaustive.union(chained).distinct()
   }
 
