@@ -86,12 +86,17 @@ object TextOps {
   }
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
-  private val stopSets: Array[(String, java.util.HashSet[String])] =
-    stopwords.map { case (l, ws) =>
-      val h = new java.util.HashSet[String]
-      ws.foreach(h.add)
-      (l, h)
-    }.toArray
+  private val langCodes: Array[String] = stopwords.map(_._1).toArray
+  // token → bitmask of languages whose stopword list contains it: the
+  // fused kernel pays ONE hash lookup per token regardless of how many
+  // languages the table grows to (a per-language set probe made the gate
+  // cost linear in language count — 4× when the table went 4 → 16)
+  private val stopMask: java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]
+    for (((_, ws), li) <- stopwords.zipWithIndex; w <- ws)
+      m.put(w, m.getOrDefault(w, 0L) | (1L << li))
+    m
+  }
 
   /** Fused one-pass `(lang, quality)` struct — the exact semantic twin of
     * [[langId]] and [[qualityScore]], verified field-for-field by spec.
@@ -118,15 +123,18 @@ object TextOps {
     if (s == null) ("und", 0.5)
     else {
       val toks = WS.split(s, -1)
-      val nLangs = stopSets.length
+      val nLangs = langCodes.length
       val counts = new Array[Int](nLangs)
       var i = 0
       while (i < toks.length) {
         val t = toks(i).toLowerCase(java.util.Locale.ROOT)
-        var l = 0
-        while (l < nLangs) {
-          if (stopSets(l)._2.contains(t)) counts(l) += 1
-          l += 1
+        val mask = stopMask.getOrDefault(t, 0L)
+        if (mask != 0L) {
+          var m = mask
+          while (m != 0L) {
+            counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
+            m &= m - 1
+          }
         }
         i += 1
       }
@@ -150,7 +158,7 @@ object TextOps {
           var k = 0
           var out: String = null
           while (out == null && k < nLangs) {
-            if (counts(k) == best) out = stopSets(k)._1
+            if (counts(k) == best) out = langCodes(k)
             k += 1
           }
           out
