@@ -89,9 +89,29 @@ object AnnBench {
       exact.intersect(approx).size / 10.0
     }
 
+    // grow the corpus 10% via retrain-free appends (one fixed-centroid
+    // assignment pass), then re-probe: the daily-ingest serving shape
+    val nApp = n / 10
+    val newRows = spark.range(n, n.toLong + nApp)
+      .select(col("id").as("vec_id"), genVec(col("id")).as("embedding"))
+    val tA = System.nanoTime()
+    Similarity.appendToIvfIndex(newRows, "vec_id", "embedding", table)
+    val appendSec = (System.nanoTime() - tA) / 1e9
+    val afterAppend = median3 {
+      qids.foreach(q => Similarity.ivfProbePartitioned(spark, table, queryVec(q),
+        "vec_id", "embedding", k = 10, probes = 8).count())
+    }
+    // an appended vector is immediately served: its own query returns it top-1
+    val appQ = n + 5L
+    val appendedTop1 = Similarity.ivfProbePartitioned(spark, table, queryVec(appQ),
+      "vec_id", "embedding", k = 1, probes = 8)
+      .as[(Long, Double)].collect().headOption.exists(_._1 == appQ)
+
     println(f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
       f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
-      f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f}""")
+      f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f,""" +
+      f""""append_rows":$nApp,"append_sec":$appendSec%.2f,""" +
+      f""""indexed_after_append_sec":$afterAppend%.2f,"append_top1_self":$appendedTop1}""")
     spark.stop()
   }
 }
