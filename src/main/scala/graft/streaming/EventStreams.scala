@@ -203,7 +203,11 @@ object EventStreams {
         val bf = Dedup.benchmarkBloom(b, textCol, contaminationNgram, contaminationFpp)
         val bcBf = docs.sparkSession.sparkContext.broadcast(bf)
         val n = contaminationNgram
-        val bound = maxContamination
+        // floor at 1: the batch path's `n_shared >= maxContamination` drop
+        // can only ever see docs with >= 1 shared gram, so 0 behaves as 1
+        // there — without the floor the stream's `shared < bound` test
+        // would be vacuously false and drop every document
+        val bound = math.max(maxContamination, 1L)
         val clean = udf { (s: String) =>
           val grams = Dedup.ngramHashSetOf(s, n)
           var shared = 0L
