@@ -101,8 +101,9 @@ object AnnBench {
       qids.foreach(q => Similarity.ivfProbePartitioned(spark, table, queryVec(q),
         "vec_id", "embedding", k = 10, probes = 8).count())
     }
-    // an appended vector is immediately served: its own query returns it top-1
-    val appQ = n + 5L
+    // an appended vector is immediately served: its own query returns it
+    // top-1 (the FIRST appended id, valid for any nApp >= 1)
+    val appQ = n.toLong
     val appendedTop1 = Similarity.ivfProbePartitioned(spark, table, queryVec(appQ),
       "vec_id", "embedding", k = 1, probes = 8)
       .as[(Long, Double)].collect().headOption.exists(_._1 == appQ)

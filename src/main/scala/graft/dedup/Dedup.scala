@@ -165,23 +165,35 @@ object Dedup {
     * have near-identical-boilerplate clusters (templated pages, legal
     * footers) that survive exact dedup and land m ≫ 10⁴ documents in one
     * bucket — m² pair emission there stalls the stage no matter how AQE
-    * splits the partition. Members of such a mega-bucket are mutual
-    * near-dups by construction (they agree on an entire signature band),
-    * so full pairing is redundant for dedup: buckets larger than
-    * `maxBucket` instead emit an id-ordered CHAIN (each member paired with
-    * its successor — m−1 pairs), which keeps the whole bucket one
-    * connected component for [[dupClusters]] and still drops all but the
-    * lowest id under [[nearDedup]]'s greedy rule. Cost per oversized
-    * bucket falls from O(m²) pairs to an O(m log m) sort + O(m) pairs;
-    * buckets at or under the bound are exhaustively paired exactly as
-    * before, so results on a corpus with no mega-bucket are unchanged.
+    * splits the partition. Buckets larger than `maxBucket` instead emit a
+    * CHAIN (each member paired with its successor — m−1 pairs), keeping
+    * the bucket one connected component for [[dupClusters]] while
+    * [[nearDedup]]'s greedy rule still drops all but one member. Cost per
+    * oversized bucket falls from O(m²) pairs to an O(m log m) sort + O(m)
+    * pairs; buckets at or under the bound are exhaustively paired exactly
+    * as before, so results on a corpus with no mega-bucket are unchanged.
+    *
+    * Chain ORDER is a full-signature fingerprint, not the id: a mega-
+    * bucket is a band collision, so it can mix several true near-dup
+    * clusters with moderately-similar outliers, and an id-ordered chain
+    * routed through an outlier would lose whole clusters when its links
+    * fail Jaccard verification. Sorting by signature fingerprint makes
+    * identical-signature members contiguous, so every identical-signature
+    * subgroup (the boilerplate clusters the cap exists for) stays
+    * internally chained through links that certainly pass verification;
+    * what sampling gives up is only cross-subgroup pairs whose similarity
+    * was moderate to begin with.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     val sigs = df.select(col(idCol),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
-    val bb = lshBands(sigs, "sig", bands, idCol)
+    // __sg: 64-bit fingerprint of the FULL signature — the chain's sort
+    // key (identical docs share it, see the chain-order note above)
+    val bb = sigs
+      .select(col(idCol), xxhash64(col("sig")).as("__sg"),
+        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
     // Bucket size and successor are BOTH window functions over the one
     // (band, bucket) exchange the self-join needs anyway — NOT a separate
     // count aggregation joined back, which would plan a second independent
@@ -189,20 +201,24 @@ object Dedup {
     // it (measured ~2× the whole candidate stage). Every consumer below —
     // small-bucket self-join sides, mega-bucket chain — sits above the
     // same canonical exchange, which runtime stage reuse evaluates once.
-    // The added per-partition sort orders 24-byte (id, band, bucket) rows,
-    // noise next to one avoided signature pass.
+    // The added per-partition sort orders 32-byte (id, sg, band, bucket)
+    // rows, noise next to one avoided signature pass.
     val wBucket = Window.partitionBy(col("band"), col("bucket"))
     val keyed = bb
       .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .withColumn("__nxt", lead(col(idCol), 1).over(wBucket.orderBy(col(idCol))))
+      .withColumn("__nxt",
+        lead(col(idCol), 1).over(wBucket.orderBy(col("__sg"), col(idCol))))
     val small = keyed.filter(col("__bsz") <= maxBucket)
     val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))
     val exhaustive = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b")
-    // mega-buckets: id-ordered successor chain inside each (band, bucket)
+    // mega-buckets: signature-ordered successor chain inside each
+    // (band, bucket); least/greatest keeps the (a < b) pair convention
+    // nearDedup's drop-the-b-side rule depends on
     val chained = keyed.filter(col("__bsz") > maxBucket && col("__nxt").isNotNull)
-      .select(col(idCol).as("a"), col("__nxt").as("b"))
+      .select(least(col(idCol), col("__nxt")).as("a"),
+        greatest(col(idCol), col("__nxt")).as("b"))
     exhaustive.union(chained).distinct()
   }
 
@@ -266,25 +282,25 @@ object Dedup {
     * directory instead: rounds survive any executor loss, the requested
     * directory is honored regardless of SparkContext checkpoint state, and
     * each round's files are DELETED as soon as the next round supersedes
-    * them — only the final round's files remain (they back the returned
-    * DataFrame; the caller owns deleting the directory once done with the
-    * result). Long CC runs on preemptible clusters should always set it.
+    * them — only THIS run's final round files remain (they back the
+    * returned DataFrame; the caller owns deleting the directory once done
+    * with the result). Round paths carry a per-call unique prefix, so runs
+    * sharing a directory — sequential or concurrent — never touch each
+    * other's files; leftovers from an aborted run are likewise never
+    * reused or deleted. Long CC runs on preemptible clusters should
+    * always set it.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 32,
                   checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    def roundPath(dir: String, i: Int) = new org.apache.hadoop.fs.Path(dir, s"cc-round-$i")
-    // an aborted prior run may have left cc-round-* files behind; clear
-    // them up front so the documented "only the final round's files
-    // remain" contract holds for THIS run (a caller globbing the dir must
-    // never read a stale round's labels)
-    checkpointDir.foreach { dir =>
-      val d = new org.apache.hadoop.fs.Path(dir)
-      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(d))
-        fs.listStatus(d).filter(_.getPath.getName.startsWith("cc-round-"))
-          .foreach(s => fs.delete(s.getPath, true))
-    }
+    // per-call salt: two runs sharing a dir (sequential or concurrent)
+    // write disjoint round paths, so one run's cleanup can never delete
+    // files still lazily backing another run's returned frame; files left
+    // by an ABORTED run are deliberately not touched (they might be a
+    // live run's) — the caller owns the directory's lifecycle
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    def roundPath(dir: String, i: Int) =
+      new org.apache.hadoop.fs.Path(dir, s"cc-$salt-round-$i")
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -428,13 +444,46 @@ object Dedup {
     * counted. No shuffle of text, no corpus×corpus pairing.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, textCol: String,
-                    idCol: String, n: Int = 8): DataFrame = {
-    val bench = benchmark
-      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
+                    idCol: String, n: Int = 8): DataFrame =
     corpus.select(col(idCol), explode(ngramHashSet(col(textCol), n)).as("__g"))
-      .join(broadcast(bench), "__g")
+      .join(broadcast(benchGrams(benchmark, textCol, n)), "__g")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+
+  /** A benchmark's distinct gram-hash set — the shared ingredient of every
+    * contamination flavor (exact broadcast join, Bloom build, Bloom-path
+    * exact verify), factored so sizing/tokenization fixes can never drift
+    * between them.
+    */
+  private def benchGrams(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark.select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
+
+  // Bloom build needs TWO actions over the gram set (size it, then fill
+  // it); `sized` persists across them so the tokenize+explode+distinct
+  // work — multi-minute for the benchmarks this path exists for — runs
+  // once. `retain` keeps the persisted copy alive for a caller that joins
+  // against the grams afterwards (blocks are LRU-evictable and lineage is
+  // kept, so retaining is safe at any benchmark size).
+  private def bloomOf(grams: DataFrame, fpp: Double,
+                      retain: Boolean): (org.apache.spark.util.sketch.BloomFilter, DataFrame) = {
+    val sized = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = sized.stat.bloomFilter("__g", math.max(sized.count(), 1L), fpp)
+    if (!retain) sized.unpersist()
+    (bf, sized)
   }
+
+  /** Bloom filter of a benchmark's distinct gram hashes — the broadcastable
+    * artifact behind [[contaminationBloom]] and the streaming
+    * decontamination stage
+    * ([[graft.streaming.EventStreams.curateDocs]]). Stateless once built:
+    * membership tests run map-side wherever the filter is shipped. Sized
+    * from the measured distinct-gram count at the given false-positive
+    * rate; a consumer with no exact-verify join (the streaming path)
+    * over-drops a clean g-gram document with probability ≲ g·fpp, so the
+    * default fpp is tight.
+    */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int = 8,
+                     fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter =
+    bloomOf(benchGrams(benchmark, textCol, n), fpp, retain = false)._1
 
   /** Bloom-filter contamination — the documented escape hatch of
     * [[contamination]] for benchmarks too large to broadcast as an exact
@@ -447,28 +496,9 @@ object Dedup {
     * driver hash-gates d07 against d06's oracle); the broadcast shrinks
     * from O(grams × 8 bytes) to O(−n·ln(fpp)/ln²2 bits).
     */
-  /** Bloom filter of a benchmark's distinct gram hashes — the broadcastable
-    * artifact behind [[contaminationBloom]] and the streaming
-    * decontamination stage
-    * ([[graft.streaming.EventStreams.curateDocs]]). Stateless once built:
-    * membership tests run map-side wherever the filter is shipped. Sized
-    * from the measured distinct-gram count at the given false-positive
-    * rate; a consumer with no exact-verify join (the streaming path)
-    * over-drops a clean g-gram document with probability ≲ g·fpp, so the
-    * default fpp is tight.
-    */
-  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int = 8,
-                     fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
-    val bench = benchmark
-      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
-    bench.stat.bloomFilter("__g", math.max(bench.count(), 1L), fpp)
-  }
-
   def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, textCol: String,
                          idCol: String, n: Int = 8, fpp: Double = 0.01): DataFrame = {
-    val bench = benchmark
-      .select(explode(ngramHashSet(col(textCol), n)).as("__g")).distinct()
-    val bf = bench.stat.bloomFilter("__g", math.max(bench.count(), 1L), fpp)
+    val (bf, bench) = bloomOf(benchGrams(benchmark, textCol, n), fpp, retain = true)
     val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { (g: Long) => bcBf.value.mightContainLong(g) }
     corpus.select(col(idCol), explode(ngramHashSet(col(textCol), n)).as("__g"))

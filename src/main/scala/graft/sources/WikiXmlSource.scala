@@ -120,25 +120,58 @@ object WikiXmlSource {
   /** Site URL prefix from `/mediawiki/siteinfo/base`
     * (WikiExtractor.py:647-651): everything before the last '/'.
     *
-    * Scans only file HEADS: each split contributes its first `headLines`
-    * lines (`mapPartitions` + a lazy `take`, so a split stops reading
-    * once its head is exhausted), and `take(1)` stops everything at the
-    * first hit. A dump with no `<base>` anywhere therefore costs
-    * O(splits × headLines) lines — NOT a full-corpus read, which is what
-    * the old unbounded filter paid before returning None.
+    * Reads only file HEADS, per FILE (not per Spark split — split packing
+    * can hide a tiny header sibling behind a large part in the same
+    * partition): files are visited in name order with an early exit at
+    * the first `<base>` hit, each contributing at most its first
+    * `headLines` lines (decompressed through the file's Hadoop codec, so
+    * gz/bz2 dumps cost only their head too). A dump with no `<base>`
+    * anywhere therefore costs O(files × headLines) lines — bounded
+    * metadata discovery like partition listing, NOT the full-corpus read
+    * the old unbounded filter paid before returning None. Driver-side on
+    * purpose: it is a metadata lookup, and the common case (siteinfo in
+    * the dump header, or [[recode]]'s `aa-siteinfo.txt` sorting first)
+    * touches one file head.
     *
     * Contract: the `<base>` element must sit within the first `headLines`
-    * lines of whichever file holds it — true by construction for real
-    * dumps (siteinfo precedes the first page) and for [[recode]] outputs
-    * (the header is re-emitted as a head-positioned sibling file).
+    * lines of its FILE — true by construction for real dumps (siteinfo
+    * precedes the first page) and for [[recode]] outputs (the header is
+    * re-emitted as a head-positioned sibling). A directory produced by
+    * recode BEFORE this contract existed scatters the header mid-part and
+    * needs a re-recode (or a hand-placed header sibling) to resolve.
     */
   def basePrefix(spark: SparkSession, path: String,
                  headLines: Int = 4096): Option[String] = {
-    import spark.implicits._
-    val head = spark.read.textFile(path)
-      .mapPartitions(_.take(headLines).filter(_.contains("<base>")))
-      .take(1)
-    head.headOption.flatMap { line =>
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return None
+    val files =
+      (if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(root))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .sortBy(_.getName)
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(hconf)
+    def headBase(f: org.apache.hadoop.fs.Path): Option[String] = {
+      val raw = fs.open(f)
+      try {
+        val in: java.io.InputStream =
+          Option(codecs.getCodec(f)).map(_.createInputStream(raw)).getOrElse(raw)
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        var hit: Option[String] = None
+        var i = 0
+        var line = br.readLine()
+        while (hit.isEmpty && line != null && i < headLines) {
+          if (line.contains("<base>")) hit = Some(line)
+          i += 1
+          line = if (hit.isEmpty && i < headLines) br.readLine() else null
+        }
+        hit
+      } finally raw.close()
+    }
+    files.iterator.flatMap(f => headBase(f)).nextOption().flatMap { line =>
       val m = baseRe.matcher(line)
       if (m.find()) {
         val base = m.group(1)

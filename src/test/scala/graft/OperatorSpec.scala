@@ -168,11 +168,13 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
     // reliable mode spills rounds into the REQUESTED dir (never a
-    // session-level checkpoint location), and deletes each round as soon
-    // as the next supersedes it — only the final round's files remain
+    // session-level checkpoint location) under a per-call salted prefix,
+    // and deletes each round as soon as the next supersedes it — only
+    // this run's final round files remain
     import scala.jdk.CollectionConverters._
     val rounds = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("cc-round-")).toSeq
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(f => f.startsWith("cc-") && f.contains("-round-")).toSeq
     assert(rounds.size == 1, s"expected exactly the final round's spill, found: $rounds")
   }
 

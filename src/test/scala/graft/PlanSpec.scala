@@ -80,13 +80,16 @@ class PlanSpec extends SparkSpec {
     // the mightContain prune is a plain Filter on the exploded gram column
     assert("Condition : UDF\\(__g".r.findFirstIn(p).isDefined,
       s"bloom mightContain prune missing from the plan:\n$p")
-    // corpus grams never shuffle: the only gram-keyed exchange is the tiny
-    // benchmark-side distinct, and the exact-verify join is broadcast —
-    // the property that makes this the huge-benchmark escape hatch (the
-    // clean majority dies in the scan stage, before any wire transfer)
-    val gramExchanges = "hashpartitioning\\(__g".r.findAllIn(p).size
-    assert(gramExchanges <= 1,
-      s"corpus grams are shuffled ($gramExchanges gram-keyed exchanges):\n$p")
+    // corpus grams never shuffle: gram-keyed exchanges may appear only on
+    // the benchmark side (whose rows are just __g — including inside its
+    // cached-build plan); an exchange carrying doc_id alongside the gram
+    // key would be the corpus exploding onto the wire, exactly what the
+    // map-side prune exists to prevent. The exact-verify join broadcasts.
+    for (b <- p.split("\\n\\s*\\(\\d+\\) ")
+         if b.startsWith("Exchange") && b.contains("hashpartitioning(__g")) {
+      assert(!b.contains("doc_id"),
+        s"corpus grams are shuffled on the gram key:\n$b")
+    }
     assert(p.contains("BroadcastHashJoin"),
       s"exact-verify join fell back from broadcast:\n$p")
   }
