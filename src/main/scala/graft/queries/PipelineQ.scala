@@ -80,6 +80,10 @@ object PipelineQ {
        |  SELECT doc_id, text, toks,
        |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
        |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS cjk,
+       |    CAST(len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS kana,
+       |    CAST(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7A3}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS hangul,
        |    $counts,
        |    CAST(len(toks) AS DOUBLE) AS n_tokens,
        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
@@ -87,7 +91,9 @@ object PipelineQ {
        |scored1 AS (SELECT *, $best AS best FROM scored0),
        |scored AS (
        |  SELECT doc_id, text, toks,
-       |    CASE WHEN cjk > 0.25 THEN 'zh'
+       |    CASE WHEN hangul > 0.25 THEN 'ko'
+       |         WHEN kana > 0.10 THEN 'ja'
+       |         WHEN cjk > 0.25 THEN 'zh'
        |         WHEN best = 0 THEN 'und'
        |         $vote END AS lang,
        |    LEAST(1.0, n_tokens / 64.0) *

@@ -146,11 +146,17 @@ object TextQ {
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
        |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS cjk,
+       |    CAST(len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS kana,
+       |    CAST(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7A3}]')) AS DOUBLE)
+       |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS hangul,
        |    $counts
        |  FROM t),
        |b AS (SELECT *, $best AS best FROM c)
        |SELECT doc_id,
-       |  CASE WHEN cjk > 0.25 THEN 'zh'
+       |  CASE WHEN hangul > 0.25 THEN 'ko'
+       |       WHEN kana > 0.10 THEN 'ja'
+       |       WHEN cjk > 0.25 THEN 'zh'
        |       WHEN best = 0 THEN 'und'
        |       $vote END AS lang_pred
        |FROM b

@@ -62,27 +62,35 @@ object TextOps {
     "cs" -> Seq("a", "se", "na", "je", "že", "v", "to", "s", "z", "do", "o", "ale", "jako", "pro"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya"))
 
-  /** Stopword-vote + CJK-ratio language ID. Returns the code of the
+  /** Stopword-vote + script-ratio language ID. Returns the code of the
     * highest-voting language in [[stopwords]] (16 languages across Latin
-    * and Cyrillic scripts), "zh" on CJK density, or "und" when no signal.
+    * and Cyrillic scripts), a script call for the space-free CJK
+    * languages — "ko" on Hangul-syllable density, "ja" on kana density
+    * (kana is what separates Japanese from Chinese text, which shares the
+    * Han range), "zh" on Han density — or "und" when no signal.
     *
     * Pure column expression: tokens are matched against literal stopword
-    * arrays with a higher-order `filter`, CJK density via regexp count —
-    * no UDF, no shuffle.
+    * arrays with a higher-order `filter`, script densities via regexp
+    * counts — no UDF, no shuffle.
     */
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val counts = stopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => array_contains(lit(words.toArray), t)))
     }
-    val cjk = regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
+    val len = greatest(length(text).cast("double"), lit(1.0))
+    val cjk = regexp_count(text, lit("[\\x{4E00}-\\x{9FFF}]")).cast("double") / len
+    val kana = regexp_count(text, lit("[\\x{3040}-\\x{30FF}]")).cast("double") / len
+    val hangul = regexp_count(text, lit("[\\x{AC00}-\\x{D7A3}]")).cast("double") / len
     val cs = counts.map(_._2)
     val best = greatest(cs: _*)
     val vote = counts.foldRight(lit("und")) { case ((lang, c), acc) =>
       when(c === best, lit(lang)).otherwise(acc)
     }
-    when(cjk > 0.25, lit("zh")).when(best === 0, lit("und")).otherwise(vote)
+    when(hangul > 0.25, lit("ko"))
+      .when(kana > 0.10, lit("ja"))
+      .when(cjk > 0.25, lit("zh"))
+      .when(best === 0, lit("und")).otherwise(vote)
   }
 
   private val WS = java.util.regex.Pattern.compile("\\s+")
@@ -140,19 +148,28 @@ object TextOps {
       }
       var chars = 0
       var cjkN = 0
+      var kanaN = 0
+      var hangulN = 0
       var ci = 0
       while (ci < s.length) {
         val cp = s.codePointAt(ci)
         if (cp >= 0x4E00 && cp <= 0x9FFF) cjkN += 1
+        else if (cp >= 0x3040 && cp <= 0x30FF) kanaN += 1
+        else if (cp >= 0xAC00 && cp <= 0xD7A3) hangulN += 1
         chars += 1
         ci += Character.charCount(cp)
       }
       var best = 0
       var l = 0
       while (l < nLangs) { if (counts(l) > best) best = counts(l); l += 1 }
-      val cjk = cjkN.toDouble / math.max(chars.toDouble, 1.0)
+      val denom = math.max(chars.toDouble, 1.0)
+      val cjk = cjkN.toDouble / denom
+      val kana = kanaN.toDouble / denom
+      val hangul = hangulN.toDouble / denom
       val lang =
-        if (cjk > 0.25) "zh"
+        if (hangul > 0.25) "ko"
+        else if (kana > 0.10) "ja"
+        else if (cjk > 0.25) "zh"
         else if (best == 0) "und"
         else {
           var k = 0

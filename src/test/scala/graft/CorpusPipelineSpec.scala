@@ -121,7 +121,11 @@ class CorpusPipelineSpec extends SparkSpec {
       "i w nie na się z do to że", "и в не на что он с как это",
       "bir ve bu da için ile ne ki", "și de la cu un în este pe",
       "a se na je že v to s z", "yang dan di itu dengan untuk",
-      "de da i o a en un in is on"
+      "de da i o a en un in is on",
+      // script calls: hangul, kana-with-kanji (ja beats zh), pure han,
+      // and threshold edges (kana just under 10%, hangul just under 25%)
+      "이것은 한국어 문장입니다", "これは日本語の文です", "汉字汉字汉字汉字",
+      "latin text with one か char and padding words", "한글 two three four five six"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val fromTable = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq

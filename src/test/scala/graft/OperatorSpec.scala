@@ -592,7 +592,9 @@ class OperatorSpec extends SparkSpec {
       ("pisica nu este în casă și de la un timp este pe care mai din", "ro"),
       ("kočka není doma a to je problém ale se to na pro nás jako z", "cs"),
       ("kucing itu tidak ada di dalam rumah dan ini akan jadi masalah untuk saya", "id"),
-      ("这是一个中文句子没有空格", "zh")
+      ("这是一个中文句子没有空格", "zh"),
+      ("これは日本語の文です、猫が好きです", "ja"), // kana separates ja from zh
+      ("이것은 한국어 문장입니다 고양이가 좋아요", "ko")
     ).toDF("text", "expected")
     val got = samples.select(TextOps.langId(col("text")).as("got"), col("expected"))
       .as[(String, String)].collect()
