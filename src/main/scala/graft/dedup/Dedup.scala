@@ -507,6 +507,116 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span-level exact dedup (the C4/RefinedWeb-style pass): each document
+    * is cut into consecutive `spanTokens`-token spans, every span occurrence
+    * except the corpus-FIRST one (minimum (id, position)) is removed, and
+    * surviving spans are reassembled in order. Documents whose every span
+    * was seen earlier disappear entirely. This is the complement of
+    * document-level dedup: it removes repeated boilerplate EMBEDDED in
+    * otherwise-distinct documents (headers, license blocks, navigation
+    * text), which neither exact nor near document dedup can touch.
+    *
+    * Returns one row per surviving document: (idCol, n_spans, n_kept,
+    * dedup_text). Reassembly joins spans with single spaces, so documents
+    * with irregular whitespace come back whitespace-normalized — the same
+    * canonicalization every downstream tokenizer applies anyway.
+    *
+    * Shuffle shape at scale: span TEXT never shuffles more than once per
+    * (document, distinct span), and the corpus is scanned ONCE. Occurrences
+    * first collapse map-side to (id, span, min pos) — the (id, span) key is
+    * not skewed. The corpus-first winner per distinct span is then a
+    * `min(struct(id, pos))` WINDOW over the span-keyed exchange, not a
+    * separate aggregation joined back: a second branch over the span rows
+    * would re-plan (and re-run) the dominant explode+collapse stage for the
+    * winners side — the same double-branch trap the LSH bucket sizing hit —
+    * while the window derives the verdict on the one exchange the verdict
+    * consumer needs anyway. A hot boilerplate span routes one row per
+    * containing document (never per occurrence) into its window partition;
+    * reassembly groups by id (unskewed).
+    */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 spanTokens: Int = 3): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("long")
+    val spans = df.select(col(idCol), nSpans.as("n_spans"),
+        posexplode(transform(sequence(lit(0), (nSpans - 1).cast("int")),
+          i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens)))))
+          .as(Seq("pos", "span")))
+    // collapse within-doc repeats map-side; keep each doc's first occurrence
+    val perDoc = spans.groupBy(col(idCol), col("n_spans"), col("span"))
+      .agg(min(col("pos")).as("pos"))
+    // corpus-first occurrence per distinct span: lexicographic (id, pos)
+    // min as a window over the span partition (single scan, see scaladoc)
+    val w = Window.partitionBy(col("span"))
+    perDoc
+      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
+      .filter(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"))
+      .groupBy(col(idCol), col("n_spans"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("dedup_text"))
+  }
+
+  /** Exact embedding-cosine duplicate pairs: every (a < b) pair whose
+    * cosine similarity meets `threshold`. The quadratic VERIFICATION tier —
+    * norms are precomputed per side and the per-pair work is one codegen'd
+    * [[graft.similarity.Similarity.dot]] — run it on a corpus slice, a
+    * candidate set, or as the oracle anchor for [[semanticDedup]]'s
+    * clustered path; at full-corpus scale use [[semanticDedup]], which
+    * restricts pairing to centroid cells.
+    */
+  def cosineDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, roundTo: Int = 4): DataFrame = {
+    import graft.similarity.Similarity.dot
+    val sides = emb.select(col(idCol), col(vecCol),
+      sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+    val l = sides.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val r = sides.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), roundTo).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup: cluster embeddings into `nCentroids`
+    * k-means cells ([[graft.similarity.Similarity.ivfAssign]] — the same
+    * training the IVF ANN tier uses), generate candidate pairs only WITHIN
+    * each cell, keep pairs whose cosine meets `threshold`, resolve
+    * transitive clusters with [[dupClusters]], and keep the minimum-id
+    * representative of each cluster. Returns the surviving rows of `emb`.
+    *
+    * Scale shape: pairing is per-cell, so the quadratic term is bounded by
+    * the largest cell, not the corpus — size `nCentroids` so cells hold
+    * roughly the within-cell pair budget (the SemDeDup recipe: k grows with
+    * corpus size; monitor cell sizes exactly like
+    * [[graft.similarity.Similarity.ivfCellSizes]]). What clustering gives
+    * up is only CROSS-cell pairs, which k-means has already certified as
+    * farther apart than anything within a cell. The assigned frame is
+    * persisted (lineage kept, LRU-evictable) because the self-join's two
+    * branches would otherwise re-run assignment over the corpus.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.9, nCentroids: Int = 16,
+                    lloydIters: Int = 1): DataFrame = {
+    import graft.similarity.Similarity.{dot, ivfAssign}
+    val (assigned, _) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val sides = assigned.select(col("cell"), col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sides.select(col("cell"), col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val r = sides.select(col("cell"), col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val edges = l.join(r, "cell").filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .select(col("a"), col("b"))
+    val drop = dupClusters(edges)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    sides.unpersist()
+    emb.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Jaccard similarity of two precomputed distinct-gram arrays. */
   def jaccardOfSets(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb)).cast("double")

@@ -47,8 +47,12 @@ object Materialize {
   *   1. language ID + quality gate      (columnar, no shuffle)
   *   2. exact dedup                     (one shuffle on a content hash)
   *   3. MinHash-LSH near-dedup          (banded shuffle, candidates only)
-  *   4. benchmark-contamination drop    (broadcast anti-join, optional)
-  *   5. train/val/test assignment       (columnar, deterministic)
+  *   4. span-level exact dedup          (optional: cut repeated boilerplate
+  *                                       spans out of survivors — the text
+  *                                       REWRITE stage, so everything
+  *                                       after keys on the rewritten text)
+  *   5. benchmark-contamination drop    (broadcast anti-join, optional)
+  *   6. train/val/test assignment       (columnar, deterministic)
   *
   * Every stage keeps the semantics of its already-spec'd standalone
   * operator; this object fixes the composition order and threads the
@@ -79,6 +83,15 @@ object CorpusPipeline {
     *                          the exact-only configuration
     * @param maxContamination  drop docs sharing ≥ this many distinct n-grams
     *                          with the benchmark (when one is given)
+    * @param spanDedupTokens   when set, run span-level exact dedup
+    *                          ([[Dedup.dedupSpans]] with this span size)
+    *                          AFTER document-level dedup and BEFORE
+    *                          contamination: repeated boilerplate spans are
+    *                          cut out of surviving documents (documents
+    *                          consumed entirely are dropped), and the later
+    *                          stages — contamination grams, split
+    *                          assignment — key on the REWRITTEN text, which
+    *                          is the text that actually trains
     * @param materialize       materialization strategy for survivor sets
     *                          that fan out into multiple downstream reads
     *                          (see [[Materialize]]; `Off` for single-pass
@@ -100,6 +113,7 @@ object CorpusPipeline {
       maxContamination: Long = 1,
       trainPct: Int = 90,
       valPct: Int = 5,
+      spanDedupTokens: Option[Int] = None,
       materialize: Materialize = Materialize.Disk,
       redactPii: Boolean = false)
 
@@ -139,23 +153,45 @@ object CorpusPipeline {
       }
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
-    // near-dedup reads its input 3×; contamination adds 2 more reads
-    val exactBranches = (if (nearDedupOn) 3 else 1) +
-      (if (!nearDedupOn && benchmark.isDefined) 1 else 0)
+    val spanOn = cfg.spanDedupTokens.isDefined
+    // each stage's survivor set is materialized by how many downstream
+    // reads actually fan out of it: near-dedup reads its input 3×; the
+    // span stage 2× (the span pipeline + the column join-back);
+    // contamination 2× (the gram count + the anti-join base)
+    def fanOut(next: List[Boolean]): Int = next match {
+      case true :: _ => 2
+      case false :: rest => fanOut(rest)
+      case Nil => 1
+    }
+    val exactBranches =
+      if (nearDedupOn) 3 else fanOut(List(spanOn, benchmark.isDefined))
     val exact = materialize(Dedup.exact(scored, textCol, idCol), exactBranches)
 
     val deduped =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
-        if (benchmark.isDefined) 2 else 1)
+        fanOut(List(spanOn, benchmark.isDefined)))
+
+    val spanned = cfg.spanDedupTokens match {
+      case None => deduped
+      case Some(k) =>
+        // rewrite the text from surviving spans, keeping every other
+        // column; documents consumed entirely drop out via the inner join
+        val sd = Dedup.dedupSpans(deduped, textCol, idCol, k)
+          .select(col(idCol), col("dedup_text"))
+        materialize(
+          deduped.drop(textCol).join(sd, Seq(idCol))
+            .withColumnRenamed("dedup_text", textCol),
+          fanOut(List(benchmark.isDefined)))
+    }
 
     val decontaminated = benchmark match {
-      case None => deduped
+      case None => spanned
       case Some(b) =>
-        val dirty = Dedup.contamination(deduped, b, textCol, idCol, cfg.contaminationNgram)
+        val dirty = Dedup.contamination(spanned, b, textCol, idCol, cfg.contaminationNgram)
           .filter(col("n_shared") >= cfg.maxContamination)
           .select(col(idCol))
-        deduped.join(dirty, Seq(idCol), "left_anti")
+        spanned.join(dirty, Seq(idCol), "left_anti")
     }
 
     val split = decontaminated.withColumn("split",

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 
-/** Deduplication queries. d01 is exact and oracle-checked; the near-dup
-  * family (MinHash/SimHash/Jaccard/embedding) emits deterministic
+/** Deduplication queries. d01 (exact), d08 (span-level), d09/d10
+  * (embedding-cosine pairs and SemDeDup survivors, over planted twins) are
+  * oracle-checked; the MinHash/SimHash family emits deterministic
   * per-document artifacts (signatures, buckets, ranked pairs) with
   * rows-only checks — their pairing semantics are spec-tested on corpora
   * with planted near-duplicates.
@@ -83,6 +84,49 @@ object DedupQ {
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
         "text", "doc_id", n = 5)
         .orderBy("doc_id")
+    },
+
+    // L25: span-level exact dedup (C4/RefinedWeb-style): 3-token spans,
+    // corpus-first occurrence kept, documents reassembled from survivors.
+    // Oracle-checked end to end — counts AND the reassembled text hash.
+    "d08_span_dedup" -> { (s, dir) =>
+      Dedup.dedupSpans(Tables(s, dir, "documents"), "text", "doc_id", spanTokens = 3)
+        .orderBy("doc_id")
+    },
+
+    // L26: exact embedding-cosine duplicate pairs. The natural corpus has
+    // no near-dup pair (max cosine ≈ 0.51), so every 10th vector gets a
+    // planted twin (id + 1000000, elements × 1.01f — hash-distinct floats,
+    // cosine exactly 1 in exact arithmetic): the gate certifies both that
+    // all 50 planted pairs surface and that NO natural pair crosses 0.8.
+    // Float parity note: a float×float product computed in double and
+    // rounded to float is identical to the direct float multiply (24-bit
+    // products fit exactly in 53 bits), so the twins are bit-identical
+    // across engines.
+    "d09_cosine_dup_pairs" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Dedup.cosineDupPairsExact(emb.unionByName(twins), "vec_id", "embedding",
+        threshold = 0.8)
+        .orderBy("a", "b")
+    },
+
+    // L26b: SemDeDup-style semantic dedup over the same corpus with EXACT-
+    // copy twins (identical floats ⇒ identical centroid assignment ⇒ the
+    // within-cell pairing can never miss a planted pair, whatever the
+    // trained centroids are). Survivors = the 500 originals; the oracle
+    // derives the same set from exact quadratic pairs, which certifies the
+    // clustered approximate path end to end on this corpus.
+    "d10_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      Dedup.semanticDedup(emb.unionByName(twins), "vec_id", "embedding",
+        threshold = 0.8, nCentroids = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
     },
 
     // L5: embedding near-dup — nearest neighbor per vector for the first
@@ -169,6 +213,81 @@ object DedupQ {
         |FROM corpus JOIN bench USING (gr)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Same span cutting (3-token windows over the \s+ tokenization), same
+    // corpus-first winner rule ((doc_id, pos) lexicographic min), same
+    // space-joined reassembly.
+    "d08_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, toks,
+        |    UNNEST(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS pos
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS span
+        |  FROM s0),
+        |pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM s GROUP BY doc_id, span),
+        |k AS (
+        |  SELECT doc_id, span, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+        |  FROM pd),
+        |kept AS (SELECT doc_id, span, pos FROM k WHERE rn = 1),
+        |tot AS (SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_spans FROM t)
+        |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
+        |  string_agg(span, ' ' ORDER BY pos) AS dedup_text
+        |FROM kept JOIN tot USING (doc_id)
+        |GROUP BY doc_id, n_spans
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same twin planting (vec_id % 10, ×1.01 in FLOAT), same double cosine
+    // with per-side norms, same ROUND(...,4) and threshold on the rounded
+    // value.
+    "d09_cosine_dup_pairs" ->
+      """WITH tw AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+        |      AS embedding
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM tw),
+        |m AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM all_v),
+        |n AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM m)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // The oracle resolves the SAME semantics through the exact quadratic
+    // path: pairs ≥ threshold (unrounded, like semanticDedup's edge
+    // filter), drop the higher id of each pair. On this corpus the dup
+    // graph is disjoint twin pairs (no natural pair reaches 0.52), so
+    // greedy pair-drop ≡ connected-components keep-min, and the clustered
+    // Spark path can never miss a pair (exact-copy twins share a cell by
+    // construction) — the hash gate certifies exactly that.
+    "d10_semantic_dedup" ->
+      """WITH tw AS (
+        |  SELECT vec_id + 1000000 AS vec_id, embedding, label
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |all_v AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding, label FROM tw),
+        |m AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM all_v),
+        |n AS (SELECT vec_id, label, e, SQRT(list_dot_product(e, e)) AS nrm FROM m),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.8)
+        |SELECT vec_id, label FROM all_v
+        |WHERE vec_id NOT IN (SELECT DISTINCT b FROM p)
+        |ORDER BY vec_id""".stripMargin,
 
     // Same arithmetic as the Spark side: double dot products, norms factored
     // out, ROUND(...,4) before the argmax, ties toward the lower vec_id.

@@ -52,16 +52,38 @@ object PipelineQ {
         .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
           col("split"))
         .orderBy("doc_id")
+    },
+
+    // L22+L25 (hash-gated): c02's composition plus the span-level dedup
+    // REWRITE stage (3-token spans). The gate covers the stage ordering
+    // that matters: contamination grams and the split assignment key on
+    // the REWRITTEN text, and `text_md5` pins the rewritten text itself.
+    "c03_curate_span" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.curate(
+        docs.filter(col("doc_id") >= 20), "text", "doc_id",
+        CorpusPipeline.Config(
+          langs = CurateLangs,
+          minQuality = 0.3, nearDupThreshold = 1.5, contaminationNgram = 5,
+          spanDedupTokens = Some(3)),
+        benchmark = Some(docs.filter(col("doc_id") < 20)))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
+          col("split"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
     }
   )
 
-  // The c02 oracle replays every stage of curate() in one DuckDB WITH-chain.
-  // The lang CASE is generated from TextOps.stopwords (same literals as the
-  // Scala side, same tie-break: first language in list order wins); quality
-  // is t02's formula; exact dedup keeps the lowest doc_id per distinct text;
-  // contamination mirrors d06's string-5-gram logic against the doc_id < 20
-  // benchmark slice; split is t07's md5-bucket assignment.
-  private val curateExactOracle: String = {
+  // The c02/c03 oracles replay every stage of curate() in one DuckDB
+  // WITH-chain (both generated from this template so the shared stages can
+  // never drift). The lang CASE is generated from TextOps.stopwords (same
+  // literals as the Scala side, same tie-break: first language in list
+  // order wins); quality is t02's formula; exact dedup keeps the lowest
+  // doc_id per distinct text; with `spanStage` the d08 span-dedup SQL
+  // rewrites the surviving text BEFORE the later stages; contamination
+  // mirrors d06's string-5-gram logic against the doc_id < 20 benchmark
+  // slice over the (possibly rewritten) text; split is t07's md5-bucket
+  // assignment on the same text.
+  private def curateOracle(spanStage: Boolean): String = {
     val counts = TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
@@ -104,9 +126,10 @@ object PipelineQ {
        |gated AS (
        |  SELECT * FROM scored
        |  WHERE lang IN ($langList) AND quality >= 0.3),
-       |exact AS (
+       |exact0 AS (
        |  SELECT * FROM gated
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |${if (spanStage) spanRewriteSql else passthroughSql}
        |bgrams AS (
        |  SELECT DISTINCT unnest(
        |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
@@ -128,7 +151,8 @@ object PipelineQ {
        |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
        |  GROUP BY doc_id HAVING COUNT(*) >= 1)
        |SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
-       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split${
+        if (spanStage) ",\n       |  md5(e.text) AS text_md5" else ""}
        |FROM (SELECT *,
        |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
        |      FROM exact) e
@@ -136,7 +160,36 @@ object PipelineQ {
        |ORDER BY e.doc_id""".stripMargin
   }
 
+  // d08's span-dedup SQL applied to the exact-dedup survivors: cut 3-token
+  // spans, keep the corpus-first occurrence of each ((doc_id, pos) min),
+  // reassemble in order — documents consumed entirely drop via the join.
+  // The rewritten text REPLACES `text`/`toks` for every later stage.
+  private val spanRewriteSql: String =
+    """sp0 AS (
+      |  SELECT doc_id, toks,
+      |    UNNEST(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS pos
+      |  FROM exact0),
+      |sp AS (
+      |  SELECT doc_id, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS span
+      |  FROM sp0),
+      |pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM sp GROUP BY doc_id, span),
+      |kw AS (
+      |  SELECT doc_id, span, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM pd),
+      |rw AS (
+      |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+      |  FROM kw WHERE rn = 1 GROUP BY doc_id),
+      |exact AS (
+      |  SELECT e.doc_id, e.lang, e.quality, r.text,
+      |    string_split_regex(r.text, '\s+') AS toks
+      |  FROM exact0 e JOIN rw r USING (doc_id)),""".stripMargin
+
+  private val passthroughSql: String =
+    "exact AS (SELECT doc_id, lang, quality, text, toks FROM exact0),"
+
   val oracles: Map[String, String] = Map(
-    "c02_curate_exact" -> curateExactOracle
+    "c02_curate_exact" -> curateOracle(spanStage = false),
+    "c03_curate_span" -> curateOracle(spanStage = true)
   )
 }

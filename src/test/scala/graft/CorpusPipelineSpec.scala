@@ -61,6 +61,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L), s"survivors: $ids")
   }
 
+  test("spanDedupTokens cuts repeated boilerplate spans out of survivors") {
+    // doc 2 embeds doc 1's first span as leading boilerplate; doc 3 is
+    // built ENTIRELY of doc 1's spans (reordered) and must disappear
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma red orange yellow green blue purple"),
+      (3L, "delta epsilon zeta alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(langs = Set("und"), minQuality = 0.0,
+      nearDupThreshold = 1.5, spanDedupTokens = Some(3))
+    val out = CorpusPipeline.curate(docs, "text", "doc_id", cfg)
+    val rows = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 1 is the corpus-first owner of each of its spans — untouched
+    assert(rows(1L) == "alpha beta gamma delta epsilon zeta")
+    // doc 2 loses exactly the boilerplate span, keeps its own content
+    assert(rows(2L) == "red orange yellow green blue purple")
+    // doc 3: every span already owned by doc 1 — the document disappears
+    assert(!rows.contains(3L))
+    // the split keys on the REWRITTEN text: doc 2's assignment must equal
+    // splitAssign of the residual string, not of the original
+    val sp = out.filter(col("doc_id") === 2L).select("split").as[String].head()
+    val expected = spark.range(1)
+      .select(graft.text.TextOps.splitAssign(lit("red orange yellow green blue purple")))
+      .as[String].head()
+    assert(sp == expected)
+    // stage off → doc 3 survives untouched
+    val off = CorpusPipeline.curate(docs, "text", "doc_id",
+      cfg.copy(spanDedupTokens = None))
+    assert(off.count() == 3)
+  }
+
   test("redactPii=true masks PII after dedup and split, like the streaming intake") {
     val docs = Seq(
       (1L, english + "reach admin@example.net or 10.1.2.3 now"),

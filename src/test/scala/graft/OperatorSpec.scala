@@ -57,6 +57,64 @@ class OperatorSpec extends SparkSpec {
     assert(capped == base)
   }
 
+  test("dedupSpans removes repeated spans corpus-wide, keeping the first occurrence") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"), // 2 spans, both corpus-first
+      (2L, "a1 a2 a3 c1 c2 c3"), // first span already seen in doc 1
+      (3L, "b1 b2 b3 a1 a2 a3"), // every span seen → document disappears
+      (4L, "p q r p q r"), // within-doc repeat collapses to one occurrence
+      (5L, "x y") // sub-span-length tail kept as a short span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(corpus, "text", "doc_id", spanTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, "a1 a2 a3 b1 b2 b3"),
+      (2L, 2L, 1L, "c1 c2 c3"),
+      (4L, 2L, 1L, "p q r"),
+      (5L, 1L, 1L, "x y")))
+  }
+
+  test("cosineDupPairsExact finds colinear pairs and only those") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), // colinear with 1 → cosine 1.0
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.6f, 0.8f)) // cosine 0.8 vs 3, 0.6 vs 1
+    ).toDF("vec_id", "embedding")
+    val hi = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hi == Set((1L, 2L, 1.0)))
+    val mid = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", 0.75)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mid == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("semanticDedup keeps one representative per transitive cosine cluster") {
+    // chain at angles 0°/2°/4°: adjacent pairs clear cos(3°) but the chain
+    // ends don't — only connected-components semantics merge all three
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array((10 * math.cos(r)).toFloat, (10 * math.sin(r)).toFloat)
+    }
+    val emb = Seq(
+      (1L, v(0)), (2L, v(2)), (3L, v(4)),
+      (10L, Array(-10.0f, 0.0f)), // far-away pair, 11.3° apart — same
+      (11L, Array(-10.0f, -2.0f)) //  region, but BELOW the dup threshold
+    ).toDF("vec_id", "embedding")
+    val tau = math.cos(math.toRadians(3)) // ≈ 0.99863
+    // exact tier sees only the chain's direct links ((1,3) is below τ) …
+    val pairs = Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", tau, roundTo = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    // … and the clustered path resolves them transitively: one survivor
+    assert(Dedup.cosineDupPairsExact(emb, "vec_id", "embedding", tau)
+      .filter(col("a") === 10L).count() == 0) // the far pair is no dup
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding", tau, nCentroids = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 11L))
+  }
+
   test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
     val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
       bands = 32).as[(Long, Long, Double)].collect()

@@ -75,6 +75,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d08 span dedup scans the corpus once and collapses spans map-side") {
+    val p = executedPlan("d08_span_dedup")
+    // the winner per span is a window over the span-keyed exchange, NOT a
+    // second aggregation branch — a join-back would re-plan (and re-run)
+    // the dominant explode+collapse stage as a second corpus scan
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"winner derivation re-scans the corpus ($scans scans):\n$p")
+    // raw span occurrences never cross the wire: the within-doc collapse
+    // partial-aggregates below the first exchange
+    assert(p.contains("partial_min"), s"span collapse is not map-side:\n$p")
+  }
+
   test("d07 bloom contamination prunes corpus grams map-side, below any shuffle") {
     val p = executedPlan("d07_contamination_bloom")
     // the mightContain prune is a plain Filter on the exploded gram column
