@@ -536,11 +536,17 @@ object Dedup {
     */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
                  spanTokens: Int = 3): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
-    val nSpans = ceil(size(toks) / lit(spanTokens.toDouble)).cast("long")
-    val spans = df.select(col(idCol), nSpans.as("n_spans"),
+    // tokenize ONCE into a materialized column: referencing split(text)
+    // directly from the span lambda would inline the tokenization into
+    // every span's slice — O(spans × text) per document, measured ~5× the
+    // whole stage on the bench corpus (CollapseProject keeps a non-cheap
+    // multi-referenced alias as its own projection, so this split survives
+    // as a single evaluation)
+    val tokenized = df.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("long")
+    val spans = tokenized.select(col(idCol), nSpans.as("n_spans"),
         posexplode(transform(sequence(lit(0), (nSpans - 1).cast("int")),
-          i => concat_ws(" ", slice(toks, i * spanTokens + 1, lit(spanTokens)))))
+          i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
           .as(Seq("pos", "span")))
     // collapse within-doc repeats map-side; keep each doc's first occurrence
     val perDoc = spans.groupBy(col(idCol), col("n_spans"), col("span"))
