@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Scale validation for SemDeDup-style semantic dedup: a clustered
+  * embedding corpus (AnnBench's generator shape) with an exact-copy twin
+  * planted for every tenth vector. Cells are sized to the SemDeDup recipe
+  * (k ≈ √N), so the within-cell pair budget — the only quadratic term —
+  * stays ≈ N^1.5/2 instead of N²/2; the run reports that budget from the
+  * measured cell sizes alongside recall (twins share their original's
+  * cell by construction, so anything under 1.0 is a bug, not tuning).
+  * Usage: `runMain graft.SemDedupBench [N]`.
+  */
+object SemDedupBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val dim = 32
+    val nCentroids = math.max(16, math.sqrt(n.toDouble).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Tables.newSession("graft-semdedupbench", s"local[$cpus]", cpus)
+
+    val nCenters = 500
+    val centers = Array.tabulate(nCenters) { c =>
+      val r = new scala.util.Random(c * 9176L + 11L)
+      Array.fill(dim)(r.nextGaussian() * 2.0)
+    }
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    // noise is sized so same-center draws sit near cosine ~0.5 — the
+    // cluster structure still steers the k-means cells, but the ONLY
+    // pairs above the 0.95 threshold are the planted exact twins, which
+    // makes recall a sharp correctness signal (with tighter noise the
+    // bench instead measures legitimate mass-collapse of natural
+    // near-dups, which is SemDeDup's job but not a checkable oracle)
+    val genVec = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 2654435761L + 7L)
+      val c = bcCenters.value((id % nCenters).toInt)
+      Array.tabulate(dim)(i => (c(i) + 2.0 * r.nextGaussian()).toFloat)
+    }
+    val base = spark.range(n).select(col("id").as("vec_id"), genVec(col("id")).as("embedding"))
+    // exact-copy twins (id + n): same floats, same cell, cosine 1
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .withColumn("vec_id", col("vec_id") + n)
+    val emb = base.unionByName(twins).repartition(cpus * 2).cache()
+    val total = emb.count()
+    val planted = total - n
+
+    val t0 = System.nanoTime()
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = nCentroids)
+    val survivors = kept.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val droppedIds = emb.select(col("vec_id"))
+      .join(kept.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val twinsDropped = droppedIds.filter(col("vec_id") >= n).count()
+    val naturalDropped = total - survivors - twinsDropped
+    // pair budget actually paid: sum over cells of m*(m-1)/2
+    val (assigned, _) = graft.similarity.Similarity.ivfAssign(emb, "vec_id", "embedding", nCentroids)
+    val budget = assigned.groupBy("cell").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head().getDouble(0).toLong
+    val quad = total * (total - 1) / 2
+    println(f"""{"vectors":$total,"cells":$nCentroids,"planted_twins":$planted,"twins_dropped":$twinsDropped,"natural_dropped":$naturalDropped,"recall":${twinsDropped.toDouble / planted}%.4f,"pair_budget":$budget,"exhaustive_pairs":$quad,"budget_frac":${budget.toDouble / quad}%.5f,"secs":$secs%.1f}""")
+    spark.stop()
+  }
+}
