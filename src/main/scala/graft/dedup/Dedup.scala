@@ -584,42 +584,98 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Cosine-duplicate edges from within-cell pairing — the candidate stage
+    * of [[semanticDedup]], exposed so its bounds are testable. Pairs are
+    * generated only inside each k-means cell; cells larger than `maxCell`
+    * emit a fingerprint-ordered successor CHAIN instead of the m²/2
+    * self-join — the same mega-bucket bound [[minhashCandidates]] applies,
+    * for the same reason: a crawl's million identical embeddings (default
+    * thumbnails, empty-document vectors) all land in ONE cell, and m² pair
+    * emission there stalls the stage no matter how it is partitioned.
+    * Chain order is a fingerprint of the vector bytes, so identical
+    * embeddings are contiguous and stay connected through chain links that
+    * certainly pass the cosine threshold; what the bound gives up is only
+    * cross-fingerprint pairs inside an oversized cell, whose similarity
+    * the threshold filter would have had to certify pair by pair anyway.
+    * Every emitted edge — chained or exhaustive — still passes the exact
+    * cosine-threshold check before it becomes a dup edge.
+    */
+  def semanticDupEdges(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.9, nCentroids: Int = 16,
+                       lloydIters: Int = 1, maxCell: Int = 10000): DataFrame =
+    semanticDupEdgesReleasable(emb, idCol, vecCol, threshold, nCentroids,
+      lloydIters, maxCell)._1
+
+  // The returned edges are LAZY, so the persisted cell assignment backing
+  // both pairing branches must outlive this call: the caller invokes the
+  // release thunk once the edges have been materialized (blocks are
+  // LRU-evictable and lineage is kept, so a caller that never releases
+  // only leaves evictable cache behind, never a wrong result).
+  private def semanticDupEdgesReleasable(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCentroids: Int, lloydIters: Int,
+      maxCell: Int): (DataFrame, () => Unit) = {
+    import graft.similarity.Similarity.{dot, ivfAssign}
+    val (assigned, _) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val wCell = Window.partitionBy(col("cell"))
+    val sides = assigned.select(col("cell"), col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
+      .withColumn("__csz", count(lit(1)).over(wCell))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = sides.filter(col("__csz") <= maxCell)
+    val l = small.select(col("cell"), col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val r = small.select(col("cell"), col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val exhaustive = l.join(r, "cell").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("__va"), col("__na"), col("__vb"), col("__nb"))
+    // mega-cells: successor chain in (vector-fingerprint, id) order —
+    // identical embeddings share a fingerprint and stay contiguous
+    val wChain = wCell.orderBy(xxhash64(col(vecCol)), col(idCol))
+    val chained = sides.filter(col("__csz") > maxCell)
+      .withColumn("__bv", lead(col(vecCol), 1).over(wChain))
+      .withColumn("__bn", lead(col("__n"), 1).over(wChain))
+      .withColumn("__bid", lead(col(idCol), 1).over(wChain))
+      .filter(col("__bid").isNotNull)
+      .select(least(col(idCol), col("__bid")).as("a"),
+        greatest(col(idCol), col("__bid")).as("b"),
+        col(vecCol).as("__va"), col("__n").as("__na"),
+        col("__bv").as("__vb"), col("__bn").as("__nb"))
+    val edges = exhaustive.union(chained)
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select(col("a"), col("b"))
+    (edges, () => { sides.unpersist(); () })
+  }
+
   /** SemDeDup-style semantic dedup: cluster embeddings into `nCentroids`
     * k-means cells ([[graft.similarity.Similarity.ivfAssign]] — the same
     * training the IVF ANN tier uses), generate candidate pairs only WITHIN
-    * each cell, keep pairs whose cosine meets `threshold`, resolve
-    * transitive clusters with [[dupClusters]], and keep the minimum-id
-    * representative of each cluster. Returns the surviving rows of `emb`.
+    * each cell ([[semanticDupEdges]], mega-cells bounded by `maxCell`),
+    * keep pairs whose cosine meets `threshold`, resolve transitive
+    * clusters with [[dupClusters]], and keep the minimum-id representative
+    * of each cluster. Returns the surviving rows of `emb`.
     *
     * Scale shape: pairing is per-cell, so the quadratic term is bounded by
-    * the largest cell, not the corpus — size `nCentroids` so cells hold
-    * roughly the within-cell pair budget (the SemDeDup recipe: k grows with
-    * corpus size; monitor cell sizes exactly like
-    * [[graft.similarity.Similarity.ivfCellSizes]]). What clustering gives
-    * up is only CROSS-cell pairs, which k-means has already certified as
-    * farther apart than anything within a cell. The assigned frame is
-    * persisted (lineage kept, LRU-evictable) because the self-join's two
-    * branches would otherwise re-run assignment over the corpus.
+    * the largest cell — and hard-bounded by `maxCell` — not the corpus.
+    * Size `nCentroids` so cells hold roughly the within-cell pair budget
+    * (the SemDeDup recipe: k grows with corpus size; monitor cell sizes
+    * exactly like [[graft.similarity.Similarity.ivfCellSizes]]). What
+    * clustering gives up is only CROSS-cell pairs, which k-means has
+    * already certified as farther apart than anything within a cell. The
+    * assigned frame is persisted (lineage kept, LRU-evictable) because the
+    * pairing's two branches would otherwise re-run assignment over the
+    * corpus.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, nCentroids: Int = 16,
-                    lloydIters: Int = 1): DataFrame = {
-    import graft.similarity.Similarity.{dot, ivfAssign}
-    val (assigned, _) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
-    val sides = assigned.select(col("cell"), col(idCol), col(vecCol),
-        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = sides.select(col("cell"), col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
-    val r = sides.select(col("cell"), col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
-    val edges = l.join(r, "cell").filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__cos"))
-      .filter(col("__cos") >= threshold)
-      .select(col("a"), col("b"))
-    val drop = dupClusters(edges)
+                    lloydIters: Int = 1, maxCell: Int = 10000): DataFrame = {
+    val (edges, release) = semanticDupEdgesReleasable(emb, idCol, vecCol,
+      threshold, nCentroids, lloydIters, maxCell)
+    // dupClusters materializes the edges eagerly (its rounds are actions),
+    // so the pairing's persisted assignment can be released right after
+    val labels = dupClusters(edges)
+    release()
+    val drop = labels
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol))
-    sides.unpersist()
     emb.join(drop, Seq(idCol), "left_anti")
   }
 

@@ -115,6 +115,38 @@ class OperatorSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 11L))
   }
 
+  test("semanticDupEdges caps mega-cells to a bounded chain that still collapses") {
+    // 5k identical embeddings (one duplicated thumbnail vector) + a few
+    // distinct far vectors: identical vectors share one cell, so uncapped
+    // pairing would emit ~12.5M pairs; the fingerprint-ordered chain emits
+    // 4999, every link cosine-1, and the cluster still folds to one id
+    val n = 5000
+    val mega = spark.range(1, n + 1).select(col("id").as("vec_id"),
+      array(lit(3.0f), lit(4.0f)).as("embedding"))
+    val others = Seq(
+      (100000L, Array(-5.0f, 1.0f)),
+      (100001L, Array(1.0f, -5.0f))).toDF("vec_id", "embedding")
+    val emb = mega.unionByName(others)
+    val edges = Dedup.semanticDupEdges(emb, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 2, maxCell = 100)
+      .as[(Long, Long)].collect()
+    assert(edges.length == n - 1, s"expected a ${n - 1}-edge chain, got ${edges.length}")
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 2, maxCell = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 100000L, 100001L))
+    // cells at or under the bound pair exhaustively: on a corpus with no
+    // mega-cell the default cap finds exactly the direct cosine links
+    val chain3 = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(9.994f, 0.349f)),
+      (3L, Array(9.976f, 0.698f)), (10L, Array(-10.0f, 0.0f)),
+      (11L, Array(-10.0f, -2.0f))).toDF("vec_id", "embedding")
+    val tau = math.cos(math.toRadians(3))
+    val std = Dedup.semanticDupEdges(chain3, "vec_id", "embedding", tau,
+      nCentroids = 2).as[(Long, Long)].collect().toSet
+    assert(std == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
     val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
       bands = 32).as[(Long, Long, Double)].collect()
