@@ -541,12 +541,21 @@ object Dedup {
     // every span's slice — O(spans × text) per document, measured ~5× the
     // whole stage on the bench corpus (CollapseProject keeps a non-cheap
     // multi-referenced alias as its own projection, so this split survives
-    // as a single evaluation)
-    val tokenized = df.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+    // as a single evaluation). Edge empty tokens are filtered: a leading-
+    // whitespace document would otherwise cut a " a b" first span that
+    // fails to match its unindented twin's "a b" — unlike the hashed-gram
+    // operators (where the convention is shared with their oracles), span
+    // text is compared ACROSS documents, so indentation must not leak in.
+    val tokenized = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("long")
+    // guard the zero-token (empty/whitespace-only) document: Spark's
+    // sequence(0, -1) would DESCEND, emitting two phantom spans
     val spans = tokenized.select(col(idCol), nSpans.as("n_spans"),
-        posexplode(transform(sequence(lit(0), (nSpans - 1).cast("int")),
-          i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
+        posexplode(when(nSpans >= 1,
+          transform(sequence(lit(0), (nSpans - 1).cast("int")),
+            i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
+          .otherwise(array()))
           .as(Seq("pos", "span")))
     // collapse within-doc repeats map-side; keep each doc's first occurrence
     val perDoc = spans.groupBy(col(idCol), col("n_spans"), col("span"))
@@ -658,11 +667,14 @@ object Dedup {
     * Size `nCentroids` so cells hold roughly the within-cell pair budget
     * (the SemDeDup recipe: k grows with corpus size; monitor cell sizes
     * exactly like [[graft.similarity.Similarity.ivfCellSizes]]). What
-    * clustering gives up is only CROSS-cell pairs, which k-means has
-    * already certified as farther apart than anything within a cell. The
-    * assigned frame is persisted (lineage kept, LRU-evictable) because the
-    * pairing's two branches would otherwise re-run assignment over the
-    * corpus.
+    * clustering gives up is CROSS-cell pairs: a near-dup pair straddling a
+    * Voronoi boundary is silently missed — the approximation the SemDeDup
+    * recipe accepts (Voronoi assignment bounds point-to-CENTROID
+    * distances, not point-to-point, so this is a recall trade, not a
+    * guarantee). Exact-copy duplicates always share a cell and can never
+    * be missed. The assigned frame is persisted (lineage kept,
+    * LRU-evictable) because the pairing's two branches would otherwise
+    * re-run assignment over the corpus.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, nCentroids: Int = 16,

@@ -155,22 +155,21 @@ object CorpusPipeline {
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
     val spanOn = cfg.spanDedupTokens.isDefined
     // each stage's survivor set is materialized by how many downstream
-    // reads actually fan out of it: near-dedup reads its input 3×; the
-    // span stage 2× (the span pipeline + the column join-back);
-    // contamination 2× (the gram count + the anti-join base)
-    def fanOut(next: List[Boolean]): Int = next match {
-      case true :: _ => 2
-      case false :: rest => fanOut(rest)
-      case Nil => 1
-    }
+    // reads actually fan out of it: near-dedup reads its input 3×; both
+    // the span stage (the span pipeline + the column join-back) and
+    // contamination (the gram count + the anti-join base) read the
+    // NEAREST enabled consumer's input 2× — so a set flowing into any
+    // enabled double-reader fans out 2, else 1
+    def fanOut(doubleReaderEnabled: Boolean*): Int =
+      if (doubleReaderEnabled.exists(identity)) 2 else 1
     val exactBranches =
-      if (nearDedupOn) 3 else fanOut(List(spanOn, benchmark.isDefined))
+      if (nearDedupOn) 3 else fanOut(spanOn, benchmark.isDefined)
     val exact = materialize(Dedup.exact(scored, textCol, idCol), exactBranches)
 
     val deduped =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
-        fanOut(List(spanOn, benchmark.isDefined)))
+        fanOut(spanOn, benchmark.isDefined))
 
     val spanned = cfg.spanDedupTokens match {
       case None => deduped
@@ -182,7 +181,7 @@ object CorpusPipeline {
         materialize(
           deduped.drop(textCol).join(sd, Seq(idCol))
             .withColumnRenamed("dedup_text", textCol),
-          fanOut(List(benchmark.isDefined)))
+          fanOut(benchmark.isDefined))
     }
 
     val decontaminated = benchmark match {

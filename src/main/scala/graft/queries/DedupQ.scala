@@ -150,6 +150,34 @@ object DedupQ {
     }
   )
 
+  /** The span-dedup CTE chain over a source CTE exposing (doc_id, text):
+    * cut 3-token spans from the empty-token-filtered tokenization (exactly
+    * [[graft.dedup.Dedup.dedupSpans]]'s), keep the corpus-first occurrence
+    * of each span ((doc_id, pos) lexicographic min) as `__kept`. SHARED
+    * with [[PipelineQ]]'s c03 span stage so the two oracles can never
+    * drift from each other — any span-semantics change edits this chain
+    * once and both gates re-verify it.
+    */
+  private[queries] def spanDedupCtes(src: String): String =
+    s"""__sp0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS __stoks
+       |  FROM $src),
+       |__sp1 AS (
+       |  SELECT doc_id, __stoks,
+       |    UNNEST(generate_series(0, CAST(ceil(len(__stoks) / 3.0) AS BIGINT) - 1)) AS pos
+       |  FROM __sp0),
+       |__sp AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(__stoks[(pos*3+1):(pos*3+3)], ' ') AS span
+       |  FROM __sp1),
+       |__pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM __sp GROUP BY doc_id, span),
+       |__kw AS (
+       |  SELECT doc_id, span, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+       |  FROM __pd),
+       |__kept AS (SELECT doc_id, span, pos FROM __kw WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
@@ -214,30 +242,19 @@ object DedupQ {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    // Same span cutting (3-token windows over the \s+ tokenization), same
-    // corpus-first winner rule ((doc_id, pos) lexicographic min), same
-    // space-joined reassembly.
+    // Same span cutting (3-token windows, edge empty tokens filtered),
+    // same corpus-first winner rule ((doc_id, pos) lexicographic min),
+    // same space-joined reassembly — via the shared CTE chain also used
+    // by c03's span stage.
     "d08_span_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
-        |s0 AS (
-        |  SELECT doc_id, toks,
-        |    UNNEST(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS pos
-        |  FROM t),
-        |s AS (
-        |  SELECT doc_id, pos,
-        |    array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS span
-        |  FROM s0),
-        |pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM s GROUP BY doc_id, span),
-        |k AS (
-        |  SELECT doc_id, span, pos,
-        |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
-        |  FROM pd),
-        |kept AS (SELECT doc_id, span, pos FROM k WHERE rn = 1),
-        |tot AS (SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_spans FROM t)
+      s"""WITH t AS (SELECT doc_id, text FROM documents),
+        |${spanDedupCtes("t")},
+        |tot AS (
+        |  SELECT doc_id, CAST(ceil(len(__stoks) / 3.0) AS BIGINT) AS n_spans
+        |  FROM __sp0)
         |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
         |  string_agg(span, ' ' ORDER BY pos) AS dedup_text
-        |FROM kept JOIN tot USING (doc_id)
+        |FROM __kept JOIN tot USING (doc_id)
         |GROUP BY doc_id, n_spans
         |ORDER BY doc_id""".stripMargin,
 

@@ -160,29 +160,19 @@ object PipelineQ {
        |ORDER BY e.doc_id""".stripMargin
   }
 
-  // d08's span-dedup SQL applied to the exact-dedup survivors: cut 3-token
-  // spans, keep the corpus-first occurrence of each ((doc_id, pos) min),
-  // reassemble in order — documents consumed entirely drop via the join.
-  // The rewritten text REPLACES `text`/`toks` for every later stage.
+  // d08's span-dedup CTE chain (SHARED from DedupQ — single source of
+  // truth for the span semantics) applied to the exact-dedup survivors:
+  // reassemble the kept spans in order; documents consumed entirely drop
+  // via the join. The rewritten text REPLACES `text`/`toks` for every
+  // later stage.
   private val spanRewriteSql: String =
-    """sp0 AS (
-      |  SELECT doc_id, toks,
-      |    UNNEST(generate_series(0, CAST(ceil(len(toks) / 3.0) AS BIGINT) - 1)) AS pos
-      |  FROM exact0),
-      |sp AS (
-      |  SELECT doc_id, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS span
-      |  FROM sp0),
-      |pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM sp GROUP BY doc_id, span),
-      |kw AS (
-      |  SELECT doc_id, span, pos,
-      |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
-      |  FROM pd),
+    s"""${DedupQ.spanDedupCtes("exact0")},
       |rw AS (
       |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
-      |  FROM kw WHERE rn = 1 GROUP BY doc_id),
+      |  FROM __kept GROUP BY doc_id),
       |exact AS (
       |  SELECT e.doc_id, e.lang, e.quality, r.text,
-      |    string_split_regex(r.text, '\s+') AS toks
+      |    string_split_regex(r.text, '\\s+') AS toks
       |  FROM exact0 e JOIN rw r USING (doc_id)),""".stripMargin
 
   private val passthroughSql: String =

@@ -63,7 +63,10 @@ class OperatorSpec extends SparkSpec {
       (2L, "a1 a2 a3 c1 c2 c3"), // first span already seen in doc 1
       (3L, "b1 b2 b3 a1 a2 a3"), // every span seen → document disappears
       (4L, "p q r p q r"), // within-doc repeat collapses to one occurrence
-      (5L, "x y") // sub-span-length tail kept as a short span
+      (5L, "x y"), // sub-span-length tail kept as a short span
+      (6L, "  a1 a2 a3 new1 new2 new3"), // indentation must not shield
+      //    the boilerplate span from matching doc 1's unindented one
+      (7L, "   ") // whitespace-only: zero spans, document disappears
     ).toDF("doc_id", "text")
     val out = Dedup.dedupSpans(corpus, "text", "doc_id", spanTokens = 3)
       .orderBy("doc_id")
@@ -72,7 +75,8 @@ class OperatorSpec extends SparkSpec {
       (1L, 2L, 2L, "a1 a2 a3 b1 b2 b3"),
       (2L, 2L, 1L, "c1 c2 c3"),
       (4L, 2L, 1L, "p q r"),
-      (5L, 1L, 1L, "x y")))
+      (5L, 1L, 1L, "x y"),
+      (6L, 2L, 1L, "new1 new2 new3")))
   }
 
   test("cosineDupPairsExact finds colinear pairs and only those") {
