@@ -624,8 +624,18 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       nCentroids: Int, lloydIters: Int,
       maxCell: Int): (DataFrame, () => Unit) = {
-    import graft.similarity.Similarity.{dot, ivfAssign}
-    val (assigned, _) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val (assigned, _) = graft.similarity.Similarity.ivfAssign(
+      emb, idCol, vecCol, nCentroids, lloydIters)
+    edgesFromAssigned(assigned, idCol, vecCol, threshold, maxCell)
+  }
+
+  // The pairing core over a frame that already carries its `cell` column —
+  // shared by the per-call path (fresh ivfAssign) and the indexed path (a
+  // persisted cell-partitioned IVF table), so the two can never diverge.
+  private def edgesFromAssigned(
+      assigned: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxCell: Int): (DataFrame, () => Unit) = {
+    import graft.similarity.Similarity.dot
     val wCell = Window.partitionBy(col("cell"))
     val sides = assigned.select(col("cell"), col(idCol), col(vecCol),
         sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
@@ -681,14 +691,41 @@ object Dedup {
                     lloydIters: Int = 1, maxCell: Int = 10000): DataFrame = {
     val (edges, release) = semanticDupEdgesReleasable(emb, idCol, vecCol,
       threshold, nCentroids, lloydIters, maxCell)
-    // dupClusters materializes the edges eagerly (its rounds are actions),
-    // so the pairing's persisted assignment can be released right after
+    emb.join(dropSet(edges, release, idCol), Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] served from a persisted IVF index
+    * ([[graft.similarity.Similarity.writeIvfIndex]]): the cell assignment —
+    * the training-plus-full-corpus-pass half of the per-call path — is READ
+    * from the cell-partitioned table instead of retrained per run, the same
+    * build-once/serve-many split the ANN tier makes (s03 vs s05). Pairing,
+    * the `maxCell` chain bound, thresholding, and cluster resolution are
+    * the shared code path, so the two flavors cannot diverge; with the
+    * same training parameters and corpus they return the same survivors
+    * (spec-checked). Returns the surviving INDEX rows (including `cell`).
+    *
+    * This is how a recurring corpus-curation run amortizes semantic dedup:
+    * the index is maintained incrementally
+    * ([[graft.similarity.Similarity.appendToIvfIndex]]) and each dedup
+    * pass pays only pairing over cells, never training.
+    */
+  def semanticDedupIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                           idCol: String, vecCol: String,
+                           threshold: Double = 0.9, maxCell: Int = 10000): DataFrame = {
+    val assigned = spark.table(table)
+    val (edges, release) = edgesFromAssigned(assigned, idCol, vecCol, threshold, maxCell)
+    assigned.join(dropSet(edges, release, idCol), Seq(idCol), "left_anti")
+  }
+
+  // Resolve dup edges to the ids to drop (everything but each cluster's
+  // min-id representative). dupClusters materializes the edges eagerly
+  // (its rounds are actions), so the pairing's persisted assignment is
+  // released as soon as the labels exist.
+  private def dropSet(edges: DataFrame, release: () => Unit,
+                      idCol: String): DataFrame = {
     val labels = dupClusters(edges)
     release()
-    val drop = labels
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol))
-    emb.join(drop, Seq(idCol), "left_anti")
+    labels.filter(col("id") =!= col("label")).select(col("id").as(idCol))
   }
 
   /** Jaccard similarity of two precomputed distinct-gram arrays. */

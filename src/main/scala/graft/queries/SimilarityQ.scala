@@ -67,6 +67,20 @@ object SimilarityQ {
       Similarity.ivfProbePartitionedBatch(s, table, probes,
         "vec_id", "embedding", "probe_id", k = 10, probes = 4)
         .orderBy("probe_id", "sim", "vec_id")
+    },
+
+    // L26c: semantic dedup served from a PERSISTED IVF index over the
+    // twin-planted corpus — d10's semantics with the training half read
+    // from the index instead of retrained per run (the build-once/serve-
+    // many split s05 makes for ANN probes). Same training parameters and
+    // corpus as d10 ⇒ same survivors ⇒ it shares d10's oracle, and the
+    // hash gate certifies the indexed path end to end.
+    "s07_semantic_dedup_indexed" -> { (s, dir) =>
+      val table = semDedupIndexTable(s, dir)
+      graft.dedup.Dedup.semanticDedupIndexed(s, table, "vec_id", "embedding",
+        threshold = 0.8)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
     }
   )
 
@@ -81,6 +95,26 @@ object SimilarityQ {
         graft.sources.Warehouse.dropTableAndLocation(s, t)
       Similarity.writeIvfIndex(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         table, nCentroids = 16, lloydIters = 1, buckets = 8)
+    }
+    table
+  }
+
+  /** Build (once per sfDir per warehouse) the twin-planted IVF index s07
+    * runs semantic dedup against — d10's corpus (embeddings plus an
+    * exact-copy twin for every tenth vector) with d10's training
+    * parameters, so the indexed dedup is survivor-identical to the
+    * per-call path and d10's oracle gates it.
+    */
+  private def semDedupIndexTable(s: SparkSession, dir: String): String = {
+    val table = "graft_semdedup_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table) || !s.catalog.tableExists(s"${table}_centroids")) {
+      for (t <- Seq(table, s"${table}_centroids"))
+        graft.sources.Warehouse.dropTableAndLocation(s, t)
+      val emb = Tables(s, dir, "embeddings")
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+      Similarity.writeIvfIndex(emb.unionByName(twins), "vec_id", "embedding",
+        table, nCentroids = 8, lloydIters = 1, buckets = 8)
     }
     table
   }
@@ -133,6 +167,9 @@ object SimilarityQ {
 
   val oracles: Map[String, String] = Map(
     "s02_knn_lsh" -> lshOracle,
+    // identical survivors to the per-call path — sharing d10's oracle is
+    // what certifies the indexed flavor (the d06/d07 gating pattern)
+    "s07_semantic_dedup_indexed" -> DedupQ.oracles("d10_semantic_dedup"),
     // Same arithmetic as Similarity.cosine: double dot products, sequential
     // accumulation, rounded to 4 decimals; ties broken by vec_id.
     "s01_knn_brute" ->

@@ -151,6 +151,30 @@ class OperatorSpec extends SparkSpec {
     assert(std == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("semanticDedupIndexed matches the per-call path from a persisted index") {
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array((10 * math.cos(r)).toFloat, (10 * math.sin(r)).toFloat)
+    }
+    val emb = Seq(
+      (1L, v(0)), (2L, v(2)), (3L, v(4)),
+      (10L, Array(-10.0f, 0.0f)), (11L, Array(-10.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val tau = math.cos(math.toRadians(3))
+    for (t <- Seq("semdedup_idx", "semdedup_idx_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "semdedup_idx",
+      nCentroids = 2, lloydIters = 1, buckets = 2)
+    // same corpus + training parameters → same survivors as the per-call
+    // path (shared pairing core; only the assignment's provenance differs)
+    val direct = Dedup.semanticDedup(emb, "vec_id", "embedding", tau, nCentroids = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val indexed = Dedup.semanticDedupIndexed(spark, "semdedup_idx",
+      "vec_id", "embedding", tau)
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed == direct && indexed == Set(1L, 10L, 11L))
+  }
+
   test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
     val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
       bands = 32).as[(Long, Long, Double)].collect()
