@@ -572,6 +572,41 @@ object Dedup {
           x => x.getField("span")), " ").as("dedup_text"))
   }
 
+  /** Per-source boilerplate-span profile — the DISCOVERY complement of
+    * [[dedupSpans]]: for each (source, span), the number of the source's
+    * documents containing it and the fraction of the source that is. Spans
+    * above `minDocFrac` are the templated headers/footers/navigation a
+    * crawl's per-site template engine stamps on every page; run this to
+    * size `spanTokens`/decide the span-dedup stage before rewriting
+    * anything. Shuffle shape: occurrences collapse to distinct
+    * (source, span, doc) map-side, then count per (source, span) — both
+    * partial-aggregating; per-source doc totals are a tiny second
+    * aggregate of the distinct doc ids.
+    */
+  def boilerplateSpans(df: DataFrame, textCol: String, idCol: String,
+                       sourceCol: String, spanTokens: Int = 3,
+                       minDocFrac: Double = 0.1): DataFrame = {
+    val tokenized = df.select(col(idCol), col(sourceCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("long")
+    val spans = tokenized.select(col(idCol), col(sourceCol),
+        explode(when(nSpans >= 1,
+          transform(sequence(lit(0), (nSpans - 1).cast("int")),
+            i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
+          .otherwise(array()))
+          .as("span"))
+      .distinct()
+    // unhinted join: AQE broadcasts the per-source totals when they fit
+    // (usual case), and a 10M-domain crawl still just shuffle-joins two
+    // pre-aggregated frames keyed by source
+    val perSource = df.groupBy(col(sourceCol)).agg(countDistinct(col(idCol)).as("__srcdocs"))
+    spans.groupBy(col(sourceCol), col("span")).agg(count(lit(1)).as("n_docs"))
+      .join(perSource, sourceCol)
+      .withColumn("doc_frac", round(col("n_docs").cast("double") / col("__srcdocs"), 4))
+      .filter(col("doc_frac") >= minDocFrac)
+      .select(col(sourceCol), col("span"), col("n_docs"), col("doc_frac"))
+  }
+
   /** Exact embedding-cosine duplicate pairs: every (a < b) pair whose
     * cosine similarity meets `threshold`. The quadratic VERIFICATION tier —
     * norms are precomputed per side and the per-pair work is one codegen'd

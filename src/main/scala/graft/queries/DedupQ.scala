@@ -129,6 +129,19 @@ object DedupQ {
         .orderBy("vec_id")
     },
 
+    // L25b: per-source boilerplate-span profile. The synthetic corpus has
+    // no per-source template, so each doc is salted with a grid-aligned
+    // 6-token source header (6 % 3 == 0 keeps every natural span's
+    // position) — the planted spans surface at doc_frac 1.0 at ANY scale
+    // while the 0.08 threshold also catches the corpus's natural repeats.
+    "d11_boilerplate" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents").withColumn("text",
+        concat_ws(" ", col("source"), lit("standard header line alpha beta"), col("text")))
+      Dedup.boilerplateSpans(salted, "text", "doc_id", "source",
+        spanTokens = 3, minDocFrac = 0.08)
+        .orderBy("source", "span")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.
@@ -150,27 +163,36 @@ object DedupQ {
     }
   )
 
-  /** The span-dedup CTE chain over a source CTE exposing (doc_id, text):
-    * cut 3-token spans from the empty-token-filtered tokenization (exactly
-    * [[graft.dedup.Dedup.dedupSpans]]'s), keep the corpus-first occurrence
-    * of each span ((doc_id, pos) lexicographic min) as `__kept`. SHARED
-    * with [[PipelineQ]]'s c03 span stage so the two oracles can never
-    * drift from each other — any span-semantics change edits this chain
-    * once and both gates re-verify it.
+  /** The span-CUTTING CTE chain over a source CTE exposing (doc_id, text
+    * [, carry columns]): 3-token spans from the empty-token-filtered
+    * tokenization, exactly [[graft.dedup.Dedup.dedupSpans]]'s cutting —
+    * the single source of truth for span semantics, shared by the d08
+    * chain, c03's rewrite stage, and d11's boilerplate profile.
     */
-  private[queries] def spanDedupCtes(src: String): String =
+  private[queries] def spanCutCtes(src: String, carry: Seq[String] = Nil): String = {
+    val c = carry.map(x => s", $x").mkString
     s"""__sp0 AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id$c,
        |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS __stoks
        |  FROM $src),
        |__sp1 AS (
-       |  SELECT doc_id, __stoks,
+       |  SELECT doc_id$c, __stoks,
        |    UNNEST(generate_series(0, CAST(ceil(len(__stoks) / 3.0) AS BIGINT) - 1)) AS pos
        |  FROM __sp0),
        |__sp AS (
-       |  SELECT doc_id, pos,
+       |  SELECT doc_id$c, pos,
        |    array_to_string(__stoks[(pos*3+1):(pos*3+3)], ' ') AS span
-       |  FROM __sp1),
+       |  FROM __sp1)""".stripMargin
+  }
+
+  /** [[spanCutCtes]] plus the dedup winner rule: keep the corpus-first
+    * occurrence of each span ((doc_id, pos) lexicographic min) as
+    * `__kept`. SHARED with [[PipelineQ]]'s c03 span stage so the two
+    * oracles can never drift from each other — any span-semantics change
+    * edits this chain once and both gates re-verify it.
+    */
+  private[queries] def spanDedupCtes(src: String): String =
+    s"""${spanCutCtes(src)},
        |__pd AS (SELECT doc_id, span, MIN(pos) AS pos FROM __sp GROUP BY doc_id, span),
        |__kw AS (
        |  SELECT doc_id, span, pos,
@@ -257,6 +279,24 @@ object DedupQ {
         |FROM __kept JOIN tot USING (doc_id)
         |GROUP BY doc_id, n_spans
         |ORDER BY doc_id""".stripMargin,
+
+    // Same salt, same span cutting (the shared CTE chain), same distinct
+    // doc counting and rounded fraction.
+    "d11_boilerplate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    source || ' standard header line alpha beta ' || text AS text
+        |  FROM documents),
+        |${spanCutCtes("t", Seq("source"))},
+        |ds AS (SELECT DISTINCT doc_id, source, span FROM __sp),
+        |cnt AS (SELECT source, span, COUNT(*) AS n_docs FROM ds GROUP BY source, span),
+        |tot AS (SELECT source, COUNT(DISTINCT doc_id) AS srcdocs
+        |        FROM documents GROUP BY source)
+        |SELECT source, span, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / srcdocs, 4) AS doc_frac
+        |FROM cnt JOIN tot USING (source)
+        |WHERE ROUND(CAST(n_docs AS DOUBLE) / srcdocs, 4) >= 0.08
+        |ORDER BY source, span""".stripMargin,
 
     // Same twin planting (vec_id % 10, ×1.01 in FLOAT), same double cosine
     // with per-side norms, same ROUND(...,4) and threshold on the rounded

@@ -160,8 +160,9 @@ object EventStreams {
     * dedup is the one stateful stage, reusing [[dedupeExact]]'s
     * hash-within-watermark shape. The incremental twin of
     * [[graft.pipeline.CorpusPipeline.curate]]'s exact-only configuration
-    * with `redactPii = true`; near-dedup stays a batch compaction (its
-    * candidate join is not incremental).
+    * with `redactPii = true`; near-dedup and span-level dedup stay batch
+    * compactions (a candidate join over the whole corpus and a
+    * corpus-first-occurrence rule are both non-incremental by nature).
     *
     * Decontamination (when `benchmark` is given) is a Bloom filter of the
     * benchmark's distinct gram hashes ([[graft.dedup.Dedup.benchmarkBloom]]),

@@ -79,6 +79,23 @@ class OperatorSpec extends SparkSpec {
       (6L, 2L, 1L, "new1 new2 new3")))
   }
 
+  test("boilerplateSpans profiles per-source repeated spans") {
+    val corpus = Seq(
+      (1L, "s1", "hdr a b one two three"),
+      (2L, "s1", "hdr a b four five six"),
+      (3L, "s1", "hdr a b seven eight nine"),
+      (4L, "s1", "no header in this document"), // 4 docs → hdr frac 0.75
+      (5L, "s2", "hdr a b elsewhere entirely now")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateSpans(corpus, "text", "doc_id", "source",
+      spanTokens = 3, minDocFrac = 0.6)
+      .as[(String, String, Long, Double)].collect().toSet
+    // only s1's shared header crosses the threshold with > 1 doc; s2's
+    // single doc makes every one of its spans trivially frac 1.0
+    assert(out.filter(_._3 > 1) == Set(("s1", "hdr a b", 3L, 0.75)))
+    assert(out.filter(_._1 == "s2").forall(_._4 == 1.0))
+  }
+
   test("cosineDupPairsExact finds colinear pairs and only those") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)),
