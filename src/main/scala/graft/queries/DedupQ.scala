@@ -102,9 +102,14 @@ object DedupQ {
     // Float parity note: a float×float product computed in double and
     // rounded to float is identical to the direct float multiply (24-bit
     // products fit exactly in 53 bits), so the twins are bit-identical
-    // across engines.
+    // across engines. The vec_id < 1000 slice keeps this VERIFICATION
+    // query's cost fixed at any SF (measured 100× from sf0.1 → sf1
+    // unbounded — the tier is quadratic by design; the corpus-scale
+    // paths are d10/s07).
     "d09_cosine_dup_pairs" -> { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
       val twins = emb.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
@@ -302,13 +307,15 @@ object DedupQ {
     // with per-side norms, same ROUND(...,4) and threshold on the rounded
     // value.
     "d09_cosine_dup_pairs" ->
-      """WITH tw AS (
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+        |tw AS (
         |  SELECT vec_id + 1000000 AS vec_id,
         |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
         |      AS embedding
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |  FROM base WHERE vec_id % 10 = 0),
         |all_v AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM base
         |  UNION ALL SELECT vec_id, embedding FROM tw),
         |m AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

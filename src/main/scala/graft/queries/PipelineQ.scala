@@ -19,6 +19,10 @@ import graft.text.TextOps
   * whole composed pipeline sits under the driver's hash gate via one
   * DuckDB WITH-chain — the composition itself (stage order, survivor
   * plumbing, gate interactions) is what this query certifies.
+  *
+  * c03 is c02 plus the span-level dedup REWRITE stage: the oracle chain
+  * gains the shared span CTEs and every later stage keys on the rewritten
+  * text, with its md5 in the output so the rewrite itself is hash-pinned.
   */
 object PipelineQ {
 

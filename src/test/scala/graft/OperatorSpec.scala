@@ -192,6 +192,28 @@ class OperatorSpec extends SparkSpec {
     assert(indexed == direct && indexed == Set(1L, 10L, 11L))
   }
 
+  test("semanticDedupIndexed dedups across appended index generations") {
+    // generation 0 builds the index; generation 1 arrives later with
+    // exact twins of gen-0 vectors and is APPENDED (no retrain) — the
+    // indexed dedup must pair twins across the two generations and keep
+    // the gen-0 originals
+    val rng = new scala.util.Random(11)
+    val gen0 = (0L until 40L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("semdedup_app", "semdedup_app_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(gen0, "vec_id", "embedding", "semdedup_app",
+      nCentroids = 4, lloydIters = 1, buckets = 2)
+    val gen1 = gen0.filter($"vec_id" % 4 === 0)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+    Similarity.appendToIvfIndex(gen1, "vec_id", "embedding", "semdedup_app")
+    val kept = Dedup.semanticDedupIndexed(spark, "semdedup_app",
+      "vec_id", "embedding", threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 40L).toSet,
+      s"appended twins must drop, originals survive: got $kept")
+  }
+
   test("nearDuplicates end-to-end finds planted dup pairs above threshold") {
     val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.5,
       bands = 32).as[(Long, Long, Double)].collect()
