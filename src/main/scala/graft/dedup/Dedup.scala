@@ -572,6 +572,75 @@ object Dedup {
           x => x.getField("span")), " ").as("dedup_text"))
   }
 
+  /** Create an empty content-hash registry table for
+    * [[dedupAgainstRegistry]] — one `content_hash` column, bucketed by it
+    * so every later anti-join and append co-locates without shuffling the
+    * (ever-growing) registry side.
+    */
+  def createRegistry(spark: org.apache.spark.sql.SparkSession, table: String,
+                     buckets: Int = 32): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[String].toDF("content_hash"), table, "content_hash", buckets)
+  }
+
+  /** Incremental exact dedup across pipeline RUNS: dedup `batch` within
+    * itself (keep-min, [[exact]]'s shape), drop every document whose
+    * content hash is already in the persisted registry table, and (unless
+    * `update = false`) append the survivors' hashes so the NEXT run sees
+    * them. This is the batch complement of the streaming intake's
+    * watermark-bounded dedup ([[graft.streaming.EventStreams.curateDocs]]):
+    * a daily-growing corpus runs curate() per batch and this pass against
+    * the registry of everything already ingested — the same
+    * build-once/grow-incrementally contract as
+    * [[graft.similarity.Similarity.appendToIvfIndex]].
+    *
+    * Scale shape: the batch side collapses to one candidate per distinct
+    * content map-side before anything touches the registry; the anti-join
+    * is keyed on the hash against a registry BUCKETED on it (appends keep
+    * the bucket spec from the table's catalog entry), so the registry —
+    * the side that grows without bound — is never shuffled, only the
+    * (bounded) day's batch is. Text never joins; only 64-char hashes.
+    *
+    * Failure contract: with `update = true` the anti-join against the big
+    * registry executes exactly ONCE, inside the append job; the returned
+    * frame is then derived from the append's own delta files (a fixed
+    * path list), so recomputation after executor loss — or a caller
+    * re-reading the result long after later batches have grown the
+    * registry — can never re-run the anti-join against a registry that
+    * already contains this batch's hashes and silently lose rows. Single
+    * writer per registry table at a time.
+    */
+  def dedupAgainstRegistry(batch: DataFrame, textCol: String, idCol: String,
+                           registryTable: String, update: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val withinBatch = exact(batch, textCol, idCol)
+      .withColumn("content_hash", sha2(col(textCol).cast("binary"), 256))
+    val fresh = withinBatch.join(spark.table(registryTable),
+      Seq("content_hash"), "left_anti")
+    if (!update) fresh.drop("content_hash")
+    else {
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(registryTable))
+      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def partFiles(): Set[String] =
+        fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
+      val before = partFiles()
+      fresh.select(col("content_hash")).write
+        .bucketBy(buckets, "content_hash")
+        .sortBy("content_hash")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(registryTable)
+      val delta = (partFiles() -- before).toSeq
+      if (delta.isEmpty) withinBatch.filter(lit(false)).drop("content_hash")
+      else withinBatch.join(spark.read.parquet(delta: _*),
+        Seq("content_hash"), "left_semi").drop("content_hash")
+    }
+  }
+
   /** Per-source boilerplate-span profile — the DISCOVERY complement of
     * [[dedupSpans]]: for each (source, span), the number of the source's
     * documents containing it and the fraction of the source that is. Spans

@@ -147,6 +147,20 @@ object DedupQ {
         .orderBy("source", "span")
     },
 
+    // L27: incremental cross-run dedup against a persisted content-hash
+    // registry. Day 0 (ids < 250) is ingested into the registry once per
+    // JVM; the query dedups the rest of the corpus against it in
+    // report-only mode (update=false keeps repeated driver runs
+    // deterministic). Certifies within-batch keep-min + the registry
+    // anti-join in one gate.
+    "d12_registry_dedup" -> { (s, dir) =>
+      Dedup.dedupAgainstRegistry(
+        Tables(s, dir, "documents").filter(col("doc_id") >= 250),
+        "text", "doc_id", registryTable(s, dir), update = false)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.
@@ -167,6 +181,21 @@ object DedupQ {
         .orderBy("probe_id")
     }
   )
+
+  /** Build (once per sfDir per warehouse) the content-hash registry d12
+    * dedups against, seeded with the doc_id < 250 "day 0" ingest.
+    */
+  private def registryTable(s: SparkSession, dir: String): String = {
+    val table = "graft_registry_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Warehouse.dropTableAndLocation(s, table)
+      Dedup.createRegistry(s, table, buckets = 8)
+      Dedup.dedupAgainstRegistry(
+        Tables(s, dir, "documents").filter(col("doc_id") < 250),
+        "text", "doc_id", table).count()
+    }
+    table
+  }
 
   /** The span-CUTTING CTE chain over a source CTE exposing (doc_id, text
     * [, carry columns]): 3-token spans from the empty-token-filtered
@@ -302,6 +331,18 @@ object DedupQ {
         |FROM cnt JOIN tot USING (source)
         |WHERE ROUND(CAST(n_docs AS DOUBLE) / srcdocs, 4) >= 0.08
         |ORDER BY source, span""".stripMargin,
+
+    // Anti-join on the content hash ≡ anti-join on the text (collisions
+    // aside): the registry is the distinct day-0 texts, the batch keeps
+    // the min id per distinct text, survivors are texts day 0 never saw.
+    "d12_registry_dedup" ->
+      """WITH reg AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM reg r WHERE r.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same twin planting (vec_id % 10, ×1.01 in FLOAT), same double cosine
     // with per-side norms, same ROUND(...,4) and threshold on the rounded

@@ -79,6 +79,34 @@ class OperatorSpec extends SparkSpec {
       (6L, 2L, 1L, "new1 new2 new3")))
   }
 
+  test("dedupAgainstRegistry drops cross-run dups and grows the registry") {
+    graft.sources.Warehouse.dropTableAndLocation(spark, "reg_test")
+    Dedup.createRegistry(spark, "reg_test", buckets = 4)
+    val day1 = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.dedupAgainstRegistry(day1, "text", "doc_id", "reg_test")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(1L, 2L)) // within-batch dup 3 dropped
+    val day2 = Seq((10L, "alpha doc"), (11L, "gamma doc")).toDF("doc_id", "text")
+    val s2df = Dedup.dedupAgainstRegistry(day2, "text", "doc_id", "reg_test")
+    assert(s2df.select("doc_id").as[Long].collect().toSet == Set(11L)) // alpha seen day 1
+    // the day-2 result must be stable under re-reads even AFTER a day-3
+    // run has grown the registry (the failure contract in the scaladoc)
+    val day3 = Seq((20L, "delta doc")).toDF("doc_id", "text")
+    Dedup.dedupAgainstRegistry(day3, "text", "doc_id", "reg_test").count()
+    assert(s2df.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // update=false reports without growing the registry: the novel doc
+    // surfaces, the already-ingested one doesn't, and a second probe of
+    // the same batch says the same thing (nothing was registered)
+    val day4 = Seq((30L, "beta doc"), (31L, "epsilon doc")).toDF("doc_id", "text")
+    for (_ <- 1 to 2) {
+      val probe = Dedup.dedupAgainstRegistry(day4, "text", "doc_id", "reg_test",
+        update = false)
+      assert(probe.select("doc_id").as[Long].collect().toSet == Set(31L))
+    }
+    assert(spark.table("reg_test").count() == 4) // alpha beta gamma delta
+  }
+
   test("boilerplateSpans profiles per-source repeated spans") {
     val corpus = Seq(
       (1L, "s1", "hdr a b one two three"),
