@@ -649,8 +649,11 @@ object Dedup {
     * size `spanTokens`/decide the span-dedup stage before rewriting
     * anything. Shuffle shape: occurrences collapse to distinct
     * (source, span, doc) map-side, then count per (source, span) — both
-    * partial-aggregating; per-source doc totals are a tiny second
-    * aggregate of the distinct doc ids.
+    * partial-aggregating. The corpus is scanned ONCE: zero-span documents
+    * survive the explode as a null-span row (`explode_outer`), so the
+    * per-source doc totals derive from the same distinct-span exchange the
+    * span counts consume (ReuseExchange dedupes the scan+explode+partial
+    * subplan) instead of a second pass over the input.
     */
   def boilerplateSpans(df: DataFrame, textCol: String, idCol: String,
                        sourceCol: String, spanTokens: Int = 3,
@@ -659,17 +662,18 @@ object Dedup {
       filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("long")
     val spans = tokenized.select(col(idCol), col(sourceCol),
-        explode(when(nSpans >= 1,
+        explode_outer(when(nSpans >= 1,
           transform(sequence(lit(0), (nSpans - 1).cast("int")),
             i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
-          .otherwise(array()))
+          .otherwise(lit(null).cast("array<string>")))
           .as("span"))
       .distinct()
     // unhinted join: AQE broadcasts the per-source totals when they fit
     // (usual case), and a 10M-domain crawl still just shuffle-joins two
     // pre-aggregated frames keyed by source
-    val perSource = df.groupBy(col(sourceCol)).agg(countDistinct(col(idCol)).as("__srcdocs"))
-    spans.groupBy(col(sourceCol), col("span")).agg(count(lit(1)).as("n_docs"))
+    val perSource = spans.groupBy(col(sourceCol)).agg(countDistinct(col(idCol)).as("__srcdocs"))
+    spans.filter(col("span").isNotNull)
+      .groupBy(col(sourceCol), col("span")).agg(count(lit(1)).as("n_docs"))
       .join(perSource, sourceCol)
       .withColumn("doc_frac", round(col("n_docs").cast("double") / col("__srcdocs"), 4))
       .filter(col("doc_frac") >= minDocFrac)
@@ -741,27 +745,43 @@ object Dedup {
       maxCell: Int): (DataFrame, () => Unit) = {
     import graft.similarity.Similarity.dot
     val wCell = Window.partitionBy(col("cell"))
+    // One persisted pass over the corpus computes norm + a 64-bit vector
+    // fingerprint per row; the cache is columnar, so the vector-FREE
+    // projections below never rehydrate vecCol.
     val sides = assigned.select(col("cell"), col(idCol), col(vecCol),
-        sqrt(dot(col(vecCol), col(vecCol))).as("__n"))
-      .withColumn("__csz", count(lit(1)).over(wCell))
+        sqrt(dot(col(vecCol), col(vecCol))).as("__n"),
+        xxhash64(col(vecCol)).as("__fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = sides.filter(col("__csz") <= maxCell)
+    // Every cell-keyed WINDOW — the cell-size count and the mega-cell
+    // successor chain — runs over (cell, id, fingerprint) rows of ~24
+    // bytes, the same discipline minhashCandidates applies to its bucket
+    // windows: a degenerate mega-cell (a crawl's million identical
+    // thumbnails) funnels one window task, so the rows that funnel must be
+    // skeleton rows, never the embedding payload. Vectors rejoin strictly
+    // by id — a hash join on the UNSKEWED unique key — only where the
+    // per-pair cosine check actually needs them.
+    val slim = sides.select(col("cell"), col(idCol), col("__fp"))
+      .withColumn("__csz", count(lit(1)).over(wCell))
+    val vecs = sides.select(col(idCol), col(vecCol), col("__n"))
+    val small = slim.filter(col("__csz") <= maxCell)
+      .select(col("cell"), col(idCol)).join(vecs, idCol)
     val l = small.select(col("cell"), col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
     val r = small.select(col("cell"), col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     val exhaustive = l.join(r, "cell").filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("__va"), col("__na"), col("__vb"), col("__nb"))
     // mega-cells: successor chain in (vector-fingerprint, id) order —
-    // identical embeddings share a fingerprint and stay contiguous
-    val wChain = wCell.orderBy(xxhash64(col(vecCol)), col(idCol))
-    val chained = sides.filter(col("__csz") > maxCell)
-      .withColumn("__bv", lead(col(vecCol), 1).over(wChain))
-      .withColumn("__bn", lead(col("__n"), 1).over(wChain))
+    // identical embeddings share a fingerprint and stay contiguous. Only
+    // the successor's ID is led through the window.
+    val wChain = wCell.orderBy(col("__fp"), col(idCol))
+    val chainPairs = slim.filter(col("__csz") > maxCell)
       .withColumn("__bid", lead(col(idCol), 1).over(wChain))
       .filter(col("__bid").isNotNull)
       .select(least(col(idCol), col("__bid")).as("a"),
-        greatest(col(idCol), col("__bid")).as("b"),
-        col(vecCol).as("__va"), col("__n").as("__na"),
-        col("__bv").as("__vb"), col("__bn").as("__nb"))
+        greatest(col(idCol), col("__bid")).as("b"))
+    val chained = chainPairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb")), "b")
+      .select(col("a"), col("b"), col("__va"), col("__na"), col("__vb"), col("__nb"))
     val edges = exhaustive.union(chained)
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("a"), col("b"))

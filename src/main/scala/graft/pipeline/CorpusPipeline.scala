@@ -51,8 +51,12 @@ object Materialize {
   *                                       spans out of survivors — the text
   *                                       REWRITE stage, so everything
   *                                       after keys on the rewritten text)
-  *   5. benchmark-contamination drop    (broadcast anti-join, optional)
-  *   6. train/val/test assignment       (columnar, deterministic)
+  *   5. semantic (embedding) dedup      (optional: SemDeDup over an
+  *                                       embedding column — collapse
+  *                                       embedding near-copies to their
+  *                                       min-id representative)
+  *   6. benchmark-contamination drop    (broadcast anti-join, optional)
+  *   7. train/val/test assignment       (columnar, deterministic)
   *
   * Every stage keeps the semantics of its already-spec'd standalone
   * operator; this object fixes the composition order and threads the
@@ -92,6 +96,22 @@ object CorpusPipeline {
     *                          stages — contamination grams, split
     *                          assignment — key on the REWRITTEN text, which
     *                          is the text that actually trains
+    * @param embCol            when set, run SemDeDup-style semantic dedup
+    *                          ([[Dedup.semanticDedup]] over this embedding
+    *                          column) after the text-keyed dedup stages and
+    *                          before contamination: documents whose
+    *                          embeddings are near-copies (cosine ≥
+    *                          `semanticThreshold`) collapse to their
+    *                          minimum-id representative. Drops whole rows
+    *                          keyed on `idCol`, so it composes exactly like
+    *                          the other dedup stages; text rewrites (span
+    *                          stage) do not disturb it because it keys on
+    *                          the embedding, not the text
+    * @param semanticThreshold cosine threshold for the semantic stage
+    * @param semanticCentroids k-means cells for the semantic stage's
+    *                          within-cell pairing (SemDeDup recipe: grow
+    *                          with corpus size, ≈ √N)
+    * @param semanticMaxCell   mega-cell chain bound ([[Dedup.semanticDedup]])
     * @param materialize       materialization strategy for survivor sets
     *                          that fan out into multiple downstream reads
     *                          (see [[Materialize]]; `Off` for single-pass
@@ -114,6 +134,10 @@ object CorpusPipeline {
       trainPct: Int = 90,
       valPct: Int = 5,
       spanDedupTokens: Option[Int] = None,
+      embCol: Option[String] = None,
+      semanticThreshold: Double = 0.9,
+      semanticCentroids: Int = 16,
+      semanticMaxCell: Int = 10000,
       materialize: Materialize = Materialize.Disk,
       redactPii: Boolean = false)
 
@@ -154,22 +178,24 @@ object CorpusPipeline {
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
     val spanOn = cfg.spanDedupTokens.isDefined
+    val semanticOn = cfg.embCol.isDefined
     // each stage's survivor set is materialized by how many downstream
-    // reads actually fan out of it: near-dedup reads its input 3×; both
-    // the span stage (the span pipeline + the column join-back) and
-    // contamination (the gram count + the anti-join base) read the
-    // NEAREST enabled consumer's input 2× — so a set flowing into any
+    // reads actually fan out of it: near-dedup reads its input 3×; the
+    // span stage (the span pipeline + the column join-back), the semantic
+    // stage (centroid training/assignment + the anti-join base), and
+    // contamination (the gram count + the anti-join base) each read the
+    // NEAREST enabled consumer's input 2+× — so a set flowing into any
     // enabled double-reader fans out 2, else 1
     def fanOut(doubleReaderEnabled: Boolean*): Int =
       if (doubleReaderEnabled.exists(identity)) 2 else 1
     val exactBranches =
-      if (nearDedupOn) 3 else fanOut(spanOn, benchmark.isDefined)
+      if (nearDedupOn) 3 else fanOut(spanOn, semanticOn, benchmark.isDefined)
     val exact = materialize(Dedup.exact(scored, textCol, idCol), exactBranches)
 
     val deduped =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
-        fanOut(spanOn, benchmark.isDefined))
+        fanOut(spanOn, semanticOn, benchmark.isDefined))
 
     val spanned = cfg.spanDedupTokens match {
       case None => deduped
@@ -181,16 +207,31 @@ object CorpusPipeline {
         materialize(
           deduped.drop(textCol).join(sd, Seq(idCol))
             .withColumnRenamed("dedup_text", textCol),
+          fanOut(semanticOn, benchmark.isDefined))
+    }
+
+    // embedding near-copies collapse to their min-id representative; keys
+    // on idCol only, so the drop composes with the stages around it. Runs
+    // AFTER the text-keyed dedups (cheaper stages shrink the clustering
+    // input) and BEFORE contamination (same reason contamination runs on
+    // the smallest set). Its input is read by centroid training, the
+    // assignment pass, and the anti-join base, hence the fan-out above.
+    val semantic = cfg.embCol match {
+      case None => spanned
+      case Some(e) =>
+        materialize(
+          Dedup.semanticDedup(spanned, idCol, e, cfg.semanticThreshold,
+            cfg.semanticCentroids, lloydIters = 1, cfg.semanticMaxCell),
           fanOut(benchmark.isDefined))
     }
 
     val decontaminated = benchmark match {
-      case None => spanned
+      case None => semantic
       case Some(b) =>
-        val dirty = Dedup.contamination(spanned, b, textCol, idCol, cfg.contaminationNgram)
+        val dirty = Dedup.contamination(semantic, b, textCol, idCol, cfg.contaminationNgram)
           .filter(col("n_shared") >= cfg.maxContamination)
           .select(col(idCol))
-        spanned.join(dirty, Seq(idCol), "left_anti")
+        semantic.join(dirty, Seq(idCol), "left_anti")
     }
 
     val split = decontaminated.withColumn("split",

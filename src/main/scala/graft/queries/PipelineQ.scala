@@ -23,6 +23,17 @@ import graft.text.TextOps
   * c03 is c02 plus the span-level dedup REWRITE stage: the oracle chain
   * gains the shared span CTEs and every later stage keys on the rewritten
   * text, with its md5 in the output so the rewrite itself is hash-pinned.
+  *
+  * c04 is c02 plus the SEMANTIC dedup stage over a planted-twin embedding
+  * column: every tenth doc gets a twin (id + 1000000, salted text so the
+  * text-keyed dedups pass it through, byte-identical embedding). The
+  * oracle derives the same drop set through the exact quadratic cosine
+  * path (the d10 argument: exact-copy twins always share a k-means cell,
+  * the natural corpus has no pair near the threshold, and the dup graph
+  * is disjoint pairs, so greedy pair-drop ≡ connected-components
+  * keep-min) — the hash gate certifies the stage INSIDE the composition:
+  * semantic drops happen after the text dedups and before contamination,
+  * and the split/contamination stages run on the semantic survivors.
   */
 object PipelineQ {
 
@@ -74,6 +85,28 @@ object PipelineQ {
         .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
           col("split"), md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
+    },
+
+    // L22+L26b (hash-gated): c02's composition plus the semantic-dedup
+    // stage, over the documents⋈embeddings corpus with planted twins.
+    "c04_curate_semantic" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.filter(col("doc_id") >= 20)
+        .join(Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      val twins = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" semantic twin probe")))
+      CorpusPipeline.curate(base.unionByName(twins), "text", "doc_id",
+        CorpusPipeline.Config(
+          langs = CurateLangs,
+          minQuality = 0.3, nearDupThreshold = 1.5, contaminationNgram = 5,
+          embCol = Some("embedding"), semanticThreshold = 0.8,
+          semanticCentroids = 8),
+        benchmark = Some(docs.filter(col("doc_id") < 20)))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
+          col("split"))
+        .orderBy("doc_id")
     }
   )
 
@@ -87,7 +120,8 @@ object PipelineQ {
   // mirrors d06's string-5-gram logic against the doc_id < 20 benchmark
   // slice over the (possibly rewritten) text; split is t07's md5-bucket
   // assignment on the same text.
-  private def curateOracle(spanStage: Boolean): String = {
+  private def curateOracle(spanStage: Boolean,
+                           semanticStage: Boolean = false): String = {
     val counts = TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
@@ -97,11 +131,26 @@ object PipelineQ {
     val vote = langs.init.map(l => s"WHEN c_$l = best THEN '$l'").mkString("\n       ") +
       s"\n       ELSE '${langs.last}'"
     val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
-    s"""WITH t AS (
+    // with the semantic stage, the corpus is documents⋈embeddings plus the
+    // planted twins (salted text, byte-identical embedding — c04's input)
+    val srcCtes =
+      if (!semanticStage) "FROM documents WHERE doc_id >= 20),"
+      else """FROM raw),"""
+    val rawCte = if (!semanticStage) "" else
+      """raw AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings em ON em.vec_id = d.doc_id WHERE d.doc_id >= 20
+        |  UNION ALL
+        |  SELECT d.doc_id + 1000000, d.text || ' semantic twin probe'
+        |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+        |  WHERE d.doc_id >= 20 AND d.doc_id % 10 = 0),
+        |""".stripMargin
+    val surv = if (semanticStage) "semkept" else "exact"
+    s"""WITH ${rawCte}t AS (
        |  SELECT doc_id, text,
        |    string_split_regex(lower(text), '\\s+') AS ltoks,
        |    string_split_regex(text, '\\s+') AS toks
-       |  FROM documents WHERE doc_id >= 20),
+       |  $srcCtes
        |scored0 AS (
        |  SELECT doc_id, text, toks,
        |    CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
@@ -134,7 +183,7 @@ object PipelineQ {
        |  SELECT * FROM gated
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
        |${if (spanStage) spanRewriteSql else passthroughSql}
-       |bgrams AS (
+       |${if (semanticStage) semanticDropSql else ""}bgrams AS (
        |  SELECT DISTINCT unnest(
        |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
        |      ELSE list_transform(range(1, len(toks) - 3),
@@ -150,7 +199,7 @@ object PipelineQ {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
        |                  toks[i+3] || ' ' || toks[i+4])
        |      END)) AS gr
-       |  FROM exact),
+       |  FROM $surv),
        |dirty AS (
        |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
        |  GROUP BY doc_id HAVING COUNT(*) >= 1)
@@ -159,10 +208,37 @@ object PipelineQ {
         if (spanStage) ",\n       |  md5(e.text) AS text_md5" else ""}
        |FROM (SELECT *,
        |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
-       |      FROM exact) e
+       |      FROM $surv) e
        |WHERE e.doc_id NOT IN (SELECT doc_id FROM dirty)
        |ORDER BY e.doc_id""".stripMargin
   }
+
+  // The semantic stage replayed through the exact quadratic cosine path
+  // over the post-exact-dedup survivors: double-cast dot products, norms
+  // factored per side, unrounded threshold — the d10 oracle's derivation,
+  // applied INSIDE the composition. The dup graph is disjoint twin pairs
+  // on this corpus, so dropping every pair's greater id ≡ the Spark
+  // side's connected-components keep-min.
+  private val semanticDropSql: String =
+    """emb0 AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings WHERE vec_id >= 20
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |  FROM embeddings WHERE vec_id >= 20 AND vec_id % 10 = 0),
+      |sn AS (
+      |  SELECT s.doc_id, e, SQRT(list_dot_product(e, e)) AS nrm
+      |  FROM emb0 s JOIN exact USING (doc_id)),
+      |sp AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM sn a JOIN sn b ON a.doc_id < b.doc_id
+      |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.8),
+      |semkept AS (
+      |  SELECT * FROM exact
+      |  WHERE doc_id NOT IN (SELECT DISTINCT b FROM sp)),
+      |""".stripMargin
 
   // d08's span-dedup CTE chain (SHARED from DedupQ — single source of
   // truth for the span semantics) applied to the exact-dedup survivors:
@@ -184,6 +260,7 @@ object PipelineQ {
 
   val oracles: Map[String, String] = Map(
     "c02_curate_exact" -> curateOracle(spanStage = false),
-    "c03_curate_span" -> curateOracle(spanStage = true)
+    "c03_curate_span" -> curateOracle(spanStage = true),
+    "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true)
   )
 }

@@ -42,6 +42,52 @@ object Warehouse {
   def colocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Compact an append-grown bucketed table: rewrite its accumulated
+    * files under the SAME partition/bucket spec (read from the catalog, so
+    * a compaction can never change the layout contract), collapsing each
+    * bucket — per partition directory, if partitioned — to ONE file.
+    *
+    * Why it exists: every append ([[graft.dedup.Dedup.dedupAgainstRegistry]]
+    * with `update = true`, [[graft.similarity.Similarity.appendToIvfIndex]],
+    * `appendToLshIndex`) adds at least one file per bucket it touches, so a
+    * daily-run registry reads ~N files per bucket after N batches and the
+    * anti-join/probe cost creeps up with file count even though the data
+    * volume didn't. Compaction restores the post-build file layout without
+    * changing a single row; bucket pruning, co-located joins, and partition
+    * pruning behave exactly as before (spec-guarded).
+    *
+    * How: the rows are repartitioned by the bucket key into `numBuckets`
+    * tasks — HashPartitioning and bucket-id assignment use the same hash,
+    * so each task holds exactly one bucket's rows and writes exactly one
+    * file (per partition directory it sees) — and STAGED as a sibling
+    * table; only after the staged write fully materializes is the original
+    * dropped and the staging table renamed over it. A crash mid-compact
+    * leaves either the original or a complete staging copy, never a
+    * half-written table. Same single-writer contract as the appends: no
+    * concurrent append during compaction.
+    */
+  def compact(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"compact($table): not a bucketed table — nothing to co-locate"))
+    val key = spec.bucketColumnNames.head
+    val parts = meta.partitionColumnNames
+    val staging = table + "__compacting"
+    dropTableAndLocation(spark, staging)
+    val w0 = spark.table(table)
+      .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
+    val w1 = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
+    val w2 = w1.bucketBy(spec.numBuckets, key)
+    (spec.sortColumnNames match {
+      case Seq() => w2
+      case s => w2.sortBy(s.head, s.tail: _*)
+    }).saveAsTable(staging)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** Drop a managed table AND its warehouse directory. With a
     * non-persistent (in-memory) catalog, a previous JVM's managed-table
     * directory survives while the catalog forgets it, and the next

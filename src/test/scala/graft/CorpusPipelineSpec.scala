@@ -133,6 +133,29 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(run(m) == expected, s"strategy $m diverged")
   }
 
+  test("embCol enables the semantic-dedup stage: embedding near-copies collapse to min id") {
+    val v1 = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = Seq.tabulate(8)(i => (8 - i).toFloat) // cosine(v1, v2) ≈ 0.59
+    val docs = Seq(
+      (1L, english + "one", v1),
+      // distinct text (passes the text-keyed dedups) but a byte-identical
+      // embedding — exactly what the semantic stage exists to catch
+      (2L, english + "completely different tail of words here", v1),
+      (3L, english + "a third unrelated document body for this test", v2)
+    ).toDF("doc_id", "text", "embedding")
+    val cfg = CorpusPipeline.Config(nearDupThreshold = 1.5,
+      embCol = Some("embedding"), semanticThreshold = 0.9, semanticCentroids = 2)
+    val out = CorpusPipeline.curate(docs, "text", "doc_id", cfg)
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"survivors: $ids")
+    // survivors flow through the later stages: split assigned, every input
+    // column (embedding included) preserved
+    assert(out.columns.contains("embedding") && out.columns.contains("split"))
+    // stage off → the embedding twin survives untouched
+    val off = CorpusPipeline.curate(docs, "text", "doc_id", cfg.copy(embCol = None))
+    assert(off.count() == 3)
+  }
+
   test("fused langQuality kernel matches the langId/qualityScore columns") {
     import graft.text.TextOps
     // driver-table text plus adversarial shapes: trailing/leading

@@ -106,6 +106,22 @@ class PlanSpec extends SparkSpec {
       s"exact-verify join fell back from broadcast:\n$p")
   }
 
+  test("semantic pairing windows carry skeleton rows, never the vectors") {
+    // the cell-size count and the mega-cell successor chain are windows
+    // partitioned by cell — a degenerate mega-cell funnels ONE window task,
+    // so those windows must see (cell, id, fingerprint) rows only; vectors
+    // rejoin by the unskewed id key after pairing
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.dedup.Dedup.semanticDupEdges(emb, "vec_id", "embedding",
+        threshold = 0.8, nCentroids = 4, lloydIters = 1, maxCell = 50)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val windows = p.split("\\n\\s*\\(\\d+\\) ").filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, s"expected cell-keyed windows in the plan:\n$p")
+    for (b <- windows)
+      assert(!b.contains("embedding"),
+        s"a pairing window carries the embedding payload:\n$b")
+  }
+
   test("d01 exact dedup shuffles the content hash, never the text") {
     val p = executedPlan("d01_exact_dedup")
     assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
