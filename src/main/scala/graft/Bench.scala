@@ -39,7 +39,24 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Host-load self-diagnosis: q03/q05 are stable, CI-plan-guarded queries
+    // whose unloaded sf0.1 medians have been flat across rounds (~0.51 s /
+    // ~0.52 s, the min over five recorded rounds). The ratio of this run's
+    // sentinel medians to those references tells a reader whether a slow
+    // recording is the code or the machine — a shared-host stall once made
+    // two UNTOUCHED queries read 9× slower and took a full re-run to
+    // adjudicate. load_factor ≈ 1 → trust the medians; load_factor ≫ 1 →
+    // the whole recording is inflated by roughly that factor.
+    val sentinelRefs = Map(
+      "sf0.1" -> Map("q03_join_agg" -> 0.51, "q05_star_join" -> 0.52))
+    val measured = results.toMap
+    val loadFactor = sentinelRefs.get(new java.io.File(sfDir).getName)
+      .map(_.flatMap { case (q, ref) => measured.get(q).filter(_ > 0).map(_ / ref) }
+        .toSeq.sorted)
+      .filter(_.nonEmpty)
+      .map(rs => rs(rs.size / 2))
+    val lf = loadFactor.map(v => f""","load_factor":$v%.2f""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$lf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

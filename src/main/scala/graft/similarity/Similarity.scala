@@ -111,10 +111,51 @@ object Similarity {
     * Exchange, no full scan), which is the 100 TB probe path.
     */
   def writeLshIndex(emb: DataFrame, idCol: String, vecCol: String, table: String,
-                    dim: Int, bits: Int = 12, tables: Int = 4, buckets: Int = 64): Unit = {
+                    dim: Int, bits: Int = 12, tables: Int = 4, buckets: Int = 64,
+                    seed: Long = 7L): Unit = {
     val exploded = emb
-      .withColumn("sig", explode(hyperplaneSignatures(col(vecCol), dim, bits, tables)))
+      .withColumn("sig", explode(hyperplaneSignatures(col(vecCol), dim, bits, tables, seed)))
     graft.sources.Warehouse.writeBucketed(exploded, table, "sig", buckets)
+    // tiny sibling holding the signature parameters, so appends can never
+    // hash with a different geometry than the build (the LSH twin of the
+    // IVF index's persisted centroid matrix)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((dim, bits, tables, seed)).toDF("dim", "bits", "tables", "seed")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lshspec")
+  }
+
+  /** Append new vectors to a [[writeLshIndex]] table WITHOUT rebuilding:
+    * hyperplane signatures are data-INDEPENDENT (fixed pseudo-random
+    * directions derived from the persisted seed), so an append is exactly
+    * signature computation over the new batch plus a bucketed append —
+    * nothing about the existing rows changes, and a probe over the grown
+    * index returns exactly what a fresh full build with the same
+    * parameters would. Signature geometry (dim/bits/tables/seed) is read
+    * from the `<table>_lshspec` sibling and the bucket count from the
+    * table's own catalog spec, so an append can never mismatch the build.
+    * Unlike [[appendToIvfIndex]] there is no drift contract at all: no
+    * centroids exist to go stale. Same single-writer-at-a-time rule as
+    * the other appends; compact accumulated append files with
+    * [[graft.sources.Warehouse.compact]].
+    */
+  def appendToLshIndex(newRows: DataFrame, idCol: String, vecCol: String,
+                       table: String): Unit = {
+    val spark = newRows.sparkSession
+    val s = spark.table(s"${table}_lshspec").head()
+    val (dim, bits, tables, seed) = (s.getInt(0), s.getInt(1), s.getInt(2), s.getLong(3))
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(64)
+    newRows
+      .withColumn("sig", explode(hyperplaneSignatures(col(vecCol), dim, bits, tables, seed)))
+      .write
+      .bucketBy(buckets, "sig")
+      .sortBy("sig")
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
   }
 
   /** Probe a [[writeLshIndex]] table: candidates via bucket-pruned signature

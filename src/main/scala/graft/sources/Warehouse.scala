@@ -75,7 +75,17 @@ object Warehouse {
     val parts = meta.partitionColumnNames
     val staging = table + "__compacting"
     dropTableAndLocation(spark, staging)
-    val w0 = spark.table(table)
+    // Read the FILES, not the catalog table: a bucketed `spark.table` scan
+    // advertises the bucket partitioning, which lets the planner elide the
+    // repartition exchange — and then DisableUnnecessaryBucketedScan
+    // (seeing no operator that needs bucketing) falls back to arbitrary
+    // file-split tasks, so each task spans buckets and writes one file per
+    // bucket it touches: MORE files, not fewer. A plain parquet read
+    // carries no bucket metadata, so the repartition below is a real
+    // shuffle and each task holds exactly one bucket's rows.
+    val raw = spark.read.schema(spark.table(table).schema)
+      .parquet(meta.location.toString)
+    val w0 = raw
       .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
       .write.mode("overwrite").format("parquet")
     val w1 = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
@@ -86,6 +96,20 @@ object Warehouse {
     }).saveAsTable(staging)
     dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    if (parts.nonEmpty) {
+      // the rename moved the data directory, but catalog partition entries
+      // still carry absolute locations under the staging path — purge them
+      // (keeping the just-moved data) and re-discover from the directory
+      // layout, which is exactly the partition-spec source of truth here
+      val db = org.apache.spark.sql.catalyst.TableIdentifier(table)
+        .database.getOrElse(cat.getCurrentDatabase)
+      val ext = spark.sharedState.externalCatalog
+      val specs = ext.listPartitions(db, table).map(_.spec)
+      if (specs.nonEmpty)
+        ext.dropPartitions(db, table, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    }
   }
 
   /** Drop a managed table AND its warehouse directory. With a

@@ -107,6 +107,82 @@ class OperatorSpec extends SparkSpec {
     assert(spark.table("reg_test").count() == 4) // alpha beta gamma delta
   }
 
+  test("Warehouse.compact collapses append-grown registry files; results and layout survive") {
+    import graft.sources.Warehouse
+    Warehouse.dropTableAndLocation(spark, "reg_cmp")
+    Warehouse.dropTableAndLocation(spark, "reg_cmp__compacting")
+    Dedup.createRegistry(spark, "reg_cmp", buckets = 4)
+    // three daily batches → each append adds its own files per bucket
+    for (d <- 0 until 3) {
+      val batch = Seq.tabulate(8)(i => (d * 100L + i, s"registry doc $d $i"))
+        .toDF("doc_id", "text")
+      Dedup.dedupAgainstRegistry(batch, "text", "doc_id", "reg_cmp").count()
+    }
+    def files(table: String): Seq[String] = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).map(_.getPath.getName).filter(_.startsWith("part-")).toSeq
+    }
+    val beforeFiles = files("reg_cmp")
+    val beforeRows = spark.table("reg_cmp").as[String].collect().sorted.toSeq
+    assert(beforeRows.size == 24)
+    assert(beforeFiles.size > 4, s"appends produced only ${beforeFiles.size} files")
+    Warehouse.compact(spark, "reg_cmp")
+    // one file per bucket, identical rows, bucket spec intact
+    val afterFiles = files("reg_cmp")
+    assert(afterFiles.size <= 4, s"compact left ${afterFiles.size} files: $afterFiles")
+    assert(spark.table("reg_cmp").as[String].collect().sorted.toSeq == beforeRows)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("reg_cmp"))
+    assert(meta.bucketSpec.exists(b => b.numBuckets == 4 &&
+      b.bucketColumnNames == Seq("content_hash")))
+    // the registry still serves dedup (and appends) exactly as before
+    val probe = Dedup.dedupAgainstRegistry(
+      Seq((999L, "registry doc 0 0"), (1000L, "fresh doc")).toDF("doc_id", "text"),
+      "text", "doc_id", "reg_cmp", update = false)
+    assert(probe.select("doc_id").as[Long].collect().toSet == Set(1000L))
+  }
+
+  test("Warehouse.compact on a partitioned IVF index keeps probes and pruning") {
+    import graft.sources.Warehouse
+    val rng = new scala.util.Random(17)
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val gen0 = vecs(0 until 400).toDF("vec_id", "embedding").cache()
+    val gen1 = vecs(400 until 500).toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_cmp_centroids", "ivf_cmp", "ivf_cmp__compacting"))
+      Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(gen0, "vec_id", "embedding", "ivf_cmp",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    Similarity.appendToIvfIndex(gen1, "vec_id", "embedding", "ivf_cmp")
+    val q = gen1.filter($"vec_id" === 450).select($"embedding".as("qvec"))
+    def probeRows() = Similarity.ivfProbePartitioned(spark, "ivf_cmp", q,
+      "vec_id", "embedding", k = 10, probes = 4)
+    val before = probeRows().as[(Long, Double)].collect().toSeq
+    Warehouse.compact(spark, "ivf_cmp")
+    // per-cell directories now hold one file per bucket (append added more)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ivf_cmp"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (cellDir <- fs.listStatus(loc) if cellDir.getPath.getName.startsWith("cell=")) {
+      val n = fs.listStatus(cellDir.getPath)
+        .count(_.getPath.getName.startsWith("part-"))
+      assert(n <= 4, s"${cellDir.getPath.getName} has $n files after compact")
+    }
+    assert(meta.partitionColumnNames == Seq("cell") &&
+      meta.bucketSpec.exists(_.numBuckets == 4))
+    // identical probe results, partition pruning intact
+    val after = probeRows()
+    assert(after.as[(Long, Double)].collect().toSeq == before)
+    val plan = after.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN".r.findFirstIn(plan).isDefined,
+      s"compact broke cell partition pruning:\n$plan")
+  }
+
   test("boilerplateSpans profiles per-source repeated spans") {
     val corpus = Seq(
       (1L, "s1", "hdr a b one two three"),
@@ -518,6 +594,45 @@ class OperatorSpec extends SparkSpec {
       val m = sel.findFirstMatchIn(plan)
       assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
       assert(m.get.group(1).toInt < m.get.group(2).toInt, "probe read every bucket")
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("appendToLshIndex serves both generations with pruning intact") {
+    val rng = new scala.util.Random(23)
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val gen0 = vecs(0 until 400).toDF("vec_id", "embedding").cache()
+    val gen1 = vecs(400 until 500).toDF("vec_id", "embedding").cache()
+    for (t <- Seq("lsh_app", "lsh_app_lshspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeLshIndex(gen0, "vec_id", "embedding", "lsh_app",
+      dim = 16, bits = 6, tables = 8, buckets = 16)
+    Similarity.appendToLshIndex(gen1, "vec_id", "embedding", "lsh_app")
+    // the appended rows carry exactly the signatures a full build computes
+    // (data-independent directions from the persisted spec): the grown
+    // index must row-equal a from-scratch build over both generations
+    val full = gen0.unionByName(gen1)
+      .withColumn("sig", explode(Similarity.hyperplaneSignatures(
+        $"embedding", 16, 6, 8)))
+      .select($"vec_id", $"sig").as[(Long, Long)].collect().sorted.toSeq
+    val grown = spark.table("lsh_app").select($"vec_id", $"sig")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(grown == full, "grown index diverges from a fresh build")
+    // a probe of an appended vector returns it top-1, pre-append neighbors
+    // still appear, and bucket pruning still reaches the scan
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = gen1.filter($"vec_id" === 450).select($"embedding".as("qvec"))
+      val probe = Similarity.lshProbeBucketed(spark, "lsh_app", q,
+        "vec_id", "embedding", k = 10, dim = 16, bits = 6, tables = 8)
+      val rows = probe.as[(Long, Double)].collect().toSeq
+      assert(rows.head == ((450L, 1.0)), s"self not top-1: ${rows.head}")
+      assert(rows.exists(_._1 < 400L), s"no pre-append generation rows: $rows")
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"append broke bucket pruning:\n$plan")
     } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
