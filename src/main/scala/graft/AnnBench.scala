@@ -108,11 +108,79 @@ object AnnBench {
       "vec_id", "embedding", k = 1, probes = 8)
       .as[(Long, Double)].collect().headOption.exists(_._1 == appQ)
 
+    // int8-quantized tier, at SERVING dims: the per-vector scalars
+    // (scale/offset/norm, 12 B) amortize over the dimension, so the
+    // comparison runs on a 256-dim corpus — the regime the tier exists
+    // for (a 32-dim index is barely worth compressing). Codes + scalars
+    // in the probed cell table, raw vectors in the rerank sibling.
+    val qn = n / 4
+    val qdim = 256
+    val qCenters = Array.tabulate(nCenters) { c =>
+      val r = new scala.util.Random(c * 7177L + 3L)
+      Array.fill(qdim)(r.nextGaussian() * 2.0)
+    }
+    val bcQCenters = spark.sparkContext.broadcast(qCenters)
+    val genVecQ = udf { (id: Long) =>
+      val r = new scala.util.Random(id * 2654435761L + 19L)
+      val c = bcQCenters.value((id % nCenters).toInt)
+      Array.tabulate(qdim)(i => (c(i) + 0.5 * r.nextGaussian()).toFloat)
+    }
+    spark.range(qn).select(col("id").as("vec_id"), genVecQ(col("id")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embq.parquet")
+    val embQ = spark.read.parquet(s"$dir/embq.parquet")
+    def queryVecQ(id: Long) = embQ.filter(col("vec_id") === id)
+      .select(col("embedding").as("qvec"))
+    val qTable = s"graft_annbench_q$n"
+    val qfTable = s"graft_annbench_qf$n"
+    for (t <- Seq(qTable, s"${qTable}_raw", s"${qTable}_centroids",
+        qfTable, s"${qfTable}_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(embQ, "vec_id", "embedding", qfTable,
+      nCentroids = cells, lloydIters = 1, buckets = 8)
+    val tQ = System.nanoTime()
+    Similarity.writeIvfIndexQuantized(embQ, "vec_id", "embedding", qTable,
+      nCentroids = cells, lloydIters = 1, buckets = 8)
+    val qBuildSec = (System.nanoTime() - tQ) / 1e9
+    val fullProbe = median3 {
+      qids.foreach(q => Similarity.ivfProbePartitioned(spark, qfTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8).count())
+    }
+    val quantized = median3 {
+      qids.foreach(q => Similarity.ivfProbeQuantized(spark, qTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8).count())
+    }
+    // recall of the quantized+rerank probe RELATIVE to the uncompressed
+    // probe (the gate), over a wider query set than the timing loop
+    val qRecalls = (qids ++ Seq(101L, 2025L, 31337L, 77L, 900L)).map { q =>
+      val full = Similarity.ivfProbePartitioned(spark, qfTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val quant = Similarity.ivfProbeQuantized(spark, qTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      full.intersect(quant).size.toDouble / full.size
+    }
+    def tableBytes(t: String): Long = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(loc).getLength
+    }
+    // probed-bytes ratio ≈ per-row size ratio of the two cell tables (the
+    // probe reads the same pruned cells from each); the raw sibling is
+    // touched only for the ~4k-row shortlist
+    val shrink = tableBytes(qfTable).toDouble / tableBytes(qTable)
+
     println(f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
       f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
       f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f,""" +
       f""""append_rows":$nApp,"append_sec":$appendSec%.2f,""" +
-      f""""indexed_after_append_sec":$afterAppend%.2f,"append_top1_self":$appendedTop1}""")
+      f""""indexed_after_append_sec":$afterAppend%.2f,"append_top1_self":$appendedTop1,""" +
+      f""""quant_n":$qn,"quant_dim":$qdim,"quant_build_sec":$qBuildSec%.2f,""" +
+      f""""quant_full_3probe_sec":$fullProbe%.2f,"quant_3probe_sec":$quantized%.2f,""" +
+      f""""quant_recall_vs_full":${qRecalls.sum / qRecalls.size}%.3f,""" +
+      f""""quant_probe_shrink":$shrink%.2f}""")
     spark.stop()
   }
 }

@@ -141,7 +141,9 @@ object Dedup {
     df.select(col(idCol), posexplode(f(col(sigCol))).as(Seq("band", "bucket")))
   }
 
-  private def bandBucketsUdf(bands: Int) = udf { (sig: Seq[Long]) =>
+  // package-visible: the streaming banded near-dedup reuses the exact
+  // batch band-key fold so its collision semantics mirror L2's
+  private[graft] def bandBucketsUdf(bands: Int) = udf { (sig: Seq[Long]) =>
     val rows = sig.length / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -628,7 +630,9 @@ object Dedup {
       def partFiles(): Set[String] =
         fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
       val before = partFiles()
-      fresh.select(col("content_hash")).write
+      graft.sources.Warehouse.alignBuckets(
+          fresh.select(col("content_hash")), "content_hash", buckets)
+        .write
         .bucketBy(buckets, "content_hash")
         .sortBy("content_hash")
         .mode("append")

@@ -118,9 +118,11 @@ object Similarity {
     graft.sources.Warehouse.writeBucketed(exploded, table, "sig", buckets)
     // tiny sibling holding the signature parameters, so appends can never
     // hash with a different geometry than the build (the LSH twin of the
-    // IVF index's persisted centroid matrix)
+    // IVF index's persisted centroid matrix); drop location first — a
+    // previous JVM's managed dir survives the in-memory catalog
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_lshspec")
     Seq((dim, bits, tables, seed)).toDF("dim", "bits", "tables", "seed")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_lshspec")
@@ -148,8 +150,10 @@ object Similarity {
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(64)
-    newRows
-      .withColumn("sig", explode(hyperplaneSignatures(col(vecCol), dim, bits, tables, seed)))
+    graft.sources.Warehouse.alignBuckets(
+        newRows.withColumn("sig",
+          explode(hyperplaneSignatures(col(vecCol), dim, bits, tables, seed))),
+        "sig", buckets)
       .write
       .bucketBy(buckets, "sig")
       .sortBy("sig")
@@ -298,13 +302,109 @@ object Similarity {
       .bucketSpec.map(_.numBuckets).getOrElse(8)
     val assigned = assignToCentroids(newRows, vecCol, centroids,
       centroids.head._2.length)
-    assigned.write
+    graft.sources.Warehouse.alignBuckets(assigned, idCol, buckets, "cell")
+      .write
       .partitionBy("cell")
       .bucketBy(buckets, idCol)
       .sortBy(idCol)
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  // Per-vector scalar quantization for the int8 IVF index: 256 levels
+  // between the vector's own min and max. A one-time build-pass UDF (the
+  // byte-array construction has no functions-API equivalent); the PROBE
+  // side never runs it — scoring is the codegen'd Int8Dot kernel.
+  private val quantizeUdf = udf { (v: Seq[Float]) =>
+    var mn = Float.MaxValue
+    var mx = Float.MinValue
+    var i = 0
+    val n = v.length
+    while (i < n) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    val scale = math.max((mx - mn) / 255f, java.lang.Float.MIN_VALUE)
+    val code = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = math.round((v(i) - mn) / scale)
+      code(i) = (if (q < 0) 0 else if (q > 255) 255 else q).toByte
+      i += 1
+    }
+    (code, scale, mn)
+  }
+
+  /** [[writeIvfIndex]] with int8-QUANTIZED cells: the cell-partitioned
+    * index table stores, per vector, a one-byte-per-dimension scalar code
+    * plus its (scale, offset) dequantization pair and the EXACT float
+    * norm — 4× less data read per probed cell than raw float32 — while
+    * the raw vectors live in a sibling `<table>_raw` table bucketed by id
+    * that only the top-`shortlist` rerank touches. Standard
+    * quantize-probe/exact-rerank split: the approximate scores order a
+    * shortlist, the shortlist is re-scored from raw floats, so the final
+    * top-k arithmetic is EXACTLY the uncompressed probe's (identical
+    * rounding, identical ties) whenever the shortlist contains the true
+    * top-k. Probe with [[ivfProbeQuantized]].
+    */
+  def writeIvfIndexQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                             table: String, nCentroids: Int = 16,
+                             lloydIters: Int = 1, buckets: Int = 8): Unit = {
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val quantized = assigned
+      .withColumn("__q", quantizeUdf(col(vecCol)))
+      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol), col("cell"), col("__q._1").as("code"),
+        col("__q._2").as("scale"), col("__q._3").as("offset"),
+        col("__norm").cast("float").as("norm"))
+    graft.sources.Warehouse.writeBucketedPartitioned(quantized, table, "cell", idCol, buckets)
+    graft.sources.Warehouse.writeBucketed(
+      emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  /** Probe a [[writeIvfIndexQuantized]] table: partition-pruned scan of
+    * the `probes` nearest cells reads CODES (1 byte/dim + 12 bytes of
+    * scalars), scores them with the codegen'd [[graft.functions.Int8Dot]]
+    * kernel (approx dot = scale·Σcode·q + offset·Σq — exact for the
+    * dequantized vector), keeps the top `shortlist` (default 4k)
+    * candidates, and re-scores ONLY those from the raw-vector sibling
+    * (an id-IN pruned read of `shortlist` rows) with the uncompressed
+    * probe's exact arithmetic. Recall loss is confined to true-top-k
+    * members the approximate order pushed below the shortlist boundary —
+    * widen `shortlist` to trade read volume for recall.
+    */
+  def ivfProbeQuantized(spark: org.apache.spark.sql.SparkSession, table: String,
+                        query: DataFrame, idCol: String, vecCol: String,
+                        k: Int, probes: Int = 4, shortlist: Int = 0): DataFrame = {
+    val centroids = readIvfCentroids(spark, table)
+    val qvecs = query.select(col("qvec")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cells = qvecs.flatMap(v => nearestCells(v, centroids, probes))
+      .distinct.toIndexedSeq
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val q = broadcast(query
+      .withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))
+      .withColumn("__sum_q", aggregate(col("qvec"), lit(0.0d), (acc, x) => acc + x)))
+    val shortIds = spark.table(table)
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(q)
+      .select(col(idCol),
+        ((graft.functions.Int8Dot(col("code"), col("qvec")) * col("scale") +
+          col("offset") * col("__sum_q")) / (col("norm") * col("__norm_q"))).as("__asim"))
+      .orderBy(col("__asim").desc, col(idCol))
+      .limit(sl)
+      .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    spark.table(s"${table}_raw")
+      .filter(col(idCol).isin(shortIds: _*))
+      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Per-cell row counts of a persisted IVF index — the drift signal for

@@ -13,9 +13,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warehouse {
 
-  /** Write as a bucketed, per-bucket-sorted managed table. */
+  // The bucket-id expression Spark's bucketed writer uses: pmod of the
+  // same Murmur3 hash `hash()` exposes. Repartitioning on it co-locates
+  // each bucket's rows in ONE task, so a bucketed write emits exactly one
+  // file per bucket (per partition directory) instead of one per
+  // bucket×task — without it, a 32-task build of a 256-cell × 8-bucket
+  // index writes ~65k ~KB files whose parquet footers outweigh the data
+  // and whose open cost dominates every probe.
+  private def bucketIdExpr(key: String, buckets: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col(key)),
+      org.apache.spark.sql.functions.lit(buckets))
+
+  /** Repartition so each (partition dir, bucket) lands in exactly one
+    * task — the one-file-per-bucket alignment every bucketed write and
+    * append here applies. Distinct (partition, bucket) pairs spread
+    * across the full shuffle parallelism.
+    */
+  def alignBuckets(df: DataFrame, key: String, buckets: Int,
+                   partitionCols: String*): DataFrame =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col) :+
+      bucketIdExpr(key, buckets): _*)
+
+  /** Write as a bucketed, per-bucket-sorted managed table — one file per
+    * bucket ([[alignBuckets]]; size `buckets` for the cluster's
+    * parallelism, as any bucketed layout already requires).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    alignBuckets(df, key, buckets)
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
@@ -23,11 +49,13 @@ object Warehouse {
       .saveAsTable(table)
 
   /** Write bucketed and additionally partitioned by a (low-cardinality)
-    * partition column — pruning + co-location together.
+    * partition column — pruning + co-location together, one file per
+    * (partition dir, bucket).
     */
   def writeBucketedPartitioned(df: DataFrame, table: String, partitionCol: String,
                                key: String, buckets: Int): Unit =
-    df.write
+    alignBuckets(df, key, buckets, partitionCol)
+      .write
       .partitionBy(partitionCol)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -154,6 +154,108 @@ object EventStreams {
       .drop("__sh")
   }
 
+  /** Streaming BANDED near-dedup — the incremental twin of the batch
+    * MinHash-LSH candidate path ([[graft.dedup.Dedup.minhashCandidates]]),
+    * where [[dedupeNear]]'s single-signature state only catches
+    * identical-signature (or masked-bit-radius) duplicates: a document is
+    * a near-dup if ANY of its `bands` MinHash band buckets collides with
+    * one seen inside the watermark horizon, which is exactly L2's recall
+    * curve (a mutated near-dup agrees with the original on some band with
+    * high probability even though the full signatures differ).
+    *
+    * Two chained stateful stages (Spark's supported
+    * flatMapGroupsWithState-in-append → windowed-aggregation chain):
+    *
+    *  1. Band state, keyed by band bucket: the first batch to present a
+    *     bucket elects the batch's minimum-id row as that bucket's WINNER
+    *     and registers the bucket in state (expired by event-time timeout
+    *     `retentionSec` past the bucket's last sighting); later batches —
+    *     and same-batch non-winners — collide. The min-id election is what
+    *     makes same-batch duplicates deterministic: all buckets of a pair
+    *     of identical docs elect the SAME winner, so exactly one of the
+    *     pair survives (the nondeterministic alternative — per-bucket
+    *     arbitrary first-writer — can split winners across the pair and
+    *     drop both).
+    *  2. Per-document verdict: a document survives only if ALL `bands` of
+    *     its buckets elected it (any collision ⇒ near-dup ⇒ dropped) — a
+    *     count over the doc's emitted band rows, grouped with a tumbling
+    *     `windowLen` window so the verdict state is watermark-bounded.
+    *     In append mode the verdict emits once the watermark passes the
+    *     document's window — bounded intake latency, not immediate.
+    *
+    * Like the batch candidate stage, EVERY document's buckets enter the
+    * state, dropped documents' included: a doc that loses band b to doc A
+    * still registers its fresh band c (it is c's only contender, hence
+    * c's winner), so a later doc colliding only with c is dropped too —
+    * the streaming mirror of batch clusters resolving transitively
+    * through documents that are themselves dropped.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false` on the session: Spark's global-watermark check
+    * rejects any flatMapGroupsWithState feeding a stateful operator
+    * because it cannot prove what timestamps the user function emits.
+    * Stage 1 only ever re-emits its INPUT rows (winner election, no
+    * timestamp arithmetic), so its output is never later than the
+    * watermark that already admitted those rows — the conservative check
+    * does not apply to this shape.
+    */
+  def dedupeNearBanded(docs: DataFrame, textCol: String, idCol: String,
+                       tsCol: String, watermark: String = "1 hour",
+                       windowLen: String = "5 minutes",
+                       shingleK: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16,
+                       retentionSec: Long = 3600L): DataFrame = {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.Row
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val cols = docs.columns.toSeq
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(cols.map(col) :+
+        explode(Dedup.bandBucketsUdf(bands)(
+          Dedup.minhashSignatureFromText(col(textCol), shingleK, numHashes)))
+          .as("__bucket"): _*)
+    val docSchema = org.apache.spark.sql.types.StructType(
+      banded.schema.filterNot(_.name == "__bucket"))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(docSchema)
+    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+    val tsIdx = banded.schema.fieldIndex(tsCol)
+    val elected = banded
+      .groupByKey(_.getAs[Long]("__bucket"))
+      .flatMapGroupsWithState[Long, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toArray
+            val lastMs = rs.iterator
+              .map(_.getAs[Timestamp](tsIdx).getTime).max
+            val seen = state.exists
+            state.update(lastMs)
+            state.setTimeoutTimestamp(lastMs + retentionSec * 1000)
+            if (seen) Iterator.empty
+            else {
+              // min-id winner of this batch's contenders for a fresh
+              // bucket ((length, string) orders positive integers
+              // numerically without assuming the id's type)
+              val w = rs.minBy { r =>
+                val s = r.getAs[Any](idCol).toString; (s.length, s)
+              }
+              Iterator.single(Row.fromSeq(docSchema.fieldNames.toSeq
+                .map(f => w.getAs[Any](f))))
+            }
+          }
+      }
+    elected.toDF()
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        first(struct(cols.map(col): _*)).as("__r"))
+      .filter(col("__n") === bands)
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Streaming corpus intake: the curation stages that are row-local run
     * stateless on the document stream — fused langQuality gate, benchmark
     * decontamination, PII redaction, md5 split assignment — and exact

@@ -760,6 +760,36 @@ class OperatorSpec extends SparkSpec {
       s"append broke cell partition pruning:\n$plan")
   }
 
+  test("quantized IVF probe reranks to the uncompressed probe's exact rows") {
+    val rng = new scala.util.Random(41)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_q", "ivf_q_raw", "ivf_q_centroids",
+        "ivf_qf", "ivf_qf_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_qf",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", "ivf_q",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    // the codes really are 1 byte/dim: the quantized cell table stores
+    // binary codes, not float arrays
+    val row = spark.table("ivf_q").head()
+    assert(row.getAs[Array[Byte]]("code").length == 16)
+    for (q <- Seq(0L, 7L, 123L)) {
+      val qv = emb.filter($"vec_id" === q).select($"embedding".as("qvec"))
+      val full = Similarity.ivfProbePartitioned(spark, "ivf_qf", qv,
+        "vec_id", "embedding", k = 10, probes = 4)
+        .as[(Long, Double)].collect().toSeq
+      // generous shortlist ⊇ true top-10 → exact-rerank arithmetic makes
+      // the quantized path row-IDENTICAL to the uncompressed probe
+      val quant = Similarity.ivfProbeQuantized(spark, "ivf_q", qv,
+        "vec_id", "embedding", k = 10, probes = 4, shortlist = 100)
+        .as[(Long, Double)].collect().toSeq
+      assert(quant == full, s"query $q: quantized $quant vs full $full")
+      assert(quant.head == ((q, 1.0)), s"query $q not its own top-1")
+    }
+  }
+
   test("batched probe of the persisted ivf index equals the per-call batch path") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))

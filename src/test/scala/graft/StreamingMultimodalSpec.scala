@@ -126,6 +126,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("banded streaming near-dedup drops MUTATED near-dups cross-batch, like batch LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning"
+    // one-token mutation: different simhash AND different full minhash
+    // signature (dedupeNear's identity state misses it) but most bands agree
+    val mutated = base.replace("windowsill", "doorstep")
+    val distinct1 = "completely different text about distributed query engines " +
+      "and their optimizers planning joins over columnar storage layouts"
+    val distinct2 = "an unrelated recipe for bread with flour water salt and " +
+      "patience plus a hot oven and a heavy pan for the crust"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    // stage 1 re-emits input rows unchanged, so the conservative
+    // fMGWS-feeds-stateful watermark check does not apply (scaladoc)
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val out = EventStreams.dedupeNearBanded(docs, "text", "doc_id", "ts",
+      watermark = "10 minutes", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("banded_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: base + a same-batch IDENTICAL copy (winner election must
+      // keep exactly one) + a distinct doc
+      input.addData((1L, ts(0), base), (2L, ts(0), base), (3L, ts(0), distinct1))
+      out.processAllAvailable()
+      // batch 2: the cross-batch MUTATED near-dup + a fresh distinct doc
+      input.addData((4L, ts(1), mutated), (5L, ts(1), distinct2))
+      out.processAllAvailable()
+      // push the watermark past every window so append emits the verdicts
+      input.addData((99L, ts(60, 0), distinct2 + " heartbeat tail"))
+      out.processAllAvailable()
+      val ids = spark.table("banded_out").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+      // the mutated pair really is invisible to the identity-signature
+      // path: its full signatures differ, so this is banded-only recall
+      val sigs = Seq(base, mutated).toDF("text")
+        .select(graft.dedup.Dedup.minhashSignatureFromText($"text", 3, 64))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs(0) != sigs(1), "mutation did not change the full signature")
+      // and the batch LSH candidate stage pairs them (same recall source)
+      val cand = graft.dedup.Dedup.minhashCandidates(
+        Seq((1L, base), (4L, mutated)).toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(cand.contains((1L, 4L)), "batch LSH does not even pair the mutation")
+    } finally {
+      out.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, ts: Timestamp, text: String)
