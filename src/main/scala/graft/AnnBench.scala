@@ -172,6 +172,30 @@ object AnnBench {
     // touched only for the ~4k-row shortlist
     val shrink = tableBytes(qfTable).toDouble / tableBytes(qTable)
 
+    // PQ tier on the same 256-dim corpus: m=32 subspaces of 8 dims → 32 B
+    // codes, past int8's 4× ceiling
+    val pqTable = s"graft_annbench_pq$n"
+    for (t <- Seq(pqTable, s"${pqTable}_raw", s"${pqTable}_centroids", s"${pqTable}_pq"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    val tP = System.nanoTime()
+    Similarity.writeIvfIndexPq(embQ, "vec_id", "embedding", pqTable,
+      nCentroids = cells, lloydIters = 1, buckets = 8, m = 32)
+    val pqBuildSec = (System.nanoTime() - tP) / 1e9
+    val pqProbe = median3 {
+      qids.foreach(q => Similarity.ivfProbePq(spark, pqTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8, shortlist = 100).count())
+    }
+    val pqRecalls = (qids ++ Seq(101L, 2025L, 31337L, 77L, 900L)).map { q =>
+      val full = Similarity.ivfProbePartitioned(spark, qfTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      val pq = Similarity.ivfProbePq(spark, pqTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8, shortlist = 100)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      full.intersect(pq).size.toDouble / full.size
+    }
+    val pqShrink = tableBytes(qfTable).toDouble / tableBytes(pqTable)
+
     println(f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
       f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
       f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f,""" +
@@ -180,7 +204,10 @@ object AnnBench {
       f""""quant_n":$qn,"quant_dim":$qdim,"quant_build_sec":$qBuildSec%.2f,""" +
       f""""quant_full_3probe_sec":$fullProbe%.2f,"quant_3probe_sec":$quantized%.2f,""" +
       f""""quant_recall_vs_full":${qRecalls.sum / qRecalls.size}%.3f,""" +
-      f""""quant_probe_shrink":$shrink%.2f}""")
+      f""""quant_probe_shrink":$shrink%.2f,""" +
+      f""""pq_build_sec":$pqBuildSec%.2f,"pq_3probe_sec":$pqProbe%.2f,""" +
+      f""""pq_recall_vs_full":${pqRecalls.sum / pqRecalls.size}%.3f,""" +
+      f""""pq_probe_shrink":$pqShrink%.2f}""")
     spark.stop()
   }
 }

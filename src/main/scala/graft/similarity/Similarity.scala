@@ -407,6 +407,162 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-subspace k-means codebooks for product quantization: `m`
+    * subspaces of `dim/m` dimensions, up to `ksub` (≤256, byte-addressable)
+    * centroids each, Lloyd-refined over a driver-side training sample (the
+    * deliberate small collect, same tier as the IVF centroid matrix —
+    * `trainRows × dim` floats). Deterministic: seeded shuffle picks the
+    * initial centroids, empty clusters keep their previous centroid.
+    */
+  private[graft] def trainPqCodebooks(sample: Array[Array[Float]], m: Int,
+                                      ksub: Int = 256, iters: Int = 8,
+                                      seed: Long = 13L): Array[Array[Array[Float]]] = {
+    val dim = sample.head.length
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      val rng = new scala.util.Random(seed + s)
+      var cents = rng.shuffle(xs.indices.toVector).take(ksub)
+        .map(i => xs(i).clone).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val cnt = new Array[Int](cents.length)
+        for (x <- xs) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = x(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var j = 0
+          while (j < sub) { sums(best)(j) += x(j); j += 1 }
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (cnt(c) == 0) cents(c)
+          else Array.tabulate(sub)(j => (sums(c)(j) / cnt(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** [[writeIvfIndex]] with PRODUCT-QUANTIZED cells: each vector is stored
+    * as `m` one-byte codebook indices (one per `dim/m`-dimensional
+    * subspace; codebooks trained on a `trainRows` sample) plus its exact
+    * float norm — `~4·dim/m×` less data read per probed cell than raw
+    * float32, the tier past int8's 4× ceiling — while raw vectors live in
+    * the id-bucketed `<table>_raw` sibling that only the shortlist rerank
+    * touches. Siblings: `<table>_centroids` (IVF) and `<table>_pq`
+    * (codebooks). Probe with [[ivfProbePq]].
+    */
+  def writeIvfIndexPq(emb: DataFrame, idCol: String, vecCol: String,
+                      table: String, nCentroids: Int = 16, lloydIters: Int = 1,
+                      buckets: Int = 8, m: Int = 16,
+                      trainRows: Int = 20000): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val dim = centroids.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sample = emb.orderBy(xxhash64(col(idCol))).limit(trainRows)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    val books = trainPqCodebooks(sample, m)
+    val bc = spark.sparkContext.broadcast(books)
+    // build-pass encode UDF (argmin per subspace), mirroring the int8
+    // tier's quantizeUdf: probes never run it
+    val encode = udf { (v: Seq[Float]) =>
+      val bs = bc.value
+      val sub = v.length / bs.length
+      val out = new Array[Byte](bs.length)
+      var s = 0
+      while (s < bs.length) {
+        val cents = bs(s)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < sub) { val t = v(s * sub + j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        out(s) = best.toByte
+        s += 1
+      }
+      out
+    }
+    val main = assigned
+      .withColumn("code", encode(col(vecCol)))
+      .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))).cast("float"))
+      .select(col(idCol), col("cell"), col("code"), col("norm"))
+    graft.sources.Warehouse.writeBucketedPartitioned(main, table, "cell", idCol, buckets)
+    graft.sources.Warehouse.writeBucketed(
+      emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_centroids")
+    centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_pq")
+    books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_pq")
+  }
+
+  /** Probe a [[writeIvfIndexPq]] table: the query's per-subspace
+    * dot-product lookup table (m×256 floats) is computed driver-side
+    * against the persisted codebooks, the partition-pruned cell scan
+    * scores each m-byte code with the codegen'd
+    * [[graft.functions.PqDot]] kernel (approx dot = Σ lut[s·256+code_s]),
+    * and the top `shortlist` (default 4k) candidates are exact-reranked
+    * from the raw-vector sibling with the uncompressed probe's exact
+    * arithmetic — identical recall mechanics to [[ivfProbeQuantized]] at
+    * a fraction of its read. One query vector per call (the LUT is
+    * per-query by construction; batch probes loop).
+    */
+  def ivfProbePq(spark: org.apache.spark.sql.SparkSession, table: String,
+                 query: DataFrame, idCol: String, vecCol: String,
+                 k: Int, probes: Int = 4, shortlist: Int = 0): DataFrame = {
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, table)
+    val qv = query.select(col("qvec")).collect().map(_.getSeq[Float](0).toArray)
+    require(qv.length == 1, "ivfProbePq serves one query vector per call")
+    val q = qv.head
+    val cells = nearestCells(q, centroids, probes).toIndexedSeq
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val books = spark.table(s"${table}_pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = books.iterator.map(_._1).max + 1
+    val sub = q.length / m
+    val lut = new Array[Float](m * 256)
+    for ((s, c, cent) <- books) {
+      var d = 0.0; var j = 0
+      while (j < sub) { d += q(s * sub + j).toDouble * cent(j); j += 1 }
+      lut((s << 8) | c) = d.toFloat
+    }
+    val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
+    val qDf = broadcast(Seq((q.toSeq, lut.toSeq)).toDF("qvec", "__lut"))
+    val shortIds = spark.table(table)
+      .filter(col("cell").isin(cells: _*))
+      .crossJoin(qDf)
+      .select(col(idCol),
+        (graft.functions.PqDot(col("code"), col("__lut")) / (col("norm") * lit(qNorm))).as("__asim"))
+      .orderBy(col("__asim").desc, col(idCol))
+      .limit(sl)
+      .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    spark.table(s"${table}_raw")
+      .filter(col(idCol).isin(shortIds: _*))
+      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-cell row counts of a persisted IVF index — the drift signal for
     * the [[appendToIvfIndex]] retrain contract. Partition-count metadata
     * plus one pruned columnar count per cell; never reads vectors.

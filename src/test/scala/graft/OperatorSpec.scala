@@ -790,6 +790,35 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("PQ IVF probe reranks to the uncompressed probe's exact rows") {
+    val rng = new scala.util.Random(43)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_pq", "ivf_pq_raw", "ivf_pq_centroids", "ivf_pq_pq",
+        "ivf_pqf", "ivf_pqf_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", "ivf_pqf",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    Similarity.writeIvfIndexPq(emb, "vec_id", "embedding", "ivf_pq",
+      nCentroids = 8, lloydIters = 1, buckets = 4, m = 8, trainRows = 500)
+    // codes really are m bytes (here 2 dims per byte: 8× smaller than raw)
+    val row = spark.table("ivf_pq").head()
+    assert(row.getAs[Array[Byte]]("code").length == 8)
+    for (q <- Seq(0L, 7L, 123L)) {
+      val qv = emb.filter($"vec_id" === q).select($"embedding".as("qvec"))
+      val full = Similarity.ivfProbePartitioned(spark, "ivf_pqf", qv,
+        "vec_id", "embedding", k = 10, probes = 4)
+        .as[(Long, Double)].collect().toSeq
+      // covering shortlist ⊇ true top-10 → exact rerank makes the PQ path
+      // row-IDENTICAL to the uncompressed probe
+      val pq = Similarity.ivfProbePq(spark, "ivf_pq", qv,
+        "vec_id", "embedding", k = 10, probes = 4, shortlist = 100)
+        .as[(Long, Double)].collect().toSeq
+      assert(pq == full, s"query $q: pq $pq vs full $full")
+      assert(pq.head == ((q, 1.0)), s"query $q not its own top-1")
+    }
+  }
+
   test("batched probe of the persisted ivf index equals the per-call batch path") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
