@@ -291,9 +291,19 @@ object Dedup {
     * other's files; leftovers from an aborted run are likewise never
     * reused or deleted. Long CC runs on preemptible clusters should
     * always set it.
+    *
+    * Small-graph fast path: a dup-edge set at or under `driverBound`
+    * edges (default 2²⁰ ≈ 16 MB of id pairs — the same guarded-collect
+    * tier as the IVF centroid matrix) is resolved by a driver union-find
+    * with identical min-label semantics instead of paying ~15 Spark jobs
+    * of iteration overhead; the distributed rounds — the 100 TB path —
+    * engage above the bound (or always, with `driverBound = 0`, which is
+    * how the iteration specs pin them). The fast path writes no
+    * checkpoint files and its result is a plain local DataFrame.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 32,
-                  checkpointDir: Option[String] = None): DataFrame = {
+                  checkpointDir: Option[String] = None,
+                  driverBound: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // per-call salt: two runs sharing a dir (sequential or concurrent)
     // write disjoint round paths, so one run's cleanup can never delete
@@ -306,6 +316,42 @@ object Dedup {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
+    val edgeCnt = edges.count()
+    if (edgeCnt <= driverBound) {
+      // driver union-find with the SAME min-label semantics (Spark's
+      // min(): numeric for numbers, lexicographic for strings)
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a: String, b: String) => a < b
+        case (a: java.lang.Number, b: java.lang.Number) => a.doubleValue < b.doubleValue
+        case _ => x.toString < y.toString
+      }
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val rows = edges.collect()
+      edges.unpersist()
+      for (r <- rows) {
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+        parent.getOrElseUpdate(r.get(0), find(r.get(0)))
+        parent.getOrElseUpdate(r.get(1), find(r.get(1)))
+      }
+      val nodes = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+      val idType = pairs.schema("a").dataType
+      val out = nodes.toSeq.map(n => org.apache.spark.sql.Row(n, find(n)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label", idType))))
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var converged = false

@@ -425,7 +425,8 @@ class OperatorSpec extends SparkSpec {
       .toDF("a", "b")
     val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
-    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir))
+    val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(dir),
+        driverBound = 0) // force the distributed rounds this spec exercises
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
     // reliable mode spills rounds into the REQUESTED dir (never a
@@ -444,7 +445,7 @@ class OperatorSpec extends SparkSpec {
     // pointer jumping must close it in O(log n) rounds within maxIter
     val n = 10000L
     val pairs = spark.range(n - 1).selectExpr("id AS a", "id + 1 AS b")
-    val out = Dedup.dupClusters(pairs)
+    val out = Dedup.dupClusters(pairs, driverBound = 0) // distributed path
     assert(out.filter($"label" =!= 0L).count() == 0, "chain did not fully converge")
     assert(out.count() == n)
     // localCheckpoint each round ⇒ the returned plan must NOT contain the
@@ -458,7 +459,8 @@ class OperatorSpec extends SparkSpec {
     val nNodes = 20000
     val edges = Seq.fill(30000)((rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
       .filter { case (a, b) => a != b }
-    val labels = Dedup.dupClusters(edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    val labels = Dedup.dupClusters(edges.toDF("a", "b"), driverBound = 0)
+      .as[(Long, Long)].collect().toMap
     // driver-side union-find oracle
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -481,6 +483,11 @@ class OperatorSpec extends SparkSpec {
       val m = members.min; members.map(_ -> m)
     }
     assert(labels == oracleMin)
+    // the small-graph fast path (default bound covers these 30k edges)
+    // returns the identical labeling
+    val fast = Dedup.dupClusters(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(fast == labels)
   }
 
   test("simhash: identical texts equal, near-dups within few bits, unrelated far") {
