@@ -470,10 +470,33 @@ object Similarity {
     val sample = emb.orderBy(xxhash64(col(idCol))).limit(trainRows)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     val books = trainPqCodebooks(sample, m)
+    val encode = pqEncodeUdf(spark, books)
+    val main = assigned
+      .withColumn("code", encode(col(vecCol)))
+      .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))).cast("float"))
+      .select(col(idCol), col("cell"), col("code"), col("norm"))
+    graft.sources.Warehouse.writeBucketedPartitioned(main, table, "cell", idCol, buckets)
+    graft.sources.Warehouse.writeBucketed(
+      emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_centroids")
+    centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_pq")
+    books.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_pq")
+  }
+
+  // PQ encode (argmin per subspace) over broadcast codebooks — a
+  // build/append-pass UDF, mirroring the int8 tier's quantizeUdf: probes
+  // never run it.
+  private def pqEncodeUdf(spark: org.apache.spark.sql.SparkSession,
+                          books: Array[Array[Array[Float]]]) = {
     val bc = spark.sparkContext.broadcast(books)
-    // build-pass encode UDF (argmin per subspace), mirroring the int8
-    // tier's quantizeUdf: probes never run it
-    val encode = udf { (v: Seq[Float]) =>
+    udf { (v: Seq[Float]) =>
       val bs = bc.value
       val sub = v.length / bs.length
       val out = new Array[Byte](bs.length)
@@ -493,23 +516,62 @@ object Similarity {
       }
       out
     }
+  }
+
+  // Codebooks of a writeIvfIndexPq table, re-assembled [m][ksub][subDim].
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                              table: String): Array[Array[Array[Float]]] = {
+    val rows = spark.table(s"${table}_pq").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.iterator.map(_._1).max + 1
+    Array.tabulate(m) { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Append new vectors to a [[writeIvfIndexPq]] table WITHOUT
+    * retraining: rows are assigned against the persisted IVF centroids
+    * and ENCODED against the persisted codebooks — neither moves on
+    * append, the same grow-don't-retrain contract as
+    * [[appendToIvfIndex]] — then appended into both the cell-partitioned
+    * code table and the raw-vector rerank sibling under the catalog's
+    * bucket spec. Drift: a shifting distribution degrades the APPROXIMATE
+    * order (larger quantization error against stale codebooks), never
+    * the returned rows' arithmetic (the rerank reads raw floats); widen
+    * `shortlist` or retrain on the [[ivfCellSizes]] signal as with the
+    * uncompressed index.
+    */
+  def appendToIvfIndexPq(newRows: DataFrame, idCol: String, vecCol: String,
+                         table: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = readIvfCentroids(spark, table)
+    val books = readPqCodebooks(spark, table)
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val encode = pqEncodeUdf(spark, books)
+    val assigned = assignToCentroids(newRows, vecCol, centroids,
+      centroids.head._2.length)
     val main = assigned
       .withColumn("code", encode(col(vecCol)))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))).cast("float"))
       .select(col(idCol), col("cell"), col("code"), col("norm"))
-    graft.sources.Warehouse.writeBucketedPartitioned(main, table, "cell", idCol, buckets)
-    graft.sources.Warehouse.writeBucketed(
-      emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
-    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_centroids")
-    centroids.toSeq.toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
-    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_pq")
-    books.zipWithIndex.flatMap { case (cents, s) =>
-      cents.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "cid", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_pq")
+    graft.sources.Warehouse.alignBuckets(main, idCol, buckets, "cell")
+      .write
+      .partitionBy("cell")
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+    graft.sources.Warehouse.alignBuckets(
+        newRows.select(col(idCol), col(vecCol)), idCol, buckets)
+      .write
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(s"${table}_raw")
   }
 
   /** Probe a [[writeIvfIndexPq]] table: the query's per-subspace
@@ -533,14 +595,13 @@ object Similarity {
     val q = qv.head
     val cells = nearestCells(q, centroids, probes).toIndexedSeq
     val sl = if (shortlist > 0) shortlist else 4 * k
-    val books = spark.table(s"${table}_pq").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val m = books.iterator.map(_._1).max + 1
+    val books = readPqCodebooks(spark, table)
+    val m = books.length
     val sub = q.length / m
     val lut = new Array[Float](m * 256)
-    for ((s, c, cent) <- books) {
+    for (s <- books.indices; c <- books(s).indices) {
       var d = 0.0; var j = 0
-      while (j < sub) { d += q(s * sub + j).toDouble * cent(j); j += 1 }
+      while (j < sub) { d += q(s * sub + j).toDouble * books(s)(c)(j); j += 1 }
       lut((s << 8) | c) = d.toFloat
     }
     val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))

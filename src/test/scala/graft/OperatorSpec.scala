@@ -826,6 +826,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndexPq serves both generations with persisted codebooks") {
+    val rng = new scala.util.Random(47)
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val gen0 = vecs(0 until 400).toDF("vec_id", "embedding").cache()
+    val gen1 = vecs(400 until 500).toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_pqa", "ivf_pqa_raw", "ivf_pqa_centroids", "ivf_pqa_pq"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndexPq(gen0, "vec_id", "embedding", "ivf_pqa",
+      nCentroids = 8, lloydIters = 1, buckets = 4, m = 8, trainRows = 400)
+    Similarity.appendToIvfIndexPq(gen1, "vec_id", "embedding", "ivf_pqa")
+    assert(spark.table("ivf_pqa").count() == 500)
+    assert(spark.table("ivf_pqa_raw").count() == 500)
+    // a probe of an appended vector is served exactly: rerank reads raw
+    // floats, so the appended row tops its own query at sim 1.0 and
+    // pre-append neighbors still appear
+    val q = gen1.filter($"vec_id" === 450).select($"embedding".as("qvec"))
+    val rows = Similarity.ivfProbePq(spark, "ivf_pqa", q,
+      "vec_id", "embedding", k = 10, probes = 4, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.head == ((450L, 1.0)), s"appended self not top-1: ${rows.head}")
+    assert(rows.exists(_._1 < 400L), s"no pre-append generation rows: $rows")
+  }
+
   test("batched probe of the persisted ivf index equals the per-call batch path") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
