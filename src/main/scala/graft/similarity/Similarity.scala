@@ -624,6 +624,82 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched probe of a [[writeIvfIndexPq]] table — the serving shape of
+    * [[ivfProbePq]], mirroring [[ivfProbePartitionedBatch]]: per-query
+    * LUTs and probe cells are computed driver-side from the persisted
+    * codebooks/centroids (the query side is small by definition), the
+    * union of probe cells is ONE static partition filter over the code
+    * table, candidates score via `PqDot` against each query's broadcast
+    * LUT, and the per-query top-`shortlist` union reranks exactly from
+    * the raw sibling in one id-pruned read. Returns (probeIdCol, idCol,
+    * sim), ≤ k rows per probe, with [[ivfProbePq]]'s exact arithmetic.
+    */
+  def ivfProbePqBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      probeIdCol: String, queryVecCol: String = "qvec",
+                      k: Int = 10, probes: Int = 4, shortlist: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centroids = readIvfCentroids(spark, table)
+    val books = readPqCodebooks(spark, table)
+    val m = books.length
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val qRows = queries.select(col(probeIdCol), col(queryVecCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    val sub = qRows.head._2.length / m
+    val qMeta = qRows.map { case (pid, q) =>
+      val lut = new Array[Float](m * 256)
+      for (s <- books.indices; c <- books(s).indices) {
+        var d = 0.0; var j = 0
+        while (j < sub) { d += q(s * sub + j).toDouble * books(s)(c)(j); j += 1 }
+        lut((s << 8) | c) = d.toFloat
+      }
+      val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
+      (pid, lut.toSeq, qn, nearestCells(q, centroids, probes).toSeq)
+    }
+    val allCells = qMeta.flatMap(_._4).distinct.toIndexedSeq
+    val qDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(qMeta.toIndexedSeq.map { case (pid, lut, qn, cs) =>
+        org.apache.spark.sql.Row(pid, lut, qn, cs) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
+        org.apache.spark.sql.types.StructField("__lut",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("__qn", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__cells",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))))))
+    val wShort = Window.partitionBy(probeIdCol)
+      .orderBy(col("__asim").desc, col(idCol))
+    val shortRows = spark.table(table)
+      .filter(col("cell").isin(allCells: _*))
+      .join(qDf, array_contains(col("__cells"), col("cell")))
+      .select(col(probeIdCol), col(idCol),
+        (graft.functions.PqDot(col("code"), col("__lut")) / (col("norm") * col("__qn"))).as("__asim"))
+      .withColumn("__rk", row_number().over(wShort))
+      .filter(col("__rk") <= sl)
+      .select(col(probeIdCol), col(idCol)).collect()
+    val shortIds = shortRows.map(_.get(1)).distinct.toIndexedSeq
+    // (probe, candidate) membership as a broadcast semi-join — keeps each
+    // probe's rerank to ITS shortlist without a per-row membership UDF
+    val shortDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(shortRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
+        org.apache.spark.sql.types.StructField(idCol,
+          spark.table(s"${table}_raw").schema(idCol).dataType)))))
+    val wK = Window.partitionBy(probeIdCol).orderBy(col("sim").desc, col(idCol))
+    spark.table(s"${table}_raw")
+      .filter(col(idCol).isin(shortIds: _*))
+      .crossJoin(broadcast(queries
+        .withColumn("__norm_q", sqrt(dot(col(queryVecCol), col(queryVecCol))))))
+      .join(shortDf, Seq(probeIdCol, idCol), "left_semi")
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(probeIdCol), col(idCol),
+        round(dot(col(vecCol), col(queryVecCol)) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .withColumn("__rk", row_number().over(wK))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Per-cell row counts of a persisted IVF index — the drift signal for
     * the [[appendToIvfIndex]] retrain contract. Partition-count metadata
     * plus one pruned columnar count per cell; never reads vectors.

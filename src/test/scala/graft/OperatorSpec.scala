@@ -826,6 +826,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("batched PQ probe equals the per-query PQ probe") {
+    val rng = new scala.util.Random(53)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_pqb", "ivf_pqb_raw", "ivf_pqb_centroids", "ivf_pqb_pq"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndexPq(emb, "vec_id", "embedding", "ivf_pqb",
+      nCentroids = 8, lloydIters = 1, buckets = 4, m = 8, trainRows = 500)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qvec"))
+    val batched = Similarity.ivfProbePqBatch(spark, "ivf_pqb", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4, shortlist = 100)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val single = (0L until 3L).flatMap { pid =>
+      val qv = emb.filter($"vec_id" === pid).select($"embedding".as("qvec"))
+      Similarity.ivfProbePq(spark, "ivf_pqb", qv, "vec_id", "embedding",
+        k = 10, probes = 4, shortlist = 100)
+        .as[(Long, Double)].collect().map(r => (pid, r._1, r._2))
+    }.sortBy(r => (r._1, -r._3, r._2))
+    assert(batched == single, s"batched\n$batched\nvs single\n$single")
+  }
+
   test("appendToIvfIndexPq serves both generations with persisted codebooks") {
     val rng = new scala.util.Random(47)
     def vecs(ids: Range) =
