@@ -128,7 +128,9 @@ object AnnBench {
     spark.range(qn).select(col("id").as("vec_id"), genVecQ(col("id")).as("embedding"))
       .write.mode("overwrite").parquet(s"$dir/embq.parquet")
     val embQ = spark.read.parquet(s"$dir/embq.parquet")
-    def queryVecQ(id: Long) = embQ.filter(col("vec_id") === id)
+    // ids taken modulo the (smaller) quantized corpus so every probe is
+    // non-empty at any n
+    def queryVecQ(id: Long) = embQ.filter(col("vec_id") === id % qn)
       .select(col("embedding").as("qvec"))
     val qTable = s"graft_annbench_q$n"
     val qfTable = s"graft_annbench_qf$n"

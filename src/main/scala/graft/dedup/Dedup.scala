@@ -293,17 +293,19 @@ object Dedup {
     * always set it.
     *
     * Small-graph fast path: a dup-edge set at or under `driverBound`
-    * edges (default 2²⁰ ≈ 16 MB of id pairs — the same guarded-collect
-    * tier as the IVF centroid matrix) is resolved by a driver union-find
-    * with identical min-label semantics instead of paying ~15 Spark jobs
-    * of iteration overhead; the distributed rounds — the 100 TB path —
-    * engage above the bound (or always, with `driverBound = 0`, which is
-    * how the iteration specs pin them). The fast path writes no
-    * checkpoint files and its result is a plain local DataFrame.
+    * edges (default 2¹⁸ ≈ 262k — sized for the COLLECTED form, boxed Rows
+    * plus the union-find map, ~50-100 MB of driver heap worst-case with
+    * string ids, not just the 4 MB of raw id pairs) is resolved by a
+    * driver union-find with identical min-label semantics instead of
+    * paying ~15 Spark jobs of iteration overhead; the distributed
+    * rounds — the 100 TB path — engage above the bound (or always, with
+    * `driverBound = 0`, which is how the iteration specs pin them). The
+    * fast path writes no checkpoint files and its result is a plain
+    * local DataFrame.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 32,
                   checkpointDir: Option[String] = None,
-                  driverBound: Long = 1L << 20): DataFrame = {
+                  driverBound: Long = 1L << 18): DataFrame = {
     val spark = pairs.sparkSession
     // per-call salt: two runs sharing a dir (sequential or concurrent)
     // write disjoint round paths, so one run's cleanup can never delete

@@ -165,6 +165,13 @@ object Similarity {
   /** Probe a [[writeLshIndex]] table: candidates via bucket-pruned signature
     * lookup, then exact cosine rerank.
     *
+    * Signature geometry comes from the index's own `<table>_lshspec`
+    * sibling when it exists — so a probe can never hash its query with a
+    * different seed (or dim/bits/tables) than the build did, the exact
+    * mismatch that would silently return near-zero-recall results. The
+    * explicit parameters apply only to pre-spec indexes without the
+    * sibling.
+    *
     * For the pruning to reach the scan (SelectedBucketsCount < buckets in
     * the plan), set `spark.sql.sources.bucketing.autoBucketedScan.enabled=
     * false` for probe sessions: Spark's DisableUnnecessaryBucketedScan
@@ -173,9 +180,15 @@ object Similarity {
     */
   def lshProbeBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                        query: DataFrame, idCol: String, vecCol: String,
-                       k: Int, dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+                       k: Int, dim: Int, bits: Int = 12, tables: Int = 4,
+                       seed: Long = 7L): DataFrame = {
+    val (d, b, t, s) =
+      if (spark.catalog.tableExists(s"${table}_lshspec")) {
+        val r = spark.table(s"${table}_lshspec").head()
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      } else (dim, bits, tables, seed)
     val qsigs = query
-      .select(explode(hyperplaneSignatures(col("qvec"), dim, bits, tables)).as("sig"))
+      .select(explode(hyperplaneSignatures(col("qvec"), d, b, t, s)).as("sig"))
       .collect().map(_.getLong(0))
     val q = broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec")))))
     spark.table(table)
@@ -360,6 +373,10 @@ object Similarity {
       emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
     val spark = emb.sparkSession
     import spark.implicits._
+    // tiny metadata sibling (never an input): safe to self-guard against a
+    // previous JVM's stale managed location, like the _pq/_lshspec twins;
+    // main/_raw stay caller-owned because a REBUILD may read them as input
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_centroids")
     centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
@@ -397,14 +414,7 @@ object Similarity {
       .orderBy(col("__asim").desc, col(idCol))
       .limit(sl)
       .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
-    spark.table(s"${table}_raw")
-      .filter(col(idCol).isin(shortIds: _*))
-      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
-      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
-      .select(col(idCol),
-        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    rerankShortlist(spark, table, query, idCol, vecCol, k, shortIds)
   }
 
   /** Per-subspace k-means codebooks for product quantization: `m`
@@ -529,6 +539,41 @@ object Similarity {
     }
   }
 
+  // Per-query PQ lookup table: lut[s·256 + c] = dot(q_sub[s], codebook[s][c]).
+  // Shared by the single and batched PQ probes so the scoring arithmetic
+  // can never diverge between them. Rejects a query whose dimension does
+  // not match the index's (m × subDim) — a wrong-embedding-model probe
+  // must fail loudly, not silently score garbage subvector boundaries.
+  private def pqLut(q: Array[Float], books: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = books.length
+    val sub = books.head.head.length
+    require(q.length == m * sub,
+      s"query dim ${q.length} does not match the index's ${m}×$sub = ${m * sub}")
+    val lut = new Array[Float](m * 256)
+    for (s <- books.indices; c <- books(s).indices) {
+      var d = 0.0; var j = 0
+      while (j < sub) { d += q(s * sub + j).toDouble * books(s)(c)(j); j += 1 }
+      lut((s << 8) | c) = d.toFloat
+    }
+    lut
+  }
+
+  // Exact top-k rerank of a driver-small shortlist from the raw-vector
+  // sibling — the shared tail of every quantized probe (int8 and PQ), so
+  // the returned rows' arithmetic (rounding, ties) is one code path.
+  private def rerankShortlist(spark: org.apache.spark.sql.SparkSession,
+                              table: String, query: DataFrame, idCol: String,
+                              vecCol: String, k: Int,
+                              shortIds: IndexedSeq[Any]): DataFrame =
+    spark.table(s"${table}_raw")
+      .filter(col(idCol).isin(shortIds: _*))
+      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
   /** Append new vectors to a [[writeIvfIndexPq]] table WITHOUT
     * retraining: rows are assigned against the persisted IVF centroids
     * and ENCODED against the persisted codebooks — neither moves on
@@ -596,14 +641,7 @@ object Similarity {
     val cells = nearestCells(q, centroids, probes).toIndexedSeq
     val sl = if (shortlist > 0) shortlist else 4 * k
     val books = readPqCodebooks(spark, table)
-    val m = books.length
-    val sub = q.length / m
-    val lut = new Array[Float](m * 256)
-    for (s <- books.indices; c <- books(s).indices) {
-      var d = 0.0; var j = 0
-      while (j < sub) { d += q(s * sub + j).toDouble * books(s)(c)(j); j += 1 }
-      lut((s << 8) | c) = d.toFloat
-    }
+    val lut = pqLut(q, books)
     val qNorm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
     val qDf = broadcast(Seq((q.toSeq, lut.toSeq)).toDF("qvec", "__lut"))
     val shortIds = spark.table(table)
@@ -614,14 +652,7 @@ object Similarity {
       .orderBy(col("__asim").desc, col(idCol))
       .limit(sl)
       .select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
-    spark.table(s"${table}_raw")
-      .filter(col(idCol).isin(shortIds: _*))
-      .crossJoin(broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec"))))))
-      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
-      .select(col(idCol),
-        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    rerankShortlist(spark, table, query, idCol, vecCol, k, shortIds)
   }
 
   /** Batched probe of a [[writeIvfIndexPq]] table — the serving shape of
@@ -633,29 +664,29 @@ object Similarity {
     * LUT, and the per-query top-`shortlist` union reranks exactly from
     * the raw sibling in one id-pruned read. Returns (probeIdCol, idCol,
     * sim), ≤ k rows per probe, with [[ivfProbePq]]'s exact arithmetic.
+    *
+    * Driver-bound contract: the batch's queries AND its
+    * `queries × shortlist` candidate pairs are driver-resident (LUTs are
+    * per-query by construction; the shortlist union backs the final
+    * id-pruned read) — the same "query side is small by definition" tier
+    * as the other batch probes, which the k-row-per-probe RESULT the
+    * caller collects makes true in practice. Chunk batches beyond ~10⁶
+    * (query, shortlist) pairs.
     */
   def ivfProbePqBatch(spark: org.apache.spark.sql.SparkSession, table: String,
                       queries: DataFrame, idCol: String, vecCol: String,
                       probeIdCol: String, queryVecCol: String = "qvec",
                       k: Int = 10, probes: Int = 4, shortlist: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     val centroids = readIvfCentroids(spark, table)
     val books = readPqCodebooks(spark, table)
-    val m = books.length
     val sl = if (shortlist > 0) shortlist else 4 * k
     val qRows = queries.select(col(probeIdCol), col(queryVecCol)).collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    val sub = qRows.head._2.length / m
+    require(qRows.nonEmpty, "ivfProbePqBatch: empty query batch")
     val qMeta = qRows.map { case (pid, q) =>
-      val lut = new Array[Float](m * 256)
-      for (s <- books.indices; c <- books(s).indices) {
-        var d = 0.0; var j = 0
-        while (j < sub) { d += q(s * sub + j).toDouble * books(s)(c)(j); j += 1 }
-        lut((s << 8) | c) = d.toFloat
-      }
       val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
-      (pid, lut.toSeq, qn, nearestCells(q, centroids, probes).toSeq)
+      (pid, pqLut(q, books).toSeq, qn, nearestCells(q, centroids, probes).toSeq)
     }
     val allCells = qMeta.flatMap(_._4).distinct.toIndexedSeq
     val qDf = broadcast(spark.createDataFrame(

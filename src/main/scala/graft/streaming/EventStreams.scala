@@ -237,10 +237,19 @@ object EventStreams {
             if (seen) Iterator.empty
             else {
               // min-id winner of this batch's contenders for a fresh
-              // bucket ((length, string) orders positive integers
-              // numerically without assuming the id's type)
-              val w = rs.minBy { r =>
-                val s = r.getAs[Any](idCol).toString; (s.length, s)
+              // bucket, under the SAME ordering the batch dedups use
+              // (numeric for numbers, lexicographic for strings) so the
+              // two paths keep the same representative of a pair
+              def lt(x: Any, y: Any): Boolean = (x, y) match {
+                case (a: Long, b: Long) => a < b
+                case (a: Int, b: Int) => a < b
+                case (a: String, b: String) => a < b
+                case (a: java.lang.Number, b: java.lang.Number) =>
+                  a.doubleValue < b.doubleValue
+                case _ => x.toString < y.toString
+              }
+              val w = rs.reduceLeft { (a, b) =>
+                if (lt(b.getAs[Any](idCol), a.getAs[Any](idCol))) b else a
               }
               Iterator.single(Row.fromSeq(docSchema.fieldNames.toSeq
                 .map(f => w.getAs[Any](f))))
