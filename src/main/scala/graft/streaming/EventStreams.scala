@@ -291,6 +291,16 @@ object EventStreams {
     * hashes out of the dedup state store), the split hash is taken on the
     * RAW text (so batch and streaming ingestion of the same document land
     * in the same split) and redaction runs last, before the sink.
+    *
+    * `nearDedupIdCol` upgrades the dedup stage from exact
+    * ([[dedupeExact]]) to BANDED near-dedup ([[dedupeNearBanded]], which
+    * subsumes exact: identical docs share every band) — the streaming
+    * twin of batch curate()'s MinHash stage. It inherits that operator's
+    * contracts: verdicts emit when the watermark passes the document's
+    * window (bounded latency, not immediate) and the session needs
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    * false` (see [[dedupeNearBanded]]'s scaladoc for why the conservative
+    * check does not apply to this shape).
     */
   def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
                  langs: Set[String], minQuality: Double,
@@ -299,7 +309,8 @@ object EventStreams {
                  benchmark: Option[DataFrame] = None,
                  contaminationNgram: Int = 8,
                  maxContamination: Long = 1,
-                 contaminationFpp: Double = 1e-4): DataFrame = {
+                 contaminationFpp: Double = 1e-4,
+                 nearDedupIdCol: Option[String] = None): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     val gated = docs
@@ -332,8 +343,12 @@ object EventStreams {
         }
         gated.filter(clean(col(textCol)))
     }
-    dedupeExact(decontaminated, textCol, tsCol, watermark)
-      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+    val deduped = nearDedupIdCol match {
+      case None => dedupeExact(decontaminated, textCol, tsCol, watermark)
+      case Some(id) =>
+        dedupeNearBanded(decontaminated, textCol, id, tsCol, watermark)
+    }
+    deduped.withColumn(textCol, TextOps.redactPii(col(textCol)))
   }
 
   /** Flush the still-open session per user (batch-style finalization used

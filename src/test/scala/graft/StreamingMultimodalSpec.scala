@@ -297,6 +297,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curateDocs with nearDedupIdCol drops mutated near-dups in the intake") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep") // different signature
+    val distinct1 = "an entirely different english document about the history of " +
+      "the spark engine that is long enough to pass the quality gate and it was " +
+      "written for this test of the streaming intake path with banded dedup"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5,
+      watermark = "10 minutes", nearDedupIdCol = Some("doc_id"))
+      .writeStream.format("memory").queryName("curate_banded_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), base), (2L, ts(0), distinct1))
+      query.processAllAvailable()
+      // batch 2: the cross-batch MUTATED near-dup (invisible to exact dedup)
+      input.addData((3L, ts(1), mutated))
+      query.processAllAvailable()
+      // push the watermark so the per-doc verdicts emit
+      input.addData((99L, ts(60, 0), distinct1 + " heartbeat tail of words"))
+      query.processAllAvailable()
+      val out = spark.table("curate_banded_out")
+        .select("doc_id", "lang", "split")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(out.map(_._1) == Seq(1L, 2L), s"survivors: ${out.map(_._1)}")
+      assert(out.forall(r => r._2 == "en" && Set("train", "val", "test")(r._3)))
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
   test("streaming curateDocs decontaminates against a benchmark map-side") {
     implicit val sqlCtx = spark.sqlContext
     val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
