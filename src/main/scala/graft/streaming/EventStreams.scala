@@ -73,7 +73,11 @@ object EventStreams {
               // watermark passed lastMs+gap: no event can extend this
               // session any more — emit it and keep a numbering tombstone
               state.update(SessionState(st.sessionId + 1, st.lastMs, st.lastMs, 0L))
-              state.setTimeoutTimestamp(st.lastMs + retentionSec * 1000)
+              // clamp past the watermark: a retention shorter than the
+              // watermark delay must not set an already-expired timeout,
+              // which GroupStateImpl rejects and fails the query
+              state.setTimeoutTimestamp(math.max(st.lastMs + retentionSec * 1000,
+                state.getCurrentWatermarkMs() + 1))
               Iterator.single(Session(userId, st.sessionId, st.count,
                 new Timestamp(st.startMs), new Timestamp(st.lastMs)))
             } else {
@@ -96,8 +100,10 @@ object EventStreams {
             }
             if (st != null) {
               state.update(st)
-              // +1: an event at exactly lastMs+gap still belongs here
-              state.setTimeoutTimestamp(st.lastMs + gapSec * 1000 + 1)
+              // +1: an event at exactly lastMs+gap still belongs here;
+              // clamped past the watermark like the tombstone timeout
+              state.setTimeoutTimestamp(math.max(st.lastMs + gapSec * 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -166,22 +172,37 @@ object EventStreams {
     * Two chained stateful stages (Spark's supported
     * flatMapGroupsWithState-in-append → windowed-aggregation chain):
     *
-    *  1. Band state, keyed by band bucket: the first batch to present a
-    *     bucket elects the batch's minimum-id row as that bucket's WINNER
-    *     and registers the bucket in state (expired by event-time timeout
-    *     `retentionSec` past the bucket's last sighting); later batches —
-    *     and same-batch non-winners — collide. The min-id election is what
-    *     makes same-batch duplicates deterministic: all buckets of a pair
-    *     of identical docs elect the SAME winner, so exactly one of the
-    *     pair survives (the nondeterministic alternative — per-bucket
-    *     arbitrary first-writer — can split winners across the pair and
-    *     drop both).
+    *  1. Band state, keyed by the (band, bucket) composite (mirroring the
+    *     batch path's posexplode keying, so a cross-band 64-bit hash
+    *     collision cannot merge different bands' buckets): the first batch
+    *     to present a bucket elects the batch's minimum-id row as that
+    *     bucket's WINNER and registers the bucket in state (expired by
+    *     event-time timeout `retentionSec` past the bucket's last
+    *     sighting); later batches — and same-batch non-winners — collide.
+    *     The min-id election is what makes same-batch duplicates
+    *     deterministic: all buckets of a pair of identical docs elect the
+    *     SAME winner, so exactly one of the pair survives (the
+    *     nondeterministic alternative — per-bucket arbitrary first-writer —
+    *     can split winners across the pair and drop both).
+    *
+    *     This stage shuffles SKELETONS only — (id, ts, band, bucket) rows,
+    *     ~32 bytes, never the document payload (see [[bandSkeletons]]) —
+    *     and folds each group in a single pass without materializing it.
+    *     Band-bucket keys are skewable (a boilerplate flood funnels every
+    *     copy of the hot bucket into one task), so this is the same
+    *     discipline the batch candidate stage and the semantic-dedup
+    *     windows follow: heavy columns never ride a skewable partition.
     *  2. Per-document verdict: a document survives only if ALL `bands` of
     *     its buckets elected it (any collision ⇒ near-dup ⇒ dropped) — a
-    *     count over the doc's emitted band rows, grouped with a tumbling
-    *     `windowLen` window so the verdict state is watermark-bounded.
-    *     In append mode the verdict emits once the watermark passes the
-    *     document's window — bounded intake latency, not immediate.
+    *     count over the doc's emitted band-winner skeletons, grouped with
+    *     a tumbling `windowLen` window so the verdict state is
+    *     watermark-bounded. The document payload re-enters HERE, exactly
+    *     once per doc, as a zero-count union branch keyed by the unskewed
+    *     (window, id) — a streaming aggregation may not feed a
+    *     stream-stream join, so the payload join-back is expressed as
+    *     `first(payload, ignoreNulls)` over the union instead. In append
+    *     mode the verdict emits once the watermark passes the document's
+    *     window — bounded intake latency, not immediate.
     *
     * Like the batch candidate stage, EVERY document's buckets enter the
     * state, dropped documents' included: a doc that loses band b to doc A
@@ -205,64 +226,102 @@ object EventStreams {
                        shingleK: Int = 3, numHashes: Int = 64,
                        bands: Int = 16,
                        retentionSec: Long = 3600L): DataFrame = {
-    import graft.dedup.Dedup
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
     require(numHashes % bands == 0, "bands must divide numHashes")
     val cols = docs.columns.toSeq
-    val banded = docs
-      .withWatermark(tsCol, watermark)
-      .select(cols.map(col) :+
-        explode(Dedup.bandBucketsUdf(bands)(
-          Dedup.minhashSignatureFromText(col(textCol), shingleK, numHashes)))
-          .as("__bucket"): _*)
-    val docSchema = org.apache.spark.sql.types.StructType(
-      banded.schema.filterNot(_.name == "__bucket"))
+    val wmDocs = docs.withWatermark(tsCol, watermark)
+    val skel = bandSkeletons(wmDocs, textCol, idCol, tsCol,
+      shingleK, numHashes, bands)
+    val winnerSchema = StructType(
+      skel.schema.filter(f => f.name == idCol || f.name == tsCol))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(docSchema)
-    implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
-    val tsIdx = banded.schema.fieldIndex(tsCol)
-    val elected = banded
-      .groupByKey(_.getAs[Long]("__bucket"))
+      Encoders.row(winnerSchema)
+    implicit val longEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val idIdx = skel.schema.fieldIndex(idCol)
+    val tsIdx = skel.schema.fieldIndex(tsCol)
+    val bandIdx = skel.schema.fieldIndex("__band")
+    val bucketIdx = skel.schema.fieldIndex("__bucket")
+    val elected = skel
+      .groupByKey(r => (r.getInt(bandIdx), r.getLong(bucketIdx)))
       .flatMapGroupsWithState[Long, Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: Long, rows: Iterator[Row], state: GroupState[Long]) =>
+        (_: (Int, Long), rows: Iterator[Row], state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rs = rows.toArray
-            val lastMs = rs.iterator
-              .map(_.getAs[Timestamp](tsIdx).getTime).max
+            // min-id winner of this batch's contenders for the bucket,
+            // under the SAME ordering the batch dedups use (numeric for
+            // numbers, lexicographic for strings) so the two paths keep
+            // the same representative of a pair
+            def lt(x: Any, y: Any): Boolean = (x, y) match {
+              case (a: Long, b: Long) => a < b
+              case (a: Int, b: Int) => a < b
+              case (a: String, b: String) => a < b
+              case (a: java.lang.Number, b: java.lang.Number) =>
+                a.doubleValue < b.doubleValue
+              case _ => x.toString < y.toString
+            }
+            // single-pass fold over the (possibly hot-bucket-sized) group:
+            // nothing is materialized, each row is a ~32-byte skeleton
+            var lastMs = Long.MinValue
+            var winId: Any = null
+            var winTs: Timestamp = null
+            for (r <- rows) {
+              val t = r.getAs[Timestamp](tsIdx)
+              if (t.getTime > lastMs) lastMs = t.getTime
+              val id = r.getAs[Any](idIdx)
+              if (winId == null || lt(id, winId)) { winId = id; winTs = t }
+            }
             val seen = state.exists
             state.update(lastMs)
-            state.setTimeoutTimestamp(lastMs + retentionSec * 1000)
+            // clamp: a late-but-admitted row (or a sub-watermark-delay
+            // retention) must not set a timeout at/before the current
+            // watermark, which GroupStateImpl rejects and fails the query
+            state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
             if (seen) Iterator.empty
-            else {
-              // min-id winner of this batch's contenders for a fresh
-              // bucket, under the SAME ordering the batch dedups use
-              // (numeric for numbers, lexicographic for strings) so the
-              // two paths keep the same representative of a pair
-              def lt(x: Any, y: Any): Boolean = (x, y) match {
-                case (a: Long, b: Long) => a < b
-                case (a: Int, b: Int) => a < b
-                case (a: String, b: String) => a < b
-                case (a: java.lang.Number, b: java.lang.Number) =>
-                  a.doubleValue < b.doubleValue
-                case _ => x.toString < y.toString
-              }
-              val w = rs.reduceLeft { (a, b) =>
-                if (lt(b.getAs[Any](idCol), a.getAs[Any](idCol))) b else a
-              }
-              Iterator.single(Row.fromSeq(docSchema.fieldNames.toSeq
-                .map(f => w.getAs[Any](f))))
-            }
+            else Iterator.single(
+              if (idIdx < tsIdx) Row(winId, winTs) else Row(winTs, winId))
           }
       }
-    elected.toDF()
+    // Verdict + payload join-back in ONE id-keyed aggregation: winner
+    // skeletons count 1 toward the per-doc band tally; the document's full
+    // row rides a zero-count union branch (once per doc, no band fan-out)
+    // and is recovered with first(ignoreNulls). Both branches carry the
+    // doc's own ts, so they land in the same (window, id) group.
+    val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__n"),
+      struct(cols.map(col): _*).as("__r"))
+    val payloadType = payload.schema("__r").dataType
+    val winners = elected.toDF()
       .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), lit(1L).as("__n"),
+        lit(null).cast(payloadType).as("__r"))
+    winners.unionByName(payload)
       .groupBy(window(col(tsCol), windowLen), col(idCol))
-      .agg(count(lit(1)).as("__n"),
-        first(struct(cols.map(col): _*)).as("__r"))
+      .agg(sum(col("__n")).as("__n"),
+        first(col("__r"), ignoreNulls = true).as("__r"))
       .filter(col("__n") === bands)
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Stage-1 input of [[dedupeNearBanded]]: one (id, ts, band, bucket)
+    * SKELETON row per document band — the band-keyed state shuffle never
+    * carries the text payload (package-visible so the spec can pin the
+    * schema). Band buckets come from the exact batch band-key fold
+    * ([[graft.dedup.Dedup.bandBucketsUdf]]) so collision semantics mirror
+    * L2's, and the band index stays in the row so state can key on the
+    * (band, bucket) composite exactly like the batch posexplode path.
+    */
+  private[graft] def bandSkeletons(docs: DataFrame, textCol: String,
+                                   idCol: String, tsCol: String,
+                                   shingleK: Int, numHashes: Int,
+                                   bands: Int): DataFrame = {
+    import graft.dedup.Dedup
+    docs.select(col(idCol), col(tsCol),
+      posexplode(Dedup.bandBucketsUdf(bands)(
+        Dedup.minhashSignatureFromText(col(textCol), shingleK, numHashes)))
+        .as(Seq("__band", "__bucket")))
   }
 
   /** Streaming corpus intake: the curation stages that are row-local run

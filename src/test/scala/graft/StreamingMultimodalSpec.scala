@@ -177,6 +177,89 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("banded stage-1 state shuffle carries skeletons only — no text payload") {
+    // the band-keyed stage is the one skewable partition in the operator:
+    // its input schema must stay (id, ts, band, bucket) — 4 narrow columns,
+    // never the document text — so a boilerplate flood shuffles ~32-byte
+    // rows, not bands × full payloads
+    val docs = Seq((1L, ts(0), "some document text", "extra"))
+      .toDF("doc_id", "ts", "text", "other")
+    val skel = EventStreams.bandSkeletons(docs, "text", "doc_id", "ts",
+      shingleK = 3, numHashes = 64, bands = 16)
+    assert(skel.columns.toSeq == Seq("doc_id", "ts", "__band", "__bucket"),
+      s"stage-1 schema widened: ${skel.columns.toSeq}")
+    assert(!skel.columns.contains("text") && !skel.columns.contains("other"))
+    // and the types really are narrow fixed-width ones
+    import org.apache.spark.sql.types._
+    assert(skel.schema("__band").dataType == IntegerType)
+    assert(skel.schema("__bucket").dataType == LongType)
+    assert(skel.count() == 16)
+  }
+
+  test("banded dedup survives a boilerplate flood batch with bounded group input") {
+    // 10k identical docs in ONE micro-batch: every copy of every hot band
+    // bucket funnels into a single state group — the fold must elect the
+    // min-id winner without materializing the group, and exactly one of
+    // the 10k survives alongside the distinct doc
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "subscribe to our newsletter for daily updates and offers " +
+      "terms and conditions apply please read the privacy policy carefully"
+    val distinct1 = "a genuinely unique article about the migration patterns " +
+      "of arctic birds and the scientists who follow them across the seasons"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val out = EventStreams.dedupeNearBanded(docs, "text", "doc_id", "ts",
+      watermark = "10 minutes", windowLen = "1 minute")
+      .writeStream.format("memory").queryName("flood_out")
+      .outputMode("append").start()
+    try {
+      input.addData((2L to 10001L).map(i => (i, ts(0), boiler)) :+
+        (10002L, ts(0), distinct1): _*)
+      out.processAllAvailable()
+      input.addData((99999L, ts(60), distinct1 + " watermark heartbeat tail"))
+      out.processAllAvailable()
+      val ids = spark.table("flood_out").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      // min-id election: doc 2 is the flood's deterministic survivor
+      assert(ids == Seq(2L, 10002L), s"got ${ids.take(10)}... (${ids.length} rows)")
+    } finally {
+      out.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
+  test("banded dedup retention shorter than the watermark delay does not fail") {
+    // retentionSec=0 computes timeout = lastMs, at/behind the watermark —
+    // without the clamp GroupStateImpl rejects it and kills the query
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog while the cat sleeps"
+    val b = "an unrelated recipe for bread with flour water salt and patience"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val out = EventStreams.dedupeNearBanded(docs, "text", "doc_id", "ts",
+      watermark = "10 minutes", windowLen = "1 minute", retentionSec = 0L)
+      .writeStream.format("memory").queryName("clamp_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), a), (2L, ts(20), b))
+      out.processAllAvailable()
+      // watermark is now ts(10); this row is late-but-admitted at ts(11)
+      input.addData((3L, ts(11), a + " slightly mutated tail of words"))
+      out.processAllAvailable()
+      input.addData((9L, ts(59), b + " watermark heartbeat tail"))
+      out.processAllAvailable()
+      assert(out.exception.isEmpty, s"query failed: ${out.exception}")
+      val ids = spark.table("clamp_out").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids.contains(1L) && ids.contains(2L), s"got $ids")
+    } finally {
+      out.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
   test("streaming exact dedup drops repeated content across batches") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, ts: Timestamp, text: String)
