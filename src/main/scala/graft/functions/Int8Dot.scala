@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * approximate dot against a full-precision query is recovered as
   * `scale · int8_dot(code, q) + offset · Σq` — one primitive loop inside
   * whole-stage codegen, same shape as [[FloatDot]].
+  *
+  * A code/query LENGTH MISMATCH throws: the probe also adds `offset · Σq`
+  * over the FULL query, so a wrong-embedding-model query must fail loudly
+  * instead of silently scoring a truncated prefix — the same contract the
+  * PQ tier's LUT construction enforces.
   */
 case class Int8Dot(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -30,7 +35,8 @@ case class Int8Dot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.length, y.numElements())
+    Int8Dot.checkDims(x.length, y.numElements())
+    val n = x.length
     var acc = 0.0
     var i = 0
     while (i < n) { acc += (x(i) & 0xFF).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -43,7 +49,8 @@ case class Int8Dot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.length, $b.numElements());
+         |graft.functions.Int8Dot.checkDims($a.length, $b.numElements());
+         |final int $n = $a.length;
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) ($a[$i] & 0xFF)) * ((double) $b.getFloat($i));
@@ -60,4 +67,11 @@ object Int8Dot {
   /** Column-level entry point (binary codes, array<float> query). */
   def apply(code: Column, q: Column): Column =
     Bridge.column(Int8Dot(Bridge.expression(code), Bridge.expression(q)))
+
+  // called from generated code too — must be public and JVM-static-ish
+  def checkDims(codeLen: Int, queryLen: Int): Unit =
+    if (codeLen != queryLen)
+      throw new IllegalArgumentException(
+        s"int8_dot: code length $codeLen != query dim $queryLen — " +
+          "wrong embedding model for this index?")
 }

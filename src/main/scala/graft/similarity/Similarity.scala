@@ -362,12 +362,7 @@ object Similarity {
                              table: String, nCentroids: Int = 16,
                              lloydIters: Int = 1, buckets: Int = 8): Unit = {
     val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
-    val quantized = assigned
-      .withColumn("__q", quantizeUdf(col(vecCol)))
-      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
-      .select(col(idCol), col("cell"), col("__q._1").as("code"),
-        col("__q._2").as("scale"), col("__q._3").as("offset"),
-        col("__norm").cast("float").as("norm"))
+    val quantized = quantizedMain(assigned, idCol, vecCol)
     graft.sources.Warehouse.writeBucketedPartitioned(quantized, table, "cell", idCol, buckets)
     graft.sources.Warehouse.writeBucketed(
       emb.select(col(idCol), col(vecCol)), s"${table}_raw", idCol, buckets)
@@ -380,6 +375,71 @@ object Similarity {
     centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+  }
+
+  // (id, cell, code, scale, offset, norm) rows of the int8 index — the one
+  // construction both the build and the append run, so the two can never
+  // store different layouts.
+  private def quantizedMain(assigned: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    assigned
+      .withColumn("__q", quantizeUdf(col(vecCol)))
+      .withColumn("__norm", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol), col("cell"), col("__q._1").as("code"),
+        col("__q._2").as("scale"), col("__q._3").as("offset"),
+        col("__norm").cast("float").as("norm"))
+
+  // Bucket count of a persisted index, from the table's own catalog spec —
+  // an append can never mismatch the build.
+  private def catalogBuckets(spark: org.apache.spark.sql.SparkSession,
+                             table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+
+  // Shared append tail of the quantized tiers: cell-partitioned code rows
+  // into the main table, raw vectors into the rerank sibling, both under
+  // the catalog's bucket spec.
+  private def appendCodesAndRaw(main: DataFrame, rawRows: DataFrame,
+                                idCol: String, table: String,
+                                buckets: Int): Unit = {
+    graft.sources.Warehouse.alignBuckets(main, idCol, buckets, "cell")
+      .write
+      .partitionBy("cell")
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+    graft.sources.Warehouse.alignBuckets(rawRows, idCol, buckets)
+      .write
+      .bucketBy(buckets, idCol)
+      .sortBy(idCol)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(s"${table}_raw")
+  }
+
+  /** Append new vectors to a [[writeIvfIndexQuantized]] table WITHOUT
+    * retraining — the int8 twin of [[appendToIvfIndexPq]]: rows are
+    * assigned against the persisted centroids and scalar-quantized
+    * per-vector (the int8 code carries its own (scale, offset) pair, so
+    * unlike PQ there is no trained codebook to go stale), then appended
+    * into both the cell-partitioned code table and the raw-vector rerank
+    * sibling under the catalog's bucket spec. Probe results over appended
+    * generations are exactly what a fresh build against the same
+    * centroids would produce — same drift contract as
+    * [[appendToIvfIndex]].
+    */
+  def appendToIvfIndexQuantized(newRows: DataFrame, idCol: String,
+                                vecCol: String, table: String): Unit = {
+    val spark = newRows.sparkSession
+    val centroids = readIvfCentroids(spark, table)
+    val buckets = catalogBuckets(spark, table)
+    val assigned = assignToCentroids(newRows, vecCol, centroids,
+      centroids.head._2.length)
+    appendCodesAndRaw(quantizedMain(assigned, idCol, vecCol),
+      newRows.select(col(idCol), col(vecCol)), idCol, table, buckets)
   }
 
   /** Probe a [[writeIvfIndexQuantized]] table: partition-pruned scan of
@@ -399,6 +459,8 @@ object Similarity {
     val centroids = readIvfCentroids(spark, table)
     val qvecs = query.select(col("qvec")).collect()
       .map(_.getSeq[Float](0).toArray)
+    require(qvecs.length == 1, "ivfProbeQuantized serves one query vector " +
+      "per call; use ivfProbeQuantizedBatch for batches")
     val cells = qvecs.flatMap(v => nearestCells(v, centroids, probes))
       .distinct.toIndexedSeq
     val sl = if (shortlist > 0) shortlist else 4 * k
@@ -591,9 +653,7 @@ object Similarity {
     val spark = newRows.sparkSession
     val centroids = readIvfCentroids(spark, table)
     val books = readPqCodebooks(spark, table)
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val buckets = catalogBuckets(spark, table)
     val encode = pqEncodeUdf(spark, books)
     val assigned = assignToCentroids(newRows, vecCol, centroids,
       centroids.head._2.length)
@@ -601,22 +661,8 @@ object Similarity {
       .withColumn("code", encode(col(vecCol)))
       .withColumn("norm", sqrt(dot(col(vecCol), col(vecCol))).cast("float"))
       .select(col(idCol), col("cell"), col("code"), col("norm"))
-    graft.sources.Warehouse.alignBuckets(main, idCol, buckets, "cell")
-      .write
-      .partitionBy("cell")
-      .bucketBy(buckets, idCol)
-      .sortBy(idCol)
-      .mode("append")
-      .format("parquet")
-      .saveAsTable(table)
-    graft.sources.Warehouse.alignBuckets(
-        newRows.select(col(idCol), col(vecCol)), idCol, buckets)
-      .write
-      .bucketBy(buckets, idCol)
-      .sortBy(idCol)
-      .mode("append")
-      .format("parquet")
-      .saveAsTable(s"${table}_raw")
+    appendCodesAndRaw(main, newRows.select(col(idCol), col(vecCol)),
+      idCol, table, buckets)
   }
 
   /** Probe a [[writeIvfIndexPq]] table: the query's per-subspace
@@ -665,18 +711,20 @@ object Similarity {
     * the raw sibling in one id-pruned read. Returns (probeIdCol, idCol,
     * sim), ≤ k rows per probe, with [[ivfProbePq]]'s exact arithmetic.
     *
-    * Driver-bound contract: the batch's queries AND its
+    * Driver-bound contract: the batch's queries AND each CHUNK's
     * `queries × shortlist` candidate pairs are driver-resident (LUTs are
     * per-query by construction; the shortlist union backs the final
     * id-pruned read) — the same "query side is small by definition" tier
-    * as the other batch probes, which the k-row-per-probe RESULT the
-    * caller collects makes true in practice. Chunk batches beyond ~10⁶
-    * (query, shortlist) pairs.
+    * as the other batch probes. The scoring loop chunks itself so no
+    * single collect exceeds `maxPairs` (query, shortlist) pairs: a batch
+    * past the bound WORKS, in ⌈pairs/maxPairs⌉ sequential probe rounds,
+    * instead of OOMing the driver silently.
     */
   def ivfProbePqBatch(spark: org.apache.spark.sql.SparkSession, table: String,
                       queries: DataFrame, idCol: String, vecCol: String,
                       probeIdCol: String, queryVecCol: String = "qvec",
-                      k: Int = 10, probes: Int = 4, shortlist: Int = 0): DataFrame = {
+                      k: Int = 10, probes: Int = 4, shortlist: Int = 0,
+                      maxPairs: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centroids = readIvfCentroids(spark, table)
     val books = readPqCodebooks(spark, table)
@@ -688,32 +736,107 @@ object Similarity {
       val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
       (pid, pqLut(q, books).toSeq, qn, nearestCells(q, centroids, probes).toSeq)
     }
-    val allCells = qMeta.flatMap(_._4).distinct.toIndexedSeq
-    val qDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(qMeta.toIndexedSeq.map { case (pid, lut, qn, cs) =>
-        org.apache.spark.sql.Row(pid, lut, qn, cs) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
-        org.apache.spark.sql.types.StructField("__lut",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
-        org.apache.spark.sql.types.StructField("__qn", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("__cells",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))))))
-    val wShort = Window.partitionBy(probeIdCol)
-      .orderBy(col("__asim").desc, col(idCol))
-    val shortRows = spark.table(table)
-      .filter(col("cell").isin(allCells: _*))
-      .join(qDf, array_contains(col("__cells"), col("cell")))
-      .select(col(probeIdCol), col(idCol),
-        (graft.functions.PqDot(col("code"), col("__lut")) / (col("norm") * col("__qn"))).as("__asim"))
-      .withColumn("__rk", row_number().over(wShort))
-      .filter(col("__rk") <= sl)
-      .select(col(probeIdCol), col(idCol)).collect()
-    val shortIds = shortRows.map(_.get(1)).distinct.toIndexedSeq
-    // (probe, candidate) membership as a broadcast semi-join — keeps each
-    // probe's rerank to ITS shortlist without a per-row membership UDF
+    qMeta.grouped(math.max(1, maxPairs / sl)).map { chunk =>
+      val allCells = chunk.flatMap(_._4).distinct.toIndexedSeq
+      val qDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toIndexedSeq.map { case (pid, lut, qn, cs) =>
+          org.apache.spark.sql.Row(pid, lut, qn, cs) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
+          org.apache.spark.sql.types.StructField("__lut",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("__qn", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__cells",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))))))
+      val wShort = Window.partitionBy(probeIdCol)
+        .orderBy(col("__asim").desc, col(idCol))
+      val shortRows = spark.table(table)
+        .filter(col("cell").isin(allCells: _*))
+        .join(qDf, array_contains(col("__cells"), col("cell")))
+        .select(col(probeIdCol), col(idCol),
+          (graft.functions.PqDot(col("code"), col("__lut")) / (col("norm") * col("__qn"))).as("__asim"))
+        .withColumn("__rk", row_number().over(wShort))
+        .filter(col("__rk") <= sl)
+        .select(col(probeIdCol), col(idCol)).collect().toIndexedSeq
+      rerankShortlistBatch(spark, table,
+        queries.filter(col(probeIdCol).isin(chunk.map(_._1): _*)),
+        idCol, vecCol, probeIdCol, queryVecCol, k, shortRows)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Batched probe of a [[writeIvfIndexQuantized]] table — the int8 twin
+    * of [[ivfProbePqBatch]], completing the serving surface a user who
+    * picked int8 (no codebook training, simpler ops) gets: per-query norm,
+    * Σq, and probe cells are computed driver-side, the union of probe
+    * cells is ONE static partition filter over the code table, candidates
+    * score via the codegen'd [[graft.functions.Int8Dot]] kernel against
+    * each query's broadcast vector, and the per-query top-`shortlist`
+    * reranks exactly from the raw sibling through the same tail as every
+    * other quantized probe. Returns (probeIdCol, idCol, sim), ≤ k rows per
+    * probe, with [[ivfProbeQuantized]]'s exact arithmetic. Same `maxPairs`
+    * chunking contract as the PQ batch probe.
+    */
+  def ivfProbeQuantizedBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+                             queries: DataFrame, idCol: String, vecCol: String,
+                             probeIdCol: String, queryVecCol: String = "qvec",
+                             k: Int = 10, probes: Int = 4, shortlist: Int = 0,
+                             maxPairs: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = readIvfCentroids(spark, table)
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val qRows = queries.select(col(probeIdCol), col(queryVecCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    require(qRows.nonEmpty, "ivfProbeQuantizedBatch: empty query batch")
+    val qMeta = qRows.map { case (pid, q) =>
+      val qn = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x.toDouble * x))
+      val sq = q.foldLeft(0.0)((acc, x) => acc + x.toDouble)
+      (pid, q.toSeq, qn, sq, nearestCells(q, centroids, probes).toSeq)
+    }
+    qMeta.grouped(math.max(1, maxPairs / sl)).map { chunk =>
+      val allCells = chunk.flatMap(_._5).distinct.toIndexedSeq
+      val qDf = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk.toIndexedSeq.map { case (pid, qv, qn, sq, cs) =>
+          org.apache.spark.sql.Row(pid, qv, qn, sq, cs) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
+          org.apache.spark.sql.types.StructField("__qv",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("__qn", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__sq", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__cells",
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))))))
+      val wShort = Window.partitionBy(probeIdCol)
+        .orderBy(col("__asim").desc, col(idCol))
+      val shortRows = spark.table(table)
+        .filter(col("cell").isin(allCells: _*))
+        .join(qDf, array_contains(col("__cells"), col("cell")))
+        .select(col(probeIdCol), col(idCol),
+          ((graft.functions.Int8Dot(col("code"), col("__qv")) * col("scale") +
+            col("offset") * col("__sq")) / (col("norm") * col("__qn"))).as("__asim"))
+        .withColumn("__rk", row_number().over(wShort))
+        .filter(col("__rk") <= sl)
+        .select(col(probeIdCol), col(idCol)).collect().toIndexedSeq
+      rerankShortlistBatch(spark, table,
+        queries.filter(col(probeIdCol).isin(chunk.map(_._1): _*)),
+        idCol, vecCol, probeIdCol, queryVecCol, k, shortRows)
+    }.reduce(_ unionByName _)
+  }
+
+  // Exact per-probe top-k rerank of a chunk's (probe, candidate) shortlist
+  // from the raw-vector sibling — the BATCH twin of [[rerankShortlist]] and
+  // the shared tail of both quantized batch probes, so the returned rows'
+  // arithmetic (rounding, ties) is one code path. The (probe, candidate)
+  // membership rides a broadcast semi-join — no per-row membership UDF.
+  private def rerankShortlistBatch(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, queries: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   probeIdCol: String, queryVecCol: String,
+                                   k: Int,
+                                   shortRows: IndexedSeq[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortIds = shortRows.map(_.get(1)).distinct
     val shortDf = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(shortRows.toIndexedSeq, 1),
+      spark.sparkContext.parallelize(shortRows, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(probeIdCol, queries.schema(probeIdCol).dataType),
         org.apache.spark.sql.types.StructField(idCol,

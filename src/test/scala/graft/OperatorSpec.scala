@@ -872,6 +872,120 @@ class OperatorSpec extends SparkSpec {
     assert(rows.exists(_._1 < 400L), s"no pre-append generation rows: $rows")
   }
 
+  test("appendToIvfIndexQuantized serves both generations without retraining") {
+    val rng = new scala.util.Random(59)
+    def vecs(ids: Range) =
+      ids.map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val gen0 = vecs(0 until 400).toDF("vec_id", "embedding").cache()
+    val gen1 = vecs(400 until 500).toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_qa", "ivf_qa_raw", "ivf_qa_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndexQuantized(gen0, "vec_id", "embedding", "ivf_qa",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    Similarity.appendToIvfIndexQuantized(gen1, "vec_id", "embedding", "ivf_qa")
+    assert(spark.table("ivf_qa").count() == 500)
+    assert(spark.table("ivf_qa_raw").count() == 500)
+    // appended rows carry the same layout (1 byte/dim code + scalars)
+    val row = spark.table("ivf_qa").filter($"vec_id" === 450).head()
+    assert(row.getAs[Array[Byte]]("code").length == 16)
+    // a probe of an appended vector is served exactly: rerank reads raw
+    // floats, so the appended row tops its own query at sim 1.0 and
+    // pre-append neighbors still appear
+    val q = gen1.filter($"vec_id" === 450).select($"embedding".as("qvec"))
+    val rows = Similarity.ivfProbeQuantized(spark, "ivf_qa", q,
+      "vec_id", "embedding", k = 10, probes = 4, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(rows.head == ((450L, 1.0)), s"appended self not top-1: ${rows.head}")
+    assert(rows.exists(_._1 < 400L), s"no pre-append generation rows: $rows")
+  }
+
+  test("batched quantized probe equals the per-query probe, chunked and not") {
+    val rng = new scala.util.Random(61)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_qb", "ivf_qb_raw", "ivf_qb_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", "ivf_qb",
+      nCentroids = 8, lloydIters = 1, buckets = 4)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qvec"))
+    val batched = Similarity.ivfProbeQuantizedBatch(spark, "ivf_qb", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4, shortlist = 100)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val single = (0L until 3L).flatMap { pid =>
+      val qv = emb.filter($"vec_id" === pid).select($"embedding".as("qvec"))
+      Similarity.ivfProbeQuantized(spark, "ivf_qb", qv, "vec_id", "embedding",
+        k = 10, probes = 4, shortlist = 100)
+        .as[(Long, Double)].collect().map(r => (pid, r._1, r._2))
+    }.sortBy(r => (r._1, -r._3, r._2))
+    assert(batched == single, s"batched\n$batched\nvs single\n$single")
+    // maxPairs below one query's shortlist forces one-query chunks: the
+    // driver-bound contract must change NOTHING about the returned rows
+    val chunked = Similarity.ivfProbeQuantizedBatch(spark, "ivf_qb", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4, shortlist = 100,
+      maxPairs = 1)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(chunked == batched, s"chunked\n$chunked\nvs unchunked\n$batched")
+  }
+
+  test("forced-chunk batched PQ probe returns the unchunked rows") {
+    // reuses the ivf_pqb index built by the batched-PQ spec if present,
+    // else builds it — spec order must not matter
+    val rng = new scala.util.Random(53)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    if (!spark.catalog.tableExists("ivf_pqc")) {
+      for (t <- Seq("ivf_pqc", "ivf_pqc_raw", "ivf_pqc_centroids", "ivf_pqc_pq"))
+        graft.sources.Warehouse.dropTableAndLocation(spark, t)
+      Similarity.writeIvfIndexPq(emb, "vec_id", "embedding", "ivf_pqc",
+        nCentroids = 8, lloydIters = 1, buckets = 4, m = 8, trainRows = 500)
+    }
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qvec"))
+    val whole = Similarity.ivfProbePqBatch(spark, "ivf_pqc", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4, shortlist = 100)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val chunked = Similarity.ivfProbePqBatch(spark, "ivf_pqc", queries,
+      "vec_id", "embedding", "probe_id", k = 10, probes = 4, shortlist = 100,
+      maxPairs = 150) // 150/100 → 1 query per chunk → 4 chunks
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(chunked == whole, s"chunked\n$chunked\nvs whole\n$whole")
+  }
+
+  test("Int8Dot fails loudly on a code/query dimension mismatch") {
+    // a wrong-embedding-model query must not silently score a truncated
+    // prefix (the probe adds offset*sum over the FULL query)
+    val df = Seq((Array[Byte](1, 2, 3, 4), Seq(1f, 2f, 3f)))
+      .toDF("code", "q")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.Int8Dot($"code", $"q")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(_.contains("int8_dot")),
+      s"expected the int8_dot dim guard, got: $ex")
+    // matched dims still score: 1*1 + 2*2 + 3*3 + 4*4 = 30
+    val ok = Seq((Array[Byte](1, 2, 3, 4), Seq(1f, 2f, 3f, 4f))).toDF("code", "q")
+      .select(graft.functions.Int8Dot($"code", $"q")).as[Double].head()
+    assert(ok == 30.0)
+  }
+
+  test("ivfProbeQuantized rejects a multi-row query batch like ivfProbePq") {
+    val rng = new scala.util.Random(67)
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    for (t <- Seq("ivf_qg", "ivf_qg_raw", "ivf_qg_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Similarity.writeIvfIndexQuantized(emb, "vec_id", "embedding", "ivf_qg",
+      nCentroids = 4, lloydIters = 1, buckets = 2)
+    val multi = emb.filter($"vec_id" < 2).select($"embedding".as("qvec"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfProbeQuantized(spark, "ivf_qg", multi,
+        "vec_id", "embedding", k = 5)
+    }
+    assert(ex.getMessage.contains("ivfProbeQuantizedBatch"))
+  }
+
   test("batched probe of the persisted ivf index equals the per-call batch path") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
