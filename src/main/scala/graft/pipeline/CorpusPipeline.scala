@@ -116,6 +116,22 @@ object CorpusPipeline {
     *                          that fan out into multiple downstream reads
     *                          (see [[Materialize]]; `Off` for single-pass
     *                          plans or when the caller persists externally)
+    * @param registryTable     when set, the exact-dedup stage becomes
+    *                          CROSS-RUN incremental
+    *                          ([[Dedup.dedupAgainstRegistry]]): the batch
+    *                          dedups within itself (same keep-min), drops
+    *                          documents whose content hash is already in
+    *                          this persisted registry, and (when
+    *                          `registryUpdate`) registers the survivors'
+    *                          hashes for the next run — a daily batch
+    *                          pipeline calls curate() per day against one
+    *                          registry instead of hand-composing the two
+    *                          operators. The table must exist
+    *                          ([[Dedup.createRegistry]]); single writer
+    *                          per registry at a time
+    * @param registryUpdate    `false` = report-only: drop against the
+    *                          registry but do not append this batch's
+    *                          hashes (e.g. dry runs, replays)
     * @param redactPii         mask emails/IPs/phones ([[TextOps.redactPii]])
     *                          in the surviving text as the LAST stage —
     *                          after dedup and split assignment, which both
@@ -139,6 +155,8 @@ object CorpusPipeline {
       semanticCentroids: Int = 16,
       semanticMaxCell: Int = 10000,
       materialize: Materialize = Materialize.Disk,
+      registryTable: Option[String] = None,
+      registryUpdate: Boolean = true,
       redactPii: Boolean = false)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
@@ -190,7 +208,16 @@ object CorpusPipeline {
       if (doubleReaderEnabled.exists(identity)) 2 else 1
     val exactBranches =
       if (nearDedupOn) 3 else fanOut(spanOn, semanticOn, benchmark.isDefined)
-    val exact = materialize(Dedup.exact(scored, textCol, idCol), exactBranches)
+    // with a registry the stage is cross-run: within-batch keep-min plus
+    // the registry anti-join (and append) — note the append job inside
+    // dedupAgainstRegistry executes EAGERLY, so by the time this curate()
+    // returns, the next run's curate() already sees this batch's hashes
+    val exactStage = cfg.registryTable match {
+      case None => Dedup.exact(scored, textCol, idCol)
+      case Some(t) =>
+        Dedup.dedupAgainstRegistry(scored, textCol, idCol, t, cfg.registryUpdate)
+    }
+    val exact = materialize(exactStage, exactBranches)
 
     val deduped =
       if (!nearDedupOn) exact

@@ -107,6 +107,35 @@ object PipelineQ {
         .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
           col("split"))
         .orderBy("doc_id")
+    },
+
+    // L22c (hash-gated): c02's composition made INCREMENTAL across runs
+    // via Config.registryTable. Day 1 (two thirds of the corpus) runs
+    // curate() against a fresh registry — the append inside
+    // dedupAgainstRegistry executes eagerly, so the call itself registers
+    // day 1's surviving hashes. Day 2 (the remaining third PLUS replays of
+    // day-1 documents under new ids, same text) then drops every replay to
+    // the registry while keeping genuinely new content. The registry is
+    // dropped and rebuilt per call: day 2 must see exactly day 1's state,
+    // never a previous run's day-2 hashes.
+    "c05_curate_registry" -> { (s, dir) =>
+      import graft.dedup.Dedup
+      val docs = Tables(s, dir, "documents")
+      val reg = "c05_registry_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.Warehouse.dropTableAndLocation(s, reg)
+      Dedup.createRegistry(s, reg, buckets = 8)
+      val cfg = CorpusPipeline.Config(
+        langs = CurateLangs, minQuality = 0.3, nearDupThreshold = 1.5,
+        registryTable = Some(reg))
+      CorpusPipeline.curate(docs.filter(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", cfg)
+      val day2 = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(docs.filter(col("doc_id") % 6 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      CorpusPipeline.curate(day2, "text", "doc_id", cfg)
+        .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
+          col("split"))
+        .orderBy("doc_id")
     }
   )
 
@@ -120,8 +149,17 @@ object PipelineQ {
   // mirrors d06's string-5-gram logic against the doc_id < 20 benchmark
   // slice over the (possibly rewritten) text; split is t07's md5-bucket
   // assignment on the same text.
+  // `registryStage` replays c05: the corpus is day 2 (fresh third +
+  // replays), and after the within-batch keep-min the oracle drops every
+  // text present in the day-1 slice. That equals dedup against day 1's
+  // registry (= day 1's distinct GATED texts) because the gate is a pure
+  // function of the text: a day-2 doc whose text was gated OUT on day 1
+  // fails day 2's own gate identically, so the ungated day-1 texts can
+  // never matter. No benchmark on c05, so the contamination CTE degenerates
+  // to an empty dirty set.
   private def curateOracle(spanStage: Boolean,
-                           semanticStage: Boolean = false): String = {
+                           semanticStage: Boolean = false,
+                           registryStage: Boolean = false): String = {
     val counts = TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
@@ -134,17 +172,56 @@ object PipelineQ {
     // with the semantic stage, the corpus is documents⋈embeddings plus the
     // planted twins (salted text, byte-identical embedding — c04's input)
     val srcCtes =
-      if (!semanticStage) "FROM documents WHERE doc_id >= 20),"
+      if (!semanticStage && !registryStage) "FROM documents WHERE doc_id >= 20),"
       else """FROM raw),"""
-    val rawCte = if (!semanticStage) "" else
-      """raw AS (
-        |  SELECT d.doc_id, d.text FROM documents d
-        |  JOIN embeddings em ON em.vec_id = d.doc_id WHERE d.doc_id >= 20
-        |  UNION ALL
-        |  SELECT d.doc_id + 1000000, d.text || ' semantic twin probe'
-        |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
-        |  WHERE d.doc_id >= 20 AND d.doc_id % 10 = 0),
-        |""".stripMargin
+    val rawCte =
+      if (semanticStage)
+        """raw AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  JOIN embeddings em ON em.vec_id = d.doc_id WHERE d.doc_id >= 20
+          |  UNION ALL
+          |  SELECT d.doc_id + 1000000, d.text || ' semantic twin probe'
+          |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+          |  WHERE d.doc_id >= 20 AND d.doc_id % 10 = 0),
+          |""".stripMargin
+      else if (registryStage)
+        """raw AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 6 = 1),
+          |""".stripMargin
+      else ""
+    val exactCte =
+      if (spanStage) spanRewriteSql
+      else if (registryStage)
+        """registry AS (
+          |  SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0),
+          |exact AS (
+          |  SELECT doc_id, lang, quality, text, toks FROM exact0
+          |  WHERE text NOT IN (SELECT text FROM registry)),""".stripMargin
+      else passthroughSql
+    val contamCtes =
+      if (registryStage) "dirty AS (SELECT doc_id FROM documents WHERE FALSE)"
+      else s"""bgrams AS (
+       |  SELECT DISTINCT unnest(
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                  toks[i+3] || ' ' || toks[i+4])
+       |      END)) AS gr
+       |  FROM (SELECT text, string_split_regex(text, '\\s+') AS toks
+       |        FROM documents WHERE doc_id < 20)),
+       |cgrams AS (
+       |  SELECT doc_id, unnest(
+       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 3),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                  toks[i+3] || ' ' || toks[i+4])
+       |      END)) AS gr
+       |  FROM ${if (semanticStage) "semkept" else "exact"}),
+       |dirty AS (
+       |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
+       |  GROUP BY doc_id HAVING COUNT(*) >= 1)""".stripMargin
     val surv = if (semanticStage) "semkept" else "exact"
     s"""WITH ${rawCte}t AS (
        |  SELECT doc_id, text,
@@ -182,27 +259,8 @@ object PipelineQ {
        |exact0 AS (
        |  SELECT * FROM gated
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
-       |${if (spanStage) spanRewriteSql else passthroughSql}
-       |${if (semanticStage) semanticDropSql else ""}bgrams AS (
-       |  SELECT DISTINCT unnest(
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-       |      ELSE list_transform(range(1, len(toks) - 3),
-       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-       |                  toks[i+3] || ' ' || toks[i+4])
-       |      END)) AS gr
-       |  FROM (SELECT text, string_split_regex(text, '\\s+') AS toks
-       |        FROM documents WHERE doc_id < 20)),
-       |cgrams AS (
-       |  SELECT doc_id, unnest(
-       |    list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-       |      ELSE list_transform(range(1, len(toks) - 3),
-       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-       |                  toks[i+3] || ' ' || toks[i+4])
-       |      END)) AS gr
-       |  FROM $surv),
-       |dirty AS (
-       |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
-       |  GROUP BY doc_id HAVING COUNT(*) >= 1)
+       |$exactCte
+       |${if (semanticStage) semanticDropSql else ""}$contamCtes
        |SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split${
         if (spanStage) ",\n       |  md5(e.text) AS text_md5" else ""}
@@ -261,6 +319,7 @@ object PipelineQ {
   val oracles: Map[String, String] = Map(
     "c02_curate_exact" -> curateOracle(spanStage = false),
     "c03_curate_span" -> curateOracle(spanStage = true),
-    "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true)
+    "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),
+    "c05_curate_registry" -> curateOracle(spanStage = false, registryStage = true)
   )
 }

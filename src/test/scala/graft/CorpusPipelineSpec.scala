@@ -49,6 +49,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("registryTable makes curate incremental across runs; update=false is report-only") {
+    import graft.dedup.Dedup
+    val reg = "curate_reg_spec"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    Dedup.createRegistry(spark, reg, buckets = 4)
+    val cfg = CorpusPipeline.Config(nearDupThreshold = 1.5,
+      registryTable = Some(reg))
+    val day1 = Seq(
+      (1L, english + "one"),
+      (2L, english + "one"),  // within-day exact dup — one hash registered
+      (3L, english + "two")
+    ).toDF("doc_id", "text")
+    val out1 = CorpusPipeline.curate(day1, "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(1L, 3L), s"day 1 survivors: $out1")
+    val day2 = Seq(
+      (10L, english + "one"),   // replay of day 1 under a new id — dropped
+      (11L, english + "three"), // genuinely new — kept and registered
+      (12L, english + "three")  // within-day-2 dup of 11
+    ).toDF("doc_id", "text")
+    val out2 = CorpusPipeline.curate(day2, "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(11L), s"day 2 survivors: $out2")
+    // report-only: the same day-2 batch replayed with update=false drops
+    // against the registry (11's hash is in it now) without growing it
+    val before = spark.table(reg).count()
+    val replay = CorpusPipeline.curate(day2, "text", "doc_id",
+      cfg.copy(registryUpdate = false))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replay.isEmpty, s"report-only replay survivors: $replay")
+    assert(spark.table(reg).count() == before,
+      "update=false must not append to the registry")
+  }
+
   test("nearDupThreshold > 1.0 disables near-dedup: near dups survive, exact dups don't") {
     val docs = Seq(
       (1L, english + "one"),
