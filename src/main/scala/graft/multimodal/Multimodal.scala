@@ -119,4 +119,120 @@ object Multimodal {
   def sampleFrames(media: DataFrame, n: Int): DataFrame =
     media.select(col("media_id"),
       explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
+
+  /** 64-bit perceptual difference-hash (dHash) per media row: decode
+    * ([[ImageCodec]]: netpbm plus PNG/BMP/GIF/JPEG), resample to a 9×8
+    * luminance grid with the same nearest-neighbor kernel [[resize]]
+    * uses, and set bit y·8+x when gray(x, y) > gray(x+1, y). A
+    * re-encoded copy (PNG↔PPM of one raster) hashes IDENTICALLY and a
+    * resized copy lands within a few bits (the grid resample normalizes
+    * dimensions before any comparison). Undecodable/corrupt blobs get a
+    * NULL fingerprint — never a task failure, and never a false
+    * mega-cluster around a sentinel hash value. Appends `phash` to the
+    * input columns; mapPartitions like [[extractFeatures]] so a heavier
+    * decoder can amortize per-partition init.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outSchema = media.schema.add(StructField("phash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long = ImageCodec.decode(r.getAs[Array[Byte]](cIdx)) match {
+          case Some(img) => java.lang.Long.valueOf(dhashOf(img))
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  // dHash kernel: 9×8 nearest-neighbor luminance grid, one bit per
+  // horizontally-adjacent comparison. Nearest-neighbor preserves region
+  // boundaries as FRACTIONS of the image, so integer resizes of blocky
+  // content reproduce the same grid.
+  private[multimodal] def dhashOf(img: PpmCodec.Image): Long = {
+    val g = PpmCodec.resize(img, 9, 8)
+    val gray = new Array[Int](9 * 8)
+    var i = 0
+    while (i < gray.length) {
+      val o = i * 3
+      gray(i) = (g.rgb(o) & 0xFF) + (g.rgb(o + 1) & 0xFF) + (g.rgb(o + 2) & 0xFF)
+      i += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y * 9 + x) > gray(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Perceptual near-dedup over image content — the multimodal twin of
+    * the text dedup tiers: identical, re-encoded, and resized copies of
+    * one image collapse to their minimum-`media_id` representative.
+    *
+    * Three stages, each reusing a proven text-path shape:
+    *
+    *  1. EXACT tier: identical fingerprints collapse map-side to their
+    *     min-id representative (d01's `min` groupBy) — a boilerplate
+    *     flood of one re-posted image contributes ONE row to everything
+    *     downstream, so the quadratic stage can never see the flood.
+    *  2. CANDIDATES: the distinct fingerprints band-join on
+    *     `maxHamming + 1` bit-slices of the 64-bit hash — the pigeonhole
+    *     guarantee that two hashes within the Hamming radius agree
+    *     exactly on at least one band (the SimHash/LSH recall argument),
+    *     verified with `bit_count(a ^ b) <= maxHamming`.
+    *  3. CLUSTERS: verified pairs resolve transitively through
+    *     [[graft.dedup.Dedup.dupClusters]] (connected components,
+    *     keep-min) so chains of successive resizes collapse to one
+    *     representative, like every other dedup tier.
+    *
+    * Rows with NULL fingerprints (undecodable content) always survive:
+    * no evidence, no drop. Scale shape: the banded stages shuffle
+    * (band, bucket, id, phash) SKELETONS — content bytes only ride the
+    * final anti-join on the unskewed `media_id` key.
+    */
+  def dedupePerceptual(media: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val sk = perceptualHash(media.select(col("media_id"), col("content")))
+      .select(col("media_id"), col("phash"))
+      .where(col("phash").isNotNull)
+    val reps = sk.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("media_id"))
+    val b = maxHamming + 1
+    val bandCols = (0 until b).map { i =>
+      val lo = (i * 64) / b
+      val width = ((i + 1) * 64) / b - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val bands = reps
+      .select(col("media_id"), col("phash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("media_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").bitwiseXOR(col("y.phash")).as("__xr"))
+      .filter(expr("bit_count(__xr)") <= maxHamming)
+      .select(col("a"), col("b")).distinct()
+    // exact-tier drops (same fingerprint, not the min id) ...
+    val exactDrop = sk.join(reps.withColumnRenamed("media_id", "__rep"), Seq("phash"))
+      .filter(col("media_id") =!= col("__rep"))
+      .select(col("media_id"))
+    // ... plus near-tier drops (cluster label is the min rep, and every
+    // member's id >= its rep, so the kept label is the cluster's global min)
+    val nearDrop = graft.dedup.Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("media_id"))
+    media.join(exactDrop.union(nearDrop).distinct(), Seq("media_id"), "left_anti")
+  }
 }

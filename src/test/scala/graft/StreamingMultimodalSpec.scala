@@ -573,6 +573,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(feats.length == 2 && feats.forall(_._2.length == 12))
   }
 
+  test("multimodal: perceptual dedup collapses re-encoded, resized, and near twins") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    // base: left half black, right half white (a real luminance gradient —
+    // dHash compares horizontal neighbors)
+    def halves(lightLeft: Boolean) = Array.tabulate(8 * 8 * 3) { i =>
+      val x = (i / 3) % 8
+      (if ((x < 4) == lightLeft) 255 else 0).toByte
+    }
+    val base = PpmCodec.Image(8, 8, halves(lightLeft = false))
+    // near twin: one white pixel in the black half flips exactly one
+    // comparison bit after the 9x8 grid resample
+    val nearRgb = halves(lightLeft = false)
+    nearRgb(0) = 255.toByte; nearRgb(1) = 255.toByte; nearRgb(2) = 255.toByte
+    val near = PpmCodec.Image(8, 8, nearRgb)
+    val reversed = PpmCodec.Image(8, 8, halves(lightLeft = true))
+    val df = Seq(
+      (1L, PpmCodec.encode(base)),                       // cluster: PPM
+      (2L, ImageCodec.encodePng(base)),                  // cluster: PNG re-encode
+      (3L, PpmCodec.encode(PpmCodec.resize(base, 4, 4))), // cluster: resized copy
+      (4L, PpmCodec.encode(near)),                       // cluster: 1-bit near twin
+      (5L, ImageCodec.encodePng(reversed)),              // distinct — survives
+      (6L, "definitely not an image".getBytes("UTF-8"))  // corrupt — survives
+    ).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/mixed")
+    val hashes = Multimodal.perceptualHash(media)
+      .select("media_id", "phash").as[(Long, Option[Long])].collect().toMap
+    // re-encode and blocky resize are hash-IDENTICAL; the tweak is 1 bit;
+    // the reversed gradient is far outside the radius; corrupt is null
+    assert(hashes(1L).isDefined && hashes(1L) == hashes(2L) && hashes(1L) == hashes(3L))
+    assert(hashes(6L).isEmpty)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(hashes(1L).get, hashes(4L).get) == 1,
+      s"near twin distance: ${dist(hashes(1L).get, hashes(4L).get)}")
+    assert(dist(hashes(1L).get, hashes(5L).get) > 4,
+      s"distinct image too close: ${dist(hashes(1L).get, hashes(5L).get)}")
+    val out = Multimodal.dedupePerceptual(media, maxHamming = 4)
+    val ids = out.select("media_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 5L, 6L), s"survivors: $ids")
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     val df = Seq((5L, "video")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
