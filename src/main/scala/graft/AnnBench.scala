@@ -10,8 +10,11 @@ import graft.similarity.Similarity
   *
   * Deterministic synthetic corpus (per-id seeded Gaussians) written to
   * parquet first so both paths read the same on-disk table a real
-  * warehouse would serve. Run with the corpus size as the only arg:
-  * `runMain graft.AnnBench 200000`.
+  * warehouse would serve. Run with the corpus size as the first arg and
+  * an optional artifact path as the second — the JSON line is then also
+  * written there, so cited numbers (recall, probe shrink) stay
+  * re-checkable without re-running:
+  * `runMain graft.AnnBench 200000 ANNBENCH_r7.json`.
   */
 object AnnBench {
   def main(args: Array[String]): Unit = {
@@ -198,7 +201,7 @@ object AnnBench {
     }
     val pqShrink = tableBytes(qfTable).toDouble / tableBytes(pqTable)
 
-    println(f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
+    val json = f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
       f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
       f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f,""" +
       f""""append_rows":$nApp,"append_sec":$appendSec%.2f,""" +
@@ -209,7 +212,14 @@ object AnnBench {
       f""""quant_probe_shrink":$shrink%.2f,""" +
       f""""pq_build_sec":$pqBuildSec%.2f,"pq_3probe_sec":$pqProbe%.2f,""" +
       f""""pq_recall_vs_full":${pqRecalls.sum / pqRecalls.size}%.3f,""" +
-      f""""pq_probe_shrink":$pqShrink%.2f}""")
+      f""""pq_probe_shrink":$pqShrink%.2f}"""
+    println(json)
+    // second arg = artifact path: persist the line so the cited numbers
+    // are re-checkable without a re-run
+    args.drop(1).headOption.foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

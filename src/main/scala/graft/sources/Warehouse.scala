@@ -93,9 +93,22 @@ object Warehouse {
     * leaves either the original or a complete staging copy, never a
     * half-written table. Same single-writer contract as the appends: no
     * concurrent append during compaction.
+    *
+    * Crash recovery: a crash INSIDE the drop→rename window leaves the data
+    * complete but only under the staging name `<table>__compacting` —
+    * readers of the original name fail until it is renamed back. The next
+    * `compact(table)` call detects exactly that state (original absent,
+    * staging present — the staging copy is complete by construction there,
+    * because the original is only ever dropped after the staged write
+    * finishes) and promotes the staging table before proceeding; manual
+    * recovery is `ALTER TABLE <table>__compacting RENAME TO <table>`.
     */
   def compact(spark: SparkSession, table: String): Unit = {
     val cat = spark.sessionState.catalog
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val si = org.apache.spark.sql.catalyst.TableIdentifier(table + "__compacting")
+    if (!cat.tableExists(ti) && cat.tableExists(si))
+      promoteStaging(spark, table + "__compacting", table)
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compact($table): not a bucketed table — nothing to co-locate"))
@@ -123,12 +136,23 @@ object Warehouse {
       case s => w2.sortBy(s.head, s.tail: _*)
     }).saveAsTable(staging)
     dropTableAndLocation(spark, table)
+    promoteStaging(spark, staging, table)
+  }
+
+  // Rename the (complete) staging table over the target name and, for
+  // partitioned tables, re-point the catalog partition entries: the rename
+  // moves the data directory, but partition entries still carry absolute
+  // locations under the staging path — purge them (keeping the just-moved
+  // data) and re-discover from the directory layout, which is exactly the
+  // partition-spec source of truth here. Shared by the normal compact tail
+  // and the crash-recovery path, so the two can never fix up differently.
+  private def promoteStaging(spark: SparkSession, staging: String,
+                             table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val parts = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(staging)).partitionColumnNames
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     if (parts.nonEmpty) {
-      // the rename moved the data directory, but catalog partition entries
-      // still carry absolute locations under the staging path — purge them
-      // (keeping the just-moved data) and re-discover from the directory
-      // layout, which is exactly the partition-spec source of truth here
       val db = org.apache.spark.sql.catalyst.TableIdentifier(table)
         .database.getOrElse(cat.getCurrentDatabase)
       val ext = spark.sharedState.externalCatalog

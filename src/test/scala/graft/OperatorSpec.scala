@@ -145,6 +145,29 @@ class OperatorSpec extends SparkSpec {
     assert(probe.select("doc_id").as[Long].collect().toSet == Set(1000L))
   }
 
+  test("Warehouse.compact recovers a table stranded mid-rename by a crash") {
+    import graft.sources.Warehouse
+    // simulate the drop→rename crash window: a complete copy exists under
+    // the staging name while the original name is gone — the exact state a
+    // crash between compact's drop and rename leaves behind
+    for (t <- Seq("cmp_rec", "cmp_rec__compacting"))
+      Warehouse.dropTableAndLocation(spark, t)
+    val rows = (1L to 100L).map(i => (i, s"text $i")).toDF("id", "text")
+    Warehouse.writeBucketed(rows, "cmp_rec", "id", 4)
+    Warehouse.writeBucketed(rows, "cmp_rec__compacting", "id", 4)
+    Warehouse.dropTableAndLocation(spark, "cmp_rec")
+    assert(!spark.catalog.tableExists("cmp_rec"))
+    // the next compact finishes the rename before proceeding, then
+    // compacts normally — readers get the table back under its own name
+    Warehouse.compact(spark, "cmp_rec")
+    assert(!spark.catalog.tableExists("cmp_rec__compacting"))
+    assert(spark.table("cmp_rec").select("id").as[Long].collect().sorted.toSeq
+      == (1L to 100L).toSeq)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("cmp_rec"))
+    assert(meta.bucketSpec.exists(_.numBuckets == 4))
+  }
+
   test("Warehouse.compact on a partitioned IVF index keeps probes and pruning") {
     import graft.sources.Warehouse
     val rng = new scala.util.Random(17)
