@@ -122,6 +122,52 @@ class PlanSpec extends SparkSpec {
         s"a pairing window carries the embedding payload:\n$b")
   }
 
+  test("registry anti-join never shuffles the registry side (bucketed scan)") {
+    // the L27 scale claim: the side that grows without bound — the
+    // registry — is read in place (bucketed on content_hash), and only the
+    // day's batch moves. Pinned on the STATIC non-broadcast plan (AQE and
+    // auto-broadcast off), because at test scale AQE would broadcast the
+    // tiny registry and hide the shape that matters at 100 TB.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.dedup.Dedup
+    graft.sources.Warehouse.dropTableAndLocation(spark, "reg_guard")
+    Dedup.createRegistry(spark, "reg_guard", buckets = 4)
+    import spark.implicits._
+    Dedup.dedupAgainstRegistry(
+      Seq((1L, "seed document text")).toDF("doc_id", "text"),
+      "text", "doc_id", "reg_guard").count()
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.dedupAgainstRegistry(
+        Seq((2L, "fresh doc"), (3L, "seed document text")).toDF("doc_id", "text"),
+        "text", "doc_id", "reg_guard", update = false)
+        .queryExecution.executedPlan
+      def isRegScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("reg_guard"))
+        case _ => false
+      }
+      val regScans = plan.collect { case p if isRegScan(p) => p }
+      assert(regScans.nonEmpty, s"registry scan not found:\n$plan")
+      assert(regScans.forall {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      }, s"registry scan is not bucketed:\n$plan")
+      val shufflesOverRegistry = plan.collect {
+        case s: ShuffleExchangeExec if s.collect { case p if isRegScan(p) => p }.nonEmpty => s
+      }
+      assert(shufflesOverRegistry.isEmpty,
+        s"the registry side is shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("d01 exact dedup shuffles the content hash, never the text") {
     val p = executedPlan("d01_exact_dedup")
     assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
