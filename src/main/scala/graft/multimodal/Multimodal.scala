@@ -235,4 +235,25 @@ object Multimodal {
       .select(col("id").as("media_id"))
     media.join(exactDrop.union(nearDrop).distinct(), Seq("media_id"), "left_anti")
   }
+
+  /** STREAMING perceptual dedup — the incremental twin of
+    * [[dedupePerceptual]]'s exact tier, shaped like
+    * [[graft.streaming.EventStreams.dedupeExact]]: a media row is dropped
+    * when its dHash fingerprint was already seen inside the watermark
+    * horizon, so re-encoded and (blocky) resized re-posts of one image
+    * collapse across micro-batches while state stays one 8-byte hash per
+    * distinct surviving image. The hamming-radius band tier stays a batch
+    * compaction ([[dedupePerceptual]]): a candidate self-join over the
+    * corpus is non-incremental by nature, the same split the text tiers
+    * make. Rows with NULL fingerprints (undecodable) always pass through:
+    * two corrupt blobs are not "equal", and no evidence means no drop.
+    */
+  def dedupePerceptualStream(media: DataFrame, tsCol: String,
+                             watermark: String = "1 hour"): DataFrame = {
+    val hashed = perceptualHash(media).withWatermark(tsCol, watermark)
+    hashed.filter(col("phash").isNotNull)
+      .dropDuplicatesWithinWatermark("phash")
+      .unionByName(hashed.filter(col("phash").isNull))
+      .drop("phash")
+  }
 }

@@ -613,6 +613,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L, 6L), s"survivors: $ids")
   }
 
+  test("multimodal: streaming perceptual dedup drops re-encoded re-posts cross-batch") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    implicit val sqlCtx = spark.sqlContext
+    def halves(lightLeft: Boolean) = Array.tabulate(8 * 8 * 3) { i =>
+      val x = (i / 3) % 8
+      (if ((x < 4) == lightLeft) 255 else 0).toByte
+    }
+    val base = PpmCodec.Image(8, 8, halves(lightLeft = false))
+    val reversed = PpmCodec.Image(8, 8, halves(lightLeft = true))
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "ts", "content")
+      .withColumn("mime", lit("image/mixed"))
+    val query = Multimodal.dedupePerceptualStream(media, "ts", "1 hour")
+      .writeStream.format("memory").queryName("pdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), PpmCodec.encode(base)),
+        (2L, ts(1), "corrupt blob one".getBytes("UTF-8")))
+      query.processAllAvailable()
+      // batch 2: a PNG re-post of batch 1's image (dropped), a resized
+      // re-post (dropped: blocky resize is hash-identical), a distinct
+      // image (kept), and a second corrupt blob (kept — nulls never match)
+      input.addData(
+        (3L, ts(2), ImageCodec.encodePng(base)),
+        (4L, ts(3), PpmCodec.encode(PpmCodec.resize(base, 4, 4))),
+        (5L, ts(4), ImageCodec.encodePng(reversed)),
+        (6L, ts(5), "corrupt blob two".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val ids = spark.table("pdedup_out").select("media_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 5L, 6L), s"survivors: $ids")
+    } finally query.stop()
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     val df = Seq((5L, "video")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
