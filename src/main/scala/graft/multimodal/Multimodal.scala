@@ -88,6 +88,36 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio feature extraction over media batches — the audio twin of
+    * [[extractFeatures]]: WAV/AIFF/AU content REALLY decodes through the
+    * pure-JRE [[AudioCodec]] into mono PCM, emitting per-window RMS
+    * features plus the measured `duration_ms` and `sample_rate` metadata;
+    * formats the JRE cannot read (MP3, OGG) and corrupt blobs fall back
+    * to the deterministic stub with null metadata — one output row per
+    * input row, never a task failure. Output: (media_id, duration_ms,
+    * sample_rate, features).
+    */
+  def extractAudioFeatures(media: DataFrame, dim: Int = 12): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](1)
+        AudioCodec.decode(content) match {
+          case Some(pcm) =>
+            Row(r.getLong(0), pcm.durationMs, pcm.sampleRate,
+              AudioCodec.features(pcm, dim).toSeq)
+          case None =>
+            Row(r.getLong(0), null, null, decodeStub(content, dim).toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Resize: REAL nearest-neighbor resample for any [[ImageCodec]]-decodable
     * content (netpbm, PNG/BMP/GIF/JPEG). netpbm re-encodes as P6; ImageIO
     * formats re-encode as PNG (lossless, writer in every JRE) and the mime

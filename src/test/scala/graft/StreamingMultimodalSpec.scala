@@ -648,6 +648,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("multimodal: real WAV decode yields duration, rate, and RMS features") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 1 second of 8 kHz mono: first half a full-scale 440 Hz tone, second
+    // half silence — window RMS must separate the halves
+    val rate = 8000
+    val pcm = new Array[Byte](rate * 2)
+    for (i <- 0 until rate / 2) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 32767 * 0.9).toInt.toShort
+      pcm(i * 2) = (s & 0xFF).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, rate), AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val decoded = graft.multimodal.AudioCodec.decode(wav).get
+    assert(decoded.sampleRate == 8000f && decoded.samples.length == rate)
+    assert(decoded.durationMs == 1000L)
+    // Spark path: real features + metadata for the WAV, stub + null
+    // metadata for an undecodable blob, one row each, no failure
+    val df = Seq((1L, wav), (2L, "mp3-shaped junk bytes here".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "audio/wav")
+    val out = Multimodal.extractAudioFeatures(media, dim = 4)
+      .as[(Long, Option[Long], Option[Float], Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 2)
+    val (_, dur, sr, feats) = out(1L)
+    assert(dur.contains(1000L) && sr.contains(8000f) && feats.length == 4)
+    // tone halves carry ~0.64 RMS (0.9 amplitude sine), silence ~0
+    assert(feats(0) > 0.5f && feats(1) > 0.5f, s"tone windows: $feats")
+    assert(feats(2) < 0.01f && feats(3) < 0.01f, s"silent windows: $feats")
+    val (_, dur2, sr2, feats2) = out(2L)
+    assert(dur2.isEmpty && sr2.isEmpty && feats2.length == 4)
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     val df = Seq((5L, "video")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
