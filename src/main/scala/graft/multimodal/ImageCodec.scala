@@ -33,33 +33,73 @@ object ImageCodec {
   private def imageIoDecode(bytes: Array[Byte]): Option[PpmCodec.Image] = {
     if (bytes == null || bytes.length == 0) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None // no registered reader claimed the format
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0) None
-        else {
-          val rgb = new Array[Byte](w * h * 3)
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w) // converts any color model to sRGB
-            var x = 0
-            while (x < w) {
-              val p = row(x)
-              val di = (y * w + x) * 3
-              rgb(di) = ((p >> 16) & 0xFF).toByte
-              rgb(di + 1) = ((p >> 8) & 0xFF).toByte
-              rgb(di + 2) = (p & 0xFF).toByte
-              x += 1
-            }
-            y += 1
-          }
-          Some(PpmCodec.Image(w, h, rgb))
-        }
-      }
+      // getRGB in fromBuffered converts any color model to sRGB
+      fromBuffered(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     } catch { case _: Throwable => None }
+  }
+
+  /** Decode the individual frames of a MULTI-FRAME image (animated GIF —
+    * and multi-page TIFF on JDK 9+) through the same ImageIO readers:
+    * returns the frame count and a by-index decoder, so a sampler can
+    * read only the frames it needs instead of materializing the whole
+    * animation. Frames decode independently (no GIF disposal-method
+    * compositing — each frame is what its image descriptor carries),
+    * which is the cheap deterministic contract a frame-sampling feature
+    * pass wants. None when no reader claims the format or it carries no
+    * frames.
+    */
+  def frames(bytes: Array[Byte]): Option[(Int, Int => Option[PpmCodec.Image])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) { reader.dispose(); iis.close(); return None }
+      // decode on demand: re-open per call (the byte array is the source
+      // of truth; readers are not serializable and must not leak into
+      // closures that outlive this call)
+      def frameAt(i: Int): Option[PpmCodec.Image] =
+        if (i < 0 || i >= n) None
+        else try {
+          val iis2 = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val r2 = javax.imageio.ImageIO.getImageReaders(iis2).next()
+          r2.setInput(iis2)
+          val bi = r2.read(i)
+          r2.dispose(); iis2.close()
+          fromBuffered(bi)
+        } catch { case _: Throwable => None }
+      reader.dispose(); iis.close()
+      Some((n, frameAt))
+    } catch { case _: Throwable => None }
+  }
+
+  private def fromBuffered(img: java.awt.image.BufferedImage): Option[PpmCodec.Image] = {
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val rgb = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val di = (y * w + x) * 3
+        rgb(di) = ((p >> 16) & 0xFF).toByte
+        rgb(di + 1) = ((p >> 8) & 0xFF).toByte
+        rgb(di + 2) = (p & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PpmCodec.Image(w, h, rgb))
   }
 
   /** Encode a raster as PNG via the JDK writer (always registered). */

@@ -266,6 +266,47 @@ object Multimodal {
     media.join(exactDrop.union(nearDrop).distinct(), Seq("media_id"), "left_anti")
   }
 
+  /** REAL frame sampling for multi-frame content — the decode-backed
+    * upgrade of [[sampleFrames]]'s stub shape: `n` evenly-spaced frames
+    * of an animated GIF (or multi-page TIFF) decode through
+    * [[ImageCodec.frames]] and re-encode as PNG content rows, ready for
+    * [[extractFeatures]] / [[perceptualHash]] downstream. Content without
+    * a multi-frame reader (real video containers, corrupt blobs) degrades
+    * to the same n-row shape with null content — one row per (media,
+    * sample), never a task failure. Output: (media_id, frame_idx, content,
+    * mime, width, height); `frame_idx` is the sample ordinal, 0 to n-1.
+    */
+  def sampleFramesDecoded(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val stub = (0 until n).map(k => Row(r.getLong(0), k, null, null, null, null))
+        ImageCodec.frames(r.getAs[Array[Byte]](1)) match {
+          case Some((total, frameAt)) =>
+            (0 until n).map { k =>
+              // evenly spaced over the animation, endpoints included
+              val idx = if (n == 1) 0
+                else (k.toLong * (total - 1) / (n - 1)).toInt
+              frameAt(idx) match {
+                case Some(img) => Row(r.getLong(0), k, ImageCodec.encodePng(img),
+                  "image/png", img.width, img.height)
+                case None => Row(r.getLong(0), k, null, null, null, null)
+              }
+            }
+          case None => stub
+        }
+      }
+    }(enc)
+  }
+
   /** STREAMING perceptual dedup — the incremental twin of
     * [[dedupePerceptual]]'s exact tier, shaped like
     * [[graft.streaming.EventStreams.dedupeExact]]: a media row is dropped

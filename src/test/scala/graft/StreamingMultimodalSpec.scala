@@ -685,6 +685,45 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dur2.isEmpty && sr2.isEmpty && feats2.length == 4)
   }
 
+  test("multimodal: animated GIF frames really decode via sampleFramesDecoded") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // 3-frame animated GIF: solid red, green, blue (primaries survive GIF
+    // palette quantization exactly)
+    def solid(rgb: Int) = {
+      val bi = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) bi.setRGB(x, y, rgb)
+      bi
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (c <- Seq(0xFF0000, 0x00FF00, 0x0000FF))
+      writer.writeToSequence(new IIOImage(solid(c), null, null), null)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    val (total, frameAt) = graft.multimodal.ImageCodec.frames(gif).get
+    assert(total == 3)
+    assert(frameAt(0).get.rgb(0) == -1.toByte.toInt.toByte) // red channel 255
+    val df = Seq((1L, gif), (2L, "not a gif at all here".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/gif")
+    val out = Multimodal.sampleFramesDecoded(media, 3)
+      .select("media_id", "frame_idx", "content")
+      .as[(Long, Int, Option[Array[Byte]])].collect()
+    assert(out.length == 6)
+    // the GIF's 3 samples decode to the 3 distinct solid frames, as PNG
+    val gifFrames = out.filter(_._1 == 1L).sortBy(_._2)
+      .map(_._3.get).map(b => graft.multimodal.ImageCodec.decode(b).get)
+    assert(gifFrames.map(f => (f.rgb(0), f.rgb(1), f.rgb(2))).toSeq == Seq(
+      (-1, 0, 0), (0, -1, 0), (0, 0, -1))
+      .map(t => (t._1.toByte, t._2.toByte, t._3.toByte)))
+    // non-multi-frame content degrades to the stub shape, never fails
+    assert(out.filter(_._1 == 2L).forall(_._3.isEmpty))
+  }
+
   test("multimodal: frame sampling explodes n rows per video") {
     val df = Seq((5L, "video")).toDF("id", "payload")
       .withColumn("payload", col("payload").cast("binary"))
