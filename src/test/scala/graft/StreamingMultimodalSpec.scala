@@ -613,6 +613,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(ids == Seq(1L, 5L, 6L), s"survivors: $ids")
   }
 
+  test("multimodal: perceptual dedup survives an image flood via the exact tier") {
+    import graft.multimodal.PpmCodec
+    // 5k re-posts of one image + 2 distinct: identical fingerprints must
+    // collapse in the exact groupBy BEFORE the banded quadratic stage, so
+    // the flood contributes exactly ONE row to the band self-join
+    def solidPpm(v: Int) = PpmCodec.encode(
+      PpmCodec.Image(4, 4, Array.tabulate(4 * 4 * 3)(i =>
+        (if ((i / 3) % 4 < 2) v else 255 - v).toByte)))
+    val flood = (1L to 5000L).map(i => (i, solidPpm(10)))
+    val rest = Seq((9001L, solidPpm(200)), (9002L, solidPpm(120)))
+    val df = (flood ++ rest).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/x-portable-pixmap")
+    val out = Multimodal.dedupePerceptual(media, maxHamming = 2)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    // min-id representative of the flood + the distinct images (whose own
+    // hashes differ from each other and the flood by > 2 bits or collapse
+    // legitimately — pin exact expectation)
+    assert(out.head == 1L, s"flood representative wrong: ${out.take(3)}")
+    assert(out.size <= 3 && out.contains(1L), s"survivors: $out")
+    assert(!out.exists(i => i > 1L && i <= 5000L), "flood member survived")
+  }
+
   test("multimodal: streaming perceptual dedup drops re-encoded re-posts cross-batch") {
     import graft.multimodal.{ImageCodec, PpmCodec}
     implicit val sqlCtx = spark.sqlContext
