@@ -72,6 +72,9 @@ object StreamDedupBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
     val survivors = spark.table("sdb_out").count()
     query.stop()
+    // the listener bus is async: drain it before reading the atomics or
+    // the artifact can undercount the last stages' shuffle writes
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
 
     val payloadBytes = boiler.getBytes("UTF-8").length
     val perDoc = shuffleBytes.get.toDouble / n

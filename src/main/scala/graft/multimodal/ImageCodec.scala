@@ -50,32 +50,46 @@ object ImageCodec {
     */
   def frames(bytes: Array[Byte]): Option[(Int, Int => Option[PpmCodec.Image])] = {
     if (bytes == null || bytes.length == 0) return None
+    // count frames with properly-released resources: a mapPartitions pass
+    // over many corrupt blobs must not accumulate undisposed readers and
+    // MemoryCacheImageInputStreams until GC
+    withReader(bytes) { reader =>
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else {
+        // decode on demand: re-open per call (the byte array is the source
+        // of truth; readers are not serializable and must not leak into
+        // closures that outlive this call)
+        def frameAt(i: Int): Option[PpmCodec.Image] =
+          if (i < 0 || i >= n) None
+          else withReader(bytes)(r => fromBuffered(r.read(i)))
+        Some((n, frameAt))
+      }
+    }
+  }
+
+  // Open an ImageReader over the bytes, run `f`, and ALWAYS dispose the
+  // reader and close the stream — exceptions (corrupt input, mid-decode
+  // failures) map to None.
+  private def withReader[A](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => Option[A]): Option[A] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return None }
-      val reader = readers.next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      if (n <= 0) { reader.dispose(); iis.close(); return None }
-      // decode on demand: re-open per call (the byte array is the source
-      // of truth; readers are not serializable and must not leak into
-      // closures that outlive this call)
-      def frameAt(i: Int): Option[PpmCodec.Image] =
-        if (i < 0 || i >= n) None
-        else try {
-          val iis2 = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val r2 = javax.imageio.ImageIO.getImageReaders(iis2).next()
-          r2.setInput(iis2)
-          val bi = r2.read(i)
-          r2.dispose(); iis2.close()
-          fromBuffered(bi)
-        } catch { case _: Throwable => None }
-      reader.dispose(); iis.close()
-      Some((n, frameAt))
+      if (!readers.hasNext) None
+      else {
+        reader = readers.next()
+        reader.setInput(iis)
+        f(reader)
+      }
     } catch { case _: Throwable => None }
+    finally {
+      if (reader != null) try reader.dispose() catch { case _: Throwable => }
+      if (iis != null) try iis.close() catch { case _: Throwable => }
+    }
   }
 
   private def fromBuffered(img: java.awt.image.BufferedImage): Option[PpmCodec.Image] = {

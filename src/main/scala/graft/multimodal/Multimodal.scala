@@ -230,9 +230,15 @@ object Multimodal {
     */
   def dedupePerceptual(media: DataFrame, maxHamming: Int = 4): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
-    val sk = perceptualHash(media.select(col("media_id"), col("content")))
-      .select(col("media_id"), col("phash"))
-      .where(col("phash").isNotNull)
+    // the (media_id, phash) skeleton fans out into every stage below (band
+    // self-join x/y sides, exact-tier drop, the cluster edges) — persist
+    // the 16-byte rows so the dominant cost, decoding every image, runs
+    // ONCE instead of once per consuming subtree
+    val sk = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      perceptualHash(media.select(col("media_id"), col("content")))
+        .select(col("media_id"), col("phash"))
+        .where(col("phash").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sk.groupBy(col("phash"))
       .agg(min(col("media_id")).as("media_id"))
     val b = maxHamming + 1
@@ -321,10 +327,15 @@ object Multimodal {
     */
   def dedupePerceptualStream(media: DataFrame, tsCol: String,
                              watermark: String = "1 hour"): DataFrame = {
-    val hashed = perceptualHash(media).withWatermark(tsCol, watermark)
-    hashed.filter(col("phash").isNotNull)
-      .dropDuplicatesWithinWatermark("phash")
-      .unionByName(hashed.filter(col("phash").isNull))
-      .drop("phash")
+    // single pass (one decode per row per batch): NULL fingerprints get a
+    // per-row-unique dedup key so they never match each other, instead of
+    // a second decoded branch unioned back in
+    perceptualHash(media)
+      .withWatermark(tsCol, watermark)
+      .withColumn("__dk", when(col("phash").isNull,
+        concat(lit("n:"), col("media_id").cast("string")))
+        .otherwise(concat(lit("h:"), col("phash").cast("string"))))
+      .dropDuplicatesWithinWatermark("__dk")
+      .drop("__dk", "phash")
   }
 }

@@ -107,8 +107,16 @@ object Warehouse {
     val cat = spark.sessionState.catalog
     val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val si = org.apache.spark.sql.catalyst.TableIdentifier(table + "__compacting")
-    if (!cat.tableExists(ti) && cat.tableExists(si))
+    if (!cat.tableExists(ti) && cat.tableExists(si)) {
+      // a crash BETWEEN the drop and its directory delete can also leave a
+      // stale warehouse/<table> dir with no catalog entry — clear it first
+      // or the promote rename lands on (or nests under) the leftover
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
       promoteStaging(spark, table + "__compacting", table)
+    }
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compact($table): not a bucketed table — nothing to co-locate"))

@@ -31,4 +31,12 @@ object Bridge {
     rdd.persist(level)
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
+
+  /** Block until every queued SparkListener event has been delivered —
+    * the listener bus is asynchronous, so metrics accumulated in a
+    * custom listener (the bench mains) are complete only after a drain.
+    * `listenerBus` is private[spark], hence exposed here.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
