@@ -201,6 +201,22 @@ object AnnBench {
     }
     val pqShrink = tableBytes(qfTable).toDouble / tableBytes(pqTable)
 
+    // batched serving: 64 queries through ONE partition-pruned read +
+    // shared rerank vs 64 sequential single probes — the amortization the
+    // batch API exists for (per-probe driver latency vs one shared scan)
+    val batchIds = (0L until 64L).toSeq
+    val batchQ = embQ.filter(col("vec_id").isin(batchIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
+    val pqBatch64 = median3 {
+      Similarity.ivfProbePqBatch(spark, pqTable, batchQ,
+        "vec_id", "embedding", "probe_id", k = 10, probes = 8,
+        shortlist = 100).count()
+    }
+    val pqSingle64 = median3 {
+      batchIds.foreach(q => Similarity.ivfProbePq(spark, pqTable, queryVecQ(q),
+        "vec_id", "embedding", k = 10, probes = 8, shortlist = 100).count())
+    }
+
     val json = f"""{"bench":"ann","n":$n,"dim":$dim,"index_build_sec":$buildSec%.2f,""" +
       f""""direct_3probe_sec":$direct%.2f,"indexed_3probe_sec":$indexed%.2f,""" +
       f""""speedup":${direct / indexed}%.1f,"recall_at_10":${recalls.sum / recalls.size}%.2f,""" +
@@ -212,7 +228,9 @@ object AnnBench {
       f""""quant_probe_shrink":$shrink%.2f,""" +
       f""""pq_build_sec":$pqBuildSec%.2f,"pq_3probe_sec":$pqProbe%.2f,""" +
       f""""pq_recall_vs_full":${pqRecalls.sum / pqRecalls.size}%.3f,""" +
-      f""""pq_probe_shrink":$pqShrink%.2f}"""
+      f""""pq_probe_shrink":$pqShrink%.2f,""" +
+      f""""pq_batch64_sec":$pqBatch64%.2f,"pq_single64_sec":$pqSingle64%.2f,""" +
+      f""""batch_speedup":${pqSingle64 / pqBatch64}%.1f}"""
     println(json)
     // second arg = artifact path: persist the line so the cited numbers
     // are re-checkable without a re-run

@@ -693,6 +693,174 @@ object Dedup {
     }
   }
 
+  /** Materialize a MinHash BAND INDEX over a corpus — the NEAR-dup twin
+    * of the exact-hash registry ([[createRegistry]]/[[dedupAgainstRegistry]]):
+    * a persisted (band, bucket, id) table bucketed on the bucket hash, an
+    * id-bucketed `<table>_sigs` signature sibling for verification, and a
+    * `<table>_mhspec` geometry sibling (k/numHashes/bands/maxBucket — an
+    * append or probe can never hash with different geometry than the
+    * build, the `_lshspec` contract). Later batches near-dedup against
+    * everything already ingested with ONE signature pass over the day's
+    * batch only ([[nearDedupAgainstIndex]]).
+    *
+    * Mega-bucket bound AT WRITE: each (band, bucket) keeps at most
+    * `maxBucket` member rows (deterministic minimum ids — a skeleton-row
+    * window, the L2 chain discipline). A batch doc colliding with a
+    * truncated boilerplate bucket still verifies against `maxBucket`
+    * near-identical representatives, so the dedup VERDICT is unaffected;
+    * what is given up is the flood's internal pair list, exactly the
+    * batch candidate stage's trade.
+    */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        table: String, k: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, buckets: Int = 32,
+                        maxBucket: Int = 1000): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
+    val capped = bandRowsCapped(sigs, bands, maxBucket)
+    graft.sources.Warehouse.writeBucketed(sigs, s"${table}_sigs", "id", buckets)
+    graft.sources.Warehouse.writeBucketed(capped, table, "bucket", buckets)
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_mhspec")
+    Seq((k, numHashes, bands, maxBucket))
+      .toDF("k", "num_hashes", "bands", "max_bucket")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_mhspec")
+  }
+
+  // (id, band, bucket) skeleton rows, each (band, bucket) capped to its
+  // deterministic min-id maxBucket members. The window sees 24-byte
+  // skeletons only — never text or signatures.
+  private def bandRowsCapped(sigs: DataFrame, bands: Int, maxBucket: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
+
+  /** Append new documents to a [[writeMinhashIndex]] table WITHOUT
+    * rebuilding: MinHash signatures are data-independent (seeded
+    * permutations from the persisted geometry), so an append is one
+    * signature pass over the new rows plus bucketed appends — the
+    * grow-don't-retrain contract of the other indexes. The write-time
+    * `maxBucket` cap applies within the appended generation only; a
+    * bucket can grow past the cap across generations (each append adds at
+    * most its own rows), so periodically rebuild — which re-caps — when
+    * [[graft.sources.Warehouse.compact]]'s file-count signal fires.
+    *
+    * Write order contract: the SIGS sibling is appended BEFORE the band
+    * table. [[nearDedupAgainstIndex]] depends on it — the band append
+    * re-evaluates its input plan, and candidates must still derive from
+    * the pre-append band generation (new sigs rows are harmless: they are
+    * only ever joined BY candidate id).
+    */
+  def appendToMinhashIndex(newRows: DataFrame, textCol: String, idCol: String,
+                           table: String): Unit = {
+    val spark = newRows.sparkSession
+    val sp = spark.table(s"${table}_mhspec").head()
+    val (k, numHashes, bands, maxBucket) =
+      (sp.getInt(0), sp.getInt(1), sp.getInt(2), sp.getInt(3))
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val sigs = newRows.select(col(idCol).as("id"),
+      minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
+    graft.sources.Warehouse.alignBuckets(sigs, "id", buckets)
+      .write.bucketBy(buckets, "id").sortBy("id")
+      .mode("append").format("parquet").saveAsTable(s"${table}_sigs")
+    graft.sources.Warehouse.alignBuckets(
+        bandRowsCapped(sigs, bands, maxBucket), "bucket", buckets)
+      .write.bucketBy(buckets, "bucket").sortBy("bucket")
+      .mode("append").format("parquet").saveAsTable(table)
+  }
+
+  /** Near-dup pairs of `batch` against a persisted [[writeMinhashIndex]]
+    * corpus: (batch_id, corpus_id, est_jaccard). Candidates come from the
+    * (band, bucket) join of the batch's band skeletons against the index
+    * (the skewable stage carries (id, band, bucket) rows only), and each
+    * candidate pair is verified with the MinHash ESTIMATE of Jaccard —
+    * the fraction of matching signature components, an unbiased estimator
+    * with stderr ≈ 1/√numHashes (±0.125 at 64 hashes) — via id-keyed
+    * (unskewed) signature joins. An exact-Jaccard verify would need the
+    * corpus TEXT; the index deliberately stores only 8-byte-component
+    * signatures, the same read-volume trade the quantized ANN tiers make,
+    * so set `minEstJaccard` with the estimator noise in mind.
+    */
+  def nearDupsAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                           table: String,
+                           minEstJaccard: Double = 0.7): DataFrame = {
+    val spark = batch.sparkSession
+    val sp = spark.table(s"${table}_mhspec").head()
+    val (k, numHashes, bands) = (sp.getInt(0), sp.getInt(1), sp.getInt(2))
+    val bsigs = batch.select(col(idCol).as("__bid"),
+      minhashSignatureFromText(col(textCol), k, numHashes).as("__bsig"))
+    val bbands = bsigs.select(col("__bid"),
+      posexplode(bandBucketsUdf(bands)(col("__bsig"))).as(Seq("band", "bucket")))
+    val cand = bbands.join(spark.table(table), Seq("band", "bucket"))
+      .select(col("__bid"), col("id").as("__cid")).distinct()
+    cand
+      .join(bsigs, Seq("__bid"))
+      .join(spark.table(s"${table}_sigs")
+        .select(col("id").as("__cid"), col("sig").as("__csig")), Seq("__cid"))
+      .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
+        sigMatchUdf(col("__bsig"), col("__csig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  // fraction of matching minhash components — E[frac] = Jaccard
+  private val sigMatchUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val n = math.min(a.length, b.length)
+    var m = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+    m.toDouble / math.max(1, n)
+  }
+
+  /** Incremental NEAR dedup across pipeline RUNS — the MinHash complement
+    * of [[dedupAgainstRegistry]]: drop every batch document with a
+    * verified near-dup ([[nearDupsAgainstIndex]]) anywhere in the indexed
+    * corpus, and (unless `update = false`) append the survivors'
+    * signatures and band skeletons so the NEXT run sees them. An exact
+    * replay is a near-dup at est_jaccard 1.0, so this subsumes the exact
+    * registry for indexed corpora; within-batch dedup stays the caller's
+    * composition ([[exact]]/[[nearDedup]] first), mirroring the
+    * single-responsibility split of the other cross-run ops.
+    *
+    * Failure contract (the registry op's, verbatim): with `update = true`
+    * the candidate join against the big index executes inside the append
+    * jobs — sigs appended FIRST (harmless to candidates), band skeletons
+    * second (its re-evaluation still reads the pre-append band
+    * generation) — and the RETURNED frame derives from the sigs append's
+    * own delta files, so a late re-read can never re-run the join against
+    * an index that already contains this batch's bands and silently lose
+    * rows. Single writer per index at a time.
+    */
+  def nearDedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                            table: String, minEstJaccard: Double = 0.7,
+                            update: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val dupIds = nearDupsAgainstIndex(batch, textCol, idCol, table, minEstJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    if (!update) fresh
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
+      val loc = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def partFiles(): Set[String] =
+        fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
+      val before = partFiles()
+      appendToMinhashIndex(fresh, textCol, idCol, table)
+      val delta = (partFiles() -- before).toSeq
+      if (delta.isEmpty) batch.filter(lit(false))
+      else batch.join(spark.read.parquet(delta: _*).select(col("id").as(idCol)),
+        Seq(idCol), "left_semi")
+    }
+  }
+
   /** Per-source boilerplate-span profile — the DISCOVERY complement of
     * [[dedupSpans]]: for each (source, span), the number of the source's
     * documents containing it and the fraction of the source that is. Spans

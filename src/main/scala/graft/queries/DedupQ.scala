@@ -161,6 +161,28 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L33: cross-run NEAR dedup against a persisted MinHash band index —
+    // the near-dup twin of d12's exact registry. Day 0 (ids < 250) is
+    // indexed fresh per call (cheap, keeps repeated driver runs
+    // deterministic); the query replays the rest of the corpus in
+    // report-only mode and returns the survivors. Rows-only: the MinHash
+    // signature estimate needs wrapping 64-bit multiply and Murmur3
+    // string hashing (exactly d02's DuckDB-inexpressibility argument);
+    // the operator's lifecycle semantics are spec-gated instead.
+    "d13_near_registry" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val docs = Tables(s, dir, "documents")
+      val t = "graft_mhidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      for (tb <- Seq(t, s"${t}_sigs", s"${t}_mhspec"))
+        Warehouse.dropTableAndLocation(s, tb)
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 250),
+        "text", "doc_id", t, buckets = 8)
+      Dedup.nearDedupAgainstIndex(docs.filter(col("doc_id") >= 250),
+        "text", "doc_id", t, minEstJaccard = 0.7, update = false)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.

@@ -107,6 +107,86 @@ class OperatorSpec extends SparkSpec {
     assert(spark.table("reg_test").count() == 4) // alpha beta gamma delta
   }
 
+  test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep")
+    val distinct1 = "an entirely different document about the history of " +
+      "distributed query engines and their optimizers planning joins over " +
+      "columnar storage layouts for modern large scale analytics workloads"
+    val fresh1 = "a new article about bread baking with flour water salt and " +
+      "patience plus a hot oven and a heavy pan for the crust and a long " +
+      "slow fermentation in the cold cellar overnight before the morning bake"
+    val fresh1mut = fresh1.replace("patience", "practice")
+    val fresh2 = "yet another unrelated piece on the migration patterns of " +
+      "arctic birds and the scientists who follow them across the seasons " +
+      "with radio trackers and long patient nights in the northern field camps"
+    for (t <- Seq("mh_idx", "mh_idx_sigs", "mh_idx_mhspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeMinhashIndex(Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text"),
+      "text", "doc_id", "mh_idx", buckets = 4)
+    // day 1: a MUTATED replay of an indexed doc (invisible to any exact
+    // registry) is dropped; genuinely new content survives AND registers
+    val day1 = Seq((10L, mutated), (11L, fresh1)).toDF("doc_id", "text")
+    val out1 = Dedup.nearDedupAgainstIndex(day1, "text", "doc_id", "mh_idx",
+      minEstJaccard = 0.6)
+    assert(out1.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // the returned frame is STABLE on re-read after its own append grew
+    // the index (delta-file contract, same as the exact registry)
+    assert(out1.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // day 2: a near-dup of day 1's SURVIVOR falls to the appended
+    // generation; an exact same-text replay would score est 1.0 (subsumes
+    // the exact registry); fresh content still passes
+    val day2 = Seq((20L, fresh1mut), (21L, fresh2)).toDF("doc_id", "text")
+    val out2 = Dedup.nearDedupAgainstIndex(day2, "text", "doc_id", "mh_idx",
+      minEstJaccard = 0.6)
+    assert(out2.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+    // report-only: replaying day 2 drops everything (21 now replays
+    // itself at est 1.0) and grows NOTHING
+    val (bBands, bSigs) = (spark.table("mh_idx").count(),
+      spark.table("mh_idx_sigs").count())
+    val replay = Dedup.nearDedupAgainstIndex(day2, "text", "doc_id", "mh_idx",
+      minEstJaccard = 0.6, update = false)
+    assert(replay.count() == 0)
+    assert(spark.table("mh_idx").count() == bBands &&
+      spark.table("mh_idx_sigs").count() == bSigs,
+      "update=false must not grow the index")
+    // the pair surface reports calibrated estimates: the exact replay of
+    // 21 scores 1.0, the mutation scores high but below 1
+    val pairs = Dedup.nearDupsAgainstIndex(day2, "text", "doc_id", "mh_idx",
+      minEstJaccard = 0.0)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((21L, 21L)) == 1.0, s"self replay not 1.0: $pairs")
+    assert(pairs((20L, 11L)) > 0.6 && pairs((20L, 11L)) < 1.0,
+      s"mutation estimate out of range: ${pairs((20L, 11L))}")
+  }
+
+  test("minhash index write caps mega-buckets to skeleton chains") {
+    val boiler = "subscribe to our newsletter for daily updates and offers " +
+      "terms and conditions apply please read the privacy policy carefully " +
+      "and unsubscribe whenever you like from the link in the footer below"
+    val distinct1 = "a genuinely unique article about the restoration of old " +
+      "sailing ships and the carpenters who keep the craft alive in small " +
+      "harbor towns along the rocky northern coast through the winter months"
+    val flood = (1L to 100L).map(i => (i, boiler))
+    val docs = (flood :+ (500L, distinct1)).toDF("doc_id", "text")
+    for (t <- Seq("mh_cap", "mh_cap_sigs", "mh_cap_mhspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeMinhashIndex(docs, "text", "doc_id", "mh_cap",
+      buckets = 4, maxBucket = 5)
+    // identical docs share every band bucket: the cap keeps 5 min-id
+    // members per (band, bucket) → 16 bands × 5 + the distinct doc's 16
+    val bandRows = spark.table("mh_cap").count()
+    assert(bandRows == 16 * 5 + 16, s"band rows: $bandRows")
+    // the verdict is unaffected: a boilerplate replay still collides with
+    // a retained representative and is dropped
+    val probe = Seq((900L, boiler + " tail")).toDF("doc_id", "text")
+    val out = Dedup.nearDedupAgainstIndex(probe, "text", "doc_id", "mh_cap",
+      minEstJaccard = 0.6, update = false)
+    assert(out.count() == 0, "flood replay survived the capped index")
+  }
+
   test("Warehouse.compact collapses append-grown registry files; results and layout survive") {
     import graft.sources.Warehouse
     Warehouse.dropTableAndLocation(spark, "reg_cmp")
