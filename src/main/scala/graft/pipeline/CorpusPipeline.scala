@@ -132,6 +132,23 @@ object CorpusPipeline {
     * @param registryUpdate    `false` = report-only: drop against the
     *                          registry but do not append this batch's
     *                          hashes (e.g. dry runs, replays)
+    * @param nearIndexTable    when set, a CROSS-RUN near-dedup stage
+    *                          ([[Dedup.nearDedupAgainstIndex]]) runs right
+    *                          after the within-run dedup stages: documents
+    *                          with a MinHash-verified near-dup anywhere in
+    *                          the persisted band index are dropped, and the
+    *                          survivors' signatures are appended (unless
+    *                          `nearIndexUpdate = false`) so the next day's
+    *                          curate() sees them — the near-dup complement
+    *                          of `registryTable`, same daily-pipeline
+    *                          contract. The index must exist
+    *                          ([[Dedup.writeMinhashIndex]]); it runs BEFORE
+    *                          the span rewrite, so cross-run identity keys
+    *                          on the same raw text as the within-run stages
+    * @param nearIndexJaccard  MinHash-ESTIMATE threshold for that stage
+    *                          (estimator stderr ≈ 1/√numHashes — see
+    *                          [[Dedup.nearDupsAgainstIndex]])
+    * @param nearIndexUpdate   `false` = report-only for the near index
     * @param redactPii         mask emails/IPs/phones ([[TextOps.redactPii]])
     *                          in the surviving text as the LAST stage —
     *                          after dedup and split assignment, which both
@@ -157,6 +174,9 @@ object CorpusPipeline {
       materialize: Materialize = Materialize.Disk,
       registryTable: Option[String] = None,
       registryUpdate: Boolean = true,
+      nearIndexTable: Option[String] = None,
+      nearIndexJaccard: Double = 0.7,
+      nearIndexUpdate: Boolean = true,
       redactPii: Boolean = false)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
@@ -219,10 +239,21 @@ object CorpusPipeline {
     }
     val exact = materialize(exactStage, exactBranches)
 
-    val deduped =
+    val withinRun =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
         fanOut(spanOn, semanticOn, benchmark.isDefined))
+
+    // cross-run near-dedup on the WITHIN-RUN survivors (cheapest input for
+    // the signature pass), before the span rewrite so cross-run identity
+    // keys on the same raw text as the stages above; the append inside
+    // executes eagerly, like the registry stage's
+    val deduped = cfg.nearIndexTable match {
+      case None => withinRun
+      case Some(t) =>
+        Dedup.nearDedupAgainstIndex(withinRun, textCol, idCol, t,
+          cfg.nearIndexJaccard, cfg.nearIndexUpdate)
+    }
 
     val spanned = cfg.spanDedupTokens match {
       case None => deduped

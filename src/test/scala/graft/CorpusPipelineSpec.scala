@@ -83,6 +83,45 @@ class CorpusPipelineSpec extends SparkSpec {
       "update=false must not append to the registry")
   }
 
+  test("nearIndexTable makes curate's near-dedup incremental across runs") {
+    import graft.dedup.Dedup
+    val doc1 = "an article about the restoration of old sailing ships and the " +
+      "carpenters who keep the craft alive in small harbor towns along the " +
+      "rocky northern coast through the long quiet winter months every year"
+    val doc1mut = doc1.replace("carpenters", "shipwrights")
+    val doc2 = "a different piece on the migration patterns of arctic birds " +
+      "and the scientists who follow them across the seasons with radio " +
+      "trackers and long patient nights in the cold northern field camps"
+    val idx = "curate_nearidx_spec"
+    for (t <- Seq(idx, s"${idx}_sigs", s"${idx}_mhspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeMinhashIndex(
+      spark.emptyDataFrame.sparkSession.createDataFrame(
+        Seq((0L, "seed corpus placeholder text for the empty day zero"))
+      ).toDF("doc_id", "text"), "text", "doc_id", idx, buckets = 4)
+    val cfg = CorpusPipeline.Config(nearDupThreshold = 1.5,
+      nearIndexTable = Some(idx), nearIndexJaccard = 0.6)
+    // day 1: both docs are new — they survive and register
+    val out1 = CorpusPipeline.curate(
+      Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"), "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(1L, 2L), s"day 1 survivors: $out1")
+    // day 2: a MUTATED replay of day 1's doc (invisible to exact dedup
+    // and to any within-run stage) is dropped by the index; new content
+    // survives — and report-only leaves the index untouched
+    val doc3 = "yet another unrelated story about bread baking with flour " +
+      "water salt and patience plus a hot oven and a heavy pan for the " +
+      "crust and a long slow fermentation in the cellar before morning"
+    val before = spark.table(s"${idx}_sigs").count()
+    val out2 = CorpusPipeline.curate(
+      Seq((10L, doc1mut), (11L, doc3)).toDF("doc_id", "text"), "text", "doc_id",
+      cfg.copy(nearIndexUpdate = false))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(11L), s"day 2 survivors: $out2")
+    assert(spark.table(s"${idx}_sigs").count() == before,
+      "nearIndexUpdate=false must not grow the index")
+  }
+
   test("nearDupThreshold > 1.0 disables near-dedup: near dups survive, exact dups don't") {
     val docs = Seq(
       (1L, english + "one"),
