@@ -204,7 +204,9 @@ object AnnBench {
     // batched serving: 64 queries through ONE partition-pruned read +
     // shared rerank vs 64 sequential single probes — the amortization the
     // batch API exists for (per-probe driver latency vs one shared scan)
-    val batchIds = (0L until 64L).toSeq
+    // modulo the quantized corpus like queryVecQ, so batch and single
+    // sides serve the SAME query set at any n
+    val batchIds = (0L until 64L).map(_ % qn).distinct
     val batchQ = embQ.filter(col("vec_id").isin(batchIds: _*))
       .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
     val pqBatch64 = median3 {

@@ -719,9 +719,14 @@ object Dedup {
     import spark.implicits._
     val sigs = df.select(col(idCol).as("id"),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
-    val capped = bandRowsCapped(sigs, bands, maxBucket)
+    // sigs first; band rows derive from READING BACK the persisted sigs,
+    // so the dominant corpus-wide signature UDF pass runs exactly once
+    // (two independent jobs over the same lazy plan would run it twice —
+    // the measured ~2× the candidate-stage scaladoc warns about)
     graft.sources.Warehouse.writeBucketed(sigs, s"${table}_sigs", "id", buckets)
-    graft.sources.Warehouse.writeBucketed(capped, table, "bucket", buckets)
+    graft.sources.Warehouse.writeBucketed(
+      bandRowsCapped(spark.table(s"${table}_sigs"), bands, maxBucket),
+      table, "bucket", buckets)
     graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_mhspec")
     Seq((k, numHashes, bands, maxBucket))
       .toDF("k", "num_hashes", "bands", "max_bucket")
@@ -750,30 +755,41 @@ object Dedup {
     * most its own rows), so periodically rebuild — which re-caps — when
     * [[graft.sources.Warehouse.compact]]'s file-count signal fires.
     *
-    * Write order contract: the SIGS sibling is appended BEFORE the band
-    * table. [[nearDedupAgainstIndex]] depends on it — the band append
-    * re-evaluates its input plan, and candidates must still derive from
-    * the pre-append band generation (new sigs rows are harmless: they are
-    * only ever joined BY candidate id).
+    * Single-evaluation contract: the input plan executes exactly ONCE —
+    * inside the sigs append — and the band append derives from the sigs
+    * append's own delta files (returned, so [[nearDedupAgainstIndex]] can
+    * derive its result from the same fixed snapshot). A non-deterministic
+    * input therefore cannot register a signature without its bands or
+    * vice versa, and a batch plan containing a candidate join against
+    * this very index cannot observe its own append.
     */
   def appendToMinhashIndex(newRows: DataFrame, textCol: String, idCol: String,
-                           table: String): Unit = {
+                           table: String): Seq[String] = {
     val spark = newRows.sparkSession
     val sp = spark.table(s"${table}_mhspec").head()
     val (k, numHashes, bands, maxBucket) =
       (sp.getInt(0), sp.getInt(1), sp.getInt(2), sp.getInt(3))
-    val buckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
-      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Set[String] =
+      fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
+    val before = partFiles()
     val sigs = newRows.select(col(idCol).as("id"),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
     graft.sources.Warehouse.alignBuckets(sigs, "id", buckets)
       .write.bucketBy(buckets, "id").sortBy("id")
       .mode("append").format("parquet").saveAsTable(s"${table}_sigs")
-    graft.sources.Warehouse.alignBuckets(
-        bandRowsCapped(sigs, bands, maxBucket), "bucket", buckets)
-      .write.bucketBy(buckets, "bucket").sortBy("bucket")
-      .mode("append").format("parquet").saveAsTable(table)
+    val delta = (partFiles() -- before).toSeq
+    if (delta.nonEmpty)
+      graft.sources.Warehouse.alignBuckets(
+          bandRowsCapped(spark.read.parquet(delta: _*), bands, maxBucket),
+          "bucket", buckets)
+        .write.bucketBy(buckets, "bucket").sortBy("bucket")
+        .mode("append").format("parquet").saveAsTable(table)
+    delta
   }
 
   /** Near-dup pairs of `batch` against a persisted [[writeMinhashIndex]]
@@ -794,8 +810,12 @@ object Dedup {
     val spark = batch.sparkSession
     val sp = spark.table(s"${table}_mhspec").head()
     val (k, numHashes, bands) = (sp.getInt(0), sp.getInt(1), sp.getInt(2))
-    val bsigs = batch.select(col(idCol).as("__bid"),
-      minhashSignatureFromText(col(textCol), k, numHashes).as("__bsig"))
+    // the batch signature pass feeds BOTH the band branch and the verify
+    // join — persist the (id, sig) skeletons so the UDF pass runs once
+    val bsigs = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      batch.select(col(idCol).as("__bid"),
+        minhashSignatureFromText(col(textCol), k, numHashes).as("__bsig")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bbands = bsigs.select(col("__bid"),
       posexplode(bandBucketsUdf(bands)(col("__bsig"))).as(Seq("band", "bucket")))
     val cand = bbands.join(spark.table(table), Seq("band", "bucket"))
@@ -829,13 +849,13 @@ object Dedup {
     * single-responsibility split of the other cross-run ops.
     *
     * Failure contract (the registry op's, verbatim): with `update = true`
-    * the candidate join against the big index executes inside the append
-    * jobs — sigs appended FIRST (harmless to candidates), band skeletons
-    * second (its re-evaluation still reads the pre-append band
-    * generation) — and the RETURNED frame derives from the sigs append's
-    * own delta files, so a late re-read can never re-run the join against
-    * an index that already contains this batch's bands and silently lose
-    * rows. Single writer per index at a time.
+    * the candidate join against the big index executes exactly ONCE —
+    * inside [[appendToMinhashIndex]]'s sigs append (the band append and
+    * the RETURNED frame both derive from that append's own delta files) —
+    * so a non-deterministic batch plan cannot diverge between the two
+    * tables and a late re-read can never re-run the join against an index
+    * that already contains this batch's bands and silently lose rows.
+    * Single writer per index at a time.
     */
   def nearDedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                             table: String, minEstJaccard: Double = 0.7,
@@ -846,15 +866,7 @@ object Dedup {
     val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
     if (!update) fresh
     else {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
-      val loc = new org.apache.hadoop.fs.Path(meta.location)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def partFiles(): Set[String] =
-        fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
-      val before = partFiles()
-      appendToMinhashIndex(fresh, textCol, idCol, table)
-      val delta = (partFiles() -- before).toSeq
+      val delta = appendToMinhashIndex(fresh, textCol, idCol, table)
       if (delta.isEmpty) batch.filter(lit(false))
       else batch.join(spark.read.parquet(delta: _*).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")

@@ -251,8 +251,9 @@ object CorpusPipeline {
     val deduped = cfg.nearIndexTable match {
       case None => withinRun
       case Some(t) =>
-        Dedup.nearDedupAgainstIndex(withinRun, textCol, idCol, t,
-          cfg.nearIndexJaccard, cfg.nearIndexUpdate)
+        materialize(Dedup.nearDedupAgainstIndex(withinRun, textCol, idCol, t,
+          cfg.nearIndexJaccard, cfg.nearIndexUpdate),
+          fanOut(spanOn, semanticOn, benchmark.isDefined))
     }
 
     val spanned = cfg.spanDedupTokens match {

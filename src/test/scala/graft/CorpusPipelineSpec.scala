@@ -96,9 +96,8 @@ class CorpusPipelineSpec extends SparkSpec {
     for (t <- Seq(idx, s"${idx}_sigs", s"${idx}_mhspec"))
       graft.sources.Warehouse.dropTableAndLocation(spark, t)
     Dedup.writeMinhashIndex(
-      spark.emptyDataFrame.sparkSession.createDataFrame(
-        Seq((0L, "seed corpus placeholder text for the empty day zero"))
-      ).toDF("doc_id", "text"), "text", "doc_id", idx, buckets = 4)
+      Seq((0L, "seed corpus placeholder text for the empty day zero"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, buckets = 4)
     val cfg = CorpusPipeline.Config(nearDupThreshold = 1.5,
       nearIndexTable = Some(idx), nearIndexJaccard = 0.6)
     // day 1: both docs are new — they survive and register
