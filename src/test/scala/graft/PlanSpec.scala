@@ -168,6 +168,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("near-index candidate join shuffles band skeletons, never text or signatures") {
+    // L33's skewable stage is the (band, bucket) join: its exchanges must
+    // carry (id, band, bucket) skeletons only. The batch text feeds the
+    // signature pass behind a persisted-copy boundary, so no text (or
+    // 512-byte signature array) may appear anywhere in the final plan's
+    // exchanges — signatures join back on the unskewed id keys
+    import graft.dedup.Dedup
+    import spark.implicits._
+    for (t <- Seq("mh_guard", "mh_guard_sigs", "mh_guard_mhspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeMinhashIndex(
+      Seq((1L, "a corpus document with enough words to band and sign here"))
+        .toDF("doc_id", "text"), "text", "doc_id", "mh_guard", buckets = 4)
+    val batch = Seq((10L, "a batch document with enough words to band and sign too"))
+      .toDF("doc_id", "text")
+    // pin the non-broadcast shape: at test scale the 1-row index would
+    // broadcast and hide the bucket-keyed exchange that exists at 100 TB
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      Dedup.nearDupsAgainstIndex(batch, "text", "doc_id", "mh_guard",
+          minEstJaccard = 0.0)
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+    var sawBandExchange = false
+    for (b <- p.split("\\n\\s*\\(\\d+\\) ") if b.startsWith("Exchange")) {
+      // text never rides ANY exchange; signatures may ride the id-keyed
+      // (unskewed) verify join-back, but never a bucket-keyed exchange
+      assert(!b.contains("text"), s"an exchange carries text:\n$b")
+      if (b.contains("bucket")) {
+        sawBandExchange = true
+        assert(!b.contains("sig#") && !b.contains("__bsig"),
+          s"a band-keyed exchange carries signatures:\n$b")
+      }
+    }
+    assert(sawBandExchange, s"expected a (band, bucket)-keyed exchange in:\n$p")
+  }
+
   test("d01 exact dedup shuffles the content hash, never the text") {
     val p = executedPlan("d01_exact_dedup")
     assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
