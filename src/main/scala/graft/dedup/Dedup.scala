@@ -420,6 +420,79 @@ object Dedup {
     out
   }
 
+  /** Drop set for HAMMING-RADIUS near-dedup over any 64-bit fingerprint
+    * skeleton `(id, h)` — the shared engine of the SimHash text tier
+    * ([[simhashNearDedup]]) and the perceptual image tier
+    * ([[graft.multimodal.Multimodal.dedupePerceptual]]):
+    *
+    *  1. EXACT tier: identical fingerprints collapse map-side to their
+    *     min-id representative, so a flood of one re-posted fingerprint
+    *     contributes ONE row to the quadratic stage.
+    *  2. CANDIDATES: distinct fingerprints band-join on `maxHamming + 1`
+    *     bit-slices (pigeonhole: two hashes within the radius agree
+    *     exactly on ≥ 1 slice), verified with `bit_count(a ^ b)`.
+    *  3. CLUSTERS: verified pairs resolve transitively through
+    *     [[dupClusters]] keep-min.
+    *
+    * The input skeleton fans out into every stage, so it is persisted
+    * here once (the caller's fingerprint pass — a decode, a simhash —
+    * runs a single time). Returns one `id` column: every id that is NOT
+    * its cluster's minimum; callers anti-join it. Rows with null `h`
+    * must be filtered by the caller (no evidence, no drop).
+    */
+  def hammingDropIds(skeleton: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val sk = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      skeleton.select(col("id"), col("h")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = sk.groupBy(col("h")).agg(min(col("id")).as("id"))
+    val b = maxHamming + 1
+    val bandCols = (0 until b).map { i =>
+      val lo = (i * 64) / b
+      val width = ((i + 1) * 64) / b - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("h"), lo).bitwiseAND(lit(mask)).as("bucket"))
+    }
+    val bands = reps
+      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.h").bitwiseXOR(col("y.h")).as("__xr"))
+      .filter(expr("bit_count(__xr)") <= maxHamming)
+      .select(col("a"), col("b")).distinct()
+    // exact-tier drops (same fingerprint, not the min id) plus near-tier
+    // drops (cluster label is the min rep, and every member's id >= its
+    // rep, so the kept label is the cluster's global min)
+    val exactDrop = sk.join(reps.withColumnRenamed("id", "__rep"), Seq("h"))
+      .filter(col("id") =!= col("__rep"))
+      .select(col("id"))
+    val nearDrop = dupClusters(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    exactDrop.union(nearDrop).distinct()
+  }
+
+  /** SimHash near-dedup with a HAMMING RADIUS — what the 64-bit SimHash
+    * ([[simhash]]) is actually for: where exact-signature dedup
+    * (the d03 surface / the streaming [[graft.streaming.EventStreams
+    * .dedupeNear]]) only collapses identical signatures, this drops every
+    * document within `maxHamming` bits of a cluster representative,
+    * transitively, via [[hammingDropIds]] — small text mutations flip few
+    * signature bits, so near-identical documents collapse to their min-id
+    * representative without any candidate text join.
+    */
+  def simhashNearDedup(df: DataFrame, textCol: String, idCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val drop = hammingDropIds(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")), maxHamming)
+    df.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Distinct word n-gram set of a text column. Compute this ONCE per
     * document (projection before any join) — tokenizing inside a pair loop
     * multiplies the regex work by the candidate count.

@@ -229,47 +229,16 @@ object Multimodal {
     * final anti-join on the unskewed `media_id` key.
     */
   def dedupePerceptual(media: DataFrame, maxHamming: Int = 4): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
-    // the (media_id, phash) skeleton fans out into every stage below (band
-    // self-join x/y sides, exact-tier drop, the cluster edges) — persist
-    // the 16-byte rows so the dominant cost, decoding every image, runs
-    // ONCE instead of once per consuming subtree
-    val sk = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+    // one decode pass builds the (id, phash) skeleton; the shared hamming
+    // engine (exact collapse → pigeonhole bands → bit_count verify → CC
+    // keep-min) persists it and computes the drop set — the same code
+    // path as the SimHash text tier, so the two can never diverge
+    val drop = graft.dedup.Dedup.hammingDropIds(
       perceptualHash(media.select(col("media_id"), col("content")))
-        .select(col("media_id"), col("phash"))
-        .where(col("phash").isNotNull),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = sk.groupBy(col("phash"))
-      .agg(min(col("media_id")).as("media_id"))
-    val b = maxHamming + 1
-    val bandCols = (0 until b).map { i =>
-      val lo = (i * 64) / b
-      val width = ((i + 1) * 64) / b - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(lit(i).as("band"),
-        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bucket"))
-    }
-    val bands = reps
-      .select(col("media_id"), col("phash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("media_id"), col("phash"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
-        col("x.phash").bitwiseXOR(col("y.phash")).as("__xr"))
-      .filter(expr("bit_count(__xr)") <= maxHamming)
-      .select(col("a"), col("b")).distinct()
-    // exact-tier drops (same fingerprint, not the min id) ...
-    val exactDrop = sk.join(reps.withColumnRenamed("media_id", "__rep"), Seq("phash"))
-      .filter(col("media_id") =!= col("__rep"))
-      .select(col("media_id"))
-    // ... plus near-tier drops (cluster label is the min rep, and every
-    // member's id >= its rep, so the kept label is the cluster's global min)
-    val nearDrop = graft.dedup.Dedup.dupClusters(pairs)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as("media_id"))
-    media.join(exactDrop.union(nearDrop).distinct(), Seq("media_id"), "left_anti")
+        .select(col("media_id").as("id"), col("phash").as("h"))
+        .where(col("h").isNotNull),
+      maxHamming)
+    media.join(drop.withColumnRenamed("id", "media_id"), Seq("media_id"), "left_anti")
   }
 
   /** REAL frame sampling for multi-frame content — the decode-backed

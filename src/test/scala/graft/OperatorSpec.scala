@@ -107,6 +107,34 @@ class OperatorSpec extends SparkSpec {
     assert(spark.table("reg_test").count() == 4) // alpha beta gamma delta
   }
 
+  test("simhashNearDedup collapses hamming-near docs transitively; distinct survive") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill and the birds sing in the garden " +
+      "every morning as the sun rises over the quiet town for everyone"
+    val near1 = base.replace("windowsill", "doorstep")   // few bits flip
+    val near2 = near1.replace("quiet", "sleepy")         // chain: near near1
+    val distinct1 = "an entirely different document about distributed query " +
+      "engines and their optimizers planning joins over columnar storage " +
+      "layouts for modern large scale analytics workloads in production"
+    val docs = Seq((1L, base), (2L, base), (3L, near1), (4L, near2),
+      (5L, distinct1)).toDF("doc_id", "text")
+    // pin the premise: the mutations are within a small hamming radius of
+    // base, the distinct doc far outside it
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sigs(1L), sigs(3L)) > 0 && dist(sigs(1L), sigs(3L)) <= 6,
+      s"near1 distance ${dist(sigs(1L), sigs(3L))}")
+    assert(dist(sigs(3L), sigs(4L)) <= 6, s"chain distance ${dist(sigs(3L), sigs(4L))}")
+    assert(dist(sigs(1L), sigs(5L)) > 6, s"distinct too close ${dist(sigs(1L), sigs(5L))}")
+    val out = Dedup.simhashNearDedup(docs, "text", "doc_id", maxHamming = 6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 falls to the exact tier, 3 to the near tier, 4 through the CHAIN
+    // (near2 may be outside base's radius but within near1's) — one
+    // min-id representative per transitive cluster
+    assert(out == Seq(1L, 5L), s"survivors: $out")
+  }
+
   test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm windowsill and the birds sing in the garden every morning " +
