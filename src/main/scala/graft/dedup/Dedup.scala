@@ -439,8 +439,23 @@ object Dedup {
     * runs a single time). Returns one `id` column: every id that is NOT
     * its cluster's minimum; callers anti-join it. Rows with null `h`
     * must be filtered by the caller (no evidence, no drop).
+    *
+    * Quadratic bound: the band self-join squares per-bucket membership
+    * over a domain of only 2^(64/(maxHamming+1)) bucket values, so at
+    * very large DISTINCT-fingerprint counts buckets saturate with
+    * unrelated hashes that merely share a slice. `maxBucket` caps each
+    * (band, bucket) to its min-id members before the join. Unlike the
+    * MinHash cap (where a flood bucket is near-identical content and any
+    * representative verifies), a saturated hamming bucket holds UNRELATED
+    * fingerprints, so truncation can miss candidate pairs whose agreeing
+    * slice is the one truncated — recall degrades only once distinct
+    * fingerprints approach maxBucket × 2^(sliceBits), and each pair still
+    * has maxHamming+1 independent slices to survive through. Identical
+    * fingerprints are unaffected at any scale (the exact tier collapses
+    * them before banding).
     */
-  def hammingDropIds(skeleton: DataFrame, maxHamming: Int): DataFrame = {
+  def hammingDropIds(skeleton: DataFrame, maxHamming: Int,
+                     maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val sk = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
       skeleton.select(col("id"), col("h")),
@@ -454,10 +469,15 @@ object Dedup {
       struct(lit(i).as("band"),
         shiftrightunsigned(col("h"), lo).bitwiseAND(lit(mask)).as("bucket"))
     }
+    // the cap window sees (id, h, band, bucket) skeletons only
     val bands = reps
       .select(col("id"), col("h"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -488,8 +508,12 @@ object Dedup {
     */
   def simhashNearDedup(df: DataFrame, textCol: String, idCol: String,
                        maxHamming: Int = 3): DataFrame = {
+    // null text carries no signature evidence: such rows never enter the
+    // skeleton (the simhash UDF would NPE) and always survive — the same
+    // null-fingerprint contract as the image tier
     val drop = hammingDropIds(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")), maxHamming)
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("h")), maxHamming)
     df.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -743,23 +767,8 @@ object Dedup {
       Seq("content_hash"), "left_anti")
     if (!update) fresh.drop("content_hash")
     else {
-      val meta = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(registryTable))
-      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
-      val loc = new org.apache.hadoop.fs.Path(meta.location)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def partFiles(): Set[String] =
-        fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
-      val before = partFiles()
-      graft.sources.Warehouse.alignBuckets(
-          fresh.select(col("content_hash")), "content_hash", buckets)
-        .write
-        .bucketBy(buckets, "content_hash")
-        .sortBy("content_hash")
-        .mode("append")
-        .format("parquet")
-        .saveAsTable(registryTable)
-      val delta = (partFiles() -- before).toSeq
+      val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+        fresh.select(col("content_hash")), registryTable, "content_hash")
       if (delta.isEmpty) withinBatch.filter(lit(false)).drop("content_hash")
       else withinBatch.join(spark.read.parquet(delta: _*),
         Seq("content_hash"), "left_semi").drop("content_hash")
@@ -842,20 +851,13 @@ object Dedup {
     val sp = spark.table(s"${table}_mhspec").head()
     val (k, numHashes, bands, maxBucket) =
       (sp.getInt(0), sp.getInt(1), sp.getInt(2), sp.getInt(3))
-    val meta = spark.sessionState.catalog.getTableMetadata(
+    val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_sigs"))
-    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partFiles(): Set[String] =
-      fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
-    val before = partFiles()
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
     val sigs = newRows.select(col(idCol).as("id"),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
-    graft.sources.Warehouse.alignBuckets(sigs, "id", buckets)
-      .write.bucketBy(buckets, "id").sortBy("id")
-      .mode("append").format("parquet").saveAsTable(s"${table}_sigs")
-    val delta = (partFiles() -- before).toSeq
+    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+      sigs, s"${table}_sigs", "id")
     if (delta.nonEmpty)
       graft.sources.Warehouse.alignBuckets(
           bandRowsCapped(spark.read.parquet(delta: _*), bands, maxBucket),

@@ -215,6 +215,7 @@ object CorpusPipeline {
       }
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
+    val nearIndexOn = cfg.nearIndexTable.isDefined
     val spanOn = cfg.spanDedupTokens.isDefined
     val semanticOn = cfg.embCol.isDefined
     // each stage's survivor set is materialized by how many downstream
@@ -226,8 +227,12 @@ object CorpusPipeline {
     // enabled double-reader fans out 2, else 1
     def fanOut(doubleReaderEnabled: Boolean*): Int =
       if (doubleReaderEnabled.exists(identity)) 2 else 1
+    // the near-index stage reads ITS input 3× (signature pass, the fresh
+    // anti-join inside the sigs append, the delta semi-join), so it counts
+    // toward the nearest upstream stage's fan-out like any double-reader
     val exactBranches =
-      if (nearDedupOn) 3 else fanOut(spanOn, semanticOn, benchmark.isDefined)
+      if (nearDedupOn) 3
+      else fanOut(nearIndexOn, spanOn, semanticOn, benchmark.isDefined)
     // with a registry the stage is cross-run: within-batch keep-min plus
     // the registry anti-join (and append) — note the append job inside
     // dedupAgainstRegistry executes EAGERLY, so by the time this curate()
@@ -242,7 +247,7 @@ object CorpusPipeline {
     val withinRun =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
-        fanOut(spanOn, semanticOn, benchmark.isDefined))
+        fanOut(nearIndexOn, spanOn, semanticOn, benchmark.isDefined))
 
     // cross-run near-dedup on the WITHIN-RUN survivors (cheapest input for
     // the signature pass), before the span rewrite so cross-run identity

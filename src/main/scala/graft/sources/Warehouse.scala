@@ -63,6 +63,36 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append rows to a bucketed table under its own catalog spec and
+    * return the append's OWN delta files (snapshot-diff of the table
+    * directory's part files) — the idiom behind the delta-derived failure
+    * contracts of the cross-run dedup ops: the input plan executes
+    * exactly once, inside this append, and callers derive any returned
+    * frame from the fixed delta file list instead of re-running a join
+    * against state the append itself just changed. Single writer per
+    * table at a time (concurrent appends would interleave snapshots).
+    */
+  def appendBucketedWithDelta(df: DataFrame, table: String,
+                              key: String): Seq[String] = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(): Set[String] =
+      fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
+    val before = partFiles()
+    alignBuckets(df, key, buckets)
+      .write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(table)
+    (partFiles() -- before).toSeq
+  }
+
   /** Join two identically-bucketed tables on their bucket key. With equal
     * bucket counts Spark plans a SortMergeJoin with no Exchange on either
     * side.

@@ -117,10 +117,11 @@ class OperatorSpec extends SparkSpec {
       "engines and their optimizers planning joins over columnar storage " +
       "layouts for modern large scale analytics workloads in production"
     val docs = Seq((1L, base), (2L, base), (3L, near1), (4L, near2),
-      (5L, distinct1)).toDF("doc_id", "text")
+      (5L, distinct1), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     // pin the premise: the mutations are within a small hamming radius of
     // base, the distinct doc far outside it
-    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+    val sigs = docs.filter($"text".isNotNull)
+      .select($"doc_id", Dedup.simhash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(dist(sigs(1L), sigs(3L)) > 0 && dist(sigs(1L), sigs(3L)) <= 6,
@@ -131,8 +132,9 @@ class OperatorSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     // 2 falls to the exact tier, 3 to the near tier, 4 through the CHAIN
     // (near2 may be outside base's radius but within near1's) — one
-    // min-id representative per transitive cluster
-    assert(out == Seq(1L, 5L), s"survivors: $out")
+    // min-id representative per transitive cluster; the null-text row
+    // carries no signature evidence and must survive, never NPE
+    assert(out == Seq(1L, 5L, 6L), s"survivors: $out")
   }
 
   test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
