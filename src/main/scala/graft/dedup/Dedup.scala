@@ -428,31 +428,27 @@ object Dedup {
     *  1. EXACT tier: identical fingerprints collapse map-side to their
     *     min-id representative, so a flood of one re-posted fingerprint
     *     contributes ONE row to the quadratic stage.
-    *  2. CANDIDATES: distinct fingerprints band-join on `maxHamming + 1`
-    *     bit-slices (pigeonhole: two hashes within the radius agree
-    *     exactly on ≥ 1 slice), verified with `bit_count(a ^ b)`.
+    *  2. CANDIDATES: distinct fingerprints band-join on Manku-Jain-Sarma
+    *     WIDE-PREFIX tables ([[hammingBandPairs]] — pigeonhole over block
+    *     combinations, never-saturating ~2^32 bucket domains), verified
+    *     with `bit_count(a ^ b)`.
     *  3. CLUSTERS: verified pairs resolve transitively through
     *     [[dupClusters]] keep-min.
     *
     * The input skeleton fans out into every stage, so it is persisted
-    * here once (the caller's fingerprint pass — a decode, a simhash —
-    * runs a single time). Returns one `id` column: every id that is NOT
-    * its cluster's minimum; callers anti-join it. Rows with null `h`
-    * must be filtered by the caller (no evidence, no drop).
+    * once while the drop set is computed, then RELEASED: the returned
+    * frame is eagerly materialized with truncated lineage
+    * (`localCheckpoint`, the same eager-rounds trade [[dupClusters]]
+    * defaults to), so a long-lived driver running this daily accumulates
+    * no cache entries. Returns one `id` column: every id that is NOT its
+    * cluster's minimum; callers anti-join it. Rows with null `h` must be
+    * filtered by the caller (no evidence, no drop).
     *
-    * Quadratic bound: the band self-join squares per-bucket membership
-    * over a domain of only 2^(64/(maxHamming+1)) bucket values, so at
-    * very large DISTINCT-fingerprint counts buckets saturate with
-    * unrelated hashes that merely share a slice. `maxBucket` caps each
-    * (band, bucket) to its min-id members before the join. Unlike the
-    * MinHash cap (where a flood bucket is near-identical content and any
-    * representative verifies), a saturated hamming bucket holds UNRELATED
-    * fingerprints, so truncation can miss candidate pairs whose agreeing
-    * slice is the one truncated — recall degrades only once distinct
-    * fingerprints approach maxBucket × 2^(sliceBits), and each pair still
-    * has maxHamming+1 independent slices to survive through. Identical
-    * fingerprints are unaffected at any scale (the exact tier collapses
-    * them before banding).
+    * Scale: with ~32-bit bucket domains, `maxBucket` (a safety cap on
+    * adversarially clustered DISTINCT fingerprints — identical ones
+    * collapsed in tier 1) engages only past ~maxBucket × 2^32 ≈ 4×10¹³
+    * distinct fingerprints at defaults, orders of magnitude beyond a
+    * 100 TB corpus; see [[hammingBandPairs]] for the table design.
     */
   def hammingDropIds(skeleton: DataFrame, maxHamming: Int,
                      maxBucket: Int = 10000): DataFrame = {
@@ -461,30 +457,7 @@ object Dedup {
       skeleton.select(col("id"), col("h")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sk.groupBy(col("h")).agg(min(col("id")).as("id"))
-    val b = maxHamming + 1
-    val bandCols = (0 until b).map { i =>
-      val lo = (i * 64) / b
-      val width = ((i + 1) * 64) / b - lo
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      struct(lit(i).as("band"),
-        shiftrightunsigned(col("h"), lo).bitwiseAND(lit(mask)).as("bucket"))
-    }
-    // the cap window sees (id, h, band, bucket) skeletons only
-    val bands = reps
-      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("h"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
-      .filter(col("__rk") <= maxBucket)
-      .drop("__rk")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.h").bitwiseXOR(col("y.h")).as("__xr"))
-      .filter(expr("bit_count(__xr)") <= maxHamming)
-      .select(col("a"), col("b")).distinct()
+    val pairs = hammingBandPairs(reps, Nil, maxHamming, maxBucket)
     // exact-tier drops (same fingerprint, not the min id) plus near-tier
     // drops (cluster label is the min rep, and every member's id >= its
     // rep, so the kept label is the cluster's global min)
@@ -494,7 +467,108 @@ object Dedup {
     val nearDrop = dupClusters(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    exactDrop.union(nearDrop).distinct()
+    // eager + lineage-truncated so the skeleton cache can be dropped NOW;
+    // unreplicated blocks (executor loss mid-read of the small id set
+    // fails the caller's anti-join job, which then recomputes) — the
+    // trade dupClusters' default rounds already make
+    val drop = exactDrop.union(nearDrop).distinct().localCheckpoint()
+    sk.unpersist()
+    drop
+  }
+
+  // Cap on the Manku table count C(d, maxHamming): at the defaults in use
+  // (maxHamming ≤ 4) the widest 32-bit-prefix design fits exactly; larger
+  // radii trade prefix width down to keep the explode factor bounded.
+  private val HammingMaxTables = 70
+
+  // C(d, k) with early bail once past `cap` (exact — the multiplicative
+  // form stays integral at every step).
+  private def binomialCapped(d: Int, k: Int, cap: Int): Long = {
+    val kk = math.min(k, d - k)
+    var r = 1L
+    var i = 0
+    while (i < kk) {
+      r = r * (d - i) / (i + 1)
+      if (r > cap) return r
+      i += 1
+    }
+    r
+  }
+
+  /** Table design for Hamming-radius candidate generation — the
+    * Manku-Jain-Sarma (WWW'07 near-duplicate detection) layout: split the
+    * 64-bit code into `d` blocks; any two codes within Hamming distance
+    * `k` differ in at most `k` blocks, so they agree EXACTLY on all
+    * blocks of at least one (d−k)-block combination — each combination is
+    * one probe table whose bucket key is the concatenation of its blocks
+    * (a WIDE prefix, 64·(d−k)/d bits). Chooses the widest prefix (largest
+    * d) whose table count C(d, k) stays within [[HammingMaxTables]]:
+    * d = 2k yields 32-bit prefixes (domain 4×10⁹ — buckets hold O(1)
+    * members even at 10¹⁰ distinct fingerprints, where the narrow
+    * maxHamming+1-slice design saturates at ~10⁸ and silently loses
+    * recall). The pigeonhole guarantee is EXACT at any d > k; prefix
+    * width only governs bucket collision cost.
+    */
+  private[graft] def hammingTableDesign(maxHamming: Int): (Int, Seq[Seq[Int]]) = {
+    val k = maxHamming
+    if (k == 0) return (1, Seq(Seq(0)))
+    val d = (math.min(2 * k, 64) to (k + 1) by -1)
+      .find(d => binomialCapped(d, k, HammingMaxTables) <= HammingMaxTables)
+      .getOrElse(k + 1)
+    (d, (0 until d).combinations(d - k).map(_.toSeq).toSeq)
+  }
+
+  // Concatenation of the chosen blocks of `h` (block i = bits
+  // [i*64/d, (i+1)*64/d)) into one ≤63-bit prefix value.
+  private def hammingPrefix(h: Column, combo: Seq[Int], d: Int): Column =
+    combo.foldLeft(lit(0L)) { (acc, i) =>
+      val lo = (i * 64) / d
+      val width = ((i + 1) * 64) / d - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftleft(acc, width)
+        .bitwiseOR(shiftrightunsigned(h, lo).bitwiseAND(lit(mask)))
+    }
+
+  /** Verified Hamming-radius pairs over a fingerprint skeleton
+    * `(grpCols..., id, h)`: explode each row into [[hammingTableDesign]]'s
+    * wide-prefix tables, self-join on (grpCols, table, prefix), verify
+    * `bit_count(a ^ b) <= maxHamming`. Returns distinct
+    * (grpCols..., a, b) with a < b — dist-0 pairs included, so callers
+    * that pre-collapse identical fingerprints (the drop-set engine) see
+    * only near pairs, while per-group callers (the video frame tier,
+    * which must count exact frame matches too) see both.
+    *
+    * Scale shape: the cap window and the self-join see
+    * (grp, id, h, band, bucket) SKELETONS only (~40 B); each (grp, band,
+    * bucket) is capped to its `maxBucket` min-id members before the join.
+    * With ~32-bit prefixes the cap is a guard against adversarial
+    * clustering of DISTINCT fingerprints, not a cardinality ceiling:
+    * uniform corpora stay at O(1) members per bucket past 10¹⁰ codes.
+    */
+  private[graft] def hammingBandPairs(sk: DataFrame, grpCols: Seq[String],
+                                      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val (d, combos) = hammingTableDesign(maxHamming)
+    val tableCols = combos.zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("band"), hammingPrefix(col("h"), combo, d).as("bucket"))
+    }
+    val g = grpCols.map(col)
+    val bands = sk
+      .select(g ++ Seq(col("id"), col("h"),
+        explode(array(tableCols: _*)).as("bb")): _*)
+      .select(g ++ Seq(col("id"), col("h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(g ++ Seq(col("band"), col("bucket")): _*)
+          .orderBy(col("id"))))
+      .filter(col("__rk") <= maxBucket)
+      .drop("__rk")
+    val left = bands.withColumnRenamed("id", "a").withColumnRenamed("h", "__ha")
+    val right = bands.withColumnRenamed("id", "b").withColumnRenamed("h", "__hb")
+    left.join(right, grpCols ++ Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .filter(expr("bit_count(__ha ^ __hb)") <= maxHamming)
+      .select(g ++ Seq(col("a"), col("b")): _*)
+      .distinct()
   }
 
   /** SimHash near-dedup with a HAMMING RADIUS — what the 64-bit SimHash
@@ -834,8 +908,10 @@ object Dedup {
     * grow-don't-retrain contract of the other indexes. The write-time
     * `maxBucket` cap applies within the appended generation only; a
     * bucket can grow past the cap across generations (each append adds at
-    * most its own rows), so periodically rebuild — which re-caps — when
-    * [[graft.sources.Warehouse.compact]]'s file-count signal fires.
+    * most its own rows), so monitor [[minhashIndexMaxBucket]] (the
+    * cardinality twin of [[graft.sources.Warehouse.maxFilesPerBucket]]'s
+    * file-count signal) and rebuild — which re-caps — once a hot
+    * (band, bucket) has drifted meaningfully past the spec's cap.
     *
     * Single-evaluation contract: the input plan executes exactly ONCE —
     * inside the sigs append — and the band append derives from the sigs
@@ -867,6 +943,25 @@ object Dedup {
     delta
   }
 
+  /** Largest (band, bucket) membership of a [[writeMinhashIndex]] table,
+    * with the geometry's write-time cap for comparison — the drift signal
+    * for the cross-generation growth [[appendToMinhashIndex]] documents:
+    * appends re-cap only within their own generation, so a boilerplate
+    * flood arriving daily grows one hot bucket by up to `maxBucket` rows
+    * per run and the candidate join's cost with it. Run this on the ops
+    * cadence (it is one partial-aggregating scan of the skeleton index,
+    * no text, no signatures) and REBUILD the index once
+    * `max_members / cap` is meaningfully above 1.
+    * Returns (max_members, cap).
+    */
+  def minhashIndexMaxBucket(spark: org.apache.spark.sql.SparkSession,
+                            table: String): (Long, Int) = {
+    val cap = spark.table(s"${table}_mhspec").head().getInt(3)
+    val m = spark.table(table).groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    (if (m.isNullAt(0)) 0L else m.getLong(0), cap)
+  }
+
   /** Near-dup pairs of `batch` against a persisted [[writeMinhashIndex]]
     * corpus: (batch_id, corpus_id, est_jaccard). Candidates come from the
     * (band, bucket) join of the batch's band skeletons against the index
@@ -878,10 +973,29 @@ object Dedup {
     * corpus TEXT; the index deliberately stores only 8-byte-component
     * signatures, the same read-volume trade the quantized ANN tiers make,
     * so set `minEstJaccard` with the estimator noise in mind.
+    *
+    * The pair list is EAGERLY materialized with truncated lineage
+    * (`localCheckpoint`) so the batch signature skeleton — persisted
+    * because it feeds both the band branch and the verify join — is
+    * released before returning; a daily-run driver accumulates no cache
+    * entries (the [[hammingDropIds]] hygiene contract).
     */
   def nearDupsAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                            table: String,
                            minEstJaccard: Double = 0.7): DataFrame = {
+    val (pairs, release) = nearDupsAgainstIndexLazy(batch, textCol, idCol,
+      table, minEstJaccard)
+    val out = pairs.localCheckpoint()
+    release()
+    out
+  }
+
+  // The lazy plan + release thunk behind [[nearDupsAgainstIndex]],
+  // package-visible so the CI plan guard can inspect the REAL exchanges
+  // (the public wrapper's checkpoint collapses the plan to an RDD scan).
+  private[graft] def nearDupsAgainstIndexLazy(
+      batch: DataFrame, textCol: String, idCol: String, table: String,
+      minEstJaccard: Double): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     val sp = spark.table(s"${table}_mhspec").head()
     val (k, numHashes, bands) = (sp.getInt(0), sp.getInt(1), sp.getInt(2))
@@ -895,17 +1009,18 @@ object Dedup {
       posexplode(bandBucketsUdf(bands)(col("__bsig"))).as(Seq("band", "bucket")))
     val cand = bbands.join(spark.table(table), Seq("band", "bucket"))
       .select(col("__bid"), col("id").as("__cid")).distinct()
-    cand
+    val pairs = cand
       .join(bsigs, Seq("__bid"))
       .join(spark.table(s"${table}_sigs")
         .select(col("id").as("__cid"), col("sig").as("__csig")), Seq("__cid"))
       .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
         sigMatchUdf(col("__bsig"), col("__csig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
+    (pairs, () => { bsigs.unpersist(); () })
   }
 
   // fraction of matching minhash components — E[frac] = Jaccard
-  private val sigMatchUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+  private[graft] val sigMatchUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
     val n = math.min(a.length, b.length)
     var m = 0
     var i = 0

@@ -183,6 +183,26 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L3 (hamming tier): SimHash near-dedup at a HAMMING RADIUS, end to
+    // end — the engine d03 only surfaces signatures for. Every 10th
+    // document gets a planted near-twin (id + 2000000, one token
+    // appended): a one-token mutation flips few SimHash bits, so twins
+    // collapse onto their originals through the Manku wide-prefix band
+    // join while unrelated documents survive. Rows-only: the survivor
+    // set needs 64-bit SimHash + bit_count clustering (d03's
+    // DuckDB-inexpressibility argument); the radius/chain/recall
+    // semantics are spec- and bench-gated (HammingBench) instead.
+    "d14_simhash_near_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text"))
+      Dedup.simhashNearDedup(docs.unionByName(twins), "text", "doc_id",
+          maxHamming = 6)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.

@@ -190,9 +190,14 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val p = try {
-      Dedup.nearDupsAgainstIndex(batch, "text", "doc_id", "mh_guard",
-          minEstJaccard = 0.0)
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      // the lazy twin: the public wrapper eagerly checkpoints (cache
+      // hygiene), which collapses the inspectable plan to an RDD scan
+      val (pairs, release) = Dedup.nearDupsAgainstIndexLazy(
+        batch, "text", "doc_id", "mh_guard", minEstJaccard = 0.0)
+      val s = pairs.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      release()
+      s
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
