@@ -86,4 +86,61 @@ object AudioCodec {
     }
     out
   }
+
+  // mean |first difference| per window — proportional to frequency ×
+  // amplitude for narrowband content, the cheap spectral-brightness proxy
+  // the fingerprint's second half compares against the window's RMS
+  private def meanAbsDeriv(pcm: Pcm, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = pcm.samples.length
+    if (n < 2) return out
+    var w = 0
+    while (w < dim) {
+      val lo = math.max(1, (w.toLong * n / dim).toInt)
+      val hi = math.max(lo + 1, ((w + 1).toLong * n / dim).toInt)
+      var acc = 0.0
+      var i = lo
+      while (i < math.min(hi, n)) {
+        acc += math.abs(pcm.samples(i) - pcm.samples(i - 1)); i += 1
+      }
+      out(w) = (acc / math.max(1, math.min(hi, n) - lo)).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual audio fingerprint — the audio twin of the image
+    * dHash, feeding the same shared Hamming engine:
+    *
+    *  - bits 0–31: ENVELOPE — sign of each adjacent per-window RMS delta
+    *    over 33 equal windows (dHash's adjacent-cell comparison, on the
+    *    time axis). Captures temporal dynamics; re-encodings of the same
+    *    PCM (WAV ↔ AIFF ↔ AU) decode to identical samples and hash
+    *    identically.
+    *  - bits 32–63: BRIGHTNESS — per-window mean |first difference|
+    *    compared against the window's RMS scaled by 4√2·600/sampleRate
+    *    (for a pure tone the ratio is ≈4√2·f/sr independent of
+    *    amplitude, so the bit is ~"is this window's content above
+    *    ~600 Hz"), separating same-envelope content of clearly
+    *    different pitch.
+    *
+    * Deliberately coarse: clips collapse on gross envelope + brightness
+    * shape, not audio identity — compose with [[features]]-based
+    * embedding dedup when finer discrimination matters. All-silence
+    * clips share fingerprint 0 (silence IS a duplicate class).
+    */
+  def fingerprint(pcm: Pcm): Long = {
+    val rms33 = features(pcm, 33)
+    val rms32 = features(pcm, 32)
+    val deriv = meanAbsDeriv(pcm, 32)
+    val tau = if (pcm.sampleRate > 0) 5.6569f * 600.0f / pcm.sampleRate else 0.0f
+    var h = 0L
+    var i = 0
+    while (i < 32) {
+      if (rms33(i + 1) > rms33(i)) h |= 1L << i
+      if (deriv(i) > rms32(i) * tau) h |= 1L << (32 + i)
+      i += 1
+    }
+    h
+  }
 }

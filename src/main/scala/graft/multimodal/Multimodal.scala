@@ -214,10 +214,11 @@ object Multimodal {
     *     flood of one re-posted image contributes ONE row to everything
     *     downstream, so the quadratic stage can never see the flood.
     *  2. CANDIDATES: the distinct fingerprints band-join on
-    *     `maxHamming + 1` bit-slices of the 64-bit hash — the pigeonhole
-    *     guarantee that two hashes within the Hamming radius agree
-    *     exactly on at least one band (the SimHash/LSH recall argument),
-    *     verified with `bit_count(a ^ b) <= maxHamming`.
+    *     Manku-Jain-Sarma wide-prefix tables — block combinations whose
+    *     ~32-bit bucket domains never saturate at corpus scale, with the
+    *     exact pigeonhole guarantee that two hashes within the Hamming
+    *     radius agree on all blocks of at least one table — verified
+    *     with `bit_count(a ^ b) <= maxHamming`.
     *  3. CLUSTERS: verified pairs resolve transitively through
     *     [[graft.dedup.Dedup.dupClusters]] (connected components,
     *     keep-min) so chains of successive resizes collapse to one
@@ -280,6 +281,132 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** 64-bit perceptual audio fingerprint per media row
+    * ([[AudioCodec.fingerprint]]: RMS-envelope deltas + spectral
+    * brightness over the decoded mono PCM) — the audio analogue of
+    * [[perceptualHash]], same contract: appends a nullable `ahash`
+    * column, corrupt/undecodable blobs get NULL (never a task failure,
+    * never a sentinel mega-cluster), mapPartitions so a heavier decoder
+    * can amortize per-partition init.
+    */
+  def audioHash(media: DataFrame): DataFrame = {
+    val outSchema = media.schema.add(StructField("ahash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long = AudioCodec.decode(r.getAs[Array[Byte]](cIdx)) match {
+          case Some(pcm) => java.lang.Long.valueOf(AudioCodec.fingerprint(pcm))
+          case None => null
+        }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dedup over AUDIO content — [[dedupePerceptual]]'s
+    * audio twin, riding the same shared Hamming engine
+    * ([[graft.dedup.Dedup.hammingDropIds]]): re-encoded copies of one
+    * clip (WAV ↔ AIFF ↔ AU of the same PCM — identical fingerprints,
+    * exact tier) and small envelope edits (near tier, within
+    * `maxHamming` bits) collapse to their minimum-`media_id`
+    * representative; clips with different dynamics or clearly different
+    * pitch survive. Rows with NULL fingerprints (undecodable) always
+    * survive: no evidence, no drop.
+    */
+  def dedupeAudioPerceptual(media: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val drop = graft.dedup.Dedup.hammingDropIds(
+      audioHash(media.select(col("media_id"), col("content")))
+        .select(col("media_id").as("id"), col("ahash").as("h"))
+        .where(col("h").isNotNull),
+      maxHamming)
+    media.join(drop.withColumnRenamed("id", "media_id"),
+      Seq("media_id"), "left_anti")
+  }
+
+  /** Perceptual near-dedup for MULTI-FRAME content (animated GIF,
+    * multi-page TIFF — and any future video decoder that plugs into
+    * [[ImageCodec.frames]]): a video is a near-dup of another when at
+    * least `minMatches` of its `n` sampled frames match the OTHER's
+    * same-position frame within `maxHamming` bits of dHash — the
+    * composition of [[sampleFramesDecoded]], the per-frame dHash kernel,
+    * and the shared Manku band engine
+    * ([[graft.dedup.Dedup.hammingBandPairs]] grouped by `frame_idx`),
+    * resolved transitively with [[graft.dedup.Dedup.dupClusters]]
+    * keep-min like every other dedup tier.
+    *
+    * Matching is POSITION-ALIGNED by design: sampling is evenly spaced
+    * over each animation, so re-encodes and blocky resizes of one
+    * animation line up frame for frame, while a REORDERED cut of the
+    * same frames misaligns and survives (order is content for video).
+    *
+    *  1. EXACT tier: videos whose full n-frame hash vectors are
+    *     identical collapse to their min-id representative first, so a
+    *     re-post flood contributes ONE video to the quadratic stage.
+    *     Only fully-decodable videos (all n frames hashed) participate —
+    *     two corrupt videos are not "equal".
+    *  2. NEAR tier: representatives' frames band-join per frame_idx
+    *     (dist-0 pairs included — two videos can share an identical
+    *     intro frame yet differ elsewhere), pairs verified by
+    *     `bit_count`, then a video edge needs `minMatches` distinct
+    *     matching positions.
+    *
+    * Frames with NULL hashes (corrupt/undecodable) never match —
+    * degraded evidence only ever UNDER-drops. Scale shape: everything
+    * skewable runs over (frame_idx, id, hash) skeletons; content bytes
+    * ride only the final anti-join on the unskewed `media_id`. A
+    * boilerplate frame shared by many distinct videos (a studio logo
+    * intro) is a hot (frame_idx, band, bucket) key capped at `maxBucket`
+    * min-id members — the same truncation trade as the text tiers, and
+    * why `minMatches` should stay > 1.
+    */
+  def dedupeVideoPerceptual(media: DataFrame, n: Int = 4, minMatches: Int = 3,
+                            maxHamming: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(n >= 1 && minMatches >= 1 && minMatches <= n,
+      s"n=$n minMatches=$minMatches")
+    // one decode pass hashes every sampled frame; persisted because the
+    // exact tier, the rep filter, and the band stage all read it
+    val frames = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      perceptualHash(sampleFramesDecoded(
+        media.select(col("media_id"), col("content")), n))
+        .select(col("media_id"), col("frame_idx"), col("phash")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = frames.groupBy(col("media_id"))
+      .agg(count(col("phash")).as("__nh"),
+        sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
+          .as("__v"))
+    val hashable = vecs.filter(col("__nh") === n)
+    val reps = hashable.groupBy(col("__v"))
+      .agg(min(col("media_id")).as("media_id"))
+    val exactDrop = hashable
+      .join(reps.withColumnRenamed("media_id", "__rep"), Seq("__v"))
+      .filter(col("media_id") =!= col("__rep"))
+      .select(col("media_id").as("id"))
+    // near-tier contenders: exact-tier survivors plus partially-hashed
+    // videos (their own representatives — they can still near-match on
+    // their decodable frames)
+    val repIds = reps.select(col("media_id"))
+      .union(vecs.filter(col("__nh") < n).select(col("media_id")))
+    val repFrames = frames.join(repIds, Seq("media_id"), "left_semi")
+      .filter(col("phash").isNotNull)
+      .select(col("frame_idx"), col("media_id").as("id"), col("phash").as("h"))
+    val edges = graft.dedup.Dedup.hammingBandPairs(
+        repFrames, Seq("frame_idx"), maxHamming, maxBucket)
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("frame_idx")).as("__k"))
+      .filter(col("__k") >= minMatches)
+      .select(col("a"), col("b"))
+    val nearDrop = graft.dedup.Dedup.dupClusters(edges)
+      .filter(col("id") =!= col("label"))
+      .select(col("id"))
+    // eager + lineage-truncated so the decoded-frame cache releases now
+    // (the hammingDropIds hygiene contract)
+    val drop = exactDrop.union(nearDrop).distinct().localCheckpoint()
+    frames.unpersist()
+    media.join(drop.withColumnRenamed("id", "media_id"),
+      Seq("media_id"), "left_anti")
   }
 
   /** STREAMING perceptual dedup — the incremental twin of

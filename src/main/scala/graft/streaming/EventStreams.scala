@@ -225,7 +225,9 @@ object EventStreams {
                        windowLen: String = "5 minutes",
                        shingleK: Int = 3, numHashes: Int = 64,
                        bands: Int = 16,
-                       retentionSec: Long = 3600L): DataFrame = {
+                       retentionSec: Long = 3600L,
+                       indexTable: Option[String] = None,
+                       minEstJaccard: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.StructType
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -289,19 +291,33 @@ object EventStreams {
     // skeletons count 1 toward the per-doc band tally; the document's full
     // row rides a zero-count union branch (once per doc, no band fan-out)
     // and is recovered with first(ignoreNulls). Both branches carry the
-    // doc's own ts, so they land in the same (window, id) group.
+    // doc's own ts, so they land in the same (window, id) group. With
+    // `indexTable`, verified matches against the persisted (static)
+    // MinHash index ride a third stateless branch into the SAME
+    // aggregation — a chained second windowed verdict would emit
+    // past-watermark rows into this one and be dropped as late, so the
+    // cross-run probe fuses here instead (see [[dedupeNearAgainstIndex]]).
     val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__n"),
-      struct(cols.map(col): _*).as("__r"))
+      lit(0L).as("__m"), struct(cols.map(col): _*).as("__r"))
     val payloadType = payload.schema("__r").dataType
     val winners = elected.toDF()
       .withWatermark(tsCol, watermark)
-      .select(col(idCol), col(tsCol), lit(1L).as("__n"),
+      .select(col(idCol), col(tsCol), lit(1L).as("__n"), lit(0L).as("__m"),
         lit(null).cast(payloadType).as("__r"))
-    winners.unionByName(payload)
+    val branches = indexTable match {
+      case None => winners.unionByName(payload)
+      case Some(t) =>
+        val matched = indexMatchSkeletons(wmDocs, textCol, idCol, tsCol, t,
+            minEstJaccard)
+          .select(col(idCol), col(tsCol), lit(0L).as("__n"), lit(1L).as("__m"),
+            lit(null).cast(payloadType).as("__r"))
+        winners.unionByName(payload).unionByName(matched)
+    }
+    branches
       .groupBy(window(col(tsCol), windowLen), col(idCol))
-      .agg(sum(col("__n")).as("__n"),
+      .agg(sum(col("__n")).as("__n"), sum(col("__m")).as("__m"),
         first(col("__r"), ignoreNulls = true).as("__r"))
-      .filter(col("__n") === bands)
+      .filter(col("__n") === bands && col("__m") === 0)
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
@@ -322,6 +338,102 @@ object EventStreams {
       posexplode(Dedup.bandBucketsUdf(bands)(
         Dedup.minhashSignatureFromText(col(textCol), shingleK, numHashes)))
         .as(Seq("__band", "__bucket")))
+  }
+
+  /** Streaming probe of a persisted MinHash band index
+    * ([[graft.dedup.Dedup.writeMinhashIndex]]): drop every stream document
+    * with a verified near-dup ([[graft.dedup.Dedup.nearDupsAgainstIndex]]'s
+    * est-Jaccard rule) anywhere in the indexed HISTORICAL corpus — the
+    * incremental twin of the batch cross-run stage
+    * ([[graft.dedup.Dedup.nearDedupAgainstIndex]], curate()'s
+    * `nearIndexTable`). The index is STATIC here: per micro-batch the
+    * day's documents are signed once, their band skeletons join the index
+    * (a stream-static join — the stream side is the bounded micro-batch;
+    * the index side is read in place, never mutated by the stream), each
+    * candidate is verified against the id-bucketed signature sibling, and
+    * the per-document verdict aggregates in a tumbling `windowLen` window
+    * (survivors emit when the watermark passes their window — the bounded
+    * intake latency of [[dedupeNearBanded]]). Growing the index stays a
+    * batch job ([[graft.dedup.Dedup.appendToMinhashIndex]]), the same
+    * incremental/compaction split as every other persisted tier.
+    *
+    * Scale shape: the document payload never rides the skewable
+    * (band, bucket) join — it re-enters once per doc as the zero-count
+    * union branch of the verdict aggregation, recovered with
+    * `first(ignoreNulls)`. What DOES ride the band join is the batch
+    * side's own 8-byte-component signature (needed for the verify — a
+    * streaming aggregation cannot feed a stream-stream join-back by id),
+    * numHashes × 8 B per band row of the day's batch: bounded by the
+    * micro-batch, not the corpus, and the same read-volume trade the
+    * batch probe makes by storing signatures instead of text.
+    *
+    * Composition constraint: this must be the LAST stateful stage of its
+    * plan. The verdict emits a document's row once the watermark PASSES
+    * its window, so every emitted row is late relative to the global
+    * watermark — a downstream stateful operator (a dedup state store,
+    * another aggregation) would discard it as late data. Upstream
+    * same-batch stages (stateless maps, `dropDuplicatesWithinWatermark`,
+    * which emits in the arrival batch) compose fine; to combine with
+    * BANDED near-dedup use [[dedupeNearBanded]]'s `indexTable` option,
+    * which fuses the probe into that operator's own verdict aggregation
+    * instead of chaining two windowed verdicts.
+    */
+  def dedupeNearAgainstIndex(docs: DataFrame, textCol: String, idCol: String,
+                             tsCol: String, table: String,
+                             minEstJaccard: Double = 0.7,
+                             watermark: String = "1 hour",
+                             windowLen: String = "5 minutes"): DataFrame =
+    indexProbeVerdict(docs.withWatermark(tsCol, watermark), textCol, idCol,
+      tsCol, table, minEstJaccard, windowLen)
+
+  // The probe verdict over an ALREADY-watermarked stream — split out so a
+  // chain whose upstream stage declared the watermark (curateDocs' exact
+  // path) doesn't redefine it, which Spark rejects under
+  // multiple-stateful-operator support.
+  private def indexProbeVerdict(wmDocs: DataFrame, textCol: String,
+                                idCol: String, tsCol: String, table: String,
+                                minEstJaccard: Double,
+                                windowLen: String): DataFrame = {
+    val cols = wmDocs.columns.toSeq
+    val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__m"),
+      struct(cols.map(col): _*).as("__r"))
+    val payloadType = payload.schema("__r").dataType
+    val matched = indexMatchSkeletons(wmDocs, textCol, idCol, tsCol, table,
+        minEstJaccard)
+      .select(col(idCol), col(tsCol), lit(1L).as("__m"),
+        lit(null).cast(payloadType).as("__r"))
+    matched.unionByName(payload)
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(sum(col("__m")).as("__m"),
+        first(col("__r"), ignoreNulls = true).as("__r"))
+      .filter(col("__m") === 0)
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  // (id, ts) skeleton per verified index match of a stream document: sign
+  // once (the index's own persisted geometry), explode band buckets, join
+  // the static band table, verify the est-Jaccard against the id-bucketed
+  // signature sibling. Stateless — safe anywhere in a streaming plan.
+  private def indexMatchSkeletons(wmDocs: DataFrame, textCol: String,
+                                  idCol: String, tsCol: String, table: String,
+                                  minEstJaccard: Double): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = wmDocs.sparkSession
+    val sp = spark.table(s"${table}_mhspec").head()
+    val (k, numHashes, bands) = (sp.getInt(0), sp.getInt(1), sp.getInt(2))
+    wmDocs
+      .select(col(idCol), col(tsCol),
+        Dedup.minhashSignatureFromText(col(textCol), k, numHashes).as("__sig"))
+      .select(col(idCol), col(tsCol), col("__sig"),
+        posexplode(Dedup.bandBucketsUdf(bands)(col("__sig")))
+          .as(Seq("band", "bucket")))
+      .join(spark.table(table)
+        .select(col("band"), col("bucket"), col("id").as("__cid")),
+        Seq("band", "bucket"))
+      .join(spark.table(s"${table}_sigs")
+        .select(col("id").as("__cid"), col("sig").as("__csig")), Seq("__cid"))
+      .filter(Dedup.sigMatchUdf(col("__sig"), col("__csig")) >= minEstJaccard)
+      .select(col(idCol), col(tsCol))
   }
 
   /** Streaming corpus intake: the curation stages that are row-local run
@@ -360,6 +472,20 @@ object EventStreams {
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
     * false` (see [[dedupeNearBanded]]'s scaladoc for why the conservative
     * check does not apply to this shape).
+    *
+    * `nearIndexTable` adds the CROSS-RUN stage — the incremental twin of
+    * batch curate()'s `nearIndexTable`: each micro-batch is probed
+    * against the persisted (static, never stream-mutated) MinHash band
+    * index ([[dedupeNearAgainstIndex]]), so replays of the HISTORICAL
+    * corpus are dropped, where the within-stream dedup state only sees
+    * the watermark horizon. Probing runs BEFORE the within-stream dedup
+    * (replayed docs never enter the dedup state store — the same
+    * keep-state-clean rationale as decontamination-first), on the raw
+    * text (before redaction), keyed by `nearIndexIdCol` (defaults to
+    * `nearDedupIdCol`). Chaining the probe's windowed verdict into the
+    * stateful dedup stage relies on Spark's multiple-stateful-operator
+    * support in append mode. Index growth stays a batch job
+    * ([[graft.dedup.Dedup.appendToMinhashIndex]]).
     */
   def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
                  langs: Set[String], minQuality: Double,
@@ -369,7 +495,11 @@ object EventStreams {
                  contaminationNgram: Int = 8,
                  maxContamination: Long = 1,
                  contaminationFpp: Double = 1e-4,
-                 nearDedupIdCol: Option[String] = None): DataFrame = {
+                 nearDedupIdCol: Option[String] = None,
+                 nearIndexTable: Option[String] = None,
+                 nearIndexIdCol: Option[String] = None,
+                 nearIndexJaccard: Double = 0.7,
+                 nearIndexWindowLen: String = "5 minutes"): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     val gated = docs
@@ -402,10 +532,22 @@ object EventStreams {
         }
         gated.filter(clean(col(textCol)))
     }
-    val deduped = nearDedupIdCol match {
-      case None => dedupeExact(decontaminated, textCol, tsCol, watermark)
-      case Some(id) =>
-        dedupeNearBanded(decontaminated, textCol, id, tsCol, watermark)
+    // the cross-run index probe's windowed verdict emits past-watermark
+    // rows, so it must terminate the stateful chain: the exact path runs
+    // it AFTER dropDuplicates (which emits in the arrival batch); the
+    // banded path fuses it into its own verdict aggregation
+    val deduped = (nearDedupIdCol, nearIndexTable) match {
+      case (None, None) => dedupeExact(decontaminated, textCol, tsCol, watermark)
+      case (None, Some(t)) =>
+        val id = nearIndexIdCol.getOrElse(throw new IllegalArgumentException(
+          "nearIndexTable requires nearIndexIdCol (or nearDedupIdCol)"))
+        // dedupeExact declared the watermark; the probe must not redefine it
+        indexProbeVerdict(
+          dedupeExact(decontaminated, textCol, tsCol, watermark),
+          textCol, id, tsCol, t, nearIndexJaccard, nearIndexWindowLen)
+      case (Some(id), _) =>
+        dedupeNearBanded(decontaminated, textCol, id, tsCol, watermark,
+          indexTable = nearIndexTable, minEstJaccard = nearIndexJaccard)
     }
     deduped.withColumn(textCol, TextOps.redactPii(col(textCol)))
   }

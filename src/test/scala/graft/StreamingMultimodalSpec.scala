@@ -417,6 +417,91 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("curateDocs probes a persisted MinHash index: historical replays dropped, index unmutated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep") // near-dup of the INDEXED corpus
+    val fresh = "an entirely different english document about the history of " +
+      "the spark engine that is long enough to pass the quality gate and it was " +
+      "written for this test of the streaming intake path with the index probe"
+    import graft.dedup.Dedup
+    import graft.sources.Warehouse
+    for (tb <- Seq("mhprobe_idx", "mhprobe_idx_sigs", "mhprobe_idx_mhspec"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    // "historical corpus" indexed by a prior batch run
+    Dedup.writeMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", "mhprobe_idx", buckets = 2)
+    val idxBefore = spark.table("mhprobe_idx").count()
+    val sigsBefore = spark.table("mhprobe_idx_sigs").count()
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5, watermark = "10 minutes",
+      nearIndexTable = Some("mhprobe_idx"), nearIndexIdCol = Some("doc_id"))
+      .writeStream.format("memory").queryName("curate_probe_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a MUTATED replay of the indexed doc (invisible to any
+      // exact tier) plus a genuinely fresh doc
+      input.addData((1L, ts(0), mutated), (2L, ts(1), fresh))
+      query.processAllAvailable()
+      // advance the watermark so the probe's verdict windows close
+      input.addData((99L, ts(60, 0), fresh + " heartbeat tail of words"))
+      query.processAllAvailable()
+      val out = spark.table("curate_probe_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(2L), s"survivors: $out")
+      // the stream only PROBES: the index is not grown by the micro-batches
+      assert(spark.table("mhprobe_idx").count() == idxBefore)
+      assert(spark.table("mhprobe_idx_sigs").count() == sigsBefore)
+    } finally query.stop()
+  }
+
+  test("curateDocs fuses the index probe into banded near-dedup: both tiers drop in one verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep")
+    val fresh = "an entirely different english document about the history of " +
+      "the spark engine that is long enough to pass the quality gate and it was " +
+      "written for this test of the streaming intake path with the fused probe"
+    val freshMutated = fresh.replace("history", "story")
+    import graft.dedup.Dedup
+    import graft.sources.Warehouse
+    for (tb <- Seq("mhfuse_idx", "mhfuse_idx_sigs", "mhfuse_idx_mhspec"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    Dedup.writeMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", "mhfuse_idx", buckets = 2)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5, watermark = "10 minutes",
+      nearDedupIdCol = Some("doc_id"), nearIndexTable = Some("mhfuse_idx"))
+      .writeStream.format("memory").queryName("curate_fused_out")
+      .outputMode("append").start()
+    try {
+      // 1 = mutated replay of the INDEXED corpus (cross-run tier drops it);
+      // 2 = fresh (survives both tiers)
+      input.addData((1L, ts(0), mutated), (2L, ts(0), fresh))
+      query.processAllAvailable()
+      // 3 = within-stream mutated near-dup of 2 (banded tier drops it)
+      input.addData((3L, ts(1), freshMutated))
+      query.processAllAvailable()
+      input.addData((99L, ts(60, 0), fresh + " heartbeat tail of words"))
+      query.processAllAvailable()
+      val out = spark.table("curate_fused_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(2L), s"survivors: $out")
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
   test("streaming curateDocs decontaminates against a benchmark map-side") {
     implicit val sqlCtx = spark.sqlContext
     val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
@@ -668,6 +753,122 @@ class StreamingMultimodalSpec extends SparkSpec {
         .collect().sorted.toSeq
       assert(ids == Seq(1L, 2L, 5L, 6L), s"survivors: $ids")
     } finally query.stop()
+  }
+
+  test("multimodal: video perceptual dedup — re-encodes collapse, reordered cuts survive") {
+    import javax.imageio.{IIOImage, ImageIO}
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    // three mutually-distinct black/white frames (primaries survive GIF
+    // palette quantization; solid colors would all dHash to 0)
+    def pattern(f: (Int, Int) => Boolean, size: Int) = {
+      val bi = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until size; x <- 0 until size)
+        bi.setRGB(x, y, if (f(x * 8 / size, y * 8 / size)) 0xFFFFFF else 0)
+      bi
+    }
+    // dHash sets bits only on LIGHT→DARK transitions, so each frame puts
+    // its light region's right edge at a different column
+    val fLeft: (Int, Int) => Boolean = (x, _) => x < 4    // light left half
+    val fRight: (Int, Int) => Boolean = (x, _) => x < 2   // light quarter
+    val fQuarter: (Int, Int) => Boolean = (x, _) => x < 6 // light 3/4
+    // move row 0's edge one column left: exactly the row-0 bits flip
+    val fLeftTweak: (Int, Int) => Boolean = (x, y) => x < 4 && !(x == 3 && y == 0)
+    def gif(size: Int, fs: ((Int, Int) => Boolean)*) = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- fs) writer.writeToSequence(new IIOImage(pattern(f, size), null, null), null)
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // premise: the three frames are far apart in dHash space; the tweak
+    // is within the radius of fLeft
+    def png(f: (Int, Int) => Boolean) = ImageCodec.encodePng(PpmCodec.Image(8, 8,
+      Array.tabulate(8 * 8 * 3)(i => (if (f((i / 3) % 8, (i / 3) / 8)) 255 else 0).toByte)))
+    val dhMap = Multimodal.perceptualHash(Multimodal.asMedia(
+        Seq((0L, png(fLeft)), (1L, png(fRight)), (2L, png(fQuarter)),
+          (3L, png(fLeftTweak))).toDF("id", "payload"), "id", "payload", "image/png"))
+      .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    def dh(f: (Int, Int) => Boolean) = f match {
+      case `fLeft` => dhMap(0L); case `fRight` => dhMap(1L)
+      case `fQuarter` => dhMap(2L); case _ => dhMap(3L)
+    }
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(dh(fLeft), dh(fRight)) > 2 && dist(dh(fLeft), dh(fQuarter)) > 2 &&
+      dist(dh(fRight), dh(fQuarter)) > 2, "premise: frames too close")
+    val tweakDist = dist(dh(fLeft), dh(fLeftTweak))
+    assert(tweakDist >= 1 && tweakDist <= 2, s"premise: tweak distance $tweakDist")
+    val df = Seq(
+      (1L, gif(8, fLeft, fRight, fQuarter)),    // base animation
+      (2L, gif(16, fLeft, fRight, fQuarter)),   // scaled re-encode: exact tier
+      (3L, gif(8, fLeftTweak, fRight, fQuarter)), // 1 frame tweaked: near tier
+      (4L, gif(8, fQuarter, fRight, fLeft)),    // SAME frames reordered: survives
+      (5L, "definitely not a gif".getBytes("UTF-8"))) // corrupt: survives
+      .toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "image/gif")
+    val out = Multimodal.dedupeVideoPerceptual(media, n = 3, minMatches = 2,
+        maxHamming = 2)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    // 2 collapses exactly (blocky resize is per-frame hash-identical), 3
+    // near-collapses (2 of 3 frames match, 1 within radius), 4 misaligns
+    // (only the middle position matches), 5 has no evidence
+    assert(out == Seq(1L, 4L, 5L), s"survivors: $out")
+  }
+
+  test("multimodal: audio perceptual dedup — WAV/AIFF re-encodes collapse, other content survives") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import graft.multimodal.AudioCodec
+    val rate = 8000
+    def clip(amp: Int => Double, freq: Double) = Array.tabulate[Short](rate) { i =>
+      (math.sin(2 * math.Pi * freq * i / rate) * 32767 * amp(i)).toInt.toShort
+    }
+    def encode(samples: Array[Short], kind: AudioFileFormat.Type, big: Boolean) = {
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val s = samples(i)
+        if (big) { raw(i * 2) = ((s >> 8) & 0xFF).toByte; raw(i * 2 + 1) = (s & 0xFF).toByte }
+        else { raw(i * 2) = (s & 0xFF).toByte; raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, big)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length), kind, bos)
+      bos.toByteArray
+    }
+    // base: 440 Hz under a rising ramp (envelope bits mostly "up")
+    val ramp = (i: Int) => 0.9 * i / rate
+    val baseClip = clip(ramp, 440)
+    // near: one mid-clip dip flips a couple of envelope delta signs
+    val dip = (i: Int) => ramp(i) * (if (i * 33 / rate == 16) 0.7 else 1.0)
+    val nearClip = clip(dip, 440)
+    // different pitch, same envelope: brightness half separates it
+    val brightClip = clip(ramp, 2500)
+    val wav = encode(baseClip, AudioFileFormat.Type.WAVE, big = false)
+    val aiff = encode(baseClip, AudioFileFormat.Type.AIFF, big = true)
+    // premise: re-encodes decode to the same PCM hence the same
+    // fingerprint; the dip is within the radius; the pitch change is not
+    val fp = Seq(wav, aiff, encode(nearClip, AudioFileFormat.Type.WAVE, big = false),
+      encode(brightClip, AudioFileFormat.Type.WAVE, big = false))
+      .map(b => AudioCodec.fingerprint(AudioCodec.decode(b).get))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(0) == fp(1), "premise: WAV and AIFF fingerprints diverged")
+    assert(dist(fp(0), fp(2)) >= 1 && dist(fp(0), fp(2)) <= 4,
+      s"premise: dip distance ${dist(fp(0), fp(2))}")
+    assert(dist(fp(0), fp(3)) > 4, s"premise: pitch distance ${dist(fp(0), fp(3))}")
+    val df = Seq(
+      (1L, wav),
+      (2L, aiff),                                               // re-encode: exact tier
+      (3L, encode(nearClip, AudioFileFormat.Type.WAVE, big = false)),  // near tier
+      (4L, encode(brightClip, AudioFileFormat.Type.WAVE, big = false)), // survives
+      (5L, "mp3-shaped junk bytes".getBytes("UTF-8")))          // corrupt: survives
+      .toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "id", "payload", "audio/mixed")
+    val out = Multimodal.dedupeAudioPerceptual(media, maxHamming = 4)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 4L, 5L), s"survivors: $out")
   }
 
   test("multimodal: real WAV decode yields duration, rate, and RMS features") {
