@@ -157,6 +157,21 @@ object CorpusPipeline {
     *                          and split. Mirrors the streaming intake
     *                          ([[graft.streaming.EventStreams.curateDocs]]),
     *                          which always redacts.
+    * @param compactEveryNFiles when set, each curate() call FIRST checks
+    *                          the configured cross-run tables (the
+    *                          registry; the near index's band and
+    *                          signature tables) and runs
+    *                          [[graft.sources.Warehouse.compactIfFragmented]]
+    *                          on any whose worst bucket has accumulated
+    *                          that many part files — closing the daily
+    *                          append→fragment→compact ops loop inside the
+    *                          pipeline instead of a side cron. Compaction
+    *                          runs BEFORE this run's appends, never after:
+    *                          the frame curate() returns is derived from
+    *                          the append's own delta files, which a
+    *                          post-hoc compaction would delete out from
+    *                          under it. Same single-writer contract as
+    *                          the appends.
     */
   case class Config(
       langs: Set[String] = Set("en"),
@@ -177,7 +192,8 @@ object CorpusPipeline {
       nearIndexTable: Option[String] = None,
       nearIndexJaccard: Double = 0.7,
       nearIndexUpdate: Boolean = true,
-      redactPii: Boolean = false)
+      redactPii: Boolean = false,
+      compactEveryNFiles: Option[Int] = None)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -186,6 +202,15 @@ object CorpusPipeline {
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config(),
              benchmark: Option[DataFrame] = None): DataFrame = {
+    // ops hook: de-fragment the cross-run tables BEFORE this run touches
+    // them (see Config.compactEveryNFiles for why never after)
+    cfg.compactEveryNFiles.foreach { maxFiles =>
+      val spark = docs.sparkSession
+      val tables = cfg.registryTable.toSeq ++
+        cfg.nearIndexTable.toSeq.flatMap(t => Seq(t, s"${t}_sigs"))
+      tables.foreach(t =>
+        graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
+    }
     val scored = docs
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .withColumn("lang", col("__lq._1"))

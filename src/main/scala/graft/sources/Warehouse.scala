@@ -77,6 +77,14 @@ object Warehouse {
     val spark = df.sparkSession
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // the snapshot diff below lists the table directory NON-recursively;
+    // a partitioned table's part files live under partition subdirs, so
+    // the delta would silently come back empty and delta-derived callers
+    // (dedupAgainstRegistry, nearDedupAgainstIndex) would report zero
+    // registered rows despite a successful append — fail loudly instead
+    require(meta.partitionColumnNames.isEmpty,
+      s"appendBucketedWithDelta($table): partitioned tables are not " +
+        "supported (delta snapshot is non-recursive)")
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(32)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -140,11 +148,30 @@ object Warehouse {
     if (!cat.tableExists(ti) && cat.tableExists(si)) {
       // a crash BETWEEN the drop and its directory delete can also leave a
       // stale warehouse/<table> dir with no catalog entry — clear it first
-      // or the promote rename lands on (or nests under) the leftover
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
+      // or the promote rename lands on (or nests under) the leftover. The
+      // stale path is derived from the STAGING table's catalog location
+      // (its sibling), never from the session's warehouse.dir + name: a
+      // session pointed at a different warehouse, or a table living in a
+      // <db>.db/ subtree, must not delete an unrelated same-named dir.
+      val sLoc = new org.apache.hadoop.fs.Path(
+        cat.getTableMetadata(si).location)
+      val p = new org.apache.hadoop.fs.Path(sLoc.getParent, table)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) {
+        // delete only what a managed-table write leaves behind; anything
+        // else means the path is NOT our leftover — stop and let a human
+        // look rather than destroy it
+        val entries = fs.listStatus(p)
+        val tableLike = entries.forall { st =>
+          val n = st.getPath.getName
+          n.startsWith("part-") || n == "_SUCCESS" || n.startsWith("_temporary") ||
+            n.startsWith(".") || (st.isDirectory && n.contains("="))
+        }
+        require(tableLike, s"compact($table): stale directory $p contains " +
+          "non-table files; refusing to delete it — remove it manually " +
+          s"and rename ${table}__compacting back")
+        fs.delete(p, true)
+      }
       promoteStaging(spark, table + "__compacting", table)
     }
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -200,6 +227,46 @@ object Warehouse {
           purge = false, retainData = true)
       spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     }
+  }
+
+  /** Largest per-(partition dir, bucket) part-file count of a bucketed
+    * table — the fragmentation signal appends accumulate and [[compact]]
+    * resets to 1. Bucket ids parse from the writer's file naming
+    * (`part-…_NNNNN.` bucket suffix); cost is one recursive listing, no
+    * data read — cheap enough to run before every incremental batch.
+    */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.bucketSpec.isDefined, s"maxFilesPerBucket($table): not bucketed")
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketRe = ".*_(\\d{5})\\.".r
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.startsWith("part-")) {
+        val bucket = bucketRe.findFirstMatchIn(name).map(_.group(1)).getOrElse("")
+        val key = (st.getPath.getParent.toString, bucket)
+        counts(key) = counts.getOrElse(key, 0) + 1
+      }
+    }
+    if (counts.isEmpty) 0 else counts.values.max
+  }
+
+  /** [[compact]] the table iff its worst bucket has accumulated at least
+    * `maxFiles` part files; returns whether a compaction ran. The ops
+    * hook that closes the append→fragment→compact loop for daily
+    * incremental pipelines (curate()'s `compactEveryNFiles`).
+    */
+  def compactIfFragmented(spark: SparkSession, table: String,
+                          maxFiles: Int): Boolean = {
+    require(maxFiles >= 2, s"compactIfFragmented($table): maxFiles=$maxFiles")
+    val fragmented = maxFilesPerBucket(spark, table) >= maxFiles
+    if (fragmented) compact(spark, table)
+    fragmented
   }
 
   /** Drop a managed table AND its warehouse directory. With a

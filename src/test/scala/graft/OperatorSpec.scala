@@ -137,6 +137,49 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(1L, 5L, 6L), s"survivors: $out")
   }
 
+  test("hamming tables: Manku wide-prefix design — exact pigeonhole, 32-bit prefixes at defaults") {
+    // text default k=3: d=2k=6 blocks, C(6,3)=20 tables, 32-bit prefix;
+    // image default k=4: d=8, C(8,4)=70 tables, 32-bit prefix
+    for ((k, expD, expT) <- Seq((1, 2, 2), (2, 4, 6), (3, 6, 20), (4, 8, 70))) {
+      val (d, combos) = Dedup.hammingTableDesign(k)
+      assert(d == expD && combos.size == expT, s"k=$k got d=$d tables=${combos.size}")
+      // every combo picks d-k blocks; prefix width = 64*(d-k)/d = 32 bits
+      assert(combos.forall(_.size == d - k))
+      val widths = combos.head.map(i => ((i + 1) * 64) / d - (i * 64) / d)
+      assert(widths.sum == 32, s"k=$k prefix width ${widths.sum}")
+    }
+    // larger radii trade prefix width down to keep the table count bounded
+    val (d6, c6) = Dedup.hammingTableDesign(6)
+    assert(d6 == 8 && c6.size == 28)
+    assert(Dedup.hammingTableDesign(0) == ((1, Seq(Seq(0)))))
+  }
+
+  test("hamming pairs: wide-prefix band join ≡ brute-force bit_count on random codes") {
+    // 400 random 64-bit codes plus planted near-twins at radii 1..4 —
+    // with no cap engaged the Manku tables must find EXACTLY the
+    // brute-force pair set (the pigeonhole guarantee is exact, not
+    // probabilistic)
+    val rnd = new scala.util.Random(42)
+    val baseCodes = Seq.fill(400)(rnd.nextLong())
+    val twins = baseCodes.take(40).zipWithIndex.map { case (h, i) =>
+      var m = h
+      for (_ <- 0 to i % 4) m ^= 1L << rnd.nextInt(64) // flip up to 4 bits (may re-flip)
+      m
+    }
+    val codes = (baseCodes ++ twins).zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val k = 4
+    val expected = (for {
+      (ia, ha) <- codes; (ib, hb) <- codes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= k
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty, "premise: some near pairs planted")
+    val got = Dedup.hammingBandPairs(
+        codes.toDF("id", "h"), Nil, maxHamming = k, maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm windowsill and the birds sing in the garden every morning " +
@@ -253,6 +296,111 @@ class OperatorSpec extends SparkSpec {
       Seq((999L, "registry doc 0 0"), (1000L, "fresh doc")).toDF("doc_id", "text"),
       "text", "doc_id", "reg_cmp", update = false)
     assert(probe.select("doc_id").as[Long].collect().toSet == Set(1000L))
+  }
+
+  test("Warehouse fragmentation signal + compactIfFragmented + curate() hook") {
+    import graft.sources.Warehouse
+    import graft.pipeline.CorpusPipeline
+    for (t <- Seq("reg_auto", "reg_auto__compacting"))
+      Warehouse.dropTableAndLocation(spark, t)
+    Dedup.createRegistry(spark, "reg_auto", buckets = 2)
+    for (d <- 0 until 4) {
+      val batch = Seq.tabulate(6)(i =>
+        (d * 100L + i, s"auto compact doc $d $i")).toDF("doc_id", "text")
+      Dedup.dedupAgainstRegistry(batch, "text", "doc_id", "reg_auto").count()
+    }
+    assert(Warehouse.maxFilesPerBucket(spark, "reg_auto") >= 4)
+    val rowsBefore = spark.table("reg_auto").as[String].collect().sorted.toSeq
+    assert(Warehouse.compactIfFragmented(spark, "reg_auto", maxFiles = 4))
+    assert(Warehouse.maxFilesPerBucket(spark, "reg_auto") == 1)
+    assert(spark.table("reg_auto").as[String].collect().sorted.toSeq == rowsBefore)
+    // under the threshold: a no-op
+    assert(!Warehouse.compactIfFragmented(spark, "reg_auto", maxFiles = 4))
+    // the curate() hook compacts BEFORE its own append: worst bucket ends
+    // at 1 (compacted) + 1 (this run's append) files, and the run still
+    // dedups correctly against the compacted registry
+    val english = "the quick brown fox jumps over the lazy dog and it was " +
+      "happy for the day ahead of everyone in the quiet town "
+    for (d <- 4 until 6) {
+      val batch = Seq.tabulate(4)(i =>
+        (d * 100L + i, english + s"day $d doc $i")).toDF("doc_id", "text")
+      val kept = CorpusPipeline.curate(batch, "text", "doc_id",
+        CorpusPipeline.Config(minQuality = 0.0, nearDupThreshold = 2.0,
+          registryTable = Some("reg_auto"),
+          compactEveryNFiles = Some(2))).count()
+      assert(kept == 4, s"day $d: curate kept $kept of 4")
+    }
+    assert(Warehouse.maxFilesPerBucket(spark, "reg_auto") <= 2,
+      s"hook left ${Warehouse.maxFilesPerBucket(spark, "reg_auto")} files/bucket")
+    // a replay of a day-4 doc is still recognized after compaction
+    val probe = Dedup.dedupAgainstRegistry(
+      Seq((9999L, english + "day 4 doc 0"), (10000L, english + "genuinely fresh"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "reg_auto", update = false)
+    assert(probe.select("doc_id").as[Long].collect().toSet == Set(10000L))
+  }
+
+  test("minhashIndexMaxBucket reports cross-generation mega-bucket drift") {
+    import graft.sources.Warehouse
+    for (tb <- Seq("mh_drift", "mh_drift_sigs", "mh_drift_mhspec"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    val boiler = "identical boilerplate footer repeated verbatim across the " +
+      "whole crawl by a site template engine on every single page it serves"
+    val gen0 = Seq.tabulate(4)(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(gen0, "text", "doc_id", "mh_drift",
+      buckets = 2, maxBucket = 2)
+    // the build re-caps globally: 4 identical docs → 2 members per bucket
+    assert(Dedup.minhashIndexMaxBucket(spark, "mh_drift") == ((2L, 2)))
+    // an appended generation re-caps only WITHIN itself → the hot bucket
+    // drifts past the spec cap, and the signal reports it
+    Dedup.appendToMinhashIndex(
+      Seq.tabulate(4)(i => (100L + i, boiler)).toDF("doc_id", "text"),
+      "text", "doc_id", "mh_drift")
+    assert(Dedup.minhashIndexMaxBucket(spark, "mh_drift") == ((4L, 2)))
+  }
+
+  test("appendBucketedWithDelta refuses partitioned tables loudly") {
+    import graft.sources.Warehouse
+    Warehouse.dropTableAndLocation(spark, "part_app")
+    Warehouse.writeBucketedPartitioned(
+      Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "v", "day"),
+      "part_app", "day", "id", 2)
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.appendBucketedWithDelta(
+        Seq((3L, "c", 0)).toDF("id", "v", "day"), "part_app", "id")
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
+  test("compact crash recovery refuses to delete a stale dir holding foreign files") {
+    import graft.sources.Warehouse
+    for (t <- Seq("cmp_grd", "cmp_grd__compacting"))
+      Warehouse.dropTableAndLocation(spark, t)
+    val rows = (1L to 10L).map(i => (i, s"t $i")).toDF("id", "text")
+    Warehouse.writeBucketed(rows, "cmp_grd__compacting", "id", 2)
+    // plant a stale original dir that is NOT table-shaped (a foreign file)
+    val sLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cmp_grd__compacting")).location)
+    val stale = new org.apache.hadoop.fs.Path(sLoc.getParent, "cmp_grd")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stale)
+    val rogue = new org.apache.hadoop.fs.Path(stale, "precious-user-data.txt")
+    val os = fs.create(rogue); os.write(42); os.close()
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.compact(spark, "cmp_grd")
+    }
+    assert(e.getMessage.contains("refusing"))
+    assert(fs.exists(rogue), "guard must not delete foreign files")
+    // a table-shaped leftover (the real crash residue) is cleared and the
+    // staging copy promoted
+    fs.delete(rogue, false)
+    val partLike = new org.apache.hadoop.fs.Path(stale, "part-00000-stale")
+    val os2 = fs.create(partLike); os2.write(1); os2.close()
+    Warehouse.compact(spark, "cmp_grd")
+    assert(spark.table("cmp_grd").select("id").as[Long].collect().sorted.toSeq
+      == (1L to 10L).toSeq)
+    assert(!spark.catalog.tableExists("cmp_grd__compacting"))
   }
 
   test("Warehouse.compact recovers a table stranded mid-rename by a crash") {
