@@ -438,11 +438,15 @@ object Dedup {
     * The input skeleton fans out into every stage, so it is persisted
     * once while the drop set is computed, then RELEASED: the returned
     * frame is eagerly materialized with truncated lineage
-    * (`localCheckpoint`, the same eager-rounds trade [[dupClusters]]
-    * defaults to), so a long-lived driver running this daily accumulates
-    * no cache entries. Returns one `id` column: every id that is NOT its
-    * cluster's minimum; callers anti-join it. Rows with null `h` must be
-    * filtered by the caller (no evidence, no drop).
+    * (`localCheckpoint`), so a long-lived driver running this daily
+    * accumulates no cache entries. The trade — the same one
+    * [[dupClusters]]' default rounds make — is fault-tolerance, not
+    * recoverability: the checkpointed blocks are unreplicated and have
+    * no lineage, so losing an executor that holds part of the (small,
+    * ids-only) drop set before the caller's anti-join finishes fails
+    * that JOB; rerun the operator. Returns one `id` column: every id
+    * that is NOT its cluster's minimum; callers anti-join it. Rows with
+    * null `h` must be filtered by the caller (no evidence, no drop).
     *
     * Scale: with ~32-bit bucket domains, `maxBucket` (a safety cap on
     * adversarially clustered DISTINCT fingerprints — identical ones
@@ -467,10 +471,8 @@ object Dedup {
     val nearDrop = dupClusters(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id"))
-    // eager + lineage-truncated so the skeleton cache can be dropped NOW;
-    // unreplicated blocks (executor loss mid-read of the small id set
-    // fails the caller's anti-join job, which then recomputes) — the
-    // trade dupClusters' default rounds already make
+    // eager + lineage-truncated so the skeleton cache can be dropped NOW
+    // (fault-tolerance trade documented in the scaladoc above)
     val drop = exactDrop.union(nearDrop).distinct().localCheckpoint()
     sk.unpersist()
     drop
@@ -501,13 +503,17 @@ object Dedup {
     * `k` differ in at most `k` blocks, so they agree EXACTLY on all
     * blocks of at least one (d−k)-block combination — each combination is
     * one probe table whose bucket key is the concatenation of its blocks
-    * (a WIDE prefix, 64·(d−k)/d bits). Chooses the widest prefix (largest
-    * d) whose table count C(d, k) stays within [[HammingMaxTables]]:
-    * d = 2k yields 32-bit prefixes (domain 4×10⁹ — buckets hold O(1)
+    * (a WIDE prefix, 64·(d−k)/d bits). The search is deliberately capped
+    * at d = 2k — a 32-bit prefix (domain 4×10⁹: buckets hold O(1)
     * members even at 10¹⁰ distinct fingerprints, where the narrow
     * maxHamming+1-slice design saturates at ~10⁸ and silently loses
-    * recall). The pigeonhole guarantee is EXACT at any d > k; prefix
-    * width only governs bucket collision cost.
+    * recall) — because wider prefixes past that buy nothing a real
+    * corpus can measure while the explode factor C(d, k) grows
+    * combinatorially; within the cap it picks the largest d whose
+    * C(d, k) fits [[HammingMaxTables]], falling back toward narrower
+    * prefixes (smaller d) only for large radii. The pigeonhole guarantee
+    * is EXACT at any d > k; prefix width only governs bucket collision
+    * cost.
     */
   private[graft] def hammingTableDesign(maxHamming: Int): (Int, Seq[Seq[Int]]) = {
     val k = maxHamming
@@ -1038,14 +1044,17 @@ object Dedup {
     * composition ([[exact]]/[[nearDedup]] first), mirroring the
     * single-responsibility split of the other cross-run ops.
     *
-    * Failure contract (the registry op's, verbatim): with `update = true`
-    * the candidate join against the big index executes exactly ONCE —
-    * inside [[appendToMinhashIndex]]'s sigs append (the band append and
-    * the RETURNED frame both derive from that append's own delta files) —
-    * so a non-deterministic batch plan cannot diverge between the two
-    * tables and a late re-read can never re-run the join against an index
-    * that already contains this batch's bands and silently lose rows.
-    * Single writer per index at a time.
+    * Failure contract: the candidate join against the big index executes
+    * exactly ONCE, eagerly, inside [[nearDupsAgainstIndex]] — its result
+    * is checkpointed BEFORE the append starts, so the probe can never
+    * observe its own append and a non-deterministic batch plan cannot
+    * diverge between the probe and the registered rows. With
+    * `update = true` the append then also runs exactly once and the
+    * RETURNED frame derives from the append's own delta files, so a late
+    * re-read can never re-run any join against an index that already
+    * contains this batch's bands and silently lose rows. A crash between
+    * the (side-effect-free) probe and the append leaves the index
+    * untouched — rerun the batch. Single writer per index at a time.
     */
   def nearDedupAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                             table: String, minEstJaccard: Double = 0.7,

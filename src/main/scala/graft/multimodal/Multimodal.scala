@@ -162,14 +162,25 @@ object Multimodal {
     * input columns; mapPartitions like [[extractFeatures]] so a heavier
     * decoder can amortize per-partition init.
     */
-  def perceptualHash(media: DataFrame): DataFrame = {
-    val outSchema = media.schema.add(StructField("phash", LongType, nullable = true))
+  def perceptualHash(media: DataFrame): DataFrame =
+    fingerprintColumn(media, "phash",
+      bytes => ImageCodec.decode(bytes).map(dhashOf))
+
+  // The one scaffold behind every perceptual fingerprint column
+  // (image dHash, audio envelope hash): append a nullable 64-bit hash,
+  // decode-or-null per row (corrupt content can never fail a task or
+  // form a sentinel mega-cluster), mapPartitions so a heavier decoder
+  // can amortize per-partition init. Keeping the null/decode contract
+  // in one place is what lets the tiers evolve together.
+  private def fingerprintColumn(media: DataFrame, hashCol: String,
+                                hash: Array[Byte] => Option[Long]): DataFrame = {
+    val outSchema = media.schema.add(StructField(hashCol, LongType, nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val cIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val h: java.lang.Long = ImageCodec.decode(r.getAs[Array[Byte]](cIdx)) match {
-          case Some(img) => java.lang.Long.valueOf(dhashOf(img))
+        val h: java.lang.Long = hash(r.getAs[Array[Byte]](cIdx)) match {
+          case Some(v) => java.lang.Long.valueOf(v)
           case None => null
         }
         Row.fromSeq(r.toSeq :+ h)
@@ -291,20 +302,9 @@ object Multimodal {
     * never a sentinel mega-cluster), mapPartitions so a heavier decoder
     * can amortize per-partition init.
     */
-  def audioHash(media: DataFrame): DataFrame = {
-    val outSchema = media.schema.add(StructField("ahash", LongType, nullable = true))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val cIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val h: java.lang.Long = AudioCodec.decode(r.getAs[Array[Byte]](cIdx)) match {
-          case Some(pcm) => java.lang.Long.valueOf(AudioCodec.fingerprint(pcm))
-          case None => null
-        }
-        Row.fromSeq(r.toSeq :+ h)
-      }
-    }(enc)
-  }
+  def audioHash(media: DataFrame): DataFrame =
+    fingerprintColumn(media, "ahash",
+      bytes => AudioCodec.decode(bytes).map(AudioCodec.fingerprint))
 
   /** Perceptual near-dedup over AUDIO content — [[dedupePerceptual]]'s
     * audio twin, riding the same shared Hamming engine

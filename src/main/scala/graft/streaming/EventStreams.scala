@@ -478,14 +478,18 @@ object EventStreams {
     * against the persisted (static, never stream-mutated) MinHash band
     * index ([[dedupeNearAgainstIndex]]), so replays of the HISTORICAL
     * corpus are dropped, where the within-stream dedup state only sees
-    * the watermark horizon. Probing runs BEFORE the within-stream dedup
-    * (replayed docs never enter the dedup state store — the same
-    * keep-state-clean rationale as decontamination-first), on the raw
-    * text (before redaction), keyed by `nearIndexIdCol` (defaults to
-    * `nearDedupIdCol`). Chaining the probe's windowed verdict into the
-    * stateful dedup stage relies on Spark's multiple-stateful-operator
-    * support in append mode. Index growth stays a batch job
-    * ([[graft.dedup.Dedup.appendToMinhashIndex]]).
+    * the watermark horizon. The probe's windowed verdict emits
+    * past-watermark rows, so it must END the stateful chain (see
+    * [[dedupeNearAgainstIndex]]): on the exact path it runs AFTER
+    * [[dedupeExact]] (replayed docs therefore DO register their hash in
+    * the dedup state until the watermark expires it — the price of the
+    * ordering constraint), keyed by `nearIndexIdCol` (required there);
+    * on the banded path it FUSES into [[dedupeNearBanded]]'s own verdict
+    * aggregation, which is keyed by `nearDedupIdCol` and windowed by the
+    * single fused verdict's `nearIndexWindowLen` — a different
+    * `nearIndexIdCol` is rejected rather than silently ignored. Probing
+    * always keys on the raw text (before redaction). Index growth stays
+    * a batch job ([[graft.dedup.Dedup.appendToMinhashIndex]]).
     */
   def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
                  langs: Set[String], minQuality: Double,
@@ -540,14 +544,22 @@ object EventStreams {
       case (None, None) => dedupeExact(decontaminated, textCol, tsCol, watermark)
       case (None, Some(t)) =>
         val id = nearIndexIdCol.getOrElse(throw new IllegalArgumentException(
-          "nearIndexTable requires nearIndexIdCol (or nearDedupIdCol)"))
+          "nearIndexTable requires nearIndexIdCol on the exact-dedup path"))
         // dedupeExact declared the watermark; the probe must not redefine it
         indexProbeVerdict(
           dedupeExact(decontaminated, textCol, tsCol, watermark),
           textCol, id, tsCol, t, nearIndexJaccard, nearIndexWindowLen)
-      case (Some(id), _) =>
+      case (Some(id), idx) =>
+        // the fused verdict can only key on the banded id column — a
+        // conflicting probe id would silently change drop semantics
+        require(nearIndexIdCol.forall(_ == id),
+          s"nearIndexIdCol=${nearIndexIdCol.get} conflicts with " +
+            s"nearDedupIdCol=$id: the fused banded+index verdict keys on one id")
+        val fusedWindow =
+          if (idx.isDefined) nearIndexWindowLen else "5 minutes"
         dedupeNearBanded(decontaminated, textCol, id, tsCol, watermark,
-          indexTable = nearIndexTable, minEstJaccard = nearIndexJaccard)
+          windowLen = fusedWindow,
+          indexTable = idx, minEstJaccard = nearIndexJaccard)
     }
     deduped.withColumn(textCol, TextOps.redactPii(col(textCol)))
   }

@@ -500,6 +500,14 @@ class StreamingMultimodalSpec extends SparkSpec {
       query.stop()
       spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
     }
+    // a probe id conflicting with the banded id is rejected, not ignored
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.curateDocs(docs, "text", "ts",
+        langs = Set("en"), minQuality = 0.5,
+        nearDedupIdCol = Some("doc_id"), nearIndexTable = Some("mhfuse_idx"),
+        nearIndexIdCol = Some("other_id"))
+    }
+    assert(e.getMessage.contains("conflicts"))
   }
 
   test("streaming curateDocs decontaminates against a benchmark map-side") {
