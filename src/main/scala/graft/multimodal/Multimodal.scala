@@ -422,16 +422,79 @@ object Multimodal {
     * two corrupt blobs are not "equal", and no evidence means no drop.
     */
   def dedupePerceptualStream(media: DataFrame, tsCol: String,
-                             watermark: String = "1 hour"): DataFrame = {
-    // single pass (one decode per row per batch): NULL fingerprints get a
-    // per-row-unique dedup key so they never match each other, instead of
-    // a second decoded branch unioned back in
-    perceptualHash(media)
+                             watermark: String = "1 hour"): DataFrame =
+    streamDedupByFingerprint(perceptualHash(media), "phash", tsCol, watermark)
+
+  /** STREAMING audio perceptual dedup — [[dedupePerceptualStream]]'s
+    * audio twin over [[audioHash]]'s envelope+brightness fingerprint:
+    * re-encoded re-posts of one clip (WAV ↔ AIFF ↔ AU) collapse across
+    * micro-batches, state stays one 8-byte hash per distinct surviving
+    * clip inside the watermark horizon, NULL fingerprints (undecodable)
+    * always pass. The hamming-radius tier stays a batch compaction
+    * ([[dedupeAudioPerceptual]]), the split every streaming tier makes.
+    */
+  def dedupeAudioPerceptualStream(media: DataFrame, tsCol: String,
+                                  watermark: String = "1 hour"): DataFrame =
+    streamDedupByFingerprint(audioHash(media), "ahash", tsCol, watermark)
+
+  /** Full n-frame dHash vector per media row, computed ROW-LOCALLY (one
+    * decode pass per row — the frame loop runs inside the function, so
+    * the streaming tier needs no per-frame explode or aggregation):
+    * appends `vhash`, the ":"-joined hex dHashes of `n` evenly-sampled
+    * frames, or NULL unless ALL n frames decode and hash (partial
+    * evidence never collapses two videos — [[dedupeVideoPerceptual]]'s
+    * exact-tier rule).
+    */
+  def videoHashVector(media: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n=$n")
+    fingerprintColumnStr(media, "vhash", { bytes =>
+      ImageCodec.frames(bytes).flatMap { case (total, frameAt) =>
+        val hs = (0 until n).map { k =>
+          val idx = if (n == 1) 0 else (k.toLong * (total - 1) / (n - 1)).toInt
+          frameAt(idx).map(img => java.lang.Long.toHexString(dhashOf(img)))
+        }
+        if (hs.forall(_.isDefined)) Some(hs.map(_.get).mkString(":")) else None
+      }
+    })
+  }
+
+  /** STREAMING video perceptual dedup — the incremental twin of
+    * [[dedupeVideoPerceptual]]'s exact tier: a multi-frame row drops when
+    * its FULL frame-hash vector ([[videoHashVector]] — so re-encodes and
+    * blocky rescales of one animation collapse, while a reordered cut
+    * keys differently and survives) was already seen inside the watermark
+    * horizon. Per-position hamming matching stays a batch compaction
+    * ([[dedupeVideoPerceptual]]); rows with NULL vectors (corrupt or
+    * partially decodable) always pass.
+    */
+  def dedupeVideoPerceptualStream(media: DataFrame, n: Int, tsCol: String,
+                                  watermark: String = "1 hour"): DataFrame =
+    streamDedupByFingerprint(videoHashVector(media, n), "vhash", tsCol, watermark)
+
+  // Shared streaming shape of the three perceptual tiers: key on the
+  // fingerprint within the watermark; NULL fingerprints get a
+  // per-row-unique key so they never match each other (single pass —
+  // one decode per row per batch, no second branch unioned back in).
+  private def streamDedupByFingerprint(hashed: DataFrame, hashCol: String,
+                                       tsCol: String,
+                                       watermark: String): DataFrame =
+    hashed
       .withWatermark(tsCol, watermark)
-      .withColumn("__dk", when(col("phash").isNull,
+      .withColumn("__dk", when(col(hashCol).isNull,
         concat(lit("n:"), col("media_id").cast("string")))
-        .otherwise(concat(lit("h:"), col("phash").cast("string"))))
+        .otherwise(concat(lit("h:"), col(hashCol).cast("string"))))
       .dropDuplicatesWithinWatermark("__dk")
-      .drop("__dk", "phash")
+      .drop("__dk", hashCol)
+
+  // string-valued twin of fingerprintColumn (the video tier's key is a
+  // joined hash vector, not a single 64-bit value)
+  private def fingerprintColumnStr(media: DataFrame, hashCol: String,
+                                   hash: Array[Byte] => Option[String]): DataFrame = {
+    val outSchema = media.schema.add(StructField(hashCol, StringType, nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val cIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ hash(r.getAs[Array[Byte]](cIdx)).orNull))
+    }(enc)
   }
 }

@@ -879,6 +879,101 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(1L, 4L, 5L), s"survivors: $out")
   }
 
+  test("multimodal: streaming audio dedup drops WAV→AIFF re-posts cross-batch") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    implicit val sqlCtx = spark.sqlContext
+    val rate = 8000
+    def clip(amp: Int => Double, freq: Double) = Array.tabulate[Short](rate) { i =>
+      (math.sin(2 * math.Pi * freq * i / rate) * 32767 * amp(i)).toInt.toShort
+    }
+    def encode(samples: Array[Short], kind: AudioFileFormat.Type, big: Boolean) = {
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val s = samples(i)
+        if (big) { raw(i * 2) = ((s >> 8) & 0xFF).toByte; raw(i * 2 + 1) = (s & 0xFF).toByte }
+        else { raw(i * 2) = (s & 0xFF).toByte; raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, big)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length), kind, bos)
+      bos.toByteArray
+    }
+    val ramp = (i: Int) => 0.9 * i / rate
+    val baseClip = clip(ramp, 440)
+    val brightClip = clip(ramp, 2500)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "ts", "content")
+    val query = Multimodal.dedupeAudioPerceptualStream(media, "ts", "1 hour")
+      .writeStream.format("memory").queryName("adedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), encode(baseClip, AudioFileFormat.Type.WAVE, big = false)),
+        (2L, ts(1), "corrupt audio one".getBytes("UTF-8")))
+      query.processAllAvailable()
+      // batch 2: an AIFF re-post of batch 1's clip (dropped — identical
+      // PCM, identical fingerprint), a different-pitch clip (kept), and a
+      // second corrupt blob (kept — nulls never match)
+      input.addData(
+        (3L, ts(2), encode(baseClip, AudioFileFormat.Type.AIFF, big = true)),
+        (4L, ts(3), encode(brightClip, AudioFileFormat.Type.WAVE, big = false)),
+        (5L, ts(4), "corrupt audio two".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val ids = spark.table("adedup_out").select("media_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L, 5L), s"survivors: $ids")
+    } finally query.stop()
+  }
+
+  test("multimodal: streaming video dedup drops rescaled re-posts, keeps reordered cuts") {
+    import javax.imageio.{IIOImage, ImageIO}
+    implicit val sqlCtx = spark.sqlContext
+    def pattern(f: (Int, Int) => Boolean, size: Int) = {
+      val bi = new java.awt.image.BufferedImage(size, size,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until size; x <- 0 until size)
+        bi.setRGB(x, y, if (f(x * 8 / size, y * 8 / size)) 0xFFFFFF else 0)
+      bi
+    }
+    val fA: (Int, Int) => Boolean = (x, _) => x < 4
+    val fB: (Int, Int) => Boolean = (x, _) => x < 2
+    val fC: (Int, Int) => Boolean = (x, _) => x < 6
+    def gif(size: Int, fs: ((Int, Int) => Boolean)*) = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- fs) writer.writeToSequence(new IIOImage(pattern(f, size), null, null), null)
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "ts", "content")
+    val query = Multimodal.dedupeVideoPerceptualStream(media, n = 3, "ts", "1 hour")
+      .writeStream.format("memory").queryName("vdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), gif(8, fA, fB, fC)),
+        (2L, ts(1), "not a gif".getBytes("UTF-8")))
+      query.processAllAvailable()
+      // batch 2: a SCALED re-encode of batch 1's animation (dropped —
+      // per-frame dHash is resample-invariant, so the full vector keys
+      // identically), a reordered cut of the same frames (kept — order is
+      // content), a second corrupt blob (kept)
+      input.addData(
+        (3L, ts(2), gif(16, fA, fB, fC)),
+        (4L, ts(3), gif(8, fC, fB, fA)),
+        (5L, ts(4), "still not a gif".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val ids = spark.table("vdedup_out").select("media_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L, 5L), s"survivors: $ids")
+    } finally query.stop()
+  }
+
   test("multimodal: real WAV decode yields duration, rate, and RMS features") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 1 second of 8 kHz mono: first half a full-scale 440 Hz tone, second
