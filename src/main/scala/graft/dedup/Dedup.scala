@@ -1072,6 +1072,78 @@ object Dedup {
     }
   }
 
+  /** Batch ids with a SEMANTIC near-dup anywhere in a persisted IVF index
+    * ([[graft.similarity.Similarity.writeIvfIndex]]) — the embedding
+    * complement of [[nearDupsAgainstIndex]]: each batch vector is
+    * assigned to its nearest PERSISTED centroid (one codegen'd
+    * NearestCentroid pass — no training, the index's build-once
+    * contract), joined against that cell's indexed vectors, and dropped
+    * when any cosine meets `threshold`. Same-cell-only matching is the
+    * SemDeDup recall trade verbatim ([[semanticDedup]]'s scaladoc): a
+    * near-pair straddling a Voronoi boundary is missed, exact-copy
+    * replays never are (identical vectors assign identically).
+    *
+    * Scale shape: the per-cell join is batch_c × index_c — bounded by
+    * the CELL, not the corpus, exactly like the within-run pairing;
+    * monitor [[graft.similarity.Similarity.ivfCellSizes]] and retrain
+    * when cells skew. Vectors do ride the cell join (the probe IS a
+    * vector comparison; there is no candidate stage to skeletonize), so
+    * this stage's shuffle is `dim × 4` bytes per batch row — the day's
+    * batch, never the index side, which is read in its cell-partitioned
+    * layout.
+    */
+  def semanticDupIdsAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
+                                 table: String, threshold: Double = 0.9): DataFrame = {
+    import graft.similarity.Similarity
+    val spark = batch.sparkSession
+    val centroids = Similarity.readIvfCentroids(spark, table)
+    val assigned = Similarity.assignToCentroids(
+      batch.select(col(idCol), col(vecCol)), vecCol, centroids,
+      centroids.head._2.length)
+    val b = assigned.select(col("cell"), col(idCol).as("__bid"),
+      col(vecCol).as("__bv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__bn"))
+    val ix = spark.table(table).select(col("cell"), col(vecCol).as("__iv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__in"))
+    b.join(ix, "cell")
+      .filter(Similarity.dot(col("__bv"), col("__iv")) /
+        (col("__bn") * col("__in")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+  }
+
+  /** Incremental SEMANTIC dedup across pipeline RUNS — the embedding
+    * member of the cross-run family (exact: [[dedupAgainstRegistry]];
+    * MinHash text: [[nearDedupAgainstIndex]]; this: embedding-cosine
+    * against [[graft.similarity.Similarity.writeIvfIndex]]'s persisted
+    * cells): drop every batch row whose embedding near-matches the
+    * indexed corpus ([[semanticDupIdsAgainstIndex]]) and — unless
+    * `update = false` — append the survivors' vectors so the NEXT run
+    * sees them ([[graft.similarity.Similarity.appendToIvfIndex]]: assign
+    * against the same persisted centroids, no retrain). An exact replay
+    * matches itself at cosine 1, so this subsumes an exact embedding
+    * registry.
+    *
+    * Failure contract: the drop set is eagerly materialized with
+    * truncated lineage BEFORE any append, so (a) the probe can never
+    * observe its own append, and (b) the returned frame — batch
+    * anti-join the fixed drop set — never re-reads the index, so a late
+    * re-read after later batches have grown it cannot lose rows. A crash
+    * between the (side-effect-free) probe and the append leaves the
+    * index untouched: rerun the batch. Single writer per index at a
+    * time; `batch` must carry `idCol` and `vecCol` (extra columns pass
+    * through the result but only (id, vec) is appended).
+    */
+  def semanticDedupAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
+                                table: String, threshold: Double = 0.9,
+                                update: Boolean = true): DataFrame = {
+    val dupIds = semanticDupIdsAgainstIndex(batch, idCol, vecCol, table,
+      threshold).localCheckpoint()
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    if (update) graft.similarity.Similarity.appendToIvfIndex(
+      fresh.select(col(idCol), col(vecCol)), idCol, vecCol, table)
+    fresh
+  }
+
   /** Per-source boilerplate-span profile — the DISCOVERY complement of
     * [[dedupSpans]]: for each (source, span), the number of the source's
     * documents containing it and the fraction of the source that is. Spans

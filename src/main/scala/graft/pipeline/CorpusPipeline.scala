@@ -149,6 +149,21 @@ object CorpusPipeline {
     *                          (estimator stderr ≈ 1/√numHashes — see
     *                          [[Dedup.nearDupsAgainstIndex]])
     * @param nearIndexUpdate   `false` = report-only for the near index
+    * @param semanticIndexTable when set (requires `embCol`), a CROSS-RUN
+    *                          semantic stage
+    *                          ([[Dedup.semanticDedupAgainstIndex]]) runs
+    *                          right after the within-run semantic stage:
+    *                          documents whose embedding cosine-matches
+    *                          anything in this persisted IVF index
+    *                          ([[graft.similarity.Similarity.writeIvfIndex]])
+    *                          are dropped, and survivors' vectors are
+    *                          appended (unless `semanticIndexUpdate =
+    *                          false`) against the same persisted
+    *                          centroids — the embedding member of the
+    *                          cross-run family, same daily contract as
+    *                          `registryTable`/`nearIndexTable`
+    * @param semanticIndexThreshold cosine threshold for that stage
+    * @param semanticIndexUpdate `false` = report-only for the semantic index
     * @param redactPii         mask emails/IPs/phones ([[TextOps.redactPii]])
     *                          in the surviving text as the LAST stage —
     *                          after dedup and split assignment, which both
@@ -192,6 +207,9 @@ object CorpusPipeline {
       nearIndexTable: Option[String] = None,
       nearIndexJaccard: Double = 0.7,
       nearIndexUpdate: Boolean = true,
+      semanticIndexTable: Option[String] = None,
+      semanticIndexThreshold: Double = 0.9,
+      semanticIndexUpdate: Boolean = true,
       redactPii: Boolean = false,
       compactEveryNFiles: Option[Int] = None)
 
@@ -207,7 +225,8 @@ object CorpusPipeline {
     cfg.compactEveryNFiles.foreach { maxFiles =>
       val spark = docs.sparkSession
       val tables = cfg.registryTable.toSeq ++
-        cfg.nearIndexTable.toSeq.flatMap(t => Seq(t, s"${t}_sigs"))
+        cfg.nearIndexTable.toSeq.flatMap(t => Seq(t, s"${t}_sigs")) ++
+        cfg.semanticIndexTable.toSeq
       tables.foreach(t =>
         graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
     }
@@ -305,22 +324,41 @@ object CorpusPipeline {
     // input) and BEFORE contamination (same reason contamination runs on
     // the smallest set). Its input is read by centroid training, the
     // assignment pass, and the anti-join base, hence the fan-out above.
+    val semanticIndexOn = cfg.semanticIndexTable.isDefined
+    require(!semanticIndexOn || semanticOn,
+      "semanticIndexTable requires embCol (the embedding column to probe with)")
     val semantic = cfg.embCol match {
       case None => spanned
       case Some(e) =>
+        // the cross-run stage reads ITS input 3× (probe assignment, the
+        // anti-join base, the append input), so it counts as a
+        // double-reader for this stage's materialization
         materialize(
           Dedup.semanticDedup(spanned, idCol, e, cfg.semanticThreshold,
             cfg.semanticCentroids, lloydIters = 1, cfg.semanticMaxCell),
+          fanOut(semanticIndexOn, benchmark.isDefined))
+    }
+
+    // cross-run semantic dedup on the within-run survivors — the
+    // embedding twin of the nearIndexTable stage (probe is eager and
+    // checkpointed before the append; see semanticDedupAgainstIndex)
+    val crossSemantic = (cfg.semanticIndexTable, cfg.embCol) match {
+      case (Some(t), Some(e)) =>
+        materialize(
+          Dedup.semanticDedupAgainstIndex(semantic, idCol, e, t,
+            cfg.semanticIndexThreshold, cfg.semanticIndexUpdate),
           fanOut(benchmark.isDefined))
+      case _ => semantic
     }
 
     val decontaminated = benchmark match {
-      case None => semantic
+      case None => crossSemantic
       case Some(b) =>
-        val dirty = Dedup.contamination(semantic, b, textCol, idCol, cfg.contaminationNgram)
+        val dirty = Dedup.contamination(crossSemantic, b, textCol, idCol,
+            cfg.contaminationNgram)
           .filter(col("n_shared") >= cfg.maxContamination)
           .select(col(idCol))
-        semantic.join(dirty, Seq(idCol), "left_anti")
+        crossSemantic.join(dirty, Seq(idCol), "left_anti")
     }
 
     val split = decontaminated.withColumn("split",

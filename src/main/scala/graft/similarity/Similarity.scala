@@ -996,8 +996,8 @@ object Similarity {
                                       dim: Int, probes: Int): DataFrame =
     query.withColumn("probe_cells", probeCellsUdf(centroids, probes)(col(vecCol)))
 
-  private def assignToCentroids(emb: DataFrame, vecCol: String,
-                                centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =
+  private[graft] def assignToCentroids(emb: DataFrame, vecCol: String,
+                                       centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =
     // argmin over the centroid matrix via the codegen'd NearestCentroid
     // kernel — k×dim primitive ops per row, no UDF boxing
     emb.withColumn("cell",

@@ -121,6 +121,48 @@ class CorpusPipelineSpec extends SparkSpec {
       "nearIndexUpdate=false must not grow the index")
   }
 
+  test("semanticIndexTable makes curate's semantic dedup incremental across runs") {
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    val idx = "curate_semidx_spec"
+    for (t <- Seq(idx, s"${idx}_centroids"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(8)(rng.nextGaussian().toFloat)
+    val indexed = vec()
+    Similarity.writeIvfIndex(
+      Seq((100L, indexed), (101L, vec())).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", idx, nCentroids = 2, lloydIters = 1, buckets = 2)
+    val cfg = CorpusPipeline.Config(minQuality = 0.0, nearDupThreshold = 1.5,
+      embCol = Some("embedding"), semanticCentroids = 2,
+      semanticIndexTable = Some(idx), semanticIndexThreshold = 0.95)
+    // day 1: a scaled twin of an INDEXED embedding (cross-run semantic
+    // replay — invisible to every text stage) is dropped; fresh survives
+    // and its vector registers for day 2
+    val freshVec = vec()
+    val day1 = Seq(
+      (1L, english + "replayed doc", indexed.map(x => x * 1.01f)),
+      (2L, english + "fresh doc", freshVec)
+    ).toDF("doc_id", "text", "embedding")
+    val out1 = CorpusPipeline.curate(day1, "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(2L), s"day 1 survivors: $out1")
+    // day 2: the day-1 survivor's embedding replays under a new id and
+    // different text — only the grown index can catch it; report-only
+    // leaves the index untouched
+    val before = spark.table(idx).count()
+    val day2 = Seq(
+      (10L, english + "same embedding new words", freshVec),
+      (11L, english + "genuinely new doc", vec())
+    ).toDF("doc_id", "text", "embedding")
+    val out2 = CorpusPipeline.curate(day2, "text", "doc_id",
+      cfg.copy(semanticIndexUpdate = false))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(11L), s"day 2 survivors: $out2")
+    assert(spark.table(idx).count() == before,
+      "semanticIndexUpdate=false must not grow the index")
+  }
+
   test("nearDupThreshold > 1.0 disables near-dedup: near dups survive, exact dups don't") {
     val docs = Seq(
       (1L, english + "one"),

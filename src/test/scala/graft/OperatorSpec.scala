@@ -180,6 +180,52 @@ class OperatorSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("semantic index: cross-run embedding dedup drops replays and grows by append") {
+    import graft.sources.Warehouse
+    for (t <- Seq("sem_xr_idx", "sem_xr_idx_centroids"))
+      Warehouse.dropTableAndLocation(spark, t)
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", "sem_xr_idx",
+      nCentroids = 4, lloydIters = 1, buckets = 2)
+    // twin of an indexed vector (scaled floats — cosine exactly 1 and the
+    // same centroid assignment); a genuinely fresh vector
+    val twin = base.filter($"vec_id" === 5L)
+      .select(lit(1005L).as("vec_id"),
+        transform($"embedding", x => x * lit(1.01f)).as("embedding"))
+    val freshVec = vec()
+    // premise: the fresh vector matches nothing indexed at the threshold
+    val baseVecs = base.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(baseVecs.map(v => cos(v._2, freshVec)).max < 0.95, "premise: fresh too close")
+    val batch = twin.unionByName(Seq((2000L, freshVec)).toDF("vec_id", "embedding"))
+    val out = Dedup.semanticDedupAgainstIndex(batch, "vec_id", "embedding",
+      "sem_xr_idx", threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(2000L), s"survivors: $out")
+    assert(spark.table("sem_xr_idx").count() == 201, "survivor not appended")
+    // next "day": an exact replay of the survivor is caught by the grown
+    // index — the cross-run contract
+    val out2 = Dedup.semanticDedupAgainstIndex(
+      Seq((3000L, freshVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "sem_xr_idx", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out2.isEmpty, s"replay survived: $out2")
+    assert(spark.table("sem_xr_idx").count() == 201)
+    // report-only: a fresh vector survives without growing the index
+    val out3 = Dedup.semanticDedupAgainstIndex(
+      Seq((4000L, vec())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "sem_xr_idx", threshold = 0.95, update = false)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out3 == Seq(4000L))
+    assert(spark.table("sem_xr_idx").count() == 201,
+      "update=false must not append")
+  }
+
   test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm windowsill and the birds sing in the garden every morning " +
