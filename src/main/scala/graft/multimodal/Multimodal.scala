@@ -409,6 +409,78 @@ object Multimodal {
       Seq("media_id"), "left_anti")
   }
 
+  /** Create an empty perceptual-fingerprint registry table for
+    * [[dedupePerceptualAgainstRegistry]] — one `phash` column, bucketed
+    * on it so every later anti-join and append co-locates without
+    * shuffling the (ever-growing) registry side; the media twin of
+    * [[graft.dedup.Dedup.createRegistry]].
+    */
+  def createPerceptualRegistry(spark: org.apache.spark.sql.SparkSession,
+                               table: String, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[Long].toDF("phash"), table, "phash", buckets)
+  }
+
+  /** Incremental EXACT-fingerprint media dedup across pipeline RUNS —
+    * the multimodal member of the cross-run family (text content hash:
+    * [[graft.dedup.Dedup.dedupAgainstRegistry]]; this: the 64-bit dHash,
+    * so re-encoded and blocky-resized re-posts of an already-ingested
+    * image are dropped, not just byte-identical ones): dedup `media`
+    * within itself (keep-min per fingerprint), drop every row whose
+    * dHash is already in the persisted registry, and (unless
+    * `update = false`) append the survivors' fingerprints so the NEXT
+    * run sees them. Rows with NULL fingerprints (undecodable) always
+    * survive and never register. The hamming-radius near tier stays the
+    * batch compaction ([[dedupePerceptual]]); this registry is the
+    * exact tier's cross-run memory, 8 bytes per distinct image ever
+    * kept.
+    *
+    * Scale shape and failure contract are the text registry's verbatim:
+    * the batch collapses map-side to one candidate per distinct
+    * fingerprint before touching the registry; the anti-join keys on a
+    * registry BUCKETED on the fingerprint (the growing side never
+    * shuffles); with `update = true` the big anti-join executes exactly
+    * once inside the append job and the returned frame derives from the
+    * append's own delta files. Single writer per registry at a time.
+    */
+  def dedupePerceptualAgainstRegistry(media: DataFrame, registryTable: String,
+                                      update: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    // one decode pass builds the (id, phash) SKELETON; content bytes
+    // never enter a fingerprint-keyed shuffle — the surviving ids are
+    // resolved on skeletons and the payload rides only the final
+    // unskewed id semi-join (the discipline of every dedup tier here)
+    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      perceptualHash(media.select(col("media_id"), col("content")))
+        .select(col("media_id"), col("phash")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nullIds = skel.filter(col("phash").isNull).select(col("media_id"))
+    // within-batch keep-min per fingerprint collapses map-side
+    val reps = skel.filter(col("phash").isNotNull)
+      .groupBy(col("phash")).agg(min(col("media_id")).as("media_id"))
+    val freshReps = reps.join(spark.table(registryTable), Seq("phash"),
+      "left_anti")
+    val keptIds =
+      if (!update) nullIds.union(freshReps.select(col("media_id")))
+      else {
+        val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+          freshReps.select(col("phash")), registryTable, "phash")
+        val registered =
+          if (delta.isEmpty) reps.filter(lit(false))
+          else reps.join(spark.read.parquet(delta: _*), Seq("phash"),
+            "left_semi")
+        nullIds.union(registered.select(col("media_id")))
+      }
+    // eager + lineage-truncated (the hammingDropIds hygiene contract):
+    // the decode skeleton releases now, and the returned frame's keep
+    // set is FIXED — late re-reads can never re-run the anti-join
+    // against a registry later batches have grown
+    val kept = keptIds.localCheckpoint()
+    skel.unpersist()
+    media.join(kept, Seq("media_id"), "left_semi")
+  }
+
   /** STREAMING perceptual dedup — the incremental twin of
     * [[dedupePerceptual]]'s exact tier, shaped like
     * [[graft.streaming.EventStreams.dedupeExact]]: a media row is dropped

@@ -728,6 +728,50 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(!out.exists(i => i > 1L && i <= 5000L), "flood member survived")
   }
 
+  test("multimodal: perceptual registry dedups re-encoded media across runs") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    def halves(lightLeft: Boolean) = Array.tabulate(8 * 8 * 3) { i =>
+      val x = (i / 3) % 8
+      (if ((x < 4) == lightLeft) 255 else 0).toByte
+    }
+    val base = PpmCodec.Image(8, 8, halves(lightLeft = false))
+    val reversed = PpmCodec.Image(8, 8, halves(lightLeft = true))
+    graft.sources.Warehouse.dropTableAndLocation(spark, "preg_test")
+    Multimodal.createPerceptualRegistry(spark, "preg_test", buckets = 4)
+    def media(rows: (Long, Array[Byte])*) = Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "image/mixed")
+    // run 1: PPM + its PNG re-encode (same fingerprint — keep-min), plus
+    // a corrupt blob (survives, never registers)
+    val out1 = Multimodal.dedupePerceptualAgainstRegistry(media(
+        1L -> PpmCodec.encode(base),
+        2L -> ImageCodec.encodePng(base),
+        3L -> "corrupt one".getBytes("UTF-8")), "preg_test")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(1L, 3L), s"run 1 survivors: $out1")
+    assert(spark.table("preg_test").count() == 1)
+    // run 2: a PNG re-post AND a blocky resize of run 1's image are both
+    // dropped by the registry (re-encode/resize are fingerprint-exact);
+    // new content registers; corrupt still passes
+    val out2 = Multimodal.dedupePerceptualAgainstRegistry(media(
+        10L -> ImageCodec.encodePng(base),
+        11L -> PpmCodec.encode(PpmCodec.resize(base, 4, 4)),
+        12L -> ImageCodec.encodePng(reversed),
+        13L -> "corrupt two".getBytes("UTF-8")), "preg_test")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(12L, 13L), s"run 2 survivors: $out2")
+    assert(spark.table("preg_test").count() == 2)
+    // report-only replay: run 2's new image is registered now, so only
+    // the (evidence-free) corrupt blob survives — and nothing grows
+    val out3 = Multimodal.dedupePerceptualAgainstRegistry(media(
+        20L -> ImageCodec.encodePng(reversed),
+        21L -> "corrupt three".getBytes("UTF-8")), "preg_test",
+        update = false)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out3 == Seq(21L), s"report-only survivors: $out3")
+    assert(spark.table("preg_test").count() == 2,
+      "update=false must not append")
+  }
+
   test("multimodal: streaming perceptual dedup drops re-encoded re-posts cross-batch") {
     import graft.multimodal.{ImageCodec, PpmCodec}
     implicit val sqlCtx = spark.sqlContext
