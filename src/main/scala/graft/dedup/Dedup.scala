@@ -1083,14 +1083,21 @@ object Dedup {
     * near-pair straddling a Voronoi boundary is missed, exact-copy
     * replays never are (identical vectors assign identically).
     *
-    * Scale shape: the per-cell join is batch_c × index_c — bounded by
-    * the CELL, not the corpus, exactly like the within-run pairing;
-    * monitor [[graft.similarity.Similarity.ivfCellSizes]] and retrain
-    * when cells skew. Vectors do ride the cell join (the probe IS a
-    * vector comparison; there is no candidate stage to skeletonize), so
-    * this stage's shuffle is `dim × 4` bytes per batch row — the day's
-    * batch, never the index side, which is read in its cell-partitioned
-    * layout.
+    * Scale shape: the per-cell comparison volume is batch_c × index_c —
+    * bounded by the CELL, not the corpus, exactly like the within-run
+    * pairing. Be honest about the join's exchanges: the index table is
+    * cell-PARTITIONED (directories) but bucketed on id, so unless the
+    * batch side broadcasts (AQE does this for small days), the cell-keyed
+    * join SHUFFLES BOTH sides — one full pass over the index per run,
+    * with parallelism bounded by the number of distinct cells. That is
+    * why `nCentroids` must follow the SemDeDup recipe (≈ √N, NOT the
+    * test-scale default 16): at 10⁸ indexed vectors and 10⁴ centroids
+    * the shuffle runs at 10⁴-way parallelism with ~10⁴-row cells, and
+    * the per-run index pass is the operator's intrinsic cost (every
+    * indexed vector in a probed cell must be compared — this is not a
+    * top-k probe with a shortlist). Monitor
+    * [[graft.similarity.Similarity.ivfCellSizes]] and retrain when cells
+    * skew.
     */
   def semanticDupIdsAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
                                  table: String, threshold: Double = 0.9): DataFrame = {
@@ -1123,11 +1130,19 @@ object Dedup {
     * matches itself at cosine 1, so this subsumes an exact embedding
     * registry.
     *
+    * Within-batch near-dups are the CALLER's composition ([[semanticDedup]]
+    * first — exactly [[nearDedupAgainstIndex]]'s contract): two mutually
+    * near rows neither of which matches the index BOTH survive here and
+    * BOTH register. curate()'s wiring runs the within-run semantic stage
+    * first for this reason.
+    *
     * Failure contract: the drop set is eagerly materialized with
-    * truncated lineage BEFORE any append, so (a) the probe can never
-    * observe its own append, and (b) the returned frame — batch
-    * anti-join the fixed drop set — never re-reads the index, so a late
-    * re-read after later batches have grown it cannot lose rows. A crash
+    * truncated lineage BEFORE any append — the probe can never observe
+    * its own append — and the SURVIVOR set is then checkpointed too, so
+    * the batch plan executes exactly once: the rows whose vectors are
+    * appended ARE the rows the returned frame holds (a non-deterministic
+    * batch cannot register a vector it never emits), and a late re-read
+    * after later batches have grown the index cannot lose rows. A crash
     * between the (side-effect-free) probe and the append leaves the
     * index untouched: rerun the batch. Single writer per index at a
     * time; `batch` must carry `idCol` and `vecCol` (extra columns pass
@@ -1138,7 +1153,7 @@ object Dedup {
                                 update: Boolean = true): DataFrame = {
     val dupIds = semanticDupIdsAgainstIndex(batch, idCol, vecCol, table,
       threshold).localCheckpoint()
-    val fresh = batch.join(dupIds, Seq(idCol), "left_anti")
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
     if (update) graft.similarity.Similarity.appendToIvfIndex(
       fresh.select(col(idCol), col(vecCol)), idCol, vecCol, table)
     fresh

@@ -163,28 +163,25 @@ object Multimodal {
     * decoder can amortize per-partition init.
     */
   def perceptualHash(media: DataFrame): DataFrame =
-    fingerprintColumn(media, "phash",
+    fingerprintColumn(media, "phash", LongType,
       bytes => ImageCodec.decode(bytes).map(dhashOf))
 
-  // The one scaffold behind every perceptual fingerprint column
-  // (image dHash, audio envelope hash): append a nullable 64-bit hash,
-  // decode-or-null per row (corrupt content can never fail a task or
-  // form a sentinel mega-cluster), mapPartitions so a heavier decoder
-  // can amortize per-partition init. Keeping the null/decode contract
-  // in one place is what lets the tiers evolve together.
+  // The one scaffold behind every perceptual fingerprint column (image
+  // dHash, audio envelope hash, video hash vector): append a nullable
+  // fingerprint of the given type, decode-or-null per row (corrupt
+  // content can never fail a task or form a sentinel mega-cluster),
+  // mapPartitions so a heavier decoder can amortize per-partition init.
+  // Keeping the null/decode contract in one place is what lets the
+  // tiers evolve together.
   private def fingerprintColumn(media: DataFrame, hashCol: String,
-                                hash: Array[Byte] => Option[Long]): DataFrame = {
-    val outSchema = media.schema.add(StructField(hashCol, LongType, nullable = true))
+                                hashType: DataType,
+                                hash: Array[Byte] => Option[Any]): DataFrame = {
+    val outSchema = media.schema.add(StructField(hashCol, hashType, nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val cIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
-      rows.map { r =>
-        val h: java.lang.Long = hash(r.getAs[Array[Byte]](cIdx)) match {
-          case Some(v) => java.lang.Long.valueOf(v)
-          case None => null
-        }
-        Row.fromSeq(r.toSeq :+ h)
-      }
+      rows.map(r =>
+        Row.fromSeq(r.toSeq :+ hash(r.getAs[Array[Byte]](cIdx)).orNull))
     }(enc)
   }
 
@@ -303,7 +300,7 @@ object Multimodal {
     * can amortize per-partition init.
     */
   def audioHash(media: DataFrame): DataFrame =
-    fingerprintColumn(media, "ahash",
+    fingerprintColumn(media, "ahash", LongType,
       bytes => AudioCodec.decode(bytes).map(AudioCodec.fingerprint))
 
   /** Perceptual near-dedup over AUDIO content — [[dedupePerceptual]]'s
@@ -519,7 +516,7 @@ object Multimodal {
     */
   def videoHashVector(media: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n=$n")
-    fingerprintColumnStr(media, "vhash", { bytes =>
+    fingerprintColumn(media, "vhash", StringType, { bytes =>
       ImageCodec.frames(bytes).flatMap { case (total, frameAt) =>
         val hs = (0 until n).map { k =>
           val idx = if (n == 1) 0 else (k.toLong * (total - 1) / (n - 1)).toInt
@@ -558,15 +555,4 @@ object Multimodal {
       .dropDuplicatesWithinWatermark("__dk")
       .drop("__dk", hashCol)
 
-  // string-valued twin of fingerprintColumn (the video tier's key is a
-  // joined hash vector, not a single 64-bit value)
-  private def fingerprintColumnStr(media: DataFrame, hashCol: String,
-                                   hash: Array[Byte] => Option[String]): DataFrame = {
-    val outSchema = media.schema.add(StructField(hashCol, StringType, nullable = true))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val cIdx = media.schema.fieldIndex("content")
-    media.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ hash(r.getAs[Array[Byte]](cIdx)).orNull))
-    }(enc)
-  }
 }

@@ -220,6 +220,12 @@ object CorpusPipeline {
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config(),
              benchmark: Option[DataFrame] = None): DataFrame = {
+    // config validation FIRST — before the compaction hook and the eager
+    // registry/index appends inside the stages: a misconfigured run must
+    // fail before it mutates any cross-run state (a batch registered but
+    // never emitted would replay as a drop forever)
+    require(cfg.semanticIndexTable.isEmpty || cfg.embCol.isDefined,
+      "semanticIndexTable requires embCol (the embedding column to probe with)")
     // ops hook: de-fragment the cross-run tables BEFORE this run touches
     // them (see Config.compactEveryNFiles for why never after)
     cfg.compactEveryNFiles.foreach { maxFiles =>
@@ -325,8 +331,6 @@ object CorpusPipeline {
     // the smallest set). Its input is read by centroid training, the
     // assignment pass, and the anti-join base, hence the fan-out above.
     val semanticIndexOn = cfg.semanticIndexTable.isDefined
-    require(!semanticIndexOn || semanticOn,
-      "semanticIndexTable requires embCol (the embedding column to probe with)")
     val semantic = cfg.embCol match {
       case None => spanned
       case Some(e) =>
