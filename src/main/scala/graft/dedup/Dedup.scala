@@ -551,15 +551,18 @@ object Dedup {
     * clustering of DISTINCT fingerprints, not a cardinality ceiling:
     * uniform corpora stay at O(1) members per bucket past 10¹⁰ codes.
     */
-  private[graft] def hammingBandPairs(sk: DataFrame, grpCols: Seq[String],
-                                      maxHamming: Int, maxBucket: Int): DataFrame = {
+  // Capped wide-prefix band rows (grpCols..., id, h, band, bucket) of a
+  // fingerprint skeleton — the shared explode of the within-run pair
+  // generator and the persisted cross-run index. The cap window sees
+  // ~40 B skeletons only.
+  private[graft] def hammingBandRows(sk: DataFrame, grpCols: Seq[String],
+                                     maxHamming: Int, maxBucket: Int): DataFrame = {
     val (d, combos) = hammingTableDesign(maxHamming)
     val tableCols = combos.zipWithIndex.map { case (combo, t) =>
       struct(lit(t).as("band"), hammingPrefix(col("h"), combo, d).as("bucket"))
     }
     val g = grpCols.map(col)
-    val bands = sk
-      .select(g ++ Seq(col("id"), col("h"),
+    sk.select(g ++ Seq(col("id"), col("h"),
         explode(array(tableCols: _*)).as("bb")): _*)
       .select(g ++ Seq(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
@@ -568,6 +571,12 @@ object Dedup {
           .orderBy(col("id"))))
       .filter(col("__rk") <= maxBucket)
       .drop("__rk")
+  }
+
+  private[graft] def hammingBandPairs(sk: DataFrame, grpCols: Seq[String],
+                                      maxHamming: Int, maxBucket: Int): DataFrame = {
+    val g = grpCols.map(col)
+    val bands = hammingBandRows(sk, grpCols, maxHamming, maxBucket)
     val left = bands.withColumnRenamed("id", "a").withColumnRenamed("h", "__ha")
     val right = bands.withColumnRenamed("id", "b").withColumnRenamed("h", "__hb")
     left.join(right, grpCols ++ Seq("band", "bucket"))
@@ -1070,6 +1079,111 @@ object Dedup {
       else batch.join(spark.read.parquet(delta: _*).select(col("id").as(idCol)),
         Seq(idCol), "left_semi")
     }
+  }
+
+  /** Materialize a persisted HAMMING INDEX over a 64-bit fingerprint
+    * skeleton `(id, h)` — the cross-run twin of the within-run hamming
+    * engine ([[hammingDropIds]]), completing the family for the
+    * fingerprint identities (SimHash text via
+    * [[simhashNearDedupAgainstIndex]], perceptual media via
+    * [[graft.multimodal.Multimodal.dedupePerceptualAgainstIndex]]): one
+    * table of capped Manku wide-prefix band rows (band, bucket, id, h),
+    * bucketed on the prefix hash so probes and appends co-locate without
+    * shuffling the (ever-growing) index side, plus a `<table>_hspec`
+    * geometry sibling (maxHamming/maxBucket — a probe or append can
+    * never band with different geometry than the build). Unlike the
+    * MinHash index there is no separate signature sibling: the 8-byte
+    * fingerprint itself rides the band rows, so verification is a
+    * `bit_count` on the joined row — no second lookup.
+    */
+  def writeHammingIndex(skeleton: DataFrame, table: String, maxHamming: Int,
+                        buckets: Int = 32, maxBucket: Int = 10000): Unit = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
+    val spark = skeleton.sparkSession
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
+        maxHamming, maxBucket),
+      table, "bucket", buckets)
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_hspec")
+    Seq((maxHamming, maxBucket)).toDF("max_hamming", "max_bucket")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hspec")
+  }
+
+  /** Append new fingerprints to a [[writeHammingIndex]] table WITHOUT
+    * rebuilding (band assignment is pure bit arithmetic — nothing to
+    * retrain): band the new skeleton under the persisted geometry,
+    * append under the table's own bucket spec, return the delta files.
+    * The write-time cap applies within the appended generation only
+    * ([[appendToMinhashIndex]]'s documented trade — here the cap guards
+    * adversarial prefix clustering, not ordinary cardinality, so
+    * cross-generation drift matters only under attack-shaped data).
+    */
+  def appendToHammingIndex(skeleton: DataFrame, table: String): Seq[String] = {
+    val spark = skeleton.sparkSession
+    val sp = spark.table(s"${table}_hspec").head()
+    graft.sources.Warehouse.appendBucketedWithDelta(
+      hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
+        sp.getInt(0), sp.getInt(1)),
+      table, "bucket")
+  }
+
+  /** Batch skeleton ids with a fingerprint within the index's Hamming
+    * radius anywhere in a persisted [[writeHammingIndex]] corpus: band
+    * the batch under the persisted geometry, join the index on
+    * (band, bucket) — skeletons only, both sides ~28 B rows, index side
+    * read in its bucketed layout — and verify `bit_count` on the joined
+    * pair. Exact replays match at distance 0, so this subsumes an exact
+    * fingerprint registry.
+    */
+  def hammingDupIdsAgainstIndex(skeleton: DataFrame, table: String): DataFrame = {
+    val spark = skeleton.sparkSession
+    val sp = spark.table(s"${table}_hspec").head()
+    val (maxHamming, maxBucket) = (sp.getInt(0), sp.getInt(1))
+    hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
+        maxHamming, maxBucket)
+      .withColumnRenamed("h", "__bh")
+      .join(spark.table(table).select(col("band"), col("bucket"),
+        col("h").as("__ih")), Seq("band", "bucket"))
+      .filter(expr("bit_count(__bh ^ __ih)") <= maxHamming)
+      .select(col("id")).distinct()
+  }
+
+  /** Incremental SimHash near-dedup across pipeline RUNS — the
+    * hamming-radius member of the cross-run family (exact:
+    * [[dedupAgainstRegistry]]; MinHash: [[nearDedupAgainstIndex]];
+    * embeddings: [[semanticDedupAgainstIndex]]; this: SimHash distance,
+    * catching the small-mutation replays whose shingle sets MinHash also
+    * sees but at 1/64th the per-doc index bytes): drop every batch doc
+    * whose SimHash is within the index's radius of anything already
+    * ingested, and (unless `update = false`) append the survivors'
+    * fingerprints so the NEXT run sees them. Null-text rows always
+    * survive and never register.
+    *
+    * Failure contract (the semantic twin's, verbatim): the drop set is
+    * eagerly checkpointed, the SURVIVOR rows are checkpointed next, and
+    * the registered fingerprints are computed FROM those checkpointed
+    * survivors — the rows whose fingerprints register ARE the rows the
+    * caller receives, a non-deterministic batch cannot register a
+    * fingerprint it never emits, the probe cannot observe its own
+    * append, and late re-reads cannot lose rows. Single writer per
+    * index at a time.
+    */
+  def simhashNearDedupAgainstIndex(df: DataFrame, textCol: String,
+                                   idCol: String, table: String,
+                                   update: Boolean = true): DataFrame = {
+    val dupIds = hammingDupIdsAgainstIndex(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
+      table).localCheckpoint()
+    val survivors = df.join(dupIds.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti").localCheckpoint()
+    if (update) appendToHammingIndex(
+      survivors.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
+      table)
+    survivors
   }
 
   /** Batch ids with a SEMANTIC near-dup anywhere in a persisted IVF index

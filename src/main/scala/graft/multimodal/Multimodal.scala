@@ -478,6 +478,37 @@ object Multimodal {
     media.join(kept, Seq("media_id"), "left_semi")
   }
 
+  /** Incremental perceptual NEAR-dedup across pipeline RUNS — the media
+    * face of the persisted hamming index
+    * ([[graft.dedup.Dedup.writeHammingIndex]] over dHash fingerprints),
+    * where [[dedupePerceptualAgainstRegistry]] only catches
+    * fingerprint-EXACT replays (re-encodes, blocky resizes): a batch
+    * image within the index's Hamming radius of anything already
+    * ingested — non-blocky rescales, small crops/edits landing a few
+    * bits away — is dropped, and survivors' fingerprints append for the
+    * next run. Undecodable rows always survive and never register.
+    * Build the index once with `writeHammingIndex(skel, table,
+    * maxHamming)` over the historical corpus's (media_id, phash)
+    * skeleton; same failure contract as
+    * [[graft.dedup.Dedup.simhashNearDedupAgainstIndex]] (drop set and
+    * survivors checkpointed, fingerprints registered from the emitted
+    * survivors).
+    */
+  def dedupePerceptualAgainstIndex(media: DataFrame, table: String,
+                                   update: Boolean = true): DataFrame = {
+    import graft.dedup.Dedup
+    def skelOf(m: DataFrame) =
+      perceptualHash(m.select(col("media_id"), col("content")))
+        .select(col("media_id").as("id"), col("phash").as("h"))
+        .where(col("h").isNotNull)
+    val dupIds = Dedup.hammingDupIdsAgainstIndex(skelOf(media), table)
+      .localCheckpoint()
+    val survivors = media.join(dupIds.withColumnRenamed("id", "media_id"),
+      Seq("media_id"), "left_anti").localCheckpoint()
+    if (update) Dedup.appendToHammingIndex(skelOf(survivors), table)
+    survivors
+  }
+
   /** STREAMING perceptual dedup — the incremental twin of
     * [[dedupePerceptual]]'s exact tier, shaped like
     * [[graft.streaming.EventStreams.dedupeExact]]: a media row is dropped

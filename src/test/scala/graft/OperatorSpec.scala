@@ -180,6 +180,57 @@ class OperatorSpec extends SparkSpec {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("hamming index: cross-run SimHash dedup drops mutated replays and grows by append") {
+    import graft.sources.Warehouse
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps on the warm windowsill and the birds sing in the garden " +
+      "every morning as the sun rises over the quiet town for everyone"
+    val mutated = base.replace("windowsill", "doorstep") // few bits flip
+    val distinct1 = "an entirely different document about distributed query " +
+      "engines and their optimizers planning joins over columnar storage " +
+      "layouts for modern large scale analytics workloads in production"
+    // pin the premise on raw signatures
+    val sigs = Seq(base, mutated, distinct1).map(t =>
+      Seq((0L, t)).toDF("id", "t").select(Dedup.simhash($"t")).as[Long].head())
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sigs(0), sigs(1)) > 0 && dist(sigs(0), sigs(1)) <= 6)
+    assert(dist(sigs(0), sigs(2)) > 6 && dist(sigs(1), sigs(2)) > 6)
+    for (t <- Seq("ham_idx", "ham_idx_hspec"))
+      Warehouse.dropTableAndLocation(spark, t)
+    // day 0: index the historical corpus
+    Dedup.writeHammingIndex(
+      Seq((100L, base)).toDF("doc_id", "text")
+        .select($"doc_id".as("id"), Dedup.simhash($"text").as("h")),
+      "ham_idx", maxHamming = 6, buckets = 4)
+    // day 1: a MUTATED replay (exact registries can't see it) is dropped;
+    // fresh and null-text docs survive; survivors' fingerprints register
+    val day1 = Seq((1L, mutated), (2L, distinct1),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out1 = Dedup.simhashNearDedupAgainstIndex(day1, "text", "doc_id",
+        "ham_idx")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(2L, 3L), s"day 1 survivors: $out1")
+    // day 2: a mutation OF DAY 1's survivor is caught by the grown index
+    val day2 = Seq((10L, distinct1.replace("planning", "scheduling")))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.simhashNearDedupAgainstIndex(day2, "text", "doc_id",
+        "ham_idx")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out2.isEmpty, s"day 2 survivors: $out2")
+    // report-only: a fresh doc survives without growing the index
+    val before = spark.table("ham_idx").count()
+    val out3 = Dedup.simhashNearDedupAgainstIndex(
+      Seq((20L, "a completely new story about bread baking with flour " +
+        "water salt and patience in a hot oven every sunday morning for " +
+        "the neighbors who gather around the old communal village table"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", "ham_idx", update = false)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out3 == Seq(20L))
+    assert(spark.table("ham_idx").count() == before,
+      "update=false must not append")
+  }
+
   test("semantic index: cross-run embedding dedup drops replays and grows by append") {
     import graft.sources.Warehouse
     for (t <- Seq("sem_xr_idx", "sem_xr_idx_centroids"))

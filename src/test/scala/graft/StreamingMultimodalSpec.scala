@@ -772,6 +772,44 @@ class StreamingMultimodalSpec extends SparkSpec {
       "update=false must not append")
   }
 
+  test("multimodal: perceptual hamming index dedups NEAR replays across runs") {
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    import graft.dedup.Dedup
+    def halves(lightLeft: Boolean) = Array.tabulate(8 * 8 * 3) { i =>
+      val x = (i / 3) % 8
+      (if ((x < 4) == lightLeft) 255 else 0).toByte
+    }
+    val base = PpmCodec.Image(8, 8, halves(lightLeft = false))
+    // near replay: one corner pixel flipped — 1 dHash bit (pinned in the
+    // batch perceptual spec); far outside: the reversed gradient
+    val nearRgb = halves(lightLeft = false)
+    nearRgb(0) = 255.toByte; nearRgb(1) = 255.toByte; nearRgb(2) = 255.toByte
+    val near = PpmCodec.Image(8, 8, nearRgb)
+    val reversed = PpmCodec.Image(8, 8, halves(lightLeft = true))
+    for (t <- Seq("pham_idx", "pham_idx_hspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    def media(rows: (Long, Array[Byte])*) = Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "image/mixed")
+    // day 0: index the historical image corpus's fingerprints
+    Dedup.writeHammingIndex(
+      Multimodal.perceptualHash(media(100L -> PpmCodec.encode(base)))
+        .select($"media_id".as("id"), $"phash".as("h")),
+      "pham_idx", maxHamming = 4, buckets = 4)
+    // run 1: the 1-bit NEAR replay (the exact-fingerprint registry would
+    // miss it) drops; new content + corrupt survive, survivor registers
+    val out1 = Multimodal.dedupePerceptualAgainstIndex(media(
+        1L -> PpmCodec.encode(near),
+        2L -> ImageCodec.encodePng(reversed),
+        3L -> "corrupt blob".getBytes("UTF-8")), "pham_idx")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(2L, 3L), s"run 1 survivors: $out1")
+    // run 2: a re-encode of run 1's survivor is caught by the grown index
+    val out2 = Multimodal.dedupePerceptualAgainstIndex(media(
+        10L -> PpmCodec.encode(reversed)), "pham_idx", update = false)
+      .select("media_id").as[Long].collect().toSeq
+    assert(out2.isEmpty, s"run 2 survivors: $out2")
+  }
+
   test("multimodal: streaming perceptual dedup drops re-encoded re-posts cross-batch") {
     import graft.multimodal.{ImageCodec, PpmCodec}
     implicit val sqlCtx = spark.sqlContext
