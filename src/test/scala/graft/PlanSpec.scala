@@ -168,6 +168,64 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hamming band self-join reuses the cap window's exchange (one shuffle, skeletons only)") {
+    // the within-run engine's claim: banded rows are exchanged ONCE — the
+    // cap window's (band, bucket) shuffle — and the self-join's second
+    // side is a ReusedExchange of it; no exchange carries text
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val sk = (1L to 50L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "h")
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      Dedup.hammingBandPairs(sk, Nil, maxHamming = 3, maxBucket = 1000)
+        .queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+    assert(p.contains("ReusedExchange"),
+      s"band self-join re-shuffles instead of reusing the window exchange:\n$p")
+  }
+
+  test("hamming index probe shuffles fingerprint skeletons, never text or content") {
+    // L37's skewable stage is the (band, bucket) join against the
+    // persisted hamming index: its exchanges may carry the 8-byte
+    // fingerprint (it IS the verify payload) but never the document text
+    // or media content — those ride only the final unskewed id anti-join
+    import graft.dedup.Dedup
+    import spark.implicits._
+    for (t <- Seq("ham_guard", "ham_guard_hspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeHammingIndex(
+      Seq((1L, 0x0123456789abcdefL)).toDF("id", "h"),
+      "ham_guard", maxHamming = 3, buckets = 4)
+    val batch = Seq((10L, "a batch document with enough words to sign here"))
+      .toDF("doc_id", "text")
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      Dedup.hammingDupIdsAgainstIndex(
+          batch.select($"doc_id".as("id"), Dedup.simhash($"text").as("h")),
+          "ham_guard")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+    var sawBandExchange = false
+    for (b <- p.split("\\n\\s*\\(\\d+\\) ") if b.startsWith("Exchange")) {
+      assert(!b.contains("text") && !b.contains("content"),
+        s"an exchange carries payload:\n$b")
+      if (b.contains("bucket")) sawBandExchange = true
+    }
+    assert(sawBandExchange, s"expected a (band, bucket)-keyed exchange in:\n$p")
+  }
+
   test("near-index candidate join shuffles band skeletons, never text or signatures") {
     // L33's skewable stage is the (band, bucket) join: its exchanges must
     // carry (id, band, bucket) skeletons only. The batch text feeds the
