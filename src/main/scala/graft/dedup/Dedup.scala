@@ -535,26 +535,18 @@ object Dedup {
         .bitwiseOR(shiftrightunsigned(h, lo).bitwiseAND(lit(mask)))
     }
 
-  /** Verified Hamming-radius pairs over a fingerprint skeleton
-    * `(grpCols..., id, h)`: explode each row into [[hammingTableDesign]]'s
-    * wide-prefix tables, self-join on (grpCols, table, prefix), verify
-    * `bit_count(a ^ b) <= maxHamming`. Returns distinct
-    * (grpCols..., a, b) with a < b — dist-0 pairs included, so callers
-    * that pre-collapse identical fingerprints (the drop-set engine) see
-    * only near pairs, while per-group callers (the video frame tier,
-    * which must count exact frame matches too) see both.
-    *
-    * Scale shape: the cap window and the self-join see
-    * (grp, id, h, band, bucket) SKELETONS only (~40 B); each (grp, band,
-    * bucket) is capped to its `maxBucket` min-id members before the join.
-    * With ~32-bit prefixes the cap is a guard against adversarial
+  /** Capped wide-prefix band rows (grpCols..., id, h, band, bucket) of a
+    * fingerprint skeleton — the shared explode of the within-run pair
+    * generator ([[hammingBandPairs]]) and the persisted cross-run index
+    * ([[writeHammingIndex]]). Each (grp, band, bucket) is capped to its
+    * `maxBucket` min-id members; the cap window sees ~40 B skeletons
+    * only. With ~32-bit prefixes the cap is a guard against adversarial
     * clustering of DISTINCT fingerprints, not a cardinality ceiling:
-    * uniform corpora stay at O(1) members per bucket past 10¹⁰ codes.
+    * uniform corpora stay at O(1) members per bucket past 10¹⁰ codes —
+    * but identical fingerprints all land in the same buckets in EVERY
+    * band, so callers must collapse to distinct fingerprints first or
+    * over-cap duplicates silently lose their band rows.
     */
-  // Capped wide-prefix band rows (grpCols..., id, h, band, bucket) of a
-  // fingerprint skeleton — the shared explode of the within-run pair
-  // generator and the persisted cross-run index. The cap window sees
-  // ~40 B skeletons only.
   private[graft] def hammingBandRows(sk: DataFrame, grpCols: Seq[String],
                                      maxHamming: Int, maxBucket: Int): DataFrame = {
     val (d, combos) = hammingTableDesign(maxHamming)
@@ -573,6 +565,16 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Verified Hamming-radius pairs over a fingerprint skeleton
+    * `(grpCols..., id, h)`: explode each row into [[hammingTableDesign]]'s
+    * wide-prefix tables ([[hammingBandRows]]), self-join on
+    * (grpCols, table, prefix), verify `bit_count(a ^ b) <= maxHamming`.
+    * Returns distinct (grpCols..., a, b) with a < b — dist-0 pairs
+    * included, so callers that pre-collapse identical fingerprints (the
+    * drop-set engine) see only near pairs, while per-group callers (the
+    * video frame tier, which must count exact frame matches too) see
+    * both.
+    */
   private[graft] def hammingBandPairs(sk: DataFrame, grpCols: Seq[String],
                                       maxHamming: Int, maxBucket: Int): DataFrame = {
     val g = grpCols.map(col)
@@ -895,9 +897,13 @@ object Dedup {
     // (two independent jobs over the same lazy plan would run it twice —
     // the measured ~2× the candidate-stage scaladoc warns about)
     graft.sources.Warehouse.writeBucketed(sigs, s"${table}_sigs", "id", buckets)
-    graft.sources.Warehouse.writeBucketed(
+    // composite (band, bucket) bucketing: the probe joins on exactly that
+    // key set, so the scan co-locates and the ever-growing index side is
+    // never re-shuffled (bucketing on the prefix alone is incompatible
+    // with the two-key join and forces a full index shuffle every probe)
+    graft.sources.Warehouse.writeBucketedMulti(
       bandRowsCapped(spark.table(s"${table}_sigs"), bands, maxBucket),
-      table, "bucket", buckets)
+      table, Seq("band", "bucket"), buckets)
     graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_mhspec")
     Seq((k, numHashes, bands, maxBucket))
       .toDF("k", "num_hashes", "bands", "max_bucket")
@@ -950,10 +956,10 @@ object Dedup {
     val delta = graft.sources.Warehouse.appendBucketedWithDelta(
       sigs, s"${table}_sigs", "id")
     if (delta.nonEmpty)
-      graft.sources.Warehouse.alignBuckets(
+      graft.sources.Warehouse.alignBucketsMulti(
           bandRowsCapped(spark.read.parquet(delta: _*), bands, maxBucket),
-          "bucket", buckets)
-        .write.bucketBy(buckets, "bucket").sortBy("bucket")
+          Seq("band", "bucket"), buckets)
+        .write.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
         .mode("append").format("parquet").saveAsTable(table)
     delta
   }
@@ -1095,16 +1101,26 @@ object Dedup {
     * MinHash index there is no separate signature sibling: the 8-byte
     * fingerprint itself rides the band rows, so verification is a
     * `bit_count` on the joined row — no second lookup.
+    *
+    * The table is bucketed on the COMPOSITE (band, bucket) key — the
+    * probe's join key — so the scan's HashPartitioning matches the join
+    * exactly and only the day's batch shuffles; bucketing on the prefix
+    * alone would leave the scan incompatible with the (band, bucket)
+    * join and re-shuffle the whole accumulated index every probe.
+    * NULL fingerprints (undecodable media) are excluded: the probe and
+    * append paths never carry them, and banding them would pile every
+    * null row of the corpus into d `(band, NULL)` window partitions.
     */
   def writeHammingIndex(skeleton: DataFrame, table: String, maxHamming: Int,
                         buckets: Int = 32, maxBucket: Int = 10000): Unit = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
     val spark = skeleton.sparkSession
     import spark.implicits._
-    graft.sources.Warehouse.writeBucketed(
-      hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
+    graft.sources.Warehouse.writeBucketedMulti(
+      hammingBandRows(
+        skeleton.select(col("id"), col("h")).where(col("h").isNotNull), Nil,
         maxHamming, maxBucket),
-      table, "bucket", buckets)
+      table, Seq("band", "bucket"), buckets)
     graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_hspec")
     Seq((maxHamming, maxBucket)).toDF("max_hamming", "max_bucket")
       .coalesce(1)
@@ -1123,30 +1139,42 @@ object Dedup {
   def appendToHammingIndex(skeleton: DataFrame, table: String): Seq[String] = {
     val spark = skeleton.sparkSession
     val sp = spark.table(s"${table}_hspec").head()
-    graft.sources.Warehouse.appendBucketedWithDelta(
-      hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
+    graft.sources.Warehouse.appendBucketedWithDeltaMulti(
+      hammingBandRows(
+        skeleton.select(col("id"), col("h")).where(col("h").isNotNull), Nil,
         sp.getInt(0), sp.getInt(1)),
-      table, "bucket")
+      table, Seq("band", "bucket"))
   }
 
   /** Batch skeleton ids with a fingerprint within the index's Hamming
-    * radius anywhere in a persisted [[writeHammingIndex]] corpus: band
-    * the batch under the persisted geometry, join the index on
-    * (band, bucket) — skeletons only, both sides ~28 B rows, index side
-    * read in its bucketed layout — and verify `bit_count` on the joined
-    * pair. Exact replays match at distance 0, so this subsumes an exact
+    * radius anywhere in a persisted [[writeHammingIndex]] corpus. The
+    * verdict is a pure function of the FINGERPRINT, so the probe runs
+    * over the batch's DISTINCT fingerprints — a flood of identical
+    * codes (the exact-dup case the cap window would otherwise truncate,
+    * losing over-cap ids) collapses to ONE probe row before banding,
+    * and the per-fingerprint verdict fans back out to every carrying id
+    * with an unskewed 8-byte semi-join. The banded probe joins the
+    * index on (band, bucket) — skeletons only, both sides ~28 B rows,
+    * the index read in its composite-bucketed layout with no exchange
+    * on the index side — and verifies `bit_count` on the joined pair.
+    * Exact replays match at distance 0, so this subsumes an exact
     * fingerprint registry.
     */
   def hammingDupIdsAgainstIndex(skeleton: DataFrame, table: String): DataFrame = {
     val spark = skeleton.sparkSession
     val sp = spark.table(s"${table}_hspec").head()
     val (maxHamming, maxBucket) = (sp.getInt(0), sp.getInt(1))
-    hammingBandRows(skeleton.select(col("id"), col("h")), Nil,
-        maxHamming, maxBucket)
+    val distinctH = skeleton.select(col("h")).where(col("h").isNotNull)
+      .distinct()
+    val dupH = hammingBandRows(distinctH.select(col("h").as("id"), col("h")),
+        Nil, maxHamming, maxBucket)
       .withColumnRenamed("h", "__bh")
       .join(spark.table(table).select(col("band"), col("bucket"),
         col("h").as("__ih")), Seq("band", "bucket"))
       .filter(expr("bit_count(__bh ^ __ih)") <= maxHamming)
+      .select(col("__bh").as("h")).distinct()
+    skeleton.select(col("id"), col("h"))
+      .join(dupH, Seq("h"), "left_semi")
       .select(col("id")).distinct()
   }
 
@@ -1161,28 +1189,30 @@ object Dedup {
     * fingerprints so the NEXT run sees them. Null-text rows always
     * survive and never register.
     *
-    * Failure contract (the semantic twin's, verbatim): the drop set is
-    * eagerly checkpointed, the SURVIVOR rows are checkpointed next, and
-    * the registered fingerprints are computed FROM those checkpointed
-    * survivors — the rows whose fingerprints register ARE the rows the
-    * caller receives, a non-deterministic batch cannot register a
-    * fingerprint it never emits, the probe cannot observe its own
-    * append, and late re-reads cannot lose rows. Single writer per
-    * index at a time.
+    * Failure contract (the semantic twin's, verbatim): the signature
+    * skeleton is computed ONCE (persisted — the dominant tokenize+hash
+    * pass never runs twice, the [[writeMinhashIndex]] discipline), the
+    * drop set is eagerly checkpointed from it, the SURVIVOR rows are
+    * checkpointed next, and the registered fingerprints are that same
+    * skeleton minus the drop set — exactly the fingerprints the probe
+    * used for the rows the caller receives, so a non-deterministic
+    * batch cannot register a fingerprint it never emits, the probe
+    * cannot observe its own append, and late re-reads cannot lose rows.
+    * Single writer per index at a time.
     */
   def simhashNearDedupAgainstIndex(df: DataFrame, textCol: String,
                                    idCol: String, table: String,
                                    update: Boolean = true): DataFrame = {
-    val dupIds = hammingDupIdsAgainstIndex(
+    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
-      table).localCheckpoint()
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = hammingDupIdsAgainstIndex(skel, table).localCheckpoint()
     val survivors = df.join(dupIds.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti").localCheckpoint()
     if (update) appendToHammingIndex(
-      survivors.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
-      table)
+      skel.join(dupIds, Seq("id"), "left_anti"), table)
+    skel.unpersist()
     survivors
   }
 

@@ -490,22 +490,27 @@ object Multimodal {
     * Build the index once with `writeHammingIndex(skel, table,
     * maxHamming)` over the historical corpus's (media_id, phash)
     * skeleton; same failure contract as
-    * [[graft.dedup.Dedup.simhashNearDedupAgainstIndex]] (drop set and
-    * survivors checkpointed, fingerprints registered from the emitted
-    * survivors).
+    * [[graft.dedup.Dedup.simhashNearDedupAgainstIndex]] (ONE decode
+    * pass builds a persisted (id, phash) skeleton feeding both the
+    * probe and the append — the registered fingerprints are that
+    * skeleton minus the drop set, exactly the fingerprints of the rows
+    * the caller receives).
     */
   def dedupePerceptualAgainstIndex(media: DataFrame, table: String,
                                    update: Boolean = true): DataFrame = {
     import graft.dedup.Dedup
-    def skelOf(m: DataFrame) =
-      perceptualHash(m.select(col("media_id"), col("content")))
+    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      perceptualHash(media.select(col("media_id"), col("content")))
         .select(col("media_id").as("id"), col("phash").as("h"))
-        .where(col("h").isNotNull)
-    val dupIds = Dedup.hammingDupIdsAgainstIndex(skelOf(media), table)
+        .where(col("h").isNotNull),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = Dedup.hammingDupIdsAgainstIndex(skel, table)
       .localCheckpoint()
     val survivors = media.join(dupIds.withColumnRenamed("id", "media_id"),
       Seq("media_id"), "left_anti").localCheckpoint()
-    if (update) Dedup.appendToHammingIndex(skelOf(survivors), table)
+    if (update) Dedup.appendToHammingIndex(
+      skel.join(dupIds, Seq("id"), "left_anti"), table)
+    skel.unpersist()
     survivors
   }
 

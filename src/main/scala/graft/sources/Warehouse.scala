@@ -14,15 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Warehouse {
 
   // The bucket-id expression Spark's bucketed writer uses: pmod of the
-  // same Murmur3 hash `hash()` exposes. Repartitioning on it co-locates
-  // each bucket's rows in ONE task, so a bucketed write emits exactly one
-  // file per bucket (per partition directory) instead of one per
-  // bucket×task — without it, a 32-task build of a 256-cell × 8-bucket
-  // index writes ~65k ~KB files whose parquet footers outweigh the data
-  // and whose open cost dominates every probe.
-  private def bucketIdExpr(key: String, buckets: Int) =
+  // same Murmur3 hash `hash()` exposes (over ALL bucket columns, in spec
+  // order). Repartitioning on it co-locates each bucket's rows in ONE
+  // task, so a bucketed write emits exactly one file per bucket (per
+  // partition directory) instead of one per bucket×task — without it, a
+  // 32-task build of a 256-cell × 8-bucket index writes ~65k ~KB files
+  // whose parquet footers outweigh the data and whose open cost
+  // dominates every probe.
+  private def bucketIdExpr(keys: Seq[String], buckets: Int) =
     org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col(key)),
+      org.apache.spark.sql.functions.hash(
+        keys.map(org.apache.spark.sql.functions.col): _*),
       org.apache.spark.sql.functions.lit(buckets))
 
   /** Repartition so each (partition dir, bucket) lands in exactly one
@@ -32,28 +34,55 @@ object Warehouse {
     */
   def alignBuckets(df: DataFrame, key: String, buckets: Int,
                    partitionCols: String*): DataFrame =
+    alignBucketsMulti(df, Seq(key), buckets, partitionCols: _*)
+
+  /** [[alignBuckets]] for a COMPOSITE bucket key (Spark buckets on the
+    * Murmur3 hash of all bucket columns together).
+    */
+  def alignBucketsMulti(df: DataFrame, keys: Seq[String], buckets: Int,
+                        partitionCols: String*): DataFrame =
     df.repartition(partitionCols.map(org.apache.spark.sql.functions.col) :+
-      bucketIdExpr(key, buckets): _*)
+      bucketIdExpr(keys, buckets): _*)
 
   /** Write as a bucketed, per-bucket-sorted managed table — one file per
     * bucket ([[alignBuckets]]; size `buckets` for the cluster's
-    * parallelism, as any bucketed layout already requires).
+    * parallelism, as any bucketed layout already requires). Any existing
+    * table AND its directory are dropped first ([[dropTableAndLocation]]):
+    * the in-memory catalog does not survive a JVM restart but the managed
+    * directory does, so a rebuild from a fresh session would otherwise
+    * fail with LOCATION_ALREADY_EXISTS on the stale directory.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    alignBuckets(df, key, buckets)
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** [[writeBucketed]] with a COMPOSITE bucket key: the scan then
+    * advertises HashPartitioning over ALL the key columns, so a join
+    * keyed on exactly that column set co-locates with NO exchange on the
+    * table side — the layout for band-style indexes probed on
+    * (band, bucket), where bucketing on one column alone would leave the
+    * scan's partitioning incompatible with the join and force a full
+    * re-shuffle of the ever-growing index every probe.
+    */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
+    alignBucketsMulti(df, keys, buckets)
       .write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Write bucketed and additionally partitioned by a (low-cardinality)
     * partition column — pruning + co-location together, one file per
-    * (partition dir, bucket).
+    * (partition dir, bucket). Drops any stale table/directory first
+    * ([[writeBucketed]]'s fresh-JVM rebuild contract).
     */
   def writeBucketedPartitioned(df: DataFrame, table: String, partitionCol: String,
-                               key: String, buckets: Int): Unit =
+                               key: String, buckets: Int): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
     alignBuckets(df, key, buckets, partitionCol)
       .write
       .partitionBy(partitionCol)
@@ -62,6 +91,7 @@ object Warehouse {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Append rows to a bucketed table under its own catalog spec and
     * return the append's OWN delta files (snapshot-diff of the table
@@ -73,7 +103,14 @@ object Warehouse {
     * table at a time (concurrent appends would interleave snapshots).
     */
   def appendBucketedWithDelta(df: DataFrame, table: String,
-                              key: String): Seq[String] = {
+                              key: String): Seq[String] =
+    appendBucketedWithDeltaMulti(df, table, Seq(key))
+
+  /** [[appendBucketedWithDelta]] for a COMPOSITE bucket key
+    * ([[writeBucketedMulti]] tables).
+    */
+  def appendBucketedWithDeltaMulti(df: DataFrame, table: String,
+                                   keys: Seq[String]): Seq[String] = {
     val spark = df.sparkSession
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -91,10 +128,10 @@ object Warehouse {
     def partFiles(): Set[String] =
       fs.listStatus(loc).map(_.getPath.toString).filter(_.contains("part-")).toSet
     val before = partFiles()
-    alignBuckets(df, key, buckets)
+    alignBucketsMulti(df, keys, buckets)
       .write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .mode("append")
       .format("parquet")
       .saveAsTable(table)
@@ -177,7 +214,7 @@ object Warehouse {
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compact($table): not a bucketed table — nothing to co-locate"))
-    val key = spec.bucketColumnNames.head
+    val keys = spec.bucketColumnNames
     val parts = meta.partitionColumnNames
     val staging = table + "__compacting"
     dropTableAndLocation(spark, staging)
@@ -192,10 +229,11 @@ object Warehouse {
     val raw = spark.read.schema(spark.table(table).schema)
       .parquet(meta.location.toString)
     val w0 = raw
-      .repartition(spec.numBuckets, org.apache.spark.sql.functions.col(key))
+      .repartition(spec.numBuckets,
+        keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").format("parquet")
     val w1 = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
-    val w2 = w1.bucketBy(spec.numBuckets, key)
+    val w2 = w1.bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
     (spec.sortColumnNames match {
       case Seq() => w2
       case s => w2.sortBy(s.head, s.tail: _*)

@@ -231,6 +231,24 @@ class OperatorSpec extends SparkSpec {
       "update=false must not append")
   }
 
+  test("hamming index probe catches every id of an over-cap fingerprint flood") {
+    // identical fingerprints land in the same buckets in EVERY band, so a
+    // probe that banded raw (id, h) rows would cap away all but maxBucket
+    // of a flood and falsely report the rest fresh; the probe must
+    // collapse to distinct fingerprints first and fan the verdict back
+    import graft.sources.Warehouse
+    for (t <- Seq("ham_cap", "ham_cap_hspec"))
+      Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeHammingIndex(Seq((1L, 42L)).toDF("id", "h"),
+      "ham_cap", maxHamming = 3, buckets = 4, maxBucket = 5)
+    val flood = (10L until 30L).map(i => (i, 42L)) :+ ((99L, -1L))
+    val dups = Dedup.hammingDupIdsAgainstIndex(
+        flood.toDF("id", "h"), "ham_cap")
+      .as[Long].collect().sorted.toSeq
+    assert(dups == (10L until 30L).toSeq,
+      s"over-cap flood ids lost or spurious: $dups")
+  }
+
   test("semantic index: cross-run embedding dedup drops replays and grows by append") {
     import graft.sources.Warehouse
     for (t <- Seq("sem_xr_idx", "sem_xr_idx_centroids"))

@@ -15,6 +15,38 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
 
+  /** The persisted-index co-location claim, asserted on the plan object:
+    * the scan of the (ever-growing) table is bucketed and NO shuffle
+    * exchange sits anywhere above it — only the day's batch moves.
+    */
+  private def assertIndexSideUnshuffled(
+      plan: org.apache.spark.sql.execution.SparkPlan, pathFrag: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def isIdxScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(pathFrag))
+      case _ => false
+    }
+    def isJoin(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]
+    val scans = plan.collect { case p if isIdxScan(p) => p }
+    assert(scans.nonEmpty, s"index scan $pathFrag not found:\n$plan")
+    assert(scans.forall { case f: FileSourceScanExec => f.bucketedScan },
+      s"index scan $pathFrag is not bucketed:\n$plan")
+    // a shuffle of the (small) post-join result is fine; a shuffle whose
+    // subtree reaches the scan WITHOUT passing a join re-shuffles the
+    // index rows themselves — the cost the bucketed layout exists to avoid
+    val shuffled = plan.collect {
+      case s: ShuffleExchangeExec if {
+        def reachesScanUnjoined(p: SparkPlan): Boolean =
+          isIdxScan(p) || (!isJoin(p) && p.children.exists(reachesScanUnjoined))
+        s.children.exists(reachesScanUnjoined)
+      } => s
+    }
+    assert(shuffled.isEmpty, s"the $pathFrag index side is shuffled:\n$plan")
+  }
+
   test("q02 pushes every predicate into the parquet scan and prunes columns") {
     val p = executedPlan("q02_filter_project")
     assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
@@ -208,11 +240,13 @@ class PlanSpec extends SparkSpec {
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val p = try {
-      Dedup.hammingDupIdsAgainstIndex(
+    val (p, planObj) = try {
+      val qe = Dedup.hammingDupIdsAgainstIndex(
           batch.select($"doc_id".as("id"), Dedup.simhash($"text").as("h")),
           "ham_guard")
-        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+        .queryExecution
+      (qe.explainString(org.apache.spark.sql.execution.FormattedMode),
+        qe.executedPlan)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
@@ -224,6 +258,8 @@ class PlanSpec extends SparkSpec {
       if (b.contains("bucket")) sawBandExchange = true
     }
     assert(sawBandExchange, s"expected a (band, bucket)-keyed exchange in:\n$p")
+    // the composite-bucketed co-location claim: only the batch shuffles
+    assertIndexSideUnshuffled(planObj, "ham_guard")
   }
 
   test("near-index candidate join shuffles band skeletons, never text or signatures") {
@@ -247,13 +283,14 @@ class PlanSpec extends SparkSpec {
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val p = try {
+    val (p, planObj) = try {
       // the lazy twin: the public wrapper eagerly checkpoints (cache
       // hygiene), which collapses the inspectable plan to an RDD scan
       val (pairs, release) = Dedup.nearDupsAgainstIndexLazy(
         batch, "text", "doc_id", "mh_guard", minEstJaccard = 0.0)
-      val s = pairs.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+      val s = (pairs.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode),
+        pairs.queryExecution.executedPlan)
       release()
       s
     } finally {
@@ -272,6 +309,9 @@ class PlanSpec extends SparkSpec {
       }
     }
     assert(sawBandExchange, s"expected a (band, bucket)-keyed exchange in:\n$p")
+    // the composite-bucketed co-location claim: both the band index and
+    // the id-bucketed signature sibling are read in place
+    assertIndexSideUnshuffled(planObj, "mh_guard")
   }
 
   test("d01 exact dedup shuffles the content hash, never the text") {
