@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.TextQ.queries ++
       graft.queries.DedupQ.queries ++
       graft.queries.SimilarityQ.queries ++
+      graft.queries.MultimodalQ.queries ++
       graft.queries.PipelineQ.queries
 
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextQ.oracles ++
       graft.queries.DedupQ.oracles ++
       graft.queries.SimilarityQ.oracles ++
+      graft.queries.MultimodalQ.oracles ++
       graft.queries.PipelineQ.oracles
 }

@@ -36,6 +36,44 @@ object Multimodal {
       lit(null).cast("int").as("height"),
       lit(null).cast("long").as("duration_ms"))
 
+  /** Fill the media schema's metadata columns (mime, width, height,
+    * duration_ms) by REAL container-header parsing ([[MediaMeta]]) — no
+    * pixel or sample decode, so it covers the containers the JRE ships
+    * no decoder for (WebP dims, MP3/OGG duration, MP4 dims+duration)
+    * alongside PNG/GIF/BMP/JPEG/WAV/AIFF/AU. This is the intake step of
+    * a curation pipeline: resolution/duration filters and per-format
+    * routing run on these columns WITHOUT ever decoding payloads, so
+    * the expensive decode tiers only see rows that survive the cheap
+    * metadata gates. Unrecognized or corrupt content yields null
+    * metadata (mime falls back to the input's mime column when present)
+    * — one output row per input row, never a task failure.
+    */
+  def probeMetadata(media: DataFrame): DataFrame = {
+    val hasMime = media.columns.contains("mime")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val cols = if (hasMime) Seq("media_id", "content", "mime")
+      else Seq("media_id", "content")
+    media.select(cols.head, cols.tail: _*).mapPartitions { rows =>
+      rows.map { r =>
+        val content = r.getAs[Array[Byte]](1)
+        val fallbackMime = if (hasMime && !r.isNullAt(2)) r.getString(2) else null
+        MediaMeta.probe(content) match {
+          case Some(m) => Row(r.getLong(0), content, m.mime,
+            m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+            m.durationMs.map(Long.box).orNull)
+          case None => Row(r.getLong(0), content, fallbackMime, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** STUB decode: deterministic pseudo-features from the content bytes.
     * Real implementation decodes the image/audio and emits embeddings;
     * the batch shape (one output row per input row, fixed-length

@@ -203,6 +203,36 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L37: cross-run SimHash dedup against a PERSISTED hamming index —
+    // d13's shape for the hamming tier. Day 0 (ids < 250) is indexed
+    // fresh per call; the probe replays the rest of the corpus plus a
+    // MUTATED twin of every 10th day-0 doc (one appended token flips few
+    // SimHash bits, so the index catches it at its radius where an exact
+    // registry never would). Report-only keeps repeated driver runs
+    // deterministic. Rows-only: d03/d14's DuckDB-inexpressibility
+    // argument (64-bit SimHash + bit_count); lifecycle semantics are
+    // spec-gated.
+    "d15_hamming_registry" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val t = "graft_hidx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      for (tb <- Seq(t, s"${t}_hspec"))
+        Warehouse.dropTableAndLocation(s, tb)
+      Dedup.writeHammingIndex(
+        docs.filter(col("doc_id") < 250)
+          .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("h")),
+        t, maxHamming = 6, buckets = 8)
+      val replays = docs
+        .filter(col("doc_id") < 250 && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text"))
+      Dedup.simhashNearDedupAgainstIndex(
+          docs.filter(col("doc_id") >= 250).unionByName(replays),
+          "text", "doc_id", t, update = false)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.

@@ -81,6 +81,34 @@ object SimilarityQ {
         threshold = 0.8)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
+    },
+
+    // L36: cross-run SEMANTIC dedup against a persisted IVF index —
+    // d13/d15's shape for the embedding tier. Day 0 (vec_id < 250) is
+    // indexed fresh per call; the probe replays every 10th day-0 vector
+    // VERBATIM (id + 2000000 — an exact replay matches itself at cosine
+    // 1 inside its unchanged cell, so it drops) alongside the genuinely
+    // fresh rest of the corpus (random 16-dim vectors stay far below
+    // the 0.95 cosine bar). Report-only keeps repeated driver runs
+    // deterministic. Rows-only: the verdict depends on the trained
+    // centroids (s03's DuckDB-inexpressibility argument); lifecycle
+    // semantics are spec-gated.
+    "s08_semantic_dedup_registry" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val emb = Tables(s, dir, "embeddings")
+      val t = "graft_semxr_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      for (tb <- Seq(t, s"${t}_centroids"))
+        Warehouse.dropTableAndLocation(s, tb)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", t, nCentroids = 8, lloydIters = 1, buckets = 8)
+      val replays = emb
+        .filter(col("vec_id") < 250 && col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000)
+      graft.dedup.Dedup.semanticDedupAgainstIndex(
+          emb.filter(col("vec_id") >= 250).unionByName(replays),
+          "vec_id", "embedding", t, threshold = 0.95, update = false)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
     }
   )
 
