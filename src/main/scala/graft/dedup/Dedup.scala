@@ -457,7 +457,7 @@ object Dedup {
   def hammingDropIds(skeleton: DataFrame, maxHamming: Int,
                      maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming")
-    val sk = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+    val (sk, release) = org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
       skeleton.select(col("id"), col("h")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sk.groupBy(col("h")).agg(min(col("id")).as("id"))
@@ -474,7 +474,7 @@ object Dedup {
     // eager + lineage-truncated so the skeleton cache can be dropped NOW
     // (fault-tolerance trade documented in the scaladoc above)
     val drop = exactDrop.union(nearDrop).distinct().localCheckpoint()
-    sk.unpersist()
+    release()
     drop
   }
 
@@ -1022,10 +1022,11 @@ object Dedup {
     val (k, numHashes, bands) = (sp.getInt(0), sp.getInt(1), sp.getInt(2))
     // the batch signature pass feeds BOTH the band branch and the verify
     // join — persist the (id, sig) skeletons so the UDF pass runs once
-    val bsigs = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
-      batch.select(col(idCol).as("__bid"),
-        minhashSignatureFromText(col(textCol), k, numHashes).as("__bsig")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bsigs, releaseBsigs) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        batch.select(col(idCol).as("__bid"),
+          minhashSignatureFromText(col(textCol), k, numHashes).as("__bsig")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bbands = bsigs.select(col("__bid"),
       posexplode(bandBucketsUdf(bands)(col("__bsig"))).as(Seq("band", "bucket")))
     val cand = bbands.join(spark.table(table), Seq("band", "bucket"))
@@ -1037,7 +1038,7 @@ object Dedup {
       .select(col("__bid").as("batch_id"), col("__cid").as("corpus_id"),
         sigMatchUdf(col("__bsig"), col("__csig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-    (pairs, () => { bsigs.unpersist(); () })
+    (pairs, releaseBsigs)
   }
 
   // fraction of matching minhash components — E[frac] = Jaccard
@@ -1117,8 +1118,7 @@ object Dedup {
     val spark = skeleton.sparkSession
     import spark.implicits._
     graft.sources.Warehouse.writeBucketedMulti(
-      hammingBandRows(
-        skeleton.select(col("id"), col("h")).where(col("h").isNotNull), Nil,
+      hammingBandRows(distinctFingerprints(skeleton), Nil,
         maxHamming, maxBucket),
       table, Seq("band", "bucket"), buckets)
     graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_hspec")
@@ -1140,11 +1140,21 @@ object Dedup {
     val spark = skeleton.sparkSession
     val sp = spark.table(s"${table}_hspec").head()
     graft.sources.Warehouse.appendBucketedWithDeltaMulti(
-      hammingBandRows(
-        skeleton.select(col("id"), col("h")).where(col("h").isNotNull), Nil,
+      hammingBandRows(distinctFingerprints(skeleton), Nil,
         sp.getInt(0), sp.getInt(1)),
       table, Seq("band", "bucket"))
   }
+
+  // The hamming index's verdict is a pure function of the FINGERPRINT
+  // ([[hammingDupIdsAgainstIndex]] never returns index ids), so the index
+  // needs exactly ONE row per distinct fingerprint: a batch flooding one
+  // new code 10k times would otherwise register min(10k, maxBucket)
+  // identical-h rows in EVERY band and inflate all future nearby probes'
+  // join fan-out by that factor. Min-id keeps the representative stable.
+  private def distinctFingerprints(skeleton: DataFrame): DataFrame =
+    skeleton.select(col("id"), col("h")).where(col("h").isNotNull)
+      .groupBy(col("h")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("h"))
 
   /** Batch skeleton ids with a fingerprint within the index's Hamming
     * radius anywhere in a persisted [[writeHammingIndex]] corpus. The
@@ -1202,17 +1212,33 @@ object Dedup {
     */
   def simhashNearDedupAgainstIndex(df: DataFrame, textCol: String,
                                    idCol: String, table: String,
-                                   update: Boolean = true): DataFrame = {
-    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+                                   update: Boolean = true): DataFrame =
+    nearDedupAgainstHammingIndex(df,
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idCol, table, update)
+
+  /** The probe → anti-join → append sequence shared VERBATIM by the text
+    * ([[simhashNearDedupAgainstIndex]]) and media
+    * ([[graft.multimodal.Multimodal.dedupePerceptualAgainstIndex]]) faces
+    * of the hamming index — one body so the failure contract can never
+    * drift between the tiers. `skeleton` is the caller's (id, h) frame
+    * with nulls already excluded; rows of `df` absent from it (null
+    * text / undecodable media) survive the anti-join by construction and
+    * never register.
+    */
+  private[graft] def nearDedupAgainstHammingIndex(
+      df: DataFrame, skeleton: DataFrame, idCol: String, table: String,
+      update: Boolean): DataFrame = {
+    val (skel, release) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        skeleton, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupIds = hammingDupIdsAgainstIndex(skel, table).localCheckpoint()
     val survivors = df.join(dupIds.withColumnRenamed("id", idCol),
       Seq(idCol), "left_anti").localCheckpoint()
     if (update) appendToHammingIndex(
       skel.join(dupIds, Seq("id"), "left_anti"), table)
-    skel.unpersist()
+    release()
     survivors
   }
 

@@ -113,7 +113,9 @@ object MediaMeta {
     else None
 
   // JPEG: marker walk to the first SOF0/1/2 frame header (height then
-  // width, big-endian, after the 1-byte precision).
+  // width, big-endian, after the 1-byte precision). 0xFF fill bytes are
+  // legal padding before any marker (ISO 10918 B.1.1.2) and skip singly;
+  // TEM/RST/SOI/EOI are bare markers with no length field.
   private def jpeg(b: Array[Byte]): Option[Meta] = {
     var p = 2
     while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
@@ -122,7 +124,8 @@ object MediaMeta {
         if (p + 9 > b.length) return None
         return Some(Meta("image/jpeg", Some(be16(b, p + 7)), Some(be16(b, p + 5)), None))
       }
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) p += 2 // bare markers
+      if (m == 0xff) p += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) p += 2 // bare markers
       else p += 2 + be16(b, p + 2)
     }
     None
@@ -235,8 +238,23 @@ object MediaMeta {
       else if (has(b, body, 'O', 'p', 'u', 's', 'H', 'e', 'a', 'd'))
         ("audio/opus", 48000)
       else return None
+    // Backward scan for the terminal page header. Ogg payloads are not
+    // escaped, so a raw "OggS" can occur inside compressed audio — each
+    // candidate must LOOK like a page header (version 0, no reserved
+    // type bits, segment table and body fitting inside the blob) or the
+    // scan keeps going; a page-structure walk with CRC checks would be a
+    // demuxer, not a header probe.
+    def plausiblePage(q: Int): Boolean =
+      has(b, q, 'O', 'g', 'g', 'S') && (b(q + 4) & 0xff) == 0 &&
+        (b(q + 5) & 0xf8) == 0 && q + 27 <= b.length && {
+          val nseg = b(q + 26) & 0xff
+          var body = 0
+          var i = 0
+          while (i < nseg && q + 27 + i < b.length) { body += b(q + 27 + i) & 0xff; i += 1 }
+          i == nseg && q + 27 + nseg + body <= b.length
+        }
     var p = b.length - 27
-    while (p >= 0 && !has(b, p, 'O', 'g', 'g', 'S')) p -= 1
+    while (p >= 0 && !plausiblePage(p)) p -= 1
     if (p < 0 || rate <= 0) return Some(Meta(mime, None, None, None))
     val granule = le32(b, p + 6) | (le32(b, p + 10) << 32)
     Some(Meta(mime, None, None, Some(granule * 1000 / rate)))
@@ -261,10 +279,16 @@ object MediaMeta {
         tag match {
           case "moov" | "trak" if depth < 3 => walk(p + hdr, p + size, depth + 1)
           case "mvhd" if p + hdr + 20 <= to =>
+            // v1: 64-bit times — timescale at +20, duration (8 bytes) at
+            // +24..31; v0: timescale at +12, duration (4 bytes) at +16. A
+            // truncated v1 box yields NO duration — never the v0 offsets,
+            // which would read the creation-time bytes as a duration.
             val v = b((p + hdr).toInt) & 0xff
-            if (v == 1 && p + hdr + 28 <= to) {
-              val ts = be32(b, (p + hdr + 20).toInt)
-              if (ts > 0) dur = Some(be64(b, (p + hdr + 24).toInt) * 1000 / ts)
+            if (v == 1) {
+              if (p + hdr + 32 <= to) {
+                val ts = be32(b, (p + hdr + 20).toInt)
+                if (ts > 0) dur = Some(be64(b, (p + hdr + 24).toInt) * 1000 / ts)
+              }
             } else {
               val ts = be32(b, (p + hdr + 12).toInt)
               if (ts > 0) dur = Some(be32(b, (p + hdr + 16).toInt) * 1000 / ts)

@@ -403,11 +403,12 @@ object Multimodal {
       s"n=$n minMatches=$minMatches")
     // one decode pass hashes every sampled frame; persisted because the
     // exact tier, the rep filter, and the band stage all read it
-    val frames = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
-      perceptualHash(sampleFramesDecoded(
-        media.select(col("media_id"), col("content")), n))
-        .select(col("media_id"), col("frame_idx"), col("phash")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (frames, releaseFrames) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        perceptualHash(sampleFramesDecoded(
+          media.select(col("media_id"), col("content")), n))
+          .select(col("media_id"), col("frame_idx"), col("phash")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = frames.groupBy(col("media_id"))
       .agg(count(col("phash")).as("__nh"),
         sort_array(collect_list(struct(col("frame_idx"), col("phash"))))
@@ -439,7 +440,7 @@ object Multimodal {
     // eager + lineage-truncated so the decoded-frame cache releases now
     // (the hammingDropIds hygiene contract)
     val drop = exactDrop.union(nearDrop).distinct().localCheckpoint()
-    frames.unpersist()
+    releaseFrames()
     media.join(drop.withColumnRenamed("id", "media_id"),
       Seq("media_id"), "left_anti")
   }
@@ -486,10 +487,11 @@ object Multimodal {
     // never enter a fingerprint-keyed shuffle — the surviving ids are
     // resolved on skeletons and the payload rides only the final
     // unskewed id semi-join (the discipline of every dedup tier here)
-    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
-      perceptualHash(media.select(col("media_id"), col("content")))
-        .select(col("media_id"), col("phash")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (skel, releaseSkel) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        perceptualHash(media.select(col("media_id"), col("content")))
+          .select(col("media_id"), col("phash")),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nullIds = skel.filter(col("phash").isNull).select(col("media_id"))
     // within-batch keep-min per fingerprint collapses map-side
     val reps = skel.filter(col("phash").isNotNull)
@@ -512,7 +514,7 @@ object Multimodal {
     // set is FIXED — late re-reads can never re-run the anti-join
     // against a registry later batches have grown
     val kept = keptIds.localCheckpoint()
-    skel.unpersist()
+    releaseSkel()
     media.join(kept, Seq("media_id"), "left_semi")
   }
 
@@ -535,22 +537,12 @@ object Multimodal {
     * the caller receives).
     */
   def dedupePerceptualAgainstIndex(media: DataFrame, table: String,
-                                   update: Boolean = true): DataFrame = {
-    import graft.dedup.Dedup
-    val skel = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+                                   update: Boolean = true): DataFrame =
+    graft.dedup.Dedup.nearDedupAgainstHammingIndex(media,
       perceptualHash(media.select(col("media_id"), col("content")))
         .select(col("media_id").as("id"), col("phash").as("h"))
         .where(col("h").isNotNull),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupIds = Dedup.hammingDupIdsAgainstIndex(skel, table)
-      .localCheckpoint()
-    val survivors = media.join(dupIds.withColumnRenamed("id", "media_id"),
-      Seq("media_id"), "left_anti").localCheckpoint()
-    if (update) Dedup.appendToHammingIndex(
-      skel.join(dupIds, Seq("id"), "left_anti"), table)
-    skel.unpersist()
-    survivors
-  }
+      "media_id", table, update)
 
   /** STREAMING perceptual dedup — the incremental twin of
     * [[dedupePerceptual]]'s exact tier, shaped like

@@ -25,11 +25,26 @@ object Bridge {
     * copied because the scan reuses its row buffer.)
     */
   def persistedCopy(df: org.apache.spark.sql.DataFrame,
-                    level: org.apache.spark.storage.StorageLevel): org.apache.spark.sql.DataFrame = {
+                    level: org.apache.spark.storage.StorageLevel): org.apache.spark.sql.DataFrame =
+    persistedCopyReleasable(df, level)._1
+
+  /** [[persistedCopy]] plus an EFFECTIVE release thunk. Because the
+    * persistence lives on the raw internal-row RDD and is never
+    * registered in the CacheManager, `Dataset.unpersist()` on the
+    * returned frame is a silent no-op (uncacheQuery finds no cached
+    * plan) — the only way to free the blocks before the frame is GC'd
+    * is to unpersist the RDD itself, which this thunk holds. Callers
+    * that materialize a skeleton per batch in a long-lived driver MUST
+    * release through the thunk or dead blocks accumulate between GCs.
+    */
+  def persistedCopyReleasable(df: org.apache.spark.sql.DataFrame,
+                              level: org.apache.spark.storage.StorageLevel):
+      (org.apache.spark.sql.DataFrame, () => Unit) = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
-    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+    (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema),
+      () => { rdd.unpersist(blocking = false); () })
   }
 
   /** Block until every queued SparkListener event has been delivered —

@@ -140,6 +140,52 @@ class MediaMetaSpec extends SparkSpec {
       m.width.contains(640) && m.height.contains(360), s"$m")
   }
 
+  test("jpeg marker walk skips legal 0xFF fill bytes before a marker") {
+    // SOI, one fill byte, then SOF0 (ISO 10918 B.1.1.2 allows any number
+    // of 0xFF padding bytes before a marker — a length-jump there
+    // desynchronizes the walk into entropy data)
+    val b = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xff.toByte, 0xc0.toByte, 0, 17, 8, 0, 21, 0, 33)
+    val m = MediaMeta.probe(b).get
+    assert(m.mime == "image/jpeg" && m.width.contains(33) && m.height.contains(21), s"$m")
+  }
+
+  test("mp4 v1 mvhd parses 64-bit duration; a truncated v1 box yields none") {
+    def box(tag: String, content: Array[Byte]): Array[Byte] =
+      Array.tabulate(4)(i => (((content.length + 8) >> (8 * (3 - i))) & 0xff).toByte) ++
+        tag.getBytes ++ content
+    def be(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    // v1 layout: ver(1)+flags(3), ctime(8), mtime(8), timescale(4), duration(8)
+    val v1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be(0, 8) ++ be(0, 8) ++
+      be(1000, 4) ++ be(7500, 8) ++ new Array[Byte](76))
+    val full = box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++ box("moov", v1)
+    assert(MediaMeta.probe(full).get.durationMs.contains(7500L))
+    // truncated right after the timescale: must NOT fall back to v0
+    // offsets (which would read the creation-time bytes as a duration)
+    val cut = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be(0, 8) ++ be(0, 8) ++
+      be(1000, 4))
+    assert(MediaMeta.probe(
+      box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++ box("moov", cut)).isEmpty)
+  }
+
+  test("ogg backward scan rejects a false 'OggS' sync inside the last page body") {
+    def page(typ: Int, granule: Long, body: Array[Byte]): Array[Byte] =
+      "OggS".getBytes ++ Array[Byte](0, typ.toByte) ++
+        Array.tabulate(8)(i => ((granule >> (8 * i)) & 0xff).toByte) ++
+        new Array[Byte](4 + 4 + 4) ++
+        Array[Byte](1, body.length.toByte) ++ body
+    val opusHead = "OpusHead".getBytes ++ Array[Byte](1, 1, 0, 0) ++
+      Array.tabulate(4)(i => ((48000 >> (8 * i)) & 0xff).toByte) ++
+      Array[Byte](0, 0, 0)
+    // terminal page's payload contains raw "OggS" bytes followed by junk
+    // that cannot be a page header (version 0xFF) — the scan must skip it
+    // and land on the real terminal header
+    val body = "OggS".getBytes ++ Array.fill(40)(0xff.toByte)
+    val m = MediaMeta.probe(page(2, 0L, opusHead) ++ page(4, 96000L, body)).get
+    assert(m.mime == "audio/opus" && m.durationMs.contains(2000L), s"$m")
+  }
+
   test("corrupt and truncated blobs yield None, never a throw") {
     val cases = Seq[Array[Byte]](
       null, Array[Byte](1, 2, 3), new Array[Byte](64),

@@ -249,6 +249,25 @@ class OperatorSpec extends SparkSpec {
       s"over-cap flood ids lost or spurious: $dups")
   }
 
+  test("hamming index stores one row per distinct fingerprint, build and append") {
+    // the probe's verdict is fingerprint-pure (index ids are never
+    // returned), so a flood of one code must register ONE row per band —
+    // not maxBucket copies in every band inflating future probe fan-out
+    import graft.sources.Warehouse
+    for (t <- Seq("ham_dst", "ham_dst_hspec"))
+      Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeHammingIndex(
+      (0L until 20L).map(i => (i, 42L)).toDF("id", "h"),
+      "ham_dst", maxHamming = 3, buckets = 4)
+    val perFp = spark.table("ham_dst").count()
+    assert(spark.table("ham_dst").select("id").distinct()
+      .as[Long].collect().toSeq == Seq(0L), "min id is the representative")
+    Dedup.appendToHammingIndex(
+      (100L until 130L).map(i => (i, -1L)).toDF("id", "h"), "ham_dst")
+    assert(spark.table("ham_dst").count() == 2 * perFp,
+      s"append must collapse duplicate fingerprints (perFp=$perFp)")
+  }
+
   test("semantic index: cross-run embedding dedup drops replays and grows by append") {
     import graft.sources.Warehouse
     for (t <- Seq("sem_xr_idx", "sem_xr_idx_centroids"))
