@@ -745,6 +745,100 @@ object Dedup {
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** POSITIONAL word n-gram hashes over the EMPTY-FILTERED tokenization:
+    * element i is the hash of the gram starting at (filtered) token i —
+    * the same token murmur pass and rolling combine as [[ngramHashSetOf]],
+    * but over the span cut's token convention and keeping positions
+    * instead of collapsing to a set, so a gram hit can be mapped back to
+    * the spans it covers. Sub-`n`-token documents yield one degenerate
+    * whole-sequence gram at position 0 (the [[ngramSet]] convention).
+    */
+  private[graft] def ngramHashesPosOf(s: String, n: Int): Array[Long] = {
+    if (s == null) Array.empty[Long]
+    else {
+      val toks = WS.split(s, -1).filter(_.nonEmpty)
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        th(i) = (scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32) |
+          (scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xFFFFFFFFL)
+        i += 1
+      }
+      if (toks.length < n) Array(th.foldLeft(1125899906842597L)(_ * 31 + _))
+      else {
+        val out = new Array[Long](toks.length - n + 1)
+        i = 0
+        while (i <= toks.length - n) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < n) { h = h * 0x100000001B3L + th(i + j); j += 1 }
+          out(i) = h
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  private def ngramHashesPosUdf(n: Int) = udf { (s: String) => ngramHashesPosOf(s, n) }
+
+  /** SPAN-SURGICAL benchmark decontamination: instead of dropping a whole
+    * document that shares n-grams with the benchmark ([[contamination]]'s
+    * report feeding a doc-level gate), cut it into `spanTokens`-token
+    * spans ([[dedupSpans]]'s cutting, verbatim), remove exactly the spans
+    * any matching benchmark gram OVERLAPS (starts in or crosses into —
+    * the gram starting at token p covers spans ⌊p/st⌋..⌊(p+n-1)/st⌋), and
+    * reassemble the clean remainder in order. This is the standard
+    * open-pipeline middle ground: a 10k-token article quoting one
+    * benchmark question loses ~one span, not the article. Documents whose
+    * every span is contaminated disappear entirely.
+    *
+    * Unlike [[contamination]] (whose unfiltered-edge-token convention is
+    * shared with its oracle), grams here are computed over the SAME
+    * empty-filtered tokenization as the span cut, so gram token positions
+    * and span boundaries can never misalign on leading-whitespace
+    * documents — both sides of the match use [[ngramHashesPosOf]].
+    *
+    * Returns (idCol, n_spans, n_kept, clean_text) — [[dedupSpans]]'s
+    * shape. Scale: the benchmark gram set broadcasts (tiny, curated); the
+    * corpus is scanned once for gram hits (map-side broadcast join — no
+    * shuffle for the overwhelmingly-clean majority) and once for spans;
+    * contaminated span indices aggregate per doc (bounded by the doc's
+    * own span count) and span text shuffles exactly once, on the unskewed
+    * id, reused by the reassembly group.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         spanTokens: Int = 3, n: Int = 8): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramHashesPosUdf(n)(col(textCol))).as("__g")).distinct()
+    val hits = corpus
+      .select(col(idCol), posexplode(ngramHashesPosUdf(n)(col(textCol)))
+        .as(Seq("__p", "__g")))
+      .join(broadcast(bench), "__g")
+    val badPerDoc = hits
+      .select(col(idCol), explode(sequence(
+        floor(col("__p") / lit(spanTokens)).cast("int"),
+        floor((col("__p") + lit(n - 1)) / lit(spanTokens)).cast("int"))).as("__bad"))
+      .groupBy(col(idCol)).agg(collect_set(col("__bad")).as("__badset"))
+    val tokenized = corpus.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val nSpans = ceil(size(col("__toks")) / lit(spanTokens.toDouble)).cast("long")
+    val spans = tokenized.select(col(idCol), nSpans.as("n_spans"),
+      posexplode(when(nSpans >= 1,
+        transform(sequence(lit(0), (nSpans - 1).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i * spanTokens + 1, lit(spanTokens)))))
+        .otherwise(array()))
+        .as(Seq("pos", "span")))
+    spans.join(badPerDoc, Seq(idCol), "left")
+      .filter(col("__badset").isNull || !array_contains(col("__badset"), col("pos")))
+      .groupBy(col(idCol), col("n_spans"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          x => x.getField("span")), " ").as("clean_text"))
+  }
+
   /** Span-level exact dedup (the C4/RefinedWeb-style pass): each document
     * is cut into consecutive `spanTokens`-token spans, every span occurrence
     * except the corpus-FIRST one (minimum (id, position)) is removed, and

@@ -31,7 +31,8 @@ object MediaMeta {
   def probe(bytes: Array[Byte]): Option[Meta] = {
     if (bytes == null || bytes.length < 12) return None
     try {
-      if (has(bytes, 0, 0x89, 'P', 'N', 'G')) png(bytes)
+      if (bytes(0) == 'P' && bytes(1) >= '4' && bytes(1) <= '6') netpbm(bytes)
+      else if (has(bytes, 0, 0x89, 'P', 'N', 'G')) png(bytes)
       else if (has(bytes, 0, 'G', 'I', 'F', '8')) gif(bytes)
       else if (has(bytes, 0, 'B', 'M')) bmp(bytes)
       else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) jpeg(bytes)
@@ -65,6 +66,35 @@ object MediaMeta {
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
   private def le16(b: Array[Byte], o: Int): Int =
     ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+
+  // Binary netpbm (P4/P5/P6 — [[PpmCodec]]'s family): ASCII dims after
+  // the magic, '#' comments and whitespace skipped, exactly the codec's
+  // own header walk. Mime matches what [[Multimodal.resize]] stamps.
+  private def netpbm(b: Array[Byte]): Option[Meta] = {
+    var pos = 2
+    def readInt(): Int = {
+      var done = false
+      while (!done && pos < b.length) {
+        val c = b(pos)
+        if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+        else done = true
+      }
+      var v = -1
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        if (v < 0) v = 0
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt()
+    val mime = b(1) match {
+      case '6' => "image/x-portable-pixmap"
+      case '5' => "image/x-portable-graymap"
+      case _ => "image/x-portable-bitmap"
+    }
+    if (w > 0 && h > 0) Some(Meta(mime, Some(w), Some(h), None)) else None
+  }
 
   // PNG: 8-byte signature, IHDR is always the first chunk — width and
   // height are the big-endian ints right after its type tag.

@@ -275,18 +275,33 @@ object Multimodal {
     * (band, bucket, id, phash) SKELETONS — content bytes only ride the
     * final anti-join on the unskewed `media_id` key.
     */
-  def dedupePerceptual(media: DataFrame, maxHamming: Int = 4): DataFrame = {
-    // one decode pass builds the (id, phash) skeleton; the shared hamming
+  def dedupePerceptual(media: DataFrame, maxHamming: Int = 4,
+                       phashCol: Option[String] = None): DataFrame = {
+    // one decode pass builds the (id, phash) skeleton — or none at all
+    // when the caller already carries a fingerprint column (the pipeline
+    // composition hashes ONCE and feeds every tier); the shared hamming
     // engine (exact collapse → pigeonhole bands → bit_count verify → CC
     // keep-min) persists it and computes the drop set — the same code
     // path as the SimHash text tier, so the two can never diverge
     val drop = graft.dedup.Dedup.hammingDropIds(
-      perceptualHash(media.select(col("media_id"), col("content")))
+      fingerprintSkeleton(media, phashCol)
         .select(col("media_id").as("id"), col("phash").as("h"))
         .where(col("h").isNotNull),
       maxHamming)
     media.join(drop.withColumnRenamed("id", "media_id"), Seq("media_id"), "left_anti")
   }
+
+  // (media_id, phash) from a caller-supplied fingerprint column when one
+  // exists, else from a fresh decode pass — decode is the dominant cost
+  // of every perceptual tier, so compositions that run several tiers hash
+  // once and pass the column through.
+  private def fingerprintSkeleton(media: DataFrame,
+                                  phashCol: Option[String]): DataFrame =
+    phashCol match {
+      case Some(c) => media.select(col("media_id"), col(c).as("phash"))
+      case None => perceptualHash(media.select(col("media_id"), col("content")))
+        .select(col("media_id"), col("phash"))
+    }
 
   /** REAL frame sampling for multi-frame content — the decode-backed
     * upgrade of [[sampleFrames]]'s stub shape: `n` evenly-spaced frames
@@ -481,16 +496,17 @@ object Multimodal {
     * append's own delta files. Single writer per registry at a time.
     */
   def dedupePerceptualAgainstRegistry(media: DataFrame, registryTable: String,
-                                      update: Boolean = true): DataFrame = {
+                                      update: Boolean = true,
+                                      phashCol: Option[String] = None): DataFrame = {
     val spark = media.sparkSession
-    // one decode pass builds the (id, phash) SKELETON; content bytes
-    // never enter a fingerprint-keyed shuffle — the surviving ids are
-    // resolved on skeletons and the payload rides only the final
-    // unskewed id semi-join (the discipline of every dedup tier here)
+    // one decode pass (or a caller-supplied fingerprint column) builds
+    // the (id, phash) SKELETON; content bytes never enter a
+    // fingerprint-keyed shuffle — the surviving ids are resolved on
+    // skeletons and the payload rides only the final unskewed id
+    // semi-join (the discipline of every dedup tier here)
     val (skel, releaseSkel) =
       org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
-        perceptualHash(media.select(col("media_id"), col("content")))
-          .select(col("media_id"), col("phash")),
+        fingerprintSkeleton(media, phashCol),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nullIds = skel.filter(col("phash").isNull).select(col("media_id"))
     // within-batch keep-min per fingerprint collapses map-side
@@ -537,9 +553,10 @@ object Multimodal {
     * the caller receives).
     */
   def dedupePerceptualAgainstIndex(media: DataFrame, table: String,
-                                   update: Boolean = true): DataFrame =
+                                   update: Boolean = true,
+                                   phashCol: Option[String] = None): DataFrame =
     graft.dedup.Dedup.nearDedupAgainstHammingIndex(media,
-      perceptualHash(media.select(col("media_id"), col("content")))
+      fingerprintSkeleton(media, phashCol)
         .select(col("media_id").as("id"), col("phash").as("h"))
         .where(col("h").isNotNull),
       "media_id", table, update)

@@ -233,6 +233,19 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L20c: span-surgical decontamination — the same bench/corpus split
+    // as d06, but removing exactly the 3-token spans any shared 5-gram
+    // overlaps and reassembling the clean remainder (docs that are pure
+    // benchmark replays disappear; docs quoting one question lose ~one
+    // span). Oracle-gated: string grams + the shared span CTE chain.
+    "d16_decontaminate_spans" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.decontaminateSpans(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "text", "doc_id", spanTokens = 3, n = 5)
+        .orderBy("doc_id")
+    },
+
     // L5: embedding near-dup — nearest neighbor per vector for the first
     // 100 ids (broadcast side is the 100 probes, scan side stays the
     // table); norms computed once per side, dot product only per pair.
@@ -368,6 +381,48 @@ object DedupQ {
         |SELECT doc_id, COUNT(*) AS n_shared
         |FROM corpus JOIN bench USING (gr)
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same empty-filtered tokenization on BOTH the gram and span sides
+    // (decontaminateSpans' convention — positions must align), the same
+    // overlap rule (a gram starting at 0-based token p covers spans
+    // floor(p/3)..floor((p+4)/3)), the shared span CTE chain for the cut.
+    "d16_decontaminate_spans" ->
+      s"""WITH tf AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 3),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                toks[i+3] || ' ' || toks[i+4]) END) AS gr
+        |  FROM tf WHERE doc_id < 20),
+        |cg AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 5 THEN [CAST(0 AS BIGINT)]
+        |      ELSE list_transform(range(1, len(toks) - 3), i -> i - 1) END) AS p,
+        |    unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 3),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                  toks[i+3] || ' ' || toks[i+4]) END) AS gr
+        |  FROM tf WHERE doc_id >= 20),
+        |bad AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(range(CAST(floor(p / 3.0) AS BIGINT),
+        |                 CAST(floor((p + 4) / 3.0) AS BIGINT) + 1)) AS pos
+        |  FROM cg JOIN bench USING (gr)),
+        |t AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+        |${spanCutCtes("t")},
+        |tot AS (SELECT doc_id, CAST(ceil(len(__stoks) / 3.0) AS BIGINT) AS n_spans
+        |        FROM __sp0),
+        |kept AS (
+        |  SELECT s.doc_id, s.pos, s.span
+        |  FROM __sp s LEFT JOIN bad b ON s.doc_id = b.doc_id AND s.pos = b.pos
+        |  WHERE b.doc_id IS NULL)
+        |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
+        |  string_agg(span, ' ' ORDER BY pos) AS clean_text
+        |FROM kept JOIN tot USING (doc_id)
+        |GROUP BY doc_id, n_spans
         |ORDER BY doc_id""".stripMargin,
 
     // Same span cutting (3-token windows, edge empty tokens filtered),

@@ -35,6 +35,12 @@ object MultimodalQ {
 
   private val pngUdf = udf { (seed: Long) => ImageCodec.encodePng(imageFor(seed)) }
   private val ppmUdf = udf { (seed: Long) => PpmCodec.encode(imageFor(seed)) }
+  // below m02's width floor: 8×8 crops of the same deterministic noise
+  private val smallPngUdf = udf { (seed: Long) =>
+    val img = imageFor(seed)
+    ImageCodec.encodePng(PpmCodec.Image(8, 8,
+      Array.tabulate(8 * 8 * 3)(i => img.rgb((i / 24) * 48 + i % 24))))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L32: batch perceptual near-dedup end to end. 120 distinct images
@@ -56,6 +62,38 @@ object MultimodalQ {
       Multimodal.dedupePerceptual(
           originals.unionByName(twins).unionByName(corrupt))
         .select(col("media_id"))
+        .orderBy("media_id")
+    },
+
+    // L39: the composed media pipeline end to end — header gate (no
+    // decode) ahead of the one-decode-pass dedup tiers. 100 large PNGs
+    // survive; 20 small PNGs fail the width floor WITHOUT being decoded;
+    // PPM re-encodes of every 4th large image dedup onto the originals;
+    // an unparseable blob is dropped at intake (keepUnprobed default).
+    // Rows-only: DuckDB decodes neither headers nor pixels (m01's
+    // argument); gate/dedup semantics are spec-gated (MediaPipelineSpec).
+    "m02_curate_media" -> { (s, dir) =>
+      import graft.pipeline.MediaPipeline
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 120)
+      val large = ids.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"),
+          pngUdf(col("doc_id")).as("content"))
+      val small = ids.filter(col("doc_id") >= 100)
+        .select(col("doc_id").as("media_id"),
+          smallPngUdf(col("doc_id")).as("content"))
+      val twins = ids.filter(col("doc_id") < 100 && col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 5000).as("media_id"),
+          ppmUdf(col("doc_id")).as("content"))
+      val corrupt = ids.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 9999).as("media_id"),
+          lit(Array[Byte](9, 9, 9)).as("content"))
+      MediaPipeline.curateMedia(
+          Multimodal.asMedia(
+            large.unionByName(small).unionByName(twins).unionByName(corrupt),
+            "media_id", "content", "media/unknown"),
+          MediaPipeline.MediaConfig(minWidth = Some(12)))
+        .select(col("media_id"), col("width"), col("height"))
         .orderBy("media_id")
     }
   )

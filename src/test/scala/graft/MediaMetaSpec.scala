@@ -78,6 +78,20 @@ class MediaMetaSpec extends SparkSpec {
     assert(x.width.contains(1920) && x.height.contains(1080))
   }
 
+  test("netpbm dimensions parse from the codec's own encoder output") {
+    val m = MediaMeta.probe(PpmCodec.encode(img(17, 9))).get
+    assert(m.mime == "image/x-portable-pixmap" &&
+      m.width.contains(17) && m.height.contains(9), s"$m")
+    // a comment between the magic and the dims must be skipped
+    val commented = "P6\n# a comment\n5 4\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](5 * 4 * 3)
+    val c = MediaMeta.probe(commented).get
+    assert(c.width.contains(5) && c.height.contains(4), s"$c")
+    // a header with no digits yields None, not garbage
+    assert(MediaMeta.probe("P6\nxx yy\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](32)).isEmpty)
+  }
+
   test("wav duration comes from the JRE header parser") {
     val rate = 8000f
     val n = 4000 // half a second

@@ -79,6 +79,30 @@ class OperatorSpec extends SparkSpec {
       (6L, 2L, 1L, "new1 new2 new3")))
   }
 
+  test("decontaminateSpans removes exactly the spans a benchmark gram overlaps") {
+    val bench = Seq((100L, "q1 q2 q3 q4"), (101L, "s1 s2")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "w1 w2 w3 q1 q2 q3 z1 z2 z3"), // gram at token 3 → span 1 only
+      (2L, "a1 a2 q1 q2 q3 b1"), // gram at token 2 crosses the boundary →
+      //    both spans removed → document disappears
+      (3L, "c1 c2 c3 d1 d2 d3"), // clean → untouched
+      (4L, "q1 q2 q3 q4"), // pure benchmark replay → disappears
+      (5L, "  w1 w2 w3 q1 q2 q3"), // leading whitespace: gram positions are
+      //    over the FILTERED tokens, so they still align with the span cut
+      (6L, "s1 s2"), // sub-n doc matching a sub-n benchmark whole-gram
+      (7L, "s1 s2 s3") // full 3-gram ≠ the short bench gram → survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(corpus, bench, "text", "doc_id",
+        spanTokens = 3, n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "w1 w2 w3 z1 z2 z3"),
+      (3L, 2L, 2L, "c1 c2 c3 d1 d2 d3"),
+      (5L, 2L, 1L, "w1 w2 w3"),
+      (7L, 1L, 1L, "s1 s2 s3")), out.toSeq.mkString("; "))
+  }
+
   test("dedupAgainstRegistry drops cross-run dups and grows the registry") {
     graft.sources.Warehouse.dropTableAndLocation(spark, "reg_test")
     Dedup.createRegistry(spark, "reg_test", buckets = 4)
