@@ -138,6 +138,24 @@ class PlanSpec extends SparkSpec {
       s"exact-verify join fell back from broadcast:\n$p")
   }
 
+  test("d16 decontamination broadcasts bench grams; corpus grams never shuffle") {
+    val p = executedPlan("d16_decontaminate_spans")
+    // the gram-hit join must broadcast the (tiny, curated) benchmark set —
+    // a fallback shuffles every exploded corpus gram, the cost the
+    // map-side shape exists to avoid
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench gram join fell back from broadcast:\n$p")
+    // gram-keyed exchanges may appear only on the BENCHMARK side (its
+    // distinct — rows are just __g); an exchange carrying doc_id or __p
+    // alongside the gram key would be the exploded corpus on the wire,
+    // exactly what the broadcast shape exists to prevent (d07's rule)
+    for (b <- p.split("\\n\\s*\\(\\d+\\) ")
+         if b.startsWith("Exchange") && b.contains("hashpartitioning(__g")) {
+      assert(!b.contains("doc_id") && !b.contains("__p"),
+        s"corpus grams are shuffled on the gram key:\n$b")
+    }
+  }
+
   test("semantic pairing windows carry skeleton rows, never the vectors") {
     // the cell-size count and the mega-cell successor chain are windows
     // partitioned by cell — a degenerate mega-cell funnels ONE window task,
