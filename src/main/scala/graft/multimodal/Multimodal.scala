@@ -376,6 +376,29 @@ object Multimodal {
       Seq("media_id"), "left_anti")
   }
 
+  /** Incremental AUDIO near-dedup across pipeline RUNS — the audio face
+    * of the persisted hamming index, completing the cross-run matrix for
+    * the last fingerprint identity (text SimHash:
+    * [[graft.dedup.Dedup.simhashNearDedupAgainstIndex]]; image dHash:
+    * [[dedupePerceptualAgainstIndex]]; audio envelope hash: this): a
+    * batch clip within the index's Hamming radius of anything already
+    * ingested — WAV↔AIFF↔AU re-encodes at distance 0, small envelope
+    * edits a few bits away — is dropped, and survivors' fingerprints
+    * append for the next run. Undecodable rows always survive and never
+    * register. Build the index once with `writeHammingIndex` over the
+    * historical corpus's (media_id, ahash) skeleton; the probe → drop →
+    * append sequence and its failure contract are the shared body's
+    * ([[graft.dedup.Dedup.nearDedupAgainstHammingIndex]]), so the three
+    * faces can never drift.
+    */
+  def dedupeAudioPerceptualAgainstIndex(media: DataFrame, table: String,
+                                        update: Boolean = true): DataFrame =
+    graft.dedup.Dedup.nearDedupAgainstHammingIndex(media,
+      audioHash(media.select(col("media_id"), col("content")))
+        .select(col("media_id").as("id"), col("ahash").as("h"))
+        .where(col("h").isNotNull),
+      "media_id", table, update)
+
   /** Perceptual near-dedup for MULTI-FRAME content (animated GIF,
     * multi-page TIFF — and any future video decoder that plugs into
     * [[ImageCodec.frames]]): a video is a near-dup of another when at

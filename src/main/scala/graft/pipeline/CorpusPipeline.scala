@@ -87,6 +87,17 @@ object CorpusPipeline {
     *                          the exact-only configuration
     * @param maxContamination  drop docs sharing ≥ this many distinct n-grams
     *                          with the benchmark (when one is given)
+    * @param decontaminateSpanTokens  when set (and a benchmark is given),
+    *                          the contamination stage turns SPAN-SURGICAL
+    *                          ([[Dedup.decontaminateSpans]] with this span
+    *                          size): instead of dropping a contaminated
+    *                          document, only the spans a shared
+    *                          `contaminationNgram`-gram overlaps are cut
+    *                          and the clean remainder is kept (rewritten
+    *                          like the span-dedup stage; documents cut
+    *                          entirely still drop). `maxContamination` is
+    *                          not consulted — overlap is decided per gram,
+    *                          not per document
     * @param spanDedupTokens   when set, run span-level exact dedup
     *                          ([[Dedup.dedupSpans]] with this span size)
     *                          AFTER document-level dedup and BEFORE
@@ -211,7 +222,8 @@ object CorpusPipeline {
       semanticIndexThreshold: Double = 0.9,
       semanticIndexUpdate: Boolean = true,
       redactPii: Boolean = false,
-      compactEveryNFiles: Option[Int] = None)
+      compactEveryNFiles: Option[Int] = None,
+      decontaminateSpanTokens: Option[Int] = None)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -355,14 +367,28 @@ object CorpusPipeline {
       case _ => semantic
     }
 
-    val decontaminated = benchmark match {
-      case None => crossSemantic
-      case Some(b) =>
+    val decontaminated = (benchmark, cfg.decontaminateSpanTokens) match {
+      case (None, _) => crossSemantic
+      case (Some(b), None) =>
+        // doc-level gate: any document sharing >= maxContamination
+        // benchmark n-grams drops entirely
         val dirty = Dedup.contamination(crossSemantic, b, textCol, idCol,
             cfg.contaminationNgram)
           .filter(col("n_shared") >= cfg.maxContamination)
           .select(col(idCol))
         crossSemantic.join(dirty, Seq(idCol), "left_anti")
+      case (Some(b), Some(st)) =>
+        // span-surgical: cut only the spans a benchmark gram overlaps and
+        // keep the clean remainder (the text REWRITE shape of the span
+        // stage above — documents cut entirely drop via the inner join).
+        // Runs at the same position as the doc gate: on the smallest set,
+        // after every dedup, so the rewritten text can't change any dedup
+        // verdict upstream of it
+        val cleaned = Dedup.decontaminateSpans(crossSemantic, b, textCol,
+            idCol, st, cfg.contaminationNgram)
+          .select(col(idCol), col("clean_text"))
+        crossSemantic.drop(textCol).join(cleaned, Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
     }
 
     val split = decontaminated.withColumn("split",

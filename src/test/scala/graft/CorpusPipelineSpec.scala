@@ -39,6 +39,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.columns.contains("lang") && out.columns.contains("quality"))
   }
 
+  test("curate span-surgical decontamination keeps the clean remainder") {
+    val benchmark = Seq(
+      (100L, "benchmark question text that is the held out eval set for this run"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, english + "one"), // clean keeper
+      (6L, "scraped page that quotes the benchmark question text that is the " +
+        "held out eval set for this run and then continues with plenty of " +
+        "ordinary english words about engines and data and pipelines written " +
+        "at length so the document stays well past the quality gate")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, contaminationNgram = 8,
+        decontaminateSpanTokens = Some(3)),
+      benchmark = Some(benchmark))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // the doc-level gate would drop 6 entirely; the surgical stage keeps it
+    assert(ids == Seq(1L, 6L), s"survivors: $ids")
+    val text6 = out.filter($"doc_id" === 6L).select("text").as[String].head()
+    assert(!text6.contains("held out eval"),
+      s"benchmark text survived the cut: $text6")
+    assert(text6.contains("ordinary english words"),
+      s"clean remainder was lost: $text6")
+  }
+
   test("curate without a benchmark skips the contamination stage") {
     val docs = Seq(
       (1L, english + "one"),

@@ -961,6 +961,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(1L, 4L, 5L), s"survivors: $out")
   }
 
+  test("multimodal: audio hamming index dedups NEAR re-posts across runs") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import graft.dedup.Dedup
+    val rate = 8000
+    def clip(amp: Int => Double, freq: Double) = Array.tabulate[Short](rate) { i =>
+      (math.sin(2 * math.Pi * freq * i / rate) * 32767 * amp(i)).toInt.toShort
+    }
+    def encode(samples: Array[Short], kind: AudioFileFormat.Type, big: Boolean) = {
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val s = samples(i)
+        if (big) { raw(i * 2) = ((s >> 8) & 0xFF).toByte; raw(i * 2 + 1) = (s & 0xFF).toByte }
+        else { raw(i * 2) = (s & 0xFF).toByte; raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte }
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, big)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length), kind, bos)
+      bos.toByteArray
+    }
+    val ramp = (i: Int) => 0.9 * i / rate
+    val dip = (i: Int) => ramp(i) * (if (i * 33 / rate == 16) 0.7 else 1.0)
+    val baseClip = clip(ramp, 440)
+    def media(rows: (Long, Array[Byte])*) = Multimodal.asMedia(
+      rows.toDF("id", "payload"), "id", "payload", "audio/mixed")
+    for (t <- Seq("aham_idx", "aham_idx_hspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    // day 0: index the historical clip's envelope fingerprint
+    Dedup.writeHammingIndex(
+      Multimodal.audioHash(media(
+          100L -> encode(baseClip, AudioFileFormat.Type.WAVE, big = false)))
+        .select($"media_id".as("id"), $"ahash".as("h")),
+      "aham_idx", maxHamming = 4, buckets = 4)
+    // run 1: the AIFF re-encode (distance 0) AND the mid-clip dip (a few
+    // bits — the exact registry would miss it) drop; the different-pitch
+    // clip and the corrupt blob survive, and the survivor registers
+    val out1 = Multimodal.dedupeAudioPerceptualAgainstIndex(media(
+        1L -> encode(baseClip, AudioFileFormat.Type.AIFF, big = true),
+        2L -> encode(clip(dip, 440), AudioFileFormat.Type.WAVE, big = false),
+        3L -> encode(clip(ramp, 2500), AudioFileFormat.Type.WAVE, big = false),
+        4L -> "not audio".getBytes("UTF-8")), "aham_idx")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(3L, 4L), s"run 1 survivors: $out1")
+    // run 2: a re-post of run 1's survivor is caught by the grown index
+    val out2 = Multimodal.dedupeAudioPerceptualAgainstIndex(media(
+        10L -> encode(clip(ramp, 2500), AudioFileFormat.Type.AIFF, big = true)),
+      "aham_idx", update = false)
+      .select("media_id").as[Long].collect().toSeq
+    assert(out2.isEmpty, s"run 2 survivors: $out2")
+  }
+
   test("multimodal: streaming audio dedup drops WAV→AIFF re-posts cross-batch") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     implicit val sqlCtx = spark.sqlContext
