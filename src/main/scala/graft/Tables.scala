@@ -16,13 +16,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no type for:
-      // read the raw int64 nanos and truncate to micros (exactly what
-      // DuckDB/pyarrow do when converting ns → us for positive epochs).
+      // events.ts has been generated both as parquet TIMESTAMP(NANOS)
+      // (which Spark has no type for — read the raw int64 nanos and
+      // truncate to micros, exactly what DuckDB/pyarrow do for positive
+      // epochs) and as plain TIMESTAMP(MICROS). Branch on what the scan
+      // actually produced so both generations load identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          // MICROS without timezone reads as TIMESTAMP_NTZ; normalize to
+          // the session-TZ (UTC) TIMESTAMP the nanos path produced so
+          // epoch arithmetic (cast to double, unix_micros) keeps working
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Common builder knobs for a scale-ready session. Local tests use

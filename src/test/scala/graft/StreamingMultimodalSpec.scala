@@ -323,16 +323,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     // e01_tumbling, incremental execution, results equal to the batch run
     val sf = "/root/testdata/sf0.001"
     graft.Tables(spark, sf, "events") // sets the nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema // ts: long
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     // file streams take a directory of files
     val dir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("target/tmp/events_stream"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // mirror Tables' ts normalization: nanos-as-long in old testdata
+    // generations, TIMESTAMP(MICROS) (read as NTZ) in newer ones
+    val raw = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val query = graft.streaming.EventStreams.tumbling(stream)
       .writeStream.format("memory").queryName("file_tumbling")
       .outputMode("complete").start()
