@@ -535,6 +535,46 @@ object Dedup {
         .bitwiseOR(shiftrightunsigned(h, lo).bitwiseAND(lit(mask)))
     }
 
+  /** Width in bits of the bucket key [[hammingTableDesign]] yields for a
+    * radius — the number that governs saturation: bucket membership grows
+    * ~ distinct_codes / 2^width, so the quadratic verify cost inside
+    * buckets stays O(1)-per-code only while the corpus is far below
+    * 2^width. The defaults (radius ≤ 4 → 32 bits) hold past 10¹⁰ codes;
+    * radius 5 → 24 bits (~1.7×10⁷ domain); radius ≥ 6 → 16 bits, the
+    * saturation profile of the narrow pre-Manku design. Exposed so
+    * callers can size a radius BEFORE building a billion-code index.
+    */
+  def hammingPrefixBits(maxHamming: Int): Int = {
+    val (d, combos) = hammingTableDesign(maxHamming)
+    // block widths differ by ≤1 bit when 64 % d != 0 — report the
+    // narrowest combo, the one that saturates first
+    combos.map(_.map(i => (i + 1) * 64 / d - i * 64 / d).sum).min
+  }
+
+  // Narrow-prefix advisory — the runtime face of [[hammingPrefixBits]]:
+  // radii whose design falls below ~24 bits of bucket key silently revert
+  // to the saturation profile the wide-prefix rebuild exists to avoid, so
+  // every banding pass surfaces it (once per JVM per radius — band rows
+  // are built per batch on streaming paths; a per-call warning would spam
+  // every micro-batch). Returns the message so specs can pin exactly when
+  // the signal fires without scraping logs.
+  private val NarrowPrefixFloor = 24
+  private val warnedRadii = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private[graft] def narrowPrefixWarning(maxHamming: Int): Option[String] = {
+    val bits = hammingPrefixBits(maxHamming)
+    if (bits >= NarrowPrefixFloor) None
+    else {
+      val msg = s"hamming radius $maxHamming yields $bits-bit bucket keys " +
+        s"(domain ~${1L << bits}): bucket membership grows linearly past " +
+        s"~10^${(bits * 0.301).toInt} distinct fingerprints and recall decays " +
+        "once the write-time cap engages. Prefer radius <= 4 (32-bit keys), " +
+        "or monitor hammingIndexMaxBucket / rebuild on cap engagement."
+      if (warnedRadii.add(maxHamming))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      Some(msg)
+    }
+  }
+
   /** Capped wide-prefix band rows (grpCols..., id, h, band, bucket) of a
     * fingerprint skeleton — the shared explode of the within-run pair
     * generator ([[hammingBandPairs]]) and the persisted cross-run index
@@ -547,15 +587,26 @@ object Dedup {
     * band, so callers must collapse to distinct fingerprints first or
     * over-cap duplicates silently lose their band rows.
     */
+  /** Array of (band, bucket) structs for a fingerprint column under the
+    * radius's Manku table design — the pure-arithmetic core of
+    * [[hammingBandRows]], exposed package-wide so STREAMING index probes
+    * can band micro-batches under the index's persisted geometry: the cap
+    * window (`row_number`) is unsupported over streaming frames, and a
+    * probe side needs no cap — the index side was capped at write.
+    */
+  private[graft] def hammingBandStructs(h: Column, maxHamming: Int): Column = {
+    narrowPrefixWarning(maxHamming)
+    val (d, combos) = hammingTableDesign(maxHamming)
+    array(combos.zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("band"), hammingPrefix(h, combo, d).as("bucket"))
+    }: _*)
+  }
+
   private[graft] def hammingBandRows(sk: DataFrame, grpCols: Seq[String],
                                      maxHamming: Int, maxBucket: Int): DataFrame = {
-    val (d, combos) = hammingTableDesign(maxHamming)
-    val tableCols = combos.zipWithIndex.map { case (combo, t) =>
-      struct(lit(t).as("band"), hammingPrefix(col("h"), combo, d).as("bucket"))
-    }
     val g = grpCols.map(col)
     sk.select(g ++ Seq(col("id"), col("h"),
-        explode(array(tableCols: _*)).as("bb")): _*)
+        explode(hammingBandStructs(col("h"), maxHamming)).as("bb")): _*)
       .select(g ++ Seq(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
       .withColumn("__rk", row_number().over(
@@ -1219,6 +1270,27 @@ object Dedup {
     Seq((maxHamming, maxBucket)).toDF("max_hamming", "max_bucket")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_hspec")
+  }
+
+  /** Largest (band, bucket) membership of a [[writeHammingIndex]] table,
+    * with the geometry's write-time cap — the hamming twin of
+    * [[minhashIndexMaxBucket]], and the runtime signal the narrow-prefix
+    * advisory ([[hammingPrefixBits]]) points at: at radius ≥ 5 the bucket
+    * domain shrinks to ≤ 24 bits, so a growing corpus engages the cap by
+    * sheer cardinality (not just adversarial clustering) and every probe
+    * against an at-cap bucket can silently miss true neighbors. Appends
+    * re-cap only within their own generation, so drift accumulates
+    * cross-run. One partial-aggregating scan of the 28 B band skeletons;
+    * run it on the ops cadence and REBUILD (wider radius budget or bigger
+    * cap) once `max_members / cap` approaches 1. Returns
+    * (max_members, cap).
+    */
+  def hammingIndexMaxBucket(spark: org.apache.spark.sql.SparkSession,
+                            table: String): (Long, Int) = {
+    val cap = spark.table(s"${table}_hspec").head().getInt(1)
+    val m = spark.table(table).groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    (if (m.isNullAt(0)) 0L else m.getLong(0), cap)
   }
 
   /** Append new fingerprints to a [[writeHammingIndex]] table WITHOUT

@@ -178,6 +178,48 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.hammingTableDesign(0) == ((1, Seq(Seq(0)))))
   }
 
+  test("hamming narrow-prefix advisory fires for radius >= 5's sub-24-bit keys, defaults stay silent") {
+    // defaults and every radius <= 4 keep 32-bit bucket keys → no signal;
+    // radius 5 sits exactly at the 24-bit floor (still silent); radius 6's
+    // 16-bit keys revert to the saturation profile the wide-prefix rebuild
+    // exists to avoid, so the advisory must surface — with the width and
+    // the ops signal to watch in the message
+    // k=3's d=6 splits 64 bits unevenly (10/11-bit blocks), so its
+    // narrowest combo is 31 bits — still far above the floor
+    for ((k, w) <- Seq((1, 32), (2, 32), (3, 31), (4, 32))) {
+      assert(Dedup.hammingPrefixBits(k) == w, s"k=$k width")
+      assert(Dedup.narrowPrefixWarning(k).isEmpty, s"k=$k warned")
+    }
+    assert(Dedup.hammingPrefixBits(5) == 24 && Dedup.narrowPrefixWarning(5).isEmpty)
+    assert(Dedup.hammingPrefixBits(6) == 16)
+    val msg = Dedup.narrowPrefixWarning(6)
+    assert(msg.exists(m => m.contains("16-bit") &&
+      m.contains("hammingIndexMaxBucket")), s"advisory: $msg")
+  }
+
+  test("hamming index max-bucket signal reports cap engagement on a clustered build") {
+    import graft.sources.Warehouse
+    for (t <- Seq("ham_sig", "ham_sig_hspec"))
+      Warehouse.dropTableAndLocation(spark, t)
+    // 8 distinct codes inside one radius-3 ball: every band bucket holds
+    // all 8 → the cap (5) engages at build time and the ops signal must
+    // report max_members == cap; a sparse build stays far below it
+    val hot = (0L until 8L).map(i => (i, 1L << i))
+    Dedup.writeHammingIndex(hot.toDF("id", "h"), "ham_sig",
+      maxHamming = 3, buckets = 2, maxBucket = 5)
+    val (m, cap) = Dedup.hammingIndexMaxBucket(spark, "ham_sig")
+    assert(cap == 5 && m == 5L, s"expected cap engagement, got ($m, $cap)")
+    for (t <- Seq("ham_sig2", "ham_sig2_hspec"))
+      Warehouse.dropTableAndLocation(spark, t)
+    val rnd = new scala.util.Random(3)
+    Dedup.writeHammingIndex(
+      Seq.fill(64)(rnd.nextLong()).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }.toDF("id", "h"),
+      "ham_sig2", maxHamming = 3, buckets = 2)
+    val (m2, cap2) = Dedup.hammingIndexMaxBucket(spark, "ham_sig2")
+    assert(cap2 == 10000 && m2 < 5, s"sparse build near cap: ($m2, $cap2)")
+  }
+
   test("hamming pairs: wide-prefix band join ≡ brute-force bit_count on random codes") {
     // 400 random 64-bit codes plus planted near-twins at radii 1..4 —
     // with no cap engaged the Manku tables must find EXACTLY the
