@@ -48,27 +48,34 @@ object Multimodal {
     * metadata (mime falls back to the input's mime column when present)
     * — one output row per input row, never a task failure.
     */
-  def probeMetadata(media: DataFrame): DataFrame = {
+  def probeMetadata(media: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val hasMime = media.columns.contains("mime")
+    // `carry` columns (a streaming event-time column, routing keys) ride
+    // through the probe unchanged, appended after the probed metadata —
+    // the batch pipeline passes none, so its schema is byte-stable
+    val carried = carry.map(c => media.schema(media.schema.fieldIndex(c)))
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType, nullable = true),
       StructField("mime", StringType, nullable = true),
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
-      StructField("duration_ms", LongType, nullable = true)))
+      StructField("duration_ms", LongType, nullable = true)) ++ carried)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val cols = if (hasMime) Seq("media_id", "content", "mime")
-      else Seq("media_id", "content")
+    val cols = (if (hasMime) Seq("media_id", "content", "mime")
+      else Seq("media_id", "content")) ++ carry
+    val nFixed = if (hasMime) 3 else 2
     media.select(cols.head, cols.tail: _*).mapPartitions { rows =>
       rows.map { r =>
         val content = r.getAs[Array[Byte]](1)
         val fallbackMime = if (hasMime && !r.isNullAt(2)) r.getString(2) else null
+        val tail = (nFixed until nFixed + carry.length).map(r.get)
         MediaMeta.probe(content) match {
-          case Some(m) => Row(r.getLong(0), content, m.mime,
+          case Some(m) => Row.fromSeq(Seq(r.getLong(0), content, m.mime,
             m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
-            m.durationMs.map(Long.box).orNull)
-          case None => Row(r.getLong(0), content, fallbackMime, null, null, null)
+            m.durationMs.map(Long.box).orNull) ++ tail)
+          case None => Row.fromSeq(Seq(r.getLong(0), content, fallbackMime,
+            null, null, null) ++ tail)
         }
       }
     }(enc)

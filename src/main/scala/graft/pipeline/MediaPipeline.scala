@@ -95,20 +95,7 @@ object MediaPipeline {
         graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
     }
     val probed = Multimodal.probeMetadata(media)
-    val unprobed = col("width").isNull && col("height").isNull &&
-      col("duration_ms").isNull
-    // a gate applies only where the container carries the field: probed
-    // rows missing it pass that gate, unprobed rows ride keepUnprobed
-    val gates = Seq(
-      cfg.minWidth.map(w => col("width").isNull || col("width") >= w),
-      cfg.minHeight.map(h => col("height").isNull || col("height") >= h),
-      cfg.maxDurationMs.map(d => col("duration_ms").isNull || col("duration_ms") <= d),
-      if (cfg.mimePrefixes.isEmpty) None
-      else Some(cfg.mimePrefixes.map(p => col("mime").startsWith(p))
-        .reduce(_ || _))).flatten
-    val pass = gates.foldLeft(lit(true))(_ && _)
-    val gated = probed.filter(
-      when(unprobed, lit(cfg.keepUnprobed)).otherwise(pass))
+    val gated = probed.filter(gateCondition(cfg))
     // the ONE decode pass; every tier below reads phash from the row
     val hashed = cfg.materialize match {
       case Materialize.Off => Multimodal.perceptualHash(gated)
@@ -133,6 +120,103 @@ object MediaPipeline {
       case Some(t) =>
         Multimodal.dedupePerceptualAgainstIndex(afterRegistry, t,
           cfg.hammingIndexUpdate, ph)
+    }
+  }
+
+  // The gate predicate over PROBED metadata columns, shared verbatim by
+  // the batch and streaming intakes so the policy contract can never
+  // drift: a gate applies only where the container carries the field
+  // (probed rows missing it pass that gate), unprobed rows (null width,
+  // height AND duration) ride keepUnprobed.
+  private def gateCondition(cfg: MediaConfig): org.apache.spark.sql.Column = {
+    val unprobed = col("width").isNull && col("height").isNull &&
+      col("duration_ms").isNull
+    val gates = Seq(
+      cfg.minWidth.map(w => col("width").isNull || col("width") >= w),
+      cfg.minHeight.map(h => col("height").isNull || col("height") >= h),
+      cfg.maxDurationMs.map(d => col("duration_ms").isNull || col("duration_ms") <= d),
+      if (cfg.mimePrefixes.isEmpty) None
+      else Some(cfg.mimePrefixes.map(p => col("mime").startsWith(p))
+        .reduce(_ || _))).flatten
+    val pass = gates.foldLeft(lit(true))(_ && _)
+    when(unprobed, lit(cfg.keepUnprobed)).otherwise(pass)
+  }
+
+  /** STREAMING media intake — [[curateMedia]]'s incremental twin, the
+    * media face of [[graft.streaming.EventStreams.curateDocs]]: the same
+    * stage order as the batch pipeline, re-expressed in the streaming
+    * tiers' disciplines:
+    *
+    *   1. metadata probe + gate  (header-only, stateless — gated-out rows
+    *                              never reach the decode, and `tsCol`
+    *                              rides the probe as a carried column)
+    *   2. ONE decode pass        ([[Multimodal.perceptualHash]] — every
+    *                              later stage reads the carried `phash`)
+    *   3. within-watermark state ([[Multimodal.dedupePerceptualStream]]'s
+    *                              exact-fingerprint shape: re-encoded and
+    *                              blocky-resized re-posts collapse across
+    *                              micro-batches inside the horizon)
+    *   4. historical index probe (optional `cfg.hammingIndexTable`:
+    *                              [[graft.streaming.EventStreams.dedupeHammingAgainstIndex]]
+    *                              over the carried phash — near-mutated
+    *                              replays of the INDEXED corpus drop,
+    *                              which the horizon-bounded state never
+    *                              sees)
+    *
+    * Contracts inherited whole: the gate precedes the dedup tiers
+    * (gated-out rows must not claim cluster representative slots); NULL
+    * fingerprints (undecodable content) survive both dedup tiers and
+    * never register anywhere; the index is static to the stream — probed,
+    * NEVER stream-mutated regardless of `cfg.hammingIndexUpdate` (growth
+    * stays a batch job, [[graft.dedup.Dedup.appendToHammingIndex]] — the
+    * [[graft.streaming.EventStreams.curateDocs]] `nearIndexTable` rule);
+    * with the probe enabled the windowed verdict ends the stateful chain,
+    * so survivors emit when the watermark passes their window (bounded
+    * latency, not immediate) and stage 3's state briefly holds replayed
+    * fingerprints until the watermark expires them (the curateDocs
+    * exact-path ordering trade, verbatim).
+    *
+    * Batch-only knobs are rejected loudly rather than silently ignored:
+    * `registryTable` (the exact-fingerprint registry is subsumed by the
+    * index probe at distance 0 — build the hamming index instead) and
+    * `compactEveryNFiles` (compaction is an ops-cadence batch job; a
+    * per-micro-batch rewrite of a bucketed table would race the probe's
+    * static scans). `materialize` does not apply (streams cannot persist
+    * mid-plan; the plan computes `phash` once per branch by construction).
+    *
+    * Scale shape: stages 1-2 are stateless map passes; stage 3's state
+    * store holds one 8-byte fingerprint key per distinct surviving image
+    * inside the horizon; stage 4 joins ~28 B band skeletons against the
+    * composite-bucketed static index with no exchange on the index side —
+    * content bytes never enter a shuffle or the state store.
+    */
+  def curateMediaStream(media: DataFrame, tsCol: String,
+                        cfg: MediaConfig = MediaConfig(),
+                        watermark: String = "1 hour",
+                        indexWindowLen: String = "5 minutes"): DataFrame = {
+    require(cfg.registryTable.isEmpty,
+      "registryTable is batch-only: the hamming index probe subsumes exact " +
+        "replays at distance 0 — pass hammingIndexTable instead")
+    require(cfg.compactEveryNFiles.isEmpty,
+      "compactEveryNFiles is batch-only: compact on the ops cadence, not " +
+        "per micro-batch")
+    val probed = Multimodal.probeMetadata(media, carry = Seq(tsCol))
+    val gated = probed.filter(gateCondition(cfg))
+    // the ONE decode pass; phash stays on the row as downstream evidence
+    val hashed = Multimodal.perceptualHash(gated)
+      .withWatermark(tsCol, watermark)
+    // within-watermark exact-fingerprint state (the dedupePerceptualStream
+    // shape, keeping phash on the survivors for the probe + the caller)
+    val afterState = hashed
+      .withColumn("__dk", when(col("phash").isNull,
+        concat(lit("n:"), col("media_id").cast("string")))
+        .otherwise(concat(lit("h:"), col("phash").cast("string"))))
+      .dropDuplicatesWithinWatermark("__dk")
+      .drop("__dk")
+    cfg.hammingIndexTable match {
+      case None => afterState
+      case Some(t) => graft.streaming.EventStreams.hammingProbeVerdict(
+        afterState, col("phash"), "media_id", tsCol, t, indexWindowLen)
     }
   }
 }

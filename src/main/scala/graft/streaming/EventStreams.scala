@@ -436,6 +436,84 @@ object EventStreams {
       .select(col(idCol), col(tsCol))
   }
 
+  /** Streaming probe of a persisted HAMMING index
+    * ([[graft.dedup.Dedup.writeHammingIndex]]) — the fingerprint-identity
+    * member of the streaming cross-run family, next to the MinHash probe
+    * ([[dedupeNearAgainstIndex]]): drop every stream document whose 64-bit
+    * fingerprint is within the index's Hamming radius of anything the
+    * historical corpus registered, where the within-stream perceptual /
+    * simhash state ([[graft.multimodal.Multimodal.dedupePerceptualStream]],
+    * [[dedupeNear]]) only sees the watermark horizon. `fingerprint` is any
+    * 64-bit column expression over the stream row — [[dedupeSimhashAgainstIndex]]
+    * passes the SimHash of a text column; the media intake passes its
+    * carried one-decode phash — so the fingerprint is never recomputed
+    * here. Null fingerprints (undecodable media, null text) carry no
+    * evidence and always survive.
+    *
+    * Shape: the micro-batch is banded under the index's persisted
+    * geometry (`<table>_hspec` — pure bit arithmetic, stateless), joined
+    * against the static composite-bucketed band table, verified with
+    * `bit_count`, and the match skeletons ride a windowed verdict whose
+    * payload branch carries the full row at count 0 — the
+    * [[dedupeNearAgainstIndex]] discipline verbatim, including its
+    * composition constraint: the verdict emits past-watermark rows, so
+    * this must END a stateful chain. The index is static to the stream —
+    * probed, never stream-mutated; growth stays a batch job
+    * ([[graft.dedup.Dedup.appendToHammingIndex]]).
+    */
+  def dedupeHammingAgainstIndex(docs: DataFrame, fingerprint: org.apache.spark.sql.Column,
+                                idCol: String, tsCol: String, table: String,
+                                watermark: String = "1 hour",
+                                windowLen: String = "5 minutes"): DataFrame =
+    hammingProbeVerdict(docs.withWatermark(tsCol, watermark), fingerprint,
+      idCol, tsCol, table, windowLen)
+
+  /** Text face of [[dedupeHammingAgainstIndex]]: SimHash the text column
+    * and probe — the streaming twin of
+    * [[graft.dedup.Dedup.simhashNearDedupAgainstIndex]]'s report-only mode.
+    */
+  def dedupeSimhashAgainstIndex(docs: DataFrame, textCol: String, idCol: String,
+                                tsCol: String, table: String,
+                                watermark: String = "1 hour",
+                                windowLen: String = "5 minutes"): DataFrame =
+    dedupeHammingAgainstIndex(docs,
+      when(col(textCol).isNotNull, graft.dedup.Dedup.simhash(col(textCol))),
+      idCol, tsCol, table, watermark, windowLen)
+
+  // The hamming twin of [[indexProbeVerdict]] over an ALREADY-watermarked
+  // stream — split out so a chain whose upstream stage declared the
+  // watermark (the media intake's perceptual state) doesn't redefine it.
+  // graft-wide: the media pipeline chains it after its own state stage.
+  private[graft] def hammingProbeVerdict(wmDocs: DataFrame,
+      fingerprint: org.apache.spark.sql.Column, idCol: String, tsCol: String,
+      table: String, windowLen: String): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = wmDocs.sparkSession
+    val maxHamming = spark.table(s"${table}_hspec").head().getInt(0)
+    val cols = wmDocs.columns.toSeq
+    val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__m"),
+      struct(cols.map(col): _*).as("__r"))
+    val payloadType = payload.schema("__r").dataType
+    val matched = wmDocs
+      .select(col(idCol), col(tsCol), fingerprint.as("__h"))
+      .where(col("__h").isNotNull)
+      .select(col(idCol), col(tsCol), col("__h"),
+        explode(Dedup.hammingBandStructs(col("__h"), maxHamming)).as("bb"))
+      .select(col(idCol), col(tsCol), col("__h"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(spark.table(table).select(col("band"), col("bucket"),
+        col("h").as("__ih")), Seq("band", "bucket"))
+      .filter(expr("bit_count(__h ^ __ih)") <= maxHamming)
+      .select(col(idCol), col(tsCol), lit(1L).as("__m"),
+        lit(null).cast(payloadType).as("__r"))
+    matched.unionByName(payload)
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(sum(col("__m")).as("__m"),
+        first(col("__r"), ignoreNulls = true).as("__r"))
+      .filter(col("__m") === 0)
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Streaming corpus intake: the curation stages that are row-local run
     * stateless on the document stream — fused langQuality gate, benchmark
     * decontamination, PII redaction, md5 split assignment — and exact

@@ -815,6 +815,122 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out2.isEmpty, s"run 2 survivors: $out2")
   }
 
+  test("streaming hamming-index probe drops mutated replays of the indexed corpus in batch 1") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep") // flips few SimHash bits
+    val fresh = "an entirely different document about distributed query engines " +
+      "and their optimizers planning joins over columnar storage layouts for " +
+      "modern large scale analytics workloads running in production clusters"
+    import graft.dedup.Dedup
+    import graft.sources.Warehouse
+    for (tb <- Seq("hprobe_idx", "hprobe_idx_hspec"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    // historical corpus indexed by a prior batch run, radius 6
+    Dedup.writeHammingIndex(
+      Seq((100L, base)).toDF("doc_id", "text")
+        .select($"doc_id".as("id"), Dedup.simhash($"text").as("h")),
+      "hprobe_idx", maxHamming = 6, buckets = 2)
+    val idxBefore = spark.table("hprobe_idx").count()
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStreams.dedupeSimhashAgainstIndex(docs, "text", "doc_id",
+        "ts", "hprobe_idx", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hprobe_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a MUTATED replay of the indexed doc (an exact registry
+      // would miss it), a fresh doc, and a null-text row (no evidence)
+      input.addData((1L, ts(0), mutated), (2L, ts(1), fresh),
+        (3L, ts(2), null.asInstanceOf[String]))
+      query.processAllAvailable()
+      // advance the watermark so the verdict windows close
+      input.addData((99L, ts(60, 0), fresh + " heartbeat tail"))
+      query.processAllAvailable()
+      val out = spark.table("hprobe_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(2L, 3L), s"survivors: $out")
+      // the stream only PROBES — the index is never stream-mutated
+      assert(spark.table("hprobe_idx").count() == idxBefore)
+    } finally query.stop()
+  }
+
+  test("curateMediaStream gates, dedups cross-batch, probes the hamming index, keeps corrupt") {
+    import graft.dedup.Dedup
+    import graft.multimodal.{ImageCodec, PpmCodec}
+    import graft.pipeline.MediaPipeline
+    import graft.pipeline.MediaPipeline.MediaConfig
+    implicit val sqlCtx = spark.sqlContext
+    // three mutually-distant 8×8 patterns: dHash puts each light region's
+    // right edge at a different column (the video-dedup spec's trick)
+    def pattern(edge: Int) = PpmCodec.Image(8, 8, Array.tabulate(8 * 8 * 3) {
+      i => (if ((i / 3) % 8 < edge) 255 else 0).toByte
+    })
+    val base = pattern(4)
+    val fresh = pattern(6)
+    val historical = pattern(2)
+    // near replay of the HISTORICAL image: one corner pixel flipped
+    val nearRgb = Array.tabulate(8 * 8 * 3)(i =>
+      (if ((i / 3) % 8 < 2) 255 else 0).toByte)
+    nearRgb(0) = 0.toByte; nearRgb(1) = 0.toByte; nearRgb(2) = 0.toByte
+    val nearHist = PpmCodec.Image(8, 8, nearRgb)
+    for (t <- Seq("cms_hidx", "cms_hidx_hspec"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Dedup.writeHammingIndex(
+      Multimodal.perceptualHash(Multimodal.asMedia(
+          Seq((100L, PpmCodec.encode(historical))).toDF("id", "payload"),
+          "id", "payload", "image/mixed"))
+        .select($"media_id".as("id"), $"phash".as("h")),
+      "cms_hidx", maxHamming = 4, buckets = 2)
+    val idxBefore = spark.table("cms_hidx").count()
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val media = input.toDF().toDF("media_id", "ts", "content")
+      .withColumn("mime", lit("image/mixed"))
+    val query = MediaPipeline.curateMediaStream(media, "ts",
+        MediaConfig(minWidth = Some(6), keepUnprobed = true,
+          hammingIndexTable = Some("cms_hidx")),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: an UNDERSIZED blocky resize of base arrives FIRST — the
+      // gate must drop it before the dedup state, or it would claim
+      // base's fingerprint slot and base (id 2) would never survive;
+      // a corrupt blob (keepUnprobed) must ride through every tier
+      input.addData(
+        (1L, ts(0), PpmCodec.encode(PpmCodec.resize(base, 4, 4))),
+        (2L, ts(1), PpmCodec.encode(base)),
+        (3L, ts(2), "corrupt blob one".getBytes("UTF-8")))
+      query.processAllAvailable()
+      // batch 2: a PNG re-encode of batch 1's survivor (within-watermark
+      // state drop), a near replay of the INDEXED historical corpus
+      // (index probe drop — the state never saw it), a fresh image, and
+      // a second corrupt blob (null fingerprints never match)
+      input.addData(
+        (4L, ts(3), ImageCodec.encodePng(base)),
+        (5L, ts(4), PpmCodec.encode(nearHist)),
+        (6L, ts(5), ImageCodec.encodePng(fresh)),
+        (7L, ts(6), "corrupt blob two".getBytes("UTF-8")))
+      query.processAllAvailable()
+      // heartbeat pushes the watermark so the probe's verdict windows close
+      input.addData((99L, ts(60, 0), PpmCodec.encode(pattern(7))))
+      query.processAllAvailable()
+      val rows = spark.table("cms_out")
+        .select("media_id", "width", "phash")
+        .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+      assert(rows.keySet == Set(1L, 2L, 3L, 6L, 7L) - 1L,
+        s"survivors: ${rows.keySet.toSeq.sorted}")
+      // evidence columns survive the chain: probed width + carried phash
+      // on real images, both null on the corrupt blobs
+      assert(rows(2L) == ((false, false)) && rows(6L) == ((false, false)))
+      assert(rows(3L) == ((true, true)) && rows(7L) == ((true, true)))
+      // the stream only PROBES — the index is never stream-mutated
+      assert(spark.table("cms_hidx").count() == idxBefore)
+    } finally query.stop()
+  }
+
   test("multimodal: streaming perceptual dedup drops re-encoded re-posts cross-batch") {
     import graft.multimodal.{ImageCodec, PpmCodec}
     implicit val sqlCtx = spark.sqlContext
