@@ -42,6 +42,125 @@ object MultimodalQ {
       Array.tabulate(8 * 8 * 3)(i => img.rgb((i / 24) * 48 + i % 24))))
   }
 
+  // splitmix64 — the JVM-stable scrambler behind the audio/video
+  // generators (java.util.Random's documented finalizer, no JRE state)
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  // -------- m03 audio generation --------
+  // 33 windows × 240 samples of an 8 kHz square tone whose per-window
+  // amplitude is a seed-keyed pseudo-random level in [0.2, 0.8]: the
+  // audio fingerprint's envelope half reads the adjacent-window RMS
+  // delta signs, so distinct seeds land ~16 bits apart while the
+  // brightness half (tone period 16 ≈ 500 Hz, amplitude-invariant)
+  // stays constant. `dip` crushes ONE window to near-silence, flipping
+  // at most the two adjacent delta bits — a planted near-twin within
+  // any radius ≥ 2.
+  private def audioSamples(seed: Long, dip: Boolean): Array[Short] = {
+    val out = new Array[Short](33 * 240)
+    var w = 0
+    while (w < 33) {
+      val lvl = 0.2 + 0.6 * ((mix(seed * 33 + w) >>> 11).toDouble / (1L << 53))
+      val a = (30000 * (if (dip && w == 16) lvl * 0.08 else lvl)).toInt
+      var i = 0
+      while (i < 240) {
+        out(w * 240 + i) = (if ((i / 8) % 2 == 0) a else -a).toShort
+        i += 1
+      }
+      w += 1
+    }
+    out
+  }
+
+  private def encodeAudio(samples: Array[Short],
+                          kind: javax.sound.sampled.AudioFileFormat.Type,
+                          big: Boolean): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (big) { raw(i * 2) = ((s >> 8) & 0xFF).toByte; raw(i * 2 + 1) = (s & 0xFF).toByte }
+      else { raw(i * 2) = (s & 0xFF).toByte; raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte }
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, big)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length), kind, bos)
+    bos.toByteArray
+  }
+
+  private val wavUdf = udf { (seed: Long) =>
+    encodeAudio(audioSamples(seed, dip = false),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, big = false)
+  }
+  private val aiffUdf = udf { (seed: Long) =>
+    encodeAudio(audioSamples(seed, dip = false),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, big = true)
+  }
+  private val wavDipUdf = udf { (seed: Long) =>
+    encodeAudio(audioSamples(seed, dip = true),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, big = false)
+  }
+
+  // -------- m04 video generation --------
+  // Per-id 3-frame animation whose frames are 8×8 light-left patterns
+  // with the light region's right edge at columns (a, b, a+b mod 7)+1
+  // for a = id%7, b = id/7 — an MDS [3,2] code over Z7, so any two ids
+  // agree in AT MOST ONE frame position and `minMatches = 2` can never
+  // cross-drop originals. Each frame's dHash carries one bit per row at
+  // the edge column: same edge → distance 0, different edges →
+  // distance 16, a frame-0 corner tweak → distance 1-2.
+  private def edges(id: Long): Seq[Int] = {
+    val a = (id % 7).toInt
+    val b = ((id / 7) % 7).toInt
+    Seq(a + 1, b + 1, (a + b) % 7 + 1)
+  }
+
+  private def frame(edge: Int, size: Int, tweak: Boolean): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val (gx, gy) = (x * 8 / size, y * 8 / size)
+      val light = gx < edge && !(tweak && gx == edge - 1 && gy == 0)
+      bi.setRGB(x, y, if (light) 0xFFFFFF else 0)
+    }
+    bi
+  }
+
+  private def gifFor(es: Seq[Int], size: Int, tweakFrame0: Boolean): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for ((e, k) <- es.zipWithIndex)
+      writer.writeToSequence(
+        new IIOImage(frame(e, size, tweakFrame0 && k == 0), null, null), null)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  private val gifUdf = udf { (id: Long) => gifFor(edges(id), 8, tweakFrame0 = false) }
+  private val gifScaledUdf = udf { (id: Long) => gifFor(edges(id), 16, tweakFrame0 = false) }
+  private val gifTweakUdf = udf { (id: Long) => gifFor(edges(id), 8, tweakFrame0 = true) }
+  // swap the first two frames: vs its own original only position 2 still
+  // matches (1 < minMatches), and the swapped pattern (b, a, a+b) can
+  // only 2-agree with the TRANSPOSED id 7a+b — for ids ≡ 6 (mod 7) that
+  // transpose is ≥ 42, outside the corpus, so the cut survives every
+  // cluster by construction
+  private val gifReorderUdf = udf { (id: Long) =>
+    val e = edges(id)
+    gifFor(Seq(e(1), e(0), e(2)), 8, tweakFrame0 = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L32: batch perceptual near-dedup end to end. 120 distinct images
     // (PNG), a re-encoded PPM twin for every 4th (identical pixels →
@@ -94,6 +213,75 @@ object MultimodalQ {
             "media_id", "content", "media/unknown"),
           MediaPipeline.MediaConfig(minWidth = Some(12)))
         .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    },
+
+    // L35: audio perceptual near-dedup end to end. 60 distinct envelope
+    // walks (WAV), an AIFF re-encode twin for every 4th (identical PCM →
+    // identical fingerprint → exact tier), a one-window near-silence dip
+    // for every 10th (≤2 envelope bits flip → near tier at radius 4),
+    // and one undecodable blob (NULL fingerprint — survives). Expected
+    // survivors: the 60 originals + the corrupt row. Rows-only: DuckDB
+    // decodes no audio (the L35 inexpressibility argument); the
+    // collapse/survive semantics are spec-gated (StreamingMultimodalSpec).
+    "m03_audio_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 60)
+      val originals = ids.select(col("doc_id").as("media_id"),
+        wavUdf(col("doc_id")).as("content"))
+      val reencodes = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 5000).as("media_id"),
+          aiffUdf(col("doc_id")).as("content"))
+      val nears = ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 7000).as("media_id"),
+          wavDipUdf(col("doc_id")).as("content"))
+      val corrupt = ids.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 9999).as("media_id"),
+          lit(Array[Byte](7, 7, 7, 7)).as("content"))
+      Multimodal.dedupeAudioPerceptual(
+          Multimodal.asMedia(
+            originals.unionByName(reencodes).unionByName(nears)
+              .unionByName(corrupt),
+            "media_id", "content", "audio/mixed"),
+          maxHamming = 4)
+        .select(col("media_id"))
+        .orderBy("media_id")
+    },
+
+    // L34: video perceptual near-dedup end to end. 40 distinct 3-frame
+    // animations whose frame edges form an MDS code (any two ids share
+    // at most ONE frame position, so minMatches=2 never cross-drops), a
+    // 16×16 scaled re-encode for every 4th (blocky upscale → per-frame
+    // hash-identical → exact tier), a frame-0 corner tweak for every
+    // 10th (1-2 bits on one position, other two exact → near tier), ONE
+    // reordered cut of id 13 (same frames, misaligned positions — MUST
+    // survive: order is content), and one corrupt blob (survives).
+    // Expected survivors: 40 originals + the reordered cut + corrupt.
+    // Rows-only: m01's DuckDB argument; semantics spec-gated.
+    "m04_video_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 40)
+      val originals = ids.select(col("doc_id").as("media_id"),
+        gifUdf(col("doc_id")).as("content"))
+      val scaled = ids.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 5000).as("media_id"),
+          gifScaledUdf(col("doc_id")).as("content"))
+      val tweaked = ids.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 7000).as("media_id"),
+          gifTweakUdf(col("doc_id")).as("content"))
+      val reordered = ids.filter(col("doc_id") === 13)
+        .select((col("doc_id") + 8000).as("media_id"),
+          gifReorderUdf(col("doc_id")).as("content"))
+      val corrupt = ids.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 9999).as("media_id"),
+          lit(Array[Byte](4, 4, 4)).as("content"))
+      Multimodal.dedupeVideoPerceptual(
+          Multimodal.asMedia(
+            originals.unionByName(scaled).unionByName(tweaked)
+              .unionByName(reordered).unionByName(corrupt),
+            "media_id", "content", "image/gif"),
+          n = 3, minMatches = 2, maxHamming = 2)
+        .select(col("media_id"))
         .orderBy("media_id")
     }
   )

@@ -120,6 +120,23 @@ class MediaPipelineSpec extends SparkSpec {
     assert(out == Seq(2L), s"survivors: $out")
   }
 
+  test("m03/m04 driver gates keep planted-twin shapes: twins drop, reorder + corrupt survive") {
+    // the audio/video driver-gate queries are rows-only (no DuckDB
+    // oracle), so CI pins their survivor SHAPE here: every +5000
+    // re-encode and +7000 near twin drops, the +8000 reordered cut and
+    // the +9999 corrupt blob survive, originals all survive
+    val dir = "/root/testdata/sf0.001"
+    val m03 = graft.queries.MultimodalQ.queries("m03_audio_dedup")(spark, dir)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(m03.count(_ < 5000) == 60 && m03.contains(9999L) &&
+      !m03.exists(i => i >= 5000 && i < 9000), s"m03 survivors: $m03")
+    val m04 = graft.queries.MultimodalQ.queries("m04_video_dedup")(spark, dir)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(m04.count(_ < 5000) == 40 && m04.contains(8013L) &&
+      m04.contains(9999L) &&
+      !m04.exists(i => i >= 5000 && i < 8000), s"m04 survivors: $m04")
+  }
+
   test("a caller-supplied fingerprint column is used instead of decoding") {
     // content is NULL everywhere: a second decode pass would fingerprint
     // nothing and keep all rows — collapsing the equal fakes proves the
