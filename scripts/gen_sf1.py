@@ -9,7 +9,9 @@ parents), so join selectivities stay realistic. region/nation stay fixed
 (as in TPC-H). Text/embedding payloads are replicated verbatim — exact
 dedup collapses the copies before any near-dup stage, mirroring how a real
 crawl's replica pages behave. pyarrow is used (not DuckDB) so events.ts
-keeps its TIMESTAMP(NANOS) physical type, which graft.Tables depends on.
+keeps its physical type exactly as generated (TIMESTAMP(NANOS) in older
+testdata generations, TIMESTAMP(MICROS) since round 9 — graft.Tables
+branches on whichever it scans).
 
 Usage: python3 scripts/gen_sf1.py [outdir=/tmp/graft_sf1] [reps=10]
 """

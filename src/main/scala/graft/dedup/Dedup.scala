@@ -1454,6 +1454,79 @@ object Dedup {
       .select(col("__bid").as(idCol)).distinct()
   }
 
+  /** Batch ids with a semantic near-dup in a persisted INT8-QUANTIZED IVF
+    * index ([[graft.similarity.Similarity.writeIvfIndexQuantized]]) — the
+    * serving-cost variant of [[semanticDupIdsAgainstIndex]]: the per-cell
+    * comparison volume is identical, but the probed rows are 1-byte/dim
+    * codes plus 12 bytes of scalars instead of 4-byte floats — a ~3.7×
+    * cut of the operator's dominant read at serving dims — and only a
+    * COVERING candidate set touches the raw-vector rerank sibling.
+    *
+    * The drop set is EXACTLY the float path's, not approximately:
+    * scalar int8 rounds each coordinate within scale/2, so the
+    * reconstructed dot `scale·Σcode·q + offset·Σq` differs from the true
+    * dot by at most `(scale/2)·Σ|q|` — the probe admits every code row
+    * within that margin of `threshold` (complete by the bound) and
+    * verifies the admitted pairs against the raw sibling with the exact
+    * arithmetic (sound by the rerank). No shortlist to size, no recall
+    * knob: the margin IS the covering shortlist.
+    */
+  def semanticDupIdsAgainstIndexQuantized(batch: DataFrame, idCol: String,
+                                          vecCol: String, table: String,
+                                          threshold: Double = 0.9): DataFrame = {
+    import graft.similarity.Similarity
+    val spark = batch.sparkSession
+    val centroids = Similarity.readIvfCentroids(spark, table)
+    val assigned = Similarity.assignToCentroids(
+      batch.select(col(idCol), col(vecCol)), vecCol, centroids,
+      centroids.head._2.length)
+    val b = assigned.select(col("cell"), col(idCol).as("__bid"),
+      col(vecCol).as("__bv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__bn"),
+      aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + x).as("__bsum"),
+      aggregate(col(vecCol), lit(0.0d), (acc, x) => acc + abs(x)).as("__babs"))
+    // admit on the reconstructed dot + rigorous rounding margin; the
+    // stored `norm` is the EXACT float norm (computed at build/append
+    // from the raw vector), so the denominator needs no correction
+    val codes = spark.table(table).select(col("cell"), col(idCol).as("__iid"),
+      col("code"), col("scale"), col("offset"), col("norm"))
+    val cand = codes.join(b, "cell")
+      .filter((graft.functions.Int8Dot(col("code"), col("__bv")) * col("scale") +
+        col("offset") * col("__bsum") +
+        col("scale") / 2 * col("__babs")) / (col("norm") * col("__bn"))
+        >= threshold)
+      .select(col("__iid"), col("__bid"), col("__bv"), col("__bn"))
+    // exact rerank of the covering candidates only: an id-keyed (unskewed)
+    // join against the raw sibling's bucketed layout
+    cand.join(spark.table(s"${table}_raw")
+        .select(col(idCol).as("__iid"), col(vecCol).as("__iv"),
+          sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("__in")),
+      Seq("__iid"))
+      .filter(Similarity.dot(col("__bv"), col("__iv")) /
+        (col("__bn") * col("__in")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+  }
+
+  /** Incremental semantic dedup across runs served from the QUANTIZED
+    * index — [[semanticDedupAgainstIndex]] with
+    * [[semanticDupIdsAgainstIndexQuantized]]'s probe and the int8 append
+    * ([[graft.similarity.Similarity.appendToIvfIndexQuantized]]: codes
+    * into the cell-partitioned main, raw vectors into the rerank
+    * sibling). Same failure contract: drop set checkpointed BEFORE the
+    * append, survivors checkpointed, single writer per index.
+    */
+  def semanticDedupAgainstIndexQuantized(batch: DataFrame, idCol: String,
+                                         vecCol: String, table: String,
+                                         threshold: Double = 0.9,
+                                         update: Boolean = true): DataFrame = {
+    val dupIds = semanticDupIdsAgainstIndexQuantized(batch, idCol, vecCol,
+      table, threshold).localCheckpoint()
+    val fresh = batch.join(dupIds, Seq(idCol), "left_anti").localCheckpoint()
+    if (update) graft.similarity.Similarity.appendToIvfIndexQuantized(
+      fresh.select(col(idCol), col(vecCol)), idCol, vecCol, table)
+    fresh
+  }
+
   /** Incremental SEMANTIC dedup across pipeline RUNS — the embedding
     * member of the cross-run family (exact: [[dedupAgainstRegistry]];
     * MinHash text: [[nearDedupAgainstIndex]]; this: embedding-cosine

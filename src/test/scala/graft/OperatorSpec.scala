@@ -380,6 +380,57 @@ class OperatorSpec extends SparkSpec {
       "update=false must not append")
   }
 
+  test("quantized cross-run semantic dedup: drop set equals the float path's, append serves") {
+    import graft.sources.Warehouse
+    for (t <- Seq("sem_q_idx", "sem_q_idx_raw", "sem_q_idx_centroids",
+      "sem_f_idx", "sem_f_idx_centroids"))
+      Warehouse.dropTableAndLocation(spark, t)
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val baseDf = base.toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(baseDf, "vec_id", "embedding", "sem_f_idx",
+      nCentroids = 4, lloydIters = 1, buckets = 2)
+    Similarity.writeIvfIndexQuantized(baseDf, "vec_id", "embedding",
+      "sem_q_idx", nCentroids = 4, lloydIters = 1, buckets = 2)
+    // probe batch: scaled replays of indexed vectors (cosine exactly 1),
+    // small perturbations (near), fresh gaussians (far) — 60 rows
+    val batch = (0 until 60).map { i =>
+      val id = 1000L + i
+      if (i % 3 == 0) (id, base(i)._2.map(_ * 1.01f))
+      else if (i % 3 == 1) (id, base(i)._2.zipWithIndex
+        .map { case (x, j) => x + (if (j == 0) 0.05f else 0.0f) })
+      else (id, vec())
+    }.toDF("vec_id", "embedding")
+    val floatDrops = Dedup.semanticDupIdsAgainstIndex(batch,
+      "vec_id", "embedding", "sem_f_idx", threshold = 0.9)
+      .as[Long].collect().sorted.toSeq
+    val quantDrops = Dedup.semanticDupIdsAgainstIndexQuantized(batch,
+      "vec_id", "embedding", "sem_q_idx", threshold = 0.9)
+      .as[Long].collect().sorted.toSeq
+    // the margin admits a superset, the exact rerank reduces it to
+    // EXACTLY the float verdict — same centroids (same seeded training),
+    // same threshold, same cells
+    assert(floatDrops.nonEmpty && floatDrops != (1000L until 1060L).toSeq,
+      s"premise: drop set trivial (${floatDrops.size})")
+    assert(quantDrops == floatDrops,
+      s"missing=${floatDrops.toSet -- quantDrops} spurious=${quantDrops.toSet -- floatDrops}")
+    // the full op appends survivors to BOTH the code table and the raw
+    // rerank sibling; an exact replay of a survivor then drops next run
+    val fresh = Dedup.semanticDedupAgainstIndexQuantized(batch, "vec_id",
+      "embedding", "sem_q_idx", threshold = 0.9)
+    val freshIds = fresh.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(freshIds == (1000L until 1060L).filterNot(quantDrops.contains).toSeq)
+    assert(spark.table("sem_q_idx").count() == 200L + freshIds.size)
+    assert(spark.table("sem_q_idx_raw").count() == 200L + freshIds.size)
+    val replay = Dedup.semanticDedupAgainstIndexQuantized(
+      fresh.select((col("vec_id") + 9000).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", "sem_q_idx", threshold = 0.9, update = false)
+    assert(replay.count() == 0, "exact replays of appended survivors must drop")
+    assert(spark.table("sem_q_idx").count() == 200L + freshIds.size,
+      "update=false must not append")
+  }
+
   test("minhash index: cross-run NEAR dedup drops mutated replays and grows by append") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
       "on the warm windowsill and the birds sing in the garden every morning " +
