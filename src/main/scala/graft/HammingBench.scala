@@ -19,9 +19,25 @@ import graft.dedup.Dedup
   * theory value — 1.0 — at any corpus cardinality the cap doesn't touch;
   * `cand_pairs` records the verify-stage volume actually paid for it.
   *
-  * Usage: `runMain graft.HammingBench [N] [maxHamming] [twinEvery] [artifact]`
+  * Usage: `runMain graft.HammingBench [N] [maxHamming] [twinEvery] [artifact] [mode]`
   * (defaults 120e6 / 3 / 1000 — ≥10⁸ distinct fingerprints, the 100 TB
   * text-corpus bar from the round-7 grading).
+  *
+  * `mode` is `full` (one hammingDropIds call — the production entry
+  * point) or `sharded` (default past 1.5×10⁸ codes): one band TABLE at a
+  * time, because the full run's single banded shuffle is tables × N rows
+  * at once — ~240 GB of transient shuffle at 3×10⁸ codes, more scratch
+  * disk than this host has. Sharding is measurement-equivalent by
+  * construction: the engine's candidate set is the UNION of the per-table
+  * self-joins (hammingBandPairs joins on (band, bucket), and the cap
+  * window partitions by (band, bucket), so filtering the explode to one
+  * band commutes with both), and a planted twin is dropped by the full
+  * engine whenever it appears as the greater side of any verified pair —
+  * its cluster min is then strictly smaller. The sharded count is thus a
+  * LOWER bound on full-engine recall (a twin caught only through a
+  * larger-id chain is missed here), so the recorded number never
+  * flatters. On a 1000-executor cluster the one-shot shuffle is the right
+  * plan; per-table sharding is how a single box measures the same recall.
   */
 object HammingBench {
   def main(args: Array[String]): Unit = {
@@ -29,6 +45,8 @@ object HammingBench {
     val maxHamming = if (args.length > 1) args(1).toInt else 3
     val twinEvery = if (args.length > 2) args(2).toLong else 1000L
     val artifact = if (args.length > 3) Some(args(3)) else None
+    val sharded =
+      if (args.length > 4) args(4) == "sharded" else n > 150000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Tables.newSession("graft-hamming-bench", s"local[$cpus]", cpus)
     // the banded explode is tables × N rows — size partitions so each
@@ -54,8 +72,45 @@ object HammingBench {
     val planted = (n + twinEvery - 1) / twinEvery
 
     val t0 = System.nanoTime()
-    val drop = Dedup.hammingDropIds(skel.toDF, maxHamming)
-    val droppedTwins = drop.filter(col("id") >= n).count()
+    val droppedTwins =
+      if (!sharded) {
+        val drop = Dedup.hammingDropIds(skel.toDF, maxHamming)
+        drop.filter(col("id") >= n).count()
+      } else {
+        // shuffle-file hygiene between shards: ContextCleaner removes a
+        // shard's shuffle only after its RDDs are GC'd — force that each
+        // shard so 20 shards never stack their scratch on disk
+        spark.conf.set("spark.cleaner.periodicGC.interval", "30s")
+        val reps = skel.groupBy(col("h")).agg(min(col("id")).as("id"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        reps.count()
+        val (_, combos) = Dedup.hammingTableDesign(maxHamming)
+        val caught = new scala.collection.mutable.HashSet[Long]
+        for (t <- combos.indices) {
+          val bandRows = reps.select(col("id"), col("h"),
+              element_at(Dedup.hammingBandStructs(col("h"), maxHamming), t + 1)
+                .getField("bucket").as("bucket"))
+            .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("bucket")).orderBy(col("id"))))
+            .filter(col("__rk") <= 10000)
+            .drop("__rk")
+          val left = bandRows.select(col("bucket"), col("id").as("a"), col("h").as("__ha"))
+          val right = bandRows.select(col("bucket"), col("id").as("b"), col("h").as("__hb"))
+          val twinIds = left.join(right, "bucket")
+            .filter(col("a") < col("b"))
+            .filter(expr("bit_count(__ha ^ __hb)") <= maxHamming)
+            .filter(col("b") >= n)
+            .select(col("b")).distinct()
+            .collect().map(_.getLong(0))
+          caught ++= twinIds
+          println(s"[hamming-bench] shard ${t + 1}/${combos.size}: " +
+            s"cumulative twins caught ${caught.size}/$planted")
+          System.gc()
+        }
+        reps.unpersist()
+        caught.size.toLong
+      }
     val secs = (System.nanoTime() - t0) / 1e9
 
     // verify-stage volume: candidate pairs the wide-prefix tables emit
@@ -73,7 +128,7 @@ object HammingBench {
     val (d, combos) = Dedup.hammingTableDesign(maxHamming)
     val recall = droppedTwins.toDouble / planted
     val line =
-      f"""{"metric":"hamming_recall_at_cardinality","distinct_codes":${n + planted},"max_hamming":$maxHamming,"blocks":$d,"tables":${combos.size},"prefix_bits":${64 * (d - k) / d},"planted_twins":$planted,"dropped_twins":$droppedTwins,"recall":$recall%.4f,"cand_pairs":$candPairs,"secs":$secs%.1f}"""
+      f"""{"metric":"hamming_recall_at_cardinality","distinct_codes":${n + planted},"max_hamming":$maxHamming,"blocks":$d,"tables":${combos.size},"prefix_bits":${64 * (d - k) / d},"planted_twins":$planted,"dropped_twins":$droppedTwins,"recall":$recall%.4f,"cand_pairs":$candPairs,"mode":"${if (sharded) "sharded" else "full"}","secs":$secs%.1f}"""
     println(line)
     artifact.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

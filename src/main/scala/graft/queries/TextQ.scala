@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.TextOps
+import graft.text.{Classifier, LangModel, TextOps}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -109,6 +109,44 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L43: bigram-LM cross-entropy (CCNet-style quality signal) — model
+    // trained on the corpus itself here (self-perplexity); a real pipeline
+    // trains on a trusted reference slice and scores the crawl.
+    "t13_lm_perplexity" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val lm = LangModel.trainBigramLm(docs, "text")
+      LangModel.crossEntropy(docs, "text", "doc_id", lm).orderBy("doc_id")
+    },
+
+    // L44: hashed-ngram linear quality classifier. The synthetic corpus
+    // has no quality signal, so (the t11 salting precedent) every third
+    // doc gets a deterministic junk-token suffix — the classifier must
+    // learn the planted vocabulary from the even-id half and recover the
+    // label on the held-out odd-id half. Rows-only: the verdict depends
+    // on iteratively trained weights (the s03 inexpressibility argument).
+    "t14_quality_classifier" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("qtext",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" winner free prize claim click bonus offer cash urgent deal")))
+            .otherwise(col("text")))
+        .withColumn("label", (col("doc_id") % 3 === 0).cast("double"))
+      val model = Classifier.train(docs.filter(col("doc_id") % 2 === 0),
+        "qtext", "label", bits = 16, iters = 20)
+      docs.select(col("doc_id"),
+          (Classifier.score(s, model, col("qtext")) > 0.5).cast("int").as("pred"))
+        .orderBy("doc_id")
+    },
+
+    // L45: per-source document quota (domain cap) — keep at most 12 docs
+    // per source, smallest ids win, salted two-phase top-N under the hood.
+    "t15_source_quota" -> { (s, dir) =>
+      TextOps.sourceQuota(Tables(s, dir, "documents"), "source", "doc_id", 12)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // L23: PII redaction. The synthetic corpus is PII-free, so each doc is
     // salted with a deterministic email + IP + phone derived from its id —
     // every row exercises all three patterns and the oracle replays the
@@ -165,6 +203,44 @@ object TextQ {
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> langIdOracle,
+
+    // Same empty-filtered tokenization, Laplace smoothing, and ROUND(…,4)
+    // as LangModel.trainBigramLm + crossEntropy (self-trained here, so
+    // every gram joins; the operator's unseen-gram path is spec-covered).
+    "t13_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS g
+        |  FROM toks WHERE len(l) >= 2),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2, COUNT(*) AS k
+        |  FROM grams GROUP BY 1, 2, 3),
+        |bi AS (SELECT w1, w2, SUM(k) AS cnt FROM dg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(cnt) AS ctx FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(l) AS t FROM toks)),
+        |sc AS (
+        |  SELECT dg.doc_id,
+        |    CAST(SUM(k) AS INTEGER) AS n_bigrams,
+        |    ROUND(-SUM(k * ln((cnt + 1.0) / (ctx + (SELECT v FROM v)))) / SUM(k), 4)
+        |      AS cross_entropy
+        |  FROM dg JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+        |  GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  cross_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same keep-smallest-ids-per-source semantics as TextOps.sourceQuota
+    // (the salted two-phase is an execution detail; results are the naive
+    // window's, spec-pinned).
+    "t15_source_quota" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 12
+        |ORDER BY doc_id""".stripMargin,
 
     // Same 24 md5 bits → bucket → split thresholds as TextOps.splitAssign.
     "t07_split" ->

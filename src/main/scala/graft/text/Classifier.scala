@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style hashed-feature linear quality classifier: logistic
+  * regression over hashed bag-of-tokens features, trained distributed.
+  * The model-based complement of the heuristic filters — label a few
+  * thousand documents (good reference vs crawl junk), train, score the
+  * whole corpus with one broadcast pass. This is the shape behind the
+  * public CCNet/fastText quality classifiers, re-expressed as Spark
+  * aggregations instead of a single-node SGD loop.
+  *
+  * Scale design: the feature space is a fixed 2^bits hash domain, so the
+  * dense weight vector is a few hundred KB — broadcast to executors for
+  * scoring, and the per-iteration gradient aggregates map-side into at
+  * most 2^bits rows before ONE bounded driver collect per iteration (the
+  * IVF-centroid precedent: the driver holds model-sized state, never
+  * data-sized). Each iteration is one pass over the cached feature rows;
+  * the corpus text is tokenized and hashed exactly once up front.
+  *
+  * Batch gradient descent, not SGD, on purpose: gradients are sums over
+  * the full training frame, so convergence does not depend on partition
+  * order and training is reproducible run to run (up to float-sum
+  * associativity, ~1 ulp — spec-pinned with a tolerance).
+  */
+object Classifier {
+
+  /** Trained model: dense weights indexed by token bucket, plus a bias.
+    * `bits` is carried so scoring can never probe with a mismatched hash
+    * domain (the Int8Dot dim-guard contract).
+    */
+  final case class LinearModel(weights: Array[Double], bias: Double, bits: Int)
+
+  /** Hashed Bernoulli bag-of-tokens features as a (buckets, values)
+    * struct column: one entry per DISTINCT token bucket, value 1.0
+    * (presence, not frequency). Presence features on purpose: the signal
+    * a quality classifier learns is vocabulary MEMBERSHIP (junk/boiler
+    * tokens vs reference prose), and presence keeps that signal at full
+    * strength regardless of document length — a count/length tf feature
+    * dilutes a 10-token junk suffix on a 500-token page to ~0.02 and
+    * full-batch GD then needs thousands of iterations to move it.
+    */
+  private def featUdf(bits: Int) = udf { (s: String) =>
+    val m = new java.util.HashSet[Int]
+    if (s != null) {
+      val toks = s.split("\\s+")
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty)
+          m.add(scala.util.hashing.MurmurHash3.stringHash(toks(i)) >>> (32 - bits))
+        i += 1
+      }
+    }
+    val ks = new Array[Int](m.size)
+    val vs = new Array[Double](m.size)
+    val it = m.iterator()
+    var j = 0
+    while (it.hasNext) { ks(j) = it.next(); vs(j) = 1.0; j += 1 }
+    (ks, vs)
+  }
+
+  /** Train by full-batch gradient descent on `df`: `labelCol` must be
+    * 0.0/1.0. One tokenize+hash pass is cached; each of `iters`
+    * iterations runs one margin pass (broadcast weights) and one
+    * map-side-combined gradient aggregation bounded at 2^bits rows.
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+            bits: Int = 18, iters: Int = 30, lr: Double = 2.0,
+            l2: Double = 1e-6): LinearModel = {
+    require(bits >= 4 && bits <= 24, s"bits=$bits outside [4,24]")
+    val spark = df.sparkSession
+    val dim = 1 << bits
+    val feats = df.select(col(labelCol).cast("double").as("__y"),
+        featUdf(bits)(col(textCol)).as("__f"))
+      .select(col("__y"), col("__f._1").as("__ks"), col("__f._2").as("__vs"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = feats.count().toDouble
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var it = 0
+    while (it < iters) {
+      val bw = spark.sparkContext.broadcast(w)
+      val bb = b
+      // residual r = sigmoid(w·x + b) − y per row, then gradient rows
+      // (bucket, Σ r·x) partial-aggregated map-side; bias rides bucket −1
+      val residUdf = udf { (y: Double, ks: Seq[Int], vs: Seq[Double]) =>
+        val wv = bw.value
+        var m = bb
+        var i = 0
+        while (i < ks.length) { m += wv(ks(i)) * vs(i); i += 1 }
+        1.0 / (1.0 + math.exp(-m)) - y
+      }
+      val grad = feats
+        .withColumn("__r", residUdf(col("__y"), col("__ks"), col("__vs")))
+        .select(explode(concat(
+          zip_with(col("__ks"), col("__vs"),
+            (k, v) => struct(k.as("b"), (col("__r") * v).as("g"))),
+          array(struct(lit(-1).as("b"), col("__r").as("g"))))).as("e"))
+        .groupBy(col("e.b")).agg(sum(col("e.g")).as("g"))
+        .collect()
+      var gi = 0
+      while (gi < grad.length) {
+        val row = grad(gi)
+        val bk = row.getInt(0)
+        val g = row.getDouble(1) / n
+        if (bk < 0) b -= lr * g
+        else w(bk) = w(bk) - lr * (g + l2 * w(bk))
+        gi += 1
+      }
+      bw.destroy()
+      it += 1
+    }
+    feats.unpersist()
+    LinearModel(w, b, bits)
+  }
+
+  /** P(label=1) per row under `model` — one broadcast row-local pass, no
+    * shuffle; safe inside any scan→filter pipeline.
+    */
+  def score(spark: org.apache.spark.sql.SparkSession, model: LinearModel,
+            text: Column): Column = {
+    val bw = spark.sparkContext.broadcast(model.weights)
+    val bits = model.bits
+    val bias = model.bias
+    val u = udf { (s: String) =>
+      val wv = bw.value
+      var m = bias
+      if (s != null) {
+        val seen = new java.util.HashSet[Int]
+        val toks = s.split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) {
+            val b = scala.util.hashing.MurmurHash3.stringHash(toks(i)) >>> (32 - bits)
+            if (seen.add(b)) m += wv(b)
+          }
+          i += 1
+        }
+      }
+      1.0 / (1.0 + math.exp(-m))
+    }
+    u(text)
+  }
+}

@@ -338,6 +338,38 @@ object TextOps {
       phone, "<PHONE>")
   }
 
+  /** Per-source document quota — the crawl-curation cap that stops one
+    * domain from dominating a corpus (the public Common-Crawl pipelines
+    * all run one): keep at most `maxPerSource` documents per source,
+    * deterministically preferring the smallest `idCol` (stable across
+    * reruns and engines — no RNG, no partition-order dependence).
+    *
+    * Scale shape: a single `row_number` window would route EVERY document
+    * of a hot domain through one task — the classic window skew. This
+    * runs the standard salted two-phase top-N instead: phase 1 ranks
+    * within (source, salt) over `saltParts` deterministic salt lanes and
+    * keeps `maxPerSource` per lane (the global per-source top-N is
+    * necessarily contained in the union of per-lane top-Ns), so phase 2's
+    * per-source window ranks at most saltParts × maxPerSource rows per
+    * source — bounded regardless of domain skew. Results are identical to
+    * the naive window (spec-pinned).
+    */
+  def sourceQuota(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                  idCol: String, maxPerSource: Int,
+                  saltParts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxPerSource > 0 && saltParts > 0)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), pmod(xxhash64(col(idCol)), lit(saltParts)))
+      .orderBy(col(idCol))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= maxPerSource)
+      .withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= maxPerSource)
+      .drop("__r1", "__r2")
+  }
+
   private val FpPrime = 1099511628211L // FNV-64 prime
 
   /** Winnowing-style document fingerprint: minimum 64-bit rolling

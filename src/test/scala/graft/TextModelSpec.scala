@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Classifier, LangModel, TextOps}
+
+/** Semantics tests for the model-based quality tiers (bigram-LM
+  * cross-entropy, hashed linear classifier) and the per-source quota.
+  */
+class TextModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- bigram LM -----------------------------------------------------
+
+  test("bigram LM: hand-computable counts and Laplace smoothing") {
+    // corpus: "a b a b" + "a b c" → grams: (a,b)x3? no: doc1 grams
+    // (a,b),(b,a),(a,b); doc2 grams (a,b),(b,c). V = {a,b,c} = 3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(docs, "text")
+    val biMap = lm.bigrams.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(biMap == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    val ctx = lm.contexts.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ctx == Map("a" -> 3L, "b" -> 2L))
+    assert(lm.vocab == 3L)
+
+    val scored = LangModel.crossEntropy(docs, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2)))).toMap
+    // doc1: grams (a,b)k=2, (b,a)k=1
+    //   lp(a,b) = ln(4/6); lp(b,a) = ln(2/5)
+    val d1 = -(2 * math.log(4.0 / 6) + 1 * math.log(2.0 / 5)) / 3
+    assert(scored(1L)._1 == 3)
+    assert(math.abs(scored(1L)._2 - math.rint(d1 * 1e4) / 1e4) < 1e-9)
+    // doc2: (a,b) ln(4/6), (b,c) ln(2/5)
+    val d2 = -(math.log(4.0 / 6) + math.log(2.0 / 5)) / 2
+    assert(math.abs(scored(2L)._2 - math.rint(d2 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bigram LM: unseen grams smooth instead of dropping; OOV docs score worst") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "the dog ran to the cat and the cat ran to the mat")).toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(ref, "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"),       // in-distribution
+      (11L, "the cat zzz qqq vvv mat"),      // unseen tokens mid-sentence
+      (12L, "zzz"),                          // 1 token → no grams
+      (13L, "")).toDF("doc_id", "text")      // empty
+    val out = LangModel.crossEntropy(probe, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(10L)._2.get < out(11L)._2.get, "OOV doc must score higher cross-entropy")
+    assert(out(12L) == ((0, None)) && out(13L) == ((0, None)), "gram-free docs: 0 grams, null score")
+    // every probe row survives the left join
+    assert(out.size == 4)
+  }
+
+  test("bigram LM: score is invariant to corpus partitioning") {
+    val docs = (1L to 40L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val lm1 = LangModel.trainBigramLm(docs.repartition(1), "text")
+    val lm8 = LangModel.trainBigramLm(docs.repartition(8), "text")
+    val a = LangModel.crossEntropy(docs, "text", "doc_id", lm1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val b = LangModel.crossEntropy(docs.repartition(8), "text", "doc_id", lm8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+
+  // --- hashed linear classifier -------------------------------------
+
+  private def spamHam(n: Int, seed: Int) = {
+    val spamWords = Array("winner", "free", "claim", "prize", "click", "offer", "cash", "urgent")
+    val hamWords = Array("meeting", "report", "quarter", "review", "draft", "agenda", "notes", "team")
+    val r = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val spam = i % 2 == 0
+      val pool = if (spam) spamWords else hamWords
+      val text = Seq.fill(12)(pool(r.nextInt(pool.length))).mkString(" ")
+      (i.toLong, text, if (spam) 1.0 else 0.0)
+    }
+  }
+
+  test("classifier separates planted spam from ham and generalizes") {
+    val train = spamHam(400, seed = 1).toDF("doc_id", "text", "label")
+    val model = Classifier.train(train, "text", "label", bits = 14, iters = 25)
+    val held = spamHam(200, seed = 99).toDF("doc_id", "text", "label")
+    val preds = held.select(col("label"),
+        (Classifier.score(spark, model, col("text")) > 0.5).cast("double").as("p"))
+      .collect()
+    val acc = preds.count(r => r.getDouble(0) == r.getDouble(1)).toDouble / preds.length
+    assert(acc >= 0.98, s"held-out accuracy $acc")
+  }
+
+  test("classifier training is reproducible and null-safe") {
+    val train = spamHam(200, seed = 2).toDF("doc_id", "text", "label")
+    val m1 = Classifier.train(train, "text", "label", bits = 12, iters = 10)
+    val m2 = Classifier.train(train.repartition(7), "text", "label", bits = 12, iters = 10)
+    // full-batch gradients: only float-sum association order can differ
+    assert(math.abs(m1.bias - m2.bias) < 1e-9)
+    assert(m1.weights.zip(m2.weights).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // null text scores at the bias point instead of throwing
+    val nullScore = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(Classifier.score(spark, m1, col("text")).as("s"))
+      .head().getDouble(0)
+    assert(nullScore > 0.0 && nullScore < 1.0)
+  }
+
+  // --- per-source quota ---------------------------------------------
+
+  test("sourceQuota keeps the N smallest ids per source, salted ≡ naive window") {
+    val r = new scala.util.Random(5)
+    // skewed: src_hot has 5000 docs, others 20
+    val rows = (1L to 5000L).map(i => (i, "src_hot")) ++
+      (5001L to 5100L).map(i => (i, s"src${i % 5}"))
+    val df = r.shuffle(rows).toDF("doc_id", "source")
+    val out = TextOps.sourceQuota(df, "source", "doc_id", 7)
+      .collect().map(r2 => (r2.getString(1), r2.getLong(0)))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySrc("src_hot") == (1L to 7L))
+    for (s <- 0 until 5)
+      assert(bySrc(s"src$s") == (5001L to 5100L).filter(_ % 5 == s).sorted.take(7))
+    // parity with the naive single window at several salt widths
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("doc_id")
+      df.withColumn("__r", row_number().over(w)).filter(col("__r") <= 7).drop("__r")
+        .collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSet
+    }
+    for (parts <- Seq(1, 3, 64)) {
+      val salted = TextOps.sourceQuota(df, "source", "doc_id", 7, saltParts = parts)
+        .collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSet
+      assert(salted == naive, s"saltParts=$parts diverged")
+    }
+  }
+}
