@@ -78,9 +78,8 @@ object HammingBench {
         drop.filter(col("id") >= n).count()
       } else {
         // shuffle-file hygiene between shards: ContextCleaner removes a
-        // shard's shuffle only after its RDDs are GC'd — force that each
-        // shard so 20 shards never stack their scratch on disk
-        spark.conf.set("spark.cleaner.periodicGC.interval", "30s")
+        // shard's shuffle only after its RDDs are GC'd — the System.gc()
+        // per shard forces that, so 20 shards never stack their scratch
         val reps = skel.groupBy(col("h")).agg(min(col("id")).as("id"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         reps.count()

@@ -147,6 +147,12 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L47: per-source corpus profile — the per-ingest report row.
+    "t16_source_profile" -> { (s, dir) =>
+      TextOps.sourceProfile(Tables(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    },
+
     // L23: PII redaction. The synthetic corpus is PII-free, so each doc is
     // salted with a deterministic email + IP + phone derived from its id —
     // every row exercises all three patterns and the oracle replays the
@@ -241,6 +247,33 @@ object TextQ {
         |FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 12
         |ORDER BY doc_id""".stripMargin,
+
+    // Same per-doc token/quality/symbol expressions as t02/t10, rolled up
+    // per source with the q15 percentile↔quantile_cont mapping; means
+    // rounded identically.
+    "t16_source_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n,
+        |    CAST(LENGTH(text) AS DOUBLE) AS nc,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |      / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS sr
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, n, sr,
+        |    LEAST(1.0, CAST(n AS DOUBLE) / 64.0) *
+        |      (CASE WHEN (nc - n + 1.0) / n >= 3.0 AND (nc - n + 1.0) / n <= 10.0
+        |            THEN 1.0 ELSE 0.5 END) AS ql
+        |  FROM t)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS tokens_total,
+        |  ROUND(quantile_cont(CAST(n AS DOUBLE), 0.5), 4) AS med_tokens,
+        |  ROUND(AVG(ql), 4) AS quality_avg,
+        |  ROUND(AVG(sr), 4) AS symbol_avg
+        |FROM q
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // Same 24 md5 bits → bucket → split thresholds as TextOps.splitAssign.
     "t07_split" ->

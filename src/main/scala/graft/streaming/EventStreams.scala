@@ -642,6 +642,48 @@ object EventStreams {
     deduped.withColumn(textCol, TextOps.redactPii(col(textCol)))
   }
 
+  /** Streaming per-source admission quota — the incremental face of
+    * [[graft.text.TextOps.sourceQuota]]'s domain cap: admit at most
+    * `maxPerSource` rows per source over the life of the query, so one
+    * hot domain cannot dominate an intake stream. Admission is
+    * earliest-batch-first (a stream cannot see future arrivals), with a
+    * deterministic `idCol` order inside each micro-batch; once a source's
+    * quota is spent, later arrivals drop.
+    *
+    * State is ONE long (the admitted count) per source with no timeout —
+    * bounded by the distinct-source cardinality, which for domain caps is
+    * orders of magnitude below document cardinality; for a per-day quota,
+    * run a daily query (the batch op is the replayable form).
+    */
+  def quotaPerSource(df: DataFrame, sourceCol: String, idCol: String,
+                     maxPerSource: Int): DataFrame = {
+    require(maxPerSource > 0, s"maxPerSource=$maxPerSource")
+    val schema = df.schema
+    val rowEnc = org.apache.spark.sql.Encoders.row(schema)
+    val srcIdx = schema.fieldIndex(sourceCol)
+    val idIdx = schema.fieldIndex(idCol)
+    val idOf: org.apache.spark.sql.Row => Long = schema(idIdx).dataType match {
+      case org.apache.spark.sql.types.LongType => _.getLong(idIdx)
+      case org.apache.spark.sql.types.IntegerType => _.getInt(idIdx).toLong
+      case other => throw new IllegalArgumentException(
+        s"idCol $idCol must be integral for deterministic admission, got $other")
+    }
+    df.as(rowEnc)
+      .groupByKey(_.getString(srcIdx))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Long, org.apache.spark.sql.Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[org.apache.spark.sql.Row], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = maxPerSource - used
+          if (room <= 0) Iterator.empty
+          else {
+            val admit = rows.toSeq.sortBy(idOf).take(room.toInt)
+            state.update(used + admit.size)
+            admit.iterator
+          }
+      }(org.apache.spark.sql.Encoders.scalaLong, rowEnc)
+  }
+
   /** Flush the still-open session per user (batch-style finalization used
     * in tests and backfills).
     */

@@ -370,6 +370,28 @@ object TextOps {
       .drop("__r1", "__r2")
   }
 
+  /** Per-source corpus profile — the report a curation run publishes per
+    * ingest: document and token volumes, the median document length, and
+    * the mean heuristic-quality/symbol-density scores, one row per
+    * source. All heavy lifting is one partial-aggregating groupBy over
+    * row-local column expressions (the scan→agg shape that holds at any
+    * corpus size); the means are rounded so the report is hash-stable
+    * across partitionings.
+    */
+  def sourceProfile(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.select(col(sourceCol), tokenCount(t).as("__n"),
+        qualityScore(t).as("__q"), symbolRatio(t).as("__s"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("tokens_total"),
+        round(expr("percentile(__n, 0.5)"), 4).as("med_tokens"),
+        round(avg(col("__q")), 4).as("quality_avg"),
+        round(avg(col("__s")), 4).as("symbol_avg"))
+  }
+
   private val FpPrime = 1099511628211L // FNV-64 prime
 
   /** Winnowing-style document fingerprint: minimum 64-bit rolling

@@ -338,6 +338,47 @@ class PlanSpec extends SparkSpec {
       s"raw text used as a shuffle key:\n$p")
   }
 
+  test("t13 LM scoring collapses doc grams map-side before the model joins") {
+    // the rareTokenStats discipline: raw gram OCCURRENCES must partially
+    // aggregate into (doc_id, w1, w2, k) rows before anything shuffles
+    // toward the gram-keyed model join — otherwise a boilerplate bigram
+    // ships one row per occurrence through its shuffle partition
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val planObj = SparkEntry.queries("t13_lm_perplexity")(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      // the gram fields come out as internal _groupingexpression aliases,
+      // so match on shape: a 3-key partial count keyed by doc_id + 2 more
+      val partialDocGram = planObj.collect {
+        case h: HashAggregateExec
+          if h.groupingExpressions.size == 3 &&
+            h.aggregateExpressions.exists(a => a.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+              a.aggregateFunction.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.aggregate.Count]) &&
+            h.groupingExpressions.exists(_.name == "doc_id") => h
+      }
+      assert(partialDocGram.nonEmpty,
+        s"no map-side (doc_id, w1, w2) collapse before the model join:\n$planObj")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t15 source quota runs the salted two-phase windows") {
+    // phase 1 must partition by (source, salt-lane) — a single-phase
+    // per-source window funnels a hot domain through one task
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val planObj = SparkEntry.queries("t15_source_quota")(spark, sf)
+        .queryExecution.executedPlan
+      val windows = planObj.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+      }
+      assert(windows.sorted == Seq(1, 2),
+        s"expected a salted (2-key) then per-source (1-key) window, got $windows:\n$planObj")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d05 embedding NN aggregates without a window sort") {
     val p = executedPlan("d05_embed_nn")
     assert(!p.contains("Window"), s"argmax regressed to a window sort:\n$p")

@@ -103,6 +103,52 @@ class TextModelSpec extends SparkSpec {
     assert(nullScore > 0.0 && nullScore < 1.0)
   }
 
+  // --- per-source profile -------------------------------------------
+
+  test("sourceProfile aggregates per-source volume and quality report") {
+    val docs = Seq(
+      (1L, "a", "alpha beta gamma delta"),          // 4 toks
+      (2L, "a", "epsilon zeta"),                    // 2 toks
+      (3L, "b", "!!! ??? ###")                      // symbols
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.sourceProfile(docs, "source", "text")
+      .orderBy("source").collect()
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 2 && a.getLong(2) == 6)
+    assert(a.getDouble(3) == 3.0) // median of 4,2
+    val b = out(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1)
+    assert(b.getDouble(5) > 0.8, "symbol-only doc must report high symbol density")
+  }
+
+  // --- streaming per-source quota -----------------------------------
+
+  test("quotaPerSource admits at most N per source across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val query = graft.streaming.EventStreams.quotaPerSource(
+        input.toDF().toDF("doc_id", "source", "text"), "source", "doc_id", 3)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: A has room for both; B admits its first
+      input.addData((5L, "A", "x"), (2L, "A", "x"), (1L, "B", "x"))
+      query.processAllAvailable()
+      // batch 2: A has 1 slot left — the smallest id in the batch wins;
+      // B admits two more and is now full
+      input.addData((9L, "A", "x"), (1L, "A", "x"), (4L, "A", "x"),
+        (7L, "B", "x"), (8L, "B", "x"))
+      query.processAllAvailable()
+      // batch 3: both sources exhausted — everything drops
+      input.addData((100L, "A", "x"), (100L, "B", "x"))
+      query.processAllAvailable()
+      val admitted = spark.table("quota_out")
+        .as[(Long, String, String)].collect().map(t => (t._2, t._1)).toSet
+      assert(admitted == Set(("A", 5L), ("A", 2L), ("A", 1L),
+        ("B", 1L), ("B", 7L), ("B", 8L)))
+    } finally query.stop()
+  }
+
   // --- per-source quota ---------------------------------------------
 
   test("sourceQuota keeps the N smallest ids per source, salted ≡ naive window") {
