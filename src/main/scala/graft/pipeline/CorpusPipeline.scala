@@ -44,7 +44,10 @@ object Materialize {
   * row-local filters first, the (shuffling) dedup passes on the survivors
   * only, contamination last on the smallest set:
   *
-  *   1. language ID + quality gate      (columnar, no shuffle)
+  *   1. language ID + quality gate      (columnar, no shuffle; optional
+  *                                       model-based gates — classifier
+  *                                       score and served-LM cross-entropy —
+  *                                       ride the same row-local stage)
   *   2. exact dedup                     (one shuffle on a content hash)
   *   3. MinHash-LSH near-dedup          (banded shuffle, candidates only)
   *   4. span-level exact dedup          (optional: cut repeated boilerplate
@@ -56,7 +59,11 @@ object Materialize {
   *                                       embedding near-copies to their
   *                                       min-id representative)
   *   6. benchmark-contamination drop    (broadcast anti-join, optional)
-  *   7. train/val/test assignment       (columnar, deterministic)
+  *   7. per-source quota                (optional: cap each domain's
+  *                                       SURVIVING documents — the
+  *                                       representation control over what
+  *                                       actually ships)
+  *   8. train/val/test assignment       (columnar, deterministic)
   *
   * Every stage keeps the semantics of its already-spec'd standalone
   * operator; this object fixes the composition order and threads the
@@ -183,6 +190,29 @@ object CorpusPipeline {
     *                          and split. Mirrors the streaming intake
     *                          ([[graft.streaming.EventStreams.curateDocs]]),
     *                          which always redacts.
+    * @param qualityModel      when set, a MODEL-based quality gate
+    *                          ([[graft.text.Classifier.score]]) joins the
+    *                          heuristic gate: documents scoring below
+    *                          `minModelScore` drop. Row-local broadcast
+    *                          pass — same stage position, same cost shape
+    * @param minModelScore     P(keep) threshold for that gate
+    * @param lmModel           when set, a served bigram-LM gate
+    *                          ([[graft.text.LangModel.scoreColumn]]) joins
+    *                          the heuristic gate: documents whose
+    *                          cross-entropy exceeds `maxCrossEntropy`
+    *                          drop (fluent-looking token soup from outside
+    *                          the reference distribution). Documents too
+    *                          short to have bigrams score null and PASS —
+    *                          the gate cannot judge them
+    * @param maxCrossEntropy   cross-entropy ceiling for that gate
+    * @param maxPerSource      when set, a per-source quota
+    *                          ([[TextOps.sourceQuota]] over `sourceCol`)
+    *                          caps each source's documents AFTER every
+    *                          dedup/decontamination stage and BEFORE split
+    *                          assignment — representation control over the
+    *                          corpus that actually ships, so a hot domain's
+    *                          surviving documents cannot dominate training
+    * @param sourceCol         the domain/source column for that quota
     * @param compactEveryNFiles when set, each curate() call FIRST checks
     *                          the configured cross-run tables (the
     *                          registry; the near index's band and
@@ -223,7 +253,13 @@ object CorpusPipeline {
       semanticIndexUpdate: Boolean = true,
       redactPii: Boolean = false,
       compactEveryNFiles: Option[Int] = None,
-      decontaminateSpanTokens: Option[Int] = None)
+      decontaminateSpanTokens: Option[Int] = None,
+      qualityModel: Option[graft.text.Classifier.LinearModel] = None,
+      minModelScore: Double = 0.5,
+      lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
+      maxCrossEntropy: Double = Double.PositiveInfinity,
+      maxPerSource: Option[Int] = None,
+      sourceCol: String = "source")
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -248,13 +284,28 @@ object CorpusPipeline {
       tables.foreach(t =>
         graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
     }
-    val scored = docs
+    val heuristicGated = docs
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .withColumn("lang", col("__lq._1"))
       .withColumn("quality", col("__lq._2"))
       .drop("__lq")
       .filter(col("lang").isin(cfg.langs.toSeq: _*) &&
         col("quality") >= cfg.minQuality)
+    // model-based gates ride the same row-local stage: broadcast passes,
+    // no shuffle, run on the heuristic survivors (cheapest filter first)
+    val classifierGated = cfg.qualityModel match {
+      case None => heuristicGated
+      case Some(m) => heuristicGated.filter(
+        graft.text.Classifier.score(docs.sparkSession, m, col(textCol)) >=
+          cfg.minModelScore)
+    }
+    val scored = cfg.lmModel match {
+      case None => classifierGated
+      case Some(lm) =>
+        val ce = graft.text.LangModel.scoreColumn(docs.sparkSession, lm, col(textCol))
+        // null = too short to judge → pass (the gate has no evidence)
+        classifierGated.filter(ce.isNull || ce <= cfg.maxCrossEntropy)
+    }
 
     // Applied only where a stage genuinely fans out into multiple
     // downstream reads; see Materialize for the strategy tradeoffs.
@@ -391,7 +442,16 @@ object CorpusPipeline {
           .withColumnRenamed("clean_text", textCol)
     }
 
-    val split = decontaminated.withColumn("split",
+    // representation control over the corpus that actually ships: the
+    // per-source cap runs after every dedup/decontamination stage (so the
+    // quota counts distinct, clean survivors) and before split assignment
+    val quotaed = cfg.maxPerSource match {
+      case None => decontaminated
+      case Some(n) =>
+        TextOps.sourceQuota(decontaminated, cfg.sourceCol, idCol, n)
+    }
+
+    val split = quotaed.withColumn("split",
       TextOps.splitAssign(col(textCol), cfg.trainPct, cfg.valPct))
     if (cfg.redactPii) split.withColumn(textCol, TextOps.redactPii(col(textCol)))
     else split

@@ -581,16 +581,33 @@ object EventStreams {
                  nearIndexTable: Option[String] = None,
                  nearIndexIdCol: Option[String] = None,
                  nearIndexJaccard: Double = 0.7,
-                 nearIndexWindowLen: String = "5 minutes"): DataFrame = {
+                 nearIndexWindowLen: String = "5 minutes",
+                 qualityModel: Option[graft.text.Classifier.LinearModel] = None,
+                 minModelScore: Double = 0.5,
+                 lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
+                 maxCrossEntropy: Double = Double.PositiveInfinity): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
-    val gated = docs
+    val heuristicGated = docs
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .filter(col("__lq._1").isin(langs.toSeq: _*) && col("__lq._2") >= minQuality)
       .withColumn("lang", col("__lq._1"))
       .withColumn("quality", col("__lq._2"))
       .drop("__lq")
       .withColumn("split", TextOps.splitAssign(col(textCol), trainPct, valPct))
+    // model-based gates (the batch curate()'s stage-1 twins): row-local
+    // broadcast passes, stateless — stream-safe by construction
+    val classifierGated = qualityModel match {
+      case None => heuristicGated
+      case Some(m) => heuristicGated.filter(
+        graft.text.Classifier.score(docs.sparkSession, m, col(textCol)) >= minModelScore)
+    }
+    val gated = lmModel match {
+      case None => classifierGated
+      case Some(lm) =>
+        val ce = graft.text.LangModel.scoreColumn(docs.sparkSession, lm, col(textCol))
+        classifierGated.filter(ce.isNull || ce <= maxCrossEntropy)
+    }
     val decontaminated = benchmark match {
       case None => gated
       case Some(b) =>

@@ -64,6 +64,107 @@ class TextModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("served LM scores row-locally, equals crossEntropy; pruning = unseen") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 5} tok${i % 3} tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(docs, "text")
+    val served = LangModel.serve(lm)
+    val viaJoin = LangModel.crossEntropy(docs, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val viaServed = docs.select(col("doc_id"),
+        LangModel.scoreColumn(spark, served, col("text")).as("ce"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaJoin == viaServed, "served scoring must equal the join path")
+    // pruning: minCount high enough to drop rare grams → those grams score
+    // as unseen, so cross-entropy can only rise (denominators stay exact)
+    val pruned = LangModel.serve(lm, minCount = 8)
+    assert(pruned.bigrams.size() < served.bigrams.size(), "pruning must bite")
+    val viaPruned = docs.select(col("doc_id"),
+        LangModel.scoreColumn(spark, pruned, col("text")).as("ce"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(viaJoin.forall { case (id, ce) => viaPruned(id) >= ce - 1e-9 })
+    assert(viaJoin.exists { case (id, ce) => viaPruned(id) > ce })
+    // the loud-failure contract: a cap below the model size throws
+    intercept[IllegalArgumentException](LangModel.serve(lm, maxEntries = 3))
+  }
+
+  test("curate() model gates: LM drops OOV soup, classifier drops junk, quota caps") {
+    import graft.pipeline.CorpusPipeline
+    val english =
+      "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val ref = (1L to 20L).map(i => (i, english + s"variant $i")).toDF("doc_id", "text")
+    val served = LangModel.serve(LangModel.trainBigramLm(ref, "text"))
+    // junk classifier: label 1 = good prose, 0 = planted junk vocabulary
+    val trainDf = spamHam(400, seed = 11).toDF("doc_id", "text", "spam")
+      .withColumn("label", lit(1.0) - col("spam"))
+    val model = Classifier.train(trainDf, "text", "label", bits = 14, iters = 25)
+    val gibberish = ("the zqx the jkw the vbn the wpf the qrt " * 6) + "end"
+    val junky = english + " " + Seq.fill(6)("winner free prize claim click offer").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", english + "one"),
+      (2L, "srcA", english + "two"),
+      (3L, "srcA", english + "three"),
+      (4L, "srcB", english + "four"),
+      (5L, "srcB", gibberish),   // passes lang gate (the-votes), fails LM gate
+      (6L, "srcB", junky)        // junk vocabulary → classifier gate
+    ).toDF("doc_id", "source", "text")
+    // pick the LM ceiling from the data: between the clean max and the
+    // OOV doc's score, so the assertion tests the gate, not a constant
+    val scores = docs.select(col("doc_id"),
+        LangModel.scoreColumn(spark, served, col("text")).as("ce"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val cleanMax = (Seq(1L, 2L, 3L, 4L) ++ Seq(6L)).map(scores).max
+    assert(scores(5L) > cleanMax, "OOV doc must score above every clean doc")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 2.0, minQuality = 0.0,
+        lmModel = Some(served), maxCrossEntropy = (cleanMax + scores(5L)) / 2,
+        qualityModel = Some(model), minModelScore = 0.35,
+        maxPerSource = Some(2)))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // 5 fails LM, 6 fails classifier; srcA capped 3→2 (smallest ids win)
+    assert(ids == Seq(1L, 2L, 4L), s"survivors: $ids")
+    assert(out.columns.contains("split"))
+  }
+
+  test("streaming curateDocs applies the served-LM and classifier gates") {
+    implicit val sqlCtx = spark.sqlContext
+    val english =
+      "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val ref = (1L to 20L).map(i => (i, english + s"variant $i")).toDF("doc_id", "text")
+    val served = LangModel.serve(LangModel.trainBigramLm(ref, "text"))
+    val trainDf = spamHam(400, seed = 12).toDF("doc_id", "text", "spam")
+      .withColumn("label", lit(1.0) - col("spam"))
+    val model = Classifier.train(trainDf, "text", "label", bits = 14, iters = 25)
+    val gibberish = ("the zqx the jkw the vbn the wpf the qrt " * 6) + "end"
+    val junky = english + " " + Seq.fill(6)("winner free prize claim click offer").mkString(" ")
+    // LM ceiling picked between the junky doc's score (junk tokens are
+    // unseen too, but diluted by the seen prose) and the all-OOV soup —
+    // so the LM gate is what drops 2 and the classifier is what drops 3
+    val ces = Seq((1L, english + "one"), (2L, gibberish), (3L, junky))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), LangModel.scoreColumn(spark, served, col("text")).as("ce"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ces(2L) > ces(3L) && ces(3L) > ces(1L))
+    val ceiling = (ces(2L) + ces(3L)) / 2
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val query = graft.streaming.EventStreams.curateDocs(
+        input.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+        langs = Set("en"), minQuality = 0.0,
+        qualityModel = Some(model), minModelScore = 0.35,
+        lmModel = Some(served), maxCrossEntropy = ceiling)
+      .writeStream.format("memory").queryName("model_gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, t0, english + "one"), (2L, t0, gibberish), (3L, t0, junky))
+      query.processAllAvailable()
+      val ids = spark.table("model_gate_stream")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L), s"survivors: $ids")
+    } finally query.stop()
+  }
+
   // --- hashed linear classifier -------------------------------------
 
   private def spamHam(n: Int, seed: Int) = {
