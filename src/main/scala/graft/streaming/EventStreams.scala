@@ -393,16 +393,31 @@ object EventStreams {
   private def indexProbeVerdict(wmDocs: DataFrame, textCol: String,
                                 idCol: String, tsCol: String, table: String,
                                 minEstJaccard: Double,
-                                windowLen: String): DataFrame = {
+                                windowLen: String): DataFrame =
+    skeletonProbeVerdict(wmDocs,
+      Seq(indexMatchSkeletons(wmDocs, textCol, idCol, tsCol, table,
+        minEstJaccard)), idCol, tsCol, windowLen)
+
+  // The one windowed verdict every cross-run streaming probe rides: each
+  // skeleton frame contributes (id, ts) rows — one per verified index
+  // match, from any identity (MinHash bands, hamming fingerprints, IVF
+  // cells) — counting 1 toward the per-doc tally; the document's full row
+  // rides the zero-count payload branch once and is recovered with
+  // first(ignoreNulls). Accepting a Seq is what lets curateDocs fuse
+  // SEVERAL index identities into a single stateful operator instead of
+  // chaining verdicts (which would emit past-watermark rows into each
+  // other and be dropped as late).
+  private def skeletonProbeVerdict(wmDocs: DataFrame, skeletons: Seq[DataFrame],
+                                   idCol: String, tsCol: String,
+                                   windowLen: String): DataFrame = {
     val cols = wmDocs.columns.toSeq
     val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__m"),
       struct(cols.map(col): _*).as("__r"))
     val payloadType = payload.schema("__r").dataType
-    val matched = indexMatchSkeletons(wmDocs, textCol, idCol, tsCol, table,
-        minEstJaccard)
-      .select(col(idCol), col(tsCol), lit(1L).as("__m"),
-        lit(null).cast(payloadType).as("__r"))
-    matched.unionByName(payload)
+    skeletons
+      .map(_.select(col(idCol), col(tsCol), lit(1L).as("__m"),
+        lit(null).cast(payloadType).as("__r")))
+      .foldLeft(payload)(_ unionByName _)
       .groupBy(window(col(tsCol), windowLen), col(idCol))
       .agg(sum(col("__m")).as("__m"),
         first(col("__r"), ignoreNulls = true).as("__r"))
@@ -486,15 +501,22 @@ object EventStreams {
   // graft-wide: the media pipeline chains it after its own state stage.
   private[graft] def hammingProbeVerdict(wmDocs: DataFrame,
       fingerprint: org.apache.spark.sql.Column, idCol: String, tsCol: String,
-      table: String, windowLen: String): DataFrame = {
+      table: String, windowLen: String): DataFrame =
+    skeletonProbeVerdict(wmDocs,
+      Seq(hammingMatchSkeletons(wmDocs, fingerprint, idCol, tsCol, table)),
+      idCol, tsCol, windowLen)
+
+  // (id, ts) skeleton per verified hamming-index match: band the stream
+  // row's fingerprint under the index's persisted geometry (pure bit
+  // arithmetic), join the static composite-bucketed band table, verify
+  // with bit_count. Stateless — safe anywhere in a streaming plan.
+  private def hammingMatchSkeletons(wmDocs: DataFrame,
+      fingerprint: org.apache.spark.sql.Column, idCol: String, tsCol: String,
+      table: String): DataFrame = {
     import graft.dedup.Dedup
     val spark = wmDocs.sparkSession
     val maxHamming = spark.table(s"${table}_hspec").head().getInt(0)
-    val cols = wmDocs.columns.toSeq
-    val payload = wmDocs.select(col(idCol), col(tsCol), lit(0L).as("__m"),
-      struct(cols.map(col): _*).as("__r"))
-    val payloadType = payload.schema("__r").dataType
-    val matched = wmDocs
+    wmDocs
       .select(col(idCol), col(tsCol), fingerprint.as("__h"))
       .where(col("__h").isNotNull)
       .select(col(idCol), col(tsCol), col("__h"),
@@ -504,14 +526,67 @@ object EventStreams {
       .join(spark.table(table).select(col("band"), col("bucket"),
         col("h").as("__ih")), Seq("band", "bucket"))
       .filter(expr("bit_count(__h ^ __ih)") <= maxHamming)
-      .select(col(idCol), col(tsCol), lit(1L).as("__m"),
-        lit(null).cast(payloadType).as("__r"))
-    matched.unionByName(payload)
-      .groupBy(window(col(tsCol), windowLen), col(idCol))
-      .agg(sum(col("__m")).as("__m"),
-        first(col("__r"), ignoreNulls = true).as("__r"))
-      .filter(col("__m") === 0)
-      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+      .select(col(idCol), col(tsCol))
+  }
+
+  /** Streaming probe of a persisted IVF index
+    * ([[graft.similarity.Similarity.writeIvfIndex]]) — the EMBEDDING-identity
+    * member of the streaming cross-run family, completing the matrix next
+    * to exact hashes ([[dedupeExact]] state), MinHash bands
+    * ([[dedupeNearAgainstIndex]]) and hamming fingerprints
+    * ([[dedupeHammingAgainstIndex]]): drop every stream document whose
+    * embedding has cosine ≥ `threshold` against anything in the indexed
+    * historical corpus — paraphrased replays that share no n-gram or
+    * fingerprint bits with the original, which only the semantic identity
+    * catches. The streaming twin of
+    * [[graft.dedup.Dedup.semanticDedupAgainstIndex]]'s report-only mode.
+    *
+    * Shape: centroids are read ONCE batch-side at stream start (the
+    * benchmark-Bloom convention) and ride a codegen'd
+    * [[graft.functions.NearestCentroid]] row-local assignment; the
+    * micro-batch joins ONLY its assigned cells of the static
+    * cell-partitioned index (stream-static equi-join on `cell` — the same
+    * partition-pruned read the batch probe does), cosine-verifies, and the
+    * match skeletons ride the shared windowed verdict
+    * ([[dedupeNearAgainstIndex]]'s discipline verbatim, including its
+    * composition constraint: the verdict emits past-watermark rows, so
+    * this must END a stateful chain). Null embeddings carry no evidence
+    * and always survive. The index is static to the stream — probed,
+    * never stream-mutated; growth stays a batch job
+    * ([[graft.similarity.Similarity.appendToIvfIndex]]).
+    */
+  def dedupeSemanticAgainstIndex(docs: DataFrame, vecCol: String, idCol: String,
+                                 tsCol: String, table: String,
+                                 threshold: Double = 0.9,
+                                 watermark: String = "1 hour",
+                                 windowLen: String = "5 minutes"): DataFrame = {
+    val wm = docs.withWatermark(tsCol, watermark)
+    skeletonProbeVerdict(wm,
+      Seq(semanticMatchSkeletons(wm, vecCol, idCol, tsCol, table, threshold)),
+      idCol, tsCol, windowLen)
+  }
+
+  // (id, ts) skeleton per cosine-verified IVF-index match. The index
+  // table's vector column must be named `vecCol` (the writeIvfIndex
+  // convention the batch probe shares). Stateless.
+  private def semanticMatchSkeletons(wmDocs: DataFrame, vecCol: String,
+                                     idCol: String, tsCol: String,
+                                     table: String,
+                                     threshold: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val spark = wmDocs.sparkSession
+    val centroids = Similarity.readIvfCentroids(spark, table)
+    val probes = wmDocs
+      .select(col(idCol), col(tsCol), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull)
+    Similarity.assignToCentroids(probes, "__v", centroids,
+        centroids.head._2.length)
+      .withColumn("__bn", sqrt(Similarity.dot(col("__v"), col("__v"))))
+      .join(spark.table(table).select(col("cell"), col(vecCol).as("__iv")),
+        Seq("cell"))
+      .filter(Similarity.dot(col("__v"), col("__iv")) /
+        (col("__bn") * sqrt(Similarity.dot(col("__iv"), col("__iv")))) >= threshold)
+      .select(col(idCol), col(tsCol))
   }
 
   /** Streaming corpus intake: the curation stages that are row-local run
@@ -568,6 +643,18 @@ object EventStreams {
     * `nearIndexIdCol` is rejected rather than silently ignored. Probing
     * always keys on the raw text (before redaction). Index growth stays
     * a batch job ([[graft.dedup.Dedup.appendToMinhashIndex]]).
+    *
+    * `semanticIndexTable` (+ `embCol`) adds the EMBEDDING identity to the
+    * cross-run stage — the incremental twin of batch curate()'s semantic
+    * tier: each micro-batch's embeddings are probed against a persisted
+    * IVF index ([[dedupeSemanticAgainstIndex]]'s skeletons), so
+    * paraphrased replays of the historical corpus drop too. On the
+    * exact-dedup path the semantic skeletons FUSE into the same single
+    * windowed verdict as the MinHash probe (one stateful operator,
+    * whichever subset of identities is configured, keyed by
+    * `nearIndexIdCol`); on the banded path it is rejected loudly —
+    * chain [[dedupeSemanticAgainstIndex]] as its own downstream stage
+    * instead.
     */
   def curateDocs(docs: DataFrame, textCol: String, tsCol: String,
                  langs: Set[String], minQuality: Double,
@@ -582,6 +669,9 @@ object EventStreams {
                  nearIndexIdCol: Option[String] = None,
                  nearIndexJaccard: Double = 0.7,
                  nearIndexWindowLen: String = "5 minutes",
+                 semanticIndexTable: Option[String] = None,
+                 embCol: Option[String] = None,
+                 semanticThreshold: Double = 0.9,
                  qualityModel: Option[graft.text.Classifier.LinearModel] = None,
                  minModelScore: Double = 0.5,
                  lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
@@ -636,15 +726,35 @@ object EventStreams {
     // it AFTER dropDuplicates (which emits in the arrival batch); the
     // banded path fuses it into its own verdict aggregation
     val deduped = (nearDedupIdCol, nearIndexTable) match {
-      case (None, None) => dedupeExact(decontaminated, textCol, tsCol, watermark)
-      case (None, Some(t)) =>
+      case (None, None) if semanticIndexTable.isEmpty =>
+        dedupeExact(decontaminated, textCol, tsCol, watermark)
+      case (None, idxOpt) =>
         val id = nearIndexIdCol.getOrElse(throw new IllegalArgumentException(
-          "nearIndexTable requires nearIndexIdCol on the exact-dedup path"))
-        // dedupeExact declared the watermark; the probe must not redefine it
-        indexProbeVerdict(
-          dedupeExact(decontaminated, textCol, tsCol, watermark),
-          textCol, id, tsCol, t, nearIndexJaccard, nearIndexWindowLen)
+          "an index probe requires nearIndexIdCol on the exact-dedup path"))
+        // dedupeExact declared the watermark; the probes must not redefine
+        // it. Every configured index identity contributes a stateless
+        // skeleton branch into ONE fused windowed verdict — chaining
+        // per-identity verdicts would emit past-watermark rows into each
+        // other and drop them as late.
+        val exact = dedupeExact(decontaminated, textCol, tsCol, watermark)
+        val skeletons =
+          idxOpt.toSeq.map(t => indexMatchSkeletons(exact, textCol, id,
+            tsCol, t, nearIndexJaccard)) ++
+          semanticIndexTable.toSeq.map { t =>
+            val ec = embCol.getOrElse(throw new IllegalArgumentException(
+              "semanticIndexTable requires embCol: the stream rows must " +
+                "carry the embedding to probe with"))
+            semanticMatchSkeletons(exact, ec, id, tsCol, t, semanticThreshold)
+          }
+        skeletonProbeVerdict(exact, skeletons, id, tsCol, nearIndexWindowLen)
       case (Some(id), idx) =>
+        // the banded path's fused verdict lives inside dedupeNearBanded;
+        // a semantic branch is not wired there — reject loudly rather
+        // than silently skip the configured probe
+        require(semanticIndexTable.isEmpty,
+          "semanticIndexTable is not supported with nearDedupIdCol (banded " +
+            "path): run dedupeSemanticAgainstIndex as its own stage or use " +
+            "the exact-dedup path")
         // the fused verdict can only key on the banded id column — a
         // conflicting probe id would silently change drop semantics
         require(nearIndexIdCol.forall(_ == id),

@@ -857,6 +857,123 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming semantic-index probe drops cosine replays of the indexed corpus in batch 1") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Similarity
+    import graft.sources.Warehouse
+    for (tb <- Seq("semprobe_idx", "semprobe_idx_centroids"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    // historical corpus indexed by a prior batch run
+    Similarity.writeIvfIndex(
+      Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("doc_id", "emb"),
+      "doc_id", "emb", "semprobe_idx", nCentroids = 2, lloydIters = 1,
+      buckets = 2)
+    val idxBefore = spark.table("semprobe_idx").count()
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val docs = input.toDF().toDF("doc_id", "ts", "emb")
+    val query = EventStreams.dedupeSemanticAgainstIndex(docs, "emb", "doc_id",
+        "ts", "semprobe_idx", threshold = 0.9, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("semprobe_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a SCALED replay of an indexed vector (cosine 1.0 with no
+      // shared text or fingerprint bits — only the semantic identity sees
+      // it), an orthogonal fresh vector, and a null-embedding row (no
+      // evidence, must survive)
+      input.addData(
+        (1L, ts(0), Seq(2f, 0f, 0f, 0f)),
+        (2L, ts(1), Seq(0f, 0f, 1f, 0f)),
+        (3L, ts(2), null.asInstanceOf[Seq[Float]]))
+      query.processAllAvailable()
+      // advance the watermark so the verdict windows close
+      input.addData((99L, ts(60, 0), Seq(0f, 0f, 0f, 1f)))
+      query.processAllAvailable()
+      val out = spark.table("semprobe_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(2L, 3L), s"survivors: $out")
+      // the stream only PROBES — the index is never stream-mutated
+      assert(spark.table("semprobe_idx").count() == idxBefore)
+    } finally query.stop()
+  }
+
+  test("curateDocs fuses MinHash and semantic index probes into one verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill and the birds sing in the garden every morning " +
+      "as the sun rises over the quiet town and the day begins for everyone"
+    val mutated = base.replace("windowsill", "doorstep") // near-dup of the INDEXED text
+    val paraphrase = "a speedy auburn fox leaps across a sleepy hound as the kitten " +
+      "rests beside a sunlit window ledge and songbirds greet the dawn above a " +
+      "peaceful village where each new day quietly begins for all the residents"
+    val fresh = "an entirely different english document about the history of " +
+      "the spark engine that is long enough to pass the quality gate and it was " +
+      "written for this test of the streaming intake path with both index probes"
+    import graft.dedup.Dedup
+    import graft.similarity.Similarity
+    import graft.sources.Warehouse
+    for (tb <- Seq("cdsem_mh_idx", "cdsem_mh_idx_sigs", "cdsem_mh_idx_mhspec",
+        "cdsem_ivf_idx", "cdsem_ivf_idx_centroids"))
+      Warehouse.dropTableAndLocation(spark, tb)
+    Dedup.writeMinhashIndex(Seq((100L, base)).toDF("doc_id", "text"),
+      "text", "doc_id", "cdsem_mh_idx", buckets = 2)
+    Similarity.writeIvfIndex(
+      Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("doc_id", "emb"),
+      "doc_id", "emb", "cdsem_ivf_idx", nCentroids = 2, lloydIters = 1,
+      buckets = 2)
+    val input = MemoryStream[(Long, Timestamp, String, Seq[Float])]
+    val docs = input.toDF().toDF("doc_id", "ts", "text", "emb")
+    val query = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.5, watermark = "10 minutes",
+      nearIndexTable = Some("cdsem_mh_idx"), nearIndexIdCol = Some("doc_id"),
+      semanticIndexTable = Some("cdsem_ivf_idx"), embCol = Some("emb"))
+      .writeStream.format("memory").queryName("cdsem_out")
+      .outputMode("append").start()
+    try {
+      // 1 = text-mutated replay of the indexed corpus (MinHash tier, its
+      //     embedding is fresh); 2 = PARAPHRASE: fresh text that shares no
+      //     shingles with the corpus but replays an indexed embedding
+      //     (only the semantic tier can drop it); 3 = fresh on both
+      //     identities (survives the fused verdict)
+      input.addData(
+        (1L, ts(0), mutated, Seq(0f, 0f, 1f, 0f)),
+        (2L, ts(1), paraphrase, Seq(2f, 0f, 0f, 0f)),
+        (3L, ts(2), fresh, Seq(0f, 0f, 0f, 1f)))
+      query.processAllAvailable()
+      input.addData((99L, ts(60, 0), fresh + " heartbeat tail of words",
+        null.asInstanceOf[Seq[Float]]))
+      query.processAllAvailable()
+      val out = spark.table("cdsem_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(out == Seq(3L), s"survivors: $out")
+      // probes never stream-mutate either index
+      assert(spark.table("cdsem_mh_idx_sigs").count() == 1L)
+      assert(spark.table("cdsem_ivf_idx").count() == 2L)
+    } finally query.stop()
+    // configuration contracts fail loudly, not silently
+    val e1 = intercept[IllegalArgumentException] {
+      EventStreams.curateDocs(docs, "text", "ts",
+        langs = Set("en"), minQuality = 0.5,
+        semanticIndexTable = Some("cdsem_ivf_idx"), embCol = Some("emb"))
+    }
+    assert(e1.getMessage.contains("nearIndexIdCol"))
+    val e2 = intercept[IllegalArgumentException] {
+      EventStreams.curateDocs(docs, "text", "ts",
+        langs = Set("en"), minQuality = 0.5,
+        nearIndexIdCol = Some("doc_id"),
+        semanticIndexTable = Some("cdsem_ivf_idx"))
+    }
+    assert(e2.getMessage.contains("embCol"))
+    val e3 = intercept[IllegalArgumentException] {
+      EventStreams.curateDocs(docs, "text", "ts",
+        langs = Set("en"), minQuality = 0.5,
+        nearDedupIdCol = Some("doc_id"),
+        semanticIndexTable = Some("cdsem_ivf_idx"), embCol = Some("emb"))
+    }
+    assert(e3.getMessage.contains("banded"))
+  }
+
   test("curateMediaStream gates, dedups cross-batch, probes the hamming index, keeps corrupt") {
     import graft.dedup.Dedup
     import graft.multimodal.{ImageCodec, PpmCodec}
