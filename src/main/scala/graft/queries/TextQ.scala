@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Classifier, LangModel, TextOps}
+import graft.text.{Classifier, Importance, LangModel, TextOps}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -139,6 +139,20 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L49: DSIR-style importance weights — ids < 25 act as the trusted
+    // TARGET slice, the rest of the corpus is the RAW pool being scored
+    // (exact-gram mode; the hashed mode is spec-gated). The top-N selector
+    // is a deterministic ORDER BY of these weights, so gating the weights
+    // gates the selection.
+    "t17_importance" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val raw = docs.filter(col("doc_id") >= 25)
+      val model = Importance.trainImportanceModel(
+        raw, docs.filter(col("doc_id") < 25), "text")
+      Importance.importanceWeights(raw, "text", "doc_id", model)
+        .orderBy("doc_id")
+    },
+
     // L45: per-source document quota (domain cap) — keep at most 12 docs
     // per source, smallest ids win, salted two-phase top-N under the hood.
     "t15_source_quota" -> { (s, dir) =>
@@ -237,6 +251,45 @@ object TextQ {
         |  COALESCE(n_bigrams, 0) AS n_bigrams,
         |  cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same tokenization, "w1 w2" feature key, Laplace smoothing over the
+    // union feature space, and ROUND(…,4) as Importance.trainImportanceModel
+    // + importanceWeights in exact-gram mode.
+    "t17_importance" ->
+      """WITH rtoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE doc_id >= 25),
+        |ttoks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE doc_id < 25),
+        |rgrams AS (
+        |  SELECT doc_id, g[1] || ' ' || g[2] AS gk
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS g
+        |        FROM rtoks WHERE len(l) >= 2)),
+        |tgrams AS (
+        |  SELECT doc_id, g[1] || ' ' || g[2] AS gk
+        |  FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS g
+        |        FROM ttoks WHERE len(l) >= 2)),
+        |dg AS (SELECT doc_id, gk, COUNT(*) AS k FROM rgrams GROUP BY 1, 2),
+        |rc AS (SELECT gk, COUNT(*) AS rcnt FROM rgrams GROUP BY 1),
+        |tc AS (SELECT gk, COUNT(*) AS tcnt FROM tgrams GROUP BY 1),
+        |model AS (
+        |  SELECT gk, COALESCE(rcnt, 0) AS rcnt, COALESCE(tcnt, 0) AS tcnt
+        |  FROM rc FULL OUTER JOIN tc USING (gk)),
+        |tot AS (SELECT SUM(rcnt) AS rt, SUM(tcnt) AS tt, COUNT(*) AS v FROM model),
+        |sc AS (
+        |  SELECT dg.doc_id,
+        |    CAST(SUM(k) AS INTEGER) AS n_grams,
+        |    ROUND(SUM(k * (ln((tcnt + 1.0) / (tt + v)) - ln((rcnt + 1.0) / (rt + v)))), 4)
+        |      AS log_weight
+        |  FROM dg JOIN model USING (gk) CROSS JOIN tot
+        |  GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_grams, 0) AS n_grams,
+        |  log_weight
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+        |LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
     // Same keep-smallest-ids-per-source semantics as TextOps.sourceQuota

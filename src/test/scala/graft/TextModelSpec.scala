@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.text.{Classifier, LangModel, TextOps}
+import graft.text.{Classifier, Importance, LangModel, TextOps}
 
 /** Semantics tests for the model-based quality tiers (bigram-LM
   * cross-entropy, hashed linear classifier) and the per-source quota.
@@ -275,5 +275,78 @@ class TextModelSpec extends SparkSpec {
         .collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSet
       assert(salted == naive, s"saltParts=$parts diverged")
     }
+  }
+
+  // --- DSIR importance resampling ------------------------------------
+
+  test("importance weights: hand-computed likelihood ratios") {
+    // target grams: {(a b): 1}; raw grams: {(a b): 2, (b a): 1, (x y): 1}
+    // → rt = 4, tt = 1, V = |{a b, b a, x y}| = 3
+    val target = Seq((100L, "a b")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a b a b"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val m = Importance.trainImportanceModel(raw, target, "text")
+    assert((m.rawTotal, m.targetTotal, m.features) == ((4L, 1L, 3L)))
+    val w = Importance.importanceWeights(raw, "text", "doc_id", m)
+      .collect().map(r => (r.getLong(0), (r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    val lwAb = math.log(2.0 / 4) - math.log(3.0 / 7)
+    val lwBa = math.log(1.0 / 4) - math.log(2.0 / 7)
+    val lwXy = lwBa // same counts (rcnt 1, tcnt 0)
+    def r4(d: Double) = new java.math.BigDecimal(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(w(1L) == ((3, r4(2 * lwAb + lwBa))))
+    assert(w(2L) == ((1, r4(lwXy))))
+    // the target-only doc "a b a b" must out-rank the OOV doc "x y"
+    assert(w(1L)._2.asInstanceOf[Double] > w(2L)._2.asInstanceOf[Double])
+    // a gram-free doc carries no evidence: n_grams 0, null weight
+    assert(w(3L) == ((0, null)))
+  }
+
+  test("resampleTop selects target-like docs deterministically; nulls rank last") {
+    val target = Seq(
+      (100L, "the theory of distributed query optimization and join planning"),
+      (101L, "query planners choose join orders for distributed execution")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "celebrity gossip and football scores with lottery numbers today"),
+      (2L, "distributed query optimization chooses join orders via planning"),
+      (3L, "more celebrity football lottery gossip scores and daily horoscopes"),
+      (4L, "join planning in distributed query execution and optimization"),
+      (5L, "x")).toDF("doc_id", "text")
+    val top = Importance.resampleTop(raw, target, "text", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(2L, 4L), s"selected $top")
+    // the gram-free doc can never be selected even when n exceeds the pool
+    val all = Importance.resampleTop(raw, target, "text", "doc_id", 5).collect()
+    assert(all.length == 5 && all.last.getLong(0) == 5L && all.last.isNullAt(2))
+  }
+
+  test("importance weights are invariant to corpus partitioning") {
+    val target = Seq((100L, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val raw = (1L to 40L).map(i =>
+      (i, s"alpha beta token$i gamma delta token${i % 7} alpha")).toDF("doc_id", "text")
+    val m1 = Importance.trainImportanceModel(raw, target, "text")
+    val w1 = Importance.importanceWeights(raw, "text", "doc_id", m1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val m2 = Importance.trainImportanceModel(raw.repartition(7), target.repartition(3), "text")
+    val w2 = Importance.importanceWeights(raw.repartition(11), "text", "doc_id", m2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w1 == w2)
+  }
+
+  test("hashed feature mode bounds the model and preserves the ranking signal") {
+    val target = Seq(
+      (100L, "the theory of distributed query optimization and join planning"),
+      (101L, "query planners choose join orders for distributed execution")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "celebrity gossip and football scores with lottery numbers today"),
+      (2L, "distributed query optimization chooses join orders via planning"),
+      (3L, "more celebrity football lottery gossip scores and daily horoscopes")).toDF("doc_id", "text")
+    val m = Importance.trainImportanceModel(raw, target, "text", hashBuckets = Some(1 << 10))
+    // the model is bounded by the OBSERVED bucket count, never above 2^10,
+    // and smoothing divides by the full fixed dimension
+    assert(m.grams.count() <= (1 << 10) && m.features == (1 << 10))
+    val w = Importance.importanceWeights(raw, "text", "doc_id", m)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w(2L) > w(1L) && w(2L) > w(3L), s"hashed ranking: $w")
   }
 }
