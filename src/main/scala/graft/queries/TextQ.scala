@@ -153,6 +153,16 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L50: global token-budget sharding — the training-data writer's
+    // layout step. 2048-token shards over the id-ordered corpus; the
+    // distributed prefix-sum must reproduce the naive global window.
+    "t18_token_shards" -> { (s, dir) =>
+      TextOps.shardByTokenBudget(Tables(s, dir, "documents"), "text",
+          "doc_id", shardTokens = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    },
+
     // L45: per-source document quota (domain cap) — keep at most 12 docs
     // per source, smallest ids win, salted two-phase top-N under the hood.
     "t15_source_quota" -> { (s, dir) =>
@@ -291,6 +301,20 @@ object TextQ {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
         |LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same tokenization and exclusive-prefix-sum shard rule as
+    // TextOps.shardByTokenBudget (the range-bucketed execution is a
+    // detail; results are the global window's, spec-pinned).
+    "t18_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(len(string_split_regex(text, '\s+')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
 
     // Same keep-smallest-ids-per-source semantics as TextOps.sourceQuota
     // (the salted two-phase is an execution detail; results are the naive

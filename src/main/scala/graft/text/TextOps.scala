@@ -220,6 +220,63 @@ object TextOps {
           .cast("long"))
   }
 
+  /** GLOBAL deterministic token-budget sharding — the training-data
+    * writer's layout step: order the corpus by `idCol`, cut the token
+    * stream into `shardTokens`-token shards, and tag each document with
+    * the shard where it starts (`tokens-before-this-doc div shardTokens`).
+    * Adds `n_tokens` and `shard`; `df.write.partitionBy("shard")` is then
+    * the writer. Same math as [[packBins]] with one global group — but
+    * that shape routes the whole corpus through ONE window task, so this
+    * runs the classic distributed prefix-sum instead:
+    *
+    *  1. one approx-quantile pass over `idCol` picks ≤ `parts`−1
+    *     order-compatible range boundaries (driver holds the doubles —
+    *     boundary PLACEMENT only affects which task computes a row, never
+    *     the result);
+    *  2. per-bucket token totals (one partial-aggregated scan, ≤ `parts`
+    *     rows collected) prefix-sum into exclusive bucket offsets on the
+    *     driver;
+    *  3. the within-bucket window (partitioned, bounded) plus the
+    *     broadcast offset closes the global exclusive cumulative sum.
+    *
+    * Three scans total, every stage bounded by `parts` (defaults to the
+    * session's shuffle parallelism), worst task = one bucket — the shape
+    * that survives a 10¹⁰-document corpus. Deterministic and
+    * partitioning-invariant: results are the single-window plan's exactly
+    * (spec-pinned at several `parts`), null text counts 0 tokens.
+    */
+  def shardByTokenBudget(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, shardTokens: Long,
+                         parts: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(shardTokens > 0, s"shardTokens=$shardTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = df.withColumn("n_tokens",
+      coalesce(tokenCount(col(textCol)), lit(0)).cast("long"))
+    val bounds =
+      if (n <= 1) Array.empty[Double]
+      else toks.stat.approxQuantile(idCol,
+        (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
+    val bucketed = toks.withColumn("__b",
+      size(filter(typedlit(bounds), b => col(idCol) >= b)))
+    val totals = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive offsets: bucket b's offset is the sum of totals before it
+    var acc = 0L
+    val off = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    val offDf = off.toSeq.toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__tb",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("__off"))
+      .withColumn("shard", expr(s"__tb div ${shardTokens}L"))
+      .drop("__b", "__off", "__tb")
+  }
+
   /** Deterministic weighted corpus mixing: each row is kept/dropped or
     * replicated according to `weight` (an arbitrary per-row expression —
     * typically a CASE over the source column or a joined-in dims table).

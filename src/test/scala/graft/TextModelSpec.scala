@@ -277,6 +277,41 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  // --- global token-budget sharding ----------------------------------
+
+  test("shardByTokenBudget: hand-computed shard cuts, null text counts 0") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h"), (4L, "i j"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.shardByTokenBudget(docs, "text", "doc_id", 5)
+      .select("doc_id", "n_tokens", "shard")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // tokens-before: 0, 3, 7, 8, 10 → div 5 → shards 0, 0, 1, 1, 2
+    assert(out == Map(1L -> ((3L, 0L)), 2L -> ((4L, 0L)), 3L -> ((1L, 1L)),
+      4L -> ((2L, 1L)), 5L -> ((0L, 2L))))
+  }
+
+  test("shardByTokenBudget equals the naive global window at any parts") {
+    val r = new scala.util.Random(11)
+    // clustered ids (quantile boundaries land unevenly) + shuffled input
+    val rows = r.shuffle((1L to 200L).map(i => i * i) ++ (90000L to 90300L))
+      .map(i => (i, Seq.fill(1 + (i % 37).toInt)("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text").repartition(13)
+    val naive = {
+      df.withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("shard",
+          expr("coalesce(sum(n_tokens) over (order by doc_id rows between " +
+            "unbounded preceding and 1 preceding), 0L) div 256"))
+        .select("doc_id", "n_tokens", "shard")
+        .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+    }
+    for (parts <- Seq(1, 3, 64)) {
+      val got = TextOps.shardByTokenBudget(df, "text", "doc_id", 256, parts = parts)
+        .select("doc_id", "n_tokens", "shard")
+        .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+      assert(got == naive, s"parts=$parts diverged from the global window")
+    }
+  }
+
   // --- DSIR importance resampling ------------------------------------
 
   test("importance weights: hand-computed likelihood ratios") {
