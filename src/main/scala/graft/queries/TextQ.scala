@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Classifier, Importance, LangModel, TextOps}
+import graft.text.{Bpe, Classifier, Importance, LangModel, TextOps}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -150,6 +150,22 @@ object TextQ {
       val model = Importance.trainImportanceModel(
         raw, docs.filter(col("doc_id") < 25), "text")
       Importance.importanceWeights(raw, "text", "doc_id", model)
+        .orderBy("doc_id")
+    },
+
+    // L51: trained-BPE token counts — merges learned from the corpus's
+    // own word histogram (ids < 100 as the training slice), every doc
+    // encoded under the broadcast rank table. Rows-only: the greedy
+    // rank-ordered merge closure is iterative string rewriting DuckDB
+    // can't express (the s03/t14 argument); merge selection and encoding
+    // are hand-verified in specs. Non-vacuous: n_bpe varies per doc and
+    // shrinks as merges apply (spec-pinned).
+    "t19_bpe_tokens" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Bpe.train(docs.filter(col("doc_id") < 100), "text",
+        numMerges = 200)
+      docs.select(col("doc_id"),
+          Bpe.tokenCount(s, model, col("text")).as("n_bpe"))
         .orderBy("doc_id")
     },
 

@@ -277,6 +277,60 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  // --- BPE tokenizer -------------------------------------------------
+
+  test("BPE train learns the classic merges in count-then-lex order") {
+    import graft.text.Bpe
+    // the Sennrich corpus: low×5 lower×2 newest×6 widest×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 4)
+    // pair counts: (e,s)=(s,t)=(t,</w>)=9 → lex picks (e,s); then (es,t)=9
+    // vs (t,</w>)=9 → (es,t); then (est,</w>)=9; then (l,o)=(o,w)=7 → (l,o)
+    assert(model.merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o")), s"merges: ${model.merges}")
+  }
+
+  test("BPE encode applies merges greedily by rank; unseen words fall back to chars") {
+    import graft.text.Bpe
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 4)
+    val enc = Seq((1L, "newest low zap"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Bpe.encode(spark, model, col("text")).as("t"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    assert(enc(1L) == List("n", "e", "w", "est</w>", "lo", "w", "</w>",
+      "z", "a", "p", "</w>"), s"encoded: ${enc(1L)}")
+    assert(enc(2L) == null)
+    // token counts shrink as merges apply: 4-merge model beats chars
+    val n = Seq((1L, "newest newest lowest"))
+      .toDF("doc_id", "text")
+      .select(Bpe.tokenCount(spark, model, col("text")).as("n"))
+      .head().getInt(0)
+    val chars = Seq((1L, "newest newest lowest"))
+      .toDF("doc_id", "text")
+      .select(Bpe.tokenCount(spark, Bpe.BpeModel(Nil), col("text")).as("n"))
+      .head().getInt(0)
+    assert(n < chars, s"trained $n !< untrained $chars")
+  }
+
+  test("BPE training is partition-invariant and maxWords-guarded") {
+    import graft.text.Bpe
+    val docs = (1L to 60L).map(i =>
+      (i, s"alpha beta gamma token${i % 9} alpha beta")).toDF("doc_id", "text")
+    val m1 = Bpe.train(docs, "text", numMerges = 12)
+    val m2 = Bpe.train(docs.repartition(7), "text", numMerges = 12)
+    assert(m1.merges == m2.merges)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", numMerges = 2, maxWords = 3)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
   // --- global token-budget sharding ----------------------------------
 
   test("shardByTokenBudget: hand-computed shard cuts, null text counts 0") {
