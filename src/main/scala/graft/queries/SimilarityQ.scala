@@ -35,6 +35,19 @@ object SimilarityQ {
         "vec_id", "embedding", k = 20, nCentroids = 16, probes = 4)
     },
 
+    // L52: cluster-balanced diversity sampling — 25 least-prototypical
+    // vectors kept per k-means cell (the SSL-prototypes pruning step).
+    // Rows-only: Lloyd-trained centroids are iterative (the s03
+    // inexpressibility argument); quota/ordering/parity semantics are
+    // spec-gated. Non-vacuous: every cell returns its quota (or its full
+    // membership) with per-row distances.
+    "s09_cluster_sample" -> { (s, dir) =>
+      Similarity.clusterSample(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", perCluster = 25, nCentroids = 8, lloydIters = 2)
+        .select(col("vec_id"), col("cell"), col("dist"))
+        .orderBy("vec_id")
+    },
+
     // L8b: batched IVF — ten probes answered in one corpus pass; the shape
     // a serving/training join runs at scale.
     "s04_knn_ivf_batch" -> { (s, dir) =>

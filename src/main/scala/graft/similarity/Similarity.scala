@@ -238,6 +238,57 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Cluster-balanced DIVERSITY SAMPLING (the SSL-prototypes /
+    * SemDeDup-family corpus pruning step, Sorscher et al. 2022): k-means
+    * the embedding space ([[ivfAssign]]), score every vector by cosine
+    * distance to its own cluster centroid — its "prototypicality" — and
+    * keep a per-cluster quota. `keep = "diverse"` retains the LEAST
+    * prototypical members (prune the easy near-redundant core each
+    * cluster accumulates — the published result is that this beats random
+    * pruning at scale); `keep = "prototypical"` retains the cluster cores
+    * (the curriculum/easy-subset variant). Deterministic: rounded distance
+    * with the id as tie-break, no RNG.
+    *
+    * Scale shape: the centroid join is a broadcast of ≤ nCentroids rows;
+    * the distance is one codegen'd [[graft.functions.FloatDot]] pass; the
+    * per-cluster top-N runs [[graft.text.TextOps.sourceQuota]]'s salted
+    * two-phase windows keyed on the cell, so a mega-cluster (and one
+    * always emerges — embedding mass is never uniform) ranks
+    * saltParts × perCluster rows in its final window instead of routing
+    * every member through one task. Output keeps all input columns plus
+    * `cell` and `dist`.
+    */
+  def clusterSample(emb: DataFrame, idCol: String, vecCol: String,
+                    perCluster: Int, nCentroids: Int = 16,
+                    lloydIters: Int = 2, keep: String = "diverse",
+                    saltParts: Int = 32): DataFrame = {
+    require(perCluster > 0 && saltParts > 0,
+      s"perCluster=$perCluster saltParts=$saltParts")
+    require(keep == "diverse" || keep == "prototypical", s"keep=$keep")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    val cdf = centroids.toSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
+      .toDF("cell", "__c")
+    val scored = assigned.join(broadcast(cdf), "cell")
+      .withColumn("dist",
+        round(lit(1.0) - dot(col(vecCol), col("__c")) /
+          (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("__c"), col("__c")))), 6))
+      .drop("__c")
+    val ord =
+      if (keep == "diverse") Seq(col("dist").desc, col(idCol))
+      else Seq(col("dist").asc, col(idCol))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), pmod(xxhash64(col(idCol)), lit(saltParts)))
+      .orderBy(ord: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(ord: _*)
+    scored
+      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= perCluster)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= perCluster)
+      .drop("__r1", "__r2")
+  }
+
   /** IVF top-k: assign every vector to its nearest centroid cell, find the
     * `probes` cells nearest the query, and run exact cosine only inside
     * those cells. At warehouse scale the `cell` column is a partition

@@ -1682,4 +1682,45 @@ class OperatorSpec extends SparkSpec {
     // minimum it is deterministic and non-zero here
     assert(fp(3L) != 0L)
   }
+
+  test("clusterSample keeps an exact per-cell quota; modes and salting agree with the naive rank") {
+    // three well-separated direction clusters, 30 members each with
+    // increasing off-axis drift (so within-cluster distances vary)
+    val vecs = for (c <- 0 until 3; i <- 0 until 30) yield {
+      val v = Array.fill(4)(0f)
+      v(c) = 1f
+      v(3) = 0.002f * i
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // the FULL scored frame (quota ≥ membership) is the ground truth the
+    // quota selections must agree with — no dependence on where Lloyd
+    // puts the cells
+    val full = Similarity.clusterSample(emb, "vec_id", "embedding",
+        perCluster = 1000, nCentroids = 3, lloydIters = 3)
+      .select("vec_id", "cell", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(full.length == 90)
+    def expect(diverse: Boolean, n: Int): Set[Long] =
+      full.groupBy(_._2).values.flatMap { cell =>
+        val ranked = if (diverse) cell.sortBy(t => (-t._3, t._1))
+        else cell.sortBy(t => (t._3, t._1))
+        ranked.take(n).map(_._1)
+      }.toSet
+    for ((mode, diverse) <- Seq(("diverse", true), ("prototypical", false));
+         parts <- Seq(1, 64)) {
+      val got = Similarity.clusterSample(emb.repartition(7), "vec_id",
+          "embedding", perCluster = 5, nCentroids = 3, lloydIters = 3,
+          keep = mode, saltParts = parts)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == expect(diverse, 5),
+        s"mode=$mode parts=$parts diverged from the naive rank")
+    }
+    // the two modes select from opposite ends of each cell
+    assert(expect(true, 5).intersect(expect(false, 5)).size < 15)
+    intercept[IllegalArgumentException] {
+      Similarity.clusterSample(emb, "vec_id", "embedding", perCluster = 5,
+        keep = "random")
+    }
+  }
 }
