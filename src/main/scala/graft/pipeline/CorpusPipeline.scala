@@ -205,6 +205,23 @@ object CorpusPipeline {
     *                          short to have bigrams score null and PASS —
     *                          the gate cannot judge them
     * @param maxCrossEntropy   cross-entropy ceiling for that gate
+    * @param importanceTarget  when set (with `importanceTopN`), DSIR-style
+    *                          distribution matching
+    *                          ([[graft.text.Importance.resampleTop]]) runs
+    *                          on the clean, deduped pool: keep the topN
+    *                          documents whose n-gram bag is most
+    *                          target-like relative to the pool itself.
+    *                          Runs AFTER every dedup/decontamination stage
+    *                          (replicas and contaminated docs must not
+    *                          distort the raw distribution estimate) and
+    *                          BEFORE the per-source quota (the cap bounds
+    *                          domination of the SELECTED corpus). The
+    *                          surviving rows carry their `log_weight` as
+    *                          evidence
+    * @param importanceTopN    how many documents that selector keeps
+    * @param importanceHashBuckets when set, the selector's hashed
+    *                          fixed-dimension feature mode (bounds the
+    *                          ratio model at 2^~b rows for any corpus)
     * @param maxPerSource      when set, a per-source quota
     *                          ([[TextOps.sourceQuota]] over `sourceCol`)
     *                          caps each source's documents AFTER every
@@ -259,7 +276,10 @@ object CorpusPipeline {
       lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
       maxCrossEntropy: Double = Double.PositiveInfinity,
       maxPerSource: Option[Int] = None,
-      sourceCol: String = "source")
+      sourceCol: String = "source",
+      importanceTarget: Option[DataFrame] = None,
+      importanceTopN: Option[Int] = None,
+      importanceHashBuckets: Option[Int] = None)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -274,6 +294,8 @@ object CorpusPipeline {
     // never emitted would replay as a drop forever)
     require(cfg.semanticIndexTable.isEmpty || cfg.embCol.isDefined,
       "semanticIndexTable requires embCol (the embedding column to probe with)")
+    require(cfg.importanceTarget.isEmpty || cfg.importanceTopN.exists(_ > 0),
+      "importanceTarget requires importanceTopN > 0 (how many docs to keep)")
     // ops hook: de-fragment the cross-run tables BEFORE this run touches
     // them (see Config.compactEveryNFiles for why never after)
     cfg.compactEveryNFiles.foreach { maxFiles =>
@@ -442,13 +464,27 @@ object CorpusPipeline {
           .withColumnRenamed("clean_text", textCol)
     }
 
+    // distribution matching (DSIR): select the topN most target-like
+    // documents from the clean pool. Reads its input 3× (the raw-side
+    // ratio model, the scoring pass, the evidence join-back), hence the
+    // materialization; placement per Config.importanceTarget's contract
+    val selected = cfg.importanceTarget match {
+      case None => decontaminated
+      case Some(tgt) =>
+        val pool = materialize(decontaminated, 3)
+        val top = graft.text.Importance.resampleTop(pool, tgt, textCol,
+            idCol, cfg.importanceTopN.get, cfg.importanceHashBuckets)
+          .select(col(idCol), col("log_weight"))
+        pool.join(top, Seq(idCol))
+    }
+
     // representation control over the corpus that actually ships: the
     // per-source cap runs after every dedup/decontamination stage (so the
     // quota counts distinct, clean survivors) and before split assignment
     val quotaed = cfg.maxPerSource match {
-      case None => decontaminated
+      case None => selected
       case Some(n) =>
-        TextOps.sourceQuota(decontaminated, cfg.sourceCol, idCol, n)
+        TextOps.sourceQuota(selected, cfg.sourceCol, idCol, n)
     }
 
     val split = quotaed.withColumn("split",

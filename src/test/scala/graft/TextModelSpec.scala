@@ -127,6 +127,36 @@ class TextModelSpec extends SparkSpec {
     assert(out.columns.contains("split"))
   }
 
+  test("curate() importance stage selects the target-like topN after dedup, with evidence") {
+    import graft.pipeline.CorpusPipeline
+    val english =
+      "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val target = Seq(
+      (100L, english + "distributed query optimization and join planning for engines"),
+      (101L, english + "query planners choose join orders for distributed engines"))
+      .toDF("doc_id", "text")
+    val sports = english + "football scores and celebrity gossip with lottery numbers"
+    val docs = Seq(
+      (1L, english + "distributed query optimization with join planning for engines"),
+      (2L, sports),
+      (3L, english + "join planning for distributed query engines and optimization"),
+      (4L, english + "more football gossip lottery celebrity scores and horoscopes"),
+      (5L, sports) // exact replica of 2 — must be deduped BEFORE selection
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 2.0, minQuality = 0.0,
+        importanceTarget = Some(target), importanceTopN = Some(2)))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"selected: $ids")
+    // survivors carry the selector's evidence and the pipeline's split
+    assert(out.columns.contains("log_weight") && out.columns.contains("split"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.curate(docs, "text", "doc_id",
+        CorpusPipeline.Config(importanceTarget = Some(target)))
+    }
+    assert(e.getMessage.contains("importanceTopN"))
+  }
+
   test("streaming curateDocs applies the served-LM and classifier gates") {
     implicit val sqlCtx = spark.sqlContext
     val english =
