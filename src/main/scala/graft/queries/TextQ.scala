@@ -153,6 +153,28 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L53: canonical-URL dedup — the synthetic corpus has no URL column,
+    // so (the t11 salting precedent) each doc gets a deterministic URL:
+    // three scheme/www/port/tracking/fragment/case variants per site
+    // (site = doc_id div 3), so every 3-doc group collapses to its
+    // smallest id once normalized and the oracle replays the same salt.
+    "t20_url_dedup" -> { (s, dir) =>
+      val url = expr("""CASE cast(doc_id % 3 as int)
+        WHEN 0 THEN concat('https://www.site', cast(doc_id div 3 as string),
+          '.com/path/p?utm_source=x&id=', cast(doc_id div 3 as string))
+        WHEN 1 THEN concat('http://site', cast(doc_id div 3 as string),
+          '.com:80/path/p?id=', cast(doc_id div 3 as string), '&utm_campaign=y#frag')
+        ELSE concat('HTTPS://site', cast(doc_id div 3 as string),
+          '.COM/path/p?id=', cast(doc_id div 3 as string))
+        END""")
+      val normed = Tables(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("url_norm", TextOps.normalizeUrl(col("url")))
+      graft.dedup.Dedup.exact(normed, "url_norm", "doc_id")
+        .select(col("doc_id"), col("url_norm"))
+        .orderBy("doc_id")
+    },
+
     // L51: trained-BPE token counts — merges learned from the corpus's
     // own word histogram (ids < 100 as the training slice), every doc
     // encoded under the broadcast rank table. Rows-only: the greedy
@@ -278,6 +300,44 @@ object TextQ {
         |  cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same salted URL construction and regexp normalization chain as
+    // TextOps.normalizeUrl (DuckDB needs the explicit 'g' flag Spark
+    // implies; group refs are \1 vs $1 — same RE2-safe patterns).
+    "t20_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN concat('https://www.site', CAST(doc_id // 3 AS VARCHAR),
+        |        '.com/path/p?utm_source=x&id=', CAST(doc_id // 3 AS VARCHAR))
+        |      WHEN 1 THEN concat('http://site', CAST(doc_id // 3 AS VARCHAR),
+        |        '.com:80/path/p?id=', CAST(doc_id // 3 AS VARCHAR), '&utm_campaign=y#frag')
+        |      ELSE concat('HTTPS://site', CAST(doc_id // 3 AS VARCHAR),
+        |        '.COM/path/p?id=', CAST(doc_id // 3 AS VARCHAR))
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(trim(url), '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS x FROM u),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(x, '^([^/?#]*)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |    regexp_replace(x, '^[^/?#]*', '') AS rest
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, host,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(rest, '#.*$', ''),
+        |          '([?&])(?:utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&]*', '\1', 'g'),
+        |        '([?&])&+', '\1', 'g'),
+        |      '[?&]+$', '') AS q
+        |  FROM s2),
+        |n AS (SELECT doc_id, host || regexp_replace(q, '/+$', '') AS url_norm FROM s3)
+        |SELECT doc_id, url_norm
+        |FROM n
+        |QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Same tokenization, "w1 w2" feature key, Laplace smoothing over the
     // union feature space, and ROUND(…,4) as Importance.trainImportanceModel

@@ -395,6 +395,38 @@ object TextOps {
       phone, "<PHONE>")
   }
 
+  /** Canonical-URL normalization — the crawl-side identity every pipeline
+    * dedups on BEFORE any content hash (the same page arrives as
+    * http/https, with/without `www.`, with tracking params, fragments,
+    * default ports, trailing slashes — and its content hash can still
+    * differ per fetch, which is why URL identity is its own tier):
+    *
+    *  - scheme stripped (http/https, any case), host lowercased (paths
+    *    stay case-sensitive), leading `www.` and default `:80`/`:443`
+    *    dropped
+    *  - fragment dropped; `utm_*`/`fbclid`/`gclid` tracking params
+    *    dropped with separator cleanup; trailing `?`/`&`/`/` stripped
+    *
+    * Pure regexp-chain column expression — no lookaround, no UDF (the
+    * [[redactPii]] engine-portability convention: identical on Java
+    * regex, RE2, and the DuckDB oracle). Dedup composes:
+    * `Dedup.exact(df.withColumn("u", normalizeUrl(col(url))), "u", id)`
+    * keeps one document per canonical URL.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url), "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val host = lower(regexp_extract(noScheme, "^([^/?#]*)", 1))
+    val rest = regexp_replace(noScheme, "^[^/?#]*", "")
+    val h = regexp_replace(
+      regexp_replace(host, "^www\\.", ""), ":(80|443)$", "")
+    val r = regexp_replace(rest, "#.*$", "") // fragment first ([^&] below)
+    val noTrack = regexp_replace(r,
+      "([?&])(?:utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&]*", "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val trimmedQ = regexp_replace(collapsed, "[?&]+$", "")
+    concat(h, regexp_replace(trimmedQ, "/+$", ""))
+  }
+
   /** Per-source document quota — the crawl-curation cap that stops one
     * domain from dominating a corpus (the public Common-Crawl pipelines
     * all run one): keep at most `maxPerSource` documents per source,

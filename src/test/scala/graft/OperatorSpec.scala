@@ -1683,6 +1683,43 @@ class OperatorSpec extends SparkSpec {
     assert(fp(3L) != 0L)
   }
 
+  test("normalizeUrl canonicalizes scheme/www/port/fragment/tracking/slash variants") {
+    val cases = Seq(
+      // every variant of the same page → one canonical form
+      "https://www.Example.com/Path/Page?utm_source=x&id=7" -> "example.com/Path/Page?id=7",
+      "http://example.com:80/Path/Page?id=7&utm_campaign=y#frag" -> "example.com/Path/Page?id=7",
+      "HTTPS://EXAMPLE.COM:443/Path/Page?id=7" -> "example.com/Path/Page?id=7",
+      // path case is preserved; host case is not
+      "https://A.B.com/CaseSensitive" -> "a.b.com/CaseSensitive",
+      // tracking-only query disappears entirely; trailing slash drops
+      "https://example.com/p/?utm_medium=z" -> "example.com/p",
+      "https://example.com/" -> "example.com",
+      // adjacent tracking params collapse their separators
+      "https://example.com/p?utm_a=1&utm_b=2&id=3&fbclid=z" -> "example.com/p?id=3",
+      // non-default port and non-tracking params survive
+      "https://example.com:8080/p?a=1&b=2" -> "example.com:8080/p?a=1&b=2",
+      // fragments drop even with no query
+      "https://example.com/p#section" -> "example.com/p")
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(col("id"), TextOps.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    for (((u, want), i) <- cases.zipWithIndex)
+      assert(got(i.toLong) == want, s"$u → ${got(i.toLong)} (want $want)")
+    // null propagates; dedup composes with Dedup.exact (keep-min per URL)
+    val withNull = Seq((0L, null.asInstanceOf[String])).toDF("id", "url")
+      .select(TextOps.normalizeUrl(col("url")).as("n")).head()
+    assert(withNull.isNullAt(0))
+    val dup = Seq(
+      (10L, "https://www.example.com/p?id=1"),
+      (11L, "http://example.com:80/p?id=1#top"),
+      (12L, "https://other.com/p?id=1")).toDF("doc_id", "url")
+      .withColumn("u", TextOps.normalizeUrl(col("url")))
+    val kept = Dedup.exact(dup, "u", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L), s"url-dedup kept: $kept")
+  }
+
   test("clusterSample keeps an exact per-cell quota; modes and salting agree with the naive rank") {
     // three well-separated direction clusters, 30 members each with
     // increasing off-axis drift (so within-cluster distances vary)
