@@ -32,6 +32,25 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Exact dedup keeping the BEST replica per content group instead of the
+    * smallest id — the retention policy a crawl actually wants when
+    * replicas differ in metadata (fetch recency, source reputation, decode
+    * health): keep the row maximizing `scoreCol` (numeric), ties broken by
+    * smallest `idCol`, so the choice is total and deterministic. Same
+    * map-side-collapsing aggregation contract as [[exact]]: min_by over a
+    * (−score, id) ordering struct (planned as a SortAggregate with a
+    * partial phase, spec-pinned), NOT a window — at most one candidate
+    * row per distinct content per partition crosses the wire.
+    */
+  def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
+                    scoreCol: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(negate(scoreCol.cast("double")), col(idCol))).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Word k-shingles as 64-bit hashes (xxhash64 of each shingle string).
     * Sub-`k`-token documents degenerate to one hash of the space-joined
     * TOKEN SEQUENCE (not the raw text), so whitespace-only differences in

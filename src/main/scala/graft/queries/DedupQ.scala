@@ -23,6 +23,21 @@ object DedupQ {
         .orderBy("canonical_id")
     },
 
+    // L54: keep-BEST-replica exact dedup — every 5th doc gets a planted
+    // replica (id + 5000) and a deterministic synthetic score, so each
+    // content group must retain its argmax-score member (min id on ties),
+    // not its min id. Same no-window aggregation shape as d01.
+    "d17_dedup_keep_best" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val replicas = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+      val pool = docs.unionByName(replicas)
+        .withColumn("score", pmod(col("doc_id") * 37, lit(101)).cast("double"))
+      Dedup.exactKeepBest(pool, "text", "doc_id", col("score"))
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -326,6 +341,23 @@ object DedupQ {
         |FROM documents
         |GROUP BY 1
         |ORDER BY canonical_id""".stripMargin,
+
+    // Same planted replicas, synthetic score, and argmax-then-min-id
+    // retention rule as Dedup.exactKeepBest (the min_by aggregation is an
+    // execution detail; the QUALIFY window is the semantic spec).
+    "d17_dedup_keep_best" ->
+      """WITH pool AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |sc AS (
+        |  SELECT doc_id, text,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS score
+        |  FROM pool)
+        |SELECT doc_id, score
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // String-bigram Jaccard over the same adjacent-rank candidate pairs:
     // identical ratios to the hashed-gram sets barring 64-bit collisions.

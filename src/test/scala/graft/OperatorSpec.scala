@@ -1683,6 +1683,25 @@ class OperatorSpec extends SparkSpec {
     assert(fp(3L) != 0L)
   }
 
+  test("exactKeepBest retains the argmax-score replica, min id on ties, without a window") {
+    val pool = Seq(
+      (1L, "shared content alpha", 0.2),
+      (2L, "shared content alpha", 0.9), // winner: highest score
+      (3L, "shared content alpha", 0.9), // same score, larger id → loses
+      (4L, "unique content beta", 0.1),
+      (5L, "shared content gamma", 0.5),
+      (6L, "shared content gamma", 0.5)  // tie → min id 5 wins
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(pool, "text", "doc_id", col("score"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L, 5L))
+    // the scale contract: an aggregation whose PARTIAL phase collapses
+    // replicas before the exchange (struct-ordered min_by plans as a
+    // SortAggregate), never a sort-shuffling window over every row
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-best must not plan a window:\n$plan")
+    assert(plan.contains("partial_min_by"), s"no map-side partial:\n$plan")
+  }
+
   test("normalizeUrl canonicalizes scheme/www/port/fragment/tracking/slash variants") {
     val cases = Seq(
       // every variant of the same page → one canonical form
