@@ -769,6 +769,45 @@ object EventStreams {
     deduped.withColumn(textCol, TextOps.redactPii(col(textCol)))
   }
 
+  /** Watermarked STREAM-STREAM interval join — correlate two live event
+    * streams (impression ↔ click, request ↔ response, probe ↔ ack) where
+    * the right event must land in `[left.ts, left.ts + within]` on the
+    * shared `keyCol`. Both sides declare watermarks and the join carries
+    * the explicit time-range predicate — the two things Spark needs to
+    * bound the buffered state: each side's rows expire once the other
+    * side's watermark passes their join window, so state is
+    * O(rate × (watermark + within)), never unbounded. `joinType`
+    * `"inner"` emits matches as they arrive; `"left_outer"` additionally
+    * emits left rows with null right columns once the watermark proves no
+    * match can still arrive (the ad-attribution / timeout-detection
+    * shape).
+    *
+    * Column contract: both frames share `keyCol`; every other column name
+    * must be distinct across the two sides (rejected loudly otherwise —
+    * an ambiguous output column would silently shadow). The result carries
+    * the key once, then left columns, then right columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "10 minutes",
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType), s"joinType=$joinType")
+    val dup = (left.columns.toSet - keyCol).intersect(right.columns.toSet - keyCol)
+    require(dup.isEmpty,
+      s"non-key columns shared by both sides would be ambiguous: $dup")
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val cond = col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"interval $within")
+    val rightCols = right.columns.filterNot(_ == keyCol)
+    l.join(r, cond, joinType)
+      .select(col(s"l.$keyCol").as(keyCol) +:
+        (left.columns.filterNot(_ == keyCol).map(c => col(s"l.$c")) ++
+          rightCols.map(c => col(s"r.$c"))): _*)
+  }
+
   /** Streaming per-source admission quota — the incremental face of
     * [[graft.text.TextOps.sourceQuota]]'s domain cap: admit at most
     * `maxPerSource` rows per source over the life of the query, so one

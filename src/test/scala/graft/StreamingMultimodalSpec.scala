@@ -897,6 +897,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches within the window; left_outer emits timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStreams.intervalJoin(
+      imps.toDF().toDF("ad_id", "its"),
+      clicks.toDF().toDF("ad_id", "cts", "target"),
+      "ad_id", "its", "cts", within = "10 minutes", watermark = "5 minutes",
+      joinType = "left_outer")
+    val query = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // impressions: ad 1 at t0, ad 2 at t1, ad 3 at t2
+      imps.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      // clicks: ad 1 inside its window; ad 2 AFTER its window (t1+12min);
+      // ad 3 never clicks
+      clicks.addData((1L, ts(4), "a"), (2L, ts(13), "b"))
+      query.processAllAvailable()
+      // advance both watermarks far enough to close every join window so
+      // the unmatched left rows (2 and 3) emit their outer results
+      imps.addData((99L, ts(40)))
+      clicks.addData((99L, ts(40), "hb"))
+      query.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("ad_id", "target")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1)))
+        .filter(_._1 != 99L).sortBy(_._1).toList
+      assert(rows == List((1L, "a"), (2L, null), (3L, null)), s"joined: $rows")
+    } finally query.stop()
+    // ambiguous non-key columns are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.intervalJoin(
+        imps.toDF().toDF("ad_id", "ts2"),
+        clicks.toDF().toDF("ad_id", "ts2", "target"),
+        "ad_id", "ts2", "ts2")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("curateDocs fuses MinHash and semantic index probes into one verdict") {
     implicit val sqlCtx = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
