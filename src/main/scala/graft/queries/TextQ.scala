@@ -153,6 +153,22 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L56: corpus diff — "old" is the corpus below id 400, "new" drops
+    // every 7th doc (curation removals), rewrites every 5th non-dropped
+    // doc's text (span surgery), and adds ids 400+ — so all four statuses
+    // appear and the oracle replays the same construction.
+    "t21_corpus_diff" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val old = docs.filter(col("doc_id") < 400)
+      val neu = docs
+        .filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [redacted]")))
+            .otherwise(col("text")))
+      TextOps.corpusDiff(old, neu, "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // L53: canonical-URL dedup — the synthetic corpus has no URL column,
     // so (the t11 salting precedent) each doc gets a deterministic URL:
     // three scheme/www/port/tracking/fragment/case variants per site
@@ -300,6 +316,26 @@ object TextQ {
         |  cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same old/new construction and hash-compare semantics as
+    // TextOps.corpusDiff (the digest is an execution detail — DuckDB
+    // compares the texts directly, which must agree exactly).
+    "t21_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [redacted]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE
+        |    WHEN old.doc_id IS NULL THEN 'added'
+        |    WHEN neu.doc_id IS NULL THEN 'removed'
+        |    WHEN old.text = neu.text THEN 'unchanged'
+        |    ELSE 'changed'
+        |  END AS status
+        |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Same salted URL construction and regexp normalization chain as
     // TextOps.normalizeUrl (DuckDB needs the explicit 'g' flag Spark

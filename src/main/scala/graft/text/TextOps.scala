@@ -395,6 +395,33 @@ object TextOps {
       phone, "<PHONE>")
   }
 
+  /** Corpus DIFF between two curation runs — the audit report every
+    * versioned-dataset workflow publishes next to a release: per id,
+    * whether the document was `added`, `removed`, `changed` (present in
+    * both, text differs — a span rewrite, a redaction, a decontamination
+    * cut), or `unchanged`. One full outer join on the id; texts compare
+    * by content hash so the shuffle carries 32-byte digests, not document
+    * bodies, and the comparison cost is independent of document size.
+    * Null text is its own stable content value (null ≡ null reads
+    * `unchanged`, null vs text reads `changed`) — a row's PRESENCE is
+    * what `added`/`removed` report, never its text.
+    */
+  def corpusDiff(oldDf: org.apache.spark.sql.DataFrame,
+                 newDf: org.apache.spark.sql.DataFrame,
+                 textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    // empty string hashes to a real digest, so "" can never collide with
+    // the null sentinel
+    def h(c: Column) = coalesce(sha2(c.cast("binary"), 256), lit(""))
+    val o = oldDf.select(col(idCol), h(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol), h(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") === col("__nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Canonical-URL normalization — the crawl-side identity every pipeline
     * dedups on BEFORE any content hash (the same page arrives as
     * http/https, with/without `www.`, with tracking params, fragments,

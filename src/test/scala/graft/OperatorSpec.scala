@@ -1683,6 +1683,19 @@ class OperatorSpec extends SparkSpec {
     assert(fp(3L) != 0L)
   }
 
+  test("corpusDiff reports added/removed/changed/unchanged, null-text-safe") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha"), (3L, "gamma prime"),
+      (4L, null.asInstanceOf[String]), (5L, "was null"), (6L, "delta"))
+      .toDF("doc_id", "text")
+    val got = TextOps.corpusDiff(old, neu, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "added"), s"diff: $got")
+  }
+
   test("exactKeepBest retains the argmax-score replica, min id on ties, without a window") {
     val pool = Seq(
       (1L, "shared content alpha", 0.2),
