@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Warehouse-layout helpers for the 100 TB path: bucketing co-locates both
   * sides of a recurring join on the join key at write time, so every
@@ -305,6 +306,74 @@ object Warehouse {
     val fragmented = maxFilesPerBucket(spark, table) >= maxFiles
     if (fragmented) compact(spark, table)
     fragmented
+  }
+
+  /** Atomically PUBLISH a versioned training-corpus snapshot: write `df`
+    * partitioned by `shardCol` (the [[graft.text.TextOps.shardByTokenBudget]]
+    * layout) into a staging directory, write a `_MANIFEST.json` with
+    * per-shard row counts and token totals (the consumer's integrity
+    * contract — a trainer can verify a shard before streaming it), then
+    * promote staging to `<root>/v<N>` with ONE directory rename. Readers
+    * listing versions never observe a half-written snapshot; a crashed
+    * publish leaves only an orphaned `_staging-*` directory that the next
+    * publish ignores (and a janitor can sweep by prefix). Returns the
+    * published version path.
+    *
+    * The promote is a filesystem rename — atomic on HDFS and local
+    * filesystems. On object stores without atomic rename, point consumers
+    * at [[latestShards]]' resolution of the manifest instead of listing
+    * directories, and the manifest write (last file in staging) becomes
+    * the commit point.
+    */
+  def publishShards(df: DataFrame, root: String,
+                    shardCol: String = "shard",
+                    tokensCol: String = "n_tokens"): String = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    fs.mkdirs(rootPath)
+    val version = 1 + fs.listStatus(rootPath)
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+      .foldLeft(0)(math.max)
+    val staging = new org.apache.hadoop.fs.Path(rootPath,
+      s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.partitionBy(shardCol).parquet(staging.toString)
+    // manifest from one partial-aggregated pass over the written files —
+    // counting what LANDED, not what was planned
+    val written = spark.read.parquet(staging.toString)
+    val hasTokens = written.columns.contains(tokensCol)
+    val perShard = written.groupBy(shardCol).agg(
+        count(lit(1)).as("rows"),
+        (if (hasTokens) sum(col(tokensCol)) else lit(null).cast("long"))
+          .as("tokens"))
+      .collect()
+      .map(r => (r.get(0).toString,
+        r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1)
+    val manifest = perShard.map { case (s, rows, toks) =>
+      s"""{"shard":"$s","rows":$rows,"tokens":$toks}"""
+    }.mkString(s"""{"version":$version,"shards":[""", ",", "]}")
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_MANIFEST.json"))
+    out.write(manifest.getBytes("UTF-8"))
+    out.close()
+    val target = new org.apache.hadoop.fs.Path(rootPath, s"v$version")
+    require(fs.rename(staging, target),
+      s"publishShards: rename $staging -> $target failed (concurrent publish?)")
+    target.toString
+  }
+
+  /** Highest published version under `root` (its path), if any. */
+  def latestShards(spark: SparkSession, root: String): Option[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) None
+    else fs.listStatus(rootPath)
+      .map(_.getPath)
+      .filter(_.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toInt)
+      .lastOption.map(_.toString)
   }
 
   /** Drop a managed table AND its warehouse directory. With a

@@ -79,4 +79,43 @@ class SourcesSpec extends SparkSpec {
     val explained = scan.queryExecution.executedPlan.toString
     assert(explained.contains("PartitionFilters") || explained.contains("o_orderstatus"))
   }
+
+  test("publishShards promotes atomic versioned snapshots with verifiable manifests") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.text.TextOps
+    val root = Files.createTempDirectory("graft_publish").toString
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + (i % 5).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val sharded = TextOps.shardByTokenBudget(docs, "text", "doc_id", 20)
+    // an orphaned staging dir from a "crashed" publish must not block
+    Files.createDirectory(Paths.get(root, "_staging-dead"))
+    val v1 = Warehouse.publishShards(sharded, root)
+    assert(v1.endsWith("/v1"))
+    val v2 = Warehouse.publishShards(sharded.filter(col("doc_id") <= 20), root)
+    assert(v2.endsWith("/v2"))
+    assert(Warehouse.latestShards(spark, root).get.endsWith("/v2"))
+    // the manifest counts what landed, and the snapshot reads back whole
+    val m = ujsonLite(Files.readString(Paths.get(v1.stripPrefix("file:"), "_MANIFEST.json")))
+    val back = spark.read.parquet(v1)
+    assert(back.count() == 40)
+    val rowsByShard = back.groupBy("shard").count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val tokTotal = back.agg(sum("n_tokens")).head().getLong(0)
+    assert(m._1 == rowsByShard, s"manifest rows ${m._1} vs $rowsByShard")
+    assert(m._2 == tokTotal, s"manifest tokens ${m._2} vs $tokTotal")
+    // the orphan is untouched, and no staging dir leaked from the publishes
+    val names = new java.io.File(root).list().toSeq
+    assert(names.contains("_staging-dead"))
+    assert(names.count(_.startsWith("_staging")) == 1, s"leaked staging: $names")
+    assert(names.filter(_.matches("v\\d+")).sorted == Seq("v1", "v2"))
+  }
+
+  // minimal manifest parser for the spec: (rows per shard, token total)
+  private def ujsonLite(s: String): (Map[String, Long], Long) = {
+    val shard = """\{"shard":"([^"]+)","rows":(\d+),"tokens":(-?\d+)\}""".r
+    val entries = shard.findAllMatchIn(s).map(m =>
+      (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+    (entries.map(e => (e._1, e._2)).toMap, entries.map(_._3).sum)
+  }
 }
