@@ -92,6 +92,17 @@ object TextQ {
         .orderBy("doc_id", "copy")
     },
 
+    // L58: temperature-rebalanced mixing — T=2 source weights (q ∝ p^0.5,
+    // expected size preserved) broadcast into the deterministic mixer, so
+    // low-volume sources upsample and the hot source downsamples.
+    "t22_temperature_mix" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = TextOps.temperatureWeights(docs, "source", 2.0)
+      TextOps.mixCorpus(docs.join(broadcast(w), "source"), col("weight"), "text")
+        .select(col("doc_id"), col("copy"), col("weight"))
+        .orderBy("doc_id", "copy")
+    },
+
     // L10b: Gopher-style repetition + symbol-density quality filters.
     "t10_repetition" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -488,6 +499,27 @@ object TextQ {
         |  FROM t)
         |SELECT doc_id, CAST(UNNEST(generate_series(1, n)) AS INTEGER) AS copy
         |FROM c WHERE n > 0
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    // Same q ∝ p^(1/T) weight formula (ROUND 6 both sides) feeding t09's
+    // md5-bucket replication.
+    "t22_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1),
+        |z AS (SELECT SUM(cnt) AS n, SUM(power(cnt, 0.5)) AS z FROM c),
+        |w AS (
+        |  SELECT source, ROUND(power(cnt, 0.5) / z * n / cnt, 6) AS weight
+        |  FROM c CROSS JOIN z),
+        |t AS (
+        |  SELECT d.doc_id, w.weight,
+        |    CAST(('0x' || substring(md5(d.text), 1, 6)) AS BIGINT) % 10000 AS b
+        |  FROM documents d JOIN w USING (source)),
+        |cc AS (
+        |  SELECT doc_id, weight,
+        |    CAST(FLOOR(weight) + (CASE WHEN b < (weight - FLOOR(weight)) * 10000
+        |      THEN 1 ELSE 0 END) AS INTEGER) AS n
+        |  FROM t)
+        |SELECT doc_id, CAST(UNNEST(generate_series(1, n)) AS INTEGER) AS copy, weight
+        |FROM cc WHERE n > 0
         |ORDER BY doc_id, copy""".stripMargin,
 
     // Same prefix-sum packing: bin = floor(tokens-before-doc / 4096).

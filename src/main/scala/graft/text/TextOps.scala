@@ -277,6 +277,31 @@ object TextOps {
       .drop("__b", "__off", "__tb")
   }
 
+  /** Temperature-flattened source weights — the multilingual-pretraining
+    * rebalancing rule (XLM-R family: sample source s with q_s ∝ p_s^(1/T)):
+    * one (source, `weight`) row per source with weight = q_s / p_s,
+    * rescaled so the EXPECTED mixed corpus size is unchanged
+    * (Σ_s count_s × w_s = N). T = 1 is the identity (every weight 1);
+    * T > 1 flattens toward uniform-over-sources, upsampling low-resource
+    * sources; T < 1 sharpens toward the raw distribution. One
+    * partial-aggregating count pass; the result is a ≤|sources|-row frame
+    * built to BROADCAST-join into [[mixCorpus]]'s weight expression —
+    * weights round to 6 decimals so the downstream deterministic
+    * replication is hash-stable across engines.
+    */
+  def temperatureWeights(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                         temperature: Double): org.apache.spark.sql.DataFrame = {
+    require(temperature > 0, s"temperature=$temperature")
+    val alpha = 1.0 / temperature
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__n"),
+      sum(pow(col("__c"), lit(alpha))).as("__z"))
+    counts.crossJoin(tot)
+      .select(col(sourceCol),
+        round(pow(col("__c"), lit(alpha)) / col("__z") *
+          col("__n") / col("__c"), 6).as("weight"))
+  }
+
   /** Deterministic weighted corpus mixing: each row is kept/dropped or
     * replicated according to `weight` (an arbitrary per-row expression —
     * typically a CASE over the source column or a joined-in dims table).

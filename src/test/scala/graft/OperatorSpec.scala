@@ -1683,6 +1683,29 @@ class OperatorSpec extends SparkSpec {
     assert(fp(3L) != 0L)
   }
 
+  test("temperatureWeights flattens by q ∝ p^(1/T), preserving expected size") {
+    // sources: A×8, B×2. T=2 → α=0.5: c^α = (2√2, √2), z = 3√2,
+    // q = (2/3, 1/3), w = q/p·1 → (2/3·10/8, 1/3·10/2) = (5/6, 5/3)
+    val df = ((1 to 8).map(i => (i.toLong, "A")) ++ Seq((9L, "B"), (10L, "B")))
+      .toDF("doc_id", "source")
+    val w2 = TextOps.temperatureWeights(df, "source", 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(w2 == Map("A" -> 0.833333, "B" -> 1.666667), s"T=2: $w2")
+    // expected corpus size unchanged: Σ c_s·w_s = N
+    assert(math.abs(8 * w2("A") + 2 * w2("B") - 10.0) < 1e-4)
+    // T=1 is the identity; T→∞ approaches uniform-over-sources
+    val w1 = TextOps.temperatureWeights(df, "source", 1.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(w1 == Map("A" -> 1.0, "B" -> 1.0), s"T=1: $w1")
+    val wInf = TextOps.temperatureWeights(df, "source", 1e9)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(math.abs(wInf("A") - 0.625) < 1e-4 && math.abs(wInf("B") - 2.5) < 1e-4,
+      s"T=inf: $wInf") // uniform: each source gets N/|S| expected docs
+    intercept[IllegalArgumentException] {
+      TextOps.temperatureWeights(df, "source", 0.0)
+    }
+  }
+
   test("corpusDiff reports added/removed/changed/unchanged, null-text-safe") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"),
       (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
