@@ -92,6 +92,21 @@ object TextQ {
         .orderBy("doc_id", "copy")
     },
 
+    // L59: repeated-line removal — the corpus has single-line texts, so
+    // (the t11 salting precedent) each doc is wrapped with a repeated
+    // footer, a unique middle line, and blank separators; the op must
+    // drop only the repeated footer occurrences and keep the blanks.
+    "t23_dedup_lines" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents")
+        .withColumn("ml_text", concat(
+          lit("footer nav line\n"), col("text"),
+          lit("\n\nmid "), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("\nfooter nav line\n\nfooter nav line")))
+      salted.select(col("doc_id"),
+          TextOps.dropRepeatedLines(col("ml_text")).as("clean"))
+        .orderBy("doc_id")
+    },
+
     // L58: temperature-rebalanced mixing — T=2 source weights (q ∝ p^0.5,
     // expected size preserved) broadcast into the deterministic mixer, so
     // low-volume sources upsample and the hot source downsamples.
@@ -500,6 +515,23 @@ object TextQ {
         |SELECT doc_id, CAST(UNNEST(generate_series(1, n)) AS INTEGER) AS copy
         |FROM c WHERE n > 0
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // Same salt construction and first-occurrence-keep (blank lines
+    // exempt) as TextOps.dropRepeatedLines.
+    "t23_dedup_lines" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'footer nav line' || chr(10) || text || chr(10) || chr(10) ||
+        |    'mid ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    'footer nav line' || chr(10) || chr(10) || 'footer nav line' AS ml_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_filter(string_split(ml_text, chr(10)),
+        |      (x, i) -> x = '' OR list_position(string_split(ml_text, chr(10)), x) = i),
+        |    chr(10)) AS clean
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
 
     // Same q ∝ p^(1/T) weight formula (ROUND 6 both sides) feeding t09's
     // md5-bucket replication.

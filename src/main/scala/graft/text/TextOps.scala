@@ -277,6 +277,23 @@ object TextOps {
       .drop("__b", "__off", "__tb")
   }
 
+  /** Within-document repeated-LINE removal — the C4-style cleanup for
+    * boilerplate-heavy pages (nav menus, cookie banners, footers repeat
+    * verbatim inside one page): keep each distinct line's FIRST
+    * occurrence, preserve order, keep blank lines (paragraph structure
+    * survives). Pure column expression — one split, an indexed filter —
+    * no shuffle, safe inside any scan gate. Line identity is exact and
+    * WITHIN the document; corpus-wide repeated-span removal is the span
+    * dedup pipeline (L25).
+    */
+  def dropRepeatedLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(
+      filter(lines, (l, i) =>
+        (l === lit("")) || (array_position(lines, l) === (i + lit(1)))),
+      "\n")
+  }
+
   /** Temperature-flattened source weights — the multilingual-pretraining
     * rebalancing rule (XLM-R family: sample source s with q_s ∝ p_s^(1/T)):
     * one (source, `weight`) row per source with weight = q_s / p_s,

@@ -1683,6 +1683,21 @@ class OperatorSpec extends SparkSpec {
     assert(fp(3L) != 0L)
   }
 
+  test("dropRepeatedLines keeps first occurrences and blank structure") {
+    val out = Seq(
+      (1L, "nav menu\nreal content one\n\nreal content two\nnav menu\nfooter\nfooter"),
+      (2L, "a\n\n\na\nb"),
+      (3L, "single line"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.dropRepeatedLines(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "nav menu\nreal content one\n\nreal content two\nfooter")
+    assert(out(2L) == "a\n\n\nb") // blanks all survive; repeated 'a' drops
+    assert(out(3L) == "single line")
+    assert(out(4L) == null)
+  }
+
   test("temperatureWeights flattens by q ∝ p^(1/T), preserving expected size") {
     // sources: A×8, B×2. T=2 → α=0.5: c^α = (2√2, √2), z = 3√2,
     // q = (2/3, 1/3), w = q/p·1 → (2/3·10/8, 1/3·10/2) = (5/6, 5/3)
