@@ -348,6 +348,21 @@ class TextModelSpec extends SparkSpec {
     assert(n < chars, s"trained $n !< untrained $chars")
   }
 
+  test("BPE model persists as a warehouse artifact and round-trips exactly") {
+    import graft.text.Bpe
+    val docs = Seq((1L, "low lower lowest newest new")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    graft.sources.Warehouse.dropTableAndLocation(spark, "bpe_model_rt")
+    Bpe.saveModel(spark, model, "bpe_model_rt")
+    val back = Bpe.loadModel(spark, "bpe_model_rt")
+    assert(back.merges == model.merges)
+    // encoding under the reloaded model is byte-identical
+    val probe = Seq((1L, "lowest new zap")).toDF("doc_id", "text")
+    val a = probe.select(Bpe.encode(spark, model, col("text"))).head().getSeq[String](0)
+    val b = probe.select(Bpe.encode(spark, back, col("text"))).head().getSeq[String](0)
+    assert(a == b)
+  }
+
   test("BPE training is partition-invariant and maxWords-guarded") {
     import graft.text.Bpe
     val docs = (1L to 60L).map(i =>
