@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Bpe, Classifier, Importance, LangModel, TextOps}
+import graft.text.{Bpe, Classifier, Html, Importance, LangModel, TextOps}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -104,6 +104,24 @@ object TextQ {
           lit("\nfooter nav line\n\nfooter nav line")))
       salted.select(col("doc_id"),
           TextOps.dropRepeatedLines(col("ml_text")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // L60: HTML→text extraction — the corpus has plain text, so (the t11
+    // salting precedent) each doc is wrapped into a full deterministic
+    // HTML page: comment, head with entity-bearing title + style + a
+    // script containing tag-looking strings, block structure, entities
+    // incl. a double-encoded &amp;lt; that must decode exactly once.
+    "t24_html_text" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit(HtmlSalt.p0), id, lit(HtmlSalt.p1), id, lit(HtmlSalt.p2), id,
+        lit(HtmlSalt.p3), col("text"), lit(HtmlSalt.p4), id,
+        lit(HtmlSalt.p5))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Html.htmlTitle(page).as("title"),
+          Html.htmlToText(page).as("clean"))
         .orderBy("doc_id")
     },
 
@@ -516,6 +534,24 @@ object TextQ {
         |FROM c WHERE n > 0
         |ORDER BY doc_id, copy""".stripMargin,
 
+    // The page salt and the whole extraction chain are GENERATED from
+    // graft.text.Html's shared step list (the t01 lockstep pattern), so
+    // the Spark chain and this SQL cannot drift.
+    "t24_html_text" -> {
+      val id = "CAST(doc_id AS VARCHAR)"
+      val page = Seq(
+        Html.duckLit(HtmlSalt.p0), id, Html.duckLit(HtmlSalt.p1), id,
+        Html.duckLit(HtmlSalt.p2), id, Html.duckLit(HtmlSalt.p3), "text",
+        Html.duckLit(HtmlSalt.p4), id, Html.duckLit(HtmlSalt.p5))
+        .mkString(" || ")
+      s"""WITH s AS (SELECT doc_id, $page AS page FROM documents)
+         |SELECT doc_id,
+         |  ${Html.duckTitle("page")} AS title,
+         |  ${Html.duckText("page")} AS clean
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // Same salt construction and first-occurrence-keep (blank lines
     // exempt) as TextOps.dropRepeatedLines.
     "t23_dedup_lines" ->
@@ -672,4 +708,24 @@ object TextQ {
         |FROM salted
         |ORDER BY doc_id""".stripMargin
   )
+}
+
+/** Deterministic HTML page salt for t24 — one definition feeding both the
+  * Spark `concat` and the generated DuckDB SQL, interleaved as
+  * p0·id·p1·id·p2·id·p3·text·p4·id·p5. Exercises: comment, head-dropped
+  * title/style/script (with tag-looking embedded strings), block
+  * structure, a table, a stripped inline tag, and the entity set
+  * including a double-encoded `&amp;lt;` that must decode exactly once.
+  */
+private[queries] object HtmlSalt {
+  val p0 = "<html><!-- crawl-id "
+  val p1 = " --><head><title>Doc &amp; "
+  val p2 = " &ndash; site</title><style type=\"text/css\">p > a{color:red}" +
+    "</style><script>if(x){document.write(\"<p>hi</p>\");}</script></head>" +
+    "<body><h1>Heading "
+  val p3 = "</h1>\n<p>"
+  val p4 = "&nbsp;tail &lt;tag&gt; &amp;lt; &copy; "
+  val p5 = "</p><div class=\"nav\"><ul><li>Home</li><li>About</li></ul>" +
+    "</div><table><tr><td>cell a</td><td>b &rdquo;q&rdquo;</td></tr>" +
+    "</table><br/><a href=\"/x?a=1&amp;b=2\">link text</a></body></html>"
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Html
+
+/** Hand-pinned semantics of the HTML→text extraction chain (L60). The
+  * cross-engine equality is the driver's t24 oracle; these pin the
+  * contract cases a hash can't explain.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toText(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlToText(col("h"))).head().getString(0)
+
+  private def toTitle(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlTitle(col("h"))).head().getString(0)
+
+  test("full page extracts body text with paragraph structure") {
+    val page = "<html><head><title>T</title><style>p{x:1}</style></head>" +
+      "<body><h1>Head</h1><p>one two</p><p>three</p></body></html>"
+    assert(toText(page) == "Head\none two\nthree")
+  }
+
+  test("script and style content dropped, including tag-looking strings") {
+    val page = "<body><script>if(a<b){document.write(\"<p>no</p>\");}" +
+      "</script><style>a > b{c:d}</style><p>kept</p></body>"
+    assert(toText(page) == "kept")
+  }
+
+  test("head content (title) is metadata, not body text; htmlTitle gets it") {
+    val page = "<html><head><title>My &amp; Title</title></head>" +
+      "<body><p>body</p></body></html>"
+    assert(toText(page) == "body")
+    assert(toTitle(page) == "My & Title")
+  }
+
+  test("<header> element is a block boundary, <head> is content-dropped") {
+    val page = "<head><meta x=\"1\"></head><header>site nav</header><p>text</p>"
+    assert(toText(page) == "site nav\ntext")
+  }
+
+  test("entities decode exactly once: double-encoded stays literal") {
+    assert(toText("<p>a &amp;lt; b</p>") == "a &lt; b")
+    assert(toText("<p>a &lt; b &amp; c &#39;d&#39;</p>") == "a < b & c 'd'")
+    assert(toText("x&nbsp;y") == "x y")
+  }
+
+  test("comments removed; unknown entities pass through as text") {
+    assert(toText("a<!-- hidden\nlines -->b") == "ab")
+    assert(toText("<p>&notanentity; stays</p>") == "&notanentity; stays")
+  }
+
+  test("case-insensitive tags; self-closing and attribute forms") {
+    assert(toText("<P CLASS=\"x\">a</P><BR/><DIV>b</DIV>") == "a\nb")
+    assert(toText("<SCRIPT>x</SCRIPT>ok") == "ok")
+  }
+
+  test("inline tags strip without line breaks; blank lines collapse") {
+    assert(toText("<p>a <b>bold</b> <a href=\"u\">link</a> z</p>") ==
+      "a bold link z")
+    assert(toText("<p>a</p><p></p><p></p><p>b</p>") == "a\nb")
+  }
+
+  test("whitespace normalization: runs collapse, edges trim") {
+    assert(toText("  <p>a   b\t c</p>  ") == "a b c")
+  }
+
+  test("null propagates; absent title is empty string") {
+    val r = Seq((1, null: String)).toDF("i", "h")
+      .select(Html.htmlToText(col("h"))).head()
+    assert(r.isNullAt(0))
+    assert(toTitle("<body>no title</body>") == "")
+  }
+
+  test("table cells separate; list items each on their own line") {
+    val page = "<table><tr><td>a</td><td>b</td></tr></table>" +
+      "<ul><li>x</li><li>y</li></ul>"
+    assert(toText(page) == "a\nb\nx\ny")
+  }
+}
