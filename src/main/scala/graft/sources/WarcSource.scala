@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One parsed WARC record (ISO 28500 layout: version line, named headers,
+  * blank line, content block). For `response` records the HTTP envelope is
+  * parsed off the payload: `httpStatus`/`httpContentType` come from the
+  * HTTP head and `body` is the entity body alone.
+  */
+case class WarcRecord(
+    warcType: String,
+    url: String,
+    date: String,
+    recordId: String,
+    contentType: String,
+    httpStatus: Int,
+    httpContentType: String,
+    body: String)
+
+/** Scalable WARC (web-archive / Common Crawl) reader — the crawl-side
+  * twin of [[WikiXmlSource]]: same splittable record-delimiter design, so
+  * an uncompressed WARC corpus parses with every HDFS block an
+  * independent task and no shuffle anywhere in read→extract→curate.
+  *
+  * Records split on `CRLF CRLF "WARC/1.0" CRLF` — the record terminator
+  * plus the next record's version line, so a payload line containing the
+  * bare string `WARC/1.0` mid-text cannot false-split (it would need the
+  * preceding blank line AND the line-positioned version string — the
+  * [[WikiXmlSource]] `</page>` assumption, strictly narrower here).
+  * The FIRST record of each file keeps its own leading version line;
+  * [[parseRecord]] tolerates both shapes.
+  *
+  * Compression: `.warc.gz` files read through the Hadoop codec — real
+  * Common Crawl archives are per-record gzip MEMBERS, which Java's
+  * multi-member gzip stream decompresses as one concatenated stream —
+  * but gzip is not splittable, so such a file costs one task (the
+  * [[WikiXmlSource.recode]] trade: re-encode once to bz2/plain parts for
+  * fully parallel re-reads).
+  *
+  * Text decode: payloads are decoded as UTF-8 text by the Hadoop line
+  * reader (invalid bytes replaced) — the right trade for a TEXT pipeline;
+  * binary payloads (images) should be routed by `httpContentType` to a
+  * bytes-preserving ingest instead. `Content-Length` is deliberately not
+  * trusted after decode (byte offsets shift); the delimiter carries the
+  * record structure.
+  */
+object WarcSource {
+
+  /** Read a WARC file/directory into parsed records. */
+  def records(spark: SparkSession, path: String,
+              maxSplitBytes: Long = 16L * 1024 * 1024): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .flatMap(parseRecord)
+      .toDS()
+  }
+
+  /** Parse one delimiter-split chunk; None for non-record chunks. */
+  def parseRecord(chunk: String): Option[WarcRecord] = {
+    // first-of-file chunks keep their own version line
+    val rec0 =
+      if (chunk.startsWith("WARC/")) {
+        val nl = chunk.indexOf("\r\n")
+        if (nl < 0) return None else chunk.substring(nl + 2)
+      } else chunk
+    if (rec0.trim.isEmpty) return None
+    val headEnd = rec0.indexOf("\r\n\r\n")
+    if (headEnd < 0) return None
+    val headers = parseHeaders(rec0.substring(0, headEnd))
+    val warcType = headers.getOrElse("warc-type", return None)
+    val payload = stripTrailingCrlf(rec0.substring(headEnd + 4))
+    val (status, httpCt, body) =
+      if (payload.startsWith("HTTP/")) parseHttp(payload)
+      else (-1, null: String, payload)
+    Some(WarcRecord(
+      warcType = warcType,
+      url = headers.getOrElse("warc-target-uri", null),
+      date = headers.getOrElse("warc-date", null),
+      recordId = headers.getOrElse("warc-record-id", null),
+      contentType = headers.getOrElse("content-type", null),
+      httpStatus = status,
+      httpContentType = httpCt,
+      body = body))
+  }
+
+  private def parseHeaders(head: String): Map[String, String] =
+    head.split("\r\n").iterator.flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else Some(line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim)
+    }.toMap
+
+  private def stripTrailingCrlf(s: String): String = {
+    var end = s.length
+    while (end >= 2 && s.charAt(end - 2) == '\r' && s.charAt(end - 1) == '\n')
+      end -= 2
+    s.substring(0, end)
+  }
+
+  /** Split an HTTP response payload into (status, content-type, body). */
+  private def parseHttp(payload: String): (Int, String, String) = {
+    val headEnd = payload.indexOf("\r\n\r\n")
+    val (head, body) =
+      if (headEnd < 0) (payload, "")
+      else (payload.substring(0, headEnd), payload.substring(headEnd + 4))
+    val statusLine = head.takeWhile(c => c != '\r' && c != '\n')
+    val status = statusLine.split(" ").lift(1)
+      .flatMap(_.toIntOption).getOrElse(-1)
+    val ct = parseHeaders(head).get("content-type").orNull
+    (status, ct, body)
+  }
+
+  /** The crawl intake head: successful HTML responses extracted to
+    * (url, title, text) via the [[graft.text.Html]] chain — feed this
+    * straight into `CorpusPipeline.curate` (with `TextOps.normalizeUrl`
+    * for the URL identity tier).
+    */
+  def htmlDocuments(spark: SparkSession, path: String,
+                    maxSplitBytes: Long = 16L * 1024 * 1024): DataFrame = {
+    records(spark, path, maxSplitBytes)
+      .filter(r => r.warcType == "response" &&
+        r.httpStatus >= 200 && r.httpStatus < 300 &&
+        r.httpContentType != null &&
+        r.httpContentType.toLowerCase.startsWith("text/html"))
+      .toDF()
+      .select(col("url"),
+        graft.text.Html.htmlTitle(col("body")).as("title"),
+        graft.text.Html.htmlToText(col("body")).as("text"))
+  }
+}
