@@ -111,6 +111,43 @@ class WarcSpec extends SparkSpec {
     assert(d.getString(2) == "hello crawl\nsecond para")
   }
 
+  test("end-to-end crawl intake: WARC → html → URL tier → curate") {
+    import org.apache.spark.sql.functions._
+    val bodyA = "<html><body><p>This is the same page " +
+      "about the sea and the sun and the wind.</p></body></html>"
+    val bodyB = "<html><body><div>An entirely different page " +
+      "about the moon and all of the quiet stars.</div></body></html>"
+    def resp(uri: String, html: String, id: String) = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "Content-Type" -> "application/http;msgtype=response"),
+      httpResponse("200 OK", "text/html", html))
+    val warc =
+      resp("http://www.example.com/page?utm_source=x", bodyA, "a1") +
+        resp("https://example.com/page", bodyA, "a2") + // URL-variant refetch
+        resp("http://example.com/copy", bodyA, "a3") + // content replay
+        resp("http://example.com/other", bodyB, "b1")
+    val p = writeFile("intake.warc", warc.getBytes("UTF-8"))
+
+    val docs = WarcSource.htmlDocuments(spark, p)
+      .withColumn("u", graft.text.TextOps.normalizeUrl(col("url")))
+      .withColumn("doc_id", xxhash64(col("url")))
+    assert(docs.count() == 4)
+    // URL identity tier: the utm/scheme/www variants collapse
+    val urlDeduped = graft.dedup.Dedup.exact(docs, "u", "doc_id")
+    assert(urlDeduped.count() == 3)
+    assert(urlDeduped.select("u").distinct().count() == 3)
+    // content tier + gate via the composed pipeline (exact-dedup path)
+    val curated = graft.pipeline.CorpusPipeline.curate(
+      urlDeduped, "text", "doc_id",
+      graft.pipeline.CorpusPipeline.Config(
+        langs = Set("en"), minQuality = 0.0, nearDupThreshold = 1.5))
+    val out = curated.select("u").collect().map(_.getString(0)).sorted
+    assert(out.length == 2)
+    assert(out.exists(_.endsWith("/other")))
+  }
+
   test("garbage and truncated chunks yield no records, not failures") {
     val junk = "WARC/1.0" + CRLF + "no-colon-line" + CRLF + CRLF +
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
