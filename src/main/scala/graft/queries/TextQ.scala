@@ -261,6 +261,17 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L62: deterministically SHUFFLED token-budget shards — same
+    // prefix-sum layout as t18 but over the md5(seed:id) pseudo-random
+    // global order, with the order key carried as evidence.
+    "t25_shuffled_shards" -> { (s, dir) =>
+      TextOps.shuffledShards(Tables(s, dir, "documents"), "text",
+          "doc_id", shardTokens = 2048, seed = "r10")
+        .select(col("doc_id"), col("n_tokens"), col("shuffle_key"),
+          col("shard"))
+        .orderBy("doc_id")
+    },
+
     // L45: per-source document quota (domain cap) — keep at most 12 docs
     // per source, smallest ids win, salted two-phase top-N under the hood.
     "t15_source_quota" -> { (s, dir) =>
@@ -468,6 +479,20 @@ object TextQ {
         |  FROM documents)
         |SELECT doc_id, n_tokens,
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same md5(seed:id) 60-bit order key (Spark conv ≙ DuckDB '0x' cast)
+    // and the naive-global-window mirror of the distributed prefix-sum.
+    "t25_shuffled_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(len(string_split_regex(text, '\s+')), 0) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substring(md5('r10:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, shuffle_key,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
         |FROM t
         |ORDER BY doc_id""".stripMargin,

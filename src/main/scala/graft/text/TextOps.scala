@@ -247,20 +247,27 @@ object TextOps {
     */
   def shardByTokenBudget(df: org.apache.spark.sql.DataFrame, textCol: String,
                          idCol: String, shardTokens: Long,
-                         parts: Int = 0): org.apache.spark.sql.DataFrame = {
+                         parts: Int = 0,
+                         orderCol: String = ""): org.apache.spark.sql.DataFrame = {
     require(shardTokens > 0, s"shardTokens=$shardTokens")
     val spark = df.sparkSession
     import spark.implicits._
+    // the stream order: `orderCol` (ties broken by idCol) when given —
+    // [[shuffledShards]]' pseudo-random key — else idCol itself. Range
+    // bucketing on a double-rounded orderCol stays ORDER-COMPATIBLE with
+    // the exact (orderCol, idCol) sort (rounding is monotone; equal
+    // values share a bucket), so boundary placement never affects results
+    val oc = if (orderCol.nonEmpty) orderCol else idCol
     val n = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
     val toks = df.withColumn("n_tokens",
       coalesce(tokenCount(col(textCol)), lit(0)).cast("long"))
     val bounds =
       if (n <= 1) Array.empty[Double]
-      else toks.stat.approxQuantile(idCol,
+      else toks.stat.approxQuantile(oc,
         (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
     val bucketed = toks.withColumn("__b",
-      size(filter(typedlit(bounds), b => col(idCol) >= b)))
+      size(filter(typedlit(bounds), b => col(oc) >= b)))
     val totals = bucketed.groupBy("__b").agg(sum("n_tokens").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // exclusive offsets: bucket b's offset is the sum of totals before it
@@ -268,13 +275,34 @@ object TextOps {
     val off = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
     val offDf = off.toSeq.toDF("__b", "__off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__b").orderBy(idCol)
+      .partitionBy("__b").orderBy(col(oc), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offDf), Seq("__b"))
       .withColumn("__tb",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("__off"))
       .withColumn("shard", expr(s"__tb div ${shardTokens}L"))
       .drop("__b", "__off", "__tb")
+  }
+
+  /** Deterministically SHUFFLED token-budget shards — the layout step a
+    * training run actually wants: documents in a reproducible
+    * pseudo-random global order (decorrelated from crawl/id order, so no
+    * shard is one domain's contiguous slice), then cut into
+    * `shardTokens`-token shards by the same distributed prefix-sum as
+    * [[shardByTokenBudget]]. The order key is the first 60 bits of
+    * `md5(seed ":" id)` (engine-portable — no RNG, no partition-order
+    * dependence; a different `seed` is a fresh epoch permutation),
+    * carried on the output as `shuffle_key` evidence with ties broken by
+    * id. Same scale shape: every stage bounded by `parts`.
+    */
+  def shuffledShards(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, shardTokens: Long, seed: String = "0",
+                     parts: Int = 0): org.apache.spark.sql.DataFrame = {
+    val key = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    shardByTokenBudget(df.withColumn("shuffle_key", key), textCol, idCol,
+      shardTokens, parts, orderCol = "shuffle_key")
   }
 
   /** Within-document repeated-LINE removal — the C4-style cleanup for

@@ -411,6 +411,53 @@ class TextModelSpec extends SparkSpec {
     }
   }
 
+  test("shuffledShards equals the naive window over the md5 order at any parts") {
+    val r = new scala.util.Random(12)
+    val rows = r.shuffle((1L to 300L).toVector)
+      .map(i => (i, Seq.fill(1 + (i % 23).toInt)("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val naive = df
+      .withColumn("shuffle_key",
+        conv(substring(md5(concat(lit("ep1:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("shard",
+        expr("coalesce(sum(n_tokens) over (order by shuffle_key, doc_id rows " +
+          "between unbounded preceding and 1 preceding), 0L) div 128"))
+      .select("doc_id", "shuffle_key", "shard")
+      .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+    for (parts <- Seq(1, 3, 64)) {
+      val got = TextOps.shuffledShards(df, "text", "doc_id", 128,
+          seed = "ep1", parts = parts)
+        .select("doc_id", "shuffle_key", "shard")
+        .collect().map(r2 => (r2.getLong(0), (r2.getLong(1), r2.getLong(2)))).toMap
+      assert(got == naive, s"parts=$parts diverged from the global window")
+    }
+  }
+
+  test("shuffledShards decorrelates id order; a new seed is a new epoch") {
+    val docs = (1L to 400L).map(i => (i, "w w w w")).toDF("doc_id", "text")
+    val s1 = TextOps.shuffledShards(docs, "text", "doc_id", 40, seed = "a")
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // consecutive ids mostly land in different shards (id order would put
+    // runs of 10 together; the permutation scatters them)
+    val together = (1L until 400L).count(i => s1(i) == s1(i + 1))
+    assert(together < 120, s"$together consecutive pairs share a shard")
+    // every shard is full: 400 docs × 4 tokens / 40 = 40 shards
+    assert(s1.values.toSet.size == 40)
+    val s2 = TextOps.shuffledShards(docs, "text", "doc_id", 40, seed = "b")
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 != s2, "seed change must produce a different permutation")
+    // determinism: the same seed reproduces exactly
+    val s1b = TextOps.shuffledShards(docs.repartition(17), "text", "doc_id",
+        40, seed = "a")
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 == s1b)
+  }
+
   // --- DSIR importance resampling ------------------------------------
 
   test("importance weights: hand-computed likelihood ratios") {
