@@ -324,10 +324,20 @@ object Warehouse {
     * at [[latestShards]]' resolution of the manifest instead of listing
     * directories, and the manifest write (last file in staging) becomes
     * the commit point.
+    *
+    * `format`: `parquet` (default) or `json` — gzipped JSONL, the
+    * training-data interchange most loaders stream natively; the
+    * manifest read-back then uses the caller's schema (no inference
+    * pass). `maxRecordsPerFile` > 0 bounds file size within a shard so a
+    * loader can parallelize inside one shard too.
     */
   def publishShards(df: DataFrame, root: String,
                     shardCol: String = "shard",
-                    tokensCol: String = "n_tokens"): String = {
+                    tokensCol: String = "n_tokens",
+                    format: String = "parquet",
+                    maxRecordsPerFile: Long = 0L): String = {
+    require(format == "parquet" || format == "json",
+      s"publishShards: unsupported format '$format' (parquet|json)")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -339,10 +349,19 @@ object Warehouse {
       .foldLeft(0)(math.max)
     val staging = new org.apache.hadoop.fs.Path(rootPath,
       s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.partitionBy(shardCol).parquet(staging.toString)
+    val writer0 = df.write.partitionBy(shardCol)
+    val writer =
+      if (maxRecordsPerFile > 0)
+        writer0.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer0
+    if (format == "json")
+      writer.option("compression", "gzip").json(staging.toString)
+    else writer.parquet(staging.toString)
     // manifest from one partial-aggregated pass over the written files —
     // counting what LANDED, not what was planned
-    val written = spark.read.parquet(staging.toString)
+    val written =
+      if (format == "json") spark.read.schema(df.schema).json(staging.toString)
+      else spark.read.parquet(staging.toString)
     val hasTokens = written.columns.contains(tokensCol)
     val perShard = written.groupBy(shardCol).agg(
         count(lit(1)).as("rows"),

@@ -111,6 +111,40 @@ class SourcesSpec extends SparkSpec {
     assert(names.filter(_.matches("v\\d+")).sorted == Seq("v1", "v2"))
   }
 
+  test("publishShards format=json writes gzipped JSONL that round-trips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.text.TextOps
+    val root = Files.createTempDirectory("graft_publish_json").toString
+    val docs = (1L to 30L).map(i =>
+      (i, s"""text "with quotes" and
+newline $i""")).toDF("doc_id", "text")
+    val sharded = TextOps.shardByTokenBudget(docs, "text", "doc_id", 25)
+    val v1 = Warehouse.publishShards(sharded, root, format = "json",
+      maxRecordsPerFile = 7)
+    assert(v1.endsWith("/v1"))
+    // data files are gzipped JSONL under shard dirs, bounded per file
+    val files = Files.walk(Paths.get(v1.stripPrefix("file:")))
+      .iterator()
+    val dataFiles = {
+      import scala.jdk.CollectionConverters._
+      files.asScala.filter(_.getFileName.toString.endsWith(".json.gz")).toSeq
+    }
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(_.getParent.getFileName.toString.startsWith("shard=")))
+    // JSON escaping round-trips quotes and newlines exactly
+    val back = spark.read.schema(sharded.schema).json(v1)
+    assert(back.count() == 30)
+    val t5 = back.filter(col("doc_id") === 5L).select("text").head().getString(0)
+    assert(t5 == "text \"with quotes\" and\nnewline 5")
+    // manifest counts the landed JSONL rows
+    val m = ujsonLite(Files.readString(Paths.get(v1.stripPrefix("file:"), "_MANIFEST.json")))
+    assert(m._1.values.sum == 30)
+    intercept[IllegalArgumentException] {
+      Warehouse.publishShards(sharded, root, format = "bogus")
+    }
+  }
+
   // minimal manifest parser for the spec: (rows per shard, token total)
   private def ujsonLite(s: String): (Map[String, Long], Long) = {
     val shard = """\{"shard":"([^"]+)","rows":(\d+),"tokens":(-?\d+)\}""".r
