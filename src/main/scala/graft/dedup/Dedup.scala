@@ -974,6 +974,57 @@ object Dedup {
           x => x.getField("span")), " ").as("dedup_text"))
   }
 
+  /** Corpus-wide exact LINE dedup (the RefinedWeb-style cleanup between
+    * [[graft.text.TextOps.dropRepeatedLines]]' within-document pass and
+    * [[dedupSpans]]' fixed-token spans): every non-blank line keeps only
+    * its corpus-FIRST occurrence (minimum (id, position)) — the nav
+    * menus, cookie banners and license blocks a crawl stamps across many
+    * pages disappear from all but the earliest page, while line
+    * boundaries (the natural unit HTML extraction emits) are respected
+    * instead of a token grid. Blank lines are STRUCTURE, not content:
+    * preserved per (document, position), never competing — a billion
+    * pages' blank lines must not collapse into one document. Documents
+    * whose every non-blank line was seen earlier (pure boilerplate
+    * replays) disappear; null-text documents vanish like dedupSpans'.
+    *
+    * Returns (idCol, n_kept, dedup_text) — kept non-blank line count and
+    * the reassembled text.
+    *
+    * Shuffle shape at scale (the L25 discipline): ONE corpus scan; line
+    * occurrences collapse map-side to (id, distinct line, min pos) on
+    * the unskewed (id, line) key, so a boilerplate line shared by every
+    * document routes ONE row per containing document into its
+    * line-partition window, never one per occurrence; blank lines ride
+    * the same exchange in singleton partitions (the partition key gains
+    * their (id, pos), so no corpus-wide ""-partition ever forms); the
+    * verdict is a min(struct) window on the one exchange; reassembly
+    * groups by the unskewed id.
+    */
+  def dedupLinesGlobal(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val isBlank = trim(col("line")) === ""
+    // blanks carry a per-occurrence key: no within-doc collapse, a
+    // singleton window partition, auto-win
+    val perDoc = exploded
+      .withColumn("__bk",
+        when(isBlank, struct(col(idCol), col("pos"))).otherwise(lit(null)))
+      .groupBy(col(idCol), col("line"), col("__bk"))
+      .agg(min(col("pos")).as("pos"))
+    val w = Window.partitionBy(col("line"), col("__bk"))
+    perDoc
+      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
+      .filter(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"))
+      .groupBy(col(idCol))
+      .agg(
+        count(when(trim(col("line")) =!= "", 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("dedup_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
   /** Create an empty content-hash registry table for
     * [[dedupAgainstRegistry]] — one `content_hash` column, bucketed by it
     * so every later anti-join and append co-locates without shuffling the

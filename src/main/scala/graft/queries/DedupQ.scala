@@ -38,6 +38,21 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L63: corpus-wide exact line dedup — single-line corpus, so (the
+    // t23 salting precedent) each doc is wrapped with a corpus-shared
+    // header/footer, a blank separator, and a "mid k" line shared by
+    // every 7th doc: shared lines survive only in their earliest doc,
+    // the unique text line everywhere, blanks always.
+    "d18_line_dedup" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents")
+        .withColumn("ml_text", concat(
+          lit("shared header line\n"), col("text"),
+          lit("\n\nmid "), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("\nshared footer line")))
+      Dedup.dedupLinesGlobal(salted, "ml_text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -357,6 +372,39 @@ object DedupQ {
         |SELECT doc_id, score
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same salt, same corpus-first-occurrence-per-line semantics: zipped
+    // unnest gives (pos, line), blanks bypass competition per occurrence.
+    "d18_line_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'shared header line' || chr(10) || text || chr(10) || chr(10) ||
+        |    'mid ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    'shared footer line' AS ml FROM documents),
+        |lu AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(ml, chr(10)),
+        |      (x, i) -> {'pos': i - 1, 'ln': x})) AS u
+        |  FROM s),
+        |l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM lu),
+        |pd AS (
+        |  SELECT doc_id, ln, MIN(pos) AS pos FROM l
+        |  WHERE trim(ln) <> '' GROUP BY doc_id, ln),
+        |keepnb AS (
+        |  SELECT doc_id, pos, ln FROM pd
+        |  QUALIFY row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) = 1),
+        |k AS (
+        |  SELECT doc_id, pos, ln FROM keepnb
+        |  UNION ALL
+        |  SELECT doc_id, pos, ln FROM l WHERE trim(ln) = ''),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) FILTER (WHERE trim(ln) <> '') AS BIGINT) AS n_kept,
+        |    string_agg(ln, chr(10) ORDER BY pos) AS dedup_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_kept, dedup_text FROM agg
+        |WHERE n_kept >= 1
         |ORDER BY doc_id""".stripMargin,
 
     // String-bigram Jaccard over the same adjacent-rank candidate pairs:

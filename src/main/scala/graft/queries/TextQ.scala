@@ -114,14 +114,18 @@ object TextQ {
     // incl. a double-encoded &amp;lt; that must decode exactly once.
     "t24_html_text" -> { (s, dir) =>
       val id = col("doc_id").cast("string")
+      val metaOpt = when(col("doc_id") % 5 === 0, lit(HtmlSalt.robotsMeta))
+        .otherwise(lit(""))
       val page = concat(
-        lit(HtmlSalt.p0), id, lit(HtmlSalt.p1), id, lit(HtmlSalt.p2), id,
+        lit(HtmlSalt.p0), id, lit(HtmlSalt.p1a), metaOpt,
+        lit(HtmlSalt.p1b), id, lit(HtmlSalt.p2), id,
         lit(HtmlSalt.p3), col("text"), lit(HtmlSalt.p4), id,
         lit(HtmlSalt.p5))
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           Html.htmlTitle(page).as("title"),
-          Html.htmlToText(page).as("clean"))
+          Html.htmlToText(page).as("clean"),
+          Html.htmlNoindex(page).as("noindex"))
         .orderBy("doc_id")
     },
 
@@ -564,15 +568,19 @@ object TextQ {
     // the Spark chain and this SQL cannot drift.
     "t24_html_text" -> {
       val id = "CAST(doc_id AS VARCHAR)"
+      val metaOpt = "CASE WHEN doc_id % 5 = 0 THEN " +
+        Html.duckLit(HtmlSalt.robotsMeta) + " ELSE '' END"
       val page = Seq(
-        Html.duckLit(HtmlSalt.p0), id, Html.duckLit(HtmlSalt.p1), id,
+        Html.duckLit(HtmlSalt.p0), id, Html.duckLit(HtmlSalt.p1a), metaOpt,
+        Html.duckLit(HtmlSalt.p1b), id,
         Html.duckLit(HtmlSalt.p2), id, Html.duckLit(HtmlSalt.p3), "text",
         Html.duckLit(HtmlSalt.p4), id, Html.duckLit(HtmlSalt.p5))
         .mkString(" || ")
       s"""WITH s AS (SELECT doc_id, $page AS page FROM documents)
          |SELECT doc_id,
          |  ${Html.duckTitle("page")} AS title,
-         |  ${Html.duckText("page")} AS clean
+         |  ${Html.duckText("page")} AS clean,
+         |  ${Html.duckNoindex("page")} AS noindex
          |FROM s
          |ORDER BY doc_id""".stripMargin
     },
@@ -744,7 +752,9 @@ object TextQ {
   */
 private[queries] object HtmlSalt {
   val p0 = "<html><!-- crawl-id "
-  val p1 = " --><head><title>Doc &amp; "
+  val p1a = " --><head>"
+  val robotsMeta = "<meta content=\"noindex, nofollow\" name=\"robots\">"
+  val p1b = "<title>Doc &amp; "
   val p2 = " &ndash; site</title><style type=\"text/css\">p > a{color:red}" +
     "</style><script>if(x){document.write(\"<p>hi</p>\");}</script></head>" +
     "<body><h1>Heading "

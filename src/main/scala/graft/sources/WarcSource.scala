@@ -120,6 +120,39 @@ object WarcSource {
     (status, ct, body)
   }
 
+  /** STREAMING twin of [[records]] — a WARC drop directory consumed as a
+    * Structured Streaming file source (each landed `.warc` file becomes
+    * micro-batch input): the text source's `lineSep` carries the same
+    * record delimiter the batch reader uses, and the per-chunk parse is
+    * identical, so streamed records ≡ batch records on the same files
+    * (spec-pinned). Compressed drops read through the same codec path.
+    */
+  def recordsStream(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.readStream.format("text")
+      .option("lineSep", "\r\n\r\nWARC/1.0\r\n")
+      .load(dir)
+      .as[String]
+      .flatMap(parseRecord)
+  }
+
+  /** Streaming [[htmlDocuments]]: adds `ts` (the WARC-Date as an event
+    * timestamp) so the result feeds watermark-bounded downstream state
+    * (`EventStreams.curateDocs` and friends) directly.
+    */
+  def htmlDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    recordsStream(spark, dir)
+      .filter(r => r.warcType == "response" &&
+        r.httpStatus >= 200 && r.httpStatus < 300 &&
+        r.httpContentType != null &&
+        r.httpContentType.toLowerCase.startsWith("text/html"))
+      .toDF()
+      .select(col("url"),
+        to_timestamp(col("date")).as("ts"),
+        graft.text.Html.htmlTitle(col("body")).as("title"),
+        graft.text.Html.htmlToText(col("body")).as("text"),
+        graft.text.Html.htmlNoindex(col("body")).as("noindex"))
+
   /** The crawl intake head: successful HTML responses extracted to
     * (url, title, text) via the [[graft.text.Html]] chain — feed this
     * straight into `CorpusPipeline.curate` (with `TextOps.normalizeUrl`
@@ -135,6 +168,8 @@ object WarcSource {
       .toDF()
       .select(col("url"),
         graft.text.Html.htmlTitle(col("body")).as("title"),
-        graft.text.Html.htmlToText(col("body")).as("text"))
+        graft.text.Html.htmlToText(col("body")).as("text"),
+        // evidence, not policy: the caller decides whether to honor it
+        graft.text.Html.htmlNoindex(col("body")).as("noindex"))
   }
 }

@@ -122,6 +122,22 @@ object Html {
     applySteps(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title", 1),
       titleSteps)
 
+  /** `<meta name="robots" content="… noindex …">` detection — the
+    * crawl-policy gate every public pipeline applies before keeping a
+    * page. Attribute order varies in the wild, so two RE2-safe
+    * alternatives (no lookaround) cover name-first and content-first.
+    */
+  private val noindexNameFirst =
+    "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']?robots[^>]*" +
+      "content\\s*=\\s*[\"']?[^\"'>]*noindex"
+  private val noindexContentFirst =
+    "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']?[^\"'>]*noindex[^>]*" +
+      "name\\s*=\\s*[\"']?robots"
+
+  /** True when the page opts out of indexing (null in, null out). */
+  def htmlNoindex(html: Column): Column =
+    html.rlike(noindexNameFirst) || html.rlike(noindexContentFirst)
+
   // ---- DuckDB oracle rendering (the t01 lockstep-generation pattern) ----
 
   private def sq(s: String): String = s.replace("'", "''")
@@ -152,4 +168,9 @@ object Html {
     */
   def duckLit(s: String): String =
     "'" + sq(s).replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB expression computing [[htmlNoindex]] of `inner`. */
+  def duckNoindex(inner: String): String =
+    s"(regexp_matches($inner, '${sq(noindexNameFirst)}') OR " +
+      s"regexp_matches($inner, '${sq(noindexContentFirst)}'))"
 }

@@ -73,6 +73,20 @@ class HtmlSpec extends SparkSpec {
     assert(toTitle("<body>no title</body>") == "")
   }
 
+  test("noindex meta detected in either attribute order; lookalikes are not") {
+    def noidx(html: String): Boolean =
+      Seq(html).toDF("h").select(Html.htmlNoindex(col("h"))).head().getBoolean(0)
+    assert(noidx("<head><meta name=\"robots\" content=\"noindex\"></head>"))
+    assert(noidx("<head><META content='noindex, nofollow' name='robots'></head>"))
+    assert(noidx("<meta name=robots content=NOINDEX>"))
+    assert(!noidx("<meta name=\"robots\" content=\"nofollow\">"))
+    assert(!noidx("<meta name=\"description\" content=\"noindex stuff\">"))
+    assert(!noidx("<p>noindex robots</p>"))
+    val r = Seq((1, null: String)).toDF("i", "h")
+      .select(Html.htmlNoindex(col("h"))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("table cells separate; list items each on their own line") {
     val page = "<table><tr><td>a</td><td>b</td></tr></table>" +
       "<ul><li>x</li><li>y</li></ul>"

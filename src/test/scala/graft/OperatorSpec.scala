@@ -1698,6 +1698,37 @@ class OperatorSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("dedupLinesGlobal keeps corpus-first lines, blanks, drops replays") {
+    import graft.dedup.Dedup
+    val out = Dedup.dedupLinesGlobal(Seq(
+      (1L, "nav menu\nunique one\n\nfooter"),
+      (2L, "nav menu\nunique two\nfooter\nunique two b"),
+      (3L, "nav menu\nfooter"), // pure boilerplate replay → disappears
+      (4L, "x\nx\n\n\ny"), // within-doc repeat also collapses
+      (5L, "\n\n"), // blank-only → no content → disappears
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text"), "text", "id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((3L, "nav menu\nunique one\n\nfooter")))
+    assert(out(2L) == ((2L, "unique two\nunique two b")))
+    assert(out(4L) == ((2L, "x\n\n\ny")))
+    assert(out.keySet == Set(1L, 2L, 4L))
+  }
+
+  test("dedupLinesGlobal is partitioning-invariant and blank-skew-safe") {
+    import graft.dedup.Dedup
+    // 600 docs all sharing a hot boilerplate line + many blank lines;
+    // unique body per doc — the hot line survives only in doc 1
+    val docs = (1L to 600L).map(i =>
+      (i, s"HOT BOILERPLATE\n\nbody $i\n\ntail $i")).toDF("id", "text")
+    val out = Dedup.dedupLinesGlobal(docs.repartition(13), "text", "id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 600)
+    assert(out(1L)._2 == "HOT BOILERPLATE\n\nbody 1\n\ntail 1")
+    assert(out(2L) == ((2L, "\nbody 2\n\ntail 2")))
+    assert(out(600L)._1 == 2L)
+  }
+
   test("temperatureWeights flattens by q ∝ p^(1/T), preserving expected size") {
     // sources: A×8, B×2. T=2 → α=0.5: c^α = (2√2, √2), z = 3√2,
     // q = (2/3, 1/3), w = q/p·1 → (2/3·10/8, 1/3·10/2) = (5/6, 5/3)

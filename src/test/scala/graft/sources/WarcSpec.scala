@@ -148,6 +148,39 @@ class WarcSpec extends SparkSpec {
     assert(out.exists(_.endsWith("/other")))
   }
 
+  test("streaming records equal batch records over the same drop dir") {
+    val dir = Files.createDirectories(Paths.get("target/tmp/warc_stream"))
+    Files.write(dir.resolve("drop1.warc"), sampleWarc.getBytes("UTF-8"))
+    val batch = WarcSource.records(spark, dir.toString).collect()
+      .map(r => (r.recordId, r.warcType, r.httpStatus, r.body)).sortBy(_._1)
+    val query = WarcSource.recordsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("warc_stream_out")
+        .collect()
+        .map(r => (r.getAs[String]("recordId"), r.getAs[String]("warcType"),
+          r.getAs[Int]("httpStatus"), r.getAs[String]("body"))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.length == 5)
+    } finally query.stop()
+    // the html head carries an event timestamp for downstream watermarks
+    val q2 = WarcSource.htmlDocumentsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_html_out")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("warc_html_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[String]("url") == "http://example.com/a")
+      assert(r.getAs[java.sql.Timestamp]("ts") != null)
+      assert(!r.getAs[Boolean]("noindex"))
+      assert(r.getAs[String]("text") == "hello crawl\nsecond para")
+    } finally q2.stop()
+  }
+
   test("garbage and truncated chunks yield no records, not failures") {
     val junk = "WARC/1.0" + CRLF + "no-colon-line" + CRLF + CRLF +
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
