@@ -119,6 +119,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"span collapse is not map-side:\n$p")
   }
 
+  test("d18 line dedup scans the corpus once and collapses lines map-side") {
+    val p = executedPlan("d18_line_dedup")
+    // corpus-first winner is a window on the ONE line-keyed exchange —
+    // blanks riding the same exchange (not a second union branch over the
+    // explode) is the point of the per-occurrence partition key
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"line winner derivation re-scans the corpus ($scans scans):\n$p")
+    // line OCCURRENCES collapse below the exchange (partial min(pos))
+    assert(p.contains("partial_min"), s"line collapse is not map-side:\n$p")
+  }
+
+  test("t24 html extraction stays a scan-local projection") {
+    val p = executedPlan("t24_html_text")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"t24 should read documents once:\n$p")
+    // the whole chain is row-local: the only exchange is the final ORDER
+    // BY's range partitioning — a hash exchange would mean the chain
+    // smuggled in an aggregation/join
+    assert(!p.contains("hashpartitioning"),
+      s"html chain introduced a hash exchange:\n$p")
+  }
+
   test("d07 bloom contamination prunes corpus grams map-side, below any shuffle") {
     val p = executedPlan("d07_contamination_bloom")
     // the mightContain prune is a plain Filter on the exploded gram column
