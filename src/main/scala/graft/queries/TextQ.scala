@@ -265,6 +265,24 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —
+    // the single-line corpus is salted into a page shape: a sentence
+    // line, a bullet, the doc text, an optional ellipsis teaser (every
+    // 4th doc), and a short "ok" line.
+    "t26_line_stats" -> { (s, dir) =>
+      val ml = concat(
+        lit("First sentence line.\n- bullet "),
+        pmod(col("doc_id"), lit(3)).cast("string"), lit("\n"),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("\nteaser trails off..."))
+          .otherwise(lit("")),
+        lit("\nok\n"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.lineStats(ml).as("ls"))
+        .select(col("doc_id"), col("ls.*"))
+        .orderBy("doc_id")
+    },
+
     // L62: deterministically SHUFFLED token-budget shards — same
     // prefix-sum layout as t18 but over the md5(seed:id) pseudo-random
     // global order, with the order key carried as evidence.
@@ -485,6 +503,30 @@ object TextQ {
         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
         |FROM t
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same salt, same non-blank-line filters and RE2 patterns, fractions
+    // rounded to 4 identically.
+    "t26_line_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'First sentence line.' || chr(10) || '- bullet ' ||
+        |    CAST(doc_id % 3 AS VARCHAR) || chr(10) || text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'teaser trails off...' ELSE '' END ||
+        |    chr(10) || 'ok' || chr(10) AS ml
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(ml, chr(10)), x -> trim(x) <> '') AS ls
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS INTEGER) AS n_lines,
+        |  ROUND(CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '[.!?"”]$'))) AS DOUBLE) / len(ls), 4) AS frac_end_punct,
+        |  ROUND(CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(ls), 4) AS frac_bullet,
+        |  ROUND(CAST(len(list_filter(ls, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) AS DOUBLE) / len(ls), 4) AS frac_ellipsis,
+        |  ROUND(CAST(len(list_filter(ls, x -> len(list_filter(string_split_regex(trim(x), ' +'), t -> t <> '')) <= 3)) AS DOUBLE) / len(ls), 4) AS frac_short
+        |FROM l
         |ORDER BY doc_id""".stripMargin,
 
     // Same md5(seed:id) 60-bit order key (Spark conv ≙ DuckDB '0x' cast)

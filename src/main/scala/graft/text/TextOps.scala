@@ -368,6 +368,39 @@ object TextOps {
       .drop("__copies")
   }
 
+  /** Line-SHAPE quality profile — the C4/Gopher/FineWeb line heuristics
+    * a crawl gate runs after HTML extraction (the natural complement of
+    * [[qualityScore]]'s token shapes): over the NON-BLANK lines of a
+    * document,
+    *  - `n_lines`,
+    *  - `frac_end_punct`: fraction ending in terminal punctuation
+    *    (C4 keeps sentence-like lines),
+    *  - `frac_bullet`: fraction starting with a bullet marker (Gopher
+    *    caps at 90%),
+    *  - `frac_ellipsis`: fraction trailing off in an ellipsis (Gopher
+    *    caps at 30% — truncated teaser text),
+    *  - `frac_short`: fraction with ≤ 3 words (nav/button debris).
+    * Fractions round to 4 decimals (hash-stable cross-engine); a document
+    * with no non-blank lines reports 0 lines and null fractions. Pure
+    * column expression — row-local in any scan gate, RE2-safe regexes
+    * (the redactPii portability convention).
+    */
+  def lineStats(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val n = size(lines)
+    def frac(pred: Column => Column): Column =
+      round(when(n > 0,
+        size(filter(lines, l => pred(l))).cast("double") / n.cast("double")),
+        4)
+    struct(
+      n.as("n_lines"),
+      frac(l => trim(l).rlike("[.!?\"”]$")).as("frac_end_punct"),
+      frac(l => trim(l).rlike("^[-*•]")).as("frac_bullet"),
+      frac(l => trim(l).rlike("(\\.\\.\\.|…)$")).as("frac_ellipsis"),
+      frac(l => size(filter(split(trim(l), " +"), t => t =!= "")) <= 3)
+        .as("frac_short"))
+  }
+
   /** Fraction of non-alphanumeric, non-whitespace characters — the classic
     * symbol-density filter (code dumps, markup residue, boilerplate score
     * high). Pure column expression.

@@ -1698,6 +1698,29 @@ class OperatorSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("lineStats: hand-computed line-shape fractions") {
+    val text = "A full sentence here.\n- bullet item\nnav\n" +
+      "this line just trails off...\n\n  \nAnother proper sentence ends!"
+    // non-blank lines: 5 → end_punct: {sentence., trails off..., sentence!}
+    // = 3/5; bullet 1/5; ellipsis 1/5; short (≤3 words): {- bullet item,
+    // nav} = 2/5
+    val r = Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.lineStats(col("text")).as("ls"))
+      .select(col("id"), col("ls.*"))
+      .collect().map(x => (x.getLong(0), x)).toMap
+    val d1 = r(1L)
+    assert(d1.getInt(1) == 5)
+    assert(d1.getDouble(2) == 0.6)
+    assert(d1.getDouble(3) == 0.2)
+    assert(d1.getDouble(4) == 0.2)
+    assert(d1.getDouble(5) == 0.4)
+    // empty doc: 0 lines, null fractions
+    assert(r(2L).getInt(1) == 0 && r(2L).isNullAt(2))
+    // null text: size(null)= -1? no — split(null) is null → n null-safe
+    assert(r(3L).isNullAt(2))
+  }
+
   test("dedupLinesGlobal keeps corpus-first lines, blanks, drops replays") {
     import graft.dedup.Dedup
     val out = Dedup.dedupLinesGlobal(Seq(
