@@ -181,6 +181,54 @@ class WarcSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming crawl curation: drop dir → extraction → curateDocs state") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory(
+      Files.createDirectories(Paths.get("target/tmp")), "warc_curate")
+    val english = "the quick brown fox jumps over the lazy dog " +
+      "and it was happy for the day " * 3
+    def resp(uri: String, date: String, html: String) = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+      "Content-Type" -> "application/http;msgtype=response"),
+      httpResponse("200 OK", "text/html", html))
+    Files.write(dir.resolve("drop1.warc"), (
+      resp("http://a.com/x", "2026-08-14T00:00:00Z",
+        s"<html><body><p>$english one</p></body></html>") +
+        resp("http://a.com/junk", "2026-08-14T00:00:01Z", "<p>zzz</p>") +
+        resp("http://a.com/secret", "2026-08-14T00:00:02Z",
+          "<html><head><meta name=\"robots\" content=\"noindex\"></head>" +
+            s"<body><p>$english secret</p></body></html>")
+      ).getBytes("UTF-8"))
+    val intake = WarcSource.htmlDocumentsStream(spark, dir.toString)
+      .filter(!col("noindex")) // honor the robots evidence at the gate
+    val curated = graft.streaming.EventStreams.curateDocs(
+      intake, "text", "ts", langs = Set("en"), minQuality = 0.3)
+    val q = curated.writeStream.format("memory").queryName("warc_curated")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("warc_curated").collect()
+      assert(b1.map(_.getAs[String]("url")).toSeq == Seq("http://a.com/x"))
+      assert(b1.head.getAs[String]("split") != null)
+      // batch 2: the SAME page re-rendered with different markup at a new
+      // URL (extracted text identical → exact state drops it) + a fresh one
+      Files.write(dir.resolve("drop2.warc"), (
+        resp("http://b.com/copy", "2026-08-14T00:10:00Z",
+          s"<html><body><div>  $english one  </div></body></html>") +
+          resp("http://b.com/new", "2026-08-14T00:10:01Z",
+            s"<html><body><p>$english two</p></body></html>")
+        ).getBytes("UTF-8"))
+      q.processAllAvailable()
+      val all = spark.table("warc_curated").collect()
+        .map(_.getAs[String]("url")).sorted
+      assert(all.toSeq == Seq("http://a.com/x", "http://b.com/new"),
+        s"got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("garbage and truncated chunks yield no records, not failures") {
     val junk = "WARC/1.0" + CRLF + "no-colon-line" + CRLF + CRLF +
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
