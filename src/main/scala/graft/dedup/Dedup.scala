@@ -1025,6 +1025,71 @@ object Dedup {
       .filter(col("n_kept") >= 1)
   }
 
+  /** Exact SUBSTRING dedup — the Lee-et-al.-2021 ("Deduplicating Training
+    * Data Makes Language Models Better") tier, approximated on fixed
+    * `windowTokens`-token anchors instead of a suffix array: every
+    * occurrence of an L-token window except the corpus-FIRST (min
+    * (id, pos), including a document's own later repeats) has its covered
+    * token range removed, and documents reassemble from surviving tokens.
+    * Because windows slide at stride 1, a shared substring is caught at
+    * ANY alignment — the shifted repeats [[dedupSpans]]' non-overlapping
+    * grid structurally misses (its spans only match when the repeat lands
+    * on the same k-token boundary). The trade: only repeats of length ≥ L
+    * are visible, and removal is per covering window (a shared run of
+    * m ≥ L tokens loses its full m tokens from non-first occurrences — the
+    * published method's semantics). Pure replays disappear; sub-L and
+    * null-text documents pass through / vanish like dedupSpans'.
+    *
+    * Returns (idCol, n_tokens, n_kept, dedup_text).
+    *
+    * Shuffle shape at scale: occurrences collapse map-side to one row per
+    * (document, distinct window) carrying the position LIST (within-doc
+    * repeats are rare and bounded by doc length), so a corpus-hot
+    * boilerplate window routes ONE row per containing document into its
+    * window partition — the L25 discipline; the removal verdict is a
+    * min(struct) window on that one exchange; coverage marking is
+    * row-local (`exists` over the doc's removed-start list); reassembly
+    * re-reads the corpus once (2 scans total, the d16 shape — window rows
+    * carry no payload back). Window strings ride the exchange (the d08
+    * convention: cross-engine comparability over a 64-bit hash's
+    * collision risk).
+    */
+  def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
+                      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens=$windowTokens")
+    val L = windowTokens
+    val tokenized = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val nWin = size(col("__toks")) - L + 1
+    val wins = tokenized.select(col(idCol),
+      posexplode(when(nWin >= 1,
+        transform(sequence(lit(0), (nWin - 1).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
+        .otherwise(array()))
+        .as(Seq("pos", "win")))
+    val perDoc = wins.groupBy(col(idCol), col("win"))
+      .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
+    val w = Window.partitionBy(col("win"))
+    val removed = perDoc
+      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
+      .withColumn("__rm",
+        when(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"),
+          array_except(col("poss"), array(col("pos"))))
+          .otherwise(col("poss")))
+      .filter(size(col("__rm")) > 0)
+      .groupBy(col(idCol))
+      .agg(flatten(collect_list(col("__rm"))).as("__rs"))
+    tokenized.join(removed, Seq(idCol), "left")
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"), (_, j) =>
+          col("__rs").isNull ||
+            !exists(col("__rs"), s => s <= j && j < s + L)).as("__kept"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .filter(col("n_kept") >= 1)
+      .select(col(idCol), col("n_tokens"), col("n_kept"),
+        array_join(col("__kept"), " ").as("dedup_text"))
+  }
+
   /** Create an empty content-hash registry table for
     * [[dedupAgainstRegistry]] — one `content_hash` column, bucketed by it
     * so every later anti-join and append co-locates without shuffling the

@@ -53,6 +53,23 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L67: exact substring dedup on sliding 8-token windows — each doc
+    // gets a SHARED 8-token sentence at an id-dependent OFFSET (0/1/2 pad
+    // tokens), the misaligned-repeat case the d08 grid structurally
+    // misses; the stride-1 windows must remove it from all but the
+    // corpus-earliest occurrence of each window.
+    "d19_substring_dedup" -> { (s, dir) =>
+      val pads = pmod(col("doc_id"), lit(3))
+      val salted = Tables(s, dir, "documents")
+        .withColumn("ml_text", concat(
+          when(pads === 1, lit("pad ")).when(pads === 2, lit("pad pad "))
+            .otherwise(lit("")),
+          lit("alpha beta gamma delta epsilon zeta eta theta "),
+          col("text")))
+      Dedup.dedupSubstrings(salted, "ml_text", "doc_id", windowTokens = 8)
+        .orderBy("doc_id")
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -372,6 +389,49 @@ object DedupQ {
         |SELECT doc_id, score
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same salt, same sliding windows as strings, same corpus-first
+    // winner and per-occurrence coverage removal.
+    "d19_substring_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 1 THEN 'pad ' WHEN 2 THEN 'pad pad ' ELSE '' END ||
+        |    'alpha beta gamma delta epsilon zeta eta theta ' || text AS ml
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(ml, '\s+'), x -> x <> '') AS toks
+        |  FROM s),
+        |wu AS (
+        |  SELECT doc_id, toks,
+        |    unnest(CASE WHEN len(toks) >= 8 THEN
+        |      list_transform(generate_series(0, len(toks) - 8),
+        |        i -> {'pos': i, 'win': array_to_string(toks[i+1:i+8], ' ')})
+        |      ELSE [] END) AS u
+        |  FROM tok),
+        |win AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wu),
+        |w2 AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |rem AS (SELECT doc_id, list(pos) AS rs FROM w2 WHERE rn > 1 GROUP BY doc_id),
+        |out AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |    list_filter(
+        |      list_transform(generate_series(1, len(t.toks)), j ->
+        |        CASE WHEN r.rs IS NULL OR
+        |          len(list_filter(r.rs, sp -> sp <= j - 1 AND j - 1 < sp + 8)) = 0
+        |          THEN t.toks[j] END),
+        |      x -> x IS NOT NULL) AS kept
+        |  FROM tok t LEFT JOIN rem r USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, ' ') AS dedup_text
+        |FROM out
+        |WHERE len(kept) >= 1
         |ORDER BY doc_id""".stripMargin,
 
     // Same salt, same corpus-first-occurrence-per-line semantics: zipped

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Bpe, Classifier, Html, Importance, LangModel, TextOps}
+import graft.text.{Bpe, Classifier, Html, Importance, LangModel, Search, TextOps}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -265,6 +265,13 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L66: BM25 keyword search — top-25 documents for a three-term query
+    // over the corpus, row-local tf + one broadcast stats row.
+    "t27_bm25_search" -> { (s, dir) =>
+      Search.bm25(Tables(s, dir, "documents"), "text", "doc_id",
+        "window merge scan", topK = 25)
+    },
+
     // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —
     // the single-line corpus is salted into a page shape: a sentence
     // line, a bullet, the doc text, an optional ellipsis teaser (every
@@ -504,6 +511,40 @@ object TextQ {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+
+    // Same BM25 form with the same fixed left-to-right contribution sum,
+    // per-term ROUND 6, final ROUND 4; constants written as the same
+    // float EXPRESSIONS (1.2 + 1.0, not 2.2) so both engines IEEE-add.
+    "t27_bm25_search" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
+        |  FROM base),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      ROUND(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6),
+        |    4) AS score
+        |  FROM d CROSS JOIN st)
+        |SELECT doc_id, score FROM sc
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 25""".stripMargin,
 
     // Same salt, same non-blank-line filters and RE2 patterns, fractions
     // rounded to 4 identically.

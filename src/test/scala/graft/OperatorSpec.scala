@@ -1698,6 +1698,69 @@ class OperatorSpec extends SparkSpec {
     assert(out(4L) == null)
   }
 
+  test("dedupSubstrings removes shifted repeats the span grid misses") {
+    import graft.dedup.Dedup
+    val out = Dedup.dedupSubstrings(Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d e f z"), // same 6 tokens at offset 2 — misaligned
+      (3L, "a b c d"), // pure replay of doc 1's first window → disappears
+      (4L, "q r s t q r s t"), // within-doc repeat collapses
+      (5L, "short"), // sub-L doc passes through whole
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "text"), "text", "id", windowTokens = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((6L, 6L, "a b c d e f")))
+    // doc 2's windows at 2,3,4 are doc 1's → tokens 2..7 removed
+    assert(out(2L) == ((9L, 3L, "x y z")))
+    assert(out(4L) == ((8L, 4L, "q r s t")))
+    assert(out(5L) == ((1L, 1L, "short")))
+    assert(out.keySet == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("dedupSubstrings is partitioning-invariant with a corpus-hot window") {
+    import graft.dedup.Dedup
+    val boiler = "terms of service apply to all visitors here"
+    // body tokens carry the id, so no window crossing the boundary is
+    // shared — exactly the 8 boilerplate tokens are the repeat
+    val docs = (1L to 400L).map(i => (i, s"$boiler u$i v$i w$i"))
+      .toDF("id", "text")
+    val out = Dedup.dedupSubstrings(docs.repartition(11), "text", "id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out.size == 400)
+    assert(out(1L) == s"$boiler u1 v1 w1")
+    assert(out(2L) == "u2 v2 w2")
+    assert(out(400L) == "u400 v400 w400")
+  }
+
+  test("bm25: hand-computed scores, OOV terms score 0, null text excluded") {
+    import graft.text.Search
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "durian"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Search.bm25(docs, "text", "doc_id", "apple cherry nosuchterm")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N = 4 (null-text rows count in N), avgdl = (3+2+1)/3 = 2.0,
+    // df_apple = df_cherry = 1 → idf = ln(1 + 3.5/1.5) = ln(10/3)
+    val idf = math.log(10.0 / 3.0)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: tf_apple=2, dl=3 → idf·2·2.2/(2 + 1.2·(0.25 + 0.75·3/2))
+    val s1 = r4(r6(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.0))))
+    // doc 2: tf_cherry=1, dl=2 → idf·2.2/(1 + 1.2·(0.25+0.75)) = idf
+    val s2 = r4(r6(idf))
+    assert(out.toSeq == Seq((1L, s1), (2L, s2)), s"got ${out.toSeq}")
+    assert(s1 > s2) // higher tf on a shorter-normalized doc outranks
+    // topK truncates deterministically
+    val top1 = Search.bm25(docs, "text", "doc_id", "apple cherry", topK = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Search.bm25(docs, "text", "doc_id", "   ")
+    }
+  }
+
   test("lineStats: hand-computed line-shape fractions") {
     val text = "A full sentence here.\n- bullet item\nnav\n" +
       "this line just trails off...\n\n  \nAnother proper sentence ends!"
