@@ -141,6 +141,30 @@ class PlanSpec extends SparkSpec {
       s"html chain introduced a hash exchange:\n$p")
   }
 
+  test("d19 substring dedup: 2 scans, occurrences collapse map-side") {
+    val p = executedPlan("d19_substring_dedup")
+    // windows branch + reassembly re-read — the d16 two-scan shape; a
+    // third scan would mean the winner derivation re-ran the explode
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"substring dedup scans the corpus $scans times:\n$p")
+    // per-(doc, window) collapse partial-aggregates below the exchange:
+    // a hot window must route one row per containing doc, not per
+    // occurrence
+    assert(p.contains("partial_min") || p.contains("partial_collect_list"),
+      s"occurrence collapse is not map-side:\n$p")
+  }
+
+  test("t27 bm25: row-local scoring, single stats broadcast, no term shuffle") {
+    val p = executedPlan("t27_bm25_search")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"bm25 should scan documents twice (stats + score):\n$p")
+    // no explode anywhere — tf is a size(filter()) column, so no
+    // term-keyed exchange can exist
+    assert(!p.contains("Generate"), s"bm25 exploded tokens:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row is not broadcast:\n$p")
+  }
+
   test("d07 bloom contamination prunes corpus grams map-side, below any shuffle") {
     val p = executedPlan("d07_contamination_bloom")
     // the mightContain prune is a plain Filter on the exploded gram column
