@@ -114,6 +114,20 @@ object CorpusPipeline {
     *                          stages — contamination grams, split
     *                          assignment — key on the REWRITTEN text, which
     *                          is the text that actually trains
+    * @param substringWindowTokens  when set, run sliding-window exact
+    *                          substring dedup ([[Dedup.dedupSubstrings]]
+    *                          with this window size) right after the span
+    *                          stage — the same text-rewrite shape,
+    *                          catching repeats at ANY alignment
+    * @param dropRepeatedLines when true, apply
+    *                          [[TextOps.dropRepeatedLines]] BEFORE every
+    *                          other stage, so all dedup identities key on
+    *                          the cleaned text (a refetch with one more
+    *                          repeated footer still dedups)
+    * @param maxBulletFrac     Gopher line-shape cap: drop docs whose
+    *                          bullet-started line fraction exceeds this
+    *                          (1.0 = gate off); null fractions pass
+    * @param maxEllipsisFrac   same for ellipsis-trailing lines
     * @param embCol            when set, run SemDeDup-style semantic dedup
     *                          ([[Dedup.semanticDedup]] over this embedding
     *                          column) after the text-keyed dedup stages and
@@ -279,7 +293,11 @@ object CorpusPipeline {
       sourceCol: String = "source",
       importanceTarget: Option[DataFrame] = None,
       importanceTopN: Option[Int] = None,
-      importanceHashBuckets: Option[Int] = None)
+      importanceHashBuckets: Option[Int] = None,
+      dropRepeatedLines: Boolean = false,
+      maxBulletFrac: Double = 1.0,
+      maxEllipsisFrac: Double = 1.0,
+      substringWindowTokens: Option[Int] = None)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -306,7 +324,14 @@ object CorpusPipeline {
       tables.foreach(t =>
         graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
     }
-    val heuristicGated = docs
+    // C4-style per-page line cleanup FIRST: every identity downstream —
+    // content hashes, signatures, split assignment — keys on the CLEANED
+    // text, so a page refetched with one more repeated footer line still
+    // dedups against its original
+    val lineCleaned =
+      if (!cfg.dropRepeatedLines) docs
+      else docs.withColumn(textCol, TextOps.dropRepeatedLines(col(textCol)))
+    val heuristicGated = lineCleaned
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .withColumn("lang", col("__lq._1"))
       .withColumn("quality", col("__lq._2"))
@@ -328,6 +353,19 @@ object CorpusPipeline {
         // null = too short to judge → pass (the gate has no evidence)
         classifierGated.filter(ce.isNull || ce <= cfg.maxCrossEntropy)
     }
+    // Gopher line-shape caps (bullet/ellipsis fractions) — row-local like
+    // the other gates; null fractions (no non-blank lines) carry no
+    // evidence and pass
+    val lineGated =
+      if (cfg.maxBulletFrac >= 1.0 && cfg.maxEllipsisFrac >= 1.0) scored
+      else {
+        val ls = TextOps.lineStats(col(textCol))
+        scored.filter(
+          (ls.getField("frac_bullet").isNull ||
+            ls.getField("frac_bullet") <= cfg.maxBulletFrac) &&
+            (ls.getField("frac_ellipsis").isNull ||
+              ls.getField("frac_ellipsis") <= cfg.maxEllipsisFrac))
+      }
 
     // Applied only where a stage genuinely fans out into multiple
     // downstream reads; see Materialize for the strategy tradeoffs.
@@ -352,6 +390,7 @@ object CorpusPipeline {
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
     val nearIndexOn = cfg.nearIndexTable.isDefined
     val spanOn = cfg.spanDedupTokens.isDefined
+    val substrOn = cfg.substringWindowTokens.isDefined
     val semanticOn = cfg.embCol.isDefined
     // each stage's survivor set is materialized by how many downstream
     // reads actually fan out of it: near-dedup reads its input 3×; the
@@ -367,22 +406,22 @@ object CorpusPipeline {
     // toward the nearest upstream stage's fan-out like any double-reader
     val exactBranches =
       if (nearDedupOn) 3
-      else fanOut(nearIndexOn, spanOn, semanticOn, benchmark.isDefined)
+      else fanOut(nearIndexOn, spanOn, substrOn, semanticOn, benchmark.isDefined)
     // with a registry the stage is cross-run: within-batch keep-min plus
     // the registry anti-join (and append) — note the append job inside
     // dedupAgainstRegistry executes EAGERLY, so by the time this curate()
     // returns, the next run's curate() already sees this batch's hashes
     val exactStage = cfg.registryTable match {
-      case None => Dedup.exact(scored, textCol, idCol)
+      case None => Dedup.exact(lineGated, textCol, idCol)
       case Some(t) =>
-        Dedup.dedupAgainstRegistry(scored, textCol, idCol, t, cfg.registryUpdate)
+        Dedup.dedupAgainstRegistry(lineGated, textCol, idCol, t, cfg.registryUpdate)
     }
     val exact = materialize(exactStage, exactBranches)
 
     val withinRun =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
-        fanOut(nearIndexOn, spanOn, semanticOn, benchmark.isDefined))
+        fanOut(nearIndexOn, spanOn, substrOn, semanticOn, benchmark.isDefined))
 
     // cross-run near-dedup on the WITHIN-RUN survivors (cheapest input for
     // the signature pass), before the span rewrite so cross-run identity
@@ -393,7 +432,7 @@ object CorpusPipeline {
       case Some(t) =>
         materialize(Dedup.nearDedupAgainstIndex(withinRun, textCol, idCol, t,
           cfg.nearIndexJaccard, cfg.nearIndexUpdate),
-          fanOut(spanOn, semanticOn, benchmark.isDefined))
+          fanOut(spanOn, substrOn, semanticOn, benchmark.isDefined))
     }
 
     val spanned = cfg.spanDedupTokens match {
@@ -406,6 +445,20 @@ object CorpusPipeline {
         materialize(
           deduped.drop(textCol).join(sd, Seq(idCol))
             .withColumnRenamed("dedup_text", textCol),
+          fanOut(substrOn, semanticOn, benchmark.isDefined))
+    }
+
+    // sliding-window substring dedup (the Lee-et-al. tier) — the same
+    // text-REWRITE shape as the span stage, catching the misaligned
+    // repeats the span grid misses; later stages key on the rewritten text
+    val substringed = cfg.substringWindowTokens match {
+      case None => spanned
+      case Some(lw) =>
+        val sd = Dedup.dedupSubstrings(spanned, textCol, idCol, lw)
+          .select(col(idCol), col("dedup_text"))
+        materialize(
+          spanned.drop(textCol).join(sd, Seq(idCol))
+            .withColumnRenamed("dedup_text", textCol),
           fanOut(semanticOn, benchmark.isDefined))
     }
 
@@ -417,13 +470,13 @@ object CorpusPipeline {
     // assignment pass, and the anti-join base, hence the fan-out above.
     val semanticIndexOn = cfg.semanticIndexTable.isDefined
     val semantic = cfg.embCol match {
-      case None => spanned
+      case None => substringed
       case Some(e) =>
         // the cross-run stage reads ITS input 3× (probe assignment, the
         // anti-join base, the append input), so it counts as a
         // double-reader for this stage's materialization
         materialize(
-          Dedup.semanticDedup(spanned, idCol, e, cfg.semanticThreshold,
+          Dedup.semanticDedup(substringed, idCol, e, cfg.semanticThreshold,
             cfg.semanticCentroids, lloydIters = 1, cfg.semanticMaxCell),
           fanOut(semanticIndexOn, benchmark.isDefined))
     }

@@ -12,6 +12,9 @@ class CorpusPipelineSpec extends SparkSpec {
   private val english =
     "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
 
+  private val english2 =
+    "meanwhile the river ran slow past the old stone mill and the miller kept his ledger dry " * 2
+
   test("curate removes junk, dups, and contamination; survivors get splits") {
     val benchmark = Seq((100L, "benchmark question text that is the held out eval set for this run"))
       .toDF("doc_id", "text")
@@ -229,6 +232,48 @@ class CorpusPipelineSpec extends SparkSpec {
     val off = CorpusPipeline.curate(docs, "text", "doc_id",
       cfg.copy(spanDedupTokens = None))
     assert(off.count() == 3)
+  }
+
+  test("dropRepeatedLines runs first: a footer-padded refetch still dedups") {
+    val docs = Seq(
+      (1L, english + "one\nfooter nav\nfooter nav"),
+      // same page refetched with one MORE footer repeat — raw texts
+      // differ, cleaned texts are identical, so exact dedup must drop it
+      (2L, english + "one\nfooter nav\nfooter nav\nfooter nav"),
+      (3L, english + "two\nfooter nav")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5, minQuality = 0.3,
+        dropRepeatedLines = true))
+    val byId = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(byId.keySet == Set(1L, 3L), s"survivors: ${byId.keySet}")
+    assert(byId(1L).endsWith("one\nfooter nav"), byId(1L))
+    // without the cleanup the refetch survives (raw texts differ)
+    val raw = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5, minQuality = 0.3))
+    assert(raw.count() == 3)
+  }
+
+  test("line-shape caps gate bullet spam; substring stage strips shifted repeats") {
+    val bullets = (1 to 12).map(i => s"- item $i").mkString("\n")
+    val docs = Seq(
+      (1L, english + "one"),
+      (2L, english + "one\n" + bullets), // > 60% bullet lines → gated
+      // doc 3 embeds doc 1's opening 8+ tokens at an offset: the span
+      // grid would need alignment, the sliding windows must strip it
+      (3L, "prefix tokens first " + english + "three " + english2)
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5, minQuality = 0.3,
+        maxBulletFrac = 0.6, substringWindowTokens = Some(8)))
+    val byId = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(byId.keySet == Set(1L, 3L), s"survivors: ${byId.keySet}")
+    // doc 3 lost the english run it shared with doc 1 but kept its own
+    assert(byId(3L).startsWith("prefix tokens first"), byId(3L))
+    assert(!byId(3L).contains("quick brown fox"), byId(3L))
+    assert(byId(3L).contains(english2.split(" ").take(4).mkString(" ")), byId(3L))
   }
 
   test("redactPii=true masks PII after dedup and split, like the streaming intake") {
