@@ -675,10 +675,29 @@ object EventStreams {
                  qualityModel: Option[graft.text.Classifier.LinearModel] = None,
                  minModelScore: Double = 0.5,
                  lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
-                 maxCrossEntropy: Double = Double.PositiveInfinity): DataFrame = {
+                 maxCrossEntropy: Double = Double.PositiveInfinity,
+                 dropRepeatedLines: Boolean = false,
+                 maxBulletFrac: Double = 1.0,
+                 maxEllipsisFrac: Double = 1.0): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
-    val heuristicGated = docs
+    // batch curate()'s crawl-cleanup stages, stream-safe because they are
+    // row-local: line cleanup FIRST (dedup state keys on cleaned text —
+    // a footer-padded refetch still drops), then the Gopher line caps
+    val lineCleaned =
+      if (!dropRepeatedLines) docs
+      else docs.withColumn(textCol, TextOps.dropRepeatedLines(col(textCol)))
+    val lineGated =
+      if (maxBulletFrac >= 1.0 && maxEllipsisFrac >= 1.0) lineCleaned
+      else {
+        val ls = TextOps.lineStats(col(textCol))
+        lineCleaned.filter(
+          (ls.getField("frac_bullet").isNull ||
+            ls.getField("frac_bullet") <= maxBulletFrac) &&
+            (ls.getField("frac_ellipsis").isNull ||
+              ls.getField("frac_ellipsis") <= maxEllipsisFrac))
+      }
+    val heuristicGated = lineGated
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .filter(col("__lq._1").isin(langs.toSeq: _*) && col("__lq._2") >= minQuality)
       .withColumn("lang", col("__lq._1"))

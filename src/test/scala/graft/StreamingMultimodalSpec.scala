@@ -349,6 +349,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("curateDocs line cleanup + caps mirror batch curate's stages") {
+    implicit val sqlCtx = spark.sqlContext
+    val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val bullets = (1 to 12).map(i => s"- item $i").mkString("\n")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.3,
+      dropRepeatedLines = true, maxBulletFrac = 0.6)
+      .writeStream.format("memory").queryName("curate_lines_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), english + "one\nfooter nav\nfooter nav"),
+        (2L, ts(1), english + "one\n" + bullets)) // bullet spam → gated
+      q.processAllAvailable()
+      // batch 2: the same page refetched with one MORE footer repeat —
+      // cleaned text identical, so the exact state must drop it
+      input.addData(
+        (3L, ts(2), english + "one\nfooter nav\nfooter nav\nfooter nav"),
+        (4L, ts(3), english + "two\nfooter nav"))
+      q.processAllAvailable()
+      val rows = spark.table("curate_lines_out").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 4L), s"survivors: $ids")
+      val t1 = rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+      assert(t1.endsWith("one\nfooter nav"), t1)
+    } finally q.stop()
+  }
+
   test("streaming curateDocs gates, splits, dedups across batches, and redacts") {
     implicit val sqlCtx = spark.sqlContext
     val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
