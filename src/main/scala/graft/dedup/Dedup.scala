@@ -1050,23 +1050,30 @@ object Dedup {
     * min(struct) window on that one exchange; coverage marking is
     * row-local (`exists` over the doc's removed-start list); reassembly
     * re-reads the corpus once (2 scans total, the d16 shape — window rows
-    * carry no payload back). Window strings ride the exchange (the d08
-    * convention: cross-engine comparability over a 64-bit hash's
-    * collision risk).
+    * carry no payload back). Window STRINGS ride the exchange by default
+    * (the d08 convention: cross-engine comparability over a 64-bit
+    * hash's collision risk); `hashWindows = true` is the 100 TB escape
+    * hatch — the exchange key becomes `xxhash64(window)` (~6× fewer
+    * shuffled bytes at 8-token windows), results identical barring a
+    * 64-bit collision (spec-pinned equal on a planted corpus).
     */
   def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
-                      windowTokens: Int = 8): DataFrame = {
+                      windowTokens: Int = 8,
+                      hashWindows: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens=$windowTokens")
     val L = windowTokens
     val tokenized = df.select(col(idCol),
       filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val nWin = size(col("__toks")) - L + 1
-    val wins = tokenized.select(col(idCol),
+    val winsRaw = tokenized.select(col(idCol),
       posexplode(when(nWin >= 1,
         transform(sequence(lit(0), (nWin - 1).cast("int")),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
         .otherwise(array()))
         .as(Seq("pos", "win")))
+    val wins =
+      if (!hashWindows) winsRaw
+      else winsRaw.withColumn("win", xxhash64(col("win")))
     val perDoc = wins.groupBy(col(idCol), col("win"))
       .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
     val w = Window.partitionBy(col("win"))

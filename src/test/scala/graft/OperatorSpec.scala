@@ -1731,6 +1731,10 @@ class OperatorSpec extends SparkSpec {
     assert(out(1L) == s"$boiler u1 v1 w1")
     assert(out(2L) == "u2 v2 w2")
     assert(out(400L) == "u400 v400 w400")
+    // the hashed-exchange escape hatch produces identical results
+    val hashed = Dedup.dedupSubstrings(docs, "text", "id", hashWindows = true)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(hashed == out)
   }
 
   test("bm25: hand-computed scores, OOV terms score 0, null text excluded") {
