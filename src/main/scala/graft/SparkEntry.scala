@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQ.queries ++
       graft.queries.SimilarityQ.queries ++
       graft.queries.MultimodalQ.queries ++
-      graft.queries.PipelineQ.queries
+      graft.queries.PipelineQ.queries ++
+      graft.queries.GraphQ.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.DedupQ.oracles ++
       graft.queries.SimilarityQ.oracles ++
       graft.queries.MultimodalQ.oracles ++
-      graft.queries.PipelineQ.oracles
+      graft.queries.PipelineQ.oracles ++
+      graft.queries.GraphQ.oracles
 }

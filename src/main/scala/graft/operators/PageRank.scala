@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank over a link graph — the crawl-side authority signal the
+  * public curation pipelines use for host-level quality ranking (the
+  * Common-Crawl host-ranking family): fixed-iteration power method with
+  * damping and dangling-mass redistribution.
+  *
+  * DETERMINISM is engineered in (the §5 float discipline taken one step
+  * further, because ranks feed back across iterations): the rank vector
+  * is carried as a SCALED INTEGER (`rank_scaled` = rank × `scale`,
+  * default 1e12) the whole way — per-edge contributions round to
+  * integers before summation, the dangling mass is an exact integer sum,
+  * and each iteration's update rounds back to the integer grid. Integer
+  * sums are exact and order-independent at any partitioning on any
+  * engine, and every floating-point step in between is a fixed
+  * left-to-right expression over exactly-representable integer inputs —
+  * so the vector is BIT-identical on Spark and in the generated DuckDB
+  * oracle after every iteration, and the final `rank = rank_scaled /
+  * scale` division is too. Quantization error is ≤ ~nodes/scale per
+  * iteration — far below ranking resolution at 1e12.
+  *
+  * Scale shape: the edge table is the big side and it never moves — it
+  * is hash-partitioned ONCE on `src` and persisted, so each iteration
+  * shuffles only the (node, rank) vector (join key + the `dst`
+  * aggregation, both partial-aggregated map-side). The dangling mass is
+  * one scalar aggregate per iteration (the IVF-centroid-style deliberate
+  * driver read). Lineage is cut every `checkpointEvery` iterations
+  * (localCheckpoint — the connected-components discipline), so plan
+  * depth stays constant at any iteration count.
+  */
+object PageRank {
+
+  /** Ranks after `iters` power iterations. `edges` needs `src`/`dst`
+    * columns; nodes are the distinct endpoints; multi-edges count
+    * multiply (pre-`distinct` for simple-graph semantics). Returns
+    * (node, rank_scaled, rank).
+    */
+  def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
+          scale: Double = 1e12, checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.DISK_ONLY)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.DISK_ONLY)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank_s", lit(math.round(scale / n)))
+    for (i <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
+      // dangling nodes donate their whole (already-integer) rank to the
+      // uniform pool; linked nodes split theirs across outlinks, each
+      // share rounded to the integer grid before the exact sum
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank_s")), lit(0L)))
+        .head().getLong(0)
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("node"),
+          round(col("rank_s") / col("outdeg")).cast("long").as("c"))
+        .join(e, col("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_c"))
+      val updated = nodes.join(contribs, Seq("node"), "left")
+        .withColumn("rank_s", round(
+          lit((1.0 - damping) / n * scale) + lit(damping) *
+            (coalesce(col("in_c"), lit(0L)) + lit(dangling.toDouble / n)))
+          .cast("long"))
+        .select(col("node"), col("rank_s"))
+      ranks = if (i % checkpointEvery == 0) updated.localCheckpoint()
+        else updated
+    }
+    ranks.select(col("node"), col("rank_s").as("rank_scaled"),
+      (col("rank_s") / lit(scale)).as("rank"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-graph analytics over a synthetic crawl graph (documents have no
+  * URL/outlink columns, so — the t11 salting precedent — each doc links
+  * to three id-derived targets in a fixed 0..999 node space; at small
+  * SFs some targets are pure sinks, exercising the dangling path).
+  *
+  * The oracle is GENERATED: the power iteration unrolls into one CTE
+  * pair per iteration, mirroring the operator's scaled-integer
+  * arithmetic term for term (decimal literals cast to DOUBLE so DuckDB's
+  * DECIMAL promotion can't diverge from Scala's double math).
+  */
+object GraphQ {
+
+  private val Iters = 6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L69: PageRank (host-authority signal) over the synthetic graph.
+    "g01_pagerank" -> { (s, dir) =>
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(1000)),
+            pmod(col("doc_id") * 7 + 34, lit(1000)),
+            pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
+      graft.operators.PageRank.run(edges, iters = Iters)
+        .orderBy("node")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank" -> {
+      val iterCtes = (1 to Iters).map { i =>
+        val p = i - 1
+        s"""d$i AS (
+           |  SELECT COALESCE(SUM(r.rank_s), 0) AS dang
+           |  FROM r$p r LEFT JOIN outdeg o ON r.node = o.src
+           |  WHERE o.src IS NULL),
+           |c$i AS (
+           |  SELECT e.dst AS node,
+           |    SUM(CAST(ROUND(r.rank_s / o.outdeg) AS BIGINT)) AS in_c
+           |  FROM r$p r
+           |  JOIN outdeg o ON r.node = o.src
+           |  JOIN edges e ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nd.node,
+           |    CAST(ROUND(
+           |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n * 1e12 +
+           |      CAST(0.85 AS DOUBLE) *
+           |        (COALESCE(c.in_c, 0) + CAST(d.dang AS DOUBLE) / nn.n)
+           |    ) AS BIGINT) AS rank_s
+           |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$i d
+           |  LEFT JOIN c$i c ON nd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + off) % 1000 AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest([3, 34, 65]) AS off)),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst AS node FROM edges)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT node, CAST(ROUND(1e12 / nn.n) AS BIGINT) AS rank_s
+         |  FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT node, rank_s AS rank_scaled, rank_s / 1e12 AS rank
+         |FROM r$Iters
+         |ORDER BY node""".stripMargin
+    })
+}

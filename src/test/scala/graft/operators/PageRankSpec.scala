@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-pinned PageRank semantics (L69): exact scaled-integer values on
+  * tiny graphs, dangling redistribution, mass conservation, and
+  * partitioning invariance. Cross-engine equality is the g01 oracle.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int) =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("a 2-cycle is a fixed point at uniform rank") {
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), iters = 5)
+    assert(r == Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("dangling mass redistributes: hand-computed one-iteration values") {
+    // A→B, B dangling. init 5e11 each; after one iteration:
+    // A = round(0.075e12 + 0.85·(0 + 5e11/2))       = 287_500_000_000
+    // B = round(0.075e12 + 0.85·(5e11 + 5e11/2))    = 712_500_000_000
+    val r = ranks(Seq((1L, 2L)), iters = 1)
+    assert(r == Map(1L -> 287500000000L, 2L -> 712500000000L))
+    // mass is conserved to the rounding grid
+    assert(r.values.sum == 1000000000000L)
+  }
+
+  test("a hub out-ranks its spokes; mass conserved over many iterations") {
+    // spokes 2..6 all link to hub 1; hub links back to spoke 2. The
+    // cycle's oscillating mode decays as 0.85^i, so run enough
+    // iterations for the stationary ordering (hub ≈ 18.9·base vs
+    // spoke2 ≈ 17.1·base) to dominate
+    val edges = (2L to 6L).map(i => (i, 1L)) :+ (1L, 2L)
+    val r = ranks(edges, iters = 40)
+    assert(r.size == 6)
+    assert(r(1L) == r.values.max)
+    assert(r(3L) == r(4L) && r(4L) == r(5L) && r(5L) == r(6L))
+    assert(r(2L) > r(3L)) // spoke 2 also receives the hub's rank
+    val drift = math.abs(r.values.sum - 1000000000000L)
+    assert(drift <= 10L * 6 * 2, s"mass drifted by $drift")
+  }
+
+  test("results are partitioning-invariant") {
+    val edges = (1L to 300L).map(i => (i, (i * 13 + 7) % 100))
+    val a = PageRank.run(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = PageRank.run(edges.toDF("src", "dst").repartition(17), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    // the final double rank is the exact scaled division
+    val one = PageRank.run(edges.toDF("src", "dst"), iters = 1)
+      .select(col("rank_scaled"), col("rank")).head()
+    assert(one.getDouble(1) == one.getLong(0) / 1e12)
+  }
+}
