@@ -265,6 +265,25 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L70: outlink extraction + URL resolution — the crawl-frontier feed.
+    // Salted page per doc: absolute, scheme-relative, root-relative, and
+    // relative links (the fragment-only one must be excluded), resolved
+    // against a per-doc base URL.
+    "t28_links" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://site"), id, lit(".com/dir/page.html"))
+      val page = concat(
+        lit("<a href=\"http://other.com/p\">x</a><a href='//cdn"), id,
+        lit(".net/l.js'>y</a><a href=\"/root/a\">z</a>" +
+          "<a href=\"sub/b.html\">w</a><a href=\"#frag\">f</a>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), base.as("base"),
+          posexplode(Html.extractLinks(page)).as(Seq("pos", "href")))
+        .withColumn("resolved", TextOps.resolveUrl(col("base"), col("href")))
+        .select(col("doc_id"), col("pos"), col("href"), col("resolved"))
+        .orderBy("doc_id", "pos")
+    },
+
     // L66: BM25 keyword search — top-25 documents for a three-term query
     // over the corpus, row-local tf + one broadcast stats row.
     "t27_bm25_search" -> { (s, dir) =>
@@ -511,6 +530,37 @@ object TextQ {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS shard
         |FROM t
         |ORDER BY doc_id""".stripMargin,
+
+    // Same href pattern (generated from Html), same resolution CASE
+    // chain; zipped struct-unnest carries document order.
+    "t28_links" -> {
+      val sch = "^([A-Za-z][A-Za-z0-9+.-]*):"
+      val org = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    'https://site' || CAST(doc_id AS VARCHAR) || '.com/dir/page.html' AS base,
+         |    '<a href="http://other.com/p">x</a><a href=''//cdn' ||
+         |    CAST(doc_id AS VARCHAR) ||
+         |    '.net/l.js''>y</a><a href="/root/a">z</a><a href="sub/b.html">w</a><a href="#frag">f</a>' AS page
+         |  FROM documents),
+         |lu AS (
+         |  SELECT doc_id, base,
+         |    unnest(list_transform(${Html.duckLinks("page")},
+         |      (x, i) -> {'pos': i - 1, 'href': x})) AS u
+         |  FROM s),
+         |l AS (SELECT doc_id, base, u.pos AS pos, u.href AS href FROM lu)
+         |SELECT doc_id, pos, href,
+         |  CASE
+         |    WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+         |    WHEN starts_with(href, '//') THEN regexp_extract(base, '$sch', 1) || ':' || href
+         |    WHEN starts_with(href, '/') THEN regexp_extract(base, '$org', 1) || href
+         |    ELSE (CASE WHEN regexp_matches(regexp_replace(base, '[?#].*$$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$')
+         |      THEN regexp_replace(base, '[?#].*$$', '') || '/'
+         |      ELSE regexp_replace(regexp_replace(base, '[?#].*$$', ''), '[^/]*$$', '') END) || href
+         |  END AS resolved
+         |FROM l
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     // Same BM25 form with the same fixed left-to-right contribution sum,
     // per-term ROUND 6, final ROUND 4; constants written as the same

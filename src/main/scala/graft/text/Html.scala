@@ -138,6 +138,22 @@ object Html {
   def htmlNoindex(html: Column): Column =
     html.rlike(noindexNameFirst) || html.rlike(noindexContentFirst)
 
+  private val hrefPattern =
+    "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>#][^\"'>]*)[\"']"
+
+  /** Outlink hrefs of a page, in document order (quoted `href`s of `<a>`
+    * tags; fragment-only links excluded; raw attribute values — decode
+    * entities / resolve with [[TextOps.resolveUrl]] downstream). The
+    * crawl-frontier feed: extract → resolve against the page URL →
+    * `normalizeUrl` → the (src, dst) edges `operators.PageRank` ranks.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(hrefPattern), lit(1))
+
+  /** DuckDB expression computing [[extractLinks]] of `inner`. */
+  def duckLinks(inner: String): String =
+    s"regexp_extract_all($inner, '${sq(hrefPattern)}', 1)"
+
   // ---- DuckDB oracle rendering (the t01 lockstep-generation pattern) ----
 
   private def sq(s: String): String = s.replace("'", "''")

@@ -557,6 +557,29 @@ object TextOps {
     concat(h, regexp_replace(trimmedQ, "/+$", ""))
   }
 
+  /** Resolve an extracted `href` against its page's `base` URL — the
+    * crawl-frontier step between [[graft.text.Html.extractLinks]] and
+    * [[normalizeUrl]]: absolute hrefs (any scheme) pass through,
+    * scheme-relative `//host/…` adopt the base's scheme, root-relative
+    * `/…` join the base origin, and relative paths join the base
+    * directory (a host-only base gains its root slash). Engine-portable
+    * regexp/CASE chain (no UDF, RE2-safe); dot-segment (`../`)
+    * normalization is deliberately not applied — [[normalizeUrl]]'s
+    * dedup identity treats the un-normalized form consistently.
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val pathBase = regexp_replace(base, "[?#].*$", "")
+    val dir = when(pathBase.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$"),
+      concat(pathBase, lit("/")))
+      .otherwise(regexp_replace(pathBase, "[^/]*$", ""))
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .otherwise(concat(dir, href))
+  }
+
   /** Per-source document quota — the crawl-curation cap that stops one
     * domain from dominating a corpus (the public Common-Crawl pipelines
     * all run one): keep at most `maxPerSource` documents per source,

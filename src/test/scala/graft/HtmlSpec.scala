@@ -87,6 +87,36 @@ class HtmlSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("extractLinks: quoted hrefs in order; fragments and unquoted skipped") {
+    val page = "<a href=\"/a\">1</a><A HREF='b.html'>2</A>" +
+      "<a class=\"x\" href=\"http://e.com/c?q=1#s\">3</a>" +
+      "<a href=\"#top\">skip</a><a href=unquoted>skip</a><a>skip</a>"
+    val links = Seq(page).toDF("h")
+      .select(Html.extractLinks(col("h"))).head().getSeq[String](0)
+    assert(links == Seq("/a", "b.html", "http://e.com/c?q=1#s"))
+  }
+
+  test("resolveUrl: absolute, scheme-relative, root-relative, relative") {
+    import graft.text.TextOps
+    val cases = Seq(
+      ("https://s.com/dir/page.html", "http://other.com/p", "http://other.com/p"),
+      ("https://s.com/dir/page.html", "mailto:a@b.c", "mailto:a@b.c"),
+      ("https://s.com/dir/page.html", "//cdn.net/l.js", "https://cdn.net/l.js"),
+      ("https://s.com/dir/page.html", "/root/a", "https://s.com/root/a"),
+      ("https://s.com/dir/page.html", "sub/b.html", "https://s.com/dir/sub/b.html"),
+      ("https://s.com", "x.html", "https://s.com/x.html"), // host-only base
+      ("https://s.com/dir/page?q=1#f", "y", "https://s.com/dir/y"), // query dropped from dir
+      ("https://s.com/dir/page.html", "../up.html", "https://s.com/dir/../up.html")) // no dot-normalization
+    val got = cases.toDF("base", "href", "want")
+      .select(TextOps.resolveUrl(col("base"), col("href")), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} != ${r.getString(1)}"))
+    val n = Seq((null: String, "x")).toDF("base", "href")
+      .select(TextOps.resolveUrl(col("base"), col("href"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("table cells separate; list items each on their own line") {
     val page = "<table><tr><td>a</td><td>b</td></tr></table>" +
       "<ul><li>x</li><li>y</li></ul>"

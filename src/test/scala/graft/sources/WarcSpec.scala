@@ -229,6 +229,42 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawl graph: WARC → links → resolve → normalize → PageRank") {
+    import org.apache.spark.sql.functions._
+    import graft.text.{Html, TextOps}
+    def resp(uri: String, html: String, id: String) = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "Content-Type" -> "application/http;msgtype=response"),
+      httpResponse("200 OK", "text/html", html))
+    // a and b link to hub; hub links to a; b also cites hub with a
+    // tracking param (must collapse to the same node via normalizeUrl)
+    val warc =
+      resp("http://s.com/a", "<a href=\"/hub\">h</a>", "a") +
+        resp("http://s.com/b",
+          "<a href=\"http://s.com/hub?utm_source=x\">h</a>", "b") +
+        resp("http://s.com/hub", "<a href=\"a\">back</a>", "h")
+    val p = writeFile("graph.warc", warc.getBytes("UTF-8"))
+    val pages = WarcSource.records(spark, p.toString)
+      .filter(r => r.warcType == "response").toDF()
+    val edges = pages
+      .select(TextOps.normalizeUrl(col("url")).as("src"),
+        explode(Html.extractLinks(col("body"))).as("href"),
+        col("url"))
+      .select(col("src"),
+        TextOps.normalizeUrl(TextOps.resolveUrl(col("url"), col("href")))
+          .as("dst"))
+    val got = edges.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("s.com/a", "s.com/hub"), ("s.com/b", "s.com/hub"),
+      ("s.com/hub", "s.com/a")))
+    val ranks = graft.operators.PageRank.run(edges, iters = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks.size == 3)
+    assert(ranks("s.com/hub") == ranks.values.max)
+  }
+
   test("garbage and truncated chunks yield no records, not failures") {
     val junk = "WARC/1.0" + CRLF + "no-colon-line" + CRLF + CRLF +
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
