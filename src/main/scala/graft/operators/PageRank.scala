@@ -78,7 +78,13 @@ object PageRank {
       ranks = if (i % checkpointEvery == 0) updated.localCheckpoint()
         else updated
     }
-    ranks.select(col("node"), col("rank_s").as("rank_scaled"),
+    // materialize the final vector, then release the iteration scaffolding
+    // (edges/outdeg/nodes) — without this every run leaks three persisted
+    // frames into the CacheManager
+    val out = ranks.select(col("node"), col("rank_s").as("rank_scaled"),
       (col("rank_s") / lit(scale)).as("rank"))
+      .localCheckpoint()
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    out
   }
 }
