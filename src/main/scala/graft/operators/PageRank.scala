@@ -27,8 +27,10 @@ import org.apache.spark.storage.StorageLevel
   * is hash-partitioned ONCE on `src` and persisted, so each iteration
   * shuffles only the (node, rank) vector (join key + the `dst`
   * aggregation, both partial-aggregated map-side). The dangling mass is
-  * one scalar aggregate per iteration (the IVF-centroid-style deliberate
-  * driver read). Lineage is cut every `checkpointEvery` iterations
+  * a broadcast 1-row aggregate INSIDE the plan — a driver collect per
+  * iteration would re-execute the rank lineage back to the last
+  * checkpoint every iteration. Lineage is cut every `checkpointEvery`
+  * iterations
   * (localCheckpoint — the connected-components discipline), so plan
   * depth stays constant at any iteration count.
   */
@@ -58,11 +60,13 @@ object PageRank {
     for (i <- 1 to iters) {
       val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
       // dangling nodes donate their whole (already-integer) rank to the
-      // uniform pool; linked nodes split theirs across outlinks, each
-      // share rounded to the integer grid before the exact sum
-      val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("rank_s")), lit(0L)))
-        .head().getLong(0)
+      // uniform pool — kept as a broadcast 1-row frame, NOT a driver
+      // collect: a per-iteration action would recompute the rank lineage
+      // back to the last checkpoint every iteration
+      val dangRow = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank_s")), lit(0L)).as("__dang"))
+      // linked nodes split their rank across outlinks, each share
+      // rounded to the integer grid before the exact sum
       val contribs = withDeg.filter(col("outdeg").isNotNull)
         .select(col("node"),
           round(col("rank_s") / col("outdeg")).cast("long").as("c"))
@@ -70,9 +74,11 @@ object PageRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("in_c"))
       val updated = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangRow))
         .withColumn("rank_s", round(
           lit((1.0 - damping) / n * scale) + lit(damping) *
-            (coalesce(col("in_c"), lit(0L)) + lit(dangling.toDouble / n)))
+            (coalesce(col("in_c"), lit(0L)) +
+              col("__dang").cast("double") / lit(n.toDouble)))
           .cast("long"))
         .select(col("node"), col("rank_s"))
       ranks = if (i % checkpointEvery == 0) updated.localCheckpoint()
