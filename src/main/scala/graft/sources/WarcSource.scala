@@ -153,6 +153,25 @@ object WarcSource {
         graft.text.Html.htmlToText(col("body")).as("text"),
         graft.text.Html.htmlNoindex(col("body")).as("noindex"))
 
+  /** The per-host robots registry from the crawl's own robots.txt
+    * captures (2xx responses whose path is exactly `/robots.txt`):
+    * (host, robots_txt), ready for `Robots.filterAllowed`. One capture
+    * per host is kept (smallest record id — deterministic under
+    * re-crawls carrying duplicates).
+    */
+  def robotsByHost(spark: SparkSession, path: String,
+                   maxSplitBytes: Long = 16L * 1024 * 1024): DataFrame = {
+    val r = records(spark, path, maxSplitBytes)
+      .filter(r => r.warcType == "response" &&
+        r.httpStatus >= 200 && r.httpStatus < 300 && r.url != null)
+      .toDF()
+      .filter(graft.text.Robots.urlPath(col("url")) === "/robots.txt")
+      .select(graft.text.Robots.urlHost(col("url")).as("host"),
+        col("recordId"), col("body"))
+    r.groupBy("host")
+      .agg(min_by(col("body"), col("recordId")).as("robots_txt"))
+  }
+
   /** The crawl intake head: successful HTML responses extracted to
     * (url, title, text) via the [[graft.text.Html]] chain — feed this
     * straight into `CorpusPipeline.curate` (with `TextOps.normalizeUrl`

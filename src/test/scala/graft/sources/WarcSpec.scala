@@ -265,6 +265,33 @@ class WarcSpec extends SparkSpec {
     assert(ranks("s.com/hub") == ranks.values.max)
   }
 
+  test("robots captures gate the html intake from the same WARC") {
+    import org.apache.spark.sql.functions._
+    def resp(uri: String, ct: String, body: String, id: String) = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> uri,
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "Content-Type" -> "application/http;msgtype=response"),
+      httpResponse("200 OK", ct, body))
+    val robots = "User-agent: *\r\nDisallow: /private"
+    val warc =
+      resp("http://s.com/robots.txt", "text/plain", robots, "r1") +
+        resp("http://s.com/private/page", "text/html",
+          "<p>secret text here</p>", "p1") +
+        resp("http://s.com/public/page", "text/html",
+          "<p>public text here</p>", "p2") +
+        resp("http://open.org/anything", "text/html",
+          "<p>uncaptured host</p>", "p3")
+    val p = writeFile("robots.warc", warc.getBytes("UTF-8"))
+    val reg = WarcSource.robotsByHost(spark, p)
+    val regRows = reg.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(regRows.toSeq == Seq(("s.com", robots)))
+    val kept = graft.text.Robots.filterAllowed(
+      WarcSource.htmlDocuments(spark, p), "url", reg)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("http://open.org/anything", "http://s.com/public/page"))
+  }
+
   test("garbage and truncated chunks yield no records, not failures") {
     val junk = "WARC/1.0" + CRLF + "no-colon-line" + CRLF + CRLF +
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
