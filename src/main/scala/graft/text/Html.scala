@@ -138,8 +138,10 @@ object Html {
   def htmlNoindex(html: Column): Column =
     html.rlike(noindexNameFirst) || html.rlike(noindexContentFirst)
 
+  // same `(?:[^>]*\s)?` discipline as the img pattern: `data-href`
+  // lazy-loader attributes are not links
   private val hrefPattern =
-    "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>#][^\"'>]*)[\"']"
+    "(?i)<a\\s+(?:[^>]*\\s)?href\\s*=\\s*[\"']([^\"'>#][^\"'>]*)[\"']"
 
   /** Outlink hrefs of a page, in document order (quoted `href`s of `<a>`
     * tags; fragment-only links excluded; raw attribute values — decode
@@ -153,6 +155,18 @@ object Html {
   /** DuckDB expression computing [[extractLinks]] of `inner`. */
   def duckLinks(inner: String): String =
     s"regexp_extract_all($inner, '${sq(hrefPattern)}', 1)"
+
+  // `(?:[^>]*\s)?src` keeps `data-src` lazy-loader attributes out: the
+  // attribute name must start the tag body or follow whitespace
+  private val imgSrcPattern =
+    "(?i)<img\\s+(?:[^>]*\\s)?src\\s*=\\s*[\"']([^\"'>][^\"'>]*)[\"']"
+
+  /** Image `src` URLs in document order — the MEDIA frontier feed: resolve
+    * with [[TextOps.resolveUrl]], fetch, and hand the blobs to the
+    * multimodal intake (`MediaPipeline.curateMedia`).
+    */
+  def extractImageLinks(html: Column): Column =
+    regexp_extract_all(html, lit(imgSrcPattern), lit(1))
 
   // ---- DuckDB oracle rendering (the t01 lockstep-generation pattern) ----
 

@@ -90,10 +90,19 @@ class HtmlSpec extends SparkSpec {
   test("extractLinks: quoted hrefs in order; fragments and unquoted skipped") {
     val page = "<a href=\"/a\">1</a><A HREF='b.html'>2</A>" +
       "<a class=\"x\" href=\"http://e.com/c?q=1#s\">3</a>" +
-      "<a href=\"#top\">skip</a><a href=unquoted>skip</a><a>skip</a>"
+      "<a href=\"#top\">skip</a><a href=unquoted>skip</a><a>skip</a>" +
+      "<a data-href=\"lazy.html\">skip</a>"
     val links = Seq(page).toDF("h")
       .select(Html.extractLinks(col("h"))).head().getSeq[String](0)
     assert(links == Seq("/a", "b.html", "http://e.com/c?q=1#s"))
+  }
+
+  test("extractImageLinks: img srcs in order, data URIs included as-is") {
+    val page = "<img src=\"/i/a.png\"><IMG alt=\"x\" SRC='b.jpg'/>" +
+      "<img data-src=\"lazy.png\"><img src=\"https://c.net/c.webp\">"
+    val links = Seq(page).toDF("h")
+      .select(Html.extractImageLinks(col("h"))).head().getSeq[String](0)
+    assert(links == Seq("/i/a.png", "b.jpg", "https://c.net/c.webp"))
   }
 
   test("resolveUrl: absolute, scheme-relative, root-relative, relative") {
