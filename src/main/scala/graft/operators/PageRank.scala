@@ -56,6 +56,9 @@ object PageRank {
       .distinct()
       .persist(StorageLevel.DISK_ONLY)
     val n = nodes.count()
+    // an empty graph must fail loudly: scale/0 would seed Long.MaxValue
+    // ranks and the dangling division would emit NaN — silent garbage
+    require(n > 0, "PageRank.run: edge frame has no nodes")
     var ranks = nodes.withColumn("rank_s", lit(math.round(scale / n)))
     for (i <- 1 to iters) {
       val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")

@@ -26,13 +26,15 @@ case class WarcRecord(
   * an uncompressed WARC corpus parses with every HDFS block an
   * independent task and no shuffle anywhere in read→extract→curate.
   *
-  * Records split on `CRLF CRLF "WARC/1.0" CRLF` — the record terminator
-  * plus the next record's version line, so a payload line containing the
-  * bare string `WARC/1.0` mid-text cannot false-split (it would need the
-  * preceding blank line AND the line-positioned version string — the
-  * [[WikiXmlSource]] `</page>` assumption, strictly narrower here).
-  * The FIRST record of each file keeps its own leading version line;
-  * [[parseRecord]] tolerates both shapes.
+  * Records split on `CRLF CRLF "WARC/"` — the record terminator plus the
+  * next record's version-line PREFIX, so WARC/1.0 and WARC/1.1 archives
+  * (ISO 28500:2017 — what wget ≥ 1.20 emits) both split correctly, and a
+  * payload line containing the bare string `WARC/…` mid-text cannot
+  * false-split (it would need the preceding blank line AND the
+  * line-positioned version prefix — the [[WikiXmlSource]] `</page>`
+  * assumption, strictly narrower here). The FIRST record of each file
+  * keeps its whole version line and later chunks keep the version
+  * remainder (`1.0`/`1.1`); [[parseRecord]] tolerates both shapes.
   *
   * Compression: `.warc.gz` files read through the Hadoop codec — real
   * Common Crawl archives are per-record gzip MEMBERS, which Java's
@@ -55,7 +57,7 @@ object WarcSource {
               maxSplitBytes: Long = 16L * 1024 * 1024): Dataset[WarcRecord] = {
     import spark.implicits._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/1.0\r\n")
+    conf.set("textinputformat.record.delimiter", "\r\n\r\nWARC/")
     conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
     spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat],
@@ -65,14 +67,22 @@ object WarcSource {
       .toDS()
   }
 
-  /** Parse one delimiter-split chunk; None for non-record chunks. */
+  private val versionRemainder =
+    java.util.regex.Pattern.compile("^\\d+\\.\\d+\r\n")
+
+  /** Parse one delimiter-split chunk; None for non-record chunks. First
+    * chunks carry a full `WARC/x.y` version line, later chunks the
+    * remainder after the delimiter's `WARC/` prefix — both dropped.
+    */
   def parseRecord(chunk: String): Option[WarcRecord] = {
-    // first-of-file chunks keep their own version line
     val rec0 =
       if (chunk.startsWith("WARC/")) {
         val nl = chunk.indexOf("\r\n")
         if (nl < 0) return None else chunk.substring(nl + 2)
-      } else chunk
+      } else {
+        val m = versionRemainder.matcher(chunk)
+        if (m.find()) chunk.substring(m.end()) else chunk
+      }
     if (rec0.trim.isEmpty) return None
     val headEnd = rec0.indexOf("\r\n\r\n")
     if (headEnd < 0) return None
@@ -130,7 +140,7 @@ object WarcSource {
   def recordsStream(spark: SparkSession, dir: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.readStream.format("text")
-      .option("lineSep", "\r\n\r\nWARC/1.0\r\n")
+      .option("lineSep", "\r\n\r\nWARC/")
       .load(dir)
       .as[String]
       .flatMap(parseRecord)

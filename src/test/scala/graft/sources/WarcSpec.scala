@@ -101,6 +101,18 @@ class WarcSpec extends SparkSpec {
     assert(recs.count(_.warcType == "response") == 3)
   }
 
+  test("WARC/1.1 archives parse identically (version-agnostic delimiter)") {
+    val v11 = sampleWarc.replace("WARC/1.0", "WARC/1.1")
+    val p = writeFile("sample11.warc", v11.getBytes("UTF-8"))
+    val recs = WarcSource.records(spark, p).collect()
+    assert(recs.length == 5)
+    assert(recs.count(_.warcType == "response") == 3)
+    // the script payload's embedded version string (also rewritten by the
+    // replace) still intact — no false split
+    assert(recs.find(_.recordId == "<urn:uuid:resp-1>").get
+      .body.contains("WARC/1.1"))
+  }
+
   test("htmlDocuments keeps only 2xx text/html and extracts title + text") {
     val p = writeFile("sample2.warc", sampleWarc.getBytes("UTF-8"))
     val docs = WarcSource.htmlDocuments(spark, p).collect()
