@@ -22,6 +22,32 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
 
+  /** Salted two-phase per-group TOP-N — the window twin of the salted
+    * aggregations: a single `row_number` window routes a hot group's
+    * every row through one task; phase 1 ranks within (group, salt lane)
+    * and keeps `n` per lane (the global per-group top-N is necessarily
+    * contained in the union of per-lane top-Ns), so phase 2's per-group
+    * window ranks ≤ saltParts × n rows — bounded regardless of group
+    * skew, results identical to the naive window. `saltKey` must be
+    * deterministic per row (an id column) so lane assignment is stable.
+    * Shared by `TextOps.sourceQuota` (domain caps) and
+    * `Similarity.clusterSample` (per-cell diversity quotas) — one
+    * implementation, spec-pinned ≡ the naive window from both callers.
+    */
+  def saltedTopN(df: DataFrame, partitionCols: Seq[Column], saltKey: Column,
+                 ordering: Seq[Column], n: Int,
+                 saltParts: Int = 32): DataFrame = {
+    require(n > 0 && saltParts > 0, s"n=$n saltParts=$saltParts")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols :+ pmod(xxhash64(saltKey), lit(saltParts)): _*)
+      .orderBy(ordering: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols: _*).orderBy(ordering: _*)
+    df.withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= n)
+      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= n)
+      .drop("__r1", "__r2")
+  }
+
   /** Salted sum of a numeric column (same two-phase shape). */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))

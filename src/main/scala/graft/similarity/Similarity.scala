@@ -278,15 +278,8 @@ object Similarity {
     val ord =
       if (keep == "diverse") Seq(col("dist").desc, col(idCol))
       else Seq(col("dist").asc, col(idCol))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell"), pmod(xxhash64(col(idCol)), lit(saltParts)))
-      .orderBy(ord: _*)
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cell")).orderBy(ord: _*)
-    scored
-      .withColumn("__r1", row_number().over(w1)).filter(col("__r1") <= perCluster)
-      .withColumn("__r2", row_number().over(w2)).filter(col("__r2") <= perCluster)
-      .drop("__r1", "__r2")
+    graft.operators.Skew.saltedTopN(scored, Seq(col("cell")), col(idCol),
+      ord, perCluster, saltParts)
   }
 
   /** IVF top-k: assign every vector to its nearest centroid cell, find the

@@ -598,19 +598,9 @@ object TextOps {
     */
   def sourceQuota(df: org.apache.spark.sql.DataFrame, sourceCol: String,
                   idCol: String, maxPerSource: Int,
-                  saltParts: Int = 32): org.apache.spark.sql.DataFrame = {
-    require(maxPerSource > 0 && saltParts > 0)
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol), pmod(xxhash64(col(idCol)), lit(saltParts)))
-      .orderBy(col(idCol))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(col(idCol))
-    df.withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= maxPerSource)
-      .withColumn("__r2", row_number().over(w2))
-      .filter(col("__r2") <= maxPerSource)
-      .drop("__r1", "__r2")
-  }
+                  saltParts: Int = 32): org.apache.spark.sql.DataFrame =
+    graft.operators.Skew.saltedTopN(df, Seq(col(sourceCol)), col(idCol),
+      Seq(col(idCol)), maxPerSource, saltParts)
 
   /** Per-source corpus profile — the report a curation run publishes per
     * ingest: document and token volumes, the median document length, and
