@@ -40,14 +40,19 @@ object Dedup {
     * map-side-collapsing aggregation contract as [[exact]]: min_by over a
     * (−score, id) ordering struct (planned as a SortAggregate with a
     * partial phase, spec-pinned), NOT a window — at most one candidate
-    * row per distinct content per partition crosses the wire.
+    * row per distinct content per partition crosses the wire. A NULL
+    * score ranks LAST (it coalesces to the ordering's positive
+    * infinity) — without the coalesce, null sorts first in the struct
+    * ordering and an unscored replica would beat every real-scored one,
+    * the opposite of any sensible retention policy.
     */
   def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
                     scoreCol: Column): DataFrame = {
     val cols = df.columns.toSeq
     df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__h"))
       .agg(min_by(struct(cols.map(col): _*),
-        struct(negate(scoreCol.cast("double")), col(idCol))).as("__r"))
+        struct(coalesce(negate(scoreCol.cast("double")),
+          lit(Double.PositiveInfinity)), col(idCol))).as("__r"))
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
@@ -909,6 +914,54 @@ object Dedup {
           x => x.getField("span")), " ").as("clean_text"))
   }
 
+  /** Corpus-first-WINNER marking shared by the span/line/window dedup
+    * tiers (d08/d18/d19): given one row per (document, distinct key)
+    * carrying the document's first position in `pos`, mark each row with
+    * whether it is the corpus-first occurrence of its key — the
+    * lexicographic minimum (id, pos).
+    *
+    * Scale shape (replacing the former
+    * `min(struct(id, pos)).over(Window.partitionBy(key))`): a corpus-hot
+    * key — "Privacy Policy"-class boilerplate contained in nearly EVERY
+    * document — would route its one-row-per-containing-doc set (~corpus
+    * cardinality) through ONE window-sort task, the classic skew
+    * straggler at 10^10 documents. Instead: (1) the skeleton is persisted
+    * once (DISK_ONLY, lineage kept — `Bridge.persistedCopy`, the pipeline
+    * Materialize precedent) because it now feeds two consumers, so the
+    * dominant explode+collapse stage still runs exactly once; (2) winners
+    * derive from `groupBy(key).agg(min(struct(id, pos)))`, whose PARTIAL
+    * phase combines map-side — the key-hashed exchange carries at most
+    * one candidate per key per map partition regardless of skew, the
+    * exact e-phase discipline of [[graft.operators.Skew.saltedTopN]]
+    * applied to an associative min; (3) the winner joins back on the
+    * COMPOSITE (key, id, pos) — a hot key's rows carry distinct ids, so
+    * the join's hash partitioning spreads them uniformly. No partition
+    * anywhere scales with a key's document count (LineDedupBench pins
+    * the per-task bound with a line planted in every document). Join
+    * keys are null-SAFE (`<=>`) so d18's per-occurrence blank-line key
+    * (null on content lines) matches itself.
+    *
+    * Returns the skeleton's rows plus a boolean `markCol`; the persisted
+    * blocks are freed by the ContextCleaner when the result is GC'd.
+    */
+  private def markCorpusFirst(perDoc: DataFrame, keyCols: Seq[String],
+                              idCol: String, markCol: String): DataFrame = {
+    val pd = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      perDoc, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val winners = pd.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .select(keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") } ++
+        Seq(col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"),
+          lit(true).as(markCol)): _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (k, i) => pd(k) <=> winners(s"__k$i") }
+      .reduce(_ && _) &&
+      pd(idCol) === winners("__wid") && pd("pos") === winners("__wpos")
+    pd.join(winners, cond, "left")
+      .select(pd.columns.toIndexedSeq.map(pd(_)) :+
+        coalesce(winners(markCol), lit(false)).as(markCol): _*)
+  }
+
   /** Span-level exact dedup (the C4/RefinedWeb-style pass): each document
     * is cut into consecutive `spanTokens`-token spans, every span occurrence
     * except the corpus-FIRST one (minimum (id, position)) is removed, and
@@ -926,14 +979,15 @@ object Dedup {
     * Shuffle shape at scale: span TEXT never shuffles more than once per
     * (document, distinct span), and the corpus is scanned ONCE. Occurrences
     * first collapse map-side to (id, span, min pos) — the (id, span) key is
-    * not skewed. The corpus-first winner per distinct span is then a
-    * `min(struct(id, pos))` WINDOW over the span-keyed exchange, not a
-    * separate aggregation joined back: a second branch over the span rows
-    * would re-plan (and re-run) the dominant explode+collapse stage for the
-    * winners side — the same double-branch trap the LSH bucket sizing hit —
-    * while the window derives the verdict on the one exchange the verdict
-    * consumer needs anyway. A hot boilerplate span routes one row per
-    * containing document (never per occurrence) into its window partition;
+    * not skewed. The corpus-first winner per distinct span comes from
+    * [[markCorpusFirst]]: the collapsed skeleton is persisted once (so the
+    * dominant explode+collapse stage never re-runs — the double-branch
+    * trap the LSH bucket sizing hit), winners are a partial-aggregated
+    * `min(struct(id, pos))` groupBy whose exchange carries at most one
+    * candidate per span per map partition, and the verdict joins back on
+    * the composite (span, id, pos) — so a boilerplate span contained in
+    * EVERY document never concentrates in one task (the former
+    * span-partitioned window sorted its whole containing-doc set in one);
     * reassembly groups by id (unskewed).
     */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
@@ -962,12 +1016,11 @@ object Dedup {
     // collapse within-doc repeats map-side; keep each doc's first occurrence
     val perDoc = spans.groupBy(col(idCol), col("n_spans"), col("span"))
       .agg(min(col("pos")).as("pos"))
-    // corpus-first occurrence per distinct span: lexicographic (id, pos)
-    // min as a window over the span partition (single scan, see scaladoc)
-    val w = Window.partitionBy(col("span"))
-    perDoc
-      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
-      .filter(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"))
+    // corpus-first occurrence per distinct span: salted two-phase min +
+    // composite-key join-back (see markCorpusFirst — a window over the
+    // span key would sort a hot span's whole containing-doc set in one task)
+    markCorpusFirst(perDoc, Seq("span"), idCol, "__isw")
+      .filter(col("__isw"))
       .groupBy(col(idCol), col("n_spans"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("span")))),
@@ -993,12 +1046,12 @@ object Dedup {
     * Shuffle shape at scale (the L25 discipline): ONE corpus scan; line
     * occurrences collapse map-side to (id, distinct line, min pos) on
     * the unskewed (id, line) key, so a boilerplate line shared by every
-    * document routes ONE row per containing document into its
-    * line-partition window, never one per occurrence; blank lines ride
-    * the same exchange in singleton partitions (the partition key gains
-    * their (id, pos), so no corpus-wide ""-partition ever forms); the
-    * verdict is a min(struct) window on the one exchange; reassembly
-    * groups by the unskewed id.
+    * document contributes ONE row per containing document downstream,
+    * never one per occurrence; blank lines carry singleton keys (the key
+    * gains their (id, pos), so no corpus-wide ""-group ever forms); the
+    * verdict is [[markCorpusFirst]]'s salted two-phase min + composite
+    * join-back — no partition scales with a line's document count;
+    * reassembly groups by the unskewed id.
     */
   def dedupLinesGlobal(df: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
@@ -1012,10 +1065,13 @@ object Dedup {
         when(isBlank, struct(col(idCol), col("pos"))).otherwise(lit(null)))
       .groupBy(col(idCol), col("line"), col("__bk"))
       .agg(min(col("pos")).as("pos"))
-    val w = Window.partitionBy(col("line"), col("__bk"))
-    perDoc
-      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
-      .filter(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"))
+    // corpus-first winner per (line, blank-key): salted two-phase min +
+    // composite join-back (markCorpusFirst) — a line-partitioned window
+    // would sort a universal boilerplate line's whole doc set in one task;
+    // the null-safe key lets blank rows' singleton (id, pos) keys and the
+    // content rows' null __bk both match themselves through the join
+    markCorpusFirst(perDoc, Seq("line", "__bk"), idCol, "__isw")
+      .filter(col("__isw"))
       .groupBy(col(idCol))
       .agg(
         count(when(trim(col("line")) =!= "", 1)).as("n_kept"),
@@ -1045,12 +1101,14 @@ object Dedup {
     * Shuffle shape at scale: occurrences collapse map-side to one row per
     * (document, distinct window) carrying the position LIST (within-doc
     * repeats are rare and bounded by doc length), so a corpus-hot
-    * boilerplate window routes ONE row per containing document into its
-    * window partition — the L25 discipline; the removal verdict is a
-    * min(struct) window on that one exchange; coverage marking is
-    * row-local (`exists` over the doc's removed-start list); reassembly
-    * re-reads the corpus once (2 scans total, the d16 shape — window rows
-    * carry no payload back). Window STRINGS ride the exchange by default
+    * boilerplate window contributes ONE row per containing document
+    * downstream — the L25 discipline; the removal verdict is
+    * [[markCorpusFirst]]'s salted two-phase min + composite join-back
+    * (no partition scales with a window's document count); coverage
+    * marking is row-local (`exists` over the doc's removed-start list);
+    * reassembly re-reads the corpus once (2 parquet scans total, the d16
+    * shape — verdict rows carry no payload back). Window STRINGS ride
+    * the exchange by default
     * (the d08 convention: cross-engine comparability over a 64-bit
     * hash's collision risk); `hashWindows = true` is the 100 TB escape
     * hatch — the exchange key becomes `xxhash64(window)` (~6× fewer
@@ -1076,12 +1134,12 @@ object Dedup {
       else winsRaw.withColumn("win", xxhash64(col("win")))
     val perDoc = wins.groupBy(col(idCol), col("win"))
       .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
-    val w = Window.partitionBy(col("win"))
-    val removed = perDoc
-      .withColumn("__w", min(struct(col(idCol), col("pos"))).over(w))
+    // corpus-first winner per distinct window: salted two-phase min +
+    // composite join-back (markCorpusFirst) — a win-partitioned window
+    // would sort a hot window's whole containing-doc set in one task
+    val removed = markCorpusFirst(perDoc, Seq("win"), idCol, "__isw")
       .withColumn("__rm",
-        when(col(s"__w.$idCol") === col(idCol) && col("__w.pos") === col("pos"),
-          array_except(col("poss"), array(col("pos"))))
+        when(col("__isw"), array_except(col("poss"), array(col("pos"))))
           .otherwise(col("poss")))
       .filter(size(col("__rm")) > 0)
       .groupBy(col(idCol))

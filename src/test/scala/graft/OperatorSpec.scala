@@ -1874,6 +1874,20 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("partial_min_by"), s"no map-side partial:\n$plan")
   }
 
+  test("exactKeepBest ranks NULL scores last, never ahead of a scored replica") {
+    // null sorts FIRST in Spark's struct ordering, so an uncoalesced
+    // negate(score) would elect the unscored replica as "best" — the
+    // opposite of any sensible retention policy
+    val pool = Seq(
+      (1L, "shared", Some(0.1)),
+      (2L, "shared", None),        // unscored replica must lose to id 1
+      (3L, "only nulls", None),
+      (4L, "only nulls", None)     // all-null group: min id wins
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(pool, "text", "doc_id", col("score"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("normalizeUrl canonicalizes scheme/www/port/fragment/tracking/slash variants") {
     val cases = Seq(
       // every variant of the same page → one canonical form

@@ -107,27 +107,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("d08 span dedup scans the corpus once and collapses spans map-side") {
-    val p = executedPlan("d08_span_dedup")
-    // the winner per span is a window over the span-keyed exchange, NOT a
-    // second aggregation branch — a join-back would re-plan (and re-run)
-    // the dominant explode+collapse stage as a second corpus scan
+  /** The corpus-first-winner contract shared by d08/d18/d19 (see
+    * Dedup.markCorpusFirst): NO window over the hot content key — a
+    * `min(struct).over(Window.partitionBy(key))` sorts a universal
+    * boilerplate key's whole containing-doc set in ONE task at corpus
+    * scale; instead the winner is a partial-aggregated min whose exchange
+    * is bounded per map partition, joined back on a composite key that
+    * includes the (unskewed) doc id; and the collapsed skeleton is
+    * materialized exactly once, so the winner branch never re-runs the
+    * dominant explode+collapse stage.
+    */
+  private def assertSaltedCorpusFirst(q: String, parquetScans: Int): Unit = {
+    val p = executedPlan(q)
+    assert(!p.contains("Window"),
+      s"$q regressed to a hot-key window sort:\n$p")
+    // winners combine map-side: partial_min(struct(id, pos)) below the
+    // key-only exchange bounds it to one candidate per key per partition
+    assert(p.contains("partial_min(struct("),
+      s"$q winner min is not partial-aggregated:\n$p")
+    // the join-back exchange hashes on (key..., id, pos) — the id spreads
+    // a hot key's rows; a key-only join exchange would re-concentrate them
+    assert("hashpartitioning\\([^\\n]*isnull\\([^\\n]*\\w+#\\d+L?, pos#\\d+".r
+      .findFirstIn(p).isDefined,
+      s"$q join-back does not spread the hot key over (id, pos):\n$p")
+    // the skeleton materializes ONCE: both consumers read the same
+    // persisted RDD (winner derivation must not re-run explode+collapse)
+    val rdds = "MapPartitionsRDD\\[\\d+\\] at persistedCopy".r.findAllIn(p).toSeq
+    assert(rdds.size == 2 && rdds.distinct.size == 1,
+      s"$q skeleton is not shared-once (${rdds.size} reads, ${rdds.distinct.size} RDDs):\n$p")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"winner derivation re-scans the corpus ($scans scans):\n$p")
-    // raw span occurrences never cross the wire: the within-doc collapse
-    // partial-aggregates below the first exchange
-    assert(p.contains("partial_min"), s"span collapse is not map-side:\n$p")
+    assert(scans == parquetScans,
+      s"$q re-scans the corpus ($scans parquet scans, want $parquetScans):\n$p")
   }
 
-  test("d18 line dedup scans the corpus once and collapses lines map-side") {
-    val p = executedPlan("d18_line_dedup")
-    // corpus-first winner is a window on the ONE line-keyed exchange —
-    // blanks riding the same exchange (not a second union branch over the
-    // explode) is the point of the per-occurrence partition key
-    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"line winner derivation re-scans the corpus ($scans scans):\n$p")
-    // line OCCURRENCES collapse below the exchange (partial min(pos))
-    assert(p.contains("partial_min"), s"line collapse is not map-side:\n$p")
+  test("d08 span dedup: salted corpus-first winner, skeleton shared once") {
+    // 0 outer parquet scans: the one corpus scan lives inside the
+    // persisted skeleton's lineage
+    assertSaltedCorpusFirst("d08_span_dedup", parquetScans = 0)
+  }
+
+  test("d18 line dedup: salted corpus-first winner, skeleton shared once") {
+    assertSaltedCorpusFirst("d18_line_dedup", parquetScans = 0)
+  }
+
+  test("d19 substring dedup: salted corpus-first winner + one reassembly scan") {
+    // 1 outer parquet scan: reassembly re-reads the corpus (the d16
+    // 2-scan shape; the skeleton-building scan is inside the persisted RDD)
+    assertSaltedCorpusFirst("d19_substring_dedup", parquetScans = 1)
   }
 
   test("t24 html extraction stays a scan-local projection") {
@@ -139,19 +165,6 @@ class PlanSpec extends SparkSpec {
     // smuggled in an aggregation/join
     assert(!p.contains("hashpartitioning"),
       s"html chain introduced a hash exchange:\n$p")
-  }
-
-  test("d19 substring dedup: 2 scans, occurrences collapse map-side") {
-    val p = executedPlan("d19_substring_dedup")
-    // windows branch + reassembly re-read — the d16 two-scan shape; a
-    // third scan would mean the winner derivation re-ran the explode
-    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 2, s"substring dedup scans the corpus $scans times:\n$p")
-    // per-(doc, window) collapse partial-aggregates below the exchange:
-    // a hot window must route one row per containing doc, not per
-    // occurrence
-    assert(p.contains("partial_min") || p.contains("partial_collect_list"),
-      s"occurrence collapse is not map-side:\n$p")
   }
 
   test("t27 bm25: row-local scoring, single stats broadcast, no term shuffle") {
