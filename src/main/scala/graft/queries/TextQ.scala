@@ -887,12 +887,18 @@ private[queries] object HtmlSalt {
   val p0 = "<html><!-- crawl-id "
   val p1a = " --><head>"
   val robotsMeta = "<meta content=\"noindex, nofollow\" name=\"robots\">"
-  val p1b = "<title>Doc &amp; "
+  val p1b = "<title>Doc &amp; &#8482; "
   val p2 = " &ndash; site</title><style type=\"text/css\">p > a{color:red}" +
     "</style><script>if(x){document.write(\"<p>hi</p>\");}</script></head>" +
     "<body><h1>Heading "
   val p3 = "</h1>\n<p>"
-  val p4 = "&nbsp;tail &lt;tag&gt; &amp;lt; &copy; "
+  // numeric-reference exercises (round 11): decimal + hex + uppercase-X
+  // refs decode; the double-encoded `&amp;#60;` and the amp-deferred
+  // `&#038;amp;` must decode exactly ONCE; a lone surrogate and an
+  // out-of-BMP code pass through; `&#160;` lands as a plain space
+  val p4 = "&nbsp;tail &lt;tag&gt; &amp;lt; &copy; em&#8212;dash &#x2713; " +
+    "&#X41;row &amp;#60;once &#038;amp;later &#xD800;keep &#999999;big " +
+    "&#160;gap "
   val p5 = "</p><div class=\"nav\"><ul><li>Home</li><li>About</li></ul>" +
     "</div><table><tr><td>cell a</td><td>b &rdquo;q&rdquo;</td></tr>" +
     "</table><br/><a href=\"/x?a=1&amp;b=2\">link text</a></body></html>"

@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
 /** One parsed WARC record (ISO 28500 layout: version line, named headers,
   * blank line, content block). For `response` records the HTTP envelope is
   * parsed off the payload: `httpStatus`/`httpContentType` come from the
-  * HTTP head and `body` is the entity body alone.
+  * HTTP head and `body` is the entity body alone. `truncated` flags a
+  * record whose payload came back materially SHORTER than its declared
+  * `Content-Length` — the signature of a false split (a payload that
+  * itself contained the record delimiter byte sequence, e.g. a page
+  * quoting raw WARC content), so intake filters can quarantine the
+  * evidence instead of silently ingesting a cut-off document.
   */
 case class WarcRecord(
     warcType: String,
@@ -19,7 +24,8 @@ case class WarcRecord(
     contentType: String,
     httpStatus: Int,
     httpContentType: String,
-    body: String)
+    body: String,
+    truncated: Boolean)
 
 /** Scalable WARC (web-archive / Common Crawl) reader — the crawl-side
   * twin of [[WikiXmlSource]]: same splittable record-delimiter design, so
@@ -29,7 +35,7 @@ case class WarcRecord(
   * Records split on `CRLF CRLF "WARC/"` — the record terminator plus the
   * next record's version-line PREFIX, so WARC/1.0 and WARC/1.1 archives
   * (ISO 28500:2017 — what wget ≥ 1.20 emits) both split correctly, and a
-  * payload line containing the bare string `WARC/…` mid-text cannot
+  * payload line containing the bare string `WARC/…` mid-text does not
   * false-split (it would need the preceding blank line AND the
   * line-positioned version prefix — the [[WikiXmlSource]] `</page>`
   * assumption, strictly narrower here). The FIRST record of each file
@@ -47,8 +53,17 @@ case class WarcRecord(
   * reader (invalid bytes replaced) — the right trade for a TEXT pipeline;
   * binary payloads (images) should be routed by `httpContentType` to a
   * bytes-preserving ingest instead. `Content-Length` is deliberately not
-  * trusted after decode (byte offsets shift); the delimiter carries the
-  * record structure.
+  * used for FRAMING after decode (byte offsets shift); the delimiter
+  * carries the record structure. The delimiter bound, stated honestly: a
+  * payload that legitimately CONTAINS the `CRLF CRLF "WARC/"` byte
+  * sequence (a page quoting raw WARC content, unusual binary payloads)
+  * DOES false-split — the record's body is cut at that point and the
+  * tail is dropped as a non-record chunk. [[parseRecord]] therefore
+  * cross-checks the parsed payload against the record's declared
+  * `Content-Length` and flags materially-short records `truncated`, so
+  * the (rare) false splits surface as filterable evidence rather than
+  * silent data loss; reference WARC readers frame by Content-Length and
+  * pay for it with strictly sequential reads.
   */
 object WarcSource {
 
@@ -89,6 +104,18 @@ object WarcSource {
     val headers = parseHeaders(rec0.substring(0, headEnd))
     val warcType = headers.getOrElse("warc-type", return None)
     val payload = stripTrailingCrlf(rec0.substring(headEnd + 4))
+    // truncation evidence: a false split (payload containing the record
+    // delimiter) leaves this chunk's payload materially shorter than the
+    // record's declared Content-Length. UTF-8 replacement decode can only
+    // GROW the re-encoded byte length (invalid byte → 3-byte U+FFFD) and
+    // stripTrailingCrlf removes at most the record-terminator CRLFs, so a
+    // small slack absorbs the decode ambiguity without masking real cuts.
+    val declaredLen = headers.get("content-length")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(-1L)
+    val truncated = declaredLen > 0 && {
+      val got = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      got + 8 < declaredLen
+    }
     val (status, httpCt, body) =
       if (payload.startsWith("HTTP/")) parseHttp(payload)
       else (-1, null: String, payload)
@@ -100,7 +127,8 @@ object WarcSource {
       contentType = headers.getOrElse("content-type", null),
       httpStatus = status,
       httpContentType = httpCt,
-      body = body))
+      body = body,
+      truncated = truncated))
   }
 
   private def parseHeaders(head: String): Map[String, String] =

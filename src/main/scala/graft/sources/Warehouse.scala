@@ -378,9 +378,39 @@ object Warehouse {
     out.write(manifest.getBytes("UTF-8"))
     out.close()
     val target = new org.apache.hadoop.fs.Path(rootPath, s"v$version")
+    promoteStaging(fs, staging, target)
+    target.toString
+  }
+
+  /** Promote a fully-written staging snapshot to its versioned target —
+    * the commit point of [[publishShards]]. fs.rename has POSIX mv
+    * semantics on HDFS and several Hadoop FileSystems: when the
+    * destination is an EXISTING directory it moves the source INTO it
+    * (returning true) instead of failing, so a concurrent publish that
+    * created v<N> first would silently receive this staging dir nested
+    * inside the already-published snapshot readers are promised never to
+    * see half-formed. Rename, then verify the commit landed AS v<N>
+    * (manifest directly under it, no nested staging child); on the race,
+    * remove the nested copy (our own files — the winner's snapshot is
+    * left untouched) and fail loudly so the caller retries as a fresh
+    * version.
+    */
+  private[sources] def promoteStaging(fs: org.apache.hadoop.fs.FileSystem,
+                                      staging: org.apache.hadoop.fs.Path,
+                                      target: org.apache.hadoop.fs.Path): Unit = {
     require(fs.rename(staging, target),
       s"publishShards: rename $staging -> $target failed (concurrent publish?)")
-    target.toString
+    val nested = new org.apache.hadoop.fs.Path(target, staging.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"publishShards: $target already existed (concurrent publish won the " +
+          "rename) — nested staging removed, existing snapshot untouched; " +
+          "retry to publish as a new version")
+    }
+    require(fs.exists(new org.apache.hadoop.fs.Path(target, "_MANIFEST.json")),
+      s"publishShards: $target has no _MANIFEST.json after rename — " +
+        "staging landed somewhere unexpected")
   }
 
   /** Highest published version under `root` (its path), if any. */

@@ -25,26 +25,53 @@ import org.apache.spark.sql.functions._
   *  2. block-level tags (p, div, h1-6, li, tr, br, …) become newlines so
   *     paragraph structure survives for the line/span dedup tiers;
   *  3. remaining tags stripped;
-  *  4. one entity-decode pass over the common named + numeric entities
-  *     ([[entityTable]]) — single-pass on purpose: double-encoded
-  *     `&amp;lt;` decodes to the literal text `&lt;`, exactly once;
-  *  5. whitespace normalization: horizontal runs collapse to one space,
-  *     spaces around newlines drop, 3+ blank lines collapse to one blank
-  *     line, edges trimmed.
+  *  4. one entity-decode pass: the GENERIC numeric character-reference
+  *     decode ([[NumRefs]] — any `&#NNNN;`/`&#xHHHH;` to its BMP code
+  *     point) followed by the common named entities ([[entityTable]]) —
+  *     single-pass on purpose: double-encoded `&amp;lt;` decodes to the
+  *     literal text `&lt;`, exactly once (the amp-valued references
+  *     `&#38;`/`&#x26;` decode LAST with `&amp;` for the same reason);
+  *  5. whitespace normalization: horizontal runs collapse to one space
+  *     (NBSP — decoded or raw — included), spaces around newlines drop,
+  *     3+ blank lines collapse to one blank line, edges trimmed.
   *
-  * Exotic named entities outside [[entityTable]] and non-listed numeric
-  * references pass through as literal text (documented bound, not a
+  * Exotic named entities outside [[entityTable]] and numeric references
+  * above the BMP pass through as literal text (documented bound, not a
   * silent failure mode — extend the table to widen coverage; the oracle
   * widens in lockstep because both sides render from it).
   */
 object Html {
 
-  /** One rendering-agnostic chain step: a regex replacement or a literal
-    * string replacement (entities).
+  /** One rendering-agnostic chain step: a regex replacement, a literal
+    * string replacement (entities), or the generic numeric
+    * character-reference decode (a fold, not a replacement — see
+    * [[NumRefs]]).
     */
   sealed trait Step
   final case class Re(pattern: String, repl: String) extends Step
   final case class Lit(from: String, to: String) extends Step
+
+  /** Generic `&#NNNN;` / `&#xHHHH;` decode — the step a finite entity
+    * table can't express: each matched reference decodes to its Unicode
+    * code point. Rendered as the same fold on both sides (Spark:
+    * `aggregate(regexp_extract_all(...), text, replace)`; DuckDB:
+    * `list_reduce(list_prepend(...), replace)`), so the engines cannot
+    * drift. Bounds, identical both sides by construction: BMP code
+    * points only (1..0xFFFF excluding surrogates — `chr` above the BMP
+    * would need surrogate-pair assembly Spark's `decode` can't express
+    * portably; >0xFFFF references pass through as literal text),
+    * digit-count capped by the pattern (no 64-bit wraparound aliasing),
+    * and code 38 (`&`) DEFERRED to the entity table's final amp group so
+    * `&#038;lt;` decodes to literal `&lt;` exactly once — the
+    * single-pass contract.
+    */
+  case object NumRefs extends Step
+
+  /** Digit counts capped: 7 decimal / 6 hex digits keep every parse far
+    * inside integer range, so overflow can never alias into the valid
+    * code-point window.
+    */
+  val numRefPattern: String = "&#(?:[0-9]{1,7}|[xX][0-9a-fA-F]{1,6});"
 
   /** Single-decode entity table. Order is load-bearing: `&amp;`/`&#38;`
     * decode LAST so `&amp;lt;` yields literal `&lt;` (one pass), never a
@@ -63,7 +90,7 @@ object Html {
     "&lsquo;" -> "‘", "&rsquo;" -> "’",
     "&copy;" -> "©", "&reg;" -> "®", "&trade;" -> "™",
     "&deg;" -> "°", "&euro;" -> "€", "&pound;" -> "£",
-    "&amp;" -> "&", "&#38;" -> "&")
+    "&amp;" -> "&", "&#38;" -> "&", "&#038;" -> "&", "&#x26;" -> "&")
 
   /** Elements whose CONTENT is dropped (no backreference — one chained
     * pattern per tag keeps it RE2-safe for the oracle).
@@ -96,13 +123,36 @@ object Html {
         Re(s"(?i)(?:</?(?:$blockTagAlt)(?:\\s[^>]*)?/?>[ \\t\\r\\n]*)+",
           "\n"),
         Re("<[^>]*>", "")) ++
+      // generic numeric refs BEFORE the named table (its amp group must
+      // stay LAST — NumRefs defers code 38 to it); decoded U+00A0 (and
+      // raw NBSP in page text) normalizes to a plain space like &nbsp;
+      Seq(NumRefs, Lit(" ", " ")) ++
       entityTable.map { case (f, t) => Lit(f, t) } ++
       wsSteps
 
   /** Entity decode + whitespace for the already-extracted title text. */
   val titleSteps: Seq[Step] =
-    Seq(Re("<[^>]*>", "")) ++
+    Seq(Re("<[^>]*>", ""), NumRefs, Lit(" ", " ")) ++
       entityTable.map { case (f, t) => Lit(f, t) } ++ wsSteps
+
+  // the shared numeric-ref decode, Spark rendering: fold the matched
+  // references over the text; each valid code becomes its BMP char via a
+  // 2-byte UTF-16BE decode (hex path through conv, decimal direct)
+  private def sparkNumRefs(acc: Column): Column = {
+    val refs = regexp_extract_all(acc, lit(numRefPattern), lit(0))
+    aggregate(refs, acc, (a, r) => {
+      val isHex = substr(r, lit(3), lit(1)).isin("x", "X")
+      val digits = when(isHex, substr(r, lit(4), length(r) - 4))
+        .otherwise(substr(r, lit(3), length(r) - 3))
+      val code = when(isHex, conv(digits, 16, 10)).otherwise(digits)
+        .cast("long")
+      val valid = code.between(1, 0xFFFF) &&
+        !code.between(0xD800, 0xDFFF) && code =!= 38
+      org.apache.spark.sql.functions.replace(a, r,
+        when(valid, decode(unhex(lpad(hex(code), 4, "0")), "UTF-16BE"))
+          .otherwise(r))
+    })
+  }
 
   private def applySteps(c: Column, steps: Seq[Step]): Column =
     steps.foldLeft(c) {
@@ -110,6 +160,7 @@ object Html {
       // literal replace via a quoted pattern — same all-occurrence
       // semantics as DuckDB's replace(); repls contain no $ or \
       case (acc, Lit(f, t)) => regexp_replace(acc, Pattern.quote(f), t)
+      case (acc, NumRefs) => sparkNumRefs(acc)
     }
 
   /** Extracted body text of an HTML document (null in, null out). */
@@ -176,12 +227,27 @@ object Html {
     if (r.contains("\n")) "e'" + sq(r).replace("\n", "\\n") + "'"
     else "'" + sq(r) + "'"
 
+  // the shared numeric-ref decode, DuckDB rendering: the same fold as
+  // sparkNumRefs — list_prepend supplies the initial accumulator, the
+  // code expression repeats inline (SQL has no lambda-local bindings)
+  private def duckNumRefs(acc: String): String = {
+    val code = "(CASE WHEN substr(r,3,1) IN ('x','X') " +
+      "THEN TRY_CAST('0x' || substr(r, 4, length(r)-4) AS BIGINT) " +
+      "ELSE TRY_CAST(substr(r, 3, length(r)-3) AS BIGINT) END)"
+    s"list_reduce(list_prepend($acc, " +
+      s"regexp_extract_all($acc, '${sq(numRefPattern)}')), " +
+      s"(a, r) -> replace(a, r, CASE WHEN $code BETWEEN 1 AND 65535 " +
+      s"AND NOT $code BETWEEN 55296 AND 57343 AND $code <> 38 " +
+      s"THEN chr(CAST($code AS INTEGER)) ELSE r END))"
+  }
+
   private def duckSteps(inner: String, steps: Seq[Step]): String =
     steps.foldLeft(inner) {
       case (acc, Re(p, r)) =>
         s"regexp_replace($acc, '${sq(p)}', ${duckRepl(r)}, 'g')"
       case (acc, Lit(f, t)) =>
         s"replace($acc, '${sq(f)}', '${sq(t)}')"
+      case (acc, NumRefs) => duckNumRefs(acc)
     }
 
   /** DuckDB expression computing [[htmlToText]] of `inner`. */

@@ -243,7 +243,10 @@ object TextOps {
     * session's shuffle parallelism), worst task = one bucket — the shape
     * that survives a 10¹⁰-document corpus. Deterministic and
     * partitioning-invariant: results are the single-window plan's exactly
-    * (spec-pinned at several `parts`), null text counts 0 tokens.
+    * (spec-pinned at several `parts`), null text counts 0 tokens. The
+    * ordering column (`orderCol`, else `idCol`) must be NUMERIC — the
+    * range-boundary pass is an approxQuantile; string ids need a numeric
+    * surrogate key (loudly require'd, not a runtime analysis error).
     */
   def shardByTokenBudget(df: org.apache.spark.sql.DataFrame, textCol: String,
                          idCol: String, shardTokens: Long,
@@ -258,6 +261,13 @@ object TextOps {
     // the exact (orderCol, idCol) sort (rounding is monotone; equal
     // values share a bucket), so boundary placement never affects results
     val oc = if (orderCol.nonEmpty) orderCol else idCol
+    // approxQuantile (the range-boundary pass) accepts numeric columns
+    // only — a string document id needs a numeric surrogate order key
+    // (xxhash64, or shuffledShards' md5 key) passed as `orderCol`
+    require(df.schema(oc).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"order column '$oc' is ${df.schema(oc).dataType.simpleString}, but range " +
+        "bucketing (approxQuantile) needs a NUMERIC ordering — pass a numeric " +
+        "orderCol (e.g. xxhash64 of the id) when the id column is non-numeric")
     val n = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
     val toks = df.withColumn("n_tokens",

@@ -46,6 +46,27 @@ class HtmlSpec extends SparkSpec {
     assert(toText("x&nbsp;y") == "x y")
   }
 
+  test("numeric character references decode generically, single-pass") {
+    // decimal, hex, uppercase-X hex — beyond the named table
+    assert(toText("<p>em&#8212;dash</p>") == "em—dash")
+    assert(toText("<p>check &#x2713; and &#X41;</p>") == "check ✓ and A")
+    // double-encoded numeric decodes exactly once
+    assert(toText("<p>&amp;#60;kept</p>") == "&#60;kept")
+    // amp-valued refs defer to the final amp group: one decode, the
+    // produced &lt; is NOT re-decoded
+    assert(toText("<p>&#038;lt; x</p>") == "&lt; x")
+    assert(toText("<p>a &#38; b &#x26; c</p>") == "a & b & c")
+    // out-of-BMP, lone surrogate, zero: literal pass-through
+    assert(toText("<p>&#999999; &#xD800; &#0;</p>") == "&#999999; &#xD800; &#0;")
+    // numeric NBSP normalizes to a plain space like &nbsp;
+    assert(toText("<p>a&#160;b&#xa0;c</p>") == "a b c")
+    // titles run the same decode
+    assert(
+      Seq("<html><head><title>T&#8211;sub</title></head><body>x</body></html>")
+        .toDF("h").select(Html.htmlTitle(col("h"))).head().getString(0)
+        == "T–sub")
+  }
+
   test("comments removed; unknown entities pass through as text") {
     assert(toText("a<!-- hidden\nlines -->b") == "ab")
     assert(toText("<p>&notanentity; stays</p>") == "&notanentity; stays")

@@ -77,4 +77,62 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.filterAllowed(pages, "url", robots).columns.toSeq ==
       Seq("id", "url"))
   }
+
+  test("crawl-delay follows group selection; largest selected delay wins") {
+    val txt = """User-agent: fastbot
+                |Crawl-delay: 2.5
+                |Disallow: /private
+                |
+                |User-agent: fastbot
+                |Crawl-delay: 7
+                |
+                |User-agent: *
+                |Crawl-delay: 10
+                |Disallow: /tmp
+                |""".stripMargin
+    // both exact groups selected → conservative max; * group excluded
+    assert(Robots.crawlDelayFor(txt, "FastBot") == Some(7.0))
+    // unknown agent falls back to the * group
+    assert(Robots.crawlDelayFor(txt, "otherbot") == Some(10.0))
+    // selecting the delay must not disturb rule selection
+    assert(!Robots.isAllowed(Robots.rulesFor(txt, "fastbot"), "/private/x"))
+    assert(Robots.isAllowed(Robots.rulesFor(txt, "fastbot"), "/tmp/x"))
+    // no delay declared / unparseable / negative → None
+    assert(Robots.crawlDelayFor("User-agent: *\nDisallow: /a") == None)
+    assert(Robots.crawlDelayFor("User-agent: *\nCrawl-delay: fast") == None)
+    assert(Robots.crawlDelayFor("User-agent: *\nCrawl-delay: -1") == None)
+    assert(Robots.crawlDelayFor(null) == None)
+  }
+
+  test("sitemaps are file-global, order-preserved, group-independent") {
+    val txt = """Sitemap: https://example.com/sitemap.xml
+                |User-agent: a
+                |Disallow: /x
+                |Sitemap: https://example.com/news.xml
+                |User-agent: *
+                |Allow: /
+                |""".stripMargin
+    assert(Robots.sitemapsOf(txt) ==
+      Seq("https://example.com/sitemap.xml", "https://example.com/news.xml"))
+    assert(Robots.sitemapsOf("User-agent: *\nDisallow:") == Seq.empty)
+    assert(Robots.sitemapsOf(null) == Seq.empty)
+    // a Sitemap line between user-agent lines ends the agent run — the
+    // following user-agent starts a NEW group (positional-group contract)
+    assert(Robots.rulesFor(txt, "a") == Seq((false, "/x")))
+  }
+
+  test("crawlPolicy column surfaces (crawl_delay, sitemaps) evidence") {
+    val txt = "User-agent: *\nCrawl-delay: 3\nSitemap: https://e.com/s.xml\n"
+    val got = Seq(("h1", txt), ("h2", "User-agent: *\nDisallow: /a"),
+      ("h3", null.asInstanceOf[String]))
+      .toDF("host", "robots_txt")
+      .select(col("host"), Robots.crawlPolicy(col("robots_txt")).as("p"))
+      .select(col("host"), col("p.crawl_delay"), col("p.sitemaps"))
+      .collect().map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) null else Double.box(r.getDouble(1)),
+        if (r.isNullAt(2)) null else r.getSeq[String](2).toList))).toMap
+    assert(got("h1") == ((Double.box(3.0), List("https://e.com/s.xml"))))
+    assert(got("h2") == ((null, Nil)))
+    assert(got("h3") == ((null, Nil)))
+  }
 }

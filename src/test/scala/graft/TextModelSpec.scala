@@ -389,6 +389,21 @@ class TextModelSpec extends SparkSpec {
       4L -> ((2L, 1L)), 5L -> ((0L, 2L))))
   }
 
+  test("shardByTokenBudget rejects a non-numeric ordering column loudly") {
+    // approxQuantile needs numerics: a string id must fail with the
+    // documented message, not a deep runtime analysis error
+    val docs = Seq(("a", "x y"), ("b", "z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.shardByTokenBudget(docs, "text", "doc_id", 5)
+    }
+    assert(e.getMessage.contains("NUMERIC ordering"), e.getMessage)
+    // a numeric surrogate order key over the same string ids works
+    val out = TextOps.shardByTokenBudget(
+      docs.withColumn("__ord", xxhash64(col("doc_id"))),
+      "text", "doc_id", 5, orderCol = "__ord")
+    assert(out.count() == 2)
+  }
+
   test("shardByTokenBudget equals the naive global window at any parts") {
     val r = new scala.util.Random(11)
     // clustered ids (quantile boundaries land unevenly) + shuffled input

@@ -111,6 +111,40 @@ class SourcesSpec extends SparkSpec {
     assert(names.filter(_.matches("v\\d+")).sorted == Seq("v1", "v2"))
   }
 
+  test("publishShards commit detects a concurrent publish instead of nesting into it") {
+    // HDFS-style rename moves a source INTO an existing destination dir
+    // and returns true — the losing publisher must detect that, clean its
+    // nested copy out, and fail, leaving the winner's snapshot intact
+    val root = Files.createTempDirectory("graft_publish_race").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the winner's already-published snapshot
+    Files.createDirectory(Paths.get(root, "v1"))
+    Files.writeString(Paths.get(root, "v1", "_MANIFEST.json"), """{"version":1,"shards":[]}""")
+    Files.writeString(Paths.get(root, "v1", "part-0.parquet"), "winner-data")
+    // the loser's fully-written staging
+    Files.createDirectory(Paths.get(root, "_staging-loser"))
+    Files.writeString(Paths.get(root, "_staging-loser", "_MANIFEST.json"), """{"version":1,"shards":[]}""")
+    val e = intercept[IllegalStateException] {
+      Warehouse.promoteStaging(fs,
+        new org.apache.hadoop.fs.Path(root, "_staging-loser"),
+        new org.apache.hadoop.fs.Path(root, "v1"))
+    }
+    assert(e.getMessage.contains("concurrent publish"), e.getMessage)
+    // winner untouched, loser's nested copy removed
+    assert(Files.readString(Paths.get(root, "v1", "part-0.parquet")) == "winner-data")
+    assert(new java.io.File(root, "v1").list().toSeq.sorted ==
+      Seq("_MANIFEST.json", "part-0.parquet"),
+      new java.io.File(root, "v1").list().toSeq.toString)
+    // the normal (uncontended) path still verifies and promotes
+    Files.createDirectory(Paths.get(root, "_staging-clean"))
+    Files.writeString(Paths.get(root, "_staging-clean", "_MANIFEST.json"), """{"version":2,"shards":[]}""")
+    Warehouse.promoteStaging(fs,
+      new org.apache.hadoop.fs.Path(root, "_staging-clean"),
+      new org.apache.hadoop.fs.Path(root, "v2"))
+    assert(Files.exists(Paths.get(root, "v2", "_MANIFEST.json")))
+  }
+
   test("publishShards format=json writes gzipped JSONL that round-trips") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

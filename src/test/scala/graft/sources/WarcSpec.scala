@@ -91,6 +91,41 @@ class WarcSpec extends SparkSpec {
     assert(req.httpStatus == -1 && req.body.startsWith("GET /a"))
   }
 
+  test("a payload embedding the full record delimiter false-splits but flags truncated") {
+    // the documented bound: a body that CONTAINS `CRLF CRLF "WARC/"` (a
+    // page quoting raw WARC content) does split there — the cut record
+    // must surface as `truncated` via the Content-Length cross-check, and
+    // records with an accurate Content-Length stay unflagged
+    val evilBody = httpResponse("200 OK", "text/plain",
+      "quoted raw warc follows" + CRLF + CRLF + "WARC/1.0 is the version line")
+    val goodBody = httpResponse("200 OK", "text/plain", "clean page")
+    def withLen(headers: Seq[(String, String)], payload: String): String =
+      record(headers :+ ("Content-Length" ->
+        payload.getBytes("UTF-8").length.toString), payload)
+    val warc =
+      withLen(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/evil",
+        "WARC-Record-ID" -> "<urn:uuid:evil-1>",
+        "Content-Type" -> "application/http;msgtype=response"), evilBody) +
+      withLen(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/clean",
+        "WARC-Record-ID" -> "<urn:uuid:clean-1>",
+        "Content-Type" -> "application/http;msgtype=response"), goodBody)
+    val p = writeFile("evil.warc", warc.getBytes("UTF-8"))
+    val recs = WarcSource.records(spark, p).collect()
+    // the false-split tail ("WARC/1.0 is the …" remainder) is a
+    // non-record chunk — dropped, never a task failure
+    assert(recs.length == 2, recs.map(_.recordId).toSeq.toString)
+    val evil = recs.find(_.recordId == "<urn:uuid:evil-1>").get
+    assert(evil.truncated, "cut record must be flagged")
+    assert(evil.body.endsWith("quoted raw warc follows"), evil.body)
+    val clean = recs.find(_.recordId == "<urn:uuid:clean-1>").get
+    assert(!clean.truncated)
+    assert(clean.body == "clean page")
+  }
+
   test("gzip WARC reads through the Hadoop codec (one task per file)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
