@@ -291,6 +291,17 @@ object TextQ {
         "window merge scan", topK = 25)
     },
 
+    // L66b: the same query served from the PERSISTED inverted index —
+    // t27's oracle gates it (the s05/d06 indexed≡direct pattern): the
+    // probe reads only the query's term buckets, never the corpus.
+    "t29_bm25_indexed" -> { (s, dir) =>
+      val table = bm25IndexTable(s, dir)
+      // bucket pruning on a pure filter probe needs the auto-disable
+      // heuristic off (the lshProbeBucketed caveat)
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Search.bm25Probe(s, table, "doc_id", "window merge scan", topK = 25)
+    },
+
     // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —
     // the single-line corpus is salted into a page shape: a sentence
     // line, a bullet, the doc text, an optional ellipsis teaser (every
@@ -387,6 +398,53 @@ object TextQ {
        |FROM b
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Build (once per sfDir per warehouse) the persisted BM25 inverted
+    * index t29 probes — the ivfIndexTable build-once pattern: the
+    * documents corpus tokenized into term-bucketed postings + the stats
+    * sibling, so the probe serves without touching the corpus.
+    */
+  private def bm25IndexTable(s: SparkSession, dir: String): String = {
+    val table = "graft_bm25_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table) || !s.catalog.tableExists(s"${table}_stats")) {
+      for (t <- Seq(table, s"${table}_stats"))
+        graft.sources.Warehouse.dropTableAndLocation(s, t)
+      Search.writeBm25Index(Tables(s, dir, "documents"), "text", "doc_id",
+        table, buckets = 16)
+    }
+    table
+  }
+
+  private val bm25Oracle: String =
+    """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
+        |  FROM base),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      ROUND(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6),
+        |    4) AS score
+        |  FROM d CROSS JOIN st)
+        |SELECT doc_id, score FROM sc
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> langIdOracle,
@@ -565,36 +623,11 @@ object TextQ {
     // Same BM25 form with the same fixed left-to-right contribution sum,
     // per-term ROUND 6, final ROUND 4; constants written as the same
     // float EXPRESSIONS (1.2 + 1.0, not 2.2) so both engines IEEE-add.
-    "t27_bm25_search" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf0,
-        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
-        |    CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
-        |  FROM base),
-        |st AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
-        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-        |  FROM d),
-        |sc AS (
-        |  SELECT doc_id,
-        |    ROUND(
-        |      ROUND(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-        |      + ROUND(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-        |      + ROUND(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6),
-        |    4) AS score
-        |  FROM d CROSS JOIN st)
-        |SELECT doc_id, score FROM sc
-        |WHERE score > 0
-        |ORDER BY score DESC, doc_id
-        |LIMIT 25""".stripMargin,
+    // The indexed probe (t29) reproduces the direct scan's arithmetic
+    // bit-for-bit, so ONE oracle gates both — the s05/d06 pattern.
+    "t27_bm25_search" -> bm25Oracle,
+    "t29_bm25_indexed" -> bm25Oracle,
+
 
     // Same salt, same non-blank-line filters and RE2 patterns, fractions
     // rounded to 4 identically.

@@ -68,4 +68,95 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Persisted INVERTED INDEX for [[bm25]] — the build-once/serve-many
+    * split the ANN tiers make (writeLshIndex/writeIvfIndex), applied to
+    * keyword retrieval: [[bm25]] is the right shape for a batch audit
+    * (two corpus scans, no state), but interactive repeated querying
+    * over a fixed corpus should not re-scan the documents per query.
+    *
+    * Layout: `<table>` = postings (term, idCol, tf, dl) BUCKETED on the
+    * term — a probe's `term IN (…)` filter bucket-prunes the read
+    * (SelectedBucketsCount ≪ buckets; needs autoBucketedScan disabled in
+    * probe sessions, the LSH-probe caveat) — plus a one-row
+    * `<table>_stats` sibling (doc count N, avgdl). Document length rides
+    * every posting row (denormalized) so scoring never joins a doc-keyed
+    * table. Corpus aggregates are integer-valued doubles, so the stats
+    * are partitioning-exact and the probe reproduces [[bm25]]'s
+    * arithmetic bit-for-bit (spec-pinned row-equal).
+    *
+    * Build: one tokenize scan; occurrences collapse map-side to
+    * (term, id, tf) — a stopword's postings spread over the id space in
+    * the collapse, and the bucketed write lays them out by term. Rebuild
+    * on corpus change (df/N/avgdl are corpus-global; an append would
+    * silently stale every term's idf — the registry tiers' grow contract
+    * deliberately does NOT apply here, documented over guessed).
+    */
+  def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
+                     table: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("double").as("__dl"))
+    val postings = base
+      .select(col(idCol), col("__dl").as("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    graft.sources.Warehouse.writeBucketed(
+      postings.select(col("term"), col(idCol), col("tf"), col("dl")),
+      table, "term", buckets)
+    val st = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("__dl")).as("avgdl")).head()
+    graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_stats")
+    Seq((st.getDouble(0), st.getDouble(1))).toDF("n", "avgdl")
+      .write.mode("overwrite").saveAsTable(s"${table}_stats")
+  }
+
+  /** Top-`topK` documents for a whitespace query served from a
+    * [[writeBm25Index]] table — row-identical to [[bm25]] over the
+    * indexed corpus by construction: N/avgdl/df are the same
+    * partitioning-exact integers-in-doubles, and the score is the same
+    * fixed left-to-right contribution tree over the same rounded terms
+    * (df/N/avgdl enter as literals; identical doubles → identical
+    * arithmetic). The read is the query's term buckets only — never the
+    * corpus, never the full postings table; a candidate set is exactly
+    * the docs containing ≥1 query term, which is exactly [[bm25]]'s
+    * surviving (score > 0) set.
+    */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, table: String,
+                idCol: String, query: String,
+                topK: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(terms.nonEmpty, "bm25Probe: empty query")
+    require(topK > 0, s"bm25Probe: topK=$topK")
+    val st = spark.table(s"${table}_stats").head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val matched = spark.table(table).filter(col("term").isin(terms: _*))
+    // per-term document frequencies: one tiny aggregation over the
+    // SAME bucket-pruned read (≤ |terms| rows collected)
+    val dfs = matched.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0.0)).as(s"__tf$i")
+    }
+    val perDoc = matched.groupBy(col(idCol))
+      .agg(first(col("dl")).as("__dl"), tfCols: _*)
+    val perTerm: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = lit(dfs.getOrElse(t, 0.0))
+      val idf = log(lit(1.0) + (lit(n) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      round(idf * col(s"__tf$i") * lit(k1 + 1.0) /
+        (col(s"__tf$i") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl))),
+        6)
+    }
+    perDoc
+      .withColumn("score", round(perTerm.reduce(_ + _), 4))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1765,6 +1765,38 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("bm25 index probe row-equals the direct scan, bucket-pruned") {
+    import graft.text.Search
+    val docs = (1L to 60L).map(i => (i,
+      if (i % 13 == 0) null.asInstanceOf[String]
+      else s"word$i common " + ("window " * (i % 4).toInt) +
+        (if (i % 3 == 0) "merge scan " else "filler text ") + s"tail${i % 7}"))
+      .toDF("doc_id", "text")
+    for (t <- Seq("bm25_idx", "bm25_idx_stats"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Search.writeBm25Index(docs, "text", "doc_id", "bm25_idx", buckets = 16)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      // multi-term, single hot term, partially-OOV, fully-OOV
+      for (q <- Seq("window merge scan", "common", "window nosuchterm",
+          "nosuchterm onlymissing")) {
+        val direct = Search.bm25(docs, "text", "doc_id", q, topK = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val probe = Search.bm25Probe(spark, "bm25_idx", "doc_id", q, topK = 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(probe == direct, s"query '$q': $probe vs $direct")
+      }
+      // the serving claim: the read is the query's term buckets only
+      val plan = Search.bm25Probe(spark, "bm25_idx", "doc_id", "window merge")
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        "probe read every bucket")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("lineStats: hand-computed line-shape fractions") {
     val text = "A full sentence here.\n- bullet item\nnav\n" +
       "this line just trails off...\n\n  \nAnother proper sentence ends!"

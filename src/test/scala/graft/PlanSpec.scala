@@ -178,6 +178,19 @@ class PlanSpec extends SparkSpec {
       s"stats row is not broadcast:\n$p")
   }
 
+  test("t29 bm25 probe serves from the index: no corpus scan, pruned buckets") {
+    val p = executedPlan("t29_bm25_indexed")
+    // the serve-side contract: the probe reads the query's term buckets
+    // of the postings table — never the documents corpus
+    assert(!p.contains("documents.parquet"),
+      s"indexed probe scans the corpus:\n$p")
+    assert(p.contains("graft_bm25_"), s"probe does not read the index:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(sel.isDefined, s"no bucket pruning in probe plan:\n$p")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "probe read every bucket")
+  }
+
   test("d07 bloom contamination prunes corpus grams map-side, below any shuffle") {
     val p = executedPlan("d07_contamination_bloom")
     // the mightContain prune is a plain Filter on the exploded gram column
