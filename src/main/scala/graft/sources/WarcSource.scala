@@ -42,12 +42,13 @@ case class WarcRecord(
   * keeps its whole version line and later chunks keep the version
   * remainder (`1.0`/`1.1`); [[parseRecord]] tolerates both shapes.
   *
-  * Compression: `.warc.gz` files read through the Hadoop codec — real
-  * Common Crawl archives are per-record gzip MEMBERS, which Java's
-  * multi-member gzip stream decompresses as one concatenated stream —
-  * but gzip is not splittable, so such a file costs one task (the
-  * [[WikiXmlSource.recode]] trade: re-encode once to bz2/plain parts for
-  * fully parallel re-reads).
+  * Compression: real Common Crawl `.warc.gz` archives are per-record
+  * gzip MEMBERS — [[recordsGz]] reads them at BLOCK parallelism through
+  * [[WarcGzInputFormat]] (each task resynchronizes on a validated member
+  * header and decompresses its split's members; no recode pass, no
+  * one-task-per-file cliff). [[records]] also accepts `.gz` through the
+  * Hadoop codec (one sequential task per file) for odd single-stream
+  * gzip files that are NOT member-per-record.
   *
   * Text decode: payloads are decoded as UTF-8 text by the Hadoop line
   * reader (invalid bytes replaced) — the right trade for a TEXT pipeline;
@@ -78,6 +79,31 @@ object WarcSource {
       .newAPIHadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
+      .flatMap(parseRecord)
+      .toDS()
+  }
+
+  /** Read a per-record-gzip-member `.warc.gz` (the Common Crawl layout)
+    * at block parallelism: [[WarcGzInputFormat]] emits one decompressed
+    * member per value — a complete record chunk starting `WARC/x.y` —
+    * through the same [[parseRecord]] as the uncompressed path, so the
+    * two row-equal on the same archive (spec-pinned). `maxSplitBytes`
+    * bounds split size exactly like [[records]].
+    */
+  def recordsGz(spark: SparkSession, path: String,
+                maxSplitBytes: Long = 16L * 1024 * 1024): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[WarcGzInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      // a member USUALLY holds one record (the CC layout), but some
+      // writers pack several per member — split on the same delimiter as
+      // the uncompressed path (later chunks carry the version remainder,
+      // exactly the shape parseRecord already accepts)
+      .flatMap(_.split("\r\n\r\nWARC/", -1).iterator)
       .flatMap(parseRecord)
       .toDS()
   }
@@ -198,8 +224,10 @@ object WarcSource {
     * re-crawls carrying duplicates).
     */
   def robotsByHost(spark: SparkSession, path: String,
-                   maxSplitBytes: Long = 16L * 1024 * 1024): DataFrame = {
-    val r = records(spark, path, maxSplitBytes)
+                   maxSplitBytes: Long = 16L * 1024 * 1024,
+                   gzMembers: Boolean = false): DataFrame = {
+    val r = (if (gzMembers) recordsGz(spark, path, maxSplitBytes)
+             else records(spark, path, maxSplitBytes))
       .filter(r => r.warcType == "response" &&
         r.httpStatus >= 200 && r.httpStatus < 300 && r.url != null)
       .toDF()
@@ -213,11 +241,15 @@ object WarcSource {
   /** The crawl intake head: successful HTML responses extracted to
     * (url, title, text) via the [[graft.text.Html]] chain — feed this
     * straight into `CorpusPipeline.curate` (with `TextOps.normalizeUrl`
-    * for the URL identity tier).
+    * for the URL identity tier). `gzMembers = true` routes the read
+    * through the splittable [[recordsGz]] path for per-record-member
+    * `.warc.gz` archives (the Common Crawl layout).
     */
   def htmlDocuments(spark: SparkSession, path: String,
-                    maxSplitBytes: Long = 16L * 1024 * 1024): DataFrame = {
-    records(spark, path, maxSplitBytes)
+                    maxSplitBytes: Long = 16L * 1024 * 1024,
+                    gzMembers: Boolean = false): DataFrame = {
+    (if (gzMembers) recordsGz(spark, path, maxSplitBytes)
+     else records(spark, path, maxSplitBytes))
       .filter(r => r.warcType == "response" &&
         r.httpStatus >= 200 && r.httpStatus < 300 &&
         r.httpContentType != null &&
