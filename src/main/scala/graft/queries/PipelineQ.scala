@@ -136,6 +136,33 @@ object PipelineQ {
         .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"),
           col("split"))
         .orderBy("doc_id")
+    },
+
+    // L72 (hash-gated): the composed crawl FRONTIER — outlinks of a
+    // salted link page resolve against each doc's base URL, collapse to
+    // canonical identity (a utm-tracking citation and its clean twin are
+    // ONE entry with n_refs 2), drop links back into the batch's own
+    // pages (the root-relative self link), and cap each host at 3 URLs
+    // (the salted top-N). Registry and robots stages are spec-gated
+    // (UDF/table state — not DuckDB-expressible); this query hash-pins
+    // the extract→resolve→normalize→self-drop→count→cap composition.
+    "c06_frontier" -> { (s, dir) =>
+      val k = pmod(col("doc_id"), lit(7)).cast("string")
+      val j = pmod(col("doc_id"), lit(10)).cast("string")
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://site"), k, lit(".com/dir/page"), k,
+        lit(".html"))
+      val page = concat(
+        lit("<a href=\"http://other"), id, lit(".com/p?utm_source=z\">a</a>"),
+        lit("<a href='//cdn"), j, lit(".net/lib.js'>b</a>"),
+        lit("<a href=\"/dir/page"), k, lit(".html\">self</a>"),
+        lit("<a href=\"p"), id, lit(".html\">c</a>"),
+        lit("<a href=\"http://other"), id, lit(".com/p\">dup</a>"))
+      val pages = Tables(s, dir, "documents")
+        .select(base.as("url"), page.as("html"))
+      graft.pipeline.CrawlPipeline.frontier(pages, "url", "html",
+        maxPerHost = 3)
+        .orderBy("url")
     }
   )
 
@@ -316,7 +343,72 @@ object PipelineQ {
   private val passthroughSql: String =
     "exact AS (SELECT doc_id, lang, quality, text, toks FROM exact0),"
 
+  /** TextOps.normalizeUrl as one nested DuckDB scalar over `inner` — the
+    * t20 oracle's verified chain (scheme strip → host lower/www/port →
+    * fragment/tracking/separator/trailing cleanup → host ++ rtrim'd
+    * rest), composed inline so c06 can apply it to both the resolved
+    * links and the batch's own base URLs without CTE duplication.
+    */
+  private def normUrlSql(inner: String): String = {
+    val strip = s"regexp_replace(trim($inner), '^[Hh][Tt][Tt][Pp][Ss]?://', '')"
+    val host = "regexp_replace(regexp_replace(lower(regexp_extract(" + strip +
+      ", '^([^/?#]*)', 1)), '^www\\.', ''), ':(80|443)$', '')"
+    val rest = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace($strip, '^[^/?#]*', ''), '#.*$$', ''), " +
+      "'([?&])(?:utm_[a-zA-Z0-9]+|fbclid|gclid)=[^&]*', '\\1', 'g'), " +
+      "'([?&])&+', '\\1', 'g'), '[?&]+$', '')"
+    s"($host || regexp_replace($rest, '/+$$', ''))"
+  }
+
+  /** TextOps.resolveUrl(base, href) as a DuckDB CASE — t28's verified
+    * mirror (absolute pass-through, scheme-relative, root-relative,
+    * relative against the base directory with the host-only-base case).
+    */
+  private def resolveSql(base: String, href: String): String = {
+    val sch = "^([A-Za-z][A-Za-z0-9+.-]*):"
+    val org = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    s"""CASE
+       |    WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN $href
+       |    WHEN starts_with($href, '//') THEN regexp_extract($base, '$sch', 1) || ':' || $href
+       |    WHEN starts_with($href, '/') THEN regexp_extract($base, '$org', 1) || $href
+       |    ELSE (CASE WHEN regexp_matches(regexp_replace($base, '[?#].*$$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*$$')
+       |      THEN regexp_replace($base, '[?#].*$$', '') || '/'
+       |      ELSE regexp_replace(regexp_replace($base, '[?#].*$$', ''), '[^/]*$$', '') END) || $href
+       |  END""".stripMargin
+  }
+
+  private val frontierOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/dir/page' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.html' AS base,
+       |    '<a href="http://other' || CAST(doc_id AS VARCHAR) || '.com/p?utm_source=z">a</a>' ||
+       |    '<a href=''//cdn' || CAST(doc_id % 10 AS VARCHAR) || '.net/lib.js''>b</a>' ||
+       |    '<a href="/dir/page' || CAST(doc_id % 7 AS VARCHAR) || '.html">self</a>' ||
+       |    '<a href="p' || CAST(doc_id AS VARCHAR) || '.html">c</a>' ||
+       |    '<a href="http://other' || CAST(doc_id AS VARCHAR) || '.com/p">dup</a>' AS page
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, base, unnest(${graft.text.Html.duckLinks("page")}) AS href
+       |  FROM s),
+       |u AS (
+       |  SELECT ${normUrlSql(resolveSql("base", "href"))} AS url FROM l),
+       |selfu AS (
+       |  SELECT DISTINCT ${normUrlSql("base")} AS url FROM s),
+       |cand AS (
+       |  SELECT url, COUNT(*) AS n_refs FROM u GROUP BY url),
+       |fr AS (
+       |  SELECT cand.url, cand.n_refs FROM cand ANTI JOIN selfu USING (url)),
+       |h AS (
+       |  SELECT url, lower(regexp_extract(url, '^([^/?#]*)', 1)) AS host,
+       |    n_refs, CAST(NULL AS DOUBLE) AS crawl_delay
+       |  FROM fr)
+       |SELECT url, host, n_refs, crawl_delay FROM h
+       |QUALIFY row_number() OVER (PARTITION BY host ORDER BY url) <= 3
+       |ORDER BY url""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c06_frontier" -> frontierOracle,
     "c02_curate_exact" -> curateOracle(spanStage = false),
     "c03_curate_span" -> curateOracle(spanStage = true),
     "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),

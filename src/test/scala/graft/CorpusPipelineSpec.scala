@@ -376,4 +376,58 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter($"f._1" =!= $"lang" || $"f._2" =!= $"quality")
     assert(cmp.count() == 0, s"divergent rows:\n${cmp.take(5).mkString("\n")}")
   }
+
+  test("frontier: resolve+normalize identity, self-drop, robots gate, host cap") {
+    import graft.pipeline.CrawlPipeline
+    val pages = Seq(
+      ("https://a.com/idx.html",
+        "<a href=\"p1.html\">1</a><a href=\"p2.html\">2</a>" +
+          "<a href=\"/idx.html\">self</a>" +
+          "<a href=\"http://b.com/x?utm_source=t\">b</a>"),
+      ("https://a.com/two.html",
+        "<a href=\"p1.html\">again</a><a href=\"http://b.com/x\">b2</a>" +
+          "<a href=\"https://blocked.com/private/z\">no</a>" +
+          "<a href=\"https://blocked.com/ok\">yes</a>")
+    ).toDF("url", "html")
+    val robots = Seq(("blocked.com",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 4")).toDF("host", "robots_txt")
+    val out = CrawlPipeline.frontier(pages, "url", "html",
+      robotsByHost = Some(robots))
+      .collect().map(r => (r.getString(0), (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))).toMap
+    // tracking variant and clean twin are ONE entry with two citations;
+    // the robots-disallowed path is gone; the allowed path of the same
+    // host carries the crawl-delay evidence; the self link is dropped
+    assert(out == Map(
+      "a.com/p1.html" -> (("a.com", 2L, null)),
+      "a.com/p2.html" -> (("a.com", 1L, null)),
+      "b.com/x" -> (("b.com", 2L, null)),
+      "blocked.com/ok" -> (("blocked.com", 1L, Double.box(4.0)))), out.toString)
+  }
+
+  test("frontier: cross-run seen registry schedules each URL once; host cap bounds") {
+    import graft.pipeline.CrawlPipeline
+    import graft.dedup.Dedup
+    graft.sources.Warehouse.dropTableAndLocation(spark, "frontier_seen")
+    Dedup.createRegistry(spark, "frontier_seen", buckets = 4)
+    val run1 = Seq(("https://a.com/idx.html",
+      "<a href=\"p1.html\">1</a><a href=\"p2.html\">2</a>")).toDF("url", "html")
+    val got1 = CrawlPipeline.frontier(run1, "url", "html",
+      seenRegistryTable = Some("frontier_seen"))
+      .select("url").as[String].collect().sorted.toSeq
+    assert(got1 == Seq("a.com/p1.html", "a.com/p2.html"))
+    // run 2 re-cites p1 (already scheduled -> dropped) and adds q
+    val run2 = Seq(("https://a.com/other.html",
+      "<a href=\"p1.html\">old</a><a href=\"q.html\">new</a>")).toDF("url", "html")
+    val got2 = CrawlPipeline.frontier(run2, "url", "html",
+      seenRegistryTable = Some("frontier_seen"))
+      .select("url").as[String].collect().toSeq
+    assert(got2 == Seq("a.com/q.html"), got2.toString)
+    // host cap: five distinct links into one host keep the 2 smallest
+    val fan = Seq(("https://hub.com/h.html",
+      (1 to 5).map(i => s"<a href=\"/p$i.html\">$i</a>").mkString)).toDF("url", "html")
+    val capped = CrawlPipeline.frontier(fan, "url", "html", maxPerHost = 2)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(capped == Seq("hub.com/p1.html", "hub.com/p2.html"), capped.toString)
+  }
 }
