@@ -82,4 +82,74 @@ object CrawlPipeline {
         Seq(col("url")), maxPerHost)
     else out
   }
+
+  /** [[frontier]]'s incremental twin for a live crawl intake: each
+    * micro-batch's outlinks run the same row-local
+    * extract→resolve→normalize chain, then a URL emits the FIRST time it
+    * is sighted within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — 32 bytes of state per distinct
+    * frontier URL in the horizon), optionally minus the persisted seen
+    * registry (stream-STATIC anti-join on the bucketed table — probed,
+    * never stream-mutated: registering fetched URLs stays the batch
+    * append, the L16g index convention), optionally gated by the static
+    * robots frame with `crawl_delay` evidence, optionally admission-
+    * capped per host over the stream's life
+    * ([[graft.streaming.EventStreams.quotaPerSource]] — one long of
+    * state per host).
+    *
+    * Differences from the batch twin, stated honestly: there is no
+    * batch-wide `n_refs` (a stream can't see future citations — rank
+    * frontier priority downstream, e.g. per-window counts or PageRank
+    * over accumulated edges), and "minus the batch's own pages"
+    * generalizes to the registry: a stream cannot order same-batch
+    * self-sightings deterministically, so register fetched URLs in the
+    * seen registry and only same-page self links drop row-locally.
+    *
+    * Returns (`tsCol`, url, host, crawl_delay) in append mode.
+    */
+  def frontierStream(pages: DataFrame, urlCol: String, htmlCol: String,
+                     tsCol: String, watermark: String = "1 hour",
+                     robotsByHost: Option[DataFrame] = None,
+                     seenRegistryTable: Option[String] = None,
+                     maxPerHost: Int = 0,
+                     agent: String = "*"): DataFrame = {
+    val spark = pages.sparkSession
+    val links = pages
+      .select(col(tsCol), col(urlCol).as("__base"),
+        explode(Html.extractLinks(col(htmlCol))).as("__href"))
+      .withColumn("url",
+        TextOps.normalizeUrl(TextOps.resolveUrl(col("__base"), col("__href"))))
+      .filter(col("url").isNotNull && col("url") =!= "" &&
+        // same-page self links drop row-locally (see scaladoc)
+        col("url") =!= TextOps.normalizeUrl(col("__base")))
+      .select(col(tsCol), col("url"))
+    val unseen = seenRegistryTable match {
+      case Some(t) =>
+        links.withColumn("content_hash", sha2(col("url").cast("binary"), 256))
+          .join(spark.table(t), Seq("content_hash"), "left_anti")
+          .drop("content_hash")
+      case None => links
+    }
+    val first = unseen
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("url")
+      .withColumn("host", Robots.urlHost(col("url")))
+    val gated = robotsByHost match {
+      case Some(r) =>
+        val pol = r.select(lower(col("host")).as("host"),
+          Robots.crawlPolicy(col("robots_txt"), agent)
+            .getField("crawl_delay").as("crawl_delay"))
+        Robots.filterAllowed(first, "url", r, agent)
+          .join(pol, Seq("host"), "left")
+      case None =>
+        first.withColumn("crawl_delay", lit(null).cast("double"))
+    }
+    val out = gated.select(col(tsCol), col("url"), col("host"),
+      col("crawl_delay"))
+    if (maxPerHost > 0)
+      graft.streaming.EventStreams.quotaPerSource(
+        out.withColumn("__adm", xxhash64(col("url"))),
+        "host", "__adm", maxPerHost).drop("__adm")
+    else out
+  }
 }

@@ -430,4 +430,51 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("url").as[String].collect().sorted.toSeq
     assert(capped == Seq("hub.com/p1.html", "hub.com/p2.html"), capped.toString)
   }
+
+  test("frontierStream admits each URL once in-horizon, registry- and robots-gated") {
+    import graft.pipeline.CrawlPipeline
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    graft.sources.Warehouse.dropTableAndLocation(spark, "fs_seen")
+    Dedup.createRegistry(spark, "fs_seen", buckets = 4)
+    // a.com/r.html was fetched by an earlier run and registered
+    graft.sources.Warehouse.appendBucketedWithDelta(
+      Seq("a.com/r.html").toDF("url")
+        .select(sha2(col("url").cast("binary"), 256).as("content_hash")),
+      "fs_seen", "content_hash")
+    val robots = Seq(("blocked.com",
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2")).toDF("host", "robots_txt")
+    val input = MemoryStream[(Timestamp, String, String)]
+    val pagesDf = input.toDF().toDF("ts", "url", "html")
+    val query = CrawlPipeline.frontierStream(pagesDf, "url", "html", "ts",
+      watermark = "10 minutes", robotsByHost = Some(robots),
+      seenRegistryTable = Some("fs_seen"))
+      .writeStream.format("memory").queryName("frontier_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "https://a.com/idx.html",
+        "<a href=\"p1.html\">1</a><a href=\"/idx.html\">self</a>" +
+          "<a href=\"r.html\">seen</a>" +
+          "<a href=\"https://blocked.com/private/z\">no</a>" +
+          "<a href=\"https://blocked.com/ok\">yes</a>"))
+      query.processAllAvailable()
+      val b1 = spark.table("frontier_stream_out")
+        .select("url", "crawl_delay").collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else Double.box(r.getDouble(1)))).toMap
+      assert(b1 == Map("a.com/p1.html" -> null,
+        "blocked.com/ok" -> Double.box(2.0)), b1.toString)
+      // batch 2: p1 re-cited (in-horizon duplicate drops), q is fresh
+      input.addData((ts(1), "https://a.com/two.html",
+        "<a href=\"p1.html\">again</a><a href=\"q.html\">new</a>"))
+      query.processAllAvailable()
+      val all = spark.table("frontier_stream_out")
+        .select("url").as[String].collect().sorted.toSeq
+      assert(all == Seq("a.com/p1.html", "a.com/q.html", "blocked.com/ok"),
+        all.toString)
+    } finally query.stop()
+  }
 }
