@@ -115,6 +115,35 @@ object Classifier {
     LinearModel(w, b, bits)
   }
 
+  /** Persist a trained classifier as a warehouse table — the model
+    * becomes a versionable cross-run artifact like the BPE merge table
+    * and the dedup registries: a daily pipeline loads the blessed model
+    * instead of retraining, and every cluster scores with bit-identical
+    * weights. One row per feature bucket (idx ≥ 0 → weight); idx −1
+    * carries the bias and idx −2 the feature-hash bit width — the whole
+    * model in one schema-stable table.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: LinearModel,
+                table: String): Unit = {
+    import spark.implicits._
+    val rows = model.weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq ++
+      Seq((-1, model.bias), (-2, model.bits.toDouble))
+    rows.toDF("idx", "weight")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Load a [[saveModel]] table back; weights land in bucket order. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                table: String): LinearModel = {
+    val rows = spark.table(table).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val bits = rows(-2).toInt
+    val w = new Array[Double](1 << bits)
+    rows.foreach { case (i, v) => if (i >= 0) w(i) = v }
+    LinearModel(w, rows(-1), bits)
+  }
+
   /** P(label=1) per row under `model` — one broadcast row-local pass, no
     * shuffle; safe inside any scan→filter pipeline.
     */

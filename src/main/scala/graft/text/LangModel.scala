@@ -61,6 +61,35 @@ object LangModel {
     BigramLm(g, ctx, v)
   }
 
+  /** Persist a trained [[BigramLm]] as warehouse tables — the reference
+    * LM becomes a versionable cross-run artifact like the BPE merge
+    * table (train once on the blessed reference slice, score every day's
+    * crawl with the same model): the bigram counts land in `<table>` and
+    * the vocabulary scalar in a one-row `<table>_meta`; the context
+    * marginals re-derive from the counts on load (they are a groupBy of
+    * `bigrams` — persisting them would be redundant state that could
+    * drift).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, lm: BigramLm,
+                table: String): Unit = {
+    import spark.implicits._
+    lm.bigrams.write.mode("overwrite").format("parquet").saveAsTable(table)
+    Seq(lm.vocab).toDF("vocab")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** Load a [[saveModel]] model; scores are identical to the saved
+    * model's by construction (counts are exact integers; marginals
+    * re-derive deterministically).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                table: String): BigramLm = {
+    val g = spark.table(table)
+    val ctx = g.groupBy("w1").agg(sum("cnt").as("ctx"))
+    val v = spark.table(s"${table}_meta").head().getLong(0)
+    BigramLm(g, ctx, v)
+  }
+
   /** Driver-resident serving form of a [[BigramLm]] — the artifact shape
     * a production gate actually deploys (CCNet ships its reference LM to
     * every scorer): counts in hash maps small enough to broadcast, so

@@ -234,6 +234,44 @@ class TextModelSpec extends SparkSpec {
     assert(nullScore > 0.0 && nullScore < 1.0)
   }
 
+  test("classifier persists as a warehouse artifact and scores identically") {
+    val train = spamHam(200, seed = 3).toDF("doc_id", "text", "label")
+    val model = Classifier.train(train, "text", "label", bits = 12, iters = 10)
+    graft.sources.Warehouse.dropTableAndLocation(spark, "clf_model")
+    Classifier.saveModel(spark, model, "clf_model")
+    val back = Classifier.loadModel(spark, "clf_model")
+    assert(back.bits == model.bits && back.bias == model.bias)
+    assert(back.weights.toSeq == model.weights.toSeq)
+    val docs = spamHam(40, seed = 4).toDF("doc_id", "text", "label")
+    val a = docs.select(col("doc_id"),
+        Classifier.score(spark, model, col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = docs.select(col("doc_id"),
+        Classifier.score(spark, back, col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a == b)
+  }
+
+  test("bigram LM persists as warehouse tables and scores identically") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
+      .toDF("doc_id", "text")
+    val lm = LangModel.trainBigramLm(docs, "text")
+    for (t <- Seq("lm_model", "lm_model_meta"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    LangModel.saveModel(spark, lm, "lm_model")
+    val back = LangModel.loadModel(spark, "lm_model")
+    assert(back.vocab == lm.vocab)
+    val a = LangModel.crossEntropy(docs, "text", "doc_id", lm)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val b = LangModel.crossEntropy(docs, "text", "doc_id", back)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(a == b)
+    // the loaded model serves too (the deployment shape)
+    val s = LangModel.serve(back)
+    assert(s.vocab == lm.vocab)
+  }
+
   // --- per-source profile -------------------------------------------
 
   test("sourceProfile aggregates per-source volume and quality report") {
