@@ -1090,11 +1090,24 @@ object Dedup {
     * Because windows slide at stride 1, a shared substring is caught at
     * ANY alignment — the shifted repeats [[dedupSpans]]' non-overlapping
     * grid structurally misses (its spans only match when the repeat lands
-    * on the same k-token boundary). The trade: only repeats of length ≥ L
-    * are visible, and removal is per covering window (a shared run of
-    * m ≥ L tokens loses its full m tokens from non-first occurrences — the
-    * published method's semantics). Pure replays disappear; sub-L and
-    * null-text documents pass through / vanish like dedupSpans'.
+    * on the same k-token boundary). The relationship to the published
+    * suffix-array construction, stated precisely: two positions share an
+    * L-token window iff their suffixes share an L-token prefix — the
+    * predicate a suffix array's LCP computation answers — and inside a
+    * maximal repeat of m ≥ L tokens every one of its m−L+1 windows
+    * matches cross-occurrence, so the covered union of a non-first
+    * occurrence is EXACTLY its m repeat tokens (spec-pinned on a
+    * 13-token repeat at three alignments). The window groupBy therefore
+    * computes the same ≥-L-repeat removal in ONE shuffle where prefix
+    * doubling pays O(log L) global sorts; what the suffix array would
+    * add is sub-threshold LCP statistics this operator does not need.
+    * The honest residual deltas: repeats shorter than L are invisible
+    * (the threshold semantics both methods share), and the corpus-first
+    * winner is elected per WINDOW, so when distinct documents each
+    * contain different earliest windows of one repeat, the removal
+    * mosaic can differ from a per-repeat election. Pure replays
+    * disappear; sub-L and null-text documents pass through / vanish like
+    * dedupSpans'.
     *
     * Returns (idCol, n_tokens, n_kept, dedup_text).
     *

@@ -24,6 +24,14 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   * (truncated uploads, corrupt blocks) is skipped by rescanning, never a
   * task failure — the WikiXmlSource/WarcSource degradation contract.
   *
+  * Hot-path mechanics (CC members are typically small, so per-member
+  * constants dominate): all reads go through ONE sequential 64 KB cursor
+  * buffer — the stream seeks only at split start and after corruption
+  * rescans, consecutive members decode with zero seeks — and ONE
+  * `Inflater` is reset per member instead of allocated (native
+  * init/free per 2 KB member is the cost that would make the splittable
+  * path lose to the serial codec).
+  *
   * Values are the decompressed member bytes as Hadoop `Text` (UTF-8
   * replacement decode downstream — the batch reader's existing text
   * trade); keys are the member's byte offset in the archive.
@@ -43,6 +51,64 @@ private class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
   private var pos = -1L
   private val key = new LongWritable()
   private val value = new Text()
+  private val inf = new java.util.zip.Inflater(true)
+  private val outBuf = new Array[Byte](1 << 16)
+
+  // sequential cursor buffer: buf(bufPos..bufLen) holds file bytes
+  // starting at file offset bufFileOff + bufPos
+  private val buf = new Array[Byte](1 << 16)
+  private var bufFileOff = 0L
+  private var bufLen = 0
+  private var bufPos = 0
+
+  private def fileOffset: Long = bufFileOff + bufPos
+
+  /** Position the cursor; a real stream seek only when leaving the
+    * buffered window.
+    */
+  private def seekTo(off: Long): Unit = {
+    if (off >= bufFileOff && off <= bufFileOff + bufLen)
+      bufPos = (off - bufFileOff).toInt
+    else {
+      in.seek(off)
+      bufFileOff = off; bufLen = 0; bufPos = 0
+    }
+  }
+
+  /** Slide the unread tail to the front and read more; false at EOF. */
+  private def refill(): Boolean = {
+    val rem = bufLen - bufPos
+    if (rem > 0) System.arraycopy(buf, bufPos, buf, 0, rem)
+    bufFileOff += bufPos
+    bufPos = 0; bufLen = rem
+    val n = in.read(buf, bufLen, buf.length - bufLen)
+    if (n <= 0) false else { bufLen += n; true }
+  }
+
+  private def readByte(): Int =
+    if (bufPos < bufLen || refill()) { val b = buf(bufPos) & 0xFF; bufPos += 1; b }
+    else -1
+
+  private def readBytes(dst: Array[Byte], len: Int): Boolean = {
+    var got = 0
+    while (got < len) {
+      if (bufPos >= bufLen && !refill()) return false
+      val take = math.min(len - got, bufLen - bufPos)
+      System.arraycopy(buf, bufPos, dst, got, take)
+      bufPos += take; got += take
+    }
+    true
+  }
+
+  private def skipBytes(n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      if (bufPos >= bufLen && !refill()) return false
+      val take = math.min(left, (bufLen - bufPos).toLong).toInt
+      bufPos += take; left -= take
+    }
+    true
+  }
 
   override def initialize(split: InputSplit, ctx: TaskAttemptContext): Unit = {
     val fs = split.asInstanceOf[FileSplit]
@@ -59,15 +125,15 @@ private class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
   override def nextKeyValue(): Boolean = {
     while (pos >= 0 && pos < end) {
       readMember(pos) match {
-        case Some((bytes, consumed)) if isWarc(bytes) =>
+        case Some(bytes) if isWarc(bytes) =>
           key.set(pos)
           value.set(bytes, 0, bytes.length)
-          pos += consumed
+          pos = fileOffset
           return true
-        case Some((_, consumed)) =>
+        case Some(_) =>
           // a valid gzip member that is not a WARC record (foreign
           // concatenated content) — skip it, stay in member cadence
-          pos += consumed
+          pos = fileOffset
         case None =>
           // not a member start (mid-file corruption): resynchronize
           pos = findMember(pos + 1)
@@ -84,139 +150,90 @@ private class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
     * fully-validated WARC gzip member begins; -1 when none.
     */
   private def findMember(from: Long): Long = {
-    var base = from
-    val buf = new Array[Byte](1 << 16)
-    while (base < end) {
-      in.seek(base)
-      val want = math.min(buf.length.toLong, fileLen - base).toInt
-      if (want <= 0) return -1L
-      var got = 0
-      while (got < want) {
-        val n = in.read(buf, got, want - got)
-        if (n < 0) return -1L
-        got += n
+    seekTo(from)
+    while (fileOffset < end) {
+      if (bufLen - bufPos < 4 && !refill()) {
+        if (bufLen - bufPos < 3) return -1L
       }
-      var i = 0
-      // overlap guard: a magic straddling the buffer edge is caught by
-      // restarting the next window 2 bytes early
-      while (i < got - 2) {
-        if ((buf(i) & 0xFF) == 0x1F && (buf(i + 1) & 0xFF) == 0x8B &&
-            buf(i + 2) == 8) {
-          val cand = base + i
-          if (cand < end && validates(cand)) return cand
-        }
-        i += 1
-      }
-      if (base + got >= fileLen) return -1L
-      base += math.max(1, got - 2)
+      val i = bufPos
+      val flagsOk = i + 3 >= bufLen || (buf(i + 3) & 0xE0) == 0
+      if ((buf(i) & 0xFF) == 0x1F && (buf(i + 1) & 0xFF) == 0x8B &&
+          buf(i + 2) == 8 && flagsOk) {
+        val cand = fileOffset
+        if (readMember(cand).exists(isWarc)) return cand
+        seekTo(cand + 1)
+      } else bufPos += 1
     }
     -1L
   }
-
-  private def validates(offset: Long): Boolean =
-    readMember(offset).exists { case (bytes, _) => isWarc(bytes) }
 
   /** Decompress ONE gzip member starting at `offset`: manual header
     * parse (magic, CM=8, FLG with reserved bits clear, optional
     * FEXTRA/FNAME/FCOMMENT/FHCRC fields), raw-deflate inflate, and the
     * 8-byte CRC32+ISIZE trailer verified against the produced bytes.
-    * Returns (decompressed, total member length) or None when anything
-    * is inconsistent — the validation that makes resynchronization safe.
+    * None when anything is inconsistent — the validation that makes
+    * resynchronization safe. On success the cursor rests exactly after
+    * the member (its length is `fileOffset - offset`), so consecutive
+    * members stream with no seeks at all.
     */
-  private def readMember(offset: Long): Option[(Array[Byte], Long)] = {
+  private def readMember(offset: Long): Option[Array[Byte]] = {
     if (offset + 18 > fileLen) return None // header + trailer minimum
-    in.seek(offset)
+    seekTo(offset)
     val hdr = new Array[Byte](10)
-    if (!readFully(hdr, 10)) return None
+    if (!readBytes(hdr, 10)) return None
     if ((hdr(0) & 0xFF) != 0x1F || (hdr(1) & 0xFF) != 0x8B || hdr(2) != 8)
       return None
     val flg = hdr(3) & 0xFF
     if ((flg & 0xE0) != 0) return None
-    var headerLen = 10L
     if ((flg & 0x04) != 0) { // FEXTRA
-      val x = new Array[Byte](2)
-      if (!readFully(x, 2)) return None
-      val xlen = (x(0) & 0xFF) | ((x(1) & 0xFF) << 8)
-      if (!skipFully(xlen)) return None
-      headerLen += 2 + xlen
+      val a = readByte(); val b = readByte()
+      if (a < 0 || b < 0) return None
+      if (!skipBytes(a | (b << 8))) return None
     }
-    if ((flg & 0x08) != 0) headerLen += { // FNAME
-      val n = skipZeroTerminated(); if (n < 0) return None; n
-    }
-    if ((flg & 0x10) != 0) headerLen += { // FCOMMENT
-      val n = skipZeroTerminated(); if (n < 0) return None; n
-    }
-    if ((flg & 0x02) != 0) { // FHCRC
-      if (!skipFully(2)) return None
-      headerLen += 2
-    }
-    val inf = new java.util.zip.Inflater(true)
-    try {
-      val out = new java.io.ByteArrayOutputStream(1 << 16)
-      val crc = new java.util.zip.CRC32()
-      val inBuf = new Array[Byte](1 << 16)
-      val outBuf = new Array[Byte](1 << 16)
-      while (!inf.finished()) {
-        if (inf.needsInput()) {
-          val n = in.read(inBuf)
-          if (n < 0) return None // truncated member
-          inf.setInput(inBuf, 0, n)
-        }
-        val m =
-          try inf.inflate(outBuf)
-          catch { case _: java.util.zip.DataFormatException => return None }
-        if (m > 0) { out.write(outBuf, 0, m); crc.update(outBuf, 0, m) }
-        else if (inf.needsDictionary()) return None
+    if ((flg & 0x08) != 0 && !skipZeroTerminated()) return None // FNAME
+    if ((flg & 0x10) != 0 && !skipZeroTerminated()) return None // FCOMMENT
+    if ((flg & 0x02) != 0 && !skipBytes(2)) return None // FHCRC
+    inf.reset()
+    val out = new java.io.ByteArrayOutputStream(1 << 12)
+    val crc = new java.util.zip.CRC32()
+    while (!inf.finished()) {
+      if (inf.needsInput()) {
+        if (bufPos >= bufLen && !refill()) return None // truncated member
+        inf.setInput(buf, bufPos, bufLen - bufPos)
       }
-      val trailerAt = offset + headerLen + inf.getBytesRead
-      if (trailerAt + 8 > fileLen) return None
-      in.seek(trailerAt)
-      val tr = new Array[Byte](8)
-      if (!readFully(tr, 8)) return None
-      val crcStored = le32(tr, 0)
-      val isize = le32(tr, 4)
-      if ((crc.getValue & 0xFFFFFFFFL) != crcStored) return None
-      if ((out.size().toLong & 0xFFFFFFFFL) != isize) return None
-      Some((out.toByteArray, headerLen + inf.getBytesRead + 8))
-    } finally inf.end()
+      val m =
+        try inf.inflate(outBuf)
+        catch { case _: java.util.zip.DataFormatException => return None }
+      if (m > 0) { out.write(outBuf, 0, m); crc.update(outBuf, 0, m) }
+      else if (inf.needsDictionary()) return None
+      if (!inf.finished() && inf.needsInput()) bufPos = bufLen
+    }
+    // finished: the last setInput window was (old bufPos .. bufLen);
+    // whatever the inflater did not consume is still ahead of the cursor
+    bufPos = bufLen - inf.getRemaining
+    val tr = new Array[Byte](8)
+    if (!readBytes(tr, 8)) return None
+    if ((crc.getValue & 0xFFFFFFFFL) != le32(tr, 0)) return None
+    if ((out.size().toLong & 0xFFFFFFFFL) != le32(tr, 4)) return None
+    Some(out.toByteArray)
   }
 
   private def le32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
-  private def readFully(buf: Array[Byte], len: Int): Boolean = {
-    var got = 0
-    while (got < len) {
-      val n = in.read(buf, got, len - got)
-      if (n < 0) return false
-      got += n
-    }
-    true
-  }
-
-  private def skipFully(n: Long): Boolean = {
-    var left = n
-    while (left > 0) {
-      val s = in.skip(left)
-      if (s <= 0) return false
-      left -= s
-    }
-    true
-  }
-
-  /** Skip a zero-terminated field; returns bytes consumed (incl. the
-    * terminator) or -1 on EOF / unreasonable length.
+  /** Skip a zero-terminated header field; false on EOF or unreasonable
+    * length.
     */
-  private def skipZeroTerminated(): Long = {
-    var n = 0L
-    while (n < (1L << 16)) {
-      val b = in.read()
-      if (b < 0) return -1L
+  private def skipZeroTerminated(): Boolean = {
+    var n = 0
+    while (n < (1 << 16)) {
+      val b = readByte()
+      if (b < 0) return false
+      if (b == 0) return true
       n += 1
-      if (b == 0) return n
     }
-    -1L
+    false
   }
 
   override def getCurrentKey: LongWritable = key
@@ -224,5 +241,8 @@ private class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
   override def getProgress: Float =
     if (end == start) 1.0f
     else math.min(1.0f, (math.max(pos, start) - start).toFloat / (end - start))
-  override def close(): Unit = if (in != null) in.close()
+  override def close(): Unit = {
+    inf.end()
+    if (in != null) in.close()
+  }
 }

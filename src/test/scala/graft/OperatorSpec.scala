@@ -1718,6 +1718,29 @@ class OperatorSpec extends SparkSpec {
     assert(out.keySet == Set(1L, 2L, 4L, 5L))
   }
 
+  test("dedupSubstrings removes exactly the maximal repeat — the suffix-array equivalence") {
+    import graft.dedup.Dedup
+    // The analytic bridge to Lee et al.'s suffix-array method: two
+    // positions share an L-token sliding window iff their suffixes share
+    // an L-prefix (the very predicate a suffix array's LCP answers), and
+    // inside a maximal repeat of m >= L tokens every one of the m-L+1
+    // windows matches cross-occurrence, so the covered union is EXACTLY
+    // the m repeat tokens — at any alignment, for any m (multiple of
+    // nothing). Pin it: a 13-token repeat (L=8, 13 not a multiple of
+    // anything relevant) at different offsets in three docs loses
+    // exactly its 13 tokens from the non-first occurrences, no more.
+    val repeat = (1 to 13).map(i => s"R$i").mkString(" ")
+    val out = Dedup.dedupSubstrings(Seq(
+      (1L, s"$repeat tail1 tail2"),
+      (2L, s"pre2a $repeat post2"),   // offset 1
+      (3L, s"p3a p3b p3c $repeat"))   // offset 3
+      .toDF("id", "text"), "text", "id", windowTokens = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((15L, s"$repeat tail1 tail2")))
+    assert(out(2L) == ((2L, "pre2a post2")), out(2L).toString)
+    assert(out(3L) == ((3L, "p3a p3b p3c")), out(3L).toString)
+  }
+
   test("dedupSubstrings is partitioning-invariant with a corpus-hot window") {
     import graft.dedup.Dedup
     val boiler = "terms of service apply to all visitors here"
