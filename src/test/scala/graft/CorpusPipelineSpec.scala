@@ -477,4 +477,25 @@ class CorpusPipelineSpec extends SparkSpec {
         all.toString)
     } finally query.stop()
   }
+
+  test("frontierStream caps per-host admission across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "url", "html")
+    val q = graft.pipeline.CrawlPipeline.frontierStream(df, "url", "html", "ts",
+      watermark = "10 minutes", maxPerHost = 2)
+      .writeStream.format("memory").queryName("cap_out").outputMode("append").start()
+    try {
+      input.addData((ts(0), "https://h.com/x.html",
+        "<a href=\"/p1.html\">1</a><a href=\"/p2.html\">2</a><a href=\"/p3.html\">3</a>"))
+      q.processAllAvailable()
+      input.addData((ts(1), "https://h.com/y.html", "<a href=\"/p4.html\">4</a>"))
+      q.processAllAvailable()
+      val urls = spark.table("cap_out").select("url").as[String].collect().sorted.toSeq
+      assert(urls.size == 2 && urls.forall(_.startsWith("h.com/")), urls.toString)
+    } finally q.stop()
+  }
 }
