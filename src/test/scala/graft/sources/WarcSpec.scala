@@ -195,6 +195,43 @@ class WarcSpec extends SparkSpec {
       Seq("<urn:uuid:g-1>", "<urn:uuid:g-2>"), recs.map(_.recordId).toSeq)
   }
 
+  test("truncated .warc.gz archives degrade to fewer records, never failures") {
+    def gzMember(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val members = (1 to 30).map { i =>
+      gzMember(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/t$i",
+        "WARC-Record-ID" -> s"<urn:uuid:t-$i>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        httpResponse("200 OK", "text/html", s"<p>page $i body text</p>")))
+    }
+    val full = members.flatten.toArray
+    // cut mid-header, mid-deflate, mid-trailer, and at member boundaries:
+    // every prefix must parse whatever complete members it holds and drop
+    // the cut tail silently (the crash-mid-upload shape)
+    val cuts = Seq(3, 10, full.length / 3, full.length / 2,
+      full.length - 5, full.length - 1,
+      members.take(7).map(_.length).sum) // exact member boundary
+    for (cut <- cuts) {
+      val p = writeFile(s"trunc_$cut.warc.gz", full.take(cut))
+      val n = WarcSource.recordsGz(spark, p).count()
+      val whole = {
+        var acc = 0L; var seen = 0
+        members.foreach { m =>
+          if (acc + m.length <= cut) seen += 1
+          acc += m.length
+        }
+        seen
+      }
+      assert(n == whole, s"cut=$cut: got $n records, want $whole")
+    }
+  }
+
   test("gzip WARC reads through the Hadoop codec (one task per file)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
