@@ -942,11 +942,14 @@ object Dedup {
     * (null on content lines) matches itself.
     *
     * Returns the skeleton's rows plus a boolean `markCol`; the persisted
-    * blocks are freed by the ContextCleaner when the result is GC'd.
+    * blocks are freed as soon as the first query consuming the result
+    * completes (`Bridge.persistedCopyAutoRelease` — a repeated-batch
+    * driver accumulates no disk blocks between GCs; a caller re-running
+    * an action on the same result recomputes the skeleton, correctly).
     */
   private def markCorpusFirst(perDoc: DataFrame, keyCols: Seq[String],
                               idCol: String, markCol: String): DataFrame = {
-    val pd = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+    val pd = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
       perDoc, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val winners = pd.groupBy(keyCols.map(col): _*)
       .agg(min(struct(col(idCol), col("pos"))).as("__w"))

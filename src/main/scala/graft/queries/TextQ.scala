@@ -297,9 +297,13 @@ object TextQ {
     "t29_bm25_indexed" -> { (s, dir) =>
       val table = bm25IndexTable(s, dir)
       // bucket pruning on a pure filter probe needs the auto-disable
-      // heuristic off (the lshProbeBucketed caveat)
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      Search.bm25Probe(s, table, "doc_id", "window merge scan", topK = 25)
+      // heuristic off (the lshProbeBucketed caveat). The conf must hold
+      // at the caller's ACTION time (planning is lazy), so it is set on
+      // a session CLONE — the shared session's planning is untouched and
+      // no restore bookkeeping can leak across the query registry.
+      val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      probe.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Search.bm25Probe(probe, table, "doc_id", "window merge scan", topK = 25)
     },
 
     // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —

@@ -152,9 +152,13 @@ private class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
   private def findMember(from: Long): Long = {
     seekTo(from)
     while (fileOffset < end) {
-      if (bufLen - bufPos < 4 && !refill()) {
-        if (bufLen - bufPos < 3) return -1L
-      }
+      // buffer at least the 3-byte magic + FLG before testing — a single
+      // refill can legally return short (FSDataInputStream.read contract),
+      // and comparing bytes past bufLen would judge the candidate on stale
+      // data, skipping a genuine member during resync
+      var more = true
+      while (more && bufLen - bufPos < 4) more = refill()
+      if (bufLen - bufPos < 3) return -1L // EOF inside the magic itself
       val i = bufPos
       val flagsOk = i + 3 >= bufLen || (buf(i + 3) & 0xE0) == 0
       if ((buf(i) & 0xFF) == 0x1F && (buf(i + 1) & 0xFF) == 0x8B &&

@@ -47,6 +47,64 @@ object Bridge {
       () => { rdd.unpersist(blocking = false); () })
   }
 
+  /** [[persistedCopy]] whose blocks are released AUTOMATICALLY after the
+    * first query that consumes the returned frame completes (success or
+    * failure): a one-shot [[org.apache.spark.sql.util.QueryExecutionListener]]
+    * watches for the frame's `LogicalRDD` leaf in each finished query's
+    * optimized plan, unpersists, and unregisters itself. This is the
+    * right primitive for lazy library operators whose result the CALLER
+    * materializes (the markCorpusFirst dedup family): within that one
+    * action every branch shares the persisted skeleton, and the blocks
+    * are freed the moment the action finishes — a long-lived driver
+    * running the operator per batch accumulates nothing between GCs.
+    * Lineage is kept, so a caller that runs a SECOND action on the same
+    * result recomputes the skeleton instead of failing — correct, just
+    * unshared (callers needing repeated consumption should persist the
+    * RESULT themselves). The ContextCleaner remains the backstop when no
+    * query ever runs (listener entries are a few fields each).
+    */
+  def persistedCopyAutoRelease(df: org.apache.spark.sql.DataFrame,
+                               level: org.apache.spark.storage.StorageLevel):
+      org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    val session = ds.sparkSession
+    val rddId = rdd.id
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit = qe.optimizedPlan.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id == rddId
+          case _ => false
+        }
+        if (hit && fired.compareAndSet(false, true)) {
+          rdd.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    session.listenerManager.register(listener)
+    session.internalCreateDataFrame(rdd, ds.schema)
+  }
+
+  /** A clone of `s` sharing its SparkContext, shared state, and catalog
+    * but with an independent COPY of the session conf — the primitive
+    * for query-local conf overrides (e.g. disabling the
+    * autoBucketedScan heuristic around a bucket-pruned probe) that must
+    * hold at the caller's ACTION time without mutating the shared
+    * session. `SparkSession.cloneSession` is private[sql], hence the
+    * bridge.
+    */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Block until every queued SparkListener event has been delivered —
     * the listener bus is asynchronous, so metrics accumulated in a
     * custom listener (the bench mains) are complete only after a drain.

@@ -79,6 +79,23 @@ class OperatorSpec extends SparkSpec {
       (6L, 2L, 1L, "new1 new2 new3")))
   }
 
+  test("markCorpusFirst skeleton blocks auto-release after the first action") {
+    // the corpus-first skeleton is persisted DISK_ONLY for within-query
+    // branch sharing; a long-lived driver calling the dedup operators per
+    // batch must not accumulate blocks between GCs, so the persist is
+    // released by a one-shot listener when the consuming query finishes
+    val corpus = Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Dedup.dedupSpans(corpus, "text", "doc_id", spanTokens = 3).count() == 2)
+    org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+    // the execution-listener bus delivers asynchronously; bounded poll
+    val deadline = System.nanoTime() + 10_000_000_000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"skeleton persist leaked rdd ids: $leaked")
+  }
+
   test("decontaminateSpans removes exactly the spans a benchmark gram overlaps") {
     val bench = Seq((100L, "q1 q2 q3 q4"), (101L, "s1 s2")).toDF("doc_id", "text")
     val corpus = Seq(
@@ -1134,6 +1151,23 @@ class OperatorSpec extends SparkSpec {
       assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
       assert(m.get.group(1).toInt < m.get.group(2).toInt, "probe read every bucket")
     } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("cloneSession isolates conf overrides but shares context and catalog") {
+    // the t29 probe disables the autoBucketedScan heuristic on a session
+    // CLONE — the override must hold for the clone's planning without
+    // ever touching the shared session (the query registry must have no
+    // cross-query side effects)
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(key)
+    val clone = org.apache.spark.sql.graftbridge.Bridge.cloneSession(spark)
+    clone.conf.set(key, "false")
+    assert(spark.conf.get(key) == before, "clone override leaked to shared session")
+    assert(clone.conf.get(key) == "false")
+    assert(clone.sparkContext eq spark.sparkContext)
+    // persistent tables resolve through the SHARED external catalog
+    assert(clone.catalog.listTables().collect().map(_.name).toSet ==
+      spark.catalog.listTables().collect().map(_.name).toSet)
   }
 
   test("appendToLshIndex serves both generations with pruning intact") {

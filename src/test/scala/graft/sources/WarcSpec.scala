@@ -232,6 +232,60 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("short stream reads never skip a genuine member during resync") {
+    // FSDataInputStream.read may legally return fewer bytes than asked;
+    // the resync scanner must keep refilling until the full 4-byte
+    // magic+flags window is buffered (or EOF) before judging a
+    // candidate — judging on stale bytes past bufLen silently drops the
+    // member whose offset a later split starts at. Driven through a
+    // FileSystem whose every read returns at most 2 bytes.
+    def gzMember(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val members = (1 to 40).map { i =>
+      gzMember(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/sr$i",
+        "WARC-Record-ID" -> s"<urn:uuid:sr-$i>",
+        "Content-Type" -> "application/http;msgtype=response"),
+        httpResponse("200 OK", "text/html", s"<p>short-read page $i</p>")))
+    }
+    val bytes = members.flatten.toArray
+    val offsets = members.scanLeft(0L)(_ + _.length).init
+    val local = writeFile("shortread.warc.gz", bytes)
+
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setClass("fs.shortread.impl", classOf[ShortReadFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("fs.shortread.impl.disable.cache", true)
+    val path = new org.apache.hadoop.fs.Path(new java.net.URI(
+      "shortread", null, new java.io.File(local).getAbsolutePath, null))
+
+    // split boundaries: one EXACTLY on a member offset (the drop shape —
+    // the second split's findMember starts with a near-empty buffer) and
+    // two mid-member (ordinary resync)
+    val total = bytes.length.toLong
+    val bounds = Seq(0L, offsets(13), total / 2, total)
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val fmt = new WarcGzInputFormat
+    for (se <- bounds.sliding(2)) {
+      val split = new org.apache.hadoop.mapreduce.lib.input.FileSplit(
+        path, se.head, se(1) - se.head, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      val rr = fmt.createRecordReader(split, ctx)
+      rr.initialize(split, ctx)
+      while (rr.nextKeyValue()) got += rr.getCurrentKey.get()
+      rr.close()
+    }
+    assert(got.sorted.toSeq == offsets.toSeq,
+      s"got ${got.size} members at ${got.sorted.take(20)}…, want 40")
+  }
+
   test("gzip WARC reads through the Hadoop codec (one task per file)") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -450,5 +504,28 @@ class WarcSpec extends SparkSpec {
       "WARC-Type only half" + CRLF + CRLF + "WARC/1.0" + CRLF
     val p = writeFile("junk.warc", junk.getBytes("UTF-8"))
     assert(WarcSource.records(spark, p).collect().isEmpty)
+  }
+}
+
+/** Test-only FileSystem whose streams return at most 2 bytes per read —
+  * exercises the short-read path of WarcGzInputFormat's resync scanner
+  * (must be top-level: Hadoop instantiates it reflectively).
+  */
+class ShortReadFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "shortread"
+  override def getUri: java.net.URI = java.net.URI.create("shortread:///")
+  override def open(f: org.apache.hadoop.fs.Path,
+                    bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    val inner = super.open(f, bufferSize)
+    new org.apache.hadoop.fs.FSDataInputStream(
+      new org.apache.hadoop.fs.FSInputStream {
+        override def read(): Int = inner.read()
+        override def read(b: Array[Byte], off: Int, len: Int): Int =
+          inner.read(b, off, math.min(len, 2))
+        override def seek(pos: Long): Unit = inner.seek(pos)
+        override def getPos: Long = inner.getPos
+        override def seekToNewSource(targetPos: Long): Boolean = false
+        override def close(): Unit = inner.close()
+      })
   }
 }
