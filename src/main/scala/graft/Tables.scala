@@ -45,6 +45,11 @@ object Tables {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-plan (skew splits, broadcast conversion) inside cached
+      // plans too — the default false pins a cached pipeline stage to its
+      // static plan, which is exactly where a skewed dedup join needs the
+      // runtime split
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // runtime bloom-filter pushdown: a selective dim-side filter becomes
       // a bloom probe on the fact scan, skipping row groups before the
       // join — a pure win for the star joins at warehouse scale

@@ -209,43 +209,110 @@ object Dedup {
     * internally chained through links that certainly pass verification;
     * what sampling gives up is only cross-subgroup pairs whose similarity
     * was moderate to begin with.
+    *
+    * EAGER: the returned pair list is materialized (localCheckpoint,
+    * ids-only — the hammingDropIds discipline) so the banded skeleton's
+    * persist is released before return and the mega-key broadcast
+    * decision can be made from the actual key count at runtime.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.storage.StorageLevel
     val sigs = df.select(col(idCol),
       minhashSignatureFromText(col(textCol), k, numHashes).as("sig"))
     // __sg: 64-bit fingerprint of the FULL signature — the chain's sort
-    // key (identical docs share it, see the chain-order note above)
-    val bb = sigs
-      .select(col(idCol), xxhash64(col("sig")).as("__sg"),
-        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
-    // Bucket size and successor are BOTH window functions over the one
-    // (band, bucket) exchange the self-join needs anyway — NOT a separate
-    // count aggregation joined back, which would plan a second independent
-    // branch over `bb` and recompute the (dominant) signature UDF pass for
-    // it (measured ~2× the whole candidate stage). Every consumer below —
-    // small-bucket self-join sides, mega-bucket chain — sits above the
-    // same canonical exchange, which runtime stage reuse evaluates once.
-    // The added per-partition sort orders 32-byte (id, sg, band, bucket)
-    // rows, noise next to one avoided signature pass.
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    val keyed = bb
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .withColumn("__nxt",
-        lead(col(idCol), 1).over(wBucket.orderBy(col("__sg"), col(idCol))))
-    val small = keyed.filter(col("__bsz") <= maxBucket)
+    // key (identical docs share it, see the chain-order note above).
+    // The banded skeleton is persisted ONCE (released before return —
+    // the operator is eager, see the checkpoint below), so the dominant
+    // signature-UDF pass runs exactly once no matter how many branches
+    // read it — which frees the bucket-size and successor derivations
+    // from the former count/lead-over-Window.partitionBy(band, bucket)
+    // coupling that routed a mega-bucket's whole membership through ONE
+    // window-sort task (the last corpus-scaling window in the dedup
+    // family).
+    val (bb, releaseBb) = Bridge.persistedCopyReleasable(
+      sigs.select(col(idCol), xxhash64(col("sig")).as("__sg"),
+        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket"))),
+      StorageLevel.DISK_ONLY)
+    // bucket sizes by PARTIAL-AGG (the count exchange carries at most one
+    // row per (band, bucket) per map partition regardless of skew), then
+    // the small/mega SPLIT routes through the MEGA-KEY LIST, not a
+    // per-row size join-back. Mega keys are rare by construction (each
+    // holds > maxBucket members), so the list is materialized eagerly
+    // (localCheckpoint — this makes the whole operator EAGER, the
+    // hammingDropIds discipline) and BROADCAST explicitly: both split
+    // joins become map-side filters over the persisted skeleton, which
+    // is never hash-partitioned by the (skewed) bucket key at all. AQE's
+    // skew split cannot cover this join — its pattern needs bare shuffle
+    // stages on both sides, and the key list is an aggregate — hence the
+    // driver-side runtime decision. Degenerate guard: a corpus whose
+    // mega-key list itself is huge (> rows/maxBucket ≈ 4M keys needs a
+    // >4-billion-row single bucket domain) falls back to the shuffled
+    // join rather than OOM the driver.
+    val megaKeys = bb.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col("band"), col("bucket"))
+      .localCheckpoint()
+    val mk =
+      if (megaKeys.count() <= 4000000L) broadcast(megaKeys) else megaKeys
+    val small = bb.join(mk, Seq("band", "bucket"), "left_anti")
     val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))
     val exhaustive = l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select("a", "b")
-    // mega-buckets: signature-ordered successor chain inside each
-    // (band, bucket); least/greatest keeps the (a < b) pair convention
-    // nearDedup's drop-the-b-side rule depends on
-    val chained = keyed.filter(col("__bsz") > maxBucket && col("__nxt").isNotNull)
+    // mega-buckets: signature-ordered successor chain per (band, bucket),
+    // WITHOUT a bucket-partitioned window — range-partition by the full
+    // chain sort key spreads one mega-bucket over many partitions (ties
+    // split by id, so even a single identical-signature flood divides
+    // uniformly), per-partition successors come from a lead over the
+    // PARTITION-ID window (task size = range-partition size, independent
+    // of any key's membership), and the cross-partition links are
+    // stitched from a first/last-row boundary frame of ≤ one row per
+    // partition. least/greatest keeps the (a < b) pair convention
+    // nearDedup's drop-the-b-side rule depends on.
+    val (mega, releaseMega) = Bridge.persistedCopyReleasable(
+      bb.join(mk, Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("__sg"), col(idCol))
+        .repartitionByRange(col("band"), col("bucket"), col("__sg"), col(idCol))
+        .withColumn("__pid", spark_partition_id()),
+      StorageLevel.DISK_ONLY)
+    val wPid = Window.partitionBy(col("__pid"))
+      .orderBy(col("band"), col("bucket"), col("__sg"), col(idCol))
+    val inner = mega
+      .withColumn("__nb", lead(col("band"), 1).over(wPid))
+      .withColumn("__nk", lead(col("bucket"), 1).over(wPid))
+      .withColumn("__nxt", lead(col(idCol), 1).over(wPid))
+      .filter(col("__nxt").isNotNull &&
+        col("__nb") === col("band") && col("__nk") === col("bucket"))
       .select(least(col(idCol), col("__nxt")).as("a"),
         greatest(col(idCol), col("__nxt")).as("b"))
-    exhaustive.union(chained).distinct()
+    // boundary stitching: first/last row per non-empty partition (struct
+    // order ≡ the chain sort order), densely re-ranked so an empty range
+    // partition cannot break adjacency. The rank window is global but its
+    // input is ≤ one row per partition — bounded by partition count, the
+    // documented prefix-sum-totals class.
+    val bounds = mega.groupBy(col("__pid"))
+      .agg(min(struct(col("band"), col("bucket"), col("__sg"), col(idCol)))
+          .as("__f"),
+        max(struct(col("band"), col("bucket"), col("__sg"), col(idCol)))
+          .as("__l"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__pid"))))
+    val stitch = bounds.select(col("__rn"), col("__l"))
+      .join(bounds.select((col("__rn") - 1).as("__rn"), col("__f")), "__rn")
+      .filter(col("__l.band") === col("__f.band") &&
+        col("__l.bucket") === col("__f.bucket"))
+      .select(least(col(s"__l.$idCol"), col(s"__f.$idCol")).as("a"),
+        greatest(col(s"__l.$idCol"), col(s"__f.$idCol")).as("b"))
+    // eager + lineage-truncated so the skeleton persists can be released
+    // NOW (the hammingDropIds fault-tolerance trade: the pair list is
+    // ids-only and linear in corpus size)
+    val result = exhaustive.union(inner).union(stitch).distinct()
+      .localCheckpoint()
+    releaseMega(); releaseBb()
+    result
   }
 
   /** The full near-dup pipeline: MinHash-LSH candidate generation →
@@ -629,15 +696,17 @@ object Dedup {
   private[graft] def hammingBandRows(sk: DataFrame, grpCols: Seq[String],
                                      maxHamming: Int, maxBucket: Int): DataFrame = {
     val g = grpCols.map(col)
-    sk.select(g ++ Seq(col("id"), col("h"),
+    val rows = sk.select(g ++ Seq(col("id"), col("h"),
         explode(hammingBandStructs(col("h"), maxHamming)).as("bb")): _*)
       .select(g ++ Seq(col("id"), col("h"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket")): _*)
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(g ++ Seq(col("band"), col("bucket")): _*)
-          .orderBy(col("id"))))
-      .filter(col("__rk") <= maxBucket)
-      .drop("__rk")
+    // min-id cap via the salted two-phase top-N (t15's discipline): the
+    // final per-bucket rank sees ≤ saltParts × maxBucket rows however
+    // adversarially clustered the bucket is — the former single
+    // row_number window sorted the whole membership in one task
+    graft.operators.Skew.saltedTopN(rows,
+      g ++ Seq(col("band"), col("bucket")), col("id"), Seq(col("id")),
+      maxBucket)
   }
 
   /** Verified Hamming-radius pairs over a fingerprint skeleton
@@ -948,21 +1017,28 @@ object Dedup {
     * an action on the same result recomputes the skeleton, correctly).
     */
   private def markCorpusFirst(perDoc: DataFrame, keyCols: Seq[String],
-                              idCol: String, markCol: String): DataFrame = {
+                              idCol: String, markCol: String,
+                              extraAgg: Seq[(String, Column)] = Nil): DataFrame = {
     val pd = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
       perDoc, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // optional extra PER-KEY aggregates (e.g. total occurrence count for
+    // the repeat-mining tier) ride the same partial-agg exchange and reach
+    // only the WINNER row through the composite join-back — no second
+    // key-only join that would re-concentrate a hot key's rows
     val winners = pd.groupBy(keyCols.map(col): _*)
-      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"),
+        extraAgg.map { case (n, c) => c.as(n) }: _*)
       .select(keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") } ++
         Seq(col(s"__w.$idCol").as("__wid"), col("__w.pos").as("__wpos"),
-          lit(true).as(markCol)): _*)
+          lit(true).as(markCol)) ++ extraAgg.map { case (n, _) => col(n) }: _*)
     val cond = keyCols.zipWithIndex
       .map { case (k, i) => pd(k) <=> winners(s"__k$i") }
       .reduce(_ && _) &&
       pd(idCol) === winners("__wid") && pd("pos") === winners("__wpos")
     pd.join(winners, cond, "left")
-      .select(pd.columns.toIndexedSeq.map(pd(_)) :+
-        coalesce(winners(markCol), lit(false)).as(markCol): _*)
+      .select(pd.columns.toIndexedSeq.map(pd(_)) ++
+        Seq(coalesce(winners(markCol), lit(false)).as(markCol)) ++
+        extraAgg.map { case (n, _) => winners(n).as(n) }: _*)
   }
 
   /** Span-level exact dedup (the C4/RefinedWeb-style pass): each document
@@ -1148,18 +1224,10 @@ object Dedup {
     val wins =
       if (!hashWindows) winsRaw
       else winsRaw.withColumn("win", xxhash64(col("win")))
-    val perDoc = wins.groupBy(col(idCol), col("win"))
-      .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
     // corpus-first winner per distinct window: salted two-phase min +
     // composite join-back (markCorpusFirst) — a win-partitioned window
     // would sort a hot window's whole containing-doc set in one task
-    val removed = markCorpusFirst(perDoc, Seq("win"), idCol, "__isw")
-      .withColumn("__rm",
-        when(col("__isw"), array_except(col("poss"), array(col("pos"))))
-          .otherwise(col("poss")))
-      .filter(size(col("__rm")) > 0)
-      .groupBy(col(idCol))
-      .agg(flatten(collect_list(col("__rm"))).as("__rs"))
+    val removed = removedWindowStarts(wins, Seq("win"), idCol)
     tokenized.join(removed, Seq(idCol), "left")
       .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
         filter(col("__toks"), (_, j) =>
@@ -1169,6 +1237,296 @@ object Dedup {
       .filter(col("n_kept") >= 1)
       .select(col(idCol), col("n_tokens"), col("n_kept"),
         array_join(col("__kept"), " ").as("dedup_text"))
+  }
+
+  /** The shared d19/d20 removal-verdict middle: from one row per
+    * stride-1 window occurrence `(idCol, pos, keyCols…)`, collapse
+    * within-doc repeats map-side on the unskewed (id, key) key, elect
+    * the corpus-first occurrence per distinct key through
+    * [[markCorpusFirst]]'s salted two-phase min + composite join-back,
+    * and return one row per affected document with the array of
+    * REMOVED window start positions (`__rs`). No partition anywhere
+    * scales with a key's document count.
+    */
+  private def removedWindowStarts(keyed: DataFrame, keyCols: Seq[String],
+                                  idCol: String): DataFrame = {
+    val perDoc = keyed.groupBy((col(idCol) +: keyCols.map(col)): _*)
+      .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
+    markCorpusFirst(perDoc, keyCols, idCol, "__isw")
+      .withColumn("__rm",
+        when(col("__isw"), array_except(col("poss"), array(col("pos"))))
+          .otherwise(col("poss")))
+      .filter(size(col("__rm")) > 0)
+      .groupBy(col(idCol))
+      .agg(flatten(collect_list(col("__rm"))).as("__rs"))
+  }
+
+  /** Per-position exact window keys of length `L` built by PREFIX
+    * DOUBLING over equality-preserving dense labels — the distributed
+    * suffix-array construction (Manber–Myers doubling), carried only as
+    * far as duplicate detection at threshold L needs: ceil(log2 L)
+    * labeling rounds give every position its 2^k-token context rank, and
+    * the exact-length key is the OVERLAPPING-halves pair
+    * `(r_a(p), r_a(p + L − 2^a))` with `2^a = highestOneBit(L)` — two
+    * L-windows are equal iff their half-pairs are equal (the classic
+    * sparse-table argument: the halves cover the window with overlap).
+    *
+    * Why this exists next to the window-string path: the exchange never
+    * carries TEXT — round k shuffles fixed 24-byte (pos, label) rows and
+    * 16-byte label pairs regardless of L, where window strings cost
+    * O(L × token bytes) per position (≈300 B at the Lee-et-al. L=50).
+    * And unlike `hashWindows`, equality is EXACT — labels are assigned
+    * per distinct value (`monotonically_increasing_id` over a persisted
+    * distinct — only equality is ever used, so the arbitrary label
+    * ORDER is irrelevant and run-to-run label instability is invisible),
+    * so there is no 64-bit collision caveat at any corpus size.
+    * Measured honestly (RepeatDedupBench L=50, 100k docs, local[32]):
+    * the string engine wins local WALL CLOCK ~4× — its one wide shuffle
+    * beats log L rounds when shuffle bytes move at memory speed — so
+    * strings stay the default; what the rank engine buys is bounded
+    * exchange WIDTH (log L fixed-width rounds vs O(L)-byte keys, the
+    * axis that matters when the exchange crosses a real network) and
+    * collision-free exactness where `hashWindows` would otherwise be
+    * forced by key volume.
+    *
+    * Scale shape: windows never cross documents, so ranks live as
+    * per-document arrays — each round is (a) a row-local pair build,
+    * (b) a distinct + label over the pairs, (c) an equi-join back and a
+    * per-document regroup. The label join is a shuffled hash join whose
+    * hot keys ("the", frequent bigrams) are exactly the shape AQE's
+    * skew-join split handles (the small side replicates); intermediates
+    * persist via the auto-releasing skeleton discipline so each round
+    * materializes once and every block is freed when the consuming
+    * query finishes. Total: O(log L) fixed-width shuffle rounds — the
+    * 100 TB path for large thresholds.
+    *
+    * Returns one row per full L-window: (idCol, pos, __k0, __k1).
+    */
+  private def rankKeyedWindows(tokenized: DataFrame, idCol: String,
+                               L: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.storage.StorageLevel
+    val W = Integer.highestOneBit(L)
+    // width-1 labels: one per distinct token
+    val tokOcc = tokenized.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "__t")))
+    val lab0 = Bridge.persistedCopyAutoRelease(
+      tokOcc.select(col("__t")).distinct()
+        .withColumn("__r", monotonically_increasing_id()),
+      StorageLevel.MEMORY_AND_DISK)
+    var cur = tokOcc.join(lab0, "__t")
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__r")))),
+        x => x.getField("__r")).as("__rks"))
+    var w = 1
+    while (w < W) {
+      // width w → 2w: pair each position's label with the label w ahead
+      // (row-local), then re-densify the pairs corpus-wide
+      val pairCol = when(size(col("__rks")) >= w + 1,
+        transform(sequence(lit(0), (size(col("__rks")) - w - 1).cast("int")),
+          i => struct(element_at(col("__rks"), i + 1).as("x"),
+            element_at(col("__rks"), i + w + 1).as("y"))))
+        .otherwise(array())
+      val occ = Bridge.persistedCopyAutoRelease(
+        cur.select(col(idCol), posexplode(pairCol).as(Seq("pos", "__p"))),
+        StorageLevel.MEMORY_AND_DISK)
+      val lab = Bridge.persistedCopyAutoRelease(
+        occ.select(col("__p")).distinct()
+          .withColumn("__r", monotonically_increasing_id()),
+        StorageLevel.MEMORY_AND_DISK)
+      cur = occ.join(lab, "__p")
+        .groupBy(col(idCol))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("__r")))),
+          x => x.getField("__r")).as("__rks"))
+      w *= 2
+    }
+    // exact length L from overlapping W-wide halves: positions 0 .. n−L
+    val off = L - W
+    val keyCol = when(size(col("__rks")) >= off + 1,
+      transform(sequence(lit(0), (size(col("__rks")) - off - 1).cast("int")),
+        i => struct(element_at(col("__rks"), i + 1).as("__k0"),
+          element_at(col("__rks"), i + off + 1).as("__k1"))))
+      .otherwise(array())
+    cur.select(col(idCol), posexplode(keyCol).as(Seq("pos", "__kk")))
+      .select(col(idCol), col("pos"),
+        col("__kk.__k0").as("__k0"), col("__kk.__k1").as("__k1"))
+  }
+
+  /** Variable-length MAXIMAL-repeat dedup — the Lee-et-al.-2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * ExactSubstr tier at its published granularity: every duplicated
+    * substring of `minTokens` or more tokens keeps only its corpus-FIRST
+    * occurrence (min (id, pos), within-doc repeats included), and each
+    * affected document reports its removed extents as MAXIMAL segments —
+    * exact boundaries and exact (variable) lengths, not a fixed window
+    * grid. This closes [[dedupSubstrings]]' two documented residuals
+    * when run at a lower threshold: repeats shorter than its L become
+    * visible (set `minTokens` to the published 50 — or 4 here — rather
+    * than tuning one L for both cost and semantics), and the removal
+    * union is reported per REPEAT REGION (merged extent + length), the
+    * unit a curation pipeline audits.
+    *
+    * Engines (results identical — spec-pinned):
+    *  - `"strings"` (default): stride-1 window strings, the d08/d19
+    *    cross-engine-comparable convention — this is the oracle-gated
+    *    path.
+    *  - `"ranks"`: [[rankKeyedWindows]]' prefix-doubling dense labels —
+    *    the exchange never carries text (O(log minTokens) fixed-width
+    *    rounds), and equality is exact with NO hash-collision caveat.
+    *    Slower at local[32] (measured — see rankKeyedWindows); choose it
+    *    when exchange bytes or hash-collision exposure, not local CPU,
+    *    is the binding constraint.
+    *
+    * Returns (idCol, n_tokens, n_kept, n_repeats_removed,
+    * max_repeat_len, dedup_text): removed-extent count and longest
+    * extent per surviving document; documents whose every token was a
+    * non-first repeat disappear (pure replays), sub-threshold and
+    * null-text documents pass through / vanish like dedupSubstrings'.
+    *
+    * Shuffle shape at scale: identical to d19's audited shape — one
+    * corpus scan into the collapsed (id, key) skeleton, the
+    * [[markCorpusFirst]] salted verdict, row-local coverage/segment
+    * folding, and one reassembly re-scan (2 parquet scans total). The
+    * segment statistics add NO shuffle: maximal extents are a row-local
+    * fold over each document's covered-position flags.
+    */
+  def dedupRepeats(df: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int = 4, engine: String = "strings"): DataFrame = {
+    require(minTokens >= 2, s"minTokens=$minTokens")
+    val L = minTokens
+    val tokenized = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val (keyed, keys) = engine match {
+      case "strings" =>
+        val nWin = size(col("__toks")) - L + 1
+        (tokenized.select(col(idCol),
+          posexplode(when(nWin >= 1,
+            transform(sequence(lit(0), (nWin - 1).cast("int")),
+              i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
+            .otherwise(array()))
+            .as(Seq("pos", "__k0"))), Seq("__k0"))
+      case "ranks" =>
+        (rankKeyedWindows(tokenized, idCol, L), Seq("__k0", "__k1"))
+      case other =>
+        throw new IllegalArgumentException(s"engine=$other (strings|ranks)")
+    }
+    val removed = removedWindowStarts(keyed, keys, idCol)
+    val n = size(col("__toks"))
+    // covered-position flags, then maximal-run lengths via a row-local
+    // fold (cur run length + completed runs)
+    val cov = when(n >= 1,
+      transform(sequence(lit(0), (n - 1).cast("int")), j =>
+        coalesce(exists(col("__rs"), s => s <= j && j < s + L), lit(false))))
+      .otherwise(array().cast("array<boolean>"))
+    val segLens = aggregate(col("__cov"),
+      struct(lit(0).as("cur"), array().cast("array<int>").as("done")),
+      (acc, c) => struct(
+        when(c, acc.getField("cur") + 1).otherwise(lit(0)).as("cur"),
+        when(!c && acc.getField("cur") > 0,
+          concat(acc.getField("done"), array(acc.getField("cur"))))
+          .otherwise(acc.getField("done")).as("done")),
+      acc => when(acc.getField("cur") > 0,
+        concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done")))
+    tokenized.join(removed, Seq(idCol), "left")
+      .withColumn("__cov", cov)
+      .withColumn("__segs", segLens)
+      .withColumn("__kept", filter(col("__toks"), (_, j) =>
+        col("__rs").isNull ||
+          !exists(col("__rs"), s => s <= j && j < s + L)))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        size(col("__segs")).cast("long").as("n_repeats_removed"),
+        coalesce(array_max(col("__segs")), lit(0)).cast("long")
+          .as("max_repeat_len"),
+        array_join(col("__kept"), " ").as("dedup_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
+  /** Corpus-wide REPEAT MINING — the analysis complement of
+    * [[dedupRepeats]]: every maximal duplicated extent (the merged union
+    * of overlapping duplicated `minTokens`-windows, in EVERY occurrence
+    * including the corpus-first one) is extracted with its text and
+    * grouped corpus-wide. This is the "what IS my boilerplate" question
+    * a curation run asks before choosing thresholds: nav menus, license
+    * blocks and template sentences surface with their document reach and
+    * occurrence counts, ranked.
+    *
+    * Returns topK rows (repeat_text, repeat_len, n_docs, n_occurrences)
+    * ordered by n_occurrences desc, then text. Occurrences count maximal
+    * extents (a doc repeating a phrase twice in two separate extents
+    * contributes two), n_docs distinct documents.
+    *
+    * Scale shape: duplicated-ness reaches winner rows through
+    * [[markCorpusFirst]]'s composite join-back (`extraAgg` total — no
+    * second key-only join re-concentrating a hot key); non-winner rows
+    * are duplicated by definition. Extent text rides the exchange once
+    * per (doc, extent) — the d19 string convention; the final group-by
+    * is partial-aggregated (count-distinct expands to the unskewed
+    * (text, id) key first), and top-K is a TakeOrdered, never a global
+    * sort.
+    */
+  def repeatProfile(df: DataFrame, textCol: String, idCol: String,
+                    minTokens: Int = 4, topK: Int = 100): DataFrame = {
+    require(minTokens >= 2, s"minTokens=$minTokens")
+    val L = minTokens
+    val tokenized = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val nWin = size(col("__toks")) - L + 1
+    val wins = tokenized.select(col(idCol),
+      posexplode(when(nWin >= 1,
+        transform(sequence(lit(0), (nWin - 1).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
+        .otherwise(array()))
+        .as(Seq("pos", "__k0")))
+    val perDoc = wins.groupBy(col(idCol), col("__k0"))
+      .agg(min(col("pos")).as("pos"), collect_list(col("pos")).as("poss"))
+    val marked = markCorpusFirst(perDoc, Seq("__k0"), idCol, "__isw",
+      extraAgg = Seq("__tot" -> sum(size(col("poss")))))
+    // coverage = every occurrence of a window with ≥2 corpus occurrences:
+    // non-winner rows always (the winner site is elsewhere), winner rows
+    // when the corpus total says so
+    val covStarts = marked
+      .withColumn("__cv",
+        when(!col("__isw") || col("__tot") >= 2, col("poss"))
+          .otherwise(array().cast("array<int>")))
+      .filter(size(col("__cv")) > 0)
+      .groupBy(col(idCol))
+      .agg(flatten(collect_list(col("__cv"))).as("__cs"))
+    val n = size(col("__toks"))
+    // maximal extents with START positions: row-local fold over j
+    val segs = aggregate(
+      when(n >= 1, sequence(lit(0), (n - 1).cast("int")))
+        .otherwise(array().cast("array<int>")),
+      struct(lit(-1).as("st"), lit(0).as("cur"),
+        array().cast("array<struct<start:int,len:int>>").as("done")),
+      (acc, j) => {
+        val c = coalesce(exists(col("__cs"), s => s <= j && j < s + L),
+          lit(false))
+        struct(
+          when(c && acc.getField("cur") === 0, j)
+            .otherwise(acc.getField("st")).as("st"),
+          when(c, acc.getField("cur") + 1).otherwise(lit(0)).as("cur"),
+          when(!c && acc.getField("cur") > 0,
+            concat(acc.getField("done"), array(struct(
+              acc.getField("st").as("start"), acc.getField("cur").as("len")))))
+            .otherwise(acc.getField("done")).as("done"))
+      },
+      acc => when(acc.getField("cur") > 0,
+        concat(acc.getField("done"), array(struct(
+          acc.getField("st").as("start"), acc.getField("cur").as("len")))))
+        .otherwise(acc.getField("done")))
+    tokenized.join(covStarts, Seq(idCol), "inner")
+      .withColumn("__sg", explode(segs))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("__toks"), col("__sg.start") + 1,
+          col("__sg.len"))).as("repeat_text"),
+        col("__sg.len").cast("long").as("repeat_len"))
+      .groupBy(col("repeat_text"), col("repeat_len"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("repeat_text"))
+      .limit(topK)
   }
 
   /** Create an empty content-hash registry table for
@@ -1273,15 +1631,15 @@ object Dedup {
   }
 
   // (id, band, bucket) skeleton rows, each (band, bucket) capped to its
-  // deterministic min-id maxBucket members. The window sees 24-byte
-  // skeletons only — never text or signatures.
+  // deterministic min-id maxBucket members via the salted two-phase
+  // top-N — the rank input sees 24-byte skeletons only (never text or
+  // signatures) and is bounded at saltParts × maxBucket rows per bucket
+  // regardless of how many identical-template documents flood one bucket.
   private def bandRowsCapped(sigs: DataFrame, bands: Int, maxBucket: Int): DataFrame =
-    sigs.select(col("id"),
-        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
-      .filter(col("__rk") <= maxBucket)
-      .drop("__rk")
+    graft.operators.Skew.saltedTopN(
+      sigs.select(col("id"),
+        posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket"))),
+      Seq(col("band"), col("bucket")), col("id"), Seq(col("id")), maxBucket)
 
   /** Append new documents to a [[writeMinhashIndex]] table WITHOUT
     * rebuilding: MinHash signatures are data-independent (seeded

@@ -83,6 +83,153 @@ object CrawlPipeline {
     else out
   }
 
+  /** Create the CITATION registry behind [[frontierPrioritized]]'s
+    * cross-run priority: a bucketed (content_hash, n_refs) table, one row
+    * appended per (run, cited URL) — accumulated citation totals are a
+    * co-located read-side aggregation over the generations (the
+    * append-only grow-don't-retrain contract; [[graft.sources.Warehouse
+    * .compact]] covers file fragmentation).
+    */
+  def createCitationRegistry(spark: org.apache.spark.sql.SparkSession,
+                             table: String, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[(String, Long)].toDF("content_hash", "n_refs"),
+      table, "content_hash", buckets)
+  }
+
+  /** [[frontier]] grown into a cross-run PRIORITIZED fetch schedule — the
+    * composition a real crawler runs: candidates carry citation counts
+    * ACCUMULATED across runs (a URL capped out of run 1's lanes
+    * re-surfaces in run 2 with its full citation history), optionally
+    * weighted by link-graph authority, and each host's admitted URLs are
+    * emitted as a deterministic fetch LANE that respects the host's
+    * `crawl_delay`.
+    *
+    * Stages on top of [[frontier]]'s chain:
+    *  - CITATIONS (`citationRegistryTable`): this run's per-URL counts
+    *    append to the registry; `n_refs_total` = this batch + the sum of
+    *    prior generations (both sides keyed on the url hash — the
+    *    registry read is a co-located aggregation, never re-shuffled).
+    *  - SEEN (`seenRegistryTable`): URLs already FETCHED drop. Unlike
+    *    [[frontier]] (which registers every fresh candidate), only the
+    *    EMITTED schedule registers — a URL that lost its lane slot or
+    *    was delay-gated stays pending and keeps accumulating citations,
+    *    the semantics a politeness-capped crawler actually needs.
+    *  - PRIORITY: (n_refs_total desc, page-rank desc, url) — total and
+    *    RNG-free; `pageRank` is an optional (url, rank) frame (feed
+    *    [[graft.operators.PageRank]] output; absent ranks read 0).
+    *  - LANES: per-host admission via the salted top-N under the
+    *    priority order, then `fetch_seq` (1-based position in the host's
+    *    lane — a per-host rank over the ≤ maxPerHost survivors, bounded
+    *    by construction) and `not_before_s` = (fetch_seq − 1) ×
+    *    crawl_delay — the earliest polite fetch offset within the
+    *    host's lane. `crawl_delay` comes from `crawlDelayByHost`
+    *    ((host, crawl_delay) — e.g. distilled from robots captures) or
+    *    the robots gate's own policy evidence; absent delays schedule
+    *    immediately.
+    *
+    * EAGER: the returned schedule is materialized (`localCheckpoint`)
+    * before the registries are appended, so the one plan executes once,
+    * the appends cannot invalidate the returned rows, and a long-lived
+    * driver holds no registry-dependent lineage (the c05 eager-append
+    * precedent; fault-tolerance trade as documented at hammingDropIds).
+    *
+    * Returns (url, host, n_refs, n_refs_total, crawl_delay, fetch_seq,
+    * not_before_s).
+    */
+  def frontierPrioritized(pages: DataFrame, urlCol: String, htmlCol: String,
+                          citationRegistryTable: Option[String] = None,
+                          pageRank: Option[DataFrame] = None,
+                          crawlDelayByHost: Option[DataFrame] = None,
+                          robotsByHost: Option[DataFrame] = None,
+                          seenRegistryTable: Option[String] = None,
+                          maxPerHost: Int = 10,
+                          agent: String = "*",
+                          updateRegistries: Boolean = true): DataFrame = {
+    require(maxPerHost > 0,
+      s"frontierPrioritized schedules per-host lanes: maxPerHost=$maxPerHost")
+    val spark = pages.sparkSession
+    val resolved = pages
+      .select(col(urlCol).as("__base"),
+        explode(Html.extractLinks(col(htmlCol))).as("__href"))
+      .withColumn("url",
+        TextOps.normalizeUrl(TextOps.resolveUrl(col("__base"), col("__href"))))
+      .filter(col("url").isNotNull && col("url") =!= "")
+    val self = pages
+      .select(TextOps.normalizeUrl(col(urlCol)).as("url")).distinct()
+    val cand = resolved.groupBy(col("url"))
+      .agg(count(lit(1)).as("n_refs"))
+      .join(self, Seq("url"), "left_anti")
+      .withColumn("content_hash", sha2(col("url").cast("binary"), 256))
+    val withTotal = citationRegistryTable match {
+      case Some(t) =>
+        val prior = spark.table(t).groupBy(col("content_hash"))
+          .agg(sum(col("n_refs")).as("__prior"))
+        cand.join(prior, Seq("content_hash"), "left")
+          .withColumn("n_refs_total",
+            col("n_refs") + coalesce(col("__prior"), lit(0L)))
+          .drop("__prior")
+      case None => cand.withColumn("n_refs_total", col("n_refs"))
+    }
+    val unseen = seenRegistryTable match {
+      case Some(t) =>
+        withTotal.join(spark.table(t).select(col("content_hash")),
+          Seq("content_hash"), "left_anti")
+      case None => withTotal
+    }
+    val hosted = unseen.withColumn("host", Robots.urlHost(col("url")))
+    val gated = robotsByHost match {
+      case Some(r) =>
+        val pol = r.select(lower(col("host")).as("host"),
+          Robots.crawlPolicy(col("robots_txt"), agent)
+            .getField("crawl_delay").as("__rdelay"))
+        Robots.filterAllowed(hosted, "url", r, agent)
+          .join(pol, Seq("host"), "left")
+      case None => hosted.withColumn("__rdelay", lit(null).cast("double"))
+    }
+    val delayed = crawlDelayByHost match {
+      case Some(d) =>
+        gated.join(d.select(lower(col("host")).as("host"),
+            col("crawl_delay").as("__hdelay")), Seq("host"), "left")
+          .withColumn("crawl_delay", coalesce(col("__hdelay"), col("__rdelay")))
+          .drop("__hdelay", "__rdelay")
+      case None => gated.withColumnRenamed("__rdelay", "crawl_delay")
+    }
+    val ranked = pageRank match {
+      case Some(pr) =>
+        delayed.join(pr.select(col("url"), col("rank").as("__rank")),
+          Seq("url"), "left")
+          .withColumn("__rank", coalesce(col("__rank"), lit(0.0)))
+      case None => delayed.withColumn("__rank", lit(0.0))
+    }
+    val ordering = Seq(col("n_refs_total").desc, col("__rank").desc, col("url"))
+    val capped = graft.operators.Skew.saltedTopN(ranked, Seq(col("host")),
+      col("url"), ordering, maxPerHost)
+    import org.apache.spark.sql.expressions.Window
+    val lane = Window.partitionBy(col("host"))
+      .orderBy(ordering: _*) // input bounded: ≤ maxPerHost rows per host
+    val sched = capped
+      .withColumn("fetch_seq", row_number().over(lane))
+      .withColumn("not_before_s",
+        (col("fetch_seq") - 1) * coalesce(col("crawl_delay"), lit(0.0)))
+      .select(col("url"), col("host"), col("n_refs"), col("n_refs_total"),
+        col("crawl_delay"), col("fetch_seq"), col("not_before_s"),
+        col("content_hash"))
+      .localCheckpoint()
+    if (updateRegistries) {
+      citationRegistryTable.foreach { t =>
+        graft.sources.Warehouse.appendBucketedWithDelta(
+          cand.select(col("content_hash"), col("n_refs")), t, "content_hash")
+      }
+      seenRegistryTable.foreach { t =>
+        graft.sources.Warehouse.appendBucketedWithDelta(
+          sched.select(col("content_hash")), t, "content_hash")
+      }
+    }
+    sched.drop("content_hash")
+  }
+
   /** [[frontier]]'s incremental twin for a live crawl intake: each
     * micro-batch's outlinks run the same row-local
     * extract→resolve→normalize chain, then a URL emits the FIRST time it

@@ -70,6 +70,36 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L73: variable-length maximal-repeat dedup — a 5-token phrase (below
+    // d19's 8-token window) planted at an id-dependent offset must be
+    // removed at its EXACT extent from all but the corpus-earliest
+    // occurrence of each window, with per-doc extent count + max length.
+    "d20_maximal_repeat_dedup" -> { (s, dir) =>
+      val pads = pmod(col("doc_id"), lit(3))
+      val salted = Tables(s, dir, "documents")
+        .withColumn("ml_text", concat(
+          when(pads === 1, lit("pad ")).when(pads === 2, lit("pad pad "))
+            .otherwise(lit("")),
+          lit("sigma tau upsilon phi chi "),
+          col("text")))
+      Dedup.dedupRepeats(salted, "ml_text", "doc_id", minTokens = 4)
+        .orderBy("doc_id")
+    },
+
+    // L73b: repeat mining — the corpus's maximal duplicated extents (every
+    // occurrence, corpus-first included) ranked by occurrence count.
+    "d21_repeat_mining" -> { (s, dir) =>
+      val pads = pmod(col("doc_id"), lit(3))
+      val salted = Tables(s, dir, "documents")
+        .withColumn("ml_text", concat(
+          when(pads === 1, lit("pad ")).when(pads === 2, lit("pad pad "))
+            .otherwise(lit("")),
+          lit("sigma tau upsilon phi chi "),
+          col("text")))
+      Dedup.repeatProfile(salted, "ml_text", "doc_id", minTokens = 4,
+        topK = 50)
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -433,6 +463,117 @@ object DedupQ {
         |FROM out
         |WHERE len(kept) >= 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Same salt and window election as the Spark side; removal stats come
+    // from gaps-and-islands over the covered positions (merged maximal
+    // extents), the exact-boundary semantics of the variable-length tier.
+    "d20_maximal_repeat_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 1 THEN 'pad ' WHEN 2 THEN 'pad pad ' ELSE '' END ||
+        |    'sigma tau upsilon phi chi ' || text AS ml
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(ml, '\s+'), x -> x <> '') AS toks
+        |  FROM s),
+        |wu AS (
+        |  SELECT doc_id, toks,
+        |    unnest(CASE WHEN len(toks) >= 4 THEN
+        |      list_transform(generate_series(0, len(toks) - 4),
+        |        i -> {'pos': i, 'win': array_to_string(toks[i+1:i+4], ' ')})
+        |      ELSE [] END) AS u
+        |  FROM tok),
+        |win AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wu),
+        |w2 AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |rem AS (SELECT doc_id, list(pos) AS rs FROM w2 WHERE rn > 1 GROUP BY doc_id),
+        |cov AS (
+        |  SELECT t.doc_id, t.toks,
+        |    list_transform(generate_series(1, len(t.toks)), j ->
+        |      r.rs IS NOT NULL AND
+        |      len(list_filter(r.rs, sp -> sp <= j - 1 AND j - 1 < sp + 4)) > 0) AS cv
+        |  FROM tok t LEFT JOIN rem r USING (doc_id)),
+        |cu AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(cv)),
+        |    j -> {'j': j - 1, 'c': cv[j]})) AS u
+        |  FROM cov),
+        |cflat AS (SELECT doc_id, u.j AS j FROM cu WHERE u.c),
+        |isl AS (SELECT doc_id, j,
+        |  j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS g FROM cflat),
+        |seg AS (SELECT doc_id, COUNT(*) AS slen FROM isl GROUP BY doc_id, g),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+        |  CAST(MAX(slen) AS BIGINT) AS max_len FROM seg GROUP BY doc_id),
+        |outp AS (
+        |  SELECT c.doc_id,
+        |    CAST(len(c.toks) AS BIGINT) AS n_tokens,
+        |    list_filter(list_transform(generate_series(1, len(c.toks)),
+        |      j -> CASE WHEN NOT c.cv[j] THEN c.toks[j] END),
+        |      x -> x IS NOT NULL) AS kept,
+        |    CAST(COALESCE(st.n_seg, 0) AS BIGINT) AS n_repeats_removed,
+        |    CAST(COALESCE(st.max_len, 0) AS BIGINT) AS max_repeat_len
+        |  FROM cov c LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  n_repeats_removed, max_repeat_len,
+        |  array_to_string(kept, ' ') AS dedup_text
+        |FROM outp
+        |WHERE len(kept) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Coverage counts EVERY occurrence of a >=2-occurrence window; merged
+    // islands carry their start so the extent text can be sliced back out.
+    "d21_repeat_mining" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 1 THEN 'pad ' WHEN 2 THEN 'pad pad ' ELSE '' END ||
+        |    'sigma tau upsilon phi chi ' || text AS ml
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(ml, '\s+'), x -> x <> '') AS toks
+        |  FROM s),
+        |wu AS (
+        |  SELECT doc_id, toks,
+        |    unnest(CASE WHEN len(toks) >= 4 THEN
+        |      list_transform(generate_series(0, len(toks) - 4),
+        |        i -> {'pos': i, 'win': array_to_string(toks[i+1:i+4], ' ')})
+        |      ELSE [] END) AS u
+        |  FROM tok),
+        |win AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wu),
+        |w2 AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY win) AS cnt
+        |  FROM win),
+        |covs AS (SELECT doc_id, list(pos) AS cs FROM w2 WHERE cnt >= 2 GROUP BY doc_id),
+        |cov AS (
+        |  SELECT t.doc_id, t.toks,
+        |    list_transform(generate_series(1, len(t.toks)), j ->
+        |      len(list_filter(c.cs, sp -> sp <= j - 1 AND j - 1 < sp + 4)) > 0) AS cv
+        |  FROM tok t JOIN covs c USING (doc_id)),
+        |cu AS (
+        |  SELECT doc_id, toks, unnest(list_transform(generate_series(1, len(cv)),
+        |    j -> {'j': j - 1, 'c': cv[j]})) AS u
+        |  FROM cov),
+        |cflat AS (SELECT doc_id, toks, u.j AS j FROM cu WHERE u.c),
+        |isl AS (SELECT doc_id, toks, j,
+        |  j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS g FROM cflat),
+        |seg AS (SELECT doc_id, MIN(j) AS st, COUNT(*) AS slen,
+        |    array_to_string(any_value(toks)[MIN(j)+1:MIN(j)+COUNT(*)], ' ') AS rt
+        |  FROM isl GROUP BY doc_id, g),
+        |prof AS (
+        |  SELECT rt AS repeat_text, CAST(slen AS BIGINT) AS repeat_len,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM seg GROUP BY rt, slen)
+        |SELECT repeat_text, repeat_len, n_docs, n_occurrences
+        |FROM prof
+        |ORDER BY n_occurrences DESC, repeat_text
+        |LIMIT 50""".stripMargin,
 
     // Same salt, same corpus-first-occurrence-per-line semantics: zipped
     // unnest gives (pos, line), blanks bypass competition per occurrence.

@@ -163,6 +163,46 @@ object PipelineQ {
       graft.pipeline.CrawlPipeline.frontier(pages, "url", "html",
         maxPerHost = 3)
         .orderBy("url")
+    },
+
+    // L74 (hash-gated): the cross-run PRIORITIZED frontier — run 1 (two
+    // thirds of the corpus) seeds the citation registry and fetches its
+    // 2-per-host lanes; run 2's schedule must rank by ACCUMULATED
+    // citations (run-1 counts included), drop run-1's emitted URLs (lane
+    // losers stay pending), and serialize each hub's lane under its
+    // crawl delay (fetch_seq, not_before_s). Registries are dropped and
+    // rebuilt per call (the c05 replay discipline); robots/PageRank
+    // inputs are spec-gated.
+    "c07_frontier_schedule" -> { (s, dir) =>
+      import s.implicits._
+      import graft.pipeline.CrawlPipeline
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cit = s"c07_cit_$suffix"
+      val seen = s"c07_seen_$suffix"
+      for (t <- Seq(cit, seen))
+        graft.sources.Warehouse.dropTableAndLocation(s, t)
+      CrawlPipeline.createCitationRegistry(s, cit, buckets = 8)
+      graft.dedup.Dedup.createRegistry(s, seen, buckets = 8)
+      val k = pmod(col("doc_id"), lit(5)).cast("string")
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://src"), id, lit(".com/page.html"))
+      val page = concat(
+        lit("<a href=\"http://hub"), k, lit(".com/top\">t</a>"),
+        lit("<a href=\"http://hub"), k, lit(".com/p"),
+        pmod(col("doc_id"), lit(4)).cast("string"), lit(".html\">p</a>"),
+        lit("<a href=\"http://one"), id, lit(".com/x\">o</a>"))
+      val docs = Tables(s, dir, "documents")
+      def pages(f: org.apache.spark.sql.Column) =
+        docs.filter(f).select(base.as("url"), page.as("html"))
+      val delays = Seq(("hub0.com", 1.0), ("hub1.com", 2.0), ("hub2.com", 3.0))
+        .toDF("host", "crawl_delay")
+      def run(f: org.apache.spark.sql.Column) =
+        CrawlPipeline.frontierPrioritized(pages(f), "url", "html",
+          citationRegistryTable = Some(cit),
+          crawlDelayByHost = Some(delays),
+          seenRegistryTable = Some(seen), maxPerHost = 2)
+      run(col("doc_id") % 3 =!= 0) // run 1: eager — registries populated
+      run(col("doc_id") % 3 === 0).orderBy("url")
     }
   )
 
@@ -407,8 +447,67 @@ object PipelineQ {
        |QUALIFY row_number() OVER (PARTITION BY host ORDER BY url) <= 3
        |ORDER BY url""".stripMargin
 
+  // c07: both runs replayed in one WITH-chain — run 1's post-self-drop
+  // candidate counts are the citation registry's state, its capped lane
+  // the seen set; run 2 ranks by accumulated totals, drops run-1's
+  // emitted URLs, and serializes each host's lane under the delay table.
+  private val frontierScheduleOracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    'https://src' || CAST(doc_id AS VARCHAR) || '.com/page.html' AS base,
+       |    '<a href="http://hub' || CAST(doc_id % 5 AS VARCHAR) || '.com/top">t</a>' ||
+       |    '<a href="http://hub' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' ||
+       |      CAST(doc_id % 4 AS VARCHAR) || '.html">p</a>' ||
+       |    '<a href="http://one' || CAST(doc_id AS VARCHAR) || '.com/x">o</a>' AS page
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, base, unnest(${graft.text.Html.duckLinks("page")}) AS href
+       |  FROM s),
+       |u AS (
+       |  SELECT doc_id, ${normUrlSql(resolveSql("base", "href"))} AS url FROM l),
+       |c1 AS (
+       |  SELECT url, COUNT(*) AS n FROM u WHERE doc_id % 3 <> 0 GROUP BY url),
+       |self1 AS (
+       |  SELECT DISTINCT ${normUrlSql("base")} AS url FROM s WHERE doc_id % 3 <> 0),
+       |f1 AS (SELECT c1.url, c1.n FROM c1 ANTI JOIN self1 USING (url)),
+       |h1 AS (
+       |  SELECT url, lower(regexp_extract(url, '^([^/?#]*)', 1)) AS host, n
+       |  FROM f1),
+       |em1 AS (
+       |  SELECT url FROM h1
+       |  QUALIFY row_number() OVER (PARTITION BY host ORDER BY n DESC, url) <= 2),
+       |c2 AS (
+       |  SELECT url, COUNT(*) AS n FROM u WHERE doc_id % 3 = 0 GROUP BY url),
+       |self2 AS (
+       |  SELECT DISTINCT ${normUrlSql("base")} AS url FROM s WHERE doc_id % 3 = 0),
+       |f2 AS (SELECT c2.url, c2.n FROM c2 ANTI JOIN self2 USING (url)),
+       |tot AS (
+       |  SELECT f2.url, f2.n AS n_refs, f2.n + COALESCE(f1.n, 0) AS n_refs_total
+       |  FROM f2 LEFT JOIN f1 USING (url)),
+       |unseen AS (SELECT * FROM tot ANTI JOIN em1 USING (url)),
+       |hh AS (
+       |  SELECT url, lower(regexp_extract(url, '^([^/?#]*)', 1)) AS host,
+       |    n_refs, n_refs_total
+       |  FROM unseen),
+       |del AS (SELECT * FROM (VALUES ('hub0.com', 1.0), ('hub1.com', 2.0),
+       |  ('hub2.com', 3.0)) AS t(host, crawl_delay)),
+       |wd AS (SELECT hh.*, del.crawl_delay FROM hh LEFT JOIN del USING (host)),
+       |capd AS (
+       |  SELECT * FROM wd
+       |  QUALIFY row_number() OVER (PARTITION BY host ORDER BY n_refs_total DESC, url) <= 2),
+       |sch AS (
+       |  SELECT url, host, n_refs, n_refs_total, crawl_delay,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY n_refs_total DESC, url) AS INT)
+       |      AS fetch_seq
+       |  FROM capd)
+       |SELECT url, host, n_refs, n_refs_total, crawl_delay, fetch_seq,
+       |  (fetch_seq - 1) * COALESCE(crawl_delay, 0.0) AS not_before_s
+       |FROM sch
+       |ORDER BY url""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c06_frontier" -> frontierOracle,
+    "c07_frontier_schedule" -> frontierScheduleOracle,
     "c02_curate_exact" -> curateOracle(spanStage = false),
     "c03_curate_span" -> curateOracle(spanStage = true),
     "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),

@@ -319,11 +319,22 @@ object Warehouse {
     * publish ignores (and a janitor can sweep by prefix). Returns the
     * published version path.
     *
-    * The promote is a filesystem rename — atomic on HDFS and local
-    * filesystems. On object stores without atomic rename, point consumers
-    * at [[latestShards]]' resolution of the manifest instead of listing
-    * directories, and the manifest write (last file in staging) becomes
-    * the commit point.
+    * Commit protocols (`commitMode`):
+    *  - `"rename"` (default): stage → ONE directory rename — atomic on
+    *    HDFS and local filesystems, the classic warehouse promote.
+    *  - `"manifest"`: the object-store protocol for rename-less stores —
+    *    the version number is RESERVED by an exclusive create of
+    *    `v<N>/_STARTED` (create-no-overwrite, the one primitive
+    *    S3-class stores do offer — conditional put; a reservation loser
+    *    bumps N and retries), data is written directly under `v<N>`,
+    *    and the `_MANIFEST.json` write LAST is the commit point:
+    *    [[latestShards]] ignores manifest-less version dirs, so a crash
+    *    mid-write leaves an invisible, janitor-sweepable `v<N>` and the
+    *    next publish simply claims `v<N+1>`. No dir rename anywhere in
+    *    the protocol. (Task-level output commit inside the Spark write
+    *    is the store CONNECTOR's concern — on S3 use an S3A-style
+    *    committer; this protocol only removes the publish layer's own
+    *    rename dependency.)
     *
     * `format`: `parquet` (default) or `json` — gzipped JSONL, the
     * training-data interchange most loaders stream natively; the
@@ -335,33 +346,63 @@ object Warehouse {
                     shardCol: String = "shard",
                     tokensCol: String = "n_tokens",
                     format: String = "parquet",
-                    maxRecordsPerFile: Long = 0L): String = {
+                    maxRecordsPerFile: Long = 0L,
+                    commitMode: String = "rename"): String = {
     require(format == "parquet" || format == "json",
       s"publishShards: unsupported format '$format' (parquet|json)")
+    require(commitMode == "rename" || commitMode == "manifest",
+      s"publishShards: unsupported commitMode '$commitMode' (rename|manifest)")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(hconf)
     fs.mkdirs(rootPath)
-    val version = 1 + fs.listStatus(rootPath)
-      .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
-      .foldLeft(0)(math.max)
-    val staging = new org.apache.hadoop.fs.Path(rootPath,
-      s"_staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    def nextVersion(from: Int): Int = math.max(from,
+      1 + fs.listStatus(rootPath)
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+        .foldLeft(0)(math.max))
+
+    // (dataDir, version): rename mode stages; manifest mode reserves the
+    // final dir itself via exclusive _STARTED create
+    val (dataDir, version) =
+      if (commitMode == "rename") {
+        (new org.apache.hadoop.fs.Path(rootPath,
+          s"_staging-${java.util.UUID.randomUUID().toString.take(8)}"),
+          nextVersion(1))
+      } else {
+        var v = nextVersion(1)
+        var reserved: Option[org.apache.hadoop.fs.Path] = None
+        while (reserved.isEmpty) {
+          val cand = new org.apache.hadoop.fs.Path(rootPath, s"v$v")
+          try {
+            fs.create(new org.apache.hadoop.fs.Path(cand, "_STARTED"),
+              false).close()
+            reserved = Some(cand)
+          } catch {
+            case _: java.io.IOException => v = nextVersion(v + 1)
+          }
+        }
+        (reserved.get, v)
+      }
+
     val writer0 = df.write.partitionBy(shardCol)
+      // manifest mode writes into the reserved dir (which holds _STARTED)
+      .mode(if (commitMode == "manifest")
+        org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.ErrorIfExists)
     val writer =
       if (maxRecordsPerFile > 0)
         writer0.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer0
     if (format == "json")
-      writer.option("compression", "gzip").json(staging.toString)
-    else writer.parquet(staging.toString)
+      writer.option("compression", "gzip").json(dataDir.toString)
+    else writer.parquet(dataDir.toString)
     // manifest from one partial-aggregated pass over the written files —
     // counting what LANDED, not what was planned
     val written =
-      if (format == "json") spark.read.schema(df.schema).json(staging.toString)
-      else spark.read.parquet(staging.toString)
+      if (format == "json") spark.read.schema(df.schema).json(dataDir.toString)
+      else spark.read.parquet(dataDir.toString)
     val hasTokens = written.columns.contains(tokensCol)
     val perShard = written.groupBy(shardCol).agg(
         count(lit(1)).as("rows"),
@@ -374,12 +415,16 @@ object Warehouse {
     val manifest = perShard.map { case (s, rows, toks) =>
       s"""{"shard":"$s","rows":$rows,"tokens":$toks}"""
     }.mkString(s"""{"version":$version,"shards":[""", ",", "]}")
-    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_MANIFEST.json"))
+    // the manifest write is the LAST write in both modes — rename mode
+    // then promotes, manifest mode is hereby COMMITTED
+    val out = fs.create(new org.apache.hadoop.fs.Path(dataDir, "_MANIFEST.json"))
     out.write(manifest.getBytes("UTF-8"))
     out.close()
-    val target = new org.apache.hadoop.fs.Path(rootPath, s"v$version")
-    promoteStaging(fs, staging, target)
-    target.toString
+    if (commitMode == "rename") {
+      val target = new org.apache.hadoop.fs.Path(rootPath, s"v$version")
+      promoteStaging(fs, dataDir, target)
+      target.toString
+    } else dataDir.toString
   }
 
   /** Promote a fully-written staging snapshot to its versioned target —
@@ -413,7 +458,13 @@ object Warehouse {
         "staging landed somewhere unexpected")
   }
 
-  /** Highest published version under `root` (its path), if any. */
+  /** Highest published (COMMITTED) version under `root`, if any. A
+    * version dir without `_MANIFEST.json` is not a snapshot — it is a
+    * manifest-commit publish still in flight or crashed mid-write
+    * (invisible by contract, janitor-sweepable) — so readers skip it in
+    * BOTH commit modes (a rename-promoted dir always carries its
+    * manifest, verified at promote).
+    */
   def latestShards(spark: SparkSession, root: String): Option[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -421,6 +472,7 @@ object Warehouse {
     else fs.listStatus(rootPath)
       .map(_.getPath)
       .filter(_.getName.matches("v\\d+"))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_MANIFEST.json")))
       .sortBy(_.getName.drop(1).toInt)
       .lastOption.map(_.toString)
   }

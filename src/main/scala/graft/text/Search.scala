@@ -87,15 +87,18 @@ object Search {
     *
     * Build: one tokenize scan; occurrences collapse map-side to
     * (term, id, tf) — a stopword's postings spread over the id space in
-    * the collapse, and the bucketed write lays them out by term. Rebuild
-    * on corpus change (df/N/avgdl are corpus-global; an append would
-    * silently stale every term's idf — the registry tiers' grow contract
-    * deliberately does NOT apply here, documented over guessed).
+    * the collapse, and the bucketed write lays them out by term.
+    *
+    * GROWS by [[appendToBm25Index]]: per-term document frequencies are
+    * never stored — the probe derives them from the (pruned) postings
+    * rows it reads — so the only corpus-global state is (N, Σdl), which
+    * merges exactly (both are integers in doubles; the stats row keeps
+    * `sum_dl` precisely so the merged `avgdl = Σdl/N` is BIT-identical
+    * to a fresh build's `avg()`, which computes the same division).
     */
   def writeBm25Index(df: DataFrame, textCol: String, idCol: String,
                      table: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     val base = df.select(col(idCol), toks.as("__toks"),
       size(toks).cast("double").as("__dl"))
@@ -107,10 +110,68 @@ object Search {
       postings.select(col("term"), col(idCol), col("tf"), col("dl")),
       table, "term", buckets)
     val st = base.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("__dl")).as("avgdl")).head()
+      sum(col("__dl")).as("sum_dl"),
+      count(col("__dl")).cast("double").as("n_dl")).head()
+    writeStats(spark, table, st.getDouble(0),
+      if (st.isNullAt(1)) 0.0 else st.getDouble(1), st.getDouble(2))
+  }
+
+  // stats sibling: (n, avgdl, sum_dl, n_dl). `n` counts every document
+  // (null text included — bm25's N semantics); avgdl = sum_dl / n_dl
+  // divides by the NON-null count, exactly as avg() does over the same
+  // exact integer-valued sum, so build and append agree bit-for-bit.
+  // Single writer; a crash between drop and save leaves no stats table
+  // and the probe fails loudly.
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         table: String, n: Double, sumDl: Double,
+                         nDl: Double): Unit = {
+    import spark.implicits._
     graft.sources.Warehouse.dropTableAndLocation(spark, s"${table}_stats")
-    Seq((st.getDouble(0), st.getDouble(1))).toDF("n", "avgdl")
+    Seq((n, if (nDl > 0) sumDl / nDl else 0.0, sumDl, nDl))
+      .toDF("n", "avgdl", "sum_dl", "n_dl")
       .write.mode("overwrite").saveAsTable(s"${table}_stats")
+  }
+
+  /** Append new documents to a [[writeBm25Index]] table WITHOUT a
+    * rebuild — the grow-don't-retrain contract extended to keyword
+    * retrieval: one tokenize pass over the new rows, postings appended
+    * under the catalog's bucket spec (the L30 delta idiom), and the
+    * corpus stats MERGED exactly — `N` adds, `Σdl` adds (both integer
+    * exact), and the derived `avgdl` is the same division a fresh
+    * build computes, so a probe after append row-equals a full rebuild
+    * over the union (spec-pinned). Per-term dfs need no maintenance at
+    * all: the probe counts them from the postings it reads.
+    *
+    * Caller contract (shared with every index append): `newRows` must
+    * be new documents — re-appending an indexed id duplicates its
+    * postings and inflates df/tf for its terms. Single writer at a
+    * time; file fragmentation is [[graft.sources.Warehouse.compact]]'s
+    * job (`maxFilesPerBucket` is the signal). Returns the postings
+    * append's delta files.
+    */
+  def appendToBm25Index(newRows: DataFrame, textCol: String, idCol: String,
+                        table: String): Seq[String] = {
+    val spark = newRows.sparkSession
+    val prev = spark.table(s"${table}_stats").head()
+    val (nOld, sumOld, nDlOld) =
+      (prev.getDouble(0), prev.getDouble(2), prev.getDouble(3))
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val base = newRows.select(col(idCol), toks.as("__toks"),
+      size(toks).cast("double").as("__dl"))
+    val postings = base
+      .select(col(idCol), col("__dl").as("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+      postings, table, "term")
+    val st = base.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("__dl")).as("sum_dl"),
+      count(col("__dl")).cast("double").as("n_dl")).head()
+    writeStats(spark, table, nOld + st.getDouble(0),
+      sumOld + (if (st.isNullAt(1)) 0.0 else st.getDouble(1)),
+      nDlOld + st.getDouble(2))
+    delta
   }
 
   /** Top-`topK` documents for a whitespace query served from a

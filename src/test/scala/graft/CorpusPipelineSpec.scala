@@ -431,6 +431,70 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(capped == Seq("hub.com/p1.html", "hub.com/p2.html"), capped.toString)
   }
 
+  test("frontierPrioritized: citations accumulate, lane losers stay pending, lanes serialize") {
+    import graft.pipeline.CrawlPipeline
+    import graft.dedup.Dedup
+    for (t <- Seq("fp_cit", "fp_seen"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    CrawlPipeline.createCitationRegistry(spark, "fp_cit", buckets = 4)
+    Dedup.createRegistry(spark, "fp_seen", buckets = 4)
+    val delays = Seq(("hub.com", 2.0)).toDF("host", "crawl_delay")
+    def sched(pages: org.apache.spark.sql.DataFrame) =
+      CrawlPipeline.frontierPrioritized(pages, "url", "html",
+        citationRegistryTable = Some("fp_cit"),
+        crawlDelayByHost = Some(delays),
+        seenRegistryTable = Some("fp_seen"), maxPerHost = 2)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5),
+            r.getDouble(6)))).toMap
+    // run 1 citations: a×3, b×2, c×2 — the 2-slot lane admits a then b
+    // (tie c loses on url order); c stays PENDING, not "seen"
+    val run1 = Seq(
+      ("https://s1.com/p.html",
+        "<a href=\"http://hub.com/a\">1</a><a href=\"http://hub.com/b\">2</a>" +
+          "<a href=\"http://hub.com/c\">3</a>"),
+      ("https://s2.com/p.html",
+        "<a href=\"http://hub.com/a\">1</a><a href=\"http://hub.com/c\">2</a>"),
+      ("https://s3.com/p.html",
+        "<a href=\"http://hub.com/a\">1</a><a href=\"http://hub.com/b\">2</a>")
+    ).toDF("url", "html")
+    val got1 = sched(run1)
+    assert(got1 == Map(
+      "hub.com/a" -> ((3L, 3L, 2.0, 1, 0.0)),
+      "hub.com/b" -> ((2L, 2L, 2.0, 2, 2.0))), got1.toString)
+    // run 2 citations: c×1, d×2, a×1. Batch-only priority would admit d
+    // first (2 > 1); the ACCUMULATED total (c: 2 prior + 1 = 3) must
+    // outrank d — and a, already fetched, is dropped despite the re-cite.
+    // The lane serializes under hub.com's 2 s crawl delay.
+    val run2 = Seq(
+      ("https://s4.com/p.html",
+        "<a href=\"http://hub.com/c\">1</a><a href=\"http://hub.com/d\">2</a>"),
+      ("https://s5.com/p.html",
+        "<a href=\"http://hub.com/d\">1</a><a href=\"http://hub.com/a\">2</a>")
+    ).toDF("url", "html")
+    val got2 = sched(run2)
+    assert(got2 == Map(
+      "hub.com/c" -> ((1L, 3L, 2.0, 1, 0.0)),
+      "hub.com/d" -> ((2L, 2L, 2.0, 2, 2.0))), got2.toString)
+  }
+
+  test("frontierPrioritized: page-rank weight breaks citation ties; absent delay schedules now") {
+    import graft.pipeline.CrawlPipeline
+    val pages = Seq(("https://s.com/p.html",
+      "<a href=\"http://h.com/x\">1</a><a href=\"http://h.com/y\">2</a>"))
+      .toDF("url", "html")
+    val pr = Seq(("h.com/y", 0.9), ("h.com/x", 0.1)).toDF("url", "rank")
+    val out = CrawlPipeline.frontierPrioritized(pages, "url", "html",
+      pageRank = Some(pr), maxPerHost = 2)
+      .collect().map(r => (r.getString(0), r.getInt(5),
+        if (r.isNullAt(4)) null else Double.box(r.getDouble(4)),
+        r.getDouble(6))).sortBy(_._2).toSeq
+    // equal citations: the higher-authority y leads the lane; no delay
+    // entry for h.com → every slot schedules immediately
+    assert(out == Seq(("h.com/y", 1, null, 0.0), ("h.com/x", 2, null, 0.0)),
+      out.toString)
+  }
+
   test("frontierStream admits each URL once in-horizon, registry- and robots-gated") {
     import graft.pipeline.CrawlPipeline
     import graft.dedup.Dedup

@@ -1794,6 +1794,100 @@ class OperatorSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("dedupRepeats removes sub-L repeats at exact boundaries that dedupSubstrings misses") {
+    import graft.dedup.Dedup
+    val p = "the quick brown fox jumps" // 5 tokens — below d19's L = 8
+    val docs = Seq(
+      (1L, s"$p tail1a tail1b"), // corpus-first occurrence, kept whole
+      (2L, s"x1 x2 $p y1 y2"), // the repeat at offset 2
+      (3L, p), // pure replay → disappears
+      (4L, "a b c d Z a b c d"), // within-doc 4-token repeat
+      (5L, "too short"), // sub-threshold, untouched
+      (6L, s"m1 $p m2 $p m3") // two extents in one doc
+    ).toDF("id", "text")
+    val out = Dedup.dedupRepeats(docs, "text", "id", minTokens = 4)
+      .orderBy("id").as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 7L, 7L, 0L, 0L, s"$p tail1a tail1b"),
+      (2L, 9L, 4L, 1L, 5L, "x1 x2 y1 y2"), // extent is EXACTLY the 5 tokens
+      (4L, 9L, 5L, 1L, 4L, "a b c d Z"),
+      (5L, 2L, 2L, 0L, 0L, "too short"),
+      (6L, 13L, 3L, 2L, 5L, "m1 m2 m3")), s"got $out")
+    // d19 at its default window (8) provably misses all of it: no 8-token
+    // window repeats, and doc 3 (5 tokens) has no windows at all — every
+    // document passes through unchanged
+    val d19 = Dedup.dedupSubstrings(docs, "text", "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    val orig = docs.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(d19 == orig, "expected d19@8 to leave the sub-8 repeats untouched")
+    // a higher threshold hides shorter repeats: at minTokens = 5 the
+    // 4-token within-doc repeat in doc 4 becomes invisible
+    val l5 = Dedup.dedupRepeats(docs, "text", "id", minTokens = 5)
+      .orderBy("id").as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(l5.find(_._1 == 4L).get == ((4L, 9L, 9L, 0L, 0L, "a b c d Z a b c d")))
+    assert(l5.find(_._1 == 2L).get == ((2L, 9L, 4L, 1L, 5L, "x1 x2 y1 y2")))
+  }
+
+  test("dedupRepeats prefix-doubling rank engine equals the string engine") {
+    import graft.dedup.Dedup
+    val p = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"$p tail1a tail1b"), (2L, s"x1 x2 $p y1 y2"), (3L, p),
+      (4L, "a b c d Z a b c d"), (5L, "too short"),
+      (6L, s"m1 $p m2 $p m3"), (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    // L = 4 (power of two: degenerate second half), 5 (off-by-one
+    // overlap), 3 (single doubling round + overlap), 2 (one round)
+    for (l <- Seq(4, 5, 3, 2)) {
+      val s = Dedup.dedupRepeats(docs, "text", "id", minTokens = l)
+        .orderBy("id").as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+      val r = Dedup.dedupRepeats(docs, "text", "id", minTokens = l,
+          engine = "ranks")
+        .orderBy("id").as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+      assert(r == s, s"engines diverge at minTokens=$l:\n$r\nvs\n$s")
+    }
+  }
+
+  test("dedupRepeats is partitioning-invariant with a corpus-hot repeat") {
+    import graft.dedup.Dedup
+    val boiler = "terms of service apply here" // 5 tokens, in EVERY doc
+    val docs = (1L to 400L).map(i => (i, s"$boiler u$i v$i w$i"))
+      .toDF("id", "text")
+    val out = Dedup.dedupRepeats(docs.repartition(11), "text", "id",
+        minTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(out.size == 400)
+    assert(out(1L) == ((0L, s"$boiler u1 v1 w1")))
+    assert(out(2L) == ((5L, "u2 v2 w2"))) // exact 5-token extent reported
+    assert(out(400L) == ((5L, "u400 v400 w400")))
+    // the rank engine agrees under the same hot key
+    val ranks = Dedup.dedupRepeats(docs.repartition(7), "text", "id",
+        minTokens = 4, engine = "ranks")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getString(5)))).toMap
+    assert(ranks == out)
+  }
+
+  test("repeatProfile mines maximal duplicated extents with reach and counts") {
+    import graft.dedup.Dedup
+    val p = "lorem ipsum dolor sit"
+    val docs = Seq(
+      (1L, s"$p a1 a2"), // corpus-first occurrence COUNTS in the profile
+      (2L, s"b1 $p b2"),
+      (3L, s"c1 c2 $p"),
+      (4L, s"q1 $p q2 $p q3"), // two extents in one doc
+      (5L, "r1 r2 r3 r4 X r1 r2 r3 r4"), // within-doc-only repeat
+      (6L, "a a a a a"), // overlapping same-window occurrences MERGE
+      (7L, "nothing shared at all here")
+    ).toDF("id", "text")
+    val prof = Dedup.repeatProfile(docs, "text", "id", minTokens = 4)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(prof == Seq(
+      (p, 4L, 4L, 5L), // 4 docs, 5 maximal extents
+      (s"r1 r2 r3 r4", 4L, 1L, 2L),
+      ("a a a a a", 5L, 1L, 1L)), s"got $prof")
+  }
+
   test("bm25: hand-computed scores, OOV terms score 0, null text excluded") {
     import graft.text.Search
     val docs = Seq(
@@ -1850,6 +1944,50 @@ class OperatorSpec extends SparkSpec {
       assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         "probe read every bucket")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("bm25 index append serves probes row-equal to a fresh full build") {
+    import graft.text.Search
+    def corpus(ids: Range) = ids.map(i => (i.toLong,
+      if (i % 13 == 0) null.asInstanceOf[String]
+      else s"word$i common " + ("window " * (i % 4).toInt) +
+        (if (i % 3 == 0) "merge scan " else "filler text ") + s"tail${i % 7}"))
+      .toDF("doc_id", "text")
+    val gen0 = corpus(1 to 40)
+    val gen1 = corpus(41 to 60) // null-text docs in BOTH generations:
+    // N counts them, avgdl must not — the merged stats carry both counts
+    for (t <- Seq("bm25_app", "bm25_app_stats", "bm25_full", "bm25_full_stats"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Search.writeBm25Index(gen0, "text", "doc_id", "bm25_app", buckets = 16)
+    val delta = Search.appendToBm25Index(gen1, "text", "doc_id", "bm25_app")
+    assert(delta.nonEmpty, "append produced no postings delta")
+    Search.writeBm25Index(corpus(1 to 60), "text", "doc_id", "bm25_full",
+      buckets = 16)
+    // merged stats are bit-identical to the full build's
+    assert(spark.table("bm25_app_stats").head() ==
+      spark.table("bm25_full_stats").head())
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      for (q <- Seq("window merge scan", "common", "word55 filler",
+          "nosuchterm onlymissing")) {
+        val grown = Search.bm25Probe(spark, "bm25_app", "doc_id", q, topK = 15)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val full = Search.bm25Probe(spark, "bm25_full", "doc_id", q, topK = 15)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(grown == full, s"query '$q': $grown vs $full")
+        // and both equal the direct two-scan bm25 over the union corpus
+        val direct = Search.bm25(corpus(1 to 60), "text", "doc_id", q, topK = 15)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(grown == direct, s"query '$q': grown $grown vs direct $direct")
+      }
+      // pruning still reaches the grown table's scan
+      val plan = Search.bm25Probe(spark, "bm25_app", "doc_id", "window merge")
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"append broke bucket pruning:\n$plan")
     } finally
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }

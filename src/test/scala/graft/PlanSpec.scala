@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     assertSaltedCorpusFirst("d19_substring_dedup", parquetScans = 1)
   }
 
+  test("d20 maximal-repeat dedup: salted corpus-first winner + one reassembly scan") {
+    // the variable-length tier rides the same shared removal middle as
+    // d19 (removedWindowStarts): same no-window, partial-min, composite
+    // join-back shape; extent statistics add NO shuffle (row-local fold)
+    assertSaltedCorpusFirst("d20_maximal_repeat_dedup", parquetScans = 1)
+  }
+
   test("t24 html extraction stays a scan-local projection") {
     val p = executedPlan("t24_html_text")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
@@ -448,6 +455,59 @@ class PlanSpec extends SparkSpec {
       }
       assert(windows.sorted == Seq(1, 2),
         s"expected a salted (2-key) then per-source (1-key) window, got $windows:\n$planObj")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("band-bucket family: no unbounded window over the bucket key") {
+    // the last skewable-window family, de-windowed: minhashCandidates
+    // derives bucket sizes by partial-agg join-back and chains
+    // mega-buckets on a range-partitioned PARTITION-ID window (task size
+    // = range partition, never a bucket's membership); the
+    // hammingBandRows / bandRowsCapped min-id caps are the salted
+    // two-phase top-N. Any bare Window.partitionBy(band, bucket) here is
+    // a regression to the one-task mega-bucket sort.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // minhashCandidates is EAGER (checkpointed pair list), so its
+      // internal plans are captured through a listener during the call —
+      // a mega bucket (20 identical docs over cap 5) forces the chain path
+      val plans = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.execution.SparkPlan]
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = plans.synchronized { plans += qe.executedPlan }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      val cwins =
+        try {
+          val docs = ((1L to 40L).map(i => (i, s"a$i b$i c$i d$i e$i")) ++
+            (41L to 60L).map(i => (i, "the same boilerplate page text")))
+            .toDF("doc_id", "text")
+          graft.dedup.Dedup.minhashCandidates(docs, "text", "doc_id",
+            maxBucket = 5)
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+          plans.synchronized {
+            plans.flatMap(_.collect { case w: WindowExec =>
+              w.partitionSpec.map(_.toString) }).toSeq
+          }
+        } finally spark.listenerManager.unregister(l)
+      assert(cwins.nonEmpty && cwins.forall(ps =>
+        ps.isEmpty || (ps.size == 1 && ps.head.contains("__pid"))),
+        s"candidates plan windows over $cwins")
+      // the caps: only the salted two-phase pair (salt-lane window with
+      // one extra key below the bounded per-bucket rank)
+      val sk = (1L to 30L).map(i => (i, i * 1024L)).toDF("id", "h")
+      val hwins = graft.dedup.Dedup.hammingBandRows(sk, Nil, 3, 10)
+        .queryExecution.executedPlan
+        .collect { case w: WindowExec => w.partitionSpec.size }
+      assert(hwins.sorted == Seq(2, 3),
+        s"expected the salted (3-key) then per-bucket (2-key) pair, got $hwins")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -145,6 +145,44 @@ class SourcesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(root, "v2", "_MANIFEST.json")))
   }
 
+  test("publishShards manifest commit mode: rename-free, crash-invisible, reserve-skipping") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.text.TextOps
+    val root = Files.createTempDirectory("graft_publish_manifest").toString
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(1 + (i % 5).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val sharded = TextOps.shardByTokenBudget(docs, "text", "doc_id", 20)
+    val v1 = Warehouse.publishShards(sharded, root, commitMode = "manifest")
+    assert(v1.endsWith("/v1"))
+    assert(Warehouse.latestShards(spark, root).get.endsWith("/v1"))
+    // the protocol wrote IN PLACE: no staging dir ever existed, the
+    // reservation marker and the manifest live under the version dir
+    val names = new java.io.File(root).list().toSeq
+    assert(!names.exists(_.startsWith("_staging")), s"staging leaked: $names")
+    assert(Files.exists(Paths.get(root, "v1", "_STARTED")))
+    assert(Files.exists(Paths.get(root, "v1", "_MANIFEST.json")))
+    // snapshot reads back whole with a counts-what-landed manifest
+    val back = spark.read.parquet(v1)
+    assert(back.count() == 40)
+    val m = ujsonLite(Files.readString(Paths.get(v1.stripPrefix("file:"), "_MANIFEST.json")))
+    assert(m._1.values.sum == 40)
+    // a crash BEFORE the manifest: reserved dir with partial data, no
+    // manifest — invisible to readers, never blocks the next publish
+    Files.createDirectory(Paths.get(root, "v2"))
+    Files.writeString(Paths.get(root, "v2", "_STARTED"), "")
+    Files.writeString(Paths.get(root, "v2", "part-0.parquet"), "partial garbage")
+    assert(Warehouse.latestShards(spark, root).get.endsWith("/v1"),
+      "reader listed a manifest-less (uncommitted) version")
+    val v3 = Warehouse.publishShards(sharded.filter(col("doc_id") <= 20), root,
+      commitMode = "manifest")
+    assert(v3.endsWith("/v3"), s"expected the crashed v2 to be skipped, got $v3")
+    assert(Warehouse.latestShards(spark, root).get.endsWith("/v3"))
+    // the crashed dir is untouched (janitor's job, not the publisher's)
+    assert(Files.readString(Paths.get(root, "v2", "part-0.parquet")) ==
+      "partial garbage")
+  }
+
   test("publishShards format=json writes gzipped JSONL that round-trips") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
