@@ -235,7 +235,8 @@ object Dedup {
     val (bb, releaseBb) = Bridge.persistedCopyReleasable(
       sigs.select(col(idCol), xxhash64(col("sig")).as("__sg"),
         posexplode(bandBucketsUdf(bands)(col("sig"))).as(Seq("band", "bucket"))),
-      StorageLevel.DISK_ONLY)
+      StorageLevel.MEMORY_AND_DISK) // skeleton rows are 32 B — the
+    // hammingDropIds level; released before return either way
     // bucket sizes by PARTIAL-AGG (the count exchange carries at most one
     // row per (band, bucket) per map partition regardless of skew), then
     // the small/mega SPLIT routes through the MEGA-KEY LIST, not a

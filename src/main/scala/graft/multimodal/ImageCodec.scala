@@ -4,9 +4,10 @@ package graft.multimodal
   * no framework), then the JDK's `javax.imageio.ImageIO` for the
   * compressed formats every JRE ships readers for — PNG, BMP, GIF, JPEG,
   * WBMP, TIFF (JDK 9+). ImageIO decodes fully headless with zero native
-  * dependencies, so "compressed formats need external libraries" is only
-  * true past this set (WebP, AVIF, video — those remain stubbed in
-  * [[Multimodal]]).
+  * dependencies; LOSSLESS WebP decodes through the pure-JVM
+  * [[Vp8lCodec]], so "compressed formats need external libraries" is
+  * only true past this set (lossy WebP/VP8, AVIF, video — those remain
+  * stubbed in [[Multimodal]]).
   *
   * Everything lands in [[PpmCodec.Image]] (packed RGB), keeping every
   * downstream op (resize, grid features) format-agnostic. Any malformed
@@ -28,7 +29,9 @@ object ImageCodec {
     System.setProperty("java.awt.headless", "true")
 
   def decode(bytes: Array[Byte]): Option[PpmCodec.Image] =
-    PpmCodec.decode(bytes).orElse(imageIoDecode(bytes))
+    PpmCodec.decode(bytes)
+      .orElse(Vp8lCodec.decode(bytes)) // lossless WebP, pure JVM
+      .orElse(imageIoDecode(bytes))
 
   private def imageIoDecode(bytes: Array[Byte]): Option[PpmCodec.Image] = {
     if (bytes == null || bytes.length == 0) None

@@ -5,9 +5,10 @@ package graft.multimodal
   * pixel/sample decode — the curation-filter half of multimodal intake
   * (drop tiny images, cap video length, bucket by resolution) for every
   * mainstream container, including the ones the JRE ships no decoder for
-  * (WebP, MP3, OGG, MP4 — their PIXEL/PCM decode remains a documented
-  * stub in [[ImageCodec]]/[[AudioCodec]], but their headers are plain
-  * public byte layouts and parse fine).
+  * (WebP, MP3, OGG, MP4 — lossless WebP pixels now decode for real via
+  * [[Vp8lCodec]]; lossy WebP/MP3/OGG/MP4 PIXEL/PCM decode remains a
+  * documented stub in [[ImageCodec]]/[[AudioCodec]], but their headers
+  * are plain public byte layouts and parse fine).
   *
   * Parsers are defensive by construction: every read is bounds-checked,
   * anything malformed yields None — a corrupt blob produces null

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` with typed
   * metadata, processed in partition-sized batches.
   *
-  * Still images decode for REAL: netpbm via the pure-JVM [[PpmCodec]] and
-  * PNG/BMP/GIF/JPEG via the JDK's headless ImageIO ([[ImageCodec]]) — no
-  * native dependencies. Only formats the JRE has no reader for (WebP,
-  * audio, video) fall back to `decodeStub`, a deterministic fake that
+  * Still images decode for REAL: netpbm via the pure-JVM [[PpmCodec]],
+  * PNG/BMP/GIF/JPEG via the JDK's headless ImageIO, and lossless WebP
+  * via the pure-JVM [[Vp8lCodec]] ([[ImageCodec]] chains them) — no
+  * native dependencies. Only formats with no JVM decode path (lossy
+  * WebP/VP8, audio, video) fall back to `decodeStub`, a deterministic fake that
   * keeps the batch contract (one fixed-length float array per row) so the
   * Spark-side plumbing is exercised end to end regardless of codec
   * coverage.
