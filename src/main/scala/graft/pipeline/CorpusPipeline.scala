@@ -219,6 +219,12 @@ object CorpusPipeline {
     *                          short to have bigrams score null and PASS —
     *                          the gate cannot judge them
     * @param maxCrossEntropy   cross-entropy ceiling for that gate
+    * @param knModel           when set, a served interpolated-KN trigram
+    *                          gate ([[graft.text.LangModel.scoreKnColumn]])
+    *                          composes with (not replaces) the bigram
+    *                          gate — the sharper production smoothing.
+    *                          Sub-3-token docs score null and PASS
+    * @param maxKnCrossEntropy cross-entropy ceiling for the KN gate
     * @param importanceTarget  when set (with `importanceTopN`), DSIR-style
     *                          distribution matching
     *                          ([[graft.text.Importance.resampleTop]]) runs
@@ -289,6 +295,8 @@ object CorpusPipeline {
       minModelScore: Double = 0.5,
       lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
       maxCrossEntropy: Double = Double.PositiveInfinity,
+      knModel: Option[graft.text.LangModel.ServedKnLm] = None,
+      maxKnCrossEntropy: Double = Double.PositiveInfinity,
       maxPerSource: Option[Int] = None,
       sourceCol: String = "source",
       importanceTarget: Option[DataFrame] = None,
@@ -346,12 +354,20 @@ object CorpusPipeline {
         graft.text.Classifier.score(docs.sparkSession, m, col(textCol)) >=
           cfg.minModelScore)
     }
-    val scored = cfg.lmModel match {
+    val biScored = cfg.lmModel match {
       case None => classifierGated
       case Some(lm) =>
         val ce = graft.text.LangModel.scoreColumn(docs.sparkSession, lm, col(textCol))
         // null = too short to judge → pass (the gate has no evidence)
         classifierGated.filter(ce.isNull || ce <= cfg.maxCrossEntropy)
+    }
+    // the KN tier composes with (not replaces) the bigram gate: a cheap
+    // Laplace prefilter and a sharper KN ceiling can run in one pass
+    val scored = cfg.knModel match {
+      case None => biScored
+      case Some(kn) =>
+        val ce = graft.text.LangModel.scoreKnColumn(docs.sparkSession, kn, col(textCol))
+        biScored.filter(ce.isNull || ce <= cfg.maxKnCrossEntropy)
     }
     // Gopher line-shape caps (bullet/ellipsis fractions) — row-local like
     // the other gates; null fractions (no non-blank lines) carry no

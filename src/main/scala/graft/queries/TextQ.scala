@@ -166,6 +166,17 @@ object TextQ {
       LangModel.crossEntropy(docs, "text", "doc_id", lm).orderBy("doc_id")
     },
 
+    // L43b: interpolated Kneser–Ney trigram cross-entropy — the smoothing
+    // the production CCNet/KenLM gates ship, over the same self-trained
+    // construction as t13. The whole probability ladder (trigram →
+    // continuation-bigram → continuation-unigram → uniform OOV floor) is
+    // replayed term-for-term in the DuckDB oracle.
+    "t30_kn_perplexity" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val lm = LangModel.trainKnTrigramLm(docs, "text")
+      LangModel.knCrossEntropy(docs, "text", "doc_id", lm).orderBy("doc_id")
+    },
+
     // L44: hashed-ngram linear quality classifier. The synthetic corpus
     // has no quality signal, so (the t11 salting precedent) every third
     // doc gets a deterministic junk-token suffix — the classifier must
@@ -478,6 +489,70 @@ object TextQ {
         |  GROUP BY dg.doc_id)
         |SELECT d.doc_id,
         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  cross_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // The interpolated-KN ladder replayed exactly: every model table is a
+    // groupBy of the trigram counts (as in trainKnTrigramLm), the p1/p2/p3
+    // terms keep the Spark expression's associativity (left-to-right */÷),
+    // and the discount 0.75 / uniform V+1 floor enter as the same
+    // literals. ln-at-ROUND-4 is the t13 parity precedent.
+    "t30_kn_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS g
+        |  FROM toks WHERE len(l) >= 3),
+        |dg AS (
+        |  SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3, COUNT(*) AS k
+        |  FROM tg GROUP BY 1, 2, 3, 4),
+        |tri AS (SELECT w1, w2, w3, SUM(k) AS cnt FROM dg GROUP BY 1, 2, 3),
+        |ctx2 AS (
+        |  SELECT w1, w2, SUM(cnt) AS ctx2, COUNT(DISTINCT w3) AS n1p2
+        |  FROM tri GROUP BY 1, 2),
+        |cbi AS (SELECT w2, w3, COUNT(DISTINCT w1) AS ccnt FROM tri GROUP BY 1, 2),
+        |ctx1 AS (
+        |  SELECT w2, SUM(ccnt) AS cctx1, COUNT(DISTINCT w3) AS n1p1
+        |  FROM cbi GROUP BY 1),
+        |cuni AS (SELECT w3, COUNT(DISTINCT w2) AS ucnt FROM cbi GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT w3) AS ww FROM cbi),
+        |v AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(l) AS t FROM toks)),
+        |j AS (
+        |  SELECT dg.doc_id, dg.k, tri.cnt, ctx2.ctx2, ctx2.n1p2,
+        |    cbi.ccnt, ctx1.cctx1, ctx1.n1p1, cuni.ucnt
+        |  FROM dg
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN ctx2 USING (w1, w2)
+        |  LEFT JOIN cbi USING (w2, w3)
+        |  LEFT JOIN ctx1 USING (w2)
+        |  LEFT JOIN cuni USING (w3)),
+        |lv1 AS (
+        |  SELECT j.*,
+        |    greatest(COALESCE(ucnt, 0) - 0.75, 0.0) / (SELECT nn FROM s)
+        |      + 0.75 * (SELECT ww FROM s) / (SELECT nn FROM s)
+        |        * (1.0 / ((SELECT v FROM v) + 1.0)) AS p1
+        |  FROM j),
+        |lv2 AS (
+        |  SELECT *,
+        |    CASE WHEN cctx1 IS NULL THEN p1
+        |      ELSE greatest(COALESCE(ccnt, 0) - 0.75, 0.0) / cctx1
+        |        + 0.75 * n1p1 / cctx1 * p1 END AS p2
+        |  FROM lv1),
+        |p AS (
+        |  SELECT doc_id, k,
+        |    ln(CASE WHEN ctx2 IS NULL THEN p2
+        |      ELSE greatest(COALESCE(cnt, 0) - 0.75, 0.0) / ctx2
+        |        + 0.75 * n1p2 / ctx2 * p2 END) AS lp
+        |  FROM lv2),
+        |sc AS (
+        |  SELECT doc_id, CAST(SUM(k) AS INTEGER) AS n_trigrams,
+        |    ROUND(-SUM(k * lp) / SUM(k), 4) AS cross_entropy
+        |  FROM p GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
         |  cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -676,6 +676,8 @@ object EventStreams {
                  minModelScore: Double = 0.5,
                  lmModel: Option[graft.text.LangModel.ServedBigramLm] = None,
                  maxCrossEntropy: Double = Double.PositiveInfinity,
+                 knModel: Option[graft.text.LangModel.ServedKnLm] = None,
+                 maxKnCrossEntropy: Double = Double.PositiveInfinity,
                  dropRepeatedLines: Boolean = false,
                  maxBulletFrac: Double = 1.0,
                  maxEllipsisFrac: Double = 1.0): DataFrame = {
@@ -711,11 +713,17 @@ object EventStreams {
       case Some(m) => heuristicGated.filter(
         graft.text.Classifier.score(docs.sparkSession, m, col(textCol)) >= minModelScore)
     }
-    val gated = lmModel match {
+    val biGated = lmModel match {
       case None => classifierGated
       case Some(lm) =>
         val ce = graft.text.LangModel.scoreColumn(docs.sparkSession, lm, col(textCol))
         classifierGated.filter(ce.isNull || ce <= maxCrossEntropy)
+    }
+    val gated = knModel match {
+      case None => biGated
+      case Some(kn) =>
+        val ce = graft.text.LangModel.scoreKnColumn(docs.sparkSession, kn, col(textCol))
+        biGated.filter(ce.isNull || ce <= maxKnCrossEntropy)
     }
     val decontaminated = benchmark match {
       case None => gated

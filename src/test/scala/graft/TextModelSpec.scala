@@ -34,6 +34,133 @@ class TextModelSpec extends SparkSpec {
     assert(math.abs(scored(2L)._2 - math.rint(d2 * 1e4) / 1e4) < 1e-9)
   }
 
+  // --- interpolated Kneser–Ney trigram LM ----------------------------
+
+  test("KN trigram: hand-computed ladder — counts, continuation mass, OOV floor") {
+    // corpus: "a b c a b c" + "a b d"
+    // tri: (a,b,c)×2 (b,c,a) (c,a,b) (a,b,d); cbi all 1; nn=4, ww=4, V=4
+    val ref = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val lm = LangModel.trainKnTrigramLm(ref, "text")
+    assert(lm.nBigramTypes == 4 && lm.nUnigramTypes == 4 && lm.vocab == 4)
+    val tri = lm.trigrams.collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(tri == Map(("a","b","c") -> 2L, ("b","c","a") -> 1L,
+      ("c","a","b") -> 1L, ("a","b","d") -> 1L))
+
+    // P1(seen w) = 0.25/4 + 0.75*4/4*(1/5) = 0.2125; 4·0.2125 + 0.15 OOV
+    // floor = 1.0 exactly (the distribution property the continuation
+    // construction guarantees)
+    val p1 = 0.2125
+    // probe "a b c": P2(c|b) = 0.25/2 + 0.75*2/2*p1; P3 = 1.25/3 + 0.75*2/3*P2
+    val p2c = 0.25 / 2 + 0.75 * 2 / 2 * p1
+    val p3abc = 1.25 / 3 + 0.75 * 2 / 3 * p2c
+    // probe "c a b": P2(b|a) = 0.25/1 + 0.75*1/1*p1; P3 = 0.25/1 + 0.75*1/1*P2
+    val p2b = 0.25 / 1 + 0.75 * 1 / 1 * p1
+    val p3cab = 0.25 / 1 + 0.75 * 1 / 1 * p2b
+    // probe "x y z": everything OOV → P1 floor 0.75*4/4*(1/5) = 0.15
+    val probes = Seq((10L, "a b c"), (11L, "c a b"), (12L, "x y z"),
+      (13L, "a b")).toDF("doc_id", "text")
+    val out = LangModel.knCrossEntropy(probes, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(10L)._1 == 1 && math.abs(out(10L)._2 - r4(-math.log(p3abc))) < 1e-9)
+    assert(out(11L)._2 == r4(-math.log(p3cab)))
+    assert(out(12L)._2 == r4(-math.log(0.15)))
+    assert(out(13L)._1 == 0 && out(13L)._2.isNaN) // under 3 tokens: null
+    // the OOV doc scores strictly worse than both in-distribution probes
+    assert(out(12L)._2 > out(10L)._2 && out(12L)._2 > out(11L)._2)
+  }
+
+  test("KN trigram: partitioning-invariant; save/load scores identical") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    val lm1 = LangModel.trainKnTrigramLm(docs.repartition(1), "text")
+    val lm8 = LangModel.trainKnTrigramLm(docs.repartition(8), "text")
+    val a = LangModel.knCrossEntropy(docs, "text", "doc_id", lm1)
+      .orderBy("doc_id").collect().toSeq
+    val b = LangModel.knCrossEntropy(docs.repartition(8), "text", "doc_id", lm8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    for (t <- Seq("kn_model_rt", "kn_model_rt_meta"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    LangModel.saveKnModel(spark, lm1, "kn_model_rt")
+    val back = LangModel.loadKnModel(spark, "kn_model_rt")
+    assert(back.vocab == lm1.vocab && back.discount == lm1.discount &&
+      back.nBigramTypes == lm1.nBigramTypes &&
+      back.nUnigramTypes == lm1.nUnigramTypes)
+    val c = LangModel.knCrossEntropy(docs, "text", "doc_id", back)
+      .orderBy("doc_id").collect().toSeq
+    assert(c == a)
+  }
+
+  test("KN trigram: served scores row-locally, equals knCrossEntropy; oversized throws") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    val lm = LangModel.trainKnTrigramLm(docs, "text")
+    val served = LangModel.serveKn(lm)
+    val viaJoin = LangModel.knCrossEntropy(docs, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    val viaLocal = docs.select(col("doc_id"),
+        LangModel.scoreKnColumn(spark, served, col("text")).as("ce"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(viaJoin.toSeq == viaLocal.toSeq)
+    intercept[IllegalArgumentException](LangModel.serveKn(lm, maxEntries = 3))
+  }
+
+  test("curate() KN gate composes with the bigram gate and drops OOV soup") {
+    import graft.pipeline.CorpusPipeline
+    val english =
+      "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val ref = (1L to 20L).map(i => (i, english + s"variant $i")).toDF("doc_id", "text")
+    val kn = LangModel.serveKn(LangModel.trainKnTrigramLm(ref, "text"))
+    val gibberish = ("the zqx the jkw the vbn the wpf the qrt " * 6) + "end"
+    val docs = Seq(
+      (1L, english + "one"), (2L, english + "two"),
+      (3L, gibberish)) // passes lang gate (the-votes), fails KN gate
+      .toDF("doc_id", "text")
+    val scores = docs.select(col("doc_id"),
+        LangModel.scoreKnColumn(spark, kn, col("text")).as("ce"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(3L) > math.max(scores(1L), scores(2L)),
+      "OOV doc must score above every clean doc under KN")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 2.0, minQuality = 0.0,
+        knModel = Some(kn),
+        maxKnCrossEntropy = (math.max(scores(1L), scores(2L)) + scores(3L)) / 2))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming curateDocs applies the KN gate like batch curate()") {
+    val english =
+      "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val ref = (1L to 20L).map(i => (i, english + s"variant $i")).toDF("doc_id", "text")
+    val kn = LangModel.serveKn(LangModel.trainKnTrigramLm(ref, "text"))
+    val gibberish = ("the zqx the jkw the vbn the wpf the qrt " * 6) + "end"
+    val ceiling = {
+      val s = Seq((1L, english + "one"), (2L, gibberish)).toDF("doc_id", "text")
+        .select(col("doc_id"), LangModel.scoreKnColumn(spark, kn, col("text")).as("ce"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      (s(1L) + s(2L)) / 2
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val q = graft.streaming.EventStreams.curateDocs(
+        in.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+        langs = Set("en"), minQuality = 0.0,
+        knModel = Some(kn), maxKnCrossEntropy = ceiling)
+      .writeStream.format("memory").queryName("kn_curate_sink")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, t0, english + "one"), (2L, t0, gibberish))
+      q.processAllAvailable()
+      val ids = spark.table("kn_curate_sink").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L), s"survivors: $ids")
+    } finally q.stop()
+  }
+
   test("bigram LM: unseen grams smooth instead of dropping; OOV docs score worst") {
     val ref = Seq(
       (1L, "the cat sat on the mat and the dog sat on the rug"),
