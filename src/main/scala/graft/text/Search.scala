@@ -174,6 +174,64 @@ object Search {
     delta
   }
 
+  /** MANY queries served from one [[writeBm25Index]] read — the batched
+    * serving shape the ANN tiers established (`ivfProbePartitionedBatch`):
+    * a retrieval-audit job with hundreds of standing queries should not
+    * pay one bucket-pruned scan per query.
+    *
+    * Shape: the batch's distinct terms prune the postings read ONCE (the
+    * union of every query's term buckets; terms are collected — bounded
+    * by the batch's total token count, the [[bm25Probe]] contract), the
+    * per-term dfs derive DISTRIBUTED from that same pruned read and join
+    * back (no driver round-trip — the bm25Probe advisory's scale path),
+    * the tiny (query, term) frame broadcast-joins the postings, and the
+    * per-query top-k rides the salted two-phase top-N (a stopword query
+    * matching most of the corpus ranks in lanes, never one task).
+    *
+    * Determinism without a fixed expression tree: the single-probe path
+    * sums per-term contributions left-to-right in one projection, which
+    * a join-shaped batch cannot replicate (aggregation order is
+    * partition-dependent). Instead each term contribution is rounded to
+    * 6 decimals and SCALED TO AN EXACT LONG (×10⁶ — the g01 scaled-
+    * integer discipline): long sums are order-free, so the score is
+    * bit-stable at any partitioning and the DuckDB oracle replays it
+    * exactly. Scores can differ from [[bm25Probe]]'s only in the final
+    * sub-1e-6 associativity residue (spec bounds the gap).
+    *
+    * Returns (queryIdCol, idCol, score), per-query (score desc, id)
+    * top-`topK`, zero-score rows excluded.
+    */
+  def bm25ProbeBatch(spark: org.apache.spark.sql.SparkSession, table: String,
+                     idCol: String, queries: DataFrame, queryIdCol: String,
+                     queryTextCol: String, topK: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"bm25ProbeBatch: topK=$topK")
+    val st = spark.table(s"${table}_stats").head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val qt = queries.select(col(queryIdCol),
+        explode(array_distinct(filter(
+          split(lower(col(queryTextCol)), "\\s+"), t => t =!= ""))).as("term"))
+    val terms = qt.select("term").distinct().collect().map(_.getString(0))
+    require(terms.nonEmpty, "bm25ProbeBatch: no query terms")
+    val matched = spark.table(table).filter(col("term").isin(terms.toSeq: _*))
+    val dfs = matched.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val contrib = matched.join(dfs, "term")
+      .join(broadcast(qt), Seq("term"))
+      .withColumn("__c", round(idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") +
+          lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))),
+        6))
+      .withColumn("__ci", round(col("__c") * lit(1e6)).cast("long"))
+    val scored = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__ci")).cast("double") / lit(1e6), 4).as("score"))
+      .filter(col("score") > 0)
+    graft.operators.Skew.saltedTopN(scored, Seq(col(queryIdCol)), col(idCol),
+      Seq(col("score").desc, col(idCol)), topK)
+  }
+
   /** Top-`topK` documents for a whitespace query served from a
     * [[writeBm25Index]] table — row-identical to [[bm25]] over the
     * indexed corpus by construction: N/avgdl/df are the same
