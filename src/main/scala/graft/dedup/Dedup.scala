@@ -1277,9 +1277,13 @@ object Dedup {
     * 16-byte label pairs regardless of L, where window strings cost
     * O(L × token bytes) per position (≈300 B at the Lee-et-al. L=50).
     * And unlike `hashWindows`, equality is EXACT — labels are assigned
-    * per distinct value (`monotonically_increasing_id` over a persisted
-    * distinct — only equality is ever used, so the arbitrary label
-    * ORDER is irrelevant and run-to-run label instability is invisible),
+    * per distinct value as its RANK in the sorted distinct set
+    * (sort + zipWithIndex: the index is the value's ordinal in a total
+    * order, so it is identical on every run AND under partial
+    * recomputation after executor loss — a monotonically_increasing_id
+    * label over a shuffled distinct would depend on nondeterministic
+    * shuffle-read order and could relabel a recomputed partition
+    * differently from labels already consumed elsewhere in the job),
     * so there is no 64-bit collision caveat at any corpus size.
     * Measured honestly (RepeatDedupBench L=50, 100k docs, local[32]):
     * the string engine wins local WALL CLOCK ~4× — its one wide shuffle
@@ -1307,14 +1311,26 @@ object Dedup {
                                L: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val W = Integer.highestOneBit(L)
+    // deterministic dense labels: rank in the sorted distinct set. The
+    // sorted frame persists (auto-released) so zipWithIndex's count job
+    // and the emit read one materialization; the index survives partial
+    // recomputation because the sort key is total over distinct values.
+    def denseLabels(distinctDf: DataFrame, key: Column): DataFrame = {
+      val sorted = Bridge.persistedCopyAutoRelease(distinctDf.sort(key),
+        StorageLevel.MEMORY_AND_DISK)
+      val schema = StructType(sorted.schema.fields :+
+        StructField("__r", LongType, nullable = false))
+      sorted.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }
     // width-1 labels: one per distinct token
     val tokOcc = tokenized.select(col(idCol),
       posexplode(col("__toks")).as(Seq("pos", "__t")))
-    val lab0 = Bridge.persistedCopyAutoRelease(
-      tokOcc.select(col("__t")).distinct()
-        .withColumn("__r", monotonically_increasing_id()),
-      StorageLevel.MEMORY_AND_DISK)
+    val lab0 = denseLabels(tokOcc.select(col("__t")).distinct(), col("__t"))
     var cur = tokOcc.join(lab0, "__t")
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("__r")))),
@@ -1331,10 +1347,7 @@ object Dedup {
       val occ = Bridge.persistedCopyAutoRelease(
         cur.select(col(idCol), posexplode(pairCol).as(Seq("pos", "__p"))),
         StorageLevel.MEMORY_AND_DISK)
-      val lab = Bridge.persistedCopyAutoRelease(
-        occ.select(col("__p")).distinct()
-          .withColumn("__r", monotonically_increasing_id()),
-        StorageLevel.MEMORY_AND_DISK)
+      val lab = denseLabels(occ.select(col("__p")).distinct(), col("__p"))
       cur = occ.join(lab, "__p")
         .groupBy(col(idCol))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("__r")))),

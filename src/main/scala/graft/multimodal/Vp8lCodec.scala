@@ -30,6 +30,16 @@ package graft.multimodal
   */
 object Vp8lCodec {
 
+  /** Decompression-bomb limit: a crafted ~30-byte header can claim
+    * 16384×16384 (the format maximum) and would otherwise allocate ~1.8 GB
+    * of pixel buffers before a single data byte is validated — on a
+    * corpus-scale executor decoding untrusted crawl bytes that allocation
+    * spike evicts caches even though the OOME itself is caught. 16M pixels
+    * (4096×4096, ~64 MB ARGB) covers every real intake image; beyond it we
+    * return None like any other undecodable blob.
+    */
+  private val MaxPixels: Long = 1L << 24
+
   def decode(bytes: Array[Byte]): Option[PpmCodec.Image] =
     try decodeImpl(bytes)
     catch { case _: Throwable => None }
@@ -60,6 +70,7 @@ object Vp8lCodec {
     if (br.read(8) != 0x2f) return None
     val w = br.read(14) + 1
     val h = br.read(14) + 1
+    if (w.toLong * h > MaxPixels) return None // bomb guard, pre-allocation
     br.read(1) // alpha hint
     if (br.read(3) != 0) return None // version
     val argb = decodeImageStream(w, h, level0 = true, br)
@@ -284,7 +295,12 @@ object Vp8lCodec {
           case 2 => transforms ::= SubtractGreen
           case 0 | 1 =>
             val bits = br.read(3) + 2
-            val img = decodeImageStream(subSize(width, bits),
+            // sub-image dims use the CURRENT effective width: if a
+            // color-indexing transform with pixel bundling was read
+            // earlier in the stream, libwebp sizes later transforms from
+            // the reduced (bundled) width — matching the inversion side,
+            // which strides by subSize(curW, bits)
+            val img = decodeImageStream(subSize(w, bits),
               subSize(height, bits), level0 = false, br)
             transforms ::= (if (t == 0) Predictor(bits, img)
             else ColorTx(bits, img))

@@ -324,10 +324,20 @@ object Warehouse {
     *    HDFS and local filesystems, the classic warehouse promote.
     *  - `"manifest"`: the object-store protocol for rename-less stores —
     *    the version number is RESERVED by an exclusive create of
-    *    `v<N>/_STARTED` (create-no-overwrite, the one primitive
-    *    S3-class stores do offer — conditional put; a reservation loser
-    *    bumps N and retries), data is written directly under `v<N>`,
-    *    and the `_MANIFEST.json` write LAST is the commit point:
+    *    `v<N>/_STARTED` carrying this publisher's UUID (a reservation
+    *    loser bumps N and retries), data is written directly under
+    *    `v<N>`, and the `_MANIFEST.json` write LAST is the commit point.
+    *    MULTI-WRITER contract: reservation is only exclusive where
+    *    `create(overwrite=false)` is a true conditional create (HDFS,
+    *    local FS, S3 conditional writes on Hadoop 3.4+ S3A). On stores
+    *    where it degrades to HEAD-then-PUT, two publishers can both
+    *    "win" the create — so the UUID is re-read after reservation AND
+    *    re-verified immediately before the manifest write: a detected
+    *    loser retries (pre-data) or aborts loudly (pre-commit) instead
+    *    of committing a mixed snapshot. The handshake narrows but cannot
+    *    fully close a non-atomic create's race window — run a SINGLE
+    *    concurrent publisher per root on such stores.
+    *    The commit point itself:
     *    [[latestShards]] ignores manifest-less version dirs, so a crash
     *    mid-write leaves an invisible, janitor-sweepable `v<N>` and the
     *    next publish simply claims `v<N+1>`. No dir rename anywhere in
@@ -364,24 +374,38 @@ object Warehouse {
         .foldLeft(0)(math.max))
 
     // (dataDir, version): rename mode stages; manifest mode reserves the
-    // final dir itself via exclusive _STARTED create
+    // final dir itself via exclusive _STARTED create carrying this
+    // publisher's UUID — re-read after creation so a store whose
+    // create(overwrite=false) is a non-atomic HEAD-then-PUT still
+    // detects a lost race BEFORE any data is written
+    val publisherId = java.util.UUID.randomUUID().toString
+    def readStarted(dir: org.apache.hadoop.fs.Path): Option[String] =
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_STARTED"))
+        try Some(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     val (dataDir, version) =
       if (commitMode == "rename") {
         (new org.apache.hadoop.fs.Path(rootPath,
-          s"_staging-${java.util.UUID.randomUUID().toString.take(8)}"),
+          s"_staging-${publisherId.take(8)}"),
           nextVersion(1))
       } else {
         var v = nextVersion(1)
         var reserved: Option[org.apache.hadoop.fs.Path] = None
         while (reserved.isEmpty) {
           val cand = new org.apache.hadoop.fs.Path(rootPath, s"v$v")
-          try {
-            fs.create(new org.apache.hadoop.fs.Path(cand, "_STARTED"),
-              false).close()
-            reserved = Some(cand)
-          } catch {
-            case _: java.io.IOException => v = nextVersion(v + 1)
-          }
+          val won =
+            try {
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(cand, "_STARTED"), false)
+              out.write(publisherId.getBytes("UTF-8"))
+              out.close()
+              // on a true conditional create this re-read is a no-op; on
+              // HEAD-then-PUT it catches the common lost interleaving
+              readStarted(cand).contains(publisherId)
+            } catch { case _: java.io.IOException => false }
+          if (won) reserved = Some(cand) else v = nextVersion(v + 1)
         }
         (reserved.get, v)
       }
@@ -416,7 +440,16 @@ object Warehouse {
       s"""{"shard":"$s","rows":$rows,"tokens":$toks}"""
     }.mkString(s"""{"version":$version,"shards":[""", ",", "]}")
     // the manifest write is the LAST write in both modes — rename mode
-    // then promotes, manifest mode is hereby COMMITTED
+    // then promotes, manifest mode is hereby COMMITTED. Re-verify
+    // reservation ownership at the commit point: a race lost AFTER the
+    // post-create re-read (possible only on non-atomic-create stores)
+    // must abort loudly, never commit a mixed snapshot as ours.
+    if (commitMode == "manifest" && !readStarted(dataDir).contains(publisherId))
+      throw new IllegalStateException(
+        s"publishShards: lost the v$version reservation to a concurrent " +
+          "publisher after writing data — manifest mode needs a true " +
+          "conditional create or a single concurrent publisher; NOT " +
+          "committing (the reservation winner owns this version)")
     val out = fs.create(new org.apache.hadoop.fs.Path(dataDir, "_MANIFEST.json"))
     out.write(manifest.getBytes("UTF-8"))
     out.close()

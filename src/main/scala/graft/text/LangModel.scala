@@ -268,6 +268,11 @@ object LangModel {
     val contUni = contBi.groupBy("w3")
       .agg(count_distinct(col("w2")).as("ucnt"))
     val sc = contBi.agg(count(lit(1)), count_distinct(col("w3"))).head()
+    // a reference corpus with no trigram leaves every ladder level 0/0 —
+    // fail at train time, not as a NaN inside a scoring job
+    require(sc.getLong(0) > 0,
+      "KN model is degenerate: the reference corpus yields no trigrams " +
+        "(need at least one document with 3+ tokens)")
     val v = df.select(explode(toks(col(textCol))).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)
     KnTrigramLm(tri, ctx2, contBi, ctx1, contUni,
@@ -303,6 +308,8 @@ object LangModel {
     val contUni = contBi.groupBy("w3")
       .agg(count_distinct(col("w2")).as("ucnt"))
     val sc = contBi.agg(count(lit(1)), count_distinct(col("w3"))).head()
+    require(sc.getLong(0) > 0,
+      s"KN model at '$table' is degenerate: no trigram counts")
     KnTrigramLm(tri, ctx2, contBi, ctx1, contUni,
       sc.getLong(0), sc.getLong(1), meta.getLong(0), meta.getDouble(1))
   }
@@ -330,6 +337,8 @@ object LangModel {
     * order: count before collect).
     */
   def serveKn(lm: KnTrigramLm, maxEntries: Int = 4000000): ServedKnLm = {
+    require(lm.nBigramTypes > 0,
+      "KN model is degenerate (no trigram counts): scoring would be 0/0")
     val nTri = lm.trigrams.count()
     require(nTri <= maxEntries,
       s"$nTri trigrams exceed maxEntries=$maxEntries: " +
@@ -428,6 +437,8 @@ object LangModel {
     */
   def knCrossEntropy(df: DataFrame, textCol: String, idCol: String,
                      lm: KnTrigramLm): DataFrame = {
+    require(lm.nBigramTypes > 0,
+      "KN model is degenerate (no trigram counts): scoring would be 0/0")
     val d = lm.discount
     val nn = lm.nBigramTypes.toDouble
     val ww = lm.nUnigramTypes.toDouble

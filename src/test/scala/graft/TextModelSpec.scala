@@ -108,6 +108,17 @@ class TextModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](LangModel.serveKn(lm, maxEntries = 3))
   }
 
+  test("KN trigram: a trigram-free reference corpus fails loudly at train time") {
+    import spark.implicits._
+    // no document reaches 3 tokens → zero trigrams → every ladder level
+    // would be 0/0 (NaN) — the guard must fire at train/serve, never as a
+    // NumberFormatException inside a gated scoring job
+    val degenerate = Seq((1L, "one two"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      LangModel.trainKnTrigramLm(degenerate, "text"))
+    assert(e.getMessage.contains("degenerate"), e.getMessage)
+  }
+
   test("curate() KN gate composes with the bigram gate and drops OOV soup") {
     import graft.pipeline.CorpusPipeline
     val english =

@@ -480,6 +480,86 @@ class Vp8lSpec extends AnyFunSuite {
     assert(Vp8lCodec.decode(bad).isEmpty)
   }
 
+  /** Palette (with ×4 pixel bundling) followed by a predictor transform —
+    * the legal combination libwebp's encoder never emits but the spec
+    * allows: the predictor's tile sub-image must be sized from the
+    * REDUCED (bundled) width. Chosen dims make the wrong sizing
+    * detectable: pw = ceil(20/4) = 5 → 2 predictor tiles at bits=2,
+    * where sizing from the original width would read 5 tiles and desync.
+    */
+  private def encodePaletteThenPredict(img: PpmCodec.Image): Array[Byte] = {
+    val w = img.width; val h = img.height
+    val pix = argbOf(img)
+    val bw = new BW
+    bw.w(0x2f, 8); bw.w(w - 1, 14); bw.w(h - 1, 14); bw.w(0, 1); bw.w(0, 3)
+    // transform 1: palette, 3-4 colors → widthBits = 2 (4 px/byte)
+    val pal = pix.distinct
+    require(pal.length >= 3 && pal.length <= 4, s"palette ${pal.length}")
+    bw.w(1, 1); bw.w(3, 2); bw.w(pal.length - 1, 8)
+    val deltas = pal.zipWithIndex.map { case (p, i) =>
+      if (i == 0) p
+      else {
+        var out = 0; var sh = 0
+        while (sh < 32) {
+          out |= ((((p >>> sh) & 0xff) - ((pal(i - 1) >>> sh) & 0xff)) & 0xff) << sh
+          sh += 8
+        }
+        out
+      }
+    }
+    writeEntropy(bw, deltas, cacheBits = 0, lz77 = false)
+    val idxOf = pal.zipWithIndex.toMap
+    val pw = (w + 3) >> 2
+    val bund = new Array[Int](pw * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val slot = y * pw + (x >> 2)
+      bund(slot) |= idxOf(pix(y * w + x)) << (2 * (x & 3))
+    }
+    val bundArgb = bund.map(b => 0xff000000 | ((b & 0xff) << 8))
+    // transform 2: predictor over the BUNDLED image, 2 tiles across
+    val bits = 2
+    val tw = (pw + 3) >> 2; val th = (h + 3) >> 2
+    require(tw >= 2, "need >=2 predictor tiles across the bundled width")
+    bw.w(1, 1); bw.w(0, 2); bw.w(bits - 2, 3)
+    writeEntropy(bw, Array.fill(tw * th)(0xff000000 | (1 << 8)),
+      cacheBits = 0, lz77 = false) // all tiles mode 1 (L)
+    bw.w(0, 1) // no more transforms
+    val res = new Array[Int](bundArgb.length)
+    for (y <- 0 until h; x <- 0 until pw) {
+      val pos = y * pw + x
+      val pred =
+        if (x == 0 && y == 0) 0xff000000
+        else if (y == 0) bundArgb(pos - 1)
+        else if (x == 0) bundArgb(pos - pw)
+        else bundArgb(pos - 1)
+      var out = 0; var sh = 0
+      while (sh < 32) {
+        out |= ((((bundArgb(pos) >>> sh) & 0xff) - ((pred >>> sh) & 0xff)) & 0xff) << sh
+        sh += 8
+      }
+      res(pos) = out
+    }
+    writeEntropy(bw, res, cacheBits = 0, lz77 = false, metaBit = true)
+    riff(bw.bytes)
+  }
+
+  test("predictor after bundled palette sizes its tiles from the reduced width") {
+    val img = fewColors(20, 4, Seq(0x112233, 0x445566, 0x778899))
+    val got = Vp8lCodec.decode(encodePaletteThenPredict(img))
+    assert(got.isDefined, "palette+predictor stream failed to decode")
+    assert(got.get.width == 20 && got.get.height == 4)
+    assert(java.util.Arrays.equals(got.get.rgb, img.rgb),
+      "bundled-width predictor tiles decoded wrong pixels")
+  }
+
+  test("a bomb header claiming 16384x16384 is rejected before allocation") {
+    val bw = new BW
+    bw.w(0x2f, 8); bw.w(16383, 14); bw.w(16383, 14); bw.w(0, 1); bw.w(0, 3)
+    bw.w(0, 1); bw.w(0, 1); bw.w(0, 1)
+    assert(Vp8lCodec.decode(riff(bw.bytes)).isEmpty,
+      "a ~30-byte header must not buy a gigabyte of pixel buffers")
+  }
+
   test("the generated distance map matches the spec's published prefix") {
     // the table is private; pin it through a crafted two-row backref:
     // plane code 1 = (0,1) → distance = image width (copy from the row

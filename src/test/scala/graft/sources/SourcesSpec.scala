@@ -183,6 +183,37 @@ class SourcesSpec extends SparkSpec {
       "partial garbage")
   }
 
+  test("publishShards manifest mode detects a lost reservation on a HEAD-then-PUT store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.text.TextOps
+    // a store whose create(overwrite=false) is NOT a conditional create:
+    // creating an existing file "succeeds" but the earlier object wins
+    // (the losing PUT vanishes) — the S3A-without-conditional-writes shape
+    spark.sparkContext.hadoopConfiguration.setClass("fs.headput.impl",
+      classOf[HeadThenPutFileSystem], classOf[org.apache.hadoop.fs.FileSystem])
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "fs.headput.impl.disable.cache", true)
+    val dir = Files.createTempDirectory("graft_publish_headput")
+    // a concurrent publisher already holds the v1 reservation
+    Files.createDirectory(dir.resolve("v1"))
+    Files.writeString(dir.resolve("v1").resolve("_STARTED"), "someone-else")
+    val root = new org.apache.hadoop.fs.Path(new java.net.URI(
+      "headput", null, dir.toAbsolutePath.toString, null)).toString
+    val docs = (1L to 12L).map(i => (i, s"w $i")).toDF("doc_id", "text")
+    val sharded = TextOps.shardByTokenBudget(docs, "text", "doc_id", 10)
+    val out = Warehouse.publishShards(sharded, root, commitMode = "manifest")
+    // the silent create "success" must NOT be trusted: the UUID re-read
+    // detects the loss and the publisher moves on to v2 — v1 stays the
+    // winner's, unpolluted by our data
+    assert(out.endsWith("/v2"), s"expected the lost v1 reservation skipped: $out")
+    assert(Files.readString(dir.resolve("v1").resolve("_STARTED")) == "someone-else")
+    assert(new java.io.File(dir.toFile, "v1").list().toSeq == Seq("_STARTED"),
+      "loser wrote data into the winner's reserved version dir")
+    assert(Files.exists(dir.resolve("v2").resolve("_MANIFEST.json")))
+    assert(spark.read.parquet(out).count() == 12)
+  }
+
   test("publishShards format=json writes gzipped JSONL that round-trips") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -223,5 +254,27 @@ newline $i""")).toDF("doc_id", "text")
     val entries = shard.findAllMatchIn(s).map(m =>
       (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
     (entries.map(e => (e._1, e._2)).toMap, entries.map(_._3).sum)
+  }
+}
+
+/** Test-only FileSystem modeling a store whose create(overwrite=false) is
+  * a non-atomic HEAD-then-PUT: creating an EXISTING file succeeds but the
+  * pre-existing object wins (the new writes are discarded) — the classic
+  * S3-without-conditional-writes hazard publishShards' UUID handshake
+  * exists to detect. Top-level: Hadoop instantiates it reflectively.
+  */
+class HeadThenPutFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "headput"
+  override def getUri: java.net.URI = java.net.URI.create("headput:///")
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        java.io.OutputStream.nullOutputStream(), null)
+    else super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
   }
 }
