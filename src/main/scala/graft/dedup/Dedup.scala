@@ -1134,12 +1134,20 @@ object Dedup {
     * reassembly groups by the unskewed id.
     */
   def dedupLinesGlobal(df: DataFrame, textCol: String,
-                       idCol: String): DataFrame = {
+                       idCol: String): DataFrame =
+    reassembleLines(lineWinners(df, textCol, idCol), idCol)
+
+  /** Shared line-cut + corpus-first-winner stage of the line-dedup tiers:
+    * per-(doc, distinct non-blank line) skeleton rows (blanks carry a
+    * per-occurrence key: no within-doc collapse, a singleton group,
+    * auto-win), marked by [[markCorpusFirst]] and filtered to winners —
+    * one row per kept line occurrence: (idCol, line, __bk, pos).
+    */
+  private def lineWinners(df: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
     val exploded = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val isBlank = trim(col("line")) === ""
-    // blanks carry a per-occurrence key: no within-doc collapse, a
-    // singleton window partition, auto-win
     val perDoc = exploded
       .withColumn("__bk",
         when(isBlank, struct(col(idCol), col("pos"))).otherwise(lit(null)))
@@ -1152,13 +1160,84 @@ object Dedup {
     // content rows' null __bk both match themselves through the join
     markCorpusFirst(perDoc, Seq("line", "__bk"), idCol, "__isw")
       .filter(col("__isw"))
-      .groupBy(col(idCol))
+  }
+
+  /** Reassemble per-document text from kept line rows; documents with no
+    * surviving non-blank line vanish. */
+  private def reassembleLines(kept: DataFrame, idCol: String): DataFrame =
+    kept.groupBy(col(idCol))
       .agg(
         count(when(trim(col("line")) =!= "", 1)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), "\n").as("dedup_text"))
       .filter(col("n_kept") >= 1)
+
+  /** Create an empty LINE-hash registry table for
+    * [[dedupLinesAgainstRegistry]] — one `line_hash` column (md5 hex of
+    * the line text), bucketed by it so every later anti-join and append
+    * co-locates without shuffling the ever-growing registry side.
+    */
+  def createLineRegistry(spark: org.apache.spark.sql.SparkSession,
+                         table: String, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[String].toDF("line_hash"), table, "line_hash", buckets)
+  }
+
+  /** Incremental cross-RUN line dedup — the LINE-identity member of the
+    * cross-run family, next to the exact-document registry
+    * ([[dedupAgainstRegistry]]), the MinHash band index
+    * ([[nearDedupAgainstIndex]]), the hamming index, and the semantic IVF
+    * probe: a nav menu / cookie banner / license block ingested in an
+    * EARLIER run must still strip from today's pages, which the within-run
+    * pass ([[dedupLinesGlobal]]) structurally cannot see. Semantics:
+    * within-batch corpus-first line dedup first (min (id, pos) wins,
+    * blanks preserved per (doc, position) as structure), then every kept
+    * non-blank line whose hash is already registered drops from every
+    * document (the prior run kept its first occurrence); documents left
+    * with no content line vanish. Unless `update = false`, surviving kept
+    * lines' hashes append so the NEXT run sees them — lines that only
+    * LOST their batch-first election do not register (their winner did).
+    *
+    * Scale shape: the [[dedupLinesGlobal]] discipline verbatim (map-side
+    * (id, line) collapse, salted corpus-first winners, unskewed
+    * reassembly), plus ONE anti-join of the batch's winner skeletons
+    * against a registry BUCKETED on the line hash — the ever-growing
+    * registry is never shuffled, only the day's (bounded) winner set is,
+    * and the exchange carries 32-char hashes, never line text.
+    *
+    * Failure contract ([[dedupAgainstRegistry]]'s verbatim): with
+    * `update = true` the anti-join executes exactly once, inside the
+    * append job; the returned frame derives the kept content lines from
+    * the append's own delta files (a fixed path list), so recomputation
+    * after executor loss — or a late re-read after later batches grew the
+    * registry — can never lose rows. Single writer per registry table.
+    *
+    * Returns (idCol, n_kept, dedup_text) — [[dedupLinesGlobal]]'s shape.
+    */
+  def dedupLinesAgainstRegistry(batch: DataFrame, textCol: String,
+                                idCol: String, registryTable: String,
+                                update: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val winners = lineWinners(batch, textCol, idCol)
+    val blanks = winners.filter(col("__bk").isNotNull)
+    val content = winners.filter(col("__bk").isNull)
+      .withColumn("line_hash", md5(col("line").cast("binary")))
+    val keptContent =
+      if (!update)
+        content.join(spark.table(registryTable), Seq("line_hash"), "left_anti")
+          .drop("line_hash")
+      else {
+        val fresh = content.join(spark.table(registryTable),
+          Seq("line_hash"), "left_anti")
+        val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+          fresh.select(col("line_hash")), registryTable, "line_hash")
+        if (delta.isEmpty) content.filter(lit(false)).drop("line_hash")
+        else content.join(spark.read.parquet(delta: _*),
+          Seq("line_hash"), "left_semi").drop("line_hash")
+      }
+    reassembleLines(keptContent.unionByName(blanks), idCol)
   }
 
   /** Exact SUBSTRING dedup — the Lee-et-al.-2021 ("Deduplicating Training

@@ -44,12 +44,8 @@ object DedupQ {
     // every 7th doc: shared lines survive only in their earliest doc,
     // the unique text line everywhere, blanks always.
     "d18_line_dedup" -> { (s, dir) =>
-      val salted = Tables(s, dir, "documents")
-        .withColumn("ml_text", concat(
-          lit("shared header line\n"), col("text"),
-          lit("\n\nmid "), pmod(col("doc_id"), lit(7)).cast("string"),
-          lit("\nshared footer line")))
-      Dedup.dedupLinesGlobal(salted, "ml_text", "doc_id")
+      Dedup.dedupLinesGlobal(lineSalted(Tables(s, dir, "documents")),
+          "ml_text", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -238,6 +234,21 @@ object DedupQ {
         .orderBy("doc_id")
     },
 
+    // L74: cross-run LINE dedup against a persisted line-hash registry —
+    // the line-identity member of the cross-run family. Day 0 (ids < 250,
+    // d18's corpus-shared header/footer/mid-k salt) seeds the registry
+    // once per JVM; the query replays the rest of the corpus (same salt)
+    // in report-only mode: every day-2 header/footer/mid line drops
+    // (registered day 0), unique text lines survive batch-first, blanks
+    // are preserved structure. Oracle-gated: md5-keyed anti-join on line
+    // hashes ≡ anti-join on the line strings.
+    "d22_line_registry" -> { (s, dir) =>
+      Dedup.dedupLinesAgainstRegistry(
+        lineSalted(Tables(s, dir, "documents")).filter(col("doc_id") >= 250),
+        "ml_text", "doc_id", lineRegistryTable(s, dir), update = false)
+        .orderBy("doc_id")
+    },
+
     // L33: cross-run NEAR dedup against a persisted MinHash band index —
     // the near-dup twin of d12's exact registry. Day 0 (ids < 250) is
     // indexed fresh per call (cheap, keeps repeated driver runs
@@ -343,6 +354,30 @@ object DedupQ {
         .orderBy("probe_id")
     }
   )
+
+  /** d18/d22's shared line salt: corpus-shared header/footer, a blank
+    * separator, and a "mid k" line shared by every 7th doc. */
+  private def lineSalted(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("ml_text", concat(
+      lit("shared header line\n"), col("text"),
+      lit("\n\nmid "), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("\nshared footer line")))
+
+  /** Build (once per sfDir per warehouse) the line-hash registry d22
+    * probes, seeded with the doc_id < 250 "day 0" ingest of the salted
+    * corpus.
+    */
+  private def lineRegistryTable(s: SparkSession, dir: String): String = {
+    val table = "graft_lineregistry_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Warehouse.dropTableAndLocation(s, table)
+      Dedup.createLineRegistry(s, table, buckets = 8)
+      Dedup.dedupLinesAgainstRegistry(
+        lineSalted(Tables(s, dir, "documents")).filter(col("doc_id") < 250),
+        "ml_text", "doc_id", table).count()
+    }
+    table
+  }
 
   /** Build (once per sfDir per warehouse) the content-hash registry d12
     * dedups against, seeded with the doc_id < 250 "day 0" ingest.
@@ -599,6 +634,48 @@ object DedupQ {
         |  SELECT doc_id, pos, ln FROM keepnb
         |  UNION ALL
         |  SELECT doc_id, pos, ln FROM l WHERE trim(ln) = ''),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(COUNT(*) FILTER (WHERE trim(ln) <> '') AS BIGINT) AS n_kept,
+        |    string_agg(ln, chr(10) ORDER BY pos) AS dedup_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_kept, dedup_text FROM agg
+        |WHERE n_kept >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cross-run line registry ≡ anti-join on the line STRINGS: the
+    // registry is the distinct non-blank day-0 lines (every distinct line
+    // has exactly one kept corpus-first winner, and day 0 seeded an empty
+    // registry, so registered = distinct); day-2 lines keep batch-first
+    // winners not registered day 0, blanks ride along as structure.
+    "d22_line_registry" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    'shared header line' || chr(10) || text || chr(10) || chr(10) ||
+        |    'mid ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |    'shared footer line' AS ml FROM documents),
+        |lu AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(ml, chr(10)),
+        |      (x, i) -> {'pos': i - 1, 'ln': x})) AS u
+        |  FROM s),
+        |l AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM lu),
+        |reg AS (
+        |  SELECT DISTINCT ln FROM l WHERE doc_id < 250 AND trim(ln) <> ''),
+        |l2 AS (SELECT doc_id, pos, ln FROM l WHERE doc_id >= 250),
+        |pd AS (
+        |  SELECT doc_id, ln, MIN(pos) AS pos FROM l2
+        |  WHERE trim(ln) <> '' GROUP BY doc_id, ln),
+        |keepnb AS (
+        |  SELECT doc_id, pos, ln FROM pd
+        |  QUALIFY row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) = 1),
+        |fresh AS (
+        |  SELECT doc_id, pos, ln FROM keepnb k
+        |  WHERE NOT EXISTS (SELECT 1 FROM reg r WHERE r.ln = k.ln)),
+        |k AS (
+        |  SELECT doc_id, pos, ln FROM fresh
+        |  UNION ALL
+        |  SELECT doc_id, pos, ln FROM l2 WHERE trim(ln) = ''),
         |agg AS (
         |  SELECT doc_id,
         |    CAST(COUNT(*) FILTER (WHERE trim(ln) <> '') AS BIGINT) AS n_kept,

@@ -148,6 +148,53 @@ class OperatorSpec extends SparkSpec {
     assert(spark.table("reg_test").count() == 4) // alpha beta gamma delta
   }
 
+  test("dedupLinesAgainstRegistry strips lines ingested in earlier runs") {
+    graft.sources.Warehouse.dropTableAndLocation(spark, "linereg_test")
+    Dedup.createLineRegistry(spark, "linereg_test", buckets = 4)
+    val day1 = Seq(
+      (1L, "nav menu\nunique one\n\nfooter"),
+      (2L, "nav menu\nunique two\nfooter")).toDF("doc_id", "text")
+    val s1 = Dedup.dedupLinesAgainstRegistry(day1, "text", "doc_id",
+      "linereg_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // within-batch corpus-first: doc 1 keeps everything (incl. its blank),
+    // doc 2 loses the shared nav/footer to doc 1
+    assert(s1.sortBy(_._1) == Seq(
+      (1L, 3L, "nav menu\nunique one\n\nfooter"),
+      (2L, 1L, "unique two")), s1.toString)
+    // day 2: a page repeating day-1 boilerplate + one fresh line — the
+    // registry strips lines the within-run pass cannot see; a doc that is
+    // ALL previously-seen lines vanishes
+    val day2 = Seq(
+      (10L, "nav menu\nfresh line\nfooter"),
+      (11L, "nav menu\nunique one\nfooter")).toDF("doc_id", "text")
+    val s2df = Dedup.dedupLinesAgainstRegistry(day2, "text", "doc_id",
+      "linereg_test")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows(s2df).sortBy(_._1) == Seq((10L, 1L, "fresh line")), rows(s2df))
+    // the day-2 result is stable under re-reads AFTER a day-3 run grew
+    // the registry (the delta-file failure contract)
+    Dedup.dedupLinesAgainstRegistry(
+      Seq((20L, "fresh line\nanother line")).toDF("doc_id", "text"),
+      "text", "doc_id", "linereg_test").count()
+    assert(rows(s2df).sortBy(_._1) == Seq((10L, 1L, "fresh line")))
+    // update=false reports without registering: repeated probes agree and
+    // the registry row count is unchanged
+    val before = spark.table("linereg_test").count()
+    val day4 = Seq((30L, "footer\nbrand new line")).toDF("doc_id", "text")
+    for (_ <- 1 to 2) {
+      val probe = Dedup.dedupLinesAgainstRegistry(day4, "text", "doc_id",
+        "linereg_test", update = false)
+      assert(rows(probe) == Seq((30L, 1L, "brand new line")), rows(probe))
+    }
+    assert(spark.table("linereg_test").count() == before)
+    // registered = kept winners only: day-2's losing replay of "nav menu"
+    // registered nothing new; blanks never register
+    // (nav, unique one, footer, unique two, fresh, another) = 6
+    assert(before == 6, s"registry rows $before")
+  }
+
   test("simhashNearDedup collapses hamming-near docs transitively; distinct survive") {
     val base = "the quick brown fox jumps over the lazy dog while the cat " +
       "sleeps on the warm windowsill and the birds sing in the garden " +
