@@ -317,6 +317,23 @@ object TextQ {
       Search.bm25Probe(probe, table, "doc_id", "window merge scan", topK = 25)
     },
 
+    // L66c: MANY standing queries served from ONE pruned index read — the
+    // batched-serving shape (s04/s06's) for keyword retrieval. Scores are
+    // exact-long term sums (×10⁶), so the aggregation is order-free and
+    // DuckDB replays it bit-for-bit; per-query top-k rides the salted
+    // two-phase top-N.
+    "t31_bm25_batch" -> { (s, dir) =>
+      val table = bm25IndexTable(s, dir)
+      val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      probe.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      import probe.implicits._
+      val qs = Seq(("q1", "window merge scan"), ("q2", "filter join vector"),
+        ("q3", "dup stream")).toDF("query_id", "qtext")
+      Search.bm25ProbeBatch(probe, table, "doc_id", qs, "query_id", "qtext",
+        topK = 10)
+        .orderBy("query_id", "doc_id")
+    },
+
     // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —
     // the single-line corpus is salted into a page shape: a sentence
     // line, a bullet, the doc text, an optional ellipsis teaser (every
@@ -706,6 +723,48 @@ object TextQ {
     // bit-for-bit, so ONE oracle gates both — the s05/d06 pattern.
     "t27_bm25_search" -> bm25Oracle,
     "t29_bm25_indexed" -> bm25Oracle,
+
+    // Batched probe: same postings/stats math as bm25Oracle, but each term
+    // contribution is rounded to 6 decimals and SCALED TO AN EXACT BIGINT
+    // (×10⁶) before the per-(query, doc) sum — the order-free aggregation
+    // the Spark side uses — then /10⁶ rounded to 4. df per term is the
+    // postings row count (docs containing the term), n/avgdl are the
+    // corpus stats (dl sums are whole-number doubles: exact).
+    "t31_bm25_batch" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM base),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM d),
+        |pu AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+        |post AS (
+        |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM pu GROUP BY doc_id, dl, term),
+        |qt AS (SELECT * FROM (VALUES
+        |  ('q1','window'),('q1','merge'),('q1','scan'),
+        |  ('q2','filter'),('q2','join'),('q2','vector'),
+        |  ('q3','dup'),('q3','stream')) AS q(query_id, term)),
+        |dfs AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |contrib AS (
+        |  SELECT qt.query_id, post.doc_id,
+        |    CAST(ROUND(ROUND(
+        |      ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) * post.tf * (1.2 + 1.0)
+        |      / (post.tf + 1.2 * (1.0 - 0.75 + 0.75 * post.dl / st.avgdl)), 6)
+        |      * 1000000.0) AS BIGINT) AS ci
+        |  FROM post JOIN dfs USING (term) JOIN qt USING (term) CROSS JOIN st),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(CAST(SUM(ci) AS DOUBLE) / 1000000.0, 4) AS score
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |topk AS (
+        |  SELECT query_id, doc_id, score FROM sc WHERE score > 0
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) <= 10)
+        |SELECT query_id, doc_id, score FROM topk
+        |ORDER BY query_id, doc_id""".stripMargin,
 
 
     // Same salt, same non-blank-line filters and RE2 patterns, fractions

@@ -2039,6 +2039,52 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("bm25ProbeBatch matches per-query single probes from one pruned read") {
+    import graft.text.Search
+    val docs = (1L to 60L).map(i => (i,
+      if (i % 13 == 0) null.asInstanceOf[String]
+      else s"word$i common " + ("window " * (i % 4).toInt) +
+        (if (i % 3 == 0) "merge scan " else "filler text ") + s"tail${i % 7}"))
+      .toDF("doc_id", "text")
+    for (t <- Seq("bm25_batch", "bm25_batch_stats"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Search.writeBm25Index(docs, "text", "doc_id", "bm25_batch", buckets = 16)
+    val qtexts = Seq("window merge scan", "common", "window nosuchterm",
+      "nosuchterm onlymissing")
+    val qs = qtexts.zipWithIndex.map { case (t, i) => (s"q$i", t) }
+      .toDF("query_id", "qtext")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val batchDf = Search.bm25ProbeBatch(spark, "bm25_batch", "doc_id", qs,
+        "query_id", "qtext", topK = 10)
+      val batch = batchDf.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq }
+      for ((t, i) <- qtexts.zipWithIndex) {
+        val single = Search.bm25Probe(spark, "bm25_batch", "doc_id", t,
+          topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = batch.getOrElse(s"q$i", Seq.empty)
+        // same docs in the same rank order; scores agree to the documented
+        // sub-1e-6 long-scaling residue (usually exactly)
+        assert(got.map(_._1) == single.map(_._1),
+          s"query '$t': ${got.map(_._1)} vs ${single.map(_._1)}")
+        got.zip(single).foreach { case ((_, a), (_, b)) =>
+          assert(math.abs(a - b) <= 1e-4, s"query '$t': score $a vs $b") }
+      }
+      // one serving read for the whole batch: the postings scan is pruned
+      // to the union of every query's term buckets
+      val plan = Search.bm25ProbeBatch(spark, "bm25_batch", "doc_id", qs,
+        "query_id", "qtext", topK = 10)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in batch probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        "batch probe read every bucket")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("lineStats: hand-computed line-shape fractions") {
     val text = "A full sentence here.\n- bullet item\nnav\n" +
       "this line just trails off...\n\n  \nAnother proper sentence ends!"
