@@ -122,6 +122,23 @@ object SimilarityQ {
           "vec_id", "embedding", t, threshold = 0.95, update = false)
         .select(col("vec_id"))
         .orderBy("vec_id")
+    },
+
+    // L75: HYBRID retrieval — reciprocal-rank fusion of the exact dense
+    // top-20 (s01's list) and the BM25 keyword top-20 (t27's list) over
+    // the shared id space. Only ranks matter, contributions are exact
+    // longs (×10¹²), so the fused scores hash-match DuckDB bit-for-bit.
+    "s10_hybrid_rrf" -> { (s, dir) =>
+      val dense = Similarity.bruteForceKnn(Tables(s, dir, "embeddings"),
+          queryVec(s, dir), idCol = "vec_id", vecCol = "embedding", k = 20)
+        .select(lit("q1").as("query_id"), col("vec_id").as("doc_id"),
+          col("sim").as("score"))
+      val sparse = graft.text.Search.bm25(Tables(s, dir, "documents"),
+          "text", "doc_id", "window merge scan", topK = 20)
+        .select(lit("q1").as("query_id"), col("doc_id"), col("score"))
+      graft.text.Search.rrfFuse(Seq(dense, sparse), "query_id", "doc_id",
+          "score", topK = 15)
+        .orderBy("query_id", "doc_id")
     }
   )
 
@@ -227,6 +244,72 @@ object SimilarityQ {
         |  FROM embeddings, q)
         |SELECT vec_id, sim FROM s
         |ORDER BY sim DESC, vec_id
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // RRF fusion of s01's dense top-20 and t27's BM25 top-20 (same CTEs):
+    // per-list dense ranks under the (score desc, id) total order, each
+    // contribution 1/(60+rank) scaled to an exact BIGINT (×10¹²), fused
+    // by an order-free sum, /10¹² rounded to 8 — the Spark side's exact
+    // arithmetic.
+    "s10_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |ds AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROUND(
+        |      list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                       list_transform(qvec, x -> CAST(x AS DOUBLE)))
+        |      / (SQRT(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+        |       * SQRT(list_dot_product(list_transform(qvec, x -> CAST(x AS DOUBLE)),
+        |                               list_transform(qvec, x -> CAST(x AS DOUBLE))))) , 4) AS score
+        |  FROM embeddings, q
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 20),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'scan')) AS DOUBLE) AS tf2
+        |  FROM base),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id,
+        |    ROUND(
+        |      ROUND(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      + ROUND(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6),
+        |    4) AS score
+        |  FROM d CROSS JOIN st),
+        |sx AS (
+        |  SELECT doc_id, score FROM sp WHERE score > 0
+        |  ORDER BY score DESC, doc_id
+        |  LIMIT 20),
+        |c AS (
+        |  SELECT doc_id, CAST(ROUND(1000000000000.0 /
+        |      (60 + row_number() OVER (ORDER BY score DESC, doc_id)), 0) AS BIGINT) AS ci
+        |  FROM ds
+        |  UNION ALL
+        |  SELECT doc_id, CAST(ROUND(1000000000000.0 /
+        |      (60 + row_number() OVER (ORDER BY score DESC, doc_id)), 0) AS BIGINT) AS ci
+        |  FROM sx),
+        |f AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(ci) AS DOUBLE) / 1000000000000.0, 8) AS rrf_score
+        |  FROM c GROUP BY doc_id),
+        |topk AS (
+        |  SELECT doc_id, rrf_score FROM f
+        |  QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 15)
+        |SELECT 'q1' AS query_id, doc_id, rrf_score FROM topk
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -278,4 +278,53 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * 2009) of per-query ranked lists from heterogeneous scorers — the
+    * standard way to combine keyword ([[bm25Probe]]/[[bm25ProbeBatch]])
+    * and embedding ([[graft.similarity.Similarity]] kNN) retrieval
+    * without calibrating their incomparable score scales: each list
+    * contributes `1/(kRrf + rank)` per document and the fused score is
+    * the sum, so only RANKS matter.
+    *
+    * Inputs: each list has (queryIdCol, idCol, scoreCol) — any number of
+    * lists, any score scale; single-query scorers join the batch shape
+    * with a `lit` query column. Ranks are derived here (dense per-query
+    * `row_number` over (score desc, id) — a TOTAL order, so ranks are
+    * deterministic) rather than trusted from the caller.
+    *
+    * Scale shape: inputs are per-query TOP-K lists (that is the
+    * contract — fusing unbounded lists is a scorer bug, not a fusion
+    * feature), so every per-query group is ≤ Σ topKᵢ rows and the rank
+    * windows and final top-k are skew-free by construction; the only
+    * shuffle is the (query, id) fusion group-by of those bounded lists.
+    *
+    * Determinism (the §5 float discipline): `1/(kRrf + rank)` is scaled
+    * to an exact long (×10¹²) per contribution, so the fused sum is
+    * order-free and bit-stable at any partitioning; the final score is
+    * the long sum /10¹² rounded to 8 — a DuckDB oracle replays it
+    * exactly. Returns (queryIdCol, idCol, rrf_score), per-query
+    * (rrf_score desc, id) top-`topK`.
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryIdCol: String, idCol: String,
+              scoreCol: String, topK: Int = 20, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no lists")
+    require(topK > 0 && kRrf > 0, s"rrfFuse: topK=$topK kRrf=$kRrf")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val contribs = lists.map { l =>
+      l.select(col(queryIdCol), col(idCol), col(scoreCol))
+        .withColumn("__rank", row_number().over(w))
+        .select(col(queryIdCol), col(idCol),
+          round(lit(1e12) / (lit(kRrf.toDouble) + col("__rank")))
+            .cast("long").as("__ci"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__ci")).cast("double") / lit(1e12), 8)
+        .as("rrf_score"))
+    graft.operators.Skew.saltedTopN(fused, Seq(col(queryIdCol)), col(idCol),
+      Seq(col("rrf_score").desc, col(idCol)), topK)
+  }
 }

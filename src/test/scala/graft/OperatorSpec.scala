@@ -2085,6 +2085,32 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("rrfFuse: hand-computed fusion, rank-derived, per-query, topK cut") {
+    import graft.text.Search
+    // list A ranks (by score desc, id): 10→1, 20→2, 30→3 — input ROW
+    // ORDER is scrambled to pin that ranks derive from scores, not order
+    val a = Seq(("q1", 30L, 0.2), ("q1", 10L, 0.9), ("q1", 20L, 0.5),
+      ("q2", 77L, 1.0)).toDF("qid", "id", "score")
+    // list B ranks: 20→1, 40→2 (different score scale — only ranks matter)
+    val b = Seq(("q1", 20L, 120.0), ("q1", 40L, 3.0)).toDF("qid", "id", "score")
+    def rrf(ranks: Int*): Double = // Spark Round on double = HALF_UP
+      BigDecimal.decimal(ranks.map(r => math.round(1e12 / (60.0 + r))).sum / 1e12)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Search.rrfFuse(Seq(a, b), "qid", "id", "score", topK = 3)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == Map(
+      ("q1", 20L) -> rrf(2, 1), // in both lists: fused to the top
+      ("q1", 10L) -> rrf(1),
+      ("q1", 40L) -> rrf(2), // topK=3 cuts 30 (rank 3, ties with nothing)
+      ("q2", 77L) -> rrf(1)), got.toString)
+    // tie-break: equal fused scores order by id — topK=1 keeps the lower
+    val t1 = Seq(("q", 5L, 1.0), ("q", 9L, 2.0)).toDF("qid", "id", "score")
+    val t2 = Seq(("q", 9L, 1.0), ("q", 5L, 2.0)).toDF("qid", "id", "score")
+    val cut = Search.rrfFuse(Seq(t1, t2), "qid", "id", "score", topK = 1)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(cut == Seq(5L), cut.toString)
+  }
+
   test("lineStats: hand-computed line-shape fractions") {
     val text = "A full sentence here.\n- bullet item\nnav\n" +
       "this line just trails off...\n\n  \nAnother proper sentence ends!"
