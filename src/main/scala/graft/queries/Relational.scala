@@ -204,6 +204,23 @@ object Relational {
         .filter(col("rn") === 1)
         .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("c_nationkey")
+    },
+
+    // A27: interval (range) join — customers matched to supplier balance
+    // bands [s_acctbal−50, s_acctbal+50] via the binned equi-join (a bare
+    // BETWEEN join would plan as BroadcastNestedLoopJoin). Balance sums
+    // ride exact cents-longs so the aggregate is order-free.
+    "q17_range_join" -> { (s, dir) =>
+      val bands = Tables(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") - 50).as("lo"), (col("s_acctbal") + 50).as("hi"))
+      graft.operators.RangeJoin(
+          Tables(s, dir, "customer").select("c_custkey", "c_acctbal"),
+          bands, "c_acctbal", "lo", "hi", binWidth = 100.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_matches"),
+          round(sum(round(col("c_acctbal") * 100).cast("long")) / 100.0, 2)
+            .as("sum_bal"))
+        .orderBy("s_suppkey")
     }
   )
 
@@ -345,6 +362,18 @@ object Relational {
         |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) t
         |WHERE rn = 1
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+
+    // DuckDB plans the BETWEEN join natively (IEJoin); the binned
+    // equi-join + residual filter is pair-identical. Cents scaling keeps
+    // the sum exact at any partitioning.
+    "q17_range_join" ->
+      """SELECT s_suppkey,
+        |  COUNT(*) AS n_matches,
+        |  ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_bal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+        |GROUP BY s_suppkey
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

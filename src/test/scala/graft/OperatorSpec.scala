@@ -2085,6 +2085,42 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("rangeJoin ≡ naive BETWEEN join; binned plan, no nested loop") {
+    import graft.operators.RangeJoin
+    // facts spanning negatives, bin boundaries, and interval endpoints
+    val facts = Seq(-150.0, -100.0, -0.01, 0.0, 49.99, 50.0, 99.99, 100.0,
+      250.5, 999.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("fact_id", "v")
+    // overlapping bands, a point interval, an inverted (lo > hi) one
+    val dims = Seq(
+      (1L, -120.0, -90.0), (2L, 0.0, 100.0), (3L, 50.0, 50.0),
+      (4L, 40.0, 260.0), (5L, 300.0, 200.0)).toDF("band_id", "lo", "hi")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "band_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ≡ the naive cross-filter at several binWidths (replication factor
+    // changes, pairs must not)
+    val naive = rows(facts.crossJoin(dims)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi")))
+    for (w <- Seq(1.0, 37.0, 100.0, 10000.0)) {
+      val got = rows(RangeJoin(facts, dims, "v", "lo", "hi", w))
+      assert(got == naive, s"binWidth=$w: $got vs $naive")
+    }
+    // endpoints inclusive, point interval hit, inverted interval empty
+    assert(naive.contains((5L, 3L)) && naive.contains((7L, 2L)))
+    assert(!naive.exists(_._2 == 5L))
+    // the plan claim: an equi-join, never a nested loop / cartesian
+    val plan = RangeJoin(facts, dims, "v", "lo", "hi", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi plan:\n$plan")
+    // colliding column names are rejected loudly
+    intercept[IllegalArgumentException] {
+      RangeJoin(facts, dims.withColumnRenamed("band_id", "fact_id"),
+        "v", "lo", "hi", 1.0)
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, rank-derived, per-query, topK cut") {
     import graft.text.Search
     // list A ranks (by score desc, id): 10→1, 20→2, 30→3 — input ROW
