@@ -334,6 +334,26 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L76: long-document chunking — 40-token windows stepping by 32
+    // (8-token overlap), row-local explode+slice, no shuffle.
+    "t32_chunks" -> { (s, dir) =>
+      TextOps.chunkDocs(Tables(s, dir, "documents"), "text", "doc_id",
+          maxTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // L77: quality-threshold calibration — keep the best ~30% by quality
+    // score via the two-pass histogram cut (no global sort; driver state
+    // = 64 bin counts). The kept set is every row at or above the cut
+    // bin: deterministic, ≥ the requested fraction.
+    "t33_quantile_filter" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 4).as("score"))
+      TextOps.keepTopFraction(scored, "score", keepFrac = 0.3, bins = 64)
+        .orderBy("doc_id")
+    },
+
     // L65: line-shape quality profile (C4/Gopher/FineWeb heuristics) —
     // the single-line corpus is salted into a page shape: a sentence
     // line, a bullet, the doc text, an optional ellipsis teaser (every
@@ -765,6 +785,60 @@ object TextQ {
         |    ORDER BY score DESC, doc_id) <= 10)
         |SELECT query_id, doc_id, score FROM topk
         |ORDER BY query_id, doc_id""".stripMargin,
+
+    // Same stride math: nChunks = ceil(max(n-overlap,1)/stride); 1-based
+    // inclusive list_slice ≙ Spark's (start, length) slice.
+    "t32_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n
+        |  FROM base WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, CAST(CEIL(GREATEST(n - 8, 1) / 32.0) AS BIGINT))) AS cid
+        |  FROM n),
+        |c2 AS (SELECT doc_id, toks, n, CAST(cid AS INTEGER) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ') AS chunk_text,
+        |  LEAST(40, n - chunk_id * 32) AS n_tokens
+        |FROM c2
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // t02's quality expression rounded to 4, then the same 64-bin
+    // fixed-width histogram: bin = least(63, floor((s-lo)/w)), cut = the
+    // highest bin whose from-the-top cumulative count reaches
+    // ceil(0.3 × non-null rows), keep bin >= cut. Null scores never
+    // survive.
+    "t33_quantile_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
+        |      (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+        |             AND (n_chars - n_tokens + 1.0) / n_tokens <= 10.0
+        |            THEN 1.0 ELSE 0.5 END), 4) AS score
+        |  FROM t),
+        |nn AS (SELECT doc_id, score FROM s WHERE score IS NOT NULL),
+        |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi, COUNT(*) AS n FROM nn),
+        |b AS (
+        |  SELECT doc_id, score,
+        |    LEAST(63, CAST(FLOOR((score - lo) / ((hi - lo) / 64.0)) AS INTEGER)) AS bin
+        |  FROM nn, mm),
+        |h AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY bin),
+        |cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin DESC) AS cc FROM h),
+        |cut AS (
+        |  SELECT MAX(bin) AS cutbin FROM cum
+        |  WHERE cc >= (SELECT CEIL(0.3 * n) FROM mm))
+        |SELECT doc_id, score FROM b, cut
+        |WHERE bin >= cutbin
+        |ORDER BY doc_id""".stripMargin,
 
 
     // Same salt, same non-blank-line filters and RE2 patterns, fractions

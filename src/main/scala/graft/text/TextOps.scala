@@ -294,6 +294,87 @@ object TextOps {
       .drop("__b", "__off", "__tb")
   }
 
+  /** Split documents into training-window CHUNKS of at most `maxTokens`
+    * whitespace tokens, consecutive chunks sharing `overlap` tokens — the
+    * long-document ingestion step (a 200k-token page must become
+    * model-window pieces) and the retrieval-index granularity cut.
+    *
+    * Chunk starts step by `maxTokens - overlap`; the last chunk is the
+    * remainder (never a pure-overlap tail: a doc with ≤ `maxTokens`
+    * tokens yields exactly one chunk). Entirely ROW-LOCAL — tokens →
+    * `sequence` of chunk indexes → `explode` → `slice`, native codegen'd
+    * functions, no shuffle, no UDF — so it streams through a 100 TB scan
+    * at columnar speed and composes with [[shardByTokenBudget]] /
+    * [[packBins]] downstream. Empty/null docs yield no chunks.
+    *
+    * Returns (idCol, chunk_id, chunk_text, n_tokens); `chunk_id` counts
+    * from 0 within each document.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String, maxTokens: Int,
+                overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"chunkDocs: maxTokens=$maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"chunkDocs: overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // nChunks = ceil(max(n - overlap, 1) / stride); ints < 2^53 are
+      // exact in the double division
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        ((greatest(col("__n") - lit(overlap), lit(1)) + lit(stride - 1)) /
+          lit(stride)).cast("int") - lit(1))))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"),
+          col("chunk_id") * lit(stride) + lit(1), lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_id") * lit(stride))
+          .as("n_tokens"))
+  }
+
+  /** Keep the top `keepFrac` of rows by `scoreCol` WITHOUT a global
+    * sort — threshold calibration for quality filtering ("keep the best
+    * 30%") at corpus scale: one aggregate for (min, max, count), one
+    * fixed-width histogram pass (`bins` partial-aggregated counts, the
+    * only driver state), then a filter at the highest bin boundary whose
+    * from-the-top cumulative count reaches `ceil(keepFrac × total)`.
+    * Every kept row's score falls in a bin ≥ the cut bin, so the kept
+    * set is deterministic at any partitioning (no tie sampling) and AT
+    * LEAST the requested fraction — the boundary bin is included whole;
+    * its width (range/`bins`) bounds the overshoot. Three scans total,
+    * driver state = `bins` longs, at any corpus size.
+    *
+    * Degenerate inputs: a constant score column (min == max — bin width
+    * 0) keeps everything, as does `keepFrac >= 1`. Null scores never
+    * survive (they compare false at the cut).
+    */
+  def keepTopFraction(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+                      keepFrac: Double,
+                      bins: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(keepFrac > 0, s"keepTopFraction: keepFrac=$keepFrac")
+    require(bins > 1, s"keepTopFraction: bins=$bins")
+    if (keepFrac >= 1.0) return df
+    val mm = df.agg(min(col(scoreCol)).cast("double"),
+      max(col(scoreCol)).cast("double"), count(col(scoreCol))).head()
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) return df
+    val (lo, hi, total) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1),
+      floor((col(scoreCol).cast("double") - lit(lo)) / lit(w)).cast("int"))
+    val histo = df.filter(col(scoreCol).isNotNull)
+      .groupBy(bin.as("__bin")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val target = math.ceil(keepFrac * total).toLong
+    var (cum, cutBin) = (0L, 0)
+    var b = bins - 1
+    while (b >= 0 && cum < target) { cum += histo.getOrElse(b, 0L); cutBin = b; b -= 1 }
+    // the isNotNull guard is load-bearing: least() SKIPS nulls, so a null
+    // score would otherwise bin at bins-1 and sail through the cut
+    df.filter(col(scoreCol).isNotNull && bin >= lit(cutBin))
+  }
+
   /** Deterministically SHUFFLED token-budget shards — the layout step a
     * training run actually wants: documents in a reproducible
     * pseudo-random global order (decorrelated from crawl/id order, so no

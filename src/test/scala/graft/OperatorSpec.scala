@@ -2085,6 +2085,60 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("chunkDocs: exact windows, overlap stride, no pure-overlap tail") {
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, toks(10)), (2L, toks(4)), (3L, toks(5)),
+      (4L, toks(1)), (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "  a   b  ")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(docs, "text", "doc_id", maxTokens = 4,
+        overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      // stride 3: starts 1, 4, 7 (1-based); ceil(9/3) = 3 chunks
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "t1 t2 t3 t4", 4), // n == maxTokens: ONE chunk, no tail
+      (3L, 0, "t1 t2 t3 t4", 4), (3L, 1, "t4 t5", 2),
+      (4L, 0, "t1", 1),
+      (7L, 0, "a b", 2)), got.toString) // empty/null docs vanish
+    // overlap 0 partitions exactly: every token once, in order
+    val flat = TextOps.chunkDocs(docs.filter(col("doc_id") === 1), "text",
+        "doc_id", maxTokens = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(flat == toks(10))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocs(docs, "text", "doc_id", maxTokens = 4, overlap = 4)
+    }
+  }
+
+  test("keepTopFraction: histogram cut keeps an exact top set, no sort") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = TextOps.keepTopFraction(df, "score", 0.25, bins = 1000)
+      .collect().map(_.getLong(0)).toSet
+    // fine bins: exactly the top quarter
+    assert(kept == (76 to 100).map(_.toLong).toSet, kept.toString)
+    // coarse bins may overshoot but never undershoot, and the kept set is
+    // an up-set in score (everything kept beats everything dropped)
+    val coarse = TextOps.keepTopFraction(df, "score", 0.25, bins = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(coarse.size >= 25 && coarse.min > (1 to 100).toSet.diff(coarse.map(_.toInt)).max)
+    // partitioning-invariant
+    val rep = TextOps.keepTopFraction(df.repartition(7), "score", 0.25,
+      bins = 1000).collect().map(_.getLong(0)).toSet
+    assert(rep == kept)
+    // null scores never survive; constant scores keep everything
+    val withNulls = df.withColumn("score",
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("score")))
+    val kn = TextOps.keepTopFraction(withNulls, "score", 0.5, bins = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(kn.forall(_ % 10 != 0) && kn.size >= 45)
+    val const = TextOps.keepTopFraction(
+      df.withColumn("score", lit(7.0)), "score", 0.1)
+    assert(const.count() == 100)
+  }
+
   test("rangeJoin ≡ naive BETWEEN join; binned plan, no nested loop") {
     import graft.operators.RangeJoin
     // facts spanning negatives, bin boundaries, and interval endpoints
