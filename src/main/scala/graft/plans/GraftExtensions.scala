@@ -18,12 +18,17 @@ import graft.wiki.WikiMarkup
   *
   * Deliberately small: graft's operators are DataFrame transforms over
   * native plans, so Catalyst's existing rules (pushdown, pruning, join
-  * selection, AQE) apply unchanged — no custom Rule/Strategy is needed,
-  * which is the point of declaring plans instead of scheduling them.
+  * selection, AQE) apply unchanged — the point of declaring plans instead
+  * of scheduling them. The one optimizer rule ([[RangeJoinRewrite]])
+  * exists for the case Catalyst itself plans badly — a pure interval join
+  * becomes a nested loop — and is conf-gated
+  * (`spark.graft.rangeJoin.binWidth`), so injection alone changes nothing.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -46,4 +46,50 @@ class GraftExtensionsSpec extends SparkSpec {
     // without error (full build-time injection is a cluster-config path)
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions())
   }
+
+  test("RangeJoinRewrite: interval joins plan binned, rows unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val facts = Seq((1L, -150.0), (2L, 0.0), (3L, 50.0), (4L, 99.99),
+      (5L, 250.5)).toDF("fact_id", "v")
+    val dims = Seq((1L, -200.0, -100.0), (2L, 0.0, 100.0), (3L, 50.0, 50.0),
+      (4L, 300.0, 200.0)).toDF("band_id", "lo", "hi") // incl. inverted
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "band_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cases = Seq(
+      facts.join(dims, col("v") >= col("lo") && col("v") <= col("hi")),
+      facts.join(dims, col("v") > col("lo") && col("v") < col("hi")),
+      dims.join(facts, col("v") >= col("lo") && col("v") <= col("hi")))
+    val naive = cases.map(pairs)
+    spark.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "75.0")
+    try {
+      cases.zip(naive).foreach { case (df, want) =>
+        assert(pairs(df) == want)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"), s"not rewritten:\n$plan")
+        assert(plan.contains("__graft_bin"), s"rule did not fire:\n$plan")
+      }
+      // SQL BETWEEN takes the same path
+      facts.createOrReplaceTempView("rjf"); dims.createOrReplaceTempView("rjd")
+      val sqlDf = spark.sql(
+        "SELECT fact_id, band_id FROM rjf JOIN rjd ON v BETWEEN lo AND hi")
+      assert(pairs(sqlDf) == naive.head)
+      assert(!sqlDf.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      // an equi conjunct means Catalyst already hash-joins: rule stays out
+      val equi = facts.join(dims,
+        col("fact_id") === col("band_id") && col("v") <= col("hi"))
+      assert(!equi.queryExecution.executedPlan.toString.contains("__graft_bin"))
+      // conf off (default) leaves plans untouched even with the rule in
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      assert(!cases.head.queryExecution.executedPlan.toString
+        .contains("__graft_bin"))
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
