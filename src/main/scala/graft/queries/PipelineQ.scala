@@ -109,6 +109,19 @@ object PipelineQ {
         .orderBy("doc_id")
     },
 
+    // L76 composed (hash-gated): c02's curation feeding chunkDocs — the
+    // prepare-for-training tail (curate → window-cut), gated end-to-end
+    // so stage ordering (chunk AFTER the gates/dedup, text from the kept
+    // originals) is pinned, not just each stage alone.
+    "c08_curate_chunks" -> { (s, dir) =>
+      val kept = queries("c02_curate_exact")(s, dir).select("doc_id")
+      TextOps.chunkDocs(
+          Tables(s, dir, "documents").join(kept, "doc_id")
+            .select(col("doc_id"), col("text")),
+          "text", "doc_id", maxTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // L22c (hash-gated): c02's composition made INCREMENTAL across runs
     // via Config.registryTable. Day 1 (two thirds of the corpus) runs
     // curate() against a fresh registry — the append inside
@@ -505,12 +518,35 @@ object PipelineQ {
        |FROM sch
        |ORDER BY url""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "c06_frontier" -> frontierOracle,
-    "c07_frontier_schedule" -> frontierScheduleOracle,
-    "c02_curate_exact" -> curateOracle(spanStage = false),
-    "c03_curate_span" -> curateOracle(spanStage = true),
-    "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),
-    "c05_curate_registry" -> curateOracle(spanStage = false, registryStage = true)
-  )
+  val oracles: Map[String, String] = {
+    val base = Map(
+      "c06_frontier" -> frontierOracle,
+      "c07_frontier_schedule" -> frontierScheduleOracle,
+      "c02_curate_exact" -> curateOracle(spanStage = false),
+      "c03_curate_span" -> curateOracle(spanStage = true),
+      "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),
+      "c05_curate_registry" -> curateOracle(spanStage = false, registryStage = true))
+    // c08 = c02's survivors chunked: the c02 oracle runs verbatim as the
+    // kept-id subquery, then t32's stride/slice math over their text.
+    base + ("c08_curate_chunks" ->
+      s"""WITH kept AS (
+         |${base("c02_curate_exact")}),
+         |cbase AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents d JOIN kept k ON k.doc_id = d.doc_id),
+         |cn AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n
+         |  FROM cbase WHERE len(toks) > 0),
+         |cc AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0, CAST(CEIL(GREATEST(n - 8, 1) / 32.0) AS BIGINT))) AS cid
+         |  FROM cn),
+         |cc2 AS (SELECT doc_id, toks, n, CAST(cid AS INTEGER) AS chunk_id FROM cc)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ') AS chunk_text,
+         |  LEAST(40, n - chunk_id * 32) AS n_tokens
+         |FROM cc2
+         |ORDER BY doc_id, chunk_id""".stripMargin)
+  }
 }
