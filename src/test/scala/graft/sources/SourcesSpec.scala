@@ -16,6 +16,43 @@ class SourcesSpec extends SparkSpec {
     p.toString
   }
 
+  test("jsonl read quarantines malformed lines, keeps schema-sparse ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createDirectories(Paths.get("target/tmp/jsonl_src"))
+    dir.toFile.listFiles().foreach(_.delete())
+    def writeGz(name: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(dir.resolve(name)))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    writeGz("a.jsonl.gz", Seq(
+      """{"id": 1, "text": "alpha", "lang": "en"}""",
+      """{"id": 2, "text": "beta"}""", // missing field → good with null
+      """{"id": 3, "text": "gamma", "lang": "de", "extra": 9}""", // ignored
+      """{"id": 4 "text": "broken}""")) // malformed → quarantine
+    writeGz("b.jsonl.gz", Seq(
+      """{"id": 5, "text": "delta", "lang": "fr"}""",
+      """not json at all"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val (good, bad) = JsonlSource.read(spark, dir.toString, schema)
+    assert(good.schema.fieldNames.toSeq == Seq("id", "text", "lang"))
+    val g = good.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(g == Set((1L, "alpha", Some("en")), (2L, "beta", None),
+      (3L, "gamma", Some("de")), (5L, "delta", Some("fr"))), g.toString)
+    // quarantine carries the raw line + its source file for re-parse
+    val q = bad.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.length == 2, q.mkString("; "))
+    assert(q.exists(x => x._1.endsWith("a.jsonl.gz") && x._2.contains("broken")))
+    assert(q.exists(x => x._1.endsWith("b.jsonl.gz") && x._2 == "not json at all"))
+    // the reserved column collides loudly
+    intercept[IllegalArgumentException] {
+      JsonlSource.read(spark, dir.toString,
+        StructType(Seq(StructField("_graft_corrupt", StringType))))
+    }
+  }
+
   test("reads gzip-compressed dumps (reference --infn *.gz path)") {
     val p = writeCompressed(".xml.gz", os => new java.util.zip.GZIPOutputStream(os))
     val pages = WikiXmlSource.pages(spark, p).collect()
