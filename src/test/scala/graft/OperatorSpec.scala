@@ -2175,6 +2175,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs and RangeJoin run on streams (stateless / stream-static)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, toks(10)), (2L, toks(4)), (3L, toks(5)))
+    // chunking is stateless (explode + slice), so the same call chains
+    // onto a stream in append mode — batch ≡ streamed, batch boundaries
+    // invisible
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps.chunkDocs(in.toDF().toDF("doc_id", "text"), "text",
+        "doc_id", maxTokens = 4, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("chunk_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+      val batch = TextOps.chunkDocs(rows.toDF("doc_id", "text"), "text",
+          "doc_id", maxTokens = 4, overlap = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+      assert(got == batch, got.toString)
+    } finally q.stop()
+    // the binned interval join is an equi-join, so STREAM-STATIC range
+    // joins (events × IP/price bands) work where a BETWEEN condition on a
+    // stream would plan a nested loop
+    val fin = MemoryStream[(Long, Double)]
+    val bands = Seq((1L, 0.0, 100.0), (2L, 50.0, 150.0)).toDF("band_id", "lo", "hi")
+    val q2 = graft.operators.RangeJoin(fin.toDF().toDF("fact_id", "v"),
+        bands, "v", "lo", "hi", binWidth = 100.0)
+      .select("fact_id", "band_id")
+      .writeStream.format("memory").queryName("rj_stream")
+      .outputMode("append").start()
+    try {
+      fin.addData((1L, 75.0), (2L, 200.0)); q2.processAllAvailable()
+      val got = spark.table("rj_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (1L, 2L)), got.toString)
+    } finally q2.stop()
+  }
+
   test("rrfFuse: hand-computed fusion, rank-derived, per-query, topK cut") {
     import graft.text.Search
     // list A ranks (by score desc, id): 10→1, 20→2, 30→3 — input ROW
