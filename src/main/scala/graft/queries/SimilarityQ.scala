@@ -139,6 +139,20 @@ object SimilarityQ {
       graft.text.Search.rrfFuse(Seq(dense, sparse), "query_id", "doc_id",
           "score", topK = 15)
         .orderBy("query_id", "doc_id")
+    },
+
+    // L79: ranking-audit metrics — recall@15 / MRR@15 / nDCG@15 of the
+    // fused hybrid list (s10) against the exact dense top-20 as binary
+    // truth: the post-build audit every index/fusion change should rerun.
+    // DCG weights are exact scaled-long constants shared with the oracle.
+    "s11_fusion_eval" -> { (s, dir) =>
+      val fused = queries("s10_hybrid_rrf")(s, dir)
+      val truth = Similarity.bruteForceKnn(Tables(s, dir, "embeddings"),
+          queryVec(s, dir), idCol = "vec_id", vecCol = "embedding", k = 20)
+        .select(lit("q1").as("query_id"), col("vec_id").as("doc_id"))
+      graft.operators.RankingEval.metrics(fused, truth, "query_id",
+          "doc_id", "rrf_score", k = 15)
+        .orderBy("query_id")
     }
   )
 
@@ -223,7 +237,50 @@ object SimilarityQ {
        |LIMIT 20""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // s11 = RankingEval over s10's list vs s01's ids as binary truth: the
+    // s10/s01 oracles run verbatim as subqueries; the DCG weight and
+    // ideal-prefix tables are THE SAME exact scaled-long constants the
+    // Spark side uses (generated here from RankingEval.dcgWeight — no
+    // second libm log2 to disagree in the last ulp).
+    ("s11_fusion_eval" -> {
+      val k = 15
+      val wt = (1 to k).map(r =>
+        s"($r, ${graft.operators.RankingEval.dcgWeight(r)})").mkString(", ")
+      val pf = (1 to k).map { n =>
+        val p = (1 to n).map(graft.operators.RankingEval.dcgWeight).sum
+        s"($n, $p)"
+      }.mkString(", ")
+      s"""WITH res AS (
+         |${baseOracles("s10_hybrid_rrf")}),
+         |tr AS (
+         |  SELECT 'q1' AS query_id, vec_id AS doc_id FROM (
+         |${baseOracles("s01_knn_brute")})),
+         |ranked AS (
+         |  SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_score DESC, doc_id) AS r
+         |  FROM res),
+         |topk AS (SELECT * FROM ranked WHERE r <= $k),
+         |wt(r, w) AS (VALUES $wt),
+         |pf(n, p) AS (VALUES $pf),
+         |tn AS (SELECT query_id, COUNT(*) AS n_truth FROM tr GROUP BY query_id),
+         |hits AS (
+         |  SELECT t.query_id, COUNT(*) AS n_hits, MIN(t.r) AS fr,
+         |    SUM(w.w) AS dcg
+         |  FROM topk t JOIN tr USING (query_id, doc_id) JOIN wt w ON w.r = t.r
+         |  GROUP BY t.query_id)
+         |SELECT tn.query_id, tn.n_truth,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  ROUND(COALESCE(h.n_hits, 0) / CAST(tn.n_truth AS DOUBLE), 6) AS recall,
+         |  ROUND(COALESCE(1.0 / h.fr, 0.0), 6) AS mrr,
+         |  ROUND(CAST(COALESCE(h.dcg, 0) AS DOUBLE) / p.p, 6) AS ndcg
+         |FROM tn LEFT JOIN hits h USING (query_id)
+         |JOIN pf p ON p.n = LEAST($k, tn.n_truth)
+         |ORDER BY tn.query_id""".stripMargin
+    })
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "s02_knn_lsh" -> lshOracle,
     // identical survivors to the per-call path — sharing d10's oracle is
     // what certifies the indexed flavor (the d06/d07 gating pattern)
