@@ -60,7 +60,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(w))), LongType)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(widthConf, "0").toDouble
+    // a malformed width must not take down every query in the session —
+    // an optimizer rule runs on all of them; warn and stand down instead
+    val w = conf.getConfString(widthConf, "0").toDoubleOption.getOrElse {
+      logWarning(s"$widthConf is not numeric; range-join rewrite disabled")
+      0.0
+    }
     if (w <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
