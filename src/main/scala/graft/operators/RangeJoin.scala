@@ -47,4 +47,20 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** A reasonable `binWidth` for `dims`: the MEDIAN interval span
+    * (approxQuantile at 1% error over the non-inverted intervals) —
+    * median-width bins put a typical interval in ~2 bins (replication ~2×)
+    * while half the intervals stay in 1-2 bins; a handful of very wide
+    * outlier intervals replicate more instead of widening every fact's
+    * bin (what a mean or max would do). One aggregate pass over the dim
+    * table — cheap next to the join. Falls back to 1.0 when every
+    * interval is a point (median span 0).
+    */
+  def suggestBinWidth(dims: DataFrame, loCol: String, hiCol: String): Double = {
+    val spans = dims.filter(col(loCol) <= col(hiCol))
+      .select((col(hiCol).cast("double") - col(loCol).cast("double")).as("__s"))
+    val med = spans.stat.approxQuantile("__s", Array(0.5), 0.01)
+    if (med.isEmpty || med(0) <= 0) 1.0 else med(0)
+  }
 }

@@ -2173,6 +2173,13 @@ class OperatorSpec extends SparkSpec {
       RangeJoin(facts, dims.withColumnRenamed("band_id", "fact_id"),
         "v", "lo", "hi", 1.0)
     }
+    // suggested width ≈ median span; inverted intervals excluded; point
+    // intervals fall back to 1.0
+    val sw = RangeJoin.suggestBinWidth(dims, "lo", "hi")
+    assert(sw == 30.0, s"median span $sw") // spans {30, 100, 0} → median 30
+    assert(RangeJoin.suggestBinWidth(
+      Seq((1L, 5.0, 5.0)).toDF("b", "lo", "hi"), "lo", "hi") == 1.0)
+    assert(rows(RangeJoin(facts, dims, "v", "lo", "hi", sw)) == naive)
   }
 
   test("chunkDocs and RangeJoin run on streams (stateless / stream-static)") {
