@@ -835,6 +835,64 @@ object EventStreams {
           rightCols.map(c => col(s"r.$c"))): _*)
   }
 
+  /** Streaming probe of the LINE-hash registry — the incremental face of
+    * [[graft.dedup.Dedup.dedupLinesAgainstRegistry]]'s report-only mode,
+    * completing the cross-run matrix for line identity: nav menus /
+    * cookie banners / license blocks registered by EARLIER batch runs
+    * strip from streamed pages as they arrive. Per document: lines cut,
+    * registered non-blank lines dropped (stream-static anti-join on the
+    * hash-bucketed registry — the registry is static to the stream;
+    * growth stays the batch append's job), then one windowed
+    * reassembly (the L16 verdict-agg shape) rebuilds
+    * (idCol, n_kept, dedup_text) with blanks preserved as structure and
+    * WITHIN-document duplicate lines collapsed to their first position
+    * row-locally in the collected array (no second stateful stage).
+    *
+    * Scope, honestly: the batch pass also elects a CORPUS-first winner
+    * across documents in the same run; a stream cannot see the batch's
+    * whole corpus, so cross-document within-stream election is out of
+    * scope here (run the batch op on the day's corpus for that) — on
+    * corpora whose only cross-doc shared lines are registered ones, the
+    * streamed output row-equals the batch report (spec-pinned).
+    *
+    * Emits on watermark close. Documents whose every content line was
+    * registered vanish, as in batch.
+    */
+  def stripLinesAgainstRegistry(docs: DataFrame, textCol: String,
+                                idCol: String, tsCol: String,
+                                registryTable: String,
+                                watermark: String = "10 minutes",
+                                windowLen: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    val lines = docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val isBlank = trim(col("line")) === ""
+    val kept = lines.filter(!isBlank)
+      .withColumn("line_hash", md5(col("line").cast("binary")))
+      .join(spark.table(registryTable), Seq("line_hash"), "left_anti")
+      .drop("line_hash")
+      .unionByName(lines.filter(isBlank))
+    kept
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .as("__ls"))
+      // within-doc collapse, row-local: keep a non-blank line only at its
+      // first position (blanks always); filter's second lambda arg is the
+      // 0-based index, slice(…, 1, i) is everything before it
+      .withColumn("__kept", filter(col("__ls"), (x, i) =>
+        trim(x.getField("line")) === "" ||
+          !exists(slice(col("__ls"), lit(1), i), y =>
+            y.getField("line") === x.getField("line") &&
+              trim(y.getField("line")) =!= "")))
+      .select(col(idCol),
+        size(filter(col("__kept"), x => trim(x.getField("line")) =!= ""))
+          .cast("long").as("n_kept"),
+        array_join(transform(col("__kept"), x => x.getField("line")), "\n")
+          .as("dedup_text"))
+      .filter(col("n_kept") >= 1)
+  }
+
   /** Streaming per-source admission quota — the incremental face of
     * [[graft.text.TextOps.sourceQuota]]'s domain cap: admit at most
     * `maxPerSource` rows per source over the life of the query, so one

@@ -562,4 +562,47 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(urls.size == 2 && urls.forall(_.startsWith("h.com/")), urls.toString)
     } finally q.stop()
   }
+
+  test("stripLinesAgainstRegistry strips registered boilerplate from a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    graft.sources.Warehouse.dropTableAndLocation(spark, "slr_reg")
+    Dedup.createLineRegistry(spark, "slr_reg", buckets = 4)
+    // an earlier batch run registered the site boilerplate
+    Dedup.dedupLinesAgainstRegistry(
+      Seq((0L, "nav menu\nfooter")).toDF("doc_id", "text"),
+      "text", "doc_id", "slr_reg").count()
+    val day2 = Seq(
+      // registered lines + fresh content + a within-doc dup + a blank
+      (10L, "nav menu\nfresh line\n\nfresh line\nfooter\nother"),
+      (11L, "nav menu\nfooter")) // all registered → vanishes
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.EventStreams.stripLinesAgainstRegistry(
+        in.toDF().toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        "slr_reg")
+      .writeStream.format("memory").queryName("slr_out")
+      .outputMode("append").start()
+    try {
+      in.addData(day2.map { case (id, t) => (ts(0), id, t) })
+      q.processAllAvailable()
+      in.addData((ts(30), 99L, "watermark push")) // closes the 00:00 window
+      q.processAllAvailable()
+      val got = spark.table("slr_out").filter(col("doc_id") < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      // day2's only cross-doc shared lines are registered ones, so the
+      // streamed report row-equals the batch report-only pass
+      val want = Dedup.dedupLinesAgainstRegistry(
+          day2.toDF("doc_id", "text"), "text", "doc_id", "slr_reg",
+          update = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got.sortBy(_._1) == want.sortBy(_._1), s"$got vs $want")
+      assert(got.map(_._1).toSet == Set(10L)) // doc 11 vanished
+      assert(got.head._3 == "fresh line\n\nother")
+      // the stream registered nothing (probe-only): row count unchanged
+      assert(spark.table("slr_reg").count() == 2)
+    } finally q.stop()
+  }
 }
