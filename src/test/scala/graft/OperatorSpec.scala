@@ -2113,6 +2113,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs invariants over an (n, maxTokens, overlap) sweep") {
+    for (n <- Seq(1, 2, 3, 7, 16, 33); max <- Seq(1, 3, 5, 8);
+         ov <- Seq(0, 1, max - 1).distinct if ov >= 0 && ov < max) {
+      val stride = max - ov
+      val toks = (1 to n).map(i => s"w$i")
+      val chunks = TextOps.chunkDocs(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "text", "doc_id", max, ov)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getString(2).split(" ").toSeq, r.getInt(3)))
+      val label = s"n=$n max=$max ov=$ov"
+      // ids are 0..k-1; every chunk ≤ max tokens and n_tokens is honest
+      assert(chunks.map(_._1).toSeq == chunks.indices.toSeq, label)
+      assert(chunks.forall(c => c._2.length <= max && c._2.length == c._3), label)
+      // chunk i starts at i*stride and is the slice of the original
+      chunks.foreach { case (i, ts, _) =>
+        assert(ts == toks.slice(i * stride, i * stride + max), s"$label chunk $i")
+      }
+      // stitching chunks (skip the first ov tokens of each later chunk)
+      // reproduces the document exactly — full coverage, no gap, no dup
+      val stitched = chunks.head._2 ++
+        chunks.tail.flatMap { case (_, ts, _) => ts.drop(ov) }
+      assert(stitched == toks, label)
+      // never a pure-overlap tail: every later chunk contributes new tokens
+      assert(chunks.tail.forall(_._2.length > ov), label)
+    }
+  }
+
   test("keepTopFraction: histogram cut keeps an exact top set, no sort") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
     val kept = TextOps.keepTopFraction(df, "score", 0.25, bins = 1000)
