@@ -206,6 +206,20 @@ object Relational {
         .orderBy("c_nationkey")
     },
 
+    // A28: CUBE — all 4 grouping combinations in one pass (rollup's full
+    // lattice); Catalyst expands to a single Expand + hash agg, one
+    // shuffle regardless of the combination count.
+    "q18_cube" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSum("CAST(l_quantity AS DECIMAL(18,2))").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // A27: interval (range) join — customers matched to supplier balance
     // bands [s_acctbal−50, s_acctbal+50] via the binned equi-join (a bare
     // BETWEEN join would plan as BroadcastNestedLoopJoin). Balance sums
@@ -367,6 +381,15 @@ object Relational {
     // DuckDB plans the BETWEEN join natively (IEJoin); the binned
     // equi-join + residual filter is pair-identical. Cents scaling keeps
     // the sum exact at any partitioning.
+    "q18_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
     "q17_range_join" ->
       """SELECT s_suppkey,
         |  COUNT(*) AS n_matches,
