@@ -279,6 +279,27 @@ object Search {
       .limit(topK)
   }
 
+  /** STREAMING BM25 serving — a standing retrieval service over the
+    * persisted index: a stream of (queryId, queryText) rows answers from
+    * a [[writeBm25Index]] table via `foreachBatch` → [[bm25ProbeBatch]],
+    * so each micro-batch pays ONE bucket-pruned postings read for all its
+    * queries (the honest scale shape — a stream-static join on the
+    * postings would rescan the whole table per batch and could never
+    * bucket-prune on stream values). Results go to `sink` per batch;
+    * empty batches are skipped. Stop the returned query to stop serving.
+    */
+  def bm25ServeStream(queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, table: String, idCol: String,
+                      topK: Int)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(bm25ProbeBatch(batch.sparkSession, table, idCol, batch,
+            queryIdCol, queryTextCol, topK))
+      }
+      .start()
+
   /** HYBRID retrieval: reciprocal-rank fusion (Cormack/Clarke/Büttcher
     * 2009) of per-query ranked lists from heterogeneous scorers — the
     * standard way to combine keyword ([[bm25Probe]]/[[bm25ProbeBatch]])

@@ -2252,6 +2252,43 @@ class OperatorSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bm25ServeStream answers a query stream from the index, batch-equal") {
+    import graft.text.Search
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 40L).map(i => (i,
+      s"word$i common " + ("window " * (i % 4).toInt) +
+        (if (i % 3 == 0) "merge scan " else "filler text ") + s"tail${i % 7}"))
+      .toDF("doc_id", "text")
+    for (t <- Seq("bm25_srv", "bm25_srv_stats"))
+      graft.sources.Warehouse.dropTableAndLocation(spark, t)
+    Search.writeBm25Index(docs, "text", "doc_id", "bm25_srv", buckets = 8)
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double)]
+    val in = MemoryStream[(String, String)]
+    val q = Search.bm25ServeStream(in.toDF().toDF("query_id", "qtext"),
+        "query_id", "qtext", "bm25_srv", "doc_id", topK = 5) { out =>
+      collected.synchronized {
+        collected ++= out.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      }
+    }
+    try {
+      in.addData(("qa", "window merge")); q.processAllAvailable()
+      in.addData(("qb", "common"), ("qc", "nosuchterm scan"))
+      q.processAllAvailable()
+      val got = collected.groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq }
+      for ((qid, text) <- Seq(("qa", "window merge"), ("qb", "common"),
+          ("qc", "nosuchterm scan"))) {
+        val want = Search.bm25Probe(spark, "bm25_srv", "doc_id", text,
+          topK = 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val gv = got.getOrElse(qid, Seq.empty)
+        assert(gv.map(_._1) == want.map(_._1), s"$qid: $gv vs $want")
+      }
+    } finally q.stop()
+  }
+
   test("rrfFuse: hand-computed fusion, rank-derived, per-query, topK cut") {
     import graft.text.Search
     // list A ranks (by score desc, id): 10→1, 20→2, 30→3 — input ROW
