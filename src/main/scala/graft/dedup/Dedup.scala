@@ -489,6 +489,26 @@ object Dedup {
     labels
   }
 
+  /** Dup-cluster AUDIT — "what did dedup actually find": the cluster-size
+    * histogram over the connected components of a dup-pair set, the
+    * observability report a pipeline owner reads after a dedup run (a
+    * sudden mega-cluster = a boilerplate flood or a broken shingle
+    * config; a wall of pairs = replica mirrors). Labels come from
+    * [[dupClusters]] (same knobs); sizes partial-aggregate on the label,
+    * the histogram on the size — both unskewed group-bys. Only docs that
+    * appear in a pair are counted: singletons have no cluster.
+    *
+    * Returns (cluster_size, n_clusters, n_docs = size × clusters).
+    */
+  def dupClusterProfile(pairs: DataFrame, maxIter: Int = 32,
+                        checkpointDir: Option[String] = None,
+                        driverBound: Long = 1L << 18): DataFrame =
+    dupClusters(pairs, maxIter, checkpointDir, driverBound)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, bitwise
     * vote, sign of each bit sum. Near-dups differ in few bits (compare with
     * `bit_count(a ^ b)`).

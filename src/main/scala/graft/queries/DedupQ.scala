@@ -191,6 +191,24 @@ object DedupQ {
         .orderBy("a", "b")
     },
 
+    // L80: dedup observability — the cluster-size histogram over d09's
+    // exact cosine pairs (each planted twin forms a 2-cluster with its
+    // original, plus whatever the random corpus pairs up transitively).
+    // Oracle-gated via a recursive min-label closure in DuckDB — the one
+    // place the iterative CC engine gets a cross-engine gate.
+    "d23_dup_cluster_profile" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val pairs = Dedup.cosineDupPairsExact(emb.unionByName(twins),
+        "vec_id", "embedding", threshold = 0.8)
+      Dedup.dupClusterProfile(pairs)
+        .orderBy(col("cluster_size").desc)
+    },
+
     // L26b: SemDeDup-style semantic dedup over the same corpus with EXACT-
     // copy twins (identical floats ⇒ identical centroid assignment ⇒ the
     // within-cell pairing can never miss a planted pair, whatever the
@@ -431,7 +449,30 @@ object DedupQ {
        |  FROM __pd),
        |__kept AS (SELECT doc_id, span, pos FROM __kw WHERE rn = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // d23 = the cluster-size histogram over d09's pairs: DuckDB computes
+    // the connected components with a recursive min-label closure (labels
+    // propagate along symmetric edges until the fixpoint; UNION dedup
+    // terminates it), then MIN per node ≡ dupClusters' min-label
+    // semantics, then the same two group-bys.
+    ("d23_dup_cluster_profile" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a, b FROM (
+         |${baseOracles("d09_cosine_dup_pairs")})),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM e JOIN r ON r.id = e.b),
+         |lab AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+         |sz AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |  cluster_size * COUNT(*) AS n_docs
+         |FROM sz GROUP BY cluster_size
+         |ORDER BY cluster_size DESC""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
         |  COUNT(*) AS dup_count

@@ -2085,6 +2085,17 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("dupClusterProfile: histogram over components, both CC engines") {
+    // chain 1-2-3 (size 3), pair 8-9, pair 20-21 → sizes {3:1, 2:2}
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L), (20L, 21L)).toDF("a", "b")
+    val want = Set((3L, 1L, 3L), (2L, 2L, 4L))
+    for (bound <- Seq(1L << 18, 0L)) { // driver union-find AND distributed
+      val got = Dedup.dupClusterProfile(pairs, driverBound = bound)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"driverBound=$bound: $got")
+    }
+  }
+
   test("chunkDocs: exact windows, overlap stride, no pure-overlap tail") {
     def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, toks(10)), (2L, toks(4)), (3L, toks(5)),
