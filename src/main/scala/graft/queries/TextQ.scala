@@ -334,6 +334,18 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L77b: the PER-SOURCE threshold calibration — keep the best ~40% of
+    // each source by quality (fully distributed: per-group histogram +
+    // bounded per-group window, no driver state).
+    "t34_quantile_by_source" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityScore(col("text")), 4).as("score"))
+      TextOps.keepTopFractionByGroup(scored, "score", "source",
+          keepFrac = 0.4, bins = 64)
+        .orderBy("doc_id")
+    },
+
     // L76: long-document chunking — 40-token windows stepping by 32
     // (8-token overlap), row-local explode+slice, no shuffle.
     "t32_chunks" -> { (s, dir) =>
@@ -806,6 +818,48 @@ object TextQ {
         |  LEAST(40, n - chunk_id * 32) AS n_tokens
         |FROM c2
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // The per-source mirror of t33: the same bin arithmetic and
+    // from-the-top cumulative cut, computed within each source; all-equal
+    // groups keep everything via the bin-0 branch.
+    "t34_quantile_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(LENGTH(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 64.0) *
+        |      (CASE WHEN (n_chars - n_tokens + 1.0) / n_tokens >= 3.0
+        |             AND (n_chars - n_tokens + 1.0) / n_tokens <= 10.0
+        |            THEN 1.0 ELSE 0.5 END), 4) AS score
+        |  FROM t),
+        |nn AS (SELECT doc_id, source, score FROM s WHERE score IS NOT NULL),
+        |mm AS (
+        |  SELECT source, MIN(score) AS lo, MAX(score) AS hi,
+        |    COUNT(*) AS n
+        |  FROM nn GROUP BY source),
+        |b AS (
+        |  SELECT nn.doc_id, nn.source, nn.score, mm.n,
+        |    CASE WHEN mm.lo = mm.hi THEN 0
+        |         ELSE LEAST(63, CAST(FLOOR((nn.score - mm.lo) /
+        |           ((mm.hi - mm.lo) / 64.0)) AS INTEGER)) END AS bin
+        |  FROM nn JOIN mm USING (source)),
+        |h AS (
+        |  SELECT source, bin, n, COUNT(*) AS c
+        |  FROM b GROUP BY source, bin, n),
+        |cum AS (
+        |  SELECT source, bin, n,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY bin DESC) AS cc
+        |  FROM h),
+        |cut AS (
+        |  SELECT source, MAX(bin) AS cutbin FROM cum
+        |  WHERE cc >= CEIL(0.4 * n) GROUP BY source)
+        |SELECT b.doc_id, b.source, b.score
+        |FROM b JOIN cut USING (source)
+        |WHERE b.bin >= cut.cutbin
+        |ORDER BY doc_id""".stripMargin,
 
     // t02's quality expression rounded to 4, then the same 64-bin
     // fixed-width histogram: bin = least(63, floor((s-lo)/w)), cut = the

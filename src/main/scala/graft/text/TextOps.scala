@@ -375,6 +375,57 @@ object TextOps {
     df.filter(col(scoreCol).isNotNull && bin >= lit(cutBin))
   }
 
+  /** PER-GROUP [[keepTopFraction]] — "keep the best 30% of each domain":
+    * quality thresholds calibrated within every source so one
+    * high-quality domain can't crowd out the rest of the mix. Fully
+    * DISTRIBUTED, unlike the global variant's driver histogram (bins ×
+    * unbounded groups must not land on the driver): per-(group, bin)
+    * counts partial-aggregate, the from-the-top cumulative runs in a
+    * per-group window over ≤ `bins` rows (bounded by construction — the
+    * rare safe window), each group's cut bin joins back, and the filter
+    * keeps rows at or above their own group's cut. Same guarantees per
+    * group as the global op: deterministic at any partitioning, at least
+    * the requested fraction, overshoot bounded by that group's bin width.
+    * Groups whose scores are all equal (bin width 0) keep everything;
+    * null scores never survive; a null group is its own group.
+    */
+  def keepTopFractionByGroup(df: org.apache.spark.sql.DataFrame,
+                             scoreCol: String, groupCol: String,
+                             keepFrac: Double,
+                             bins: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(keepFrac > 0, s"keepTopFractionByGroup: keepFrac=$keepFrac")
+    require(bins > 1, s"keepTopFractionByGroup: bins=$bins")
+    if (keepFrac >= 1.0) return df
+    val mm = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(min(col(scoreCol)).cast("double").as("__lo"),
+        max(col(scoreCol)).cast("double").as("__hi"),
+        count(lit(1)).as("__n"))
+    val s = col(scoreCol).cast("double")
+    val binned = df.filter(col(scoreCol).isNotNull)
+      .join(mm, col(groupCol) <=> col("__g")).drop("__g")
+      .withColumn("__bin", when(col("__lo") === col("__hi"), lit(0))
+        .otherwise(least(lit(bins - 1), floor((s - col("__lo")) /
+          ((col("__hi") - col("__lo")) / bins)).cast("int"))))
+    val hist = binned.groupBy(col(groupCol).as("__g"), col("__bin"),
+        col("__n"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("__c"))
+    // ≤ bins rows per group: the one window whose partitions are bounded
+    // by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__bin").desc)
+    val cuts = hist
+      .withColumn("__cc", sum(col("__c")).over(w))
+      .filter(col("__cc") >= ceil(lit(keepFrac) * col("__n")))
+      .groupBy(col("__g"), col("__lo"), col("__hi"))
+      .agg(max(col("__bin")).as("__cut"))
+      // all-equal groups (lo == hi) bin everything at 0: cut 0 keeps all
+    binned
+      .join(cuts.drop("__lo", "__hi"), col(groupCol) <=> col("__g"))
+      .filter(col("__bin") >= col("__cut"))
+      .drop("__g", "__bin", "__cut", "__n", "__lo", "__hi")
+  }
+
   /** Deterministically SHUFFLED token-budget shards — the layout step a
     * training run actually wants: documents in a reproducible
     * pseudo-random global order (decorrelated from crawl/id order, so no

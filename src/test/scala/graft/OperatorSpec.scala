@@ -2178,6 +2178,39 @@ class OperatorSpec extends SparkSpec {
     assert(const.count() == 100)
   }
 
+  test("keepTopFractionByGroup: per-group cuts, distributed, no collect") {
+    // group A: 1..100; group B: 1000..1019; group C: constant; D: one row
+    val df = ((1 to 100).map(i => ("A", i.toLong, i.toDouble)) ++
+      (0 until 20).map(i => ("B", 200L + i, 1000.0 + i)) ++
+      (1 to 5).map(i => ("C", 300L + i, 7.0)) ++
+      Seq(("D", 400L, 1.0))).toDF("src", "id", "score")
+    val kept = TextOps.keepTopFractionByGroup(df, "score", "src", 0.25,
+        bins = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // A keeps its own top quarter (76..100) regardless of B's higher scores
+    assert(kept.filter(_._1 == "A").map(_._2) == (76L to 100L).toSet, kept)
+    // B keeps its top 5 (ids 215..219)
+    assert(kept.filter(_._1 == "B").map(_._2) == (215L to 219L).toSet, kept)
+    // constant group keeps everything; singleton survives
+    assert(kept.count(_._1 == "C") == 5 && kept.contains(("D", 400L)))
+    // per-group ≡ global when there is one group
+    val one = df.filter(col("src") === "A")
+    val g = TextOps.keepTopFraction(one, "score", 0.25, bins = 1000)
+      .collect().map(_.getLong(1)).toSet
+    val pg = TextOps.keepTopFractionByGroup(one, "score", "src", 0.25,
+      bins = 1000).collect().map(_.getLong(1)).toSet
+    assert(g == pg)
+    // null scores never survive; null group is its own group
+    val withNull = df.unionByName(Seq(
+      (Option.empty[String], 500L, Option(50.0)),
+      (Option.empty[String], 501L, Option(60.0)),
+      (Option("A"), 502L, Option.empty[Double]))
+      .toDF("src", "id", "score"))
+    val kn = TextOps.keepTopFractionByGroup(withNull, "score", "src", 0.5,
+      bins = 10).collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(kn.contains((None, 501L)) && !kn.exists(_._2 == 502L), kn)
+  }
+
   test("rangeJoin ≡ naive BETWEEN join; binned plan, no nested loop") {
     import graft.operators.RangeJoin
     // facts spanning negatives, bin boundaries, and interval endpoints
