@@ -178,6 +178,77 @@ object Similarity {
     * heuristic only credits bucketing toward joins/aggregations and would
     * silently fall back to a full scan for a pure filter probe.
     */
+  /** MULTI-PROBE serving over a [[writeLshIndex]] table (Lv et al., VLDB
+    * 2007): probe the query's own bucket per table PLUS the `nProbes − 1`
+    * next-most-likely buckets — the signatures reached by flipping the
+    * lowest-|margin| sign bits (a near neighbor that disagrees with the
+    * query in some bit almost always disagrees where the query's
+    * projection was nearly zero). Recall rises WITHOUT building more
+    * tables: the index, its storage, and its write path are unchanged;
+    * only the probe's `IN` list grows from `tables` to
+    * `tables × nProbes` signatures, still a bucket-pruned read.
+    *
+    * Perturbation sets are ranked by the sum of flipped margins over the
+    * `min(bits, 10)` weakest bits (≤ 1024 subsets enumerated driver-side
+    * per table — the query is one row; this is probe-time math, not a
+    * scan). `nProbes = 1` is exactly [[lshProbeBucketed]]'s candidate
+    * set, and the candidate set GROWS monotonically in `nProbes` — the
+    * spec pins the superset property and the recall order.
+    *
+    * Requires the index's `<table>_lshspec` sibling (any index written by
+    * [[writeLshIndex]] has one): multi-probe margins must use exactly the
+    * build's directions or the flips are meaningless.
+    */
+  def lshProbeBucketedMulti(spark: org.apache.spark.sql.SparkSession,
+                            table: String, query: DataFrame, idCol: String,
+                            vecCol: String, k: Int,
+                            nProbes: Int = 8): DataFrame = {
+    require(nProbes >= 1, s"lshProbeBucketedMulti: nProbes=$nProbes")
+    require(spark.catalog.tableExists(s"${table}_lshspec"),
+      s"lshProbeBucketedMulti: ${table}_lshspec missing — multi-probe " +
+        "needs the build's signature geometry")
+    val sp = spark.table(s"${table}_lshspec").head()
+    val (d, b, t, s) = (sp.getInt(0), sp.getInt(1), sp.getInt(2), sp.getLong(3))
+    val qvec = query.select(col("qvec")).head().getSeq[Float](0).toArray
+    val probeSigs = (0 until t).flatMap { ti =>
+      val dirs = directions(d, b, s + ti)
+      val proj = dirs.map { dir =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(qvec.length, d)
+        while (i < n) { acc += qvec(i).toDouble * dir(i); i += 1 }
+        acc
+      }.toArray
+      val base = proj.zipWithIndex.foldLeft(0L) { case (sig, (p, j)) =>
+        if (p >= 0) sig | (1L << j) else sig
+      }
+      val weakest = proj.zipWithIndex.map { case (p, j) => (math.abs(p), j) }
+        .sortBy(_._1).take(math.min(b, 10))
+      val subsets = (0 until (1 << weakest.length)).map { mask =>
+        var score = 0.0
+        var flip = 0L
+        var j = 0
+        while (j < weakest.length) {
+          if ((mask & (1 << j)) != 0) { score += weakest(j)._1; flip |= 1L << weakest(j)._2 }
+          j += 1
+        }
+        (score, flip)
+      }
+      subsets.sortBy(_._1).take(nProbes)
+        .map { case (_, flip) => (ti.toLong << b) | (base ^ flip) }
+    }
+    val q = broadcast(query.withColumn("__norm_q", sqrt(dot(col("qvec"), col("qvec")))))
+    spark.table(table)
+      .filter(col("sig").isin(probeSigs: _*))
+      .dropDuplicates(idCol)
+      .crossJoin(q)
+      .withColumn("__norm_a", sqrt(dot(col(vecCol), col(vecCol))))
+      .select(col(idCol),
+        round(dot(col(vecCol), col("qvec")) / (col("__norm_a") * col("__norm_q")), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   def lshProbeBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                        query: DataFrame, idCol: String, vecCol: String,
                        k: Int, dim: Int, bits: Int = 12, tables: Int = 4,

@@ -1200,6 +1200,48 @@ class OperatorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("multi-probe LSH: monotone candidates, recall rises, still pruned") {
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    graft.sources.Warehouse.dropTableAndLocation(spark, "lsh_mp")
+    graft.sources.Warehouse.dropTableAndLocation(spark, "lsh_mp_lshspec")
+    Similarity.writeLshIndex(emb, "vec_id", "embedding", "lsh_mp",
+      dim = 16, bits = 6, tables = 2, buckets = 64)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val truth = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 20)
+        .collect().map(_.getLong(0)).toSet
+      def cands(nProbes: Int) = Similarity.lshProbeBucketedMulti(spark,
+          "lsh_mp", q, "vec_id", "embedding", k = 500, nProbes = nProbes)
+        .collect().map(_.getLong(0)).toSet
+      // nProbes=1 is exactly the single-probe candidate set
+      val single = Similarity.lshProbeBucketed(spark, "lsh_mp", q, "vec_id",
+        "embedding", k = 500, dim = 16, bits = 6, tables = 2)
+        .collect().map(_.getLong(0)).toSet
+      val c1 = cands(1)
+      assert(c1 == single, s"${c1.size} vs ${single.size}")
+      // candidate sets grow monotonically with the probe count
+      val (c4, c16) = (cands(4), cands(16))
+      assert(c1.subsetOf(c4) && c4.subsetOf(c16))
+      // and recall against the exact top-20 is non-decreasing — with only
+      // 2 tables the single probe misses neighbors multi-probe recovers
+      def recall(c: Set[Long]) = (c & truth).size
+      assert(recall(c16) >= recall(c4) && recall(c4) >= recall(c1))
+      assert(recall(c16) > recall(c1),
+        s"multi-probe recovered nothing: ${recall(c1)} -> ${recall(c16)}")
+      // the probe is still a pruned point lookup, not an index scan
+      val plan = Similarity.lshProbeBucketedMulti(spark, "lsh_mp", q,
+          "vec_id", "embedding", k = 10, nProbes = 4)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"multi-probe read every bucket:\n$plan")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("cloneSession isolates conf overrides but shares context and catalog") {
     // the t29 probe disables the autoBucketedScan heuristic on a session
     // CLONE — the override must hold for the clone's planning without
