@@ -141,6 +141,28 @@ object SimilarityQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L7b: MULTI-PROBE serving from a persisted LSH index — the query's
+    // bucket per table plus the lowest-margin bit-flip neighbors
+    // (nProbes=4), recall up at unchanged index size. Rows-only: the
+    // probe ranks perturbations of query-dependent margins over
+    // JVM-Gaussian directions (s02's inexpressibility squared); the
+    // nProbes=1 degenerate case equals the s02-oracle-certified
+    // single-probe set, spec-pinned.
+    "s12_knn_lsh_multiprobe" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val t = "graft_lshmp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(t)) {
+        for (tb <- Seq(t, s"${t}_lshspec"))
+          graft.sources.Warehouse.dropTableAndLocation(s, tb)
+        Similarity.writeLshIndex(emb, "vec_id", "embedding", t,
+          dim = LshDim, bits = LshBits, tables = LshTables, buckets = 64)
+      }
+      val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      probe.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Similarity.lshProbeBucketedMulti(probe, t, queryVec(s, dir),
+        "vec_id", "embedding", k = 20, nProbes = 4)
+    },
+
     // L79: ranking-audit metrics — recall@15 / MRR@15 / nDCG@15 of the
     // fused hybrid list (s10) against the exact dense top-20 as binary
     // truth: the post-build audit every index/fusion change should rerun.
