@@ -334,6 +334,16 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L81: DEFLATE compression-ratio quality signal (rows-only: DuckDB
+    // has no deflate; determinism + junk/natural/noise separation are
+    // spec-pinned).
+    "t35_compression_ratio" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.compressionRatio(col("text")).as("compression_ratio"))
+        .orderBy("doc_id")
+    },
+
     // L77b: the PER-SOURCE threshold calibration — keep the best ~40% of
     // each source by quality (fully distributed: per-group histogram +
     // bounded per-group window, no driver state).

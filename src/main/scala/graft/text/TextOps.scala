@@ -774,6 +774,37 @@ object TextOps {
     * compare for near-dup triage. UDF by necessity (stateful rolling loop),
     * but O(n) per document with zero allocation.
     */
+  /** DEFLATE compression ratio (compressed bytes / UTF-8 bytes, rounded
+    * to 4) — the quality signal repetition heuristics approximate:
+    * templated/looped junk compresses far below natural text, which sits
+    * ≈0.4-0.7 at paragraph length, and high-entropy noise ≥ 1. Used as a
+    * filter feature (Gopher-family pipelines gate on it) alongside
+    * [[repetitionStats]], which it catches generalizations of (repeats at
+    * ANY period, not just n-gram scale). A UDF deliberately: this is a
+    * byte-level codec (java.util.zip.Deflater, level 6, one pass, no
+    * dictionary churn — deterministic for a given input on any JVM with
+    * the bundled zlib), not expressible as column algebra. Null/empty →
+    * null.
+    */
+  def compressionRatio(text: Column): Column = compressionRatioUdf(text)
+
+  private val compressionRatioUdf = udf { (s: String) =>
+    if (s == null || s.isEmpty) null.asInstanceOf[java.lang.Double]
+    else {
+      val in = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](8192)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        java.lang.Double.valueOf(
+          BigDecimal.decimal(out.toDouble / in.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } finally d.end()
+    }
+  }
+
   def fingerprint(text: Column, k: Int = 16): Column = fingerprintUdf(k)(text)
 
   private def fingerprintUdf(k: Int) = udf { (s: String) =>

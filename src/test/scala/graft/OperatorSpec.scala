@@ -2127,6 +2127,30 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("compressionRatio separates junk, natural text, and noise") {
+    val natural = "The committee reviewed the proposal on Tuesday and " +
+      "decided to postpone the final vote until further evidence about " +
+      "the projected maintenance costs could be gathered from the field."
+    val junk = "click here click here click here " * 40
+    val noise = (1 to 400).map(i =>
+      (scala.util.hashing.MurmurHash3.stringHash(i.toString) & 0x7f).toChar)
+      .mkString
+    val r = Seq((1L, natural), (2L, junk), (3L, noise), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(col("id"), TextOps.compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    val (nat, jk, nz) = (r(1L).get, r(2L).get, r(3L).get)
+    assert(jk < 0.1 && jk < nat, s"junk $jk vs natural $nat")
+    assert(nat > 0.3 && nat < 1.0, s"natural $nat")
+    assert(nz > nat, s"noise $nz vs natural $nat")
+    assert(r(4L).isEmpty && r(5L).isEmpty)
+    // deterministic across partitionings (fixed level, no dictionary)
+    val again = Seq((1L, natural)).toDF("id", "text").repartition(3)
+      .select(TextOps.compressionRatio(col("text"))).head().getDouble(0)
+    assert(again == nat)
+  }
+
   test("dupClusterProfile: histogram over components, both CC engines") {
     // chain 1-2-3 (size 3), pair 8-9, pair 20-21 → sizes {3:1, 2:2}
     val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L), (20L, 21L)).toDF("a", "b")
