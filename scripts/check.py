@@ -9,8 +9,13 @@ import pandas as pd
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional 3rd arg: comma-separated query-name filter for targeted re-runs
+# (heavy sf1 oracles make the full sweep hours; one new query needn't wait)
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
