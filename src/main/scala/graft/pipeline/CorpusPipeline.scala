@@ -561,4 +561,44 @@ object CorpusPipeline {
     if (cfg.redactPii) split.withColumn(textCol, TextOps.redactPii(col(textCol)))
     else split
   }
+
+  /** ONE-CALL training prep — the whole tail a run actually ships:
+    * [[curate]] → (optionally) window-cut long documents
+    * ([[TextOps.chunkDocs]]) → deterministically SHUFFLED token-budget
+    * shards ([[TextOps.shuffledShards]] — the epoch layout) → ATOMIC
+    * versioned publish ([[graft.sources.Warehouse.publishShards]]).
+    * Returns the committed version directory; a crashed run leaves no
+    * visible snapshot (the publish contract).
+    *
+    * TRAIN split only: val/test survivors are deliberately NOT shipped
+    * into training shards — publish them separately for eval. Chunked
+    * units carry `unit_id = "<doc id>#<chunk id>"` so provenance
+    * survives into the shards. Every stage is the already-gated
+    * operator — this function adds ordering and column plumbing, no new
+    * semantics (spec pins the composition end-to-end).
+    */
+  def prepareTraining(docs: DataFrame, textCol: String, idCol: String,
+                      publishRoot: String,
+                      cfg: Config = Config(),
+                      benchmark: Option[DataFrame] = None,
+                      chunkTokens: Int = 0, chunkOverlap: Int = 0,
+                      shardTokens: Long = 1L << 20,
+                      seed: String = "0",
+                      format: String = "parquet"): String = {
+    val train = curate(docs, textCol, idCol, cfg, benchmark)
+      .filter(col("split") === "train")
+    val units =
+      if (chunkTokens <= 0)
+        train.select(col(idCol).cast("string").as("unit_id"),
+          col(textCol).as("unit_text"))
+      else
+        TextOps.chunkDocs(train, textCol, idCol, chunkTokens, chunkOverlap)
+          .select(concat(col(idCol).cast("string"), lit("#"),
+            col("chunk_id")).as("unit_id"),
+            col("chunk_text").as("unit_text"))
+    val sharded = TextOps.shuffledShards(units, "unit_text", "unit_id",
+      shardTokens, seed)
+    graft.sources.Warehouse.publishShards(sharded, publishRoot,
+      format = format)
+  }
 }

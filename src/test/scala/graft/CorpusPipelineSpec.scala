@@ -563,6 +563,52 @@ class CorpusPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prepareTraining: curate → chunk → shuffled shards → atomic publish") {
+    val root = "target/tmp/prep_root"
+    val rootDir = new java.io.File(root)
+    if (rootDir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootDir.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val longDoc = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, english + "one"),   // keeper
+      (2L, english + "one"),   // exact dup → dropped
+      (5L, "x"),               // junk → dropped
+      (9L, longDoc + " " + english)) // long keeper → chunks
+      .toDF("doc_id", "text")
+    val v = CorpusPipeline.prepareTraining(docs, "text", "doc_id", root,
+      CorpusPipeline.Config(minQuality = 0.1, nearDupThreshold = 1.5,
+        trainPct = 100, valPct = 0),
+      chunkTokens = 50, chunkOverlap = 5, shardTokens = 100L)
+    assert(v.endsWith("v1"), v)
+    // committed snapshot: manifest + shard dirs; read back through the
+    // published layout
+    assert(new java.io.File(v, "_MANIFEST.json").exists())
+    val shards = spark.read.parquet(v + "/shard=*")
+    val units = shards.select("unit_id", "unit_text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // dup and junk never shipped; both keepers present; every unit is a
+    // ≤50-token window; doc 9's chunks carry provenance ids
+    assert(units.forall(_._2.split("\\s+").length <= 50))
+    val ids = units.map(_._1.split("#").head.toLong).toSet
+    assert(ids == Set(1L, 9L), ids.toString)
+    assert(units.count(_._1.startsWith("9#")) >= 3, units.map(_._1).toSeq)
+    // chunks of doc 9 stitch back to its exact text (overlap 5, stride 45)
+    val nine = units.filter(_._1.startsWith("9#"))
+      .sortBy(_._1.split("#")(1).toInt).map(_._2.split(" ").toSeq)
+    val stitched = nine.head ++ nine.tail.flatMap(_.drop(5))
+    val orig = (longDoc + " " + english).trim.split("\\s+").toSeq
+    assert(stitched == orig)
+    // a second publish versions, never overwrites
+    val v2 = CorpusPipeline.prepareTraining(docs, "text", "doc_id", root,
+      CorpusPipeline.Config(minQuality = 0.1, nearDupThreshold = 1.5,
+        trainPct = 100, valPct = 0), shardTokens = 100L)
+    assert(v2.endsWith("v2") &&
+      graft.sources.Warehouse.latestShards(spark, root).get.endsWith("v2"))
+  }
+
   test("stripLinesAgainstRegistry strips registered boilerplate from a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
