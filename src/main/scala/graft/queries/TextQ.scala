@@ -334,6 +334,26 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L83: domain-blocklist URL gate — synthetic per-source URLs (every
+    // 3rd doc lands on a SUBDOMAIN of its source domain), blocklist =
+    // {src3.example, src7.example}: direct hosts AND their subdomains
+    // drop, www./port/case variants still match, everything else keeps.
+    "t36_url_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("cdn.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".example"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(":443")).otherwise(lit("")),
+          lit("/page/"), col("doc_id")))
+      val blocked = Seq("src3.example", "src7.example").toDF("domain")
+      TextOps.filterBlockedDomains(docs, "url", "doc_id", blocked)
+        .select("doc_id", "url", "source")
+        .orderBy("doc_id")
+    },
+
     // L81: DEFLATE compression-ratio quality signal (rows-only: DuckDB
     // has no deflate; determinism + junk/natural/noise separation are
     // spec-pinned).
@@ -828,6 +848,33 @@ object TextQ {
         |  LEAST(40, n - chunk_id * 32) AS n_tokens
         |FROM c2
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same host parse (scheme strip, leading-www strip, default-port
+    // strip, lowercase); suffix-explode equality ≡ "host = dom OR host
+    // ends with .dom".
+    "t36_url_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.example' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |    '/page/' || doc_id AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(
+        |        regexp_replace(trim(url), '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+        |        '^([^/?#]*)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') AS host
+        |  FROM d)
+        |SELECT doc_id, url, source FROM h
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (VALUES ('src3.example'), ('src7.example')) AS b(dom)
+        |  WHERE h.host = b.dom OR h.host LIKE '%.' || b.dom)
+        |ORDER BY doc_id""".stripMargin,
 
     // The per-source mirror of t33: the same bin arithmetic and
     // from-the-top cumulative cut, computed within each source; all-equal

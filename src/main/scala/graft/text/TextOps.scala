@@ -699,6 +699,45 @@ object TextOps {
     concat(h, regexp_replace(trimmedQ, "/+$", ""))
   }
 
+  /** DOMAIN-BLOCKLIST filter — the standard crawl-curation gate (UT1-style
+    * category lists): drop every row whose URL's host is a blocked domain
+    * OR any SUBDOMAIN of one (`ads.example.com` must match a blocked
+    * `example.com` — plain equality misses the whole point of domain
+    * lists). The row's host explodes into its dot-suffixes (`a.b.c.tld` →
+    * itself, `b.c.tld`, `c.tld` — bounded by label count, row-local), a
+    * LEFT SEMI join against the blocklist marks hit ids, and a LEFT ANTI
+    * join on the id drops them; broadcast by Catalyst while the list is
+    * small, a plain hash join when a real category list (millions of
+    * domains) outgrows it — either way no per-row driver lookup. Hosts parse with
+    * [[normalizeUrl]]'s conventions (case, `www.`, default ports). Block
+    * entries should be bare registrable domains, lowercase, no scheme.
+    * Rows with null/hostless URLs KEEP (no evidence — the corrupt-survives
+    * convention); single-label suffixes (`com`) are not generated, so a
+    * TLD can't be blocked by accident.
+    */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame,
+                           urlCol: String, idCol: String,
+                           blocked: org.apache.spark.sql.DataFrame,
+                           domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+    val noScheme = regexp_replace(trim(col(urlCol)), "^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(noScheme, "^([^/?#]*)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    // suffixes with ≥2 labels: host "a.b.c.tld" → [a.b.c.tld, b.c.tld,
+    // c.tld]; a null/hostless URL yields none and the row keeps
+    val labels = split(host, "\\.")
+    val suffixes = filter(
+      transform(sequence(lit(1), greatest(size(labels) - 1, lit(1))),
+        i => array_join(slice(labels, i, size(labels) - i + 1), ".")),
+      s => s.contains("."))
+    val hit = df
+      .select(col(idCol), explode(suffixes).as("__h"))
+      .join(blocked.select(lower(trim(col(domainCol))).as("__h")).distinct(),
+        Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Resolve an extracted `href` against its page's `base` URL — the
     * crawl-frontier step between [[graft.text.Html.extractLinks]] and
     * [[normalizeUrl]]: absolute hrefs (any scheme) pass through,

@@ -2127,6 +2127,26 @@ class OperatorSpec extends SparkSpec {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("filterBlockedDomains: subdomains match, variants normalize, null keeps") {
+    val rows = Seq(
+      (1L, "https://example.com/a"), // blocked exactly
+      (2L, "http://ads.example.com/b"), // subdomain of blocked
+      (3L, "https://WWW.EXAMPLE.COM:443/c"), // variants normalize → blocked
+      (4L, "https://example.com.evil.org/d"), // NOT a subdomain of example.com
+      (5L, "https://notexample.com/e"), // suffix of the STRING, not the domain
+      (6L, "https://fine.org/f"),
+      (7L, null.asInstanceOf[String]), // no evidence → keeps
+      (8L, "not a url at all")).toDF("id", "url")
+    val blocked = Seq("example.com", "tracker.net").toDF("domain")
+    val kept = TextOps.filterBlockedDomains(rows, "url", "id", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L, 7L, 8L), kept.toString)
+    // a blocklist entry never matches a bare TLD by accident
+    val tld = TextOps.filterBlockedDomains(rows, "url", "id",
+      Seq("com").toDF("domain")).count()
+    assert(tld == rows.count())
+  }
+
   test("compressionRatio separates junk, natural text, and noise") {
     val natural = "The committee reviewed the proposal on Tuesday and " +
       "decided to postpone the final vote until further evidence about " +
