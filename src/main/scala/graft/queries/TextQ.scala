@@ -334,6 +334,17 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L83b: C4-style word-list gate — docs containing any listed word
+    // drop; survivors carry the (zero) hit count as evidence.
+    "t37_word_blocklist" -> { (s, dir) =>
+      val hits = TextOps.blockedWordCount(col("text"), Seq("slow", "dup"))
+      Tables(s, dir, "documents")
+        .withColumn("n_blocked", hits)
+        .filter(col("n_blocked") === 0)
+        .select("doc_id", "n_blocked")
+        .orderBy("doc_id")
+    },
+
     // L83: domain-blocklist URL gate — synthetic per-source URLs (every
     // 3rd doc lands on a SUBDOMAIN of its source domain), blocklist =
     // {src3.example, src7.example}: direct hosts AND their subdomains
@@ -848,6 +859,18 @@ object TextQ {
         |  LEAST(40, n - chunk_id * 32) AS n_tokens
         |FROM c2
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // list_intersect of lowercase tokens vs the list, kept at zero hits.
+    "t37_word_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |    ['slow', 'dup'])) AS INTEGER) AS n_blocked
+        |FROM documents
+        |WHERE len(list_intersect(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |    ['slow', 'dup'])) = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // Same host parse (scheme strip, leading-www strip, default-port
     // strip, lowercase); suffix-explode equality ≡ "host = dom OR host

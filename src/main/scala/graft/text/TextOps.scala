@@ -699,6 +699,22 @@ object TextOps {
     concat(h, regexp_replace(trimmedQ, "/+$", ""))
   }
 
+  /** Count of DISTINCT blocklisted words present in `text` (lowercase
+    * whitespace tokens) — the C4-style word-list gate: `filter(… === 0)`
+    * drops any document containing a listed word. Pure column algebra
+    * (the list enters as a broadcast literal — word lists are hundreds of
+    * entries, not millions), codegen'd, row-local, safe in the scan
+    * hot path; null text counts null and a null-keeping filter must say
+    * so explicitly (the corrupt-survives convention is the caller's
+    * choice here — C4 itself drops undecodable docs earlier).
+    */
+  def blockedWordCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blockedWordCount: empty word list")
+    size(array_intersect(
+      filter(split(lower(text), "\\s+"), t => t =!= ""),
+      typedlit(words.map(_.toLowerCase).distinct)))
+  }
+
   /** DOMAIN-BLOCKLIST filter — the standard crawl-curation gate (UT1-style
     * category lists): drop every row whose URL's host is a blocked domain
     * OR any SUBDOMAIN of one (`ads.example.com` must match a blocked
