@@ -297,6 +297,60 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("line-registry anti-join never shuffles the registry side (bucketed scan)") {
+    // the L74 scale claim, d12's shape for line identity: the line-hash
+    // registry (the unbounded side) is read in place bucketed on the
+    // hash; only the day's winner skeletons move. Static non-broadcast
+    // plan for the same reason as the d12 guard.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.dedup.Dedup
+    graft.sources.Warehouse.dropTableAndLocation(spark, "linereg_guard")
+    Dedup.createLineRegistry(spark, "linereg_guard", buckets = 4)
+    import spark.implicits._
+    Dedup.dedupLinesAgainstRegistry(
+      Seq((1L, "nav menu\nseed line")).toDF("doc_id", "text"),
+      "text", "doc_id", "linereg_guard").count()
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.dedupLinesAgainstRegistry(
+        Seq((2L, "nav menu\nfresh line")).toDF("doc_id", "text"),
+        "text", "doc_id", "linereg_guard", update = false)
+        .queryExecution.executedPlan
+      def isRegScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("linereg_guard"))
+        case _ => false
+      }
+      val regScans = plan.collect { case p if isRegScan(p) => p }
+      assert(regScans.nonEmpty, s"line-registry scan not found:\n$plan")
+      assert(regScans.forall {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      }, s"line-registry scan is not bucketed:\n$plan")
+      // the registry rows must reach their anti-join in place: no exchange
+      // between the scan and the join's registry side (the doc-keyed
+      // reassembly above the join shuffles ITS OWN rows, which is fine)
+      val antiRights = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j.right
+      }
+      assert(antiRights.nonEmpty, s"anti-join not found:\n$plan")
+      val regSide = antiRights.filter(r =>
+        r.collect { case p if isRegScan(p) => p }.nonEmpty)
+      assert(regSide.nonEmpty, s"registry not on an anti-join side:\n$plan")
+      assert(regSide.forall(_.collect {
+        case s: ShuffleExchangeExec => s }.isEmpty),
+        s"the line-registry side is shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("hamming band self-join reuses the cap window's exchange (one shuffle, skeletons only)") {
     // the within-run engine's claim: banded rows are exchanged ONCE — the
     // cap window's (band, bucket) shuffle — and the self-join's second
