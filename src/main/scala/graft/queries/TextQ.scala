@@ -334,6 +334,16 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L84: link-density main-content extraction — the nav/link-farm/
+    // footer chrome drops on sight (first fetch included), prose with an
+    // inline link keeps.
+    "t38_main_content" -> { (s, dir) =>
+      val page = concat(lit(HtmlSalt.m0), col("text"), lit(HtmlSalt.m1))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Html.mainContent(page).as("content"))
+        .orderBy("doc_id")
+    },
+
     // L83b: C4-style word-list gate — docs containing any listed word
     // drop; survivors carry the (zero) hit count as evidence.
     "t37_word_blocklist" -> { (s, dir) =>
@@ -860,6 +870,17 @@ object TextQ {
         |FROM c2
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Rendered from the SAME steps/thresholds as the Spark side (the t24
+    // lockstep-oracle pattern).
+    "t38_main_content" -> {
+      val page = Html.duckLit(HtmlSalt.m0) + " || text || " +
+        Html.duckLit(HtmlSalt.m1)
+      s"""WITH s AS (SELECT doc_id, $page AS page FROM documents)
+         |SELECT doc_id, ${Html.duckMainContent("page")} AS content
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // list_intersect of lowercase tokens vs the list, kept at zero hits.
     "t37_word_blocklist" ->
       """SELECT doc_id,
@@ -1263,6 +1284,20 @@ object TextQ {
   * including a double-encoded `&amp;lt;` that must decode exactly once.
   */
 private[queries] object HtmlSalt {
+  // t38 main-content page: link-only nav (short → dropped), the doc text
+  // with one inline link (long, low density → KEPT), a long link-farm
+  // block (≥ minBlockChars but density ≈ 1 → dropped), a short closer
+  // and a link footer (dropped)
+  val m0 = "<html><head><title>ignored</title></head><body>" +
+    "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+    "<a href=\"/c\">Contact</a></div><p>"
+  val m1 = " with an <a href=\"/ref\">inline reference</a> and trailing " +
+    "prose that keeps the link density low enough to keep this block." +
+    "</p><p><a href=\"/1\">Read this related article now</a> " +
+    "<a href=\"/2\">Another related article to read</a> " +
+    "<a href=\"/3\">Yet more recommended reading right here</a></p>" +
+    "<p>A short closing line.</p><footer><a href=\"/terms\">Terms</a> " +
+    "<a href=\"/privacy\">Privacy</a></footer></body></html>"
   val p0 = "<html><!-- crawl-id "
   val p1a = " --><head>"
   val robotsMeta = "<meta content=\"noindex, nofollow\" name=\"robots\">"

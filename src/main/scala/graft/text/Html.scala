@@ -130,6 +130,55 @@ object Html {
       entityTable.map { case (f, t) => Lit(f, t) } ++
       wsSteps
 
+  /** [[textSteps]] up to block segmentation, with tags NOT yet stripped —
+    * [[mainContent]] needs per-block link markup intact to measure link
+    * density before stripping.
+    */
+  private val preBlockSteps: Seq[Step] =
+    Seq(Re("(?s)<!--.*?-->", "")) ++
+      containerTags.map(t =>
+        Re(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", "")) ++
+      Seq(Re(s"(?i)(?:</?(?:$blockTagAlt)(?:\\s[^>]*)?/?>[ \\t\\r\\n]*)+",
+        "\n"))
+
+  /** Entity decode + whitespace after block selection. */
+  private val postBlockSteps: Seq[Step] =
+    Seq(NumRefs, Lit(" ", " ")) ++
+      entityTable.map { case (f, t) => Lit(f, t) } ++ wsSteps
+
+  private val anchorElem = "(?is)<a\\b[^>]*>.*?</a\\s*>"
+  private val anyTag = "<[^>]*>"
+
+  /** MAIN-CONTENT extraction by LINK DENSITY (the Boilerpipe-family
+    * heuristic): nav bars, footers, and related-article rails are short
+    * blocks whose text is mostly anchor text; article prose is long and
+    * mostly unlinked. Blocks (the [[textSteps]] boundary segmentation)
+    * keep only if their visible text is ≥ `minBlockChars` AND the share
+    * of it inside `<a>` elements is ≤ `maxLinkDensity`; survivors then
+    * take the normal strip/decode/whitespace tail. Complements the
+    * line-dedup tiers: those need the boilerplate SEEN elsewhere, this
+    * drops link-heavy chrome on sight, first fetch included.
+    *
+    * Same contract as [[htmlToText]]: one engine-portable regex chain +
+    * array algebra (RE2-safe, no UDF, codegen'd — scan-gate safe), with
+    * the DuckDB oracle rendered from the SAME steps ([[duckMainContent]])
+    * so the engines cannot drift. Null html → null.
+    */
+  def mainContent(html: Column, minBlockChars: Int = 60,
+                  maxLinkDensity: Double = 0.34): Column = {
+    val pre = applySteps(html, preBlockSteps)
+    val kept = filter(split(pre, "\n"), b => {
+      val total = length(trim(regexp_replace(b, anyTag, "")))
+      val nonLink = length(trim(
+        regexp_replace(regexp_replace(b, anchorElem, ""), anyTag, "")))
+      total >= lit(minBlockChars) &&
+        (total - nonLink).cast("double") <= lit(maxLinkDensity) * total
+    })
+    applySteps(
+      array_join(transform(kept, b => regexp_replace(b, anyTag, "")), "\n"),
+      postBlockSteps)
+  }
+
   /** Entity decode + whitespace for the already-extracted title text. */
   val titleSteps: Seq[Step] =
     Seq(Re("<[^>]*>", ""), NumRefs, Lit(" ", " ")) ++
@@ -264,6 +313,24 @@ object Html {
     */
   def duckLit(s: String): String =
     "'" + sq(s).replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB expression computing [[mainContent]] of `inner` — rendered
+    * from the same steps/patterns/thresholds as the Spark side.
+    */
+  def duckMainContent(inner: String, minBlockChars: Int = 60,
+                      maxLinkDensity: Double = 0.34): String = {
+    val pre = duckSteps(inner, preBlockSteps)
+    def strip(e: String) = s"regexp_replace($e, '${sq(anyTag)}', '', 'g')"
+    def noA(e: String) = s"regexp_replace($e, '${sq(anchorElem)}', '', 'g')"
+    val total = s"length(trim(${strip("b")}))"
+    val nonLink = s"length(trim(${strip(noA("b"))}))"
+    val kept = s"list_filter(string_split($pre, chr(10)), " +
+      s"b -> $total >= $minBlockChars AND " +
+      s"CAST($total - $nonLink AS DOUBLE) <= $maxLinkDensity * $total)"
+    duckSteps(
+      s"array_to_string(list_transform($kept, b -> ${strip("b")}), chr(10))",
+      postBlockSteps)
+  }
 
   /** DuckDB expression computing [[htmlNoindex]] of `inner`. */
   def duckNoindex(inner: String): String =

@@ -152,4 +152,38 @@ class HtmlSpec extends SparkSpec {
       "<ul><li>x</li><li>y</li></ul>"
     assert(toText(page) == "a\nb\nx\ny")
   }
+
+  test("mainContent keeps prose, drops link chrome by length and density") {
+    import graft.text.Html
+    def mc(h: String, minChars: Int = 60, maxDensity: Double = 0.34) =
+      Seq(Tuple1(h)).toDF("h")
+        .select(Html.mainContent(col("h"), minChars, maxDensity))
+        .head() match { case r => if (r.isNullAt(0)) null else r.getString(0) }
+    val prose = "This paragraph carries the actual article prose and it " +
+      "is comfortably longer than the minimum block size threshold."
+    val page = "<html><head><title>t</title><script>nav()</script></head>" +
+      "<body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+      s"<p>$prose It cites <a href=\"/r\">one source</a> inline.</p>" +
+      "<p><a href=\"/1\">A long related-article teaser link here</a> " +
+      "<a href=\"/2\">another long recommended article link text</a></p>" +
+      "<p>Short closer.</p>" +
+      "<footer><a href=\"/terms\">Terms</a></footer></body></html>"
+    val got = mc(page)
+    // only the prose block survives: nav/footer/closer fail the length
+    // floor, the link farm fails the density cap despite its length
+    assert(got.startsWith("This paragraph carries") &&
+      got.endsWith("It cites one source inline."), got)
+    assert(!got.contains("Home") && !got.contains("teaser") &&
+      !got.contains("Short closer") && !got.contains("Terms"), got)
+    // entity decode + whitespace tail still applies to survivors
+    val ent = mc("<p>" + ("x" * 60) + " &amp; more &#8212; done</p>")
+    assert(ent == "x" * 60 + " & more — done", ent)
+    // a page of pure chrome extracts to the empty string; null stays null
+    assert(mc("<div><a href=\"/\">Home</a></div>") == "")
+    assert(mc(null) == null)
+    // thresholds are real knobs: lowering the floor admits the closer
+    assert(mc(page, minChars = 5).contains("Short closer."))
+    // density 1.0 admits the link farm
+    assert(mc(page, maxDensity = 1.0).contains("teaser"))
+  }
 }
