@@ -243,11 +243,15 @@ object WarcSource {
     * straight into `CorpusPipeline.curate` (with `TextOps.normalizeUrl`
     * for the URL identity tier). `gzMembers = true` routes the read
     * through the splittable [[recordsGz]] path for per-record-member
-    * `.warc.gz` archives (the Common Crawl layout).
+    * `.warc.gz` archives (the Common Crawl layout). `mainContentOnly`
+    * swaps the body extraction for [[graft.text.Html.mainContent]]'s
+    * link-density cut — nav/footer/link-farm chrome dropped at intake,
+    * before any dedup tier pays for it.
     */
   def htmlDocuments(spark: SparkSession, path: String,
                     maxSplitBytes: Long = 16L * 1024 * 1024,
-                    gzMembers: Boolean = false): DataFrame = {
+                    gzMembers: Boolean = false,
+                    mainContentOnly: Boolean = false): DataFrame = {
     (if (gzMembers) recordsGz(spark, path, maxSplitBytes)
      else records(spark, path, maxSplitBytes))
       .filter(r => r.warcType == "response" &&
@@ -257,7 +261,8 @@ object WarcSource {
       .toDF()
       .select(col("url"),
         graft.text.Html.htmlTitle(col("body")).as("title"),
-        graft.text.Html.htmlToText(col("body")).as("text"),
+        (if (mainContentOnly) graft.text.Html.mainContent(col("body"))
+         else graft.text.Html.htmlToText(col("body"))).as("text"),
         // evidence, not policy: the caller decides whether to honor it
         graft.text.Html.htmlNoindex(col("body")).as("noindex"))
   }

@@ -318,6 +318,27 @@ class WarcSpec extends SparkSpec {
     assert(d.getString(2) == "hello crawl\nsecond para")
   }
 
+  test("htmlDocuments mainContentOnly drops link chrome at intake") {
+    val prose = "The article prose is comfortably longer than the " +
+      "minimum block size and is almost entirely unlinked text."
+    val page = "<html><head><title>T</title></head><body>" +
+      "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a></div>" +
+      s"<p>$prose</p>" +
+      "<footer><a href=\"/terms\">Terms</a></footer></body></html>"
+    val warc = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://example.com/mc",
+      "WARC-Record-ID" -> "<urn:uuid:mc-1>",
+      "Content-Type" -> "application/http;msgtype=response"),
+      httpResponse("200 OK", "text/html", page))
+    val p = writeFile("sample_mc.warc", warc.getBytes("UTF-8"))
+    val full = WarcSource.htmlDocuments(spark, p).head().getString(2)
+    val mc = WarcSource.htmlDocuments(spark, p, mainContentOnly = true)
+      .head().getString(2)
+    assert(full.contains("Home") && full.contains("Terms"))
+    assert(mc == prose, mc)
+  }
+
   test("end-to-end crawl intake: WARC → html → URL tier → curate") {
     import org.apache.spark.sql.functions._
     val bodyA = "<html><body><p>This is the same page " +
