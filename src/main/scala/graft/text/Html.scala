@@ -111,36 +111,30 @@ object Html {
     Re("^[\\n ]+", ""),
     Re("[\\n ]+$", ""))
 
-  /** The full body-extraction chain (see the object scaladoc). */
-  val textSteps: Seq[Step] =
-    Seq(Re("(?s)<!--.*?-->", "")) ++
-      containerTags.map(t =>
-        Re(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", "")) ++
-      Seq(
-        // a RUN of adjacent block tags (with interleaved whitespace) is
-        // ONE boundary: `</p><p>` separates paragraphs by a single
-        // newline — the line-unit shape dropRepeatedLines/span tiers want
-        Re(s"(?i)(?:</?(?:$blockTagAlt)(?:\\s[^>]*)?/?>[ \\t\\r\\n]*)+",
-          "\n"),
-        Re("<[^>]*>", "")) ++
-      // generic numeric refs BEFORE the named table (its amp group must
-      // stay LAST — NumRefs defers code 38 to it); decoded U+00A0 (and
-      // raw NBSP in page text) normalizes to a plain space like &nbsp;
-      Seq(NumRefs, Lit(" ", " ")) ++
-      entityTable.map { case (f, t) => Lit(f, t) } ++
-      wsSteps
-
-  /** [[textSteps]] up to block segmentation, with tags NOT yet stripped —
-    * [[mainContent]] needs per-block link markup intact to measure link
-    * density before stripping.
+  /** Comment/container drops + block→newline segmentation — the shared
+    * structural prefix of [[textSteps]] and [[mainContent]]'s pre-density
+    * pass (tags still unstripped, so link markup stays measurable there).
+    * A RUN of adjacent block tags (with interleaved whitespace) is ONE
+    * boundary: `</p><p>` separates paragraphs by a single newline — the
+    * line-unit shape dropRepeatedLines/span tiers want.
     */
-  private val preBlockSteps: Seq[Step] =
+  private val structureSteps: Seq[Step] =
     Seq(Re("(?s)<!--.*?-->", "")) ++
       containerTags.map(t =>
         Re(s"(?is)<$t\\b[^>]*>.*?</$t\\s*>", "")) ++
       Seq(Re(s"(?i)(?:</?(?:$blockTagAlt)(?:\\s[^>]*)?/?>[ \\t\\r\\n]*)+",
         "\n"))
 
+  /** The full body-extraction chain (see the object scaladoc). */
+  val textSteps: Seq[Step] =
+    structureSteps ++
+      Seq(Re("<[^>]*>", "")) ++
+      // generic numeric refs BEFORE the named table (its amp group must
+      // stay LAST — NumRefs defers code 38 to it); decoded U+00A0 (and
+      // raw NBSP in page text) normalizes to a plain space like &nbsp;
+      Seq(NumRefs, Lit(" ", " ")) ++
+      entityTable.map { case (f, t) => Lit(f, t) } ++
+      wsSteps
   /** Entity decode + whitespace after block selection. */
   private val postBlockSteps: Seq[Step] =
     Seq(NumRefs, Lit(" ", " ")) ++
@@ -166,7 +160,7 @@ object Html {
     */
   def mainContent(html: Column, minBlockChars: Int = 60,
                   maxLinkDensity: Double = 0.34): Column = {
-    val pre = applySteps(html, preBlockSteps)
+    val pre = applySteps(html, structureSteps)
     val kept = filter(split(pre, "\n"), b => {
       val total = length(trim(regexp_replace(b, anyTag, "")))
       val nonLink = length(trim(
@@ -319,7 +313,7 @@ object Html {
     */
   def duckMainContent(inner: String, minBlockChars: Int = 60,
                       maxLinkDensity: Double = 0.34): String = {
-    val pre = duckSteps(inner, preBlockSteps)
+    val pre = duckSteps(inner, structureSteps)
     def strip(e: String) = s"regexp_replace($e, '${sq(anyTag)}', '', 'g')"
     def noA(e: String) = s"regexp_replace($e, '${sq(anchorElem)}', '', 'g')"
     val total = s"length(trim(${strip("b")}))"
