@@ -96,6 +96,17 @@ object DedupQ {
         topK = 50)
     },
 
+    // L86: containment (quote/subset) pairs — the asymmetric-Jaccard
+    // join resemblance thresholds can't see (a verbatim quote inside a
+    // long aggregator is Jaccard≈0 but containment 1.0); prefix-filter
+    // candidates, row-local array-intersect verify.
+    "d24_containment" -> { (s, dir) =>
+      graft.dedup.Containment.containmentPairs(
+          Tables(s, dir, "documents"), "text", "doc_id",
+          k = 3, tauPct = 80, minShingles = 10)
+        .orderBy("contained_id", "container_id")
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -470,7 +481,31 @@ object DedupQ {
          |SELECT cluster_size, COUNT(*) AS n_clusters,
          |  cluster_size * COUNT(*) AS n_docs
          |FROM sz GROUP BY cluster_size
-         |ORDER BY cluster_size DESC""".stripMargin)
+         |ORDER BY cluster_size DESC""".stripMargin) +
+    // d24: the naive full-postings containment join over STRING shingles
+    // (the engine joins 64-bit shingle hashes and prefix-filters the
+    // candidate side — count-identical absent a 2^-65 collision; the
+    // prefix≡naive equivalence is spec-gated in ContainmentSpec).
+    ("d24_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT t.doc_id, t.ts[i] || ' ' || t.ts[i+1] || ' ' || t.ts[i+2] AS s
+        |  FROM tok t, UNNEST(generate_series(1, len(t.ts) - 2)) AS g(i)
+        |  WHERE len(t.ts) >= 3),
+        |na AS (SELECT doc_id, COUNT(*) AS n_a FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |    COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.contained_id, c.container_id,
+        |  CAST(c.n_common AS BIGINT) AS n_common, CAST(n.n_a AS BIGINT) AS n_a
+        |FROM common c JOIN na n ON n.doc_id = c.contained_id
+        |WHERE n.n_a >= 10 AND c.n_common * 100 >= 80 * n.n_a
+        |ORDER BY contained_id, container_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "d01_exact_dedup" ->

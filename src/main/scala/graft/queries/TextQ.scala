@@ -344,6 +344,21 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L85: Aho–Corasick multi-phrase gate — phrases span token
+    // boundaries (t37 can't see them); one automaton scan per doc
+    // regardless of list size. Docs with hits, each hit listed.
+    "t39_phrase_blocklist" -> { (s, dir) =>
+      val phrases = Seq("table table", "fast key scan", "slow fast")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.Phrases.phraseHits(col("text"), phrases).as("h"))
+        .filter(size(col("h")) > 0)
+        .select(col("doc_id"),
+          array_join(col("h"), "|").as("hits"),
+          size(col("h")).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
     // L83b: C4-style word-list gate — docs containing any listed word
     // drop; survivors carry the (zero) hit count as evidence.
     "t37_word_blocklist" -> { (s, dir) =>
@@ -880,6 +895,18 @@ object TextQ {
          |FROM s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Substring containment per phrase, aggregated per doc — the
+    // list-size-independent automaton must equal the per-phrase scan.
+    "t39_phrase_blocklist" ->
+      """WITH p AS (SELECT * FROM (VALUES ('table table'),
+        |    ('fast key scan'), ('slow fast')) AS t(phrase))
+        |SELECT d.doc_id,
+        |  list_aggregate(list_sort(list(p.phrase)), 'string_agg', '|') AS hits,
+        |  CAST(count(*) AS INTEGER) AS n_hits
+        |FROM documents d JOIN p ON contains(lower(d.text), p.phrase)
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // list_intersect of lowercase tokens vs the list, kept at zero hits.
     "t37_word_blocklist" ->
