@@ -107,6 +107,43 @@ object DedupQ {
         .orderBy("contained_id", "container_id")
     },
 
+    // L87: content-defined chunking over the BINARY tier — banner-
+    // prepended mirrors share zero whole-blob hashes with their
+    // originals but nearly all CDC chunk hashes (gear boundaries
+    // re-synchronize after the insertion); pairs ride the L86
+    // prefix-filter containment join on the chunk-hash sets.
+    "d25_cdc_containment" -> { (s, dir) =>
+      val docs = cdcBlobs(Tables(s, dir, "documents"))
+      val mirrors = docs.filter(col("media_id") % 10 === 0)
+        .select((col("media_id") + 100000).as("media_id"),
+          concat(encode(lit("HTTP/1.1 200 OK\r\nX-Mirror: cdn-7\r\n\r\n"),
+            "UTF-8"), col("content")).as("content"))
+      graft.dedup.Cdc.containmentPairs(
+          docs.unionByName(mirrors), "content", "media_id",
+          minSize = 16, avgBits = 5, maxSize = 256,
+          tauPct = 70, minChunks = 4)
+        .orderBy("contained_id", "container_id")
+    },
+
+    // L87b: cross-run chunk registry — the binary member of the
+    // cross-run family. Day 0 (ids < 250) seeds the registry once per
+    // JVM; the query replays day 2 (the rest, plus banner mirrors of
+    // day-0 blobs) in report-only mode: mirrors re-add almost nothing
+    // (boundaries re-synchronize), unseen blobs are all-new.
+    "d26_chunk_registry" -> { (s, dir) =>
+      val day2 = cdcBlobs(Tables(s, dir, "documents"))
+        .filter(col("media_id") >= 250)
+        .unionByName(cdcBlobs(Tables(s, dir, "documents"))
+          .filter(col("media_id") < 250)
+          .select((col("media_id") + 100000).as("media_id"),
+            concat(encode(lit("HTTP/1.1 200 OK\r\nX-Mirror: cdn-7\r\n\r\n"),
+              "UTF-8"), col("content")).as("content")))
+      graft.dedup.Cdc.newChunksAgainstRegistry(
+          day2, "content", "media_id", chunkRegistryTable(s, dir),
+          update = false, minSize = 16, avgBits = 5, maxSize = 256)
+        .orderBy("id")
+    },
+
     // L2: MinHash LSH band buckets (the shuffle key of near-dedup at scale).
     "d02_minhash_bands" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
@@ -404,6 +441,30 @@ object DedupQ {
       Dedup.dedupLinesAgainstRegistry(
         lineSalted(Tables(s, dir, "documents")).filter(col("doc_id") < 250),
         "ml_text", "doc_id", table).count()
+    }
+    table
+  }
+
+  /** Documents rendered as the binary tier's blobs: UTF-8 bytes of the
+    * text under a media_id — shared by the CDC queries (d25/d26).
+    */
+  private def cdcBlobs(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** Build (once per sfDir per warehouse) the chunk registry d26
+    * reports against, seeded with the media_id < 250 "day 0" ingest
+    * (same CDC geometry as the query — the registry convention).
+    */
+  private def chunkRegistryTable(s: SparkSession, dir: String): String = {
+    val table = "graft_chunkreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Warehouse.dropTableAndLocation(s, table)
+      graft.dedup.Cdc.createChunkRegistry(s, table, buckets = 8)
+      graft.dedup.Cdc.newChunksAgainstRegistry(
+        cdcBlobs(Tables(s, dir, "documents")).filter(col("media_id") < 250),
+        "content", "media_id", table,
+        minSize = 16, avgBits = 5, maxSize = 256).count()
     }
     table
   }
