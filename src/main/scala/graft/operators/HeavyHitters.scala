@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Exact frequent-items ("heavy hitters") above a frequency fraction,
+  * found WITHOUT a full-cardinality group-by.
+  *
+  * The naive plan — `groupBy(key).count.filter(cnt > frac*n)` — is exact
+  * but its hash aggregate holds one state per DISTINCT key: over a
+  * 100 TB token stream that is billions of states, spilling every
+  * executor even though the ANSWER is a handful of rows. This operator
+  * is exact at FIXED executor memory:
+  *
+  *  1. **Misra–Gries pass** (Misra & Gries 1982): one `mapPartitions`
+  *     sweep with k counters per task — no shuffle, no spill, no
+  *     per-distinct-key state. The MG undercount per partition is
+  *     ≤ n_p/(k+1); summed over partitions the total undercount is
+  *     ≤ Σn_p/(k+1) = n/(k+1), so any key with true count > n/(k+1)
+  *     retains a positive counter in at least one partition and appears
+  *     in the candidate union. Each task emits ≤ k+1 rows.
+  *  2. **Exact recount of candidates only**: rescan, keep rows whose key
+  *     is in the broadcast candidate set, `groupBy(key).count`. The
+  *     aggregate now has ≤ |candidates| states — bounded by the TASK
+  *     COUNT times k, never by data cardinality — and map-side partial
+  *     agg keeps the shuffle at ≤ tasks·|candidates| skinny rows.
+  *  3. Filter `cnt · 10⁶ > fracPpm · n` (integer arithmetic end to end,
+  *     no float threshold drift). Completeness requires
+  *     frac > 1/(k+1), i.e. k ≥ ⌈10⁶/fracPpm⌉, which is enforced.
+  *
+  * Result = EXACTLY the keys with count > frac·n, with exact counts —
+  * the same rows as the naive plan at any partitioning (the MG
+  * candidate SET varies with partitioning, but every true heavy hitter
+  * is always in it and the recount+filter discard the rest), which is
+  * what the t40 oracle gates. Two scans, one bounded shuffle. The one
+  * driver collect is the summary union: ≤ tasks·(k+1) rows of
+  * (key, count) — the same bounded-by-construction contract as the
+  * IVF centroid matrix. Null keys are not counted and never returned.
+  */
+object HeavyHitters {
+
+  /** Per-partition Misra–Gries summary: at most k (key, lowerBound)
+    * survivors. Decrement-all is O(k) but charged against k prior
+    * increments — O(1) amortized per item.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val counters = new java.util.HashMap[String, Long](k * 2)
+    while (it.hasNext) {
+      val key = it.next()
+      if (key != null) {
+        val c = counters.get(key) // 0L when absent — 0-count keys never survive below
+        if (c != 0L) counters.put(key, c + 1)
+        else if (counters.size < k) counters.put(key, 1L)
+        else {
+          val e = counters.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counters.entrySet().asScala.iterator.map(kv => (kv.getKey, kv.getValue.toLong))
+  }
+
+  /** Exact keys with count > fracPpm·n/10⁶ over `keyCol` (cast to
+    * string), with their exact counts. `fracPpm` is the threshold in
+    * parts-per-million (2000 = 0.2%). `counters` overrides the per-task
+    * MG budget; it must satisfy the completeness bound
+    * k ≥ ⌈10⁶/fracPpm⌉ (the default is exactly that bound).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, fracPpm: Long,
+                   counters: Int = 0): DataFrame = {
+    require(fracPpm >= 1 && fracPpm < 1000000L,
+      s"fracPpm out of [1, 1e6): $fracPpm")
+    val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt // ceil(1e6/fracPpm)
+    val k = if (counters <= 0) kMin else counters
+    require(k >= kMin,
+      s"counters=$k breaks the completeness bound: need >= ceil(1e6/fracPpm)=$kMin")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val keys: Dataset[String] = df.select(col(keyCol).cast("string")).as[String]
+    // one scan: per-partition MG summaries + a per-partition row total
+    // (part_n row carries mg_cnt = -1 as its tag; real summaries ≥ 1)
+    val summaries = keys.mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { s => if (s != null) n += 1; s }
+      val mg = misraGries(counted, k).toArray // drains `counted`, fixing n
+      mg.iterator.map { case (key, c) => (key, c) } ++
+        Iterator.single((null.asInstanceOf[String], -n - 1))
+    }.toDF("key", "mg_cnt").collect() // ≤ tasks·(k+1) rows, bounded by design
+
+    val n = summaries.iterator.filter(_.getLong(1) < 0).map(r => -r.getLong(1) - 1).sum
+    val cand = summaries.iterator.filter(_.getLong(1) > 0).map(_.getString(0))
+      .toSet.toSeq
+    if (cand.isEmpty || n == 0L)
+      return keys.toDF("key").filter(lit(false))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+
+    keys.toDF("key").filter(col("key").isNotNull)
+      .join(broadcast(cand.toDF("key")), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000000L > lit(fracPpm) * lit(n))
+  }
+}

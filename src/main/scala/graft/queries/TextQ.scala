@@ -359,6 +359,18 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L88: exact heavy hitters at fixed memory — Misra-Gries candidate
+    // pass (no shuffle, k counters per task) + exact recount of the
+    // bounded candidate set; same rows as the full group-by at any
+    // partitioning, without its per-distinct-key aggregate state.
+    "t40_heavy_tokens" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.operators.HeavyHitters.heavyHitters(toks, "token", fracPpm = 5000)
+        .withColumnRenamed("key", "token")
+        .orderBy("token")
+    },
+
     // L83b: C4-style word-list gate — docs containing any listed word
     // drop; survivors carry the (zero) hit count as evidence.
     "t37_word_blocklist" -> { (s, dir) =>
@@ -895,6 +907,17 @@ object TextQ {
          |FROM s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // The full-cardinality exact plan the fixed-memory operator must
+    // reproduce row-for-row: group-by over every token, strict > cut.
+    "t40_heavy_tokens" ->
+      """WITH t AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM t, tot GROUP BY token, tot.n
+        |HAVING COUNT(*) * 1000000 > 5000 * tot.n
+        |ORDER BY token""".stripMargin,
 
     // Substring containment per phrase, aggregated per doc — the
     // list-size-independent automaton must equal the per-phrase scan.

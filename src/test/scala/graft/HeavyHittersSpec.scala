@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: key "k<i>" appears i*i times (deterministic), plus a
+  // long tail of unique noise keys
+  private def corpus(noise: Int) = {
+    val heavy = (1 to 20).flatMap(i => Seq.fill(i * i)(s"k$i"))
+    val tail = (0 until noise).map(i => s"noise$i")
+    (heavy ++ tail).toDF("key")
+  }
+
+  private def naive(df: org.apache.spark.sql.DataFrame, fracPpm: Long) = {
+    val n = df.filter(col("key").isNotNull).count()
+    df.filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000000L > lit(fracPpm) * lit(n))
+      .orderBy("key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  test("misraGries: never misses a key above n/(k+1), counts are lower bounds") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      (0 until 35).map(i => s"u$i") // n=100
+    val mg = HeavyHitters.misraGries(items.iterator, 4).toMap
+    // a (40 > 100/5) and b (25 > 100/5) must survive with positive counts
+    assert(mg.contains("a") && mg.contains("b"))
+    assert(mg("a") <= 40 && mg("a") >= 40 - 100 / 5)
+    assert(mg("b") <= 25 && mg("b") >= 25 - 100 / 5)
+    assert(mg.size <= 4)
+  }
+
+  test("equals the exact full group-by at several partitionings") {
+    val fracPpm = 20000L // 2% of ~5900 rows -> keys with cnt > ~118
+    for (parts <- Seq(1, 7, 32)) {
+      val df = corpus(3000).repartition(parts)
+      val got = HeavyHitters.heavyHitters(df, "key", fracPpm)
+        .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === naive(df, fracPpm), s"parts=$parts")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("adversarial spread: a heavy key diluted evenly across partitions is still found") {
+    // one heavy key at just over the threshold, spread so every partition
+    // sees only a few occurrences among local noise
+    val heavy = Seq.fill(300)("hot")
+    val noise = (0 until 9000).map(i => s"u$i")
+    // interleave so no partition is hot-dominated
+    val df = (heavy ++ noise).zipWithIndex
+      .sortBy(_._2 % 31) // deterministic shuffle-ish interleave
+      .map(_._1).toDF("key").repartition(32)
+    val fracPpm = 30000L // 3% of 9300 = 279 < 300
+    val got = HeavyHitters.heavyHitters(df, "key", fracPpm)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("hot", 300L)))
+  }
+
+  test("strict threshold: a key at exactly frac*n is excluded") {
+    // n = 1000, frac = 10% -> cut at cnt > 100; "edge" has exactly 100
+    val df = (Seq.fill(100)("edge") ++ Seq.fill(150)("over") ++
+      (0 until 750).map(i => s"u$i")).toDF("key")
+    val got = HeavyHitters.heavyHitters(df, "key", 100000L)
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("over"))
+  }
+
+  test("null keys are not counted and never returned") {
+    val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(50)(Option.empty[String]))
+      .toDF("key")
+    // n counts only the 50 non-null rows: a is 100% of them
+    val got = HeavyHitters.heavyHitters(df, "key", 500000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 50L)))
+  }
+
+  test("empty input yields an empty frame; counters below the bound throw") {
+    assert(HeavyHitters.heavyHitters(
+      Seq.empty[String].toDF("key"), "key", 1000L).count() === 0)
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitters(corpus(10), "key", 1000L, counters = 5)
+    }
+  }
+}
