@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS (Kleinberg 1999) hubs-and-authorities over a link graph — the
+  * complement of [[PageRank]]'s single authority signal: a crawl
+  * frontier wants BOTH "pages many good pages cite" (authorities: where
+  * the content is) and "pages that cite many good pages" (hubs: where
+  * to find MORE content — directory/index pages that PageRank
+  * structurally under-ranks because their inlinks are few).
+  *
+  * Same determinism engineering as [[PageRank]] (ranks feed back across
+  * iterations, so the §5 float discipline alone is not enough): hub and
+  * authority vectors are carried as SCALED INTEGERS (× `scale`). Each
+  * half-step is an exact integer sum over edges; the classical L2
+  * normalization is replaced by SUM normalization (identical ranking —
+  * normalization in HITS only prevents magnitude drift) computed as one
+  * fixed double expression over two exact integers, rounded back to the
+  * integer grid. Every value after every iteration is bit-identical on
+  * Spark and in the generated DuckDB oracle (g02).
+  *
+  * Scale shape: the edge table never moves — it is partitioned ONCE on
+  * `src` for the authority half-step and ONCE on `dst` for the hub
+  * half-step (two persisted copies; edges are (long, long) skeletons,
+  * so 2× an 8-byte-pair table, not 2× the corpus), and each iteration
+  * shuffles only the (node, value) vector. Normalization totals are
+  * broadcast 1-row aggregates INSIDE the plan, never driver collects;
+  * lineage is cut every `checkpointEvery` iterations (the
+  * connected-components discipline), so plan depth stays constant at
+  * any iteration count.
+  */
+object Hits {
+
+  /** Hub/authority scores after `iters` full iterations (authority
+    * half-step then hub half-step, the classical order). `edges` needs
+    * `src`/`dst`; multi-edges count multiply (pre-`distinct` for
+    * simple-graph semantics). Returns
+    * (node, hub_scaled, auth_scaled, hub, auth).
+    */
+  def run(edges: DataFrame, iters: Int, scale: Double = 1e12,
+          checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // distinct column names per copy: both derive from the same frame,
+    // and the vector joining one then the other would otherwise trip
+    // Spark's ambiguous-self-join detection
+    val eSrc = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      .repartition(parts, col("e_src")).persist(StorageLevel.DISK_ONLY)
+    val eDst = edges.select(col("src").as("f_src"), col("dst").as("f_dst"))
+      .repartition(parts, col("f_dst")).persist(StorageLevel.DISK_ONLY)
+    val nodes = eSrc.select(col("e_src").as("node"))
+      .union(eSrc.select(col("e_dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    val n = nodes.count()
+    // an edgeless graph would normalize by a zero total (NaN ranks) —
+    // fail loudly instead
+    require(n > 0, "Hits.run: edge frame has no nodes")
+
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("__tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn(outCol, round(
+          coalesce(col("raw"), lit(0L)).cast("double") /
+            col("__tot").cast("double") * lit(scale)).cast("long"))
+        .select(col("node"), col(outCol))
+    }
+
+    var h = nodes.withColumn("h_s", lit(math.round(scale / n)))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      val araw = h.join(eSrc, h("node") === col("e_src"))
+        .groupBy(col("e_dst").as("node")).agg(sum(col("h_s")).as("raw"))
+      a = normalized(araw, "a_s")
+      val hraw = a.join(eDst, a("node") === col("f_dst"))
+        .groupBy(col("f_src").as("node")).agg(sum(col("a_s")).as("raw"))
+      h = normalized(hraw, "h_s")
+      if (i % checkpointEvery == 0) {
+        h = h.localCheckpoint(); a = a.localCheckpoint()
+      }
+    }
+    val out = h.join(a, Seq("node"))
+      .select(col("node"), col("h_s").as("hub_scaled"),
+        col("a_s").as("auth_scaled"),
+        (col("h_s") / lit(scale)).as("hub"),
+        (col("a_s") / lit(scale)).as("auth"))
+      .localCheckpoint()
+    eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
+    out
+  }
+}

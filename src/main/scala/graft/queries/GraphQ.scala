@@ -35,6 +35,21 @@ object GraphQ {
             pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
       graft.operators.PageRank.run(edges, iters = Iters)
         .orderBy("node")
+    },
+
+    // L89: HITS hubs/authorities over the same synthetic graph — the
+    // frontier's "where to find MORE content" signal (hub pages) that
+    // PageRank structurally under-ranks. Scaled-integer, bit-identical
+    // to the generated unrolled oracle.
+    "g02_hits" -> { (s, dir) =>
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(1000)),
+            pmod(col("doc_id") * 7 + 34, lit(1000)),
+            pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
+      graft.operators.Hits.run(edges, iters = Iters)
+        .orderBy("node")
     })
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +93,48 @@ object GraphQ {
          |SELECT node, rank_s AS rank_scaled, rank_s / 1e12 AS rank
          |FROM r$Iters
          |ORDER BY node""".stripMargin
+    },
+
+    "g02_hits" -> {
+      // mirrors Hits.run term for term: exact long half-step sums, sum
+      // normalization as one fixed double expression over two exact
+      // integers ((raw / tot) * 1e12), rounded back to the long grid
+      val iterCtes = (1 to Iters).map { i =>
+        val p = i - 1
+        s"""ar$i AS (
+           |  SELECT e.dst AS node, SUM(h.h_s) AS raw
+           |  FROM h$p h JOIN edges e ON h.node = e.src GROUP BY e.dst),
+           |at$i AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS tot FROM ar$i),
+           |a$i AS (
+           |  SELECT nd.node, CAST(ROUND(
+           |    CAST(COALESCE(r.raw, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) *
+           |      CAST(1e12 AS DOUBLE)) AS BIGINT) AS a_s
+           |  FROM nodes nd CROSS JOIN at$i t LEFT JOIN ar$i r ON nd.node = r.node),
+           |hr$i AS (
+           |  SELECT e.src AS node, SUM(a.a_s) AS raw
+           |  FROM a$i a JOIN edges e ON a.node = e.dst GROUP BY e.src),
+           |ht$i AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS tot FROM hr$i),
+           |h$i AS (
+           |  SELECT nd.node, CAST(ROUND(
+           |    CAST(COALESCE(r.raw, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) *
+           |      CAST(1e12 AS DOUBLE)) AS BIGINT) AS h_s
+           |  FROM nodes nd CROSS JOIN ht$i t LEFT JOIN hr$i r ON nd.node = r.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + off) % 1000 AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest([3, 34, 65]) AS off)),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst AS node FROM edges)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS (
+         |  SELECT node, CAST(ROUND(1e12 / nn.n) AS BIGINT) AS h_s
+         |  FROM nodes CROSS JOIN nn),
+         |$iterCtes
+         |SELECT h.node, h.h_s AS hub_scaled, a.a_s AS auth_scaled,
+         |  h.h_s / 1e12 AS hub, a.a_s / 1e12 AS auth
+         |FROM h$Iters h JOIN a$Iters a ON h.node = a.node
+         |ORDER BY h.node""".stripMargin
     })
 }

@@ -220,6 +220,21 @@ object Relational {
         .orderBy("returnflag", "linestatus")
     },
 
+    // A29: z-order (Morton) interleave — the multi-column clustering
+    // key behind ZOrder.cluster's layout writes, gated cross-engine as
+    // pure bit arithmetic. Top rows per z so the gate pins the curve
+    // ORDER, not just the values.
+    "q19_zorder" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024L)).as("zx"),
+          pmod(col("l_suppkey"), lit(1024L)).as("zy"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zvalue2(col("zx"), col("zy")))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
     // A27: interval (range) join — customers matched to supplier balance
     // bands [s_acctbal−50, s_acctbal+50] via the binned equi-join (a bare
     // BETWEEN join would plan as BroadcastNestedLoopJoin). Balance sums
@@ -381,6 +396,19 @@ object Relational {
     // DuckDB plans the BETWEEN join natively (IEJoin); the binned
     // equi-join + residual filter is pair-identical. Cents scaling keeps
     // the sum exact at any partitioning.
+    // generated from ZOrder.duckZvalue2 — identical mask constants as
+    // the Column-side interleave, so the two sides cannot drift
+    "q19_zorder" -> {
+      val z = graft.operators.ZOrder.duckZvalue2(
+        "(l_partkey % 1024)", "(l_suppkey % 1024)")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy,
+         |  $z AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin
+    },
+
     "q18_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
