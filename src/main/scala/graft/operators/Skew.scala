@@ -69,4 +69,39 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** TARGETED skew join: detect the hot keys exactly with
+    * [[HeavyHitters]] (one shuffle-free Misra–Gries pass + a bounded
+    * recount — fixed memory at any key cardinality), then salt ONLY
+    * them. [[saltedJoin]] replicates the ENTIRE right side `salts`×,
+    * which at a 100 TB join multiplies a possibly-large build side for
+    * the benefit of a handful of keys; here cold keys join on a single
+    * lane (no replication) and only the detected hot keys fan out, so
+    * the extra right-side rows are |hot keys| × salts — constant-ish,
+    * not proportional to the table. Result rows are identical to the
+    * plain join at any partitioning (spec-pinned): lane assignment only
+    * routes, never filters.
+    *
+    * `fracPpm` is the hotness threshold in parts-per-million of left
+    * rows (a key above ~1/shuffle-partitions of the table is the
+    * classic straggler; 1000 ppm = 0.1% is a sane default at hundreds
+    * of partitions).
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                         fracPpm: Long = 1000L, salts: Int = 16): DataFrame = {
+    require(salts > 1, s"salts must exceed 1: $salts")
+    val hot = HeavyHitters.heavyHitters(left, key, fracPpm)
+      .select(col("key").as(key)).withColumn("__hot", lit(true))
+    val saltedLeft = left.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt", when(col("__hot").isNotNull,
+        pmod(xxhash64(col(key), monotonically_increasing_id()),
+          lit(salts.toLong))).otherwise(lit(0L)))
+      .drop("__hot")
+    val replicatedRight = right.join(broadcast(hot), Seq(key), "left")
+      .withColumn("__salt", explode(when(col("__hot").isNotNull,
+        sequence(lit(0L), lit(salts.toLong - 1)))
+        .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -510,6 +510,41 @@ object Warehouse {
       .lastOption.map(_.toString)
   }
 
+  /** Retention sweep for a [[publishShards]] root: delete committed
+    * versions older than the newest `keep`, plus every UNCOMMITTED
+    * version dir (no `_MANIFEST.json`) that is not the highest-numbered
+    * dir — the janitor half of the manifest-commit contract (a crashed
+    * publish leaves an invisible manifest-less dir forever otherwise;
+    * the HIGHEST manifest-less dir is spared because it may be a
+    * publish in flight RIGHT NOW, about to write its manifest).
+    *
+    * Never deletes the latest committed snapshot (`keep` is clamped to
+    * ≥ 1), so [[latestShards]] readers are unaffected. Readers of
+    * OLDER pinned versions must finish inside the retention window —
+    * the standard lakehouse vacuum contract, documented rather than
+    * solved (solving it needs reader leases, which no shared-nothing
+    * store provides). Returns the deleted directory paths.
+    */
+  def vacuumVersions(spark: SparkSession, root: String,
+                     keep: Int = 2): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val versioned = fs.listStatus(rootPath).map(_.getPath)
+      .filter(_.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toInt)
+    if (versioned.isEmpty) return Nil
+    val highest = versioned.last
+    val (committed, uncommitted) = versioned.partition(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_MANIFEST.json")))
+    val staleCommitted = committed.dropRight(keep)
+    val crashed = uncommitted.filter(_ != highest)
+    val doomed = (staleCommitted ++ crashed).toSeq
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.map(_.toString)
+  }
+
   /** Drop a managed table AND its warehouse directory. With a
     * non-persistent (in-memory) catalog, a previous JVM's managed-table
     * directory survives while the catalog forgets it, and the next

@@ -148,6 +148,40 @@ class SourcesSpec extends SparkSpec {
     assert(names.filter(_.matches("v\\d+")).sorted == Seq("v1", "v2"))
   }
 
+  test("vacuumVersions keeps the newest snapshots, sweeps stale and crashed dirs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.text.TextOps
+    val root = Files.createTempDirectory("graft_vacuum").toString
+    val docs = (1L to 20L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val sharded = TextOps.shardByTokenBudget(docs, "text", "doc_id", 20)
+    val v1 = Warehouse.publishShards(sharded, root)
+    val v2 = Warehouse.publishShards(sharded.filter(col("doc_id") <= 10), root)
+    val v3 = Warehouse.publishShards(sharded.filter(col("doc_id") <= 5), root)
+    // a crashed manifest-less publish below the highest version, and a
+    // manifest-less HIGHEST dir that may be a publish in flight
+    Files.createDirectory(Paths.get(root, "v4"))
+    Files.createDirectory(Paths.get(root, "v9"))
+    val deleted = Warehouse.vacuumVersions(spark, root, keep = 2)
+    assert(deleted.map(_.split('/').last).sorted === Seq("v1", "v4"))
+    assert(!Files.exists(Paths.get(root, "v1")))
+    assert(Files.exists(Paths.get(root, "v2")) && Files.exists(Paths.get(root, "v3")))
+    assert(Files.exists(Paths.get(root, "v9")), "in-flight publish must be spared")
+    // readers are unaffected: latest still resolves to v3, and it reads whole
+    assert(Warehouse.latestShards(spark, root).get.endsWith("/v3"))
+    assert(spark.read.parquet(v3).count() === 5)
+    // keep clamps at the latest snapshot; v9 (still manifest-less) spared
+    val deleted2 = Warehouse.vacuumVersions(spark, root, keep = 1)
+    assert(deleted2.map(_.split('/').last) === Seq("v2"))
+    intercept[IllegalArgumentException] {
+      Warehouse.vacuumVersions(spark, root, keep = 0)
+    }
+    // idempotent on an already-clean root; empty/missing roots are no-ops
+    assert(Warehouse.vacuumVersions(spark, root, keep = 1) === Nil)
+    assert(Warehouse.vacuumVersions(spark, root + "_nope") === Nil)
+    assert(v1.nonEmpty && v2.nonEmpty) // silence unused warnings
+  }
+
   test("publishShards commit detects a concurrent publish instead of nesting into it") {
     // HDFS-style rename moves a source INTO an existing destination dir
     // and returns true — the losing publisher must detect that, clean its
