@@ -858,6 +858,59 @@ object EventStreams {
     * Emits on watermark close. Documents whose every content line was
     * registered vanish, as in batch.
     */
+  /** Streaming CHUNK-registry probe — the binary member of the
+    * registry-probe matrix (exact L16f, MinHash L16g, hamming L16h,
+    * lines above): blobs arriving on a stream report how many chunk
+    * BYTES each actually adds over the persisted
+    * [[graft.dedup.Cdc]] chunk registry. Chunking is row-local (the
+    * blob's bytes never leave its task); the registry lookup is one
+    * stateless stream-static LEFT join keyed on the 8-byte chunk hash
+    * (an anti-join would also drop the all-seen blobs a storage report
+    * must still show at zero); the per-blob reassembly is one windowed
+    * aggregate emitting on watermark close.
+    *
+    * Probe-only, like every streaming registry twin: appends stay the
+    * batch pass's job (the delta-file failure contract needs a batch
+    * write). Cross-blob WITHIN-STREAM winner election also stays the
+    * batch pass's job — a chunk shared by two stream blobs but absent
+    * from the registry counts in BOTH reports here; when stream blobs
+    * share chunks only with the registry, the streamed report
+    * row-equals `newChunksAgainstRegistry(update = false)`
+    * (spec-pinned, the lines twin's exact contract).
+    */
+  def newChunksAgainstRegistryStream(blobs: DataFrame, binCol: String,
+                                     idCol: String, tsCol: String,
+                                     registryTable: String,
+                                     minSize: Int = 2048, avgBits: Int = 13,
+                                     maxSize: Int = 65536,
+                                     watermark: String = "10 minutes",
+                                     windowLen: String = "10 minutes"): DataFrame = {
+    val spark = blobs.sparkSession
+    val chunksU = udf { (b: Array[Byte]) =>
+      graft.dedup.Cdc.chunkBlob(b, minSize, avgBits, maxSize)
+        .groupBy(_._3).map { case (h, cs) => (h, cs.map(_._2).min) }.toArray
+    }
+    val exploded = blobs.withWatermark(tsCol, watermark)
+      .withColumn("__chs", chunksU(col(binCol)))
+      .filter(size(col("__chs")) > 0) // empty/null blobs vanish, as in batch
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        size(col("__chs")).cast("long").as("n_chunks"),
+        explode(col("__chs")).as("__c"))
+      .select(col("id"), col("__ts"), col("n_chunks"),
+        col("__c._1").as("chunk_hash"), col("__c._2").as("clen"))
+    val probed = exploded.join(
+      spark.table(registryTable)
+        .select(col("chunk_hash"), lit(1).as("__reg")),
+      Seq("chunk_hash"), "left")
+    probed
+      .groupBy(window(col("__ts"), windowLen), col("id"), col("n_chunks"))
+      .agg(
+        sum(when(col("__reg").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
+        sum(when(col("__reg").isNull, col("clen").cast("long"))
+          .otherwise(0L)).as("new_bytes"))
+      .select(col("id"), col("n_chunks"), col("n_new_chunks"), col("new_bytes"))
+  }
+
   def stripLinesAgainstRegistry(docs: DataFrame, textCol: String,
                                 idCol: String, tsCol: String,
                                 registryTable: String,

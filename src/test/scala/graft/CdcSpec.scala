@@ -149,6 +149,52 @@ class CdcSpec extends SparkSpec {
     assert(r(7L)._2 === 0L && r(7L)._3 === 0L)
   }
 
+  test("streaming chunk-registry probe row-equals the batch report-only pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val reg = "cdc_stream_reg"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    Cdc.createChunkRegistry(spark, reg, buckets = 4)
+    val a = bytes(31L, 40000)
+    Cdc.newChunksAgainstRegistry(
+      Seq((1L, a)).toDF("media_id", "content"), "content", "media_id", reg,
+      minSize = 256, avgBits = 9, maxSize = 4096).count()
+
+    // mirror (≤3 new), identical copy (0 new — still reported), fresh
+    // blob (all new); their only SHARED chunks are registered ones, so
+    // stream ≡ batch update=false
+    val mirror = "X-Mirror: cdn-7\r\n".getBytes("UTF-8") ++ a
+    val day2 = Seq((10L, mirror), (11L, a), (12L, bytes(32L, 40000)))
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = graft.streaming.EventStreams.newChunksAgainstRegistryStream(
+        in.toDF().toDF("ts", "media_id", "content"), "content", "media_id",
+        "ts", reg, minSize = 256, avgBits = 9, maxSize = 4096)
+      .writeStream.format("memory").queryName("cdc_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(day2.map { case (id, b) => (ts(0), id, b) })
+      q.processAllAvailable()
+      in.addData((ts(30), 99L, bytes(33L, 5000))) // closes the 00:00 window
+      q.processAllAvailable()
+      val got = spark.table("cdc_stream_out").filter(col("id") < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+      val want = Cdc.newChunksAgainstRegistry(
+          day2.toDF("media_id", "content"), "content", "media_id", reg,
+          update = false, minSize = 256, avgBits = 9, maxSize = 4096)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+      assert(got === want, s"$got vs $want")
+      assert(got.map(_._1) === Seq(10L, 11L, 12L)) // all-seen blob reported
+      assert(got(1)._3 === 0L) // ...at zero new
+      // probe-only: the registry did not grow
+      assert(spark.table(reg).count() ===
+        Cdc.chunkBlob(a, 256, 9, 4096).map(_._3).distinct.length)
+    } finally q.stop()
+  }
+
   test("containmentPairs: banner-prepended mirror found; unrelated not") {
     val a = bytes(5L, 60000)
     val mirror = "X-Mirror: cdn-7\r\n".getBytes("UTF-8") ++ a
