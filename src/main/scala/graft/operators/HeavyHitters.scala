@@ -104,4 +104,92 @@ object HeavyHitters {
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * 1000000L > lit(fracPpm) * lit(n))
   }
+
+  /** PER-GROUP exact heavy hitters: keys with count > fracPpm·n_g/10⁶
+    * WITHIN each group g ("the hot tokens of each language", "each
+    * domain's boilerplate lines") — which the global pass structurally
+    * can't answer: a key dominating a small group is invisible against
+    * the corpus-wide total. One MG state per group per task (memory =
+    * local groups × k, guarded by the loud `maxGroups` require — a
+    * corpus-shaped "group" column is a modeling error, not an OOM);
+    * per-group totals and candidates stay IN-PLAN (no driver collect at
+    * all here — the grouped summary union can be larger than the
+    * global one's centroid-contract bound), the recount semi-joins the
+    * candidate (group, key) pairs, and each group's strict integer cut
+    * joins its own total. Same per-group completeness bound:
+    * k ≥ ⌈10⁶/fracPpm⌉ ⇒ every key above frac·n_g survives some
+    * partition's summary for g. Null groups are groups; null keys are
+    * not counted. Output: (group, key, cnt).
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          fracPpm: Long, counters: Int = 0,
+                          maxGroups: Int = 100000): DataFrame = {
+    require(fracPpm >= 1 && fracPpm < 1000000L,
+      s"fracPpm out of [1, 1e6): $fracPpm")
+    val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt
+    val k = if (counters <= 0) kMin else counters
+    require(k >= kMin,
+      s"counters=$k breaks the completeness bound: need >= ceil(1e6/fracPpm)=$kMin")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val pairs = df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+    val summaries = pairs.mapPartitions { it =>
+      val states = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+      val totals = new java.util.HashMap[String, Long]()
+      while (it.hasNext) {
+        val (g, key) = it.next()
+        if (key != null) {
+          totals.merge(g, 1L, (a, b) => a + b)
+          var counters0 = states.get(g)
+          if (counters0 == null) {
+            require(states.size < maxGroups,
+              s"heavyHittersByGroup: more than $maxGroups groups in one " +
+                "task — a corpus-shaped group column; raise maxGroups only " +
+                "if group cardinality is genuinely bounded")
+            counters0 = new java.util.HashMap[String, Long](k * 2)
+            states.put(g, counters0)
+          }
+          val c = counters0.get(key)
+          if (c != 0L) counters0.put(key, c + 1)
+          else if (counters0.size < k) counters0.put(key, 1L)
+          else {
+            val e = counters0.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+            }
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      states.entrySet().asScala.iterator.flatMap { ge =>
+        ge.getValue.entrySet().asScala.iterator
+          .map(kv => (ge.getKey, kv.getKey, kv.getValue.toLong))
+      } ++ totals.entrySet().asScala.iterator
+        .map(te => (te.getKey, null.asInstanceOf[String], -te.getValue - 1))
+    }.toDF("g", "key", "mg_cnt")
+    // three consumers (totals, candidates, and the returned plan) — one
+    // lineage-cut persisted copy keeps the MG pass to a single execution
+    val summarized = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      summaries, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val totals = summarized.filter(col("mg_cnt") < 0)
+      .groupBy("g").agg(sum(-col("mg_cnt") - 1).as("__n"))
+      .withColumnRenamed("g", "__tg")
+    val candidates = summarized.filter(col("mg_cnt") > 0)
+      .select(col("g").as("__cg"), col("key").as("__ck")).distinct()
+    // null-safe on the group side: a null group is a group (rollup's
+    // convention), and equi-join keys would silently drop it
+    df.select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .join(candidates,
+        col("g") <=> col("__cg") && col("key") === col("__ck"), "left_semi")
+      .groupBy("g", "key").agg(count(lit(1)).as("cnt"))
+      .join(totals, col("g") <=> col("__tg"))
+      .filter(col("cnt") * 1000000L > lit(fracPpm) * col("__n"))
+      .select(col("g").as(groupCol), col("key").as(keyCol), col("cnt"))
+  }
 }

@@ -89,6 +89,66 @@ object ZOrder {
     s"(${spread(a)} | (${spread(b)} << 1))"
   }
 
+  /** Spread the low 21 bits of `c` to every third position (bit i →
+    * bit 3i) — the 3-D Morton mask sequence.
+    */
+  private def spread3(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0x1FFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton z-value of three columns in [0, 2²¹) — the
+    * three-predicate-column layout (e.g. host-bucket × day × quality
+    * band). Same null/domain contract as [[zvalue2]]. 21 bits per
+    * column: callers bucket wider domains first.
+    */
+  def zvalue3(a: Column, b: Column, c: Column): Column = {
+    def guarded(col0: Column) = {
+      val v = col0.cast("long")
+      when(v.isNull, lit(null).cast("long"))
+        .when(v >= 0 && v < lit(1L << 21), v)
+        .otherwise(raise_error(concat(
+          lit("zvalue3 input out of [0, 2^21): "), v.cast("string"))))
+    }
+    spread3(guarded(a))
+      .bitwiseOR(shiftleft(spread3(guarded(b)), 1))
+      .bitwiseOR(shiftleft(spread3(guarded(c)), 2))
+  }
+
+  /** JVM reference of [[zvalue3]] for specs. */
+  private[graft] def zvalue3Local(a: Long, b: Long, c: Long): Long = {
+    require(a >= 0 && a < (1L << 21) && b >= 0 && b < (1L << 21) &&
+      c >= 0 && c < (1L << 21))
+    var z = 0L
+    var i = 0
+    while (i < 21) {
+      z |= ((a >> i) & 1L) << (3 * i)
+      z |= ((b >> i) & 1L) << (3 * i + 1)
+      z |= ((c >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    z
+  }
+
+  /** [[duckZvalue2]]'s 3-column sibling — same generated-constants
+    * discipline.
+    */
+  def duckZvalue3(a: String, b: String, c: String): String = {
+    def spread(e: String): String = {
+      var x = s"($e & ${0x1FFFFFL})"
+      x = s"(($x | ($x << 32)) & ${0x001F00000000FFFFL})"
+      x = s"(($x | ($x << 16)) & ${0x001F0000FF0000FFL})"
+      x = s"(($x | ($x << 8)) & ${0x100F00F00F00F00FL})"
+      x = s"(($x | ($x << 4)) & ${0x10C30C30C30C30C3L})"
+      s"(($x | ($x << 2)) & ${0x1249249249249249L})"
+    }
+    s"(${spread(a)} | (${spread(b)} << 1) | (${spread(c)} << 2))"
+  }
+
   /** Rewrite `df` in z-order on (`aCol`, `bCol`): range-partition by
     * z-value (contiguous curve segments per output file), sort within
     * partitions, drop the helper column. `partitions` sizes output

@@ -235,6 +235,20 @@ object Relational {
         .limit(100)
     },
 
+    // A29b: the 3-column Morton interleave (host-bucket × day × band
+    // layouts) — same generated-oracle discipline as q19.
+    "q20_zorder3" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(512L)).as("zx"),
+          pmod(col("l_suppkey"), lit(512L)).as("zy"),
+          pmod(col("l_orderkey"), lit(512L)).as("zz"))
+        .withColumn("zval", graft.operators.ZOrder.zvalue3(
+          col("zx"), col("zy"), col("zz")))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
     // A27: interval (range) join — customers matched to supplier balance
     // bands [s_acctbal−50, s_acctbal+50] via the binned equi-join (a bare
     // BETWEEN join would plan as BroadcastNestedLoopJoin). Balance sums
@@ -403,6 +417,18 @@ object Relational {
         "(l_partkey % 1024)", "(l_suppkey % 1024)")
       s"""SELECT l_orderkey, l_linenumber,
          |  l_partkey % 1024 AS zx, l_suppkey % 1024 AS zy,
+         |  $z AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin
+    },
+
+    "q20_zorder3" -> {
+      val z = graft.operators.ZOrder.duckZvalue3(
+        "(l_partkey % 512)", "(l_suppkey % 512)", "(l_orderkey % 512)")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 512 AS zx, l_suppkey % 512 AS zy,
+         |  l_orderkey % 512 AS zz,
          |  $z AS zval
          |FROM lineitem
          |ORDER BY zval, l_orderkey, l_linenumber

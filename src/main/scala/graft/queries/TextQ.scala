@@ -371,6 +371,17 @@ object TextQ {
         .orderBy("token")
     },
 
+    // L88b: per-group heavy hitters — each language's hot tokens, which
+    // the global t40 pass structurally can't answer (a key dominating a
+    // small group is invisible against the corpus-wide total).
+    "t41_heavy_tokens_by_lang" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      graft.operators.HeavyHitters.heavyHittersByGroup(
+          toks, "lang", "token", fracPpm = 20000)
+        .orderBy("lang", "token")
+    },
+
     // L83b: C4-style word-list gate — docs containing any listed word
     // drop; survivors carry the (zero) hit count as evidence.
     "t37_word_blocklist" -> { (s, dir) =>
@@ -907,6 +918,18 @@ object TextQ {
          |FROM s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Per-group full-cardinality plan with a windowed group total.
+    "t41_heavy_tokens_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT lang, token, cnt FROM (
+        |  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    SUM(COUNT(*)) OVER (PARTITION BY lang) AS n
+        |  FROM t GROUP BY lang, token)
+        |WHERE cnt * 1000000 > 20000 * n
+        |ORDER BY lang, token""".stripMargin,
 
     // The full-cardinality exact plan the fixed-memory operator must
     // reproduce row-for-row: group-by over every token, strict > cut.

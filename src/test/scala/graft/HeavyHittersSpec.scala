@@ -78,6 +78,44 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Seq(("a", 50L)))
   }
 
+  test("grouped: equals the per-group exact plan; small-group hitters found") {
+    // "hot" dominates tiny group B (30 of 50) but is invisible globally
+    // (30 of ~6000); group A has its own k1..k20 skew; a null group rides
+    val a = (1 to 20).flatMap(i => Seq.fill(i * i)(("A", s"k$i")))
+    val b = Seq.fill(30)(("B", "hot")) ++ (0 until 20).map(i => ("B", s"u$i"))
+    val ng = Seq.fill(10)((null.asInstanceOf[String], "nullgrouphot")) ++
+      Seq((null.asInstanceOf[String], "one"))
+    val df = (a ++ b ++ ng).toDF("g", "key")
+    val naive = df.filter(col("key").isNotNull)
+      .groupBy("g", "key").agg(count(lit(1)).as("cnt"))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("cnt") * 1000000L > lit(100000L) * col("n"))
+      .select("g", "key", "cnt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    for (parts <- Seq(1, 7)) {
+      val got = HeavyHitters.heavyHittersByGroup(
+          df.repartition(parts), "g", "key", fracPpm = 100000L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === naive, s"parts=$parts")
+    }
+    // the small-group hitter and the null-group hitter are both present
+    assert(naive.exists(r => r._1 == "B" && r._2 == "hot" && r._3 == 30L))
+    assert(naive.exists(r => r._1 == null && r._2 == "nullgrouphot"))
+  }
+
+  test("grouped: a corpus-shaped group column fails loudly") {
+    val df = (0 until 5000).map(i => (s"g$i", "k")).toDF("g", "key")
+      .repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      HeavyHitters.heavyHittersByGroup(df, "g", "key", fracPpm = 500000L,
+        maxGroups = 1000).count()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxGroups"), s"unexpected: $msg")
+  }
+
   test("empty input yields an empty frame; counters below the bound throw") {
     assert(HeavyHitters.heavyHitters(
       Seq.empty[String].toDF("key"), "key", 1000L).count() === 0)

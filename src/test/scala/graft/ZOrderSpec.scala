@@ -38,6 +38,24 @@ class ZOrderSpec extends SparkSpec {
     assert(df.filter(col("z") =!= col("zsql")).count() === 0)
   }
 
+  test("zvalue3 column equals the bit-by-bit reference; generated SQL agrees") {
+    val corners = Seq(0L, 1L, 7L, 255L, 65535L, (1L << 21) - 1)
+    val triples = for (a <- corners; b <- corners; c <- corners)
+      yield (a, b, c)
+    val df = triples.toDF("a", "b", "c")
+      .withColumn("z", ZOrder.zvalue3(col("a"), col("b"), col("c")))
+      .withColumn("zsql", expr(ZOrder.duckZvalue3("a", "b", "c")))
+    df.collect().foreach { r =>
+      val want = ZOrder.zvalue3Local(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === want, s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+      assert(r.getLong(4) === want)
+    }
+    intercept[Exception] {
+      Seq((1L << 21, 0L, 0L)).toDF("a", "b", "c")
+        .select(ZOrder.zvalue3(col("a"), col("b"), col("c"))).collect()
+    }
+  }
+
   test("nulls propagate; out-of-domain raises") {
     val row = Seq((Option.empty[Long], Option(3L))).toDF("a", "b")
       .select(ZOrder.zvalue2(col("a"), col("b")).as("z")).collect()(0)

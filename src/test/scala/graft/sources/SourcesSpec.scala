@@ -53,6 +53,42 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("csv read quarantines type-failing rows, keeps short-but-typed ones") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createDirectories(Paths.get("target/tmp/csv_src"))
+    dir.toFile.listFiles().foreach(_.delete())
+    def writeGz(name: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(dir.resolve(name)))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    writeGz("a.csv.gz", Seq(
+      """1,alpha,en""",
+      """2,beta,""", // empty trailing field → good with null
+      """3,"gamma, with comma",de""", // quoted delimiter per RFC 4180
+      """4,shortrow""", // fewer tokens: positionally ambiguous → quarantine
+      """oops,notanint,xx""")) // id fails LongType → quarantine
+    writeGz("b.csv.gz", Seq(
+      """5,delta,fr"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val (good, bad) = CsvSource.read(spark, dir.toString, schema)
+    assert(good.schema.fieldNames.toSeq == Seq("id", "text", "lang"))
+    val g = good.collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(g == Set((1L, "alpha", Some("en")), (2L, "beta", None),
+      (3L, "gamma, with comma", Some("de")), (5L, "delta", Some("fr"))),
+      g.toString)
+    val q = bad.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.length == 2, q.mkString("; "))
+    assert(q.exists(x => x._1.endsWith("a.csv.gz") && x._2.contains("notanint")))
+    assert(q.exists(x => x._1.endsWith("a.csv.gz") && x._2 == "4,shortrow"))
+    intercept[IllegalArgumentException] {
+      CsvSource.read(spark, dir.toString,
+        StructType(Seq(StructField("_graft_corrupt", StringType))))
+    }
+  }
+
   test("reads gzip-compressed dumps (reference --infn *.gz path)") {
     val p = writeCompressed(".xml.gz", os => new java.util.zip.GZIPOutputStream(os))
     val pages = WikiXmlSource.pages(spark, p).collect()
