@@ -305,7 +305,11 @@ object CorpusPipeline {
       dropRepeatedLines: Boolean = false,
       maxBulletFrac: Double = 1.0,
       maxEllipsisFrac: Double = 1.0,
-      substringWindowTokens: Option[Int] = None)
+      substringWindowTokens: Option[Int] = None,
+      blockedDomains: Seq[String] = Nil,
+      urlCol: String = "url",
+      blockedWords: Seq[String] = Nil,
+      blockedPhrases: Seq[String] = Nil)
 
   /** Curate `docs`: returns the surviving rows plus `lang`, `quality`, and
     * `split` columns. `benchmark` (if given) is an eval set whose n-grams
@@ -369,14 +373,36 @@ object CorpusPipeline {
         val ce = graft.text.LangModel.scoreKnColumn(docs.sparkSession, kn, col(textCol))
         biScored.filter(ce.isNull || ce <= cfg.maxKnCrossEntropy)
     }
+    // blocklist gates (L83/L83b/L85): domain suffix join (broadcast-sized
+    // list), word intersect, phrase automaton — all before any dedup
+    // shuffle touches rows a list would have dropped. Null/hostless URLs
+    // keep (corrupt-survives), per the standalone operators' contracts.
+    val domainGated =
+      if (cfg.blockedDomains.isEmpty) scored
+      else {
+        import docs.sparkSession.implicits._
+        TextOps.filterBlockedDomains(scored, cfg.urlCol, idCol,
+          cfg.blockedDomains.toDF("domain"))
+      }
+    val wordGated =
+      if (cfg.blockedWords.isEmpty) domainGated
+      else domainGated.filter(
+        TextOps.blockedWordCount(col(textCol), cfg.blockedWords) === 0)
+    val phraseGated =
+      if (cfg.blockedPhrases.isEmpty) wordGated
+      else {
+        import docs.sparkSession.implicits._
+        graft.text.Phrases.filterBlockedPhrases(wordGated, textCol,
+          cfg.blockedPhrases.toDF("phrase"))
+      }
     // Gopher line-shape caps (bullet/ellipsis fractions) — row-local like
     // the other gates; null fractions (no non-blank lines) carry no
     // evidence and pass
     val lineGated =
-      if (cfg.maxBulletFrac >= 1.0 && cfg.maxEllipsisFrac >= 1.0) scored
+      if (cfg.maxBulletFrac >= 1.0 && cfg.maxEllipsisFrac >= 1.0) phraseGated
       else {
         val ls = TextOps.lineStats(col(textCol))
-        scored.filter(
+        phraseGated.filter(
           (ls.getField("frac_bullet").isNull ||
             ls.getField("frac_bullet") <= cfg.maxBulletFrac) &&
             (ls.getField("frac_ellipsis").isNull ||

@@ -609,6 +609,24 @@ class CorpusPipelineSpec extends SparkSpec {
       graft.sources.Warehouse.latestShards(spark, root).get.endsWith("v2"))
   }
 
+  test("curate blocklist gates: domain, word, and phrase lists drop their docs") {
+    val docs = Seq(
+      (1L, english + "one", "https://ok.example.org/a"),       // keeper
+      (2L, english + "two", "http://bad.example.com/x"),       // blocked domain
+      (3L, english + "sub", "https://cdn.bad.example.com/y"),  // blocked subdomain
+      (4L, english + "forbiddenword tail", "https://ok2.example.org/b"), // word list
+      (5L, english + "the secret handshake spans tokens", "https://ok3.example.org/c"), // phrase
+      (6L, english + "three", null.asInstanceOf[String])       // null URL keeps
+    ).toDF("doc_id", "text", "url")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 1.5, minQuality = 0.1,
+        blockedDomains = Seq("bad.example.com"),
+        blockedWords = Seq("forbiddenword"),
+        blockedPhrases = Seq("secret handshake spans")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(1L, 6L), s"survivors: $out")
+  }
+
   test("stripLinesAgainstRegistry strips registered boilerplate from a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
