@@ -297,6 +297,92 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chunk-registry anti-join never shuffles the registry side (bucketed scan)") {
+    // L87b's scale claim, d12's shape for chunk identity: the chunk
+    // registry (the unbounded side) is read in place bucketed on
+    // chunk_hash; only the batch's winner skeletons move.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.dedup.Cdc
+    graft.sources.Warehouse.dropTableAndLocation(spark, "chunkreg_guard")
+    Cdc.createChunkRegistry(spark, "chunkreg_guard", buckets = 4)
+    import spark.implicits._
+    val blob = Array.tabulate[Byte](4000)(i => (i * 31).toByte)
+    Cdc.newChunksAgainstRegistry(
+      Seq((1L, blob)).toDF("media_id", "content"), "content", "media_id",
+      "chunkreg_guard", minSize = 64, avgBits = 7, maxSize = 512).count()
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val blob2 = Array.tabulate[Byte](4000)(i => (i * 37).toByte)
+      val plan = Cdc.newChunksAgainstRegistry(
+        Seq((2L, blob2)).toDF("media_id", "content"), "content", "media_id",
+        "chunkreg_guard", update = false,
+        minSize = 64, avgBits = 7, maxSize = 512)
+        .queryExecution.executedPlan
+      def isRegScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains("chunkreg_guard"))
+        case _ => false
+      }
+      val regScans = plan.collect { case p if isRegScan(p) => p }
+      assert(regScans.nonEmpty, s"chunk-registry scan not found:\n$plan")
+      assert(regScans.forall {
+        case f: FileSourceScanExec => f.bucketedScan
+        case _ => false
+      }, s"chunk-registry scan is not bucketed:\n$plan")
+      val antiRights = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j.right
+      }
+      assert(antiRights.nonEmpty, s"anti-join not found:\n$plan")
+      val regSide = antiRights.filter(r =>
+        r.collect { case p if isRegScan(p) => p }.nonEmpty)
+      assert(regSide.nonEmpty, s"registry not on an anti-join side:\n$plan")
+      assert(regSide.forall(_.collect {
+        case s: ShuffleExchangeExec => s }.isEmpty),
+        s"the chunk-registry side is shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
+  test("heavy hitters recount: broadcast semi join, one bounded shuffle, no full-cardinality agg") {
+    // L88's scale claim: the returned plan's only aggregate keys on the
+    // bounded candidate set (the semi join precedes it), so the shuffle
+    // and the aggregate state can never scale with distinct-key
+    // cardinality — exactly one exchange (the partial-agg output), and
+    // the join is a broadcast semi on the candidate frame.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import spark.implicits._
+    val df = (Seq.fill(500)("hot") ++ (0 until 400).map(i => s"u$i"))
+      .toDF("key")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.HeavyHitters.heavyHitters(df, "key", 100000L)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"broadcast semi join not found:\n$plan")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"expected exactly one exchange (the bounded partial agg):\n$plan")
+    // the semi join sits BELOW the aggregate: no aggregate node appears
+    // under the join's stream side
+    val aggsUnderJoin = semis.flatMap(_.left.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a })
+    assert(aggsUnderJoin.isEmpty,
+      s"an aggregate ran before the candidate filter:\n$plan")
+  }
+
   test("line-registry anti-join never shuffles the registry side (bucketed scan)") {
     // the L74 scale claim, d12's shape for line identity: the line-hash
     // registry (the unbounded side) is read in place bucketed on the
