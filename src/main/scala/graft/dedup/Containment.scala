@@ -117,9 +117,18 @@ object Containment {
           .select("__a", "__b").distinct()
       }
 
-    val verified = cand
-      .join(arr.select(col("__id").as("__a"), col("__arr").as("__aArr"),
-        col("__na")), "__a")
+    // size filter BEFORE the verify join ships any array: containment
+    // needs n_common ≥ ⌈τ·n_a/100⌉ ≤ n_b, so a candidate whose container
+    // is too small is dead on arrival — pruned while the pair still
+    // weighs 16 bytes (AllPairs' length filter, adapted to containment)
+    val sizes = arr.select(col("__id"), col("__na"))
+    val sized = cand
+      .join(sizes.select(col("__id").as("__a"), col("__na")), "__a")
+      .join(sizes.select(col("__id").as("__b"), col("__na").as("__nb")), "__b")
+      .filter(col("__nb") * 100 >= col("__na") * tauPct)
+      .drop("__nb")
+    val verified = sized
+      .join(arr.select(col("__id").as("__a"), col("__arr").as("__aArr")), "__a")
       .join(arr.select(col("__id").as("__b"), col("__arr").as("__bArr")), "__b")
       .withColumn("__nc", size(array_intersect(col("__aArr"), col("__bArr"))))
       .filter(col("__nc") * 100 >= col("__na") * tauPct)
