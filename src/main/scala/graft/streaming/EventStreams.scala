@@ -858,6 +858,29 @@ object EventStreams {
     * Emits on watermark close. Documents whose every content line was
     * registered vanish, as in batch.
     */
+  /** Streaming heavy hitters — the trend-detection face of
+    * [[graft.operators.HeavyHitters]]: each micro-batch reports ITS OWN
+    * exact keys above `fracPpm` of the batch ("what token/URL/host is
+    * suddenly hot in this ingest window"), via foreachBatch → the batch
+    * operator — the bm25ServeStream pattern, because the two-pass
+    * MG-then-recount shape needs a static frame per batch. Per-batch
+    * semantics are the POINT here (a trend is a within-window
+    * statement); corpus-lifetime frequency is the batch operator's job
+    * over the accumulated table. Each report row carries the batch id
+    * for downstream correlation.
+    */
+  def heavyHittersStream(keys: DataFrame, keyCol: String, fracPpm: Long)
+                        (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.HeavyHitters
+            .heavyHitters(batch, keyCol, fracPpm)
+            .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Streaming CHUNK-registry probe — the binary member of the
     * registry-probe matrix (exact L16f, MinHash L16g, hamming L16h,
     * lines above): blobs arriving on a stream report how many chunk

@@ -116,6 +116,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(msg.contains("maxGroups"), s"unexpected: $msg")
   }
 
+  test("streaming per-batch heavy hitters equal the batch operator per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq.fill(60)("hot1") ++ (0 until 40).map(i => s"u$i")
+    val b2 = Seq.fill(80)("hot2") ++ (0 until 60).map(i => s"v$i")
+    val in = MemoryStream[String]
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = graft.streaming.EventStreams.heavyHittersStream(
+        in.toDF().toDF("key"), "key", fracPpm = 300000L) { out =>
+      got ++= out.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      // each batch reports its own hitters: 60/100 and 80/140, both > 30%
+      assert(got.toSet === Set(("hot1", 60L, 0L), ("hot2", 80L, 1L)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("empty input yields an empty frame; counters below the bound throw") {
     assert(HeavyHitters.heavyHitters(
       Seq.empty[String].toDF("key"), "key", 1000L).count() === 0)
