@@ -22,6 +22,15 @@ object SimilarityQ {
         idCol = "vec_id", vecCol = "embedding", k = 20)
     },
 
+    // L90: JL-projected candidates (16 of 64 dims — a quarter of the
+    // scan multiplies) + exact rerank for the same query.
+    "s13_knn_projected" -> { (s, dir) =>
+      Similarity.bruteForceKnnProjected(
+        Tables(s, dir, "embeddings"), queryVec(s, dir),
+        idCol = "vec_id", vecCol = "embedding", k = 20,
+        dim = LshDim, projDim = 16, overfetch = 8)
+    },
+
     // L7: LSH-bucketed approximate top-20 for the same query.
     "s02_knn_lsh" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
@@ -259,7 +268,47 @@ object SimilarityQ {
        |LIMIT 20""".stripMargin
   }
 
+  // s13: the JL candidate stage replayed with the SAME seed-derived
+  // projection matrix printed as full-precision literals (s02's
+  // generated-matrix discipline); each projected coordinate passes
+  // through FLOAT exactly as ProjectVec's (float)acc does, the
+  // candidate cut orders by the 4-rounded projected cosine with id
+  // tie-breaks (deterministic boundary on both engines), and the rerank
+  // is s01's exact arithmetic verbatim.
+  private val projectedOracle: String = {
+    val dim = LshDim; val projDim = 16; val seed = 42L
+    val k = 20; val overfetch = 8
+    val scale = 1.0 / math.sqrt(projDim.toDouble)
+    val rows = Similarity.directions(dim, projDim, seed)
+    def rowLit(r: Array[Double]): String =
+      r.map(_ * scale).mkString("[", ", ", "]")
+    val projList = (0 until projDim).map(j =>
+      s"CAST(CAST(list_dot_product(e, ${rowLit(rows(j))}) AS FLOAT) AS DOUBLE)")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH n AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, e,
+       |    $projList AS pv
+       |  FROM n),
+       |q AS (SELECT pv AS qpv, e AS qe FROM p WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, e, qe FROM p CROSS JOIN q
+       |  ORDER BY ROUND(list_dot_product(pv, qpv)
+       |      / (SQRT(list_dot_product(pv, pv)) * SQRT(list_dot_product(qpv, qpv))), 4)
+       |    DESC, vec_id
+       |  LIMIT ${k * overfetch})
+       |SELECT vec_id,
+       |  ROUND(list_dot_product(e, qe)
+       |        / (SQRT(list_dot_product(e, e)) * SQRT(list_dot_product(qe, qe))), 4) AS sim
+       |FROM cand
+       |ORDER BY sim DESC, vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("s13_knn_projected" -> projectedOracle) +
     // s11 = RankingEval over s10's list vs s01's ids as binary truth: the
     // s10/s01 oracles run verbatim as subqueries; the DCG weight and
     // ideal-prefix tables are THE SAME exact scaled-long constants the

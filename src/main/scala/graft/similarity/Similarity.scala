@@ -45,6 +45,52 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Johnson–Lindenstrauss projection of an embedding column to
+    * `outDim` dims (codegen'd [[graft.functions.ProjectVec]] kernel) —
+    * the build-time materialization for [[bruteForceKnnProjected]]: at
+    * corpus scale the projected column is WRITTEN once next to the
+    * original, and candidate scans then touch outDim/dim of the
+    * multiply budget.
+    */
+  def projectEmbeddings(df: DataFrame, vecCol: String, outCol: String,
+                        dim: Int, outDim: Int, seed: Long = 42L): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.ProjectVec(col(vecCol), dim, outDim, seed))
+
+  /** Brute-force kNN with a JL-projected candidate stage: rank ALL
+    * vectors by projected cosine (outDim/dim of the full multiply
+    * cost), overfetch `k·overfetch` candidates, then rerank EXACTLY on
+    * the original vectors with [[bruteForceKnn]]'s arithmetic — the
+    * returned top-k matches the exact scan whenever the true k-th
+    * neighbor survives the projected overfetch (JL keeps relative
+    * distances within (1±ε) whp; recall is spec-gated, and `overfetch`
+    * is the recall knob). Deterministic at any partitioning: the
+    * projection matrix is seed-derived, both rankings break ties by id.
+    */
+  def bruteForceKnnProjected(emb: DataFrame, query: DataFrame, idCol: String,
+                             vecCol: String, k: Int, dim: Int,
+                             projDim: Int = 16, overfetch: Int = 4,
+                             seed: Long = 42L, roundTo: Int = 4): DataFrame = {
+    require(projDim >= 1 && projDim <= dim, s"projDim out of [1, $dim]: $projDim")
+    require(overfetch >= 1, s"overfetch must be >= 1: $overfetch")
+    val pv = graft.functions.ProjectVec(col(vecCol), dim, projDim, seed)
+    val pq = graft.functions.ProjectVec(col("qvec"), dim, projDim, seed)
+    val q = broadcast(query.select(pq.as("__qp"), col("qvec"))
+      .withColumn("__norm_qp", sqrt(dot(col("__qp"), col("__qp")))))
+    // the candidate score rounds to 4 decimals before the cut (the s01
+    // float discipline): the overfetch BOUNDARY is then deterministic
+    // under the (psim, id) total order on any engine
+    val cands = emb.withColumn("__p", pv)
+      .withColumn("__norm_p", sqrt(dot(col("__p"), col("__p"))))
+      .crossJoin(q)
+      .select(col(idCol), round(dot(col("__p"), col("__qp")) /
+        (col("__norm_p") * col("__norm_qp")), roundTo).as("__psim"))
+      .orderBy(col("__psim").desc, col(idCol))
+      .limit(k * overfetch)
+    bruteForceKnn(emb.join(broadcast(cands.select(idCol)), Seq(idCol), "left_semi"),
+      query, idCol, vecCol, k, roundTo)
+  }
+
   /** Random-hyperplane signature: `bits` sign bits of projections onto
     * deterministic pseudo-random directions, packed into a long.
     * (Single-table form, kept for specs; the scan path uses

@@ -1132,6 +1132,41 @@ class OperatorSpec extends SparkSpec {
     assert(exact.intersect(approx).size >= 6, s"recall too low: ${exact.intersect(approx).size}/10")
   }
 
+  test("projected knn: JL candidates + exact rerank recover the exact top-k") {
+    // planted neighbor structure (the case retrieval actually serves):
+    // ids 1..19 are noisy copies of the query, the rest unrelated noise.
+    // All-random Gaussian corpora have no real neighbors — every cosine
+    // is a near-tie and NO sketch preserves near-tie order; that is a
+    // property of the data, not the operator.
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(32)(rng.nextGaussian().toFloat)
+    def noisy(scale: Float) =
+      base.map(x => x + scale * rng.nextGaussian().toFloat)
+    val emb = ((0L, base) +: (1L until 20L).map(i => (i, noisy(0.2f))) ++:
+      (20L until 500L).map(i =>
+        (i, Array.fill(32)(rng.nextGaussian().toFloat)))).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", k = 10)
+      .as[(Long, Double)].collect()
+    val proj = Similarity.bruteForceKnnProjected(emb, q, "vec_id", "embedding",
+      k = 10, dim = 32, projDim = 8, overfetch = 8)
+      .as[(Long, Double)].collect()
+    // rerank is EXACT, so every returned sim equals the exact scan's sim
+    // for that id, and recall is high (JL at 8 dims, 8x overfetch)
+    val exactMap = exact.toMap
+    proj.foreach { case (id, sim) =>
+      assert(!exactMap.contains(id) || exactMap(id) == sim) }
+    val recall = exact.map(_._1).toSet.intersect(proj.map(_._1).toSet).size
+    assert(recall >= 9, s"recall too low: $recall/10")
+    // the projection itself is deterministic at any partitioning
+    val p1 = Similarity.projectEmbeddings(emb, "embedding", "p", 32, 8)
+      .select($"vec_id", $"p").as[(Long, Seq[Float])].collect().toMap
+    val p2 = Similarity.projectEmbeddings(emb.repartition(7), "embedding", "p", 32, 8)
+      .select($"vec_id", $"p").as[(Long, Seq[Float])].collect().toMap
+    assert(p1 == p2)
+    assert(p1(0L).length == 8)
+  }
+
   test("ivf knn achieves reasonable recall vs brute force") {
     val rng = new scala.util.Random(3)
     val emb = (0L until 500L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
