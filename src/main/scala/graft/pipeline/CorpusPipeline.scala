@@ -373,17 +373,15 @@ object CorpusPipeline {
         val ce = graft.text.LangModel.scoreKnColumn(docs.sparkSession, kn, col(textCol))
         biScored.filter(ce.isNull || ce <= cfg.maxKnCrossEntropy)
     }
-    // blocklist gates (L83/L83b/L85): domain suffix join (broadcast-sized
-    // list), word intersect, phrase automaton — all before any dedup
-    // shuffle touches rows a list would have dropped. Null/hostless URLs
-    // keep (corrupt-survives), per the standalone operators' contracts.
+    // blocklist gates (L83/L83b/L85): domain suffix test (row-local on
+    // the in-config list — no join), word intersect, phrase automaton —
+    // all before any dedup shuffle touches rows a list would have
+    // dropped. Null/hostless URLs keep (corrupt-survives), per the
+    // standalone operators' contracts.
     val domainGated =
       if (cfg.blockedDomains.isEmpty) scored
-      else {
-        import docs.sparkSession.implicits._
-        TextOps.filterBlockedDomains(scored, cfg.urlCol, idCol,
-          cfg.blockedDomains.toDF("domain"))
-      }
+      else scored.filter(
+        !TextOps.blockedDomainHit(cfg.urlCol, cfg.blockedDomains))
     val wordGated =
       if (cfg.blockedWords.isEmpty) domainGated
       else domainGated.filter(

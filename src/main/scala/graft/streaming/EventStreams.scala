@@ -680,7 +680,11 @@ object EventStreams {
                  maxKnCrossEntropy: Double = Double.PositiveInfinity,
                  dropRepeatedLines: Boolean = false,
                  maxBulletFrac: Double = 1.0,
-                 maxEllipsisFrac: Double = 1.0): DataFrame = {
+                 maxEllipsisFrac: Double = 1.0,
+                 blockedDomains: Seq[String] = Nil,
+                 urlCol: String = "url",
+                 blockedWords: Seq[String] = Nil,
+                 blockedPhrases: Seq[String] = Nil): DataFrame = {
     import graft.text.TextOps
     import graft.dedup.Dedup
     // batch curate()'s crawl-cleanup stages, stream-safe because they are
@@ -699,7 +703,19 @@ object EventStreams {
             (ls.getField("frac_ellipsis").isNull ||
               ls.getField("frac_ellipsis") <= maxEllipsisFrac))
       }
-    val heuristicGated = lineGated
+    // blocklist gates, all row-local on in-config lists (the join-shaped
+    // domain filter would be a stream self-join): the literal-array
+    // suffix test, the word intersect, the phrase automaton
+    val blockGated = {
+      val d = if (blockedDomains.isEmpty) lineGated
+        else lineGated.filter(!TextOps.blockedDomainHit(urlCol, blockedDomains))
+      val w = if (blockedWords.isEmpty) d
+        else d.filter(TextOps.blockedWordCount(col(textCol), blockedWords) === 0)
+      if (blockedPhrases.isEmpty) w
+      else w.filter(
+        graft.text.Phrases.phraseHitCount(col(textCol), blockedPhrases) === 0)
+    }
+    val heuristicGated = blockGated
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .filter(col("__lq._1").isin(langs.toSeq: _*) && col("__lq._2") >= minQuality)
       .withColumn("lang", col("__lq._1"))

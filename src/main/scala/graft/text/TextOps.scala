@@ -731,23 +731,45 @@ object TextOps {
     * convention); single-label suffixes (`com`) are not generated, so a
     * TLD can't be blocked by accident.
     */
-  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame,
-                           urlCol: String, idCol: String,
-                           blocked: org.apache.spark.sql.DataFrame,
-                           domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+  /** The ≥2-label dot-suffixes of `urlCol`'s normalized host: host
+    * "a.b.c.tld" → [a.b.c.tld, b.c.tld, c.tld] (case/`www.`/default-port
+    * normalized); a null/hostless URL yields none. Shared by the
+    * join-shaped and row-local domain gates.
+    */
+  private def hostSuffixes(urlCol: String): Column = {
     val noScheme = regexp_replace(trim(col(urlCol)), "^[Hh][Tt][Tt][Pp][Ss]?://", "")
     val host = regexp_replace(regexp_replace(
       lower(regexp_extract(noScheme, "^([^/?#]*)", 1)),
       "^www\\.", ""), ":(80|443)$", "")
-    // suffixes with ≥2 labels: host "a.b.c.tld" → [a.b.c.tld, b.c.tld,
-    // c.tld]; a null/hostless URL yields none and the row keeps
     val labels = split(host, "\\.")
-    val suffixes = filter(
+    filter(
       transform(sequence(lit(1), greatest(size(labels) - 1, lit(1))),
         i => array_join(slice(labels, i, size(labels) - i + 1), ".")),
       s => s.contains("."))
+  }
+
+  /** Row-local domain-blocklist hit test for an IN-CONFIG domain list
+    * (hundreds to thousands of entries — the literal array rides the
+    * plan): true iff the URL's host is a listed domain or any subdomain
+    * of one. No join, no shuffle, STREAM-safe — the literal-list twin of
+    * [[filterBlockedDomains]] (which joins a DataFrame-shaped list that
+    * may be too large to inline). Null/hostless URLs are false (keep).
+    */
+  def blockedDomainHit(urlCol: String, domains: Seq[String]): Column = {
+    require(domains.nonEmpty, "blockedDomainHit needs at least one domain")
+    val normalized = domains.map(_.trim.toLowerCase).filter(_.contains("."))
+    if (normalized.isEmpty) lit(false)
+    else coalesce(
+      arrays_overlap(hostSuffixes(urlCol),
+        lit(normalized.distinct.toArray)), lit(false))
+  }
+
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame,
+                           urlCol: String, idCol: String,
+                           blocked: org.apache.spark.sql.DataFrame,
+                           domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
     val hit = df
-      .select(col(idCol), explode(suffixes).as("__h"))
+      .select(col(idCol), explode(hostSuffixes(urlCol)).as("__h"))
       .join(blocked.select(lower(trim(col(domainCol))).as("__h")).distinct(),
         Seq("__h"), "left_semi")
       .select(col(idCol)).distinct()

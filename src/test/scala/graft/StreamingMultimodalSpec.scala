@@ -379,6 +379,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateDocs blocklist gates: domain/word/phrase lists drop on arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text", "url")
+    val q = EventStreams.curateDocs(docs, "text", "ts",
+      langs = Set("en"), minQuality = 0.1,
+      blockedDomains = Seq("bad.example.com"),
+      blockedWords = Seq("forbiddenword"),
+      blockedPhrases = Seq("secret handshake spans"))
+      .writeStream.format("memory").queryName("curate_block_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), english + "one", "https://ok.example.org/a"),
+        (2L, ts(1), english + "two", "https://cdn.bad.example.com/x"), // subdomain
+        (3L, ts(2), english + "forbiddenword tail", "https://ok2.example.org/b"),
+        (4L, ts(3), english + "the secret handshake spans tokens", "https://ok3.example.org/c"),
+        (5L, ts(4), english + "three", null.asInstanceOf[String])) // null URL keeps
+      q.processAllAvailable()
+      val ids = spark.table("curate_block_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 5L), s"survivors: $ids")
+    } finally q.stop()
+  }
+
   test("streaming curateDocs gates, splits, dedups across batches, and redacts") {
     implicit val sqlCtx = spark.sqlContext
     val english = "the quick brown fox jumps over the lazy dog and it was happy for the day " * 3
