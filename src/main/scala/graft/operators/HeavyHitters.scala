@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   * the same rows as the naive plan at any partitioning (the MG
   * candidate SET varies with partitioning, but every true heavy hitter
   * is always in it and the recount+filter discard the rest), which is
-  * what the t40 oracle gates. Two scans, one bounded shuffle. The one
-  * driver collect is the summary union: ≤ tasks·(k+1) rows of
-  * (key, count) — the same bounded-by-construction contract as the
-  * IVF centroid matrix. Null keys are not counted and never returned.
+  * what the t40 oracle gates. Two scans, one bounded shuffle, NO
+  * driver collect: the summary union (≤ tasks·(k+1) rows — which at
+  * fracPpm=1 on a 10⁴-task corpus would be 10¹⁰ rows, too big to ever
+  * collect) stays in-plan as a lineage-cut persisted frame; n rides a
+  * broadcast 1-row aggregate and candidates a broadcast join frame.
+  * Null keys are not counted and never returned.
   */
 object HeavyHitters {
 
@@ -83,26 +85,28 @@ object HeavyHitters {
 
     val keys: Dataset[String] = df.select(col(keyCol).cast("string")).as[String]
     // one scan: per-partition MG summaries + a per-partition row total
-    // (part_n row carries mg_cnt = -1 as its tag; real summaries ≥ 1)
-    val summaries = keys.mapPartitions { it =>
-      var n = 0L
-      val counted = it.map { s => if (s != null) n += 1; s }
-      val mg = misraGries(counted, k).toArray // drains `counted`, fixing n
-      mg.iterator.map { case (key, c) => (key, c) } ++
-        Iterator.single((null.asInstanceOf[String], -n - 1))
-    }.toDF("key", "mg_cnt").collect() // ≤ tasks·(k+1) rows, bounded by design
+    // (the total row carries a negative tag; real summaries are ≥ 1).
+    // Persisted lineage-cut because three plans consume it.
+    val summaries = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
+      keys.mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { s => if (s != null) n += 1; s }
+        val mg = misraGries(counted, k).toArray // drains `counted`, fixing n
+        mg.iterator.map { case (key, c) => (key, c) } ++
+          Iterator.single((null.asInstanceOf[String], -n - 1))
+      }.toDF("key", "mg_cnt"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val n = summaries.iterator.filter(_.getLong(1) < 0).map(r => -r.getLong(1) - 1).sum
-    val cand = summaries.iterator.filter(_.getLong(1) > 0).map(_.getString(0))
-      .toSet.toSeq
-    if (cand.isEmpty || n == 0L)
-      return keys.toDF("key").filter(lit(false))
-        .groupBy("key").agg(count(lit(1)).as("cnt"))
-
+    val total = summaries.filter(col("mg_cnt") < 0)
+      .agg(sum(-col("mg_cnt") - 1).as("__n"))
+    val candidates = summaries.filter(col("mg_cnt") > 0)
+      .select(col("key")).distinct()
     keys.toDF("key").filter(col("key").isNotNull)
-      .join(broadcast(cand.toDF("key")), Seq("key"), "left_semi")
+      .join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 1000000L > lit(fracPpm) * lit(n))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 1000000L > lit(fracPpm) * col("__n"))
+      .select(col("key"), col("cnt"))
   }
 
   /** PER-GROUP exact heavy hitters: keys with count > fracPpm·n_g/10⁶

@@ -350,12 +350,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("heavy hitters recount: broadcast semi join, one bounded shuffle, no full-cardinality agg") {
-    // L88's scale claim: the returned plan's only aggregate keys on the
-    // bounded candidate set (the semi join precedes it), so the shuffle
-    // and the aggregate state can never scale with distinct-key
-    // cardinality — exactly one exchange (the partial-agg output), and
-    // the join is a broadcast semi on the candidate frame.
+  test("heavy hitters recount: broadcast semi join, bounded shuffles, no full-cardinality agg") {
+    // L88's scale claim: the full-corpus scan reaches its aggregate only
+    // THROUGH the broadcast candidate semi join, so no aggregate state
+    // ever scales with distinct-key cardinality; every exchange in the
+    // plan carries either the bounded candidate/total frames (summary
+    // lineage, ≤ tasks·(k+1) rows) or the bounded recount partials.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import spark.implicits._
@@ -373,8 +373,8 @@ class PlanSpec extends SparkSpec {
     }
     assert(semis.nonEmpty, s"broadcast semi join not found:\n$plan")
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size == 1,
-      s"expected exactly one exchange (the bounded partial agg):\n$plan")
+    assert(shuffles.size <= 3,
+      s"unexpected exchanges beyond candidates/total/recount:\n$plan")
     // the semi join sits BELOW the aggregate: no aggregate node appears
     // under the join's stream side
     val aggsUnderJoin = semis.flatMap(_.left.collect {
