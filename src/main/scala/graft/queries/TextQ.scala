@@ -382,6 +382,28 @@ object TextQ {
         .orderBy("lang", "token")
     },
 
+    // L91: cross-run distinct-cardinality registry — estimated distinct
+    // docs per source over two appended "days" of sketches (the
+    // registry never stores values, only O(groups·2^lgK) sketch bytes
+    // per run). Rows-only: DataSketches HLL state has no DuckDB
+    // analogue and estimates are deliberately not exact counts;
+    // determinism is spec-pinned.
+    "t42_distinct_per_source" -> { (s, dir) =>
+      val table = "graft_cardreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.Cardinality.createSketchRegistry(s, table, buckets = 4)
+        graft.operators.Cardinality.appendSketches(
+          Tables(s, dir, "documents").filter(col("doc_id") < 250),
+          "source", "doc_id", table)
+        graft.operators.Cardinality.appendSketches(
+          Tables(s, dir, "documents").filter(col("doc_id") >= 250),
+          "source", "doc_id", table)
+      }
+      graft.operators.Cardinality.distinctPerGroup(s, table)
+        .orderBy("group")
+    },
+
     // L83b: C4-style word-list gate — docs containing any listed word
     // drop; survivors carry the (zero) hit count as evidence.
     "t37_word_blocklist" -> { (s, dir) =>
