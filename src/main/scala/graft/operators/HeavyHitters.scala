@@ -73,7 +73,18 @@ object HeavyHitters {
     * k ≥ ⌈10⁶/fracPpm⌉ (the default is exactly that bound).
     */
   def heavyHitters(df: DataFrame, keyCol: String, fracPpm: Long,
-                   counters: Int = 0): DataFrame = {
+                   counters: Int = 0): DataFrame =
+    heavyHittersReleasable(df, keyCol, fracPpm, counters)._1
+
+  /** [[heavyHitters]] plus a release thunk for the internal persisted MG
+    * summary — the variant PER-BATCH callers in a long-lived driver (the
+    * streaming twin) must use: call the thunk once the result is
+    * materialized, or MEMORY_AND_DISK blocks accumulate between GCs.
+    * Releasing before evaluation is safe (the summary recomputes
+    * deterministically), just slower.
+    */
+  def heavyHittersReleasable(df: DataFrame, keyCol: String, fracPpm: Long,
+                             counters: Int = 0): (DataFrame, () => Unit) = {
     require(fracPpm >= 1 && fracPpm < 1000000L,
       s"fracPpm out of [1, 1e6): $fracPpm")
     val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt // ceil(1e6/fracPpm)
@@ -87,15 +98,16 @@ object HeavyHitters {
     // one scan: per-partition MG summaries + a per-partition row total
     // (the total row carries a negative tag; real summaries are ≥ 1).
     // Persisted lineage-cut because three plans consume it.
-    val summaries = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
-      keys.mapPartitions { it =>
-        var n = 0L
-        val counted = it.map { s => if (s != null) n += 1; s }
-        val mg = misraGries(counted, k).toArray // drains `counted`, fixing n
-        mg.iterator.map { case (key, c) => (key, c) } ++
-          Iterator.single((null.asInstanceOf[String], -n - 1))
-      }.toDF("key", "mg_cnt"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (summaries, release) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        keys.mapPartitions { it =>
+          var n = 0L
+          val counted = it.map { s => if (s != null) n += 1; s }
+          val mg = misraGries(counted, k).toArray // drains `counted`, fixing n
+          mg.iterator.map { case (key, c) => (key, c) } ++
+            Iterator.single((null.asInstanceOf[String], -n - 1))
+        }.toDF("key", "mg_cnt"),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val total = summaries.filter(col("mg_cnt") < 0)
       .agg(sum(-col("mg_cnt") - 1).as("__n"))
@@ -105,8 +117,13 @@ object HeavyHitters {
       .join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
-      .filter(col("cnt") * 1000000L > lit(fracPpm) * col("__n"))
-      .select(col("key"), col("cnt"))
+      // DECIMAL cross-multiply: cnt·10⁶ overflows a long once n nears
+      // Long.MaxValue/10⁶ (~9e12 rows — inside the operator's own target),
+      // and under ANSI mode that kills the job AFTER both scans.
+      // decimal(21,0)·decimal(7,0) → decimal(29,0), exact and overflow-free.
+      .filter(col("cnt").cast("decimal(21,0)") * lit(1000000L).cast("decimal(7,0)") >
+        lit(fracPpm).cast("decimal(7,0)") * col("__n").cast("decimal(21,0)"))
+      .select(col("key"), col("cnt")) -> release
   }
 
   /** PER-GROUP exact heavy hitters: keys with count > fracPpm·n_g/10⁶
@@ -193,7 +210,9 @@ object HeavyHitters {
         col("g") <=> col("__cg") && col("key") === col("__ck"), "left_semi")
       .groupBy("g", "key").agg(count(lit(1)).as("cnt"))
       .join(totals, col("g") <=> col("__tg"))
-      .filter(col("cnt") * 1000000L > lit(fracPpm) * col("__n"))
+      // same DECIMAL cross-multiply as the global pass (long overflow guard)
+      .filter(col("cnt").cast("decimal(21,0)") * lit(1000000L).cast("decimal(7,0)") >
+        lit(fracPpm).cast("decimal(7,0)") * col("__n").cast("decimal(21,0)"))
       .select(col("g").as(groupCol), col("key").as(keyCol), col("cnt"))
   }
 }

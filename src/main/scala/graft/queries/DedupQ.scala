@@ -566,7 +566,168 @@ object DedupQ {
         |  CAST(c.n_common AS BIGINT) AS n_common, CAST(n.n_a AS BIGINT) AS n_a
         |FROM common c JOIN na n ON n.doc_id = c.contained_id
         |WHERE n.n_a >= 10 AND c.n_common * 100 >= 80 * n.n_a
-        |ORDER BY contained_id, container_id""".stripMargin)
+        |ORDER BY contained_id, container_id""".stripMargin) +
+    // d02: the FULL minhash identity recomputed in SQL — scala murmur3
+    // token hashes (OracleHashLib macros), the 3-gram FNV-style fold, the
+    // splitmix64(seed=42) permutation minima (signed comparison), and the
+    // 16-band FNV bucket fold. Token/gram hashing rides a distinct-token
+    // vocabulary (the synthetic corpus vocabulary is tiny).
+    ("d02_minhash_bands" ->
+      (OracleHashLib.preamble +
+        s"""WITH ${OracleHashLib.permValues},
+           #${OracleHashLib.tokenHashCtes("documents",
+               s"g_scala_stringhash(t, ${OracleHashLib.AltSeed})")},
+           #th AS (
+           #  SELECT doc_id, list(h ORDER BY ord) AS hs
+           #  FROM toks JOIN vocab USING (t) GROUP BY doc_id
+           #), grams AS (
+           #  SELECT doc_id, unnest(CASE WHEN len(hs) < 3
+           #    THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, hs),
+           #          (acc, x) -> ((acc * 31 + x) & 18446744073709551615))]
+           #    ELSE list_transform(range(1, len(hs) - 1),
+           #      i0 -> ((g_mul64(((g_mul64((g_mul64(1125899906842597::HUGEINT,
+           #        1099511628211) + hs[i0]) & 18446744073709551615,
+           #        1099511628211) + hs[i0+1]) & 18446744073709551615),
+           #        1099511628211) + hs[i0+2]) & 18446744073709551615))
+           #    END) AS g
+           #  FROM th
+           #), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+           #gv AS MATERIALIZED (
+           #  SELECT g, i, g_s64((g_mul64(a, g) + b) & 18446744073709551615) AS v
+           #  FROM (SELECT DISTINCT g FROM dg), perms
+           #), sigs AS (
+           #  SELECT doc_id, i, min(v) AS s
+           #  FROM dg JOIN gv USING (g) GROUP BY doc_id, i
+           #), siglist AS (
+           #  SELECT doc_id, list(g_us(s) ORDER BY i) AS sig FROM sigs
+           #  GROUP BY doc_id
+           #)
+           #SELECT doc_id, band, g_s64(bkt) AS bucket FROM (
+           #  SELECT doc_id, unnest(range(0, 16))::INT AS band,
+           #    unnest(list_transform(range(0, 16), bnd ->
+           #      g_mul64(xor(
+           #        g_mul64(xor(
+           #          g_mul64(xor(
+           #            g_mul64(xor(xor(14695981039346656037::HUGEINT,
+           #                            bnd::HUGEINT), sig[4*bnd+1]),
+           #              1099511628211),
+           #            sig[4*bnd+2]), 1099511628211),
+           #          sig[4*bnd+3]), 1099511628211),
+           #        sig[4*bnd+4]), 1099511628211))) AS bkt
+           #  FROM siglist)
+           #ORDER BY doc_id, band""".stripMargin('#'))) +
+    // d03: SimHash recomputed — per-token (stringHash(t) << 32 |
+    // stringHash(reverse(t))) and the per-bit majority vote.
+    ("d03_simhash" ->
+      (OracleHashLib.preamble +
+        s"""WITH ${OracleHashLib.simhashCtes("documents")}
+           #SELECT doc_id, h AS simhash64 FROM simh ORDER BY doc_id""".stripMargin('#'))) +
+    // d14: SimHash near-dedup — the two-tier drop rule collapses to "keep
+    // the min doc_id of each connected component of the hamming<=6 graph
+    // over DISTINCT fingerprints" (exact tier keeps min per h; near tier
+    // keeps the min rep per component; reps are min-per-h, so the kept id
+    // is the component's global min). Candidates via a 7-block pigeonhole
+    // band join (lossless for radius 6), verified with bit_count(xor),
+    // components via recursive min-label closure.
+    ("d14_simhash_near_dedup" ->
+      (OracleHashLib.preamble +
+        s"""WITH docs AS (
+           #  SELECT doc_id, text FROM documents
+           #  UNION ALL
+           #  SELECT doc_id + 2000000 AS doc_id, text || ' graftmarker' AS text
+           #  FROM documents WHERE doc_id % 10 = 0
+           #), ${OracleHashLib.simhashCtes("docs")},
+           #reps AS MATERIALIZED (
+           #  SELECT h, min(doc_id) AS rep FROM simh GROUP BY h
+           #), blocks AS (
+           #  SELECT h, rep, bi,
+           #    CASE bi
+           #      WHEN 0 THEN (h >> 54) & 1023
+           #      WHEN 1 THEN (h >> 45) & 511
+           #      WHEN 2 THEN (h >> 36) & 511
+           #      WHEN 3 THEN (h >> 27) & 511
+           #      WHEN 4 THEN (h >> 18) & 511
+           #      WHEN 5 THEN (h >> 9) & 511
+           #      ELSE h & 511 END AS bv
+           #  FROM reps, (SELECT unnest(range(0, 7)) AS bi)
+           #), edges AS MATERIALIZED (
+           #  SELECT DISTINCT a.h AS h1, b.h AS h2
+           #  FROM blocks a JOIN blocks b USING (bi, bv)
+           #  WHERE a.h <> b.h AND bit_count(xor(a.h, b.h)) <= 6
+           #), comp AS (
+           #  WITH RECURSIVE c(h, lbl) AS (
+           #    SELECT h, rep FROM reps
+           #    UNION
+           #    SELECT e.h2, c.lbl FROM c JOIN edges e ON c.h = e.h1
+           #  ) SELECT h, min(lbl) AS lbl FROM c GROUP BY h
+           #)
+           #SELECT s.doc_id
+           #FROM simh s JOIN comp c USING (h)
+           #WHERE s.doc_id = c.lbl
+           #ORDER BY s.doc_id""".stripMargin('#'))) +
+    // d25: gear-CDC chunking recomputed in SQL (OracleHashLib.cdcChunkCtes
+    // — exact boundaries + FNV-1a chunk hashes), then the containment
+    // semantics over chunk-hash sets through the naive shared-chunk join.
+    ("d25_cdc_containment" ->
+      (OracleHashLib.preamble +
+        s"""WITH ${OracleHashLib.cdcChunkCtes("",
+             s"""SELECT doc_id AS media_id, text AS txt FROM documents
+               #  UNION ALL
+               #  SELECT doc_id + 100000 AS media_id,
+               #         ${OracleHashLib.BannerSql} || text AS txt
+               #  FROM documents WHERE doc_id % 10 = 0""".stripMargin('#'))},
+           #sets AS (
+           #  SELECT media_id, count(DISTINCT chunk_hash) AS na
+           #  FROM chunks GROUP BY media_id
+           #), dchunks AS (
+           #  SELECT DISTINCT media_id, chunk_hash FROM chunks
+           #), pairs AS (
+           #  SELECT a.media_id AS contained_id, b.media_id AS container_id,
+           #         count(*) AS n_common
+           #  FROM dchunks a JOIN dchunks b USING (chunk_hash)
+           #  WHERE a.media_id <> b.media_id
+           #  GROUP BY 1, 2
+           #)
+           #SELECT p.contained_id, p.container_id,
+           #       p.n_common::BIGINT AS n_common, s.na::BIGINT AS n_a
+           #FROM pairs p JOIN sets s ON s.media_id = p.contained_id
+           #WHERE s.na >= 4 AND p.n_common * 100 >= 70 * s.na
+           #ORDER BY contained_id, container_id""".stripMargin('#'))) +
+    // d26: the chunk-registry report — the registry is day 0's (<250)
+    // distinct chunk hashes, recomputed with the same CDC geometry; then
+    // batch winners (min id per chunk), anti-join, per-blob report.
+    ("d26_chunk_registry" ->
+      (OracleHashLib.preamble +
+        s"""WITH ${OracleHashLib.cdcChunkCtes("",
+             s"""SELECT doc_id AS media_id, text AS txt FROM documents
+               #  WHERE doc_id >= 250
+               #  UNION ALL
+               #  SELECT doc_id + 100000 AS media_id,
+               #         ${OracleHashLib.BannerSql} || text AS txt
+               #  FROM documents WHERE doc_id < 250""".stripMargin('#'))},
+           #${OracleHashLib.cdcChunkCtes("r",
+             "SELECT doc_id AS media_id, text AS txt FROM documents WHERE doc_id < 250")},
+           #registry AS (SELECT DISTINCT chunk_hash FROM rchunks),
+           #perblob AS (
+           #  SELECT media_id AS id, chunk_hash, min(ln) AS length
+           #  FROM chunks GROUP BY 1, 2
+           #), winners AS (
+           #  SELECT chunk_hash, min(id) AS win_id, min(length) AS length
+           #  FROM perblob GROUP BY 1
+           #), fresh AS (
+           #  SELECT * FROM winners
+           #  WHERE chunk_hash NOT IN (SELECT chunk_hash FROM registry)
+           #), pernew AS (
+           #  SELECT win_id AS id, count(*) AS n_new_chunks,
+           #         sum(length)::BIGINT AS new_bytes
+           #  FROM fresh GROUP BY 1
+           #)
+           #SELECT p.id, count(*)::BIGINT AS n_chunks,
+           #       coalesce(any_value(n.n_new_chunks), 0)::BIGINT AS n_new_chunks,
+           #       coalesce(any_value(n.new_bytes), 0)::BIGINT AS new_bytes
+           #FROM perblob p LEFT JOIN pernew n USING (id)
+           #GROUP BY p.id
+           #ORDER BY id""".stripMargin('#')))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "d01_exact_dedup" ->

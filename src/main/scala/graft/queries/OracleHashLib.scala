@@ -1,0 +1,222 @@
+package graft.queries
+
+/** Pure-SQL DuckDB macro library that re-expresses graft's JVM hash
+  * primitives — scala.util.hashing.MurmurHash3.stringHash, the wrapping
+  * 64-bit polynomial/FNV folds, splitmix64 permutation parameters, and
+  * the gear-CDC chunker — so queries whose identity is a JVM hash
+  * (d02/d03/d14/t04/d25/d26/t14) gate against the DuckDB oracle instead
+  * of a rows-only check.
+  *
+  * Everything here is plain SQL prepended to the oracle statement
+  * (`CREATE OR REPLACE MACRO …; SELECT …`): DuckDB's python API runs
+  * multi-statement strings and returns the last relation, so the
+  * driver's comparator needs no UDF registration. 64-bit wrapping
+  * arithmetic rides HUGEINT (int128) with explicit masks; 32-bit rides
+  * BIGINT. The library is validated end-to-end: each converted oracle
+  * was diffed value-exact against the Spark parquet dumps before
+  * shipping (see OracleHashLibSpec for the in-repo pins).
+  *
+  * Scope note (honest contract): the char-indexed macros (`g_codes`,
+  * `g_scala_stringhash`) equate DuckDB code points with JVM UTF-16 code
+  * units — exact for the BMP; the driver corpus is ASCII. Supplementary
+  * planes would need a surrogate-pair expansion here.
+  */
+object OracleHashLib {
+
+  /** splitmix64 stream — mirrors Dedup.permParams / Cdc.Gear derivation. */
+  private def splitmixStream(seed: Long, n: Int): Array[Long] = {
+    var x = seed
+    Array.fill(n) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  private def u64(v: Long): BigInt = BigInt(v) & ((BigInt(1) << 64) - 1)
+
+  /** (i, a, b) VALUES rows for the d02 MinHash permutations
+    * (numHashes=64, seed=42 — the minhashSignatureFromText defaults).
+    */
+  private val permRows: String = {
+    val s = splitmixStream(42L, 128)
+    val as = s.take(64).map(_ | 1L)
+    val bs = s.drop(64)
+    as.zip(bs).zipWithIndex.map { case ((a, b), i) =>
+      s"($i,${u64(a)}::HUGEINT,${u64(b)}::HUGEINT)"
+    }.mkString(",")
+  }
+
+  /** 256-entry low-5-bit gear table (only bits 0–4 of the gear state can
+    * influence the avgBits=5 cut mask, so the full 64-bit table is never
+    * needed SQL-side).
+    */
+  private val gear5List: String =
+    graft.dedup.Cdc.Gear.map(_ & 31L).mkString("[", ",", "]")
+
+  private val M64 = "18446744073709551615" // 2^64 - 1
+
+  /** The macro preamble every converted oracle starts with. */
+  val preamble: String =
+    s"""CREATE OR REPLACE MACRO g_mul64(a, b) AS
+       #  (((a & 4294967295) * (b & 4294967295)
+       #    + ((((a >> 32) * (b & 4294967295) + (a & 4294967295) * (b >> 32))
+       #        & 4294967295) << 32)) & $M64);
+       #CREATE OR REPLACE MACRO g_s64(u) AS
+       #  (CASE WHEN (u & $M64) >= 9223372036854775808::HUGEINT
+       #        THEN ((u & $M64) - 18446744073709551616::HUGEINT)::BIGINT
+       #        ELSE (u & $M64)::BIGINT END);
+       #CREATE OR REPLACE MACRO g_us(x) AS
+       #  (CASE WHEN x < 0 THEN (x::HUGEINT + 18446744073709551616::HUGEINT)
+       #        ELSE x::HUGEINT END);
+       #CREATE OR REPLACE MACRO g_mul32(a, b) AS
+       #  (((a::HUGEINT * b::HUGEINT) & 4294967295)::BIGINT);
+       #CREATE OR REPLACE MACRO g_rotl32(x, r) AS
+       #  ((((x << r) | (x >> (32 - r))) & 4294967295));
+       #CREATE OR REPLACE MACRO g_s32(u) AS
+       #  (CASE WHEN u >= 2147483648 THEN u - 4294967296 ELSE u END);
+       #CREATE OR REPLACE MACRO g_u32(x) AS
+       #  (CASE WHEN x < 0 THEN x + 4294967296 ELSE x END);
+       #CREATE OR REPLACE MACRO g_xsr(h, r) AS (xor(h, h >> r));
+       #CREATE OR REPLACE MACRO g_mmh3_mixk(k) AS
+       #  (g_mul32(g_rotl32(g_mul32(k, 3432918353), 15), 461845907));
+       #CREATE OR REPLACE MACRO g_mmh3_mix(h, k) AS
+       #  ((g_mul32(g_rotl32(xor(h, g_mmh3_mixk(k)), 13), 5) + 3864292196)
+       #   & 4294967295);
+       #CREATE OR REPLACE MACRO g_mmh3_avalanche(h0) AS
+       #  (g_xsr(g_mul32(g_xsr(g_mul32(g_xsr(h0, 16), 2246822507), 13),
+       #                 3266489909), 16));
+       #CREATE OR REPLACE MACRO g_codes(s) AS
+       #  (list_transform(range(1, length(s) + 1), i -> unicode(s[i])));
+       #CREATE OR REPLACE MACRO g_scala_stringhash(s, seed) AS
+       #  (g_s32(g_mmh3_avalanche(xor(
+       #     CASE WHEN length(s) % 2 = 1
+       #       THEN xor(
+       #         list_reduce(list_prepend(g_u32(seed)::BIGINT,
+       #           list_transform(range(0, length(s) // 2),
+       #             j -> (unicode(s[2*j+1]) << 16) + unicode(s[2*j+2]))),
+       #           (h, k) -> g_mmh3_mix(h, k)),
+       #         g_mmh3_mixk(unicode(s[length(s)])))
+       #       ELSE
+       #         list_reduce(list_prepend(g_u32(seed)::BIGINT,
+       #           list_transform(range(0, length(s) // 2),
+       #             j -> (unicode(s[2*j+1]) << 16) + unicode(s[2*j+2]))),
+       #           (h, k) -> g_mmh3_mix(h, k))
+       #     END,
+       #     length(s)))));
+       #CREATE OR REPLACE MACRO g_cdc_warm(g5, start, d) AS
+       #  (CASE d
+       #     WHEN 0 THEN g5[start+17]::BIGINT
+       #     WHEN 1 THEN g5[start+18]::BIGINT + 2*g5[start+17]::BIGINT
+       #     WHEN 2 THEN g5[start+19]::BIGINT + 2*g5[start+18]::BIGINT
+       #                 + 4*g5[start+17]::BIGINT
+       #     ELSE        g5[start+20]::BIGINT + 2*g5[start+19]::BIGINT
+       #                 + 4*g5[start+18]::BIGINT + 8*g5[start+17]::BIGINT
+       #   END % 32);
+       #CREATE OR REPLACE MACRO g_cdc_next(g5, p5, n, start) AS
+       #  (CASE WHEN n - start <= 16 THEN n ELSE
+       #    least(
+       #      coalesce(start + 17 + list_min(list_filter([0,1,2,3],
+       #        d -> start + 17 + d <= least(start + 256, n)
+       #             AND g_cdc_warm(g5, start, d) = 0)), 1073741824),
+       #      coalesce(list_min(list_filter(p5,
+       #        p -> p >= start + 21 AND p <= least(start + 256, n))),
+       #        1073741824),
+       #      least(start + 256, n))
+       #   END);
+       #""".stripMargin('#')
+
+  /** Scala MurmurHash3.stringSeed (0xf7ca7fd2) as unsigned decimal. */
+  val StringSeed = "4157243346"
+
+  /** The minhash token-hash low-word seed (0x9747b28c). */
+  val AltSeed = "2538058380"
+
+  /** 64-bit token/combined hash CTE fragment: per-document whitespace
+    * tokens joined to a distinct-token vocabulary (the driver corpus
+    * vocabulary is tiny, so hashing distinct tokens once dominates).
+    * `lowSeedExpr(t)` builds the low 32 bits from token `t`.
+    */
+  def tokenHashCtes(docsCte: String, lowExpr: String): String =
+    s"""toks AS (
+       #  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t,
+       #         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS ord
+       #  FROM $docsCte
+       #), vocab AS MATERIALIZED (
+       #  SELECT t,
+       #    ((g_u32(g_scala_stringhash(t, $StringSeed))::HUGEINT << 32)
+       #     | g_u32($lowExpr)::HUGEINT) AS h
+       #  FROM (SELECT DISTINCT t FROM toks)
+       #)""".stripMargin('#')
+
+  /** SimHash CTE block: per-document 64-bit SimHash as signed BIGINT,
+    * exposed as `simh(doc_id, h)`. Expects `docsCte(doc_id, text)`.
+    */
+  def simhashCtes(docsCte: String): String =
+    s"""${tokenHashCtes(docsCte, s"g_scala_stringhash(reverse(t), $StringSeed)")},
+       #th AS (SELECT doc_id, h FROM toks JOIN vocab USING (t)),
+       #votes AS (
+       #  SELECT doc_id, b AS bit,
+       #         CASE WHEN 2 * sum(((h >> b) & 1)::BIGINT) > count(*)
+       #              THEN 1::HUGEINT ELSE 0::HUGEINT END AS bitset
+       #  FROM th, (SELECT unnest(range(0,64)) AS b)
+       #  GROUP BY doc_id, b
+       #), simh AS MATERIALIZED (
+       #  SELECT doc_id, g_s64(sum(bitset << bit)) AS h
+       #  FROM votes GROUP BY doc_id
+       #)""".stripMargin('#')
+
+  /** Gear-CDC chunk CTE block over `(media_id, txt)` rows produced by
+    * `blobExpr` (ASCII text standing in for the UTF-8 blob bytes —
+    * byte values ≡ code points). Exposes `${p}chunks(media_id, strt,
+    * ln, chunk_hash)` with the exact Cdc.boundaries/fnv1a semantics at
+    * minSize=16, avgBits=5, maxSize=256 (the d25/d26 geometry). The
+    * recursion advances one CHUNK per step (positions where the 5-byte
+    * gear window can cut are precomputed in `p5`; warm-up truncation is
+    * start-dependent and handled by g_cdc_warm).
+    */
+  def cdcChunkCtes(p: String, blobExpr: String): String =
+    s"""${p}blobs AS MATERIALIZED (
+       #  SELECT media_id,
+       #         list_transform(g_codes(txt), c -> $gear5List[c+1]) AS g5,
+       #         g_codes(txt) AS bs,
+       #         length(txt) AS n
+       #  FROM ($blobExpr)
+       #), ${p}blobp AS MATERIALIZED (
+       #  SELECT media_id, g5, bs, n,
+       #    list_filter(range(5, n + 1),
+       #      j -> (16*g5[j-4] + 8*g5[j-3] + 4*g5[j-2] + 2*g5[j-1] + g5[j])
+       #           % 32 = 0) AS p5
+       #  FROM ${p}blobs
+       #), ${p}ends AS (
+       #  WITH RECURSIVE rec(media_id, strt, fin) AS (
+       #    SELECT media_id, 0, g_cdc_next(g5, p5, n, 0) FROM ${p}blobp
+       #    WHERE n > 0
+       #    UNION ALL
+       #    SELECT r.media_id, r.fin, g_cdc_next(b.g5, b.p5, b.n, r.fin)
+       #    FROM rec r JOIN ${p}blobp b USING (media_id) WHERE r.fin < b.n
+       #  ) SELECT * FROM rec
+       #), ${p}chunks AS MATERIALIZED (
+       #  SELECT e.media_id, e.strt, e.fin - e.strt AS ln,
+       #    g_s64(list_reduce(
+       #      list_prepend(14695981039346656037::HUGEINT, b.bs[e.strt+1:e.fin]),
+       #      (h, c) -> g_mul64(xor(h, c::HUGEINT), 1099511628211))) AS chunk_hash
+       #  FROM ${p}ends e JOIN ${p}blobp b USING (media_id)
+       #)""".stripMargin('#')
+
+  /** The d25/d26 mirror banner as a SQL string expression. */
+  val BannerSql: String =
+    "'HTTP/1.1 200 OK' || chr(13) || chr(10) || 'X-Mirror: cdn-7' || " +
+      "chr(13) || chr(10) || chr(13) || chr(10)"
+
+  /** d02's permutation parameter VALUES clause. */
+  val permValues: String = s"perms(i, a, b) AS (VALUES $permRows)"
+
+  /** Where t14 exports its trained weights for the oracle re-score. A
+    * fixed host path on purpose: oracle SQL is static, and Verify + the
+    * DuckDB compare run sequentially on one host per scale factor.
+    */
+  val T14ModelExport = "/tmp/graft_oracle_export/t14_model.parquet"
+}

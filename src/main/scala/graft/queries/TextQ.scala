@@ -193,6 +193,17 @@ object TextQ {
         .withColumn("label", (col("doc_id") % 3 === 0).cast("double"))
       val model = Classifier.train(docs.filter(col("doc_id") % 2 === 0),
         "qtext", "label", bits = 16, iters = 20)
+      // export the trained weights for the DuckDB oracle: training stays
+      // Spark-side state (spec-gated), but the hashed-feature re-score is
+      // plain SQL once the weights are data the oracle can read
+      locally {
+        import s.implicits._
+        (model.weights.zipWithIndex.collect {
+          case (w, i) if w != 0.0 => (i, w)
+        }.toSeq :+ (-1, model.bias))
+          .toDF("idx", "weight").coalesce(1).write.mode("overwrite")
+          .parquet(OracleHashLib.T14ModelExport)
+      }
       docs.select(col("doc_id"),
           (Classifier.score(s, model, col("qtext")) > 0.5).cast("int").as("pred"))
         .orderBy("doc_id")
@@ -623,6 +634,68 @@ object TextQ {
 
   val oracles: Map[String, String] = Map(
     "t01_langid" -> langIdOracle,
+
+    // t04: the rolling 16-char polynomial fingerprint recomputed — the
+    // windowed minimum of the FNV-prime poly hash over UTF-16 code units
+    // (ASCII corpus: code point ≡ code unit), signed comparison. Windows
+    // recompute from a bound codes list (the wrapping rolling update and
+    // the window recompute are identical mod 2^64).
+    "t04_fingerprint" ->
+      (OracleHashLib.preamble +
+        """SELECT doc_id,
+          #  CASE WHEN n = 0 THEN 0
+          #       WHEN n <= 16
+          #       THEN g_s64(list_reduce(list_prepend(0::HUGEINT, cs),
+          #              (h, c) -> (g_mul64(h, 1099511628211) + c)
+          #                        & 18446744073709551615))
+          #       ELSE list_min(list_transform(range(1, n - 14),
+          #              st -> g_s64(list_reduce(
+          #                list_prepend(0::HUGEINT, cs[st:st+15]),
+          #                (h, c) -> (g_mul64(h, 1099511628211) + c)
+          #                          & 18446744073709551615))))
+          #  END AS fp64
+          #FROM (SELECT doc_id, g_codes(coalesce(text, '')) AS cs,
+          #             length(coalesce(text, '')) AS n FROM documents)
+          #ORDER BY doc_id""".stripMargin('#')),
+
+    // t14: the classifier's hashed-feature re-score against the weights
+    // t14's query exports (training is Spark-side state, spec-gated; the
+    // feature hashing, distinct-bucket dedup, bias, and threshold are
+    // verified here). sigmoid(m) > 0.5 ⇔ m > 0 (monotone; margins are
+    // O(1) after 20 spam-vs-prose iterations, far above float-sum noise).
+    "t14_quality_classifier" ->
+      (OracleHashLib.preamble +
+        s"""WITH w AS (
+           #  SELECT idx, weight
+           #  FROM read_parquet('${OracleHashLib.T14ModelExport}/*.parquet')
+           #), docs AS (
+           #  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+           #    THEN text ||
+           #      ' winner free prize claim click bonus offer cash urgent deal'
+           #    ELSE text END AS qtext
+           #  FROM documents
+           #), toks AS (
+           #  SELECT doc_id, unnest(string_split_regex(qtext, '\\s+')) AS t
+           #  FROM docs
+           #), vocab AS MATERIALIZED (
+           #  SELECT t,
+           #    g_u32(g_scala_stringhash(t, ${OracleHashLib.StringSeed})) >> 16
+           #      AS bucket
+           #  FROM (SELECT DISTINCT t FROM toks WHERE t <> '')
+           #), tb AS (
+           #  SELECT DISTINCT doc_id, bucket
+           #  FROM toks JOIN vocab USING (t)
+           #), marg AS (
+           #  SELECT d.doc_id,
+           #    coalesce(sum(w.weight), 0)
+           #      + (SELECT weight FROM w WHERE idx = -1) AS m
+           #  FROM docs d
+           #  LEFT JOIN tb ON tb.doc_id = d.doc_id
+           #  LEFT JOIN w ON w.idx = tb.bucket
+           #  GROUP BY d.doc_id
+           #)
+           #SELECT doc_id, (m > 0)::INT AS pred FROM marg
+           #ORDER BY doc_id""".stripMargin('#')),
 
     // Same empty-filtered tokenization, Laplace smoothing, and ROUND(…,4)
     // as LangModel.trainBigramLm + crossEntropy (self-trained here, so

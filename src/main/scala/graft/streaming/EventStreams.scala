@@ -890,10 +890,16 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     keys.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          sink(graft.operators.HeavyHitters
-            .heavyHitters(batch, keyCol, fracPpm)
-            .withColumn("batch_id", lit(batchId)))
+        if (!batch.isEmpty) {
+          // releasable variant + eager materialization: a per-batch caller
+          // in a long-lived driver must not leak the operator's internal
+          // persisted MG summary (Containment's localCheckpoint(true) +
+          // release discipline — blocks freed before the next batch).
+          val (hh, release) = graft.operators.HeavyHitters
+            .heavyHittersReleasable(batch, keyCol, fracPpm)
+          try sink(hh.withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+          finally release()
+        }
       }
       .start()
 

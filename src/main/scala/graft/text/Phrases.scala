@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * instead of OOMing the driver. Matching is row-local (scan hot path
   * safe, no shuffle).
   *
-  * Semantics: case-insensitive SUBSTRING matching (both sides
-  * lowercased, `java.util.Locale.ROOT`); a word-boundary variant is the
+  * Semantics: case-insensitive SUBSTRING matching (both sides folded
+  * per-char with `Character.toLowerCase` — locale-independent, BMP char
+  * level); a word-boundary variant is the
   * caller padding its phrases with spaces against pre-normalized text.
   * Null text matches nothing. Hits report each matched phrase at most
   * once (distinct by phrase, not by occurrence).
@@ -33,13 +34,20 @@ object Phrases {
   /** Aho–Corasick automaton over `phrases` (lowercased, deduped, empties
     * dropped). Serializable by shipping only the phrase array; the
     * goto/fail/output tables rebuild lazily per executor.
+    *
+    * Case folding is PER-CHAR (`Character.toLowerCase`, BMP char level)
+    * on BOTH sides — the scan folds one char at a time, so the trie must
+    * be built with the identical 1:1 fold. A locale/string-level fold
+    * here (1:N mappings like U+0130 'İ' → "i" + combining dot) would
+    * build trie edges the per-char scanner can never traverse, and such
+    * phrases would silently never match.
     */
   final class PhraseAutomaton(rawPhrases: Array[String]) extends Serializable {
     val phrases: Array[String] = {
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       rawPhrases.foreach { p =>
         if (p != null) {
-          val t = p.toLowerCase(java.util.Locale.ROOT)
+          val t = p.map(Character.toLowerCase)
           if (t.nonEmpty) seen += t
         }
       }

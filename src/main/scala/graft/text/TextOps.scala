@@ -712,7 +712,10 @@ object TextOps {
     require(words.nonEmpty, "blockedWordCount: empty word list")
     size(array_intersect(
       filter(split(lower(text), "\\s+"), t => t =!= ""),
-      typedlit(words.map(_.toLowerCase).distinct)))
+      // Locale.ROOT: the row side uses Spark's locale-independent lower(),
+      // so a default-locale fold here (e.g. Turkish 'I' → dotless 'ı')
+      // would silently stop matching list entries containing 'I'
+      typedlit(words.map(_.toLowerCase(java.util.Locale.ROOT)).distinct)))
   }
 
   /** DOMAIN-BLOCKLIST filter — the standard crawl-curation gate (UT1-style
@@ -757,7 +760,9 @@ object TextOps {
     */
   def blockedDomainHit(urlCol: String, domains: Seq[String]): Column = {
     require(domains.nonEmpty, "blockedDomainHit needs at least one domain")
-    val normalized = domains.map(_.trim.toLowerCase).filter(_.contains("."))
+    // Locale.ROOT for the same reason as blockedWordCount above
+    val normalized = domains.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.contains("."))
     if (normalized.isEmpty) lit(false)
     else coalesce(
       arrays_overlap(hostSuffixes(urlCol),
