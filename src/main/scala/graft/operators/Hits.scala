@@ -27,7 +27,9 @@ import org.apache.spark.storage.StorageLevel
   * so 2× an 8-byte-pair table, not 2× the corpus), and each iteration
   * shuffles only the (node, value) vector. Normalization totals are
   * broadcast 1-row aggregates INSIDE the plan, never driver collects;
-  * lineage is cut EVERY iteration by default — unlike PageRank's
+  * lineage cuts ride the pluggable [[Checkpointing]] strategy (Local
+  * default; Reliable(dir) survives executor loss on preemptible
+  * fleets), EVERY iteration by default — unlike PageRank's
   * every-3 discipline, each HITS half-step consumes its parent vector
   * TWICE (the normalization total's broadcast job plus the join), so
   * an uncut chain re-executes ancestors ~4^k times across k iterations
@@ -45,7 +47,8 @@ object Hits {
     * (node, hub_scaled, auth_scaled, hub, auth).
     */
   def run(edges: DataFrame, iters: Int, scale: Double = 1e12,
-          checkpointEvery: Int = 1): DataFrame = {
+          checkpointEvery: Int = 1,
+          checkpointing: Checkpointing = Checkpointing.Local): DataFrame = {
     require(iters >= 1)
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -85,15 +88,22 @@ object Hits {
         .groupBy(col("f_src").as("node")).agg(sum(col("a_s")).as("raw"))
       h = normalized(hraw, "h_s")
       if (i % checkpointEvery == 0) {
-        h = h.localCheckpoint(); a = a.localCheckpoint()
+        // distinct slots: both vectors stay live across the cut, so one's
+        // round file must never be deleted by the other's next cut. ORDER
+        // matters under Reliable: `a` is cut FIRST because the pending
+        // `h` plan reads a's new materialization while the pending `a`
+        // plan reads h's PREVIOUS round file — cutting h first would
+        // delete that file under a's feet.
+        a = checkpointing.cut(a, "a"); h = checkpointing.cut(h, "h")
       }
     }
-    val out = h.join(a, Seq("node"))
-      .select(col("node"), col("h_s").as("hub_scaled"),
-        col("a_s").as("auth_scaled"),
-        (col("h_s") / lit(scale)).as("hub"),
-        (col("a_s") / lit(scale)).as("auth"))
-      .localCheckpoint()
+    val out = checkpointing.cut(
+      h.join(a, Seq("node"))
+        .select(col("node"), col("h_s").as("hub_scaled"),
+          col("a_s").as("auth_scaled"),
+          (col("h_s") / lit(scale)).as("hub"),
+          (col("a_s") / lit(scale)).as("auth")),
+      "out")
     eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
     out
   }

@@ -30,9 +30,10 @@ import org.apache.spark.storage.StorageLevel
   * a broadcast 1-row aggregate INSIDE the plan — a driver collect per
   * iteration would re-execute the rank lineage back to the last
   * checkpoint every iteration. Lineage is cut every `checkpointEvery`
-  * iterations
-  * (localCheckpoint — the connected-components discipline), so plan
-  * depth stays constant at any iteration count.
+  * iterations via the pluggable [[Checkpointing]] strategy — Local
+  * (default) for stable executors, Reliable(dir) on a preemptible fleet
+  * where a long run must survive executor loss — so plan depth stays
+  * constant at any iteration count.
   */
 object PageRank {
 
@@ -42,7 +43,8 @@ object PageRank {
     * (node, rank_scaled, rank).
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
-          scale: Double = 1e12, checkpointEvery: Int = 3): DataFrame = {
+          scale: Double = 1e12, checkpointEvery: Int = 3,
+          checkpointing: Checkpointing = Checkpointing.Local): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
@@ -84,15 +86,18 @@ object PageRank {
               col("__dang").cast("double") / lit(n.toDouble)))
           .cast("long"))
         .select(col("node"), col("rank_s"))
-      ranks = if (i % checkpointEvery == 0) updated.localCheckpoint()
+      ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
         else updated
     }
     // materialize the final vector, then release the iteration scaffolding
     // (edges/outdeg/nodes) — without this every run leaks three persisted
-    // frames into the CacheManager
-    val out = ranks.select(col("node"), col("rank_s").as("rank_scaled"),
-      (col("rank_s") / lit(scale)).as("rank"))
-      .localCheckpoint()
+    // frames into the CacheManager. The final cut follows the same
+    // strategy: under Reliable the returned frame is file-backed, so a
+    // post-return executor loss can never invalidate it.
+    val out = checkpointing.cut(
+      ranks.select(col("node"), col("rank_s").as("rank_scaled"),
+        (col("rank_s") / lit(scale)).as("rank")),
+      "out")
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     out
   }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Reliable (parquet round-trip) vs Local lineage cuts must be
+  * result-invisible: a cut only materializes. Also pins the file
+  * lifecycle — each slot keeps at most its latest round file, so a long
+  * run can't fill the checkpoint dir.
+  */
+class CheckpointingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = {
+    val e = for (i <- 0L until 60L; k <- Seq(3L, 11L, 23L))
+      yield (i % 40, (i * 7 + k) % 40)
+    e.distinct
+  }
+
+  private def tmpDir(tag: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$tag").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("PageRank: Reliable cuts are row-identical to Local") {
+    val e = edges.toDF("src", "dst")
+    val local = PageRank.run(e, iters = 5, checkpointEvery = 2)
+      .orderBy("node").collect().toSeq
+    val dir = tmpDir("pr")
+    val reliable = PageRank.run(e, iters = 5, checkpointEvery = 2,
+        checkpointing = Checkpointing.Reliable(dir.getAbsolutePath))
+      .orderBy("node").collect().toSeq
+    assert(reliable == local)
+    // per-slot cleanup: 5 iters / every-2 = 2 vector cuts collapse to the
+    // latest round file, plus the final "out" cut — 2 files remain
+    val left = dir.listFiles().map(_.getName).sorted
+    assert(left.count(_.contains("-v-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-out-round-")) == 1, left.mkString(","))
+  }
+
+  test("Hits: Reliable cuts are row-identical to Local; slots independent") {
+    val e = edges.toDF("src", "dst")
+    val local = Hits.run(e, iters = 4)
+      .orderBy("node").collect().toSeq
+    val dir = tmpDir("hits")
+    val reliable = Hits.run(e, iters = 4,
+        checkpointing = Checkpointing.Reliable(dir.getAbsolutePath))
+      .orderBy("node").collect().toSeq
+    assert(reliable == local)
+    // 4 per-iteration cuts per slot collapse to one file per slot (h, a)
+    // plus the final out file
+    val left = dir.listFiles().map(_.getName).sorted
+    assert(left.count(_.contains("-h-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-a-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-out-round-")) == 1, left.mkString(","))
+  }
+}
