@@ -80,42 +80,9 @@ object Containment {
 
     // one set-building pass, shared by postings / prefix / verify reads
     val (arr, release) = Bridge.persistedCopyReleasable(
-      df.select(col(idCol).as("__id"),
-          array_distinct(col(setCol)).as("__arr"))
-        .withColumn("__na", size(col("__arr")))
-        .filter(col("__na") >= 1),
-      StorageLevel.MEMORY_AND_DISK)
+      setsFrame(df, setCol, idCol), StorageLevel.MEMORY_AND_DISK)
 
-    val postings = arr.select(col("__id").as("__b"),
-      explode(col("__arr")).as("__h"))
-    val aSide = arr.filter(col("__na") >= minElems)
-
-    val cand =
-      if (!prefixFilter) {
-        aSide.select(col("__id").as("__a"), explode(col("__arr")).as("__h"))
-          .join(postings, "__h")
-          .filter(col("__a") =!= col("__b"))
-          .select("__a", "__b").distinct()
-      } else {
-        // global df per shingle via partial-agg groupBy (skew-flat:
-        // one row per (h, map partition) in the exchange)
-        val dfCounts = postings.groupBy("__h").agg(count("*").as("__df"))
-        // ⌊(1−τ)|S(a)|⌋+1 = n_a − ⌈τ·n_a/100⌉ + 1
-        val prefLen = (col("__na") -
-          floor((col("__na") * tauPct + lit(99)) / 100) + 1).cast("int")
-        val prefix = aSide
-          .select(col("__id").as("__a"), col("__na"),
-            explode(col("__arr")).as("__h"))
-          .join(dfCounts, "__h")
-          .groupBy("__a", "__na")
-          .agg(collect_list(struct(col("__df"), col("__h"))).as("__l"))
-          .select(col("__a"),
-            explode(slice(array_sort(col("__l")), lit(1), prefLen)).as("__p"))
-          .select(col("__a"), col("__p.__h").as("__h"))
-        prefix.join(postings, "__h")
-          .filter(col("__a") =!= col("__b"))
-          .select("__a", "__b").distinct()
-      }
+    val cand = candidatePairs(arr, tauPct, minElems, prefixFilter)
 
     // size filter BEFORE the verify join ships any array: containment
     // needs n_common ≥ ⌈τ·n_a/100⌉ ≤ n_b, so a candidate whose container
@@ -143,5 +110,53 @@ object Containment {
     val out = verified.localCheckpoint(true)
     release()
     out
+  }
+
+  /** The distinct-set skeleton `(__id, __arr, __na)` the join stages run
+    * over — exposed for [[containmentPairsFromSets]] and the bench
+    * harness (ContainBench instruments candidate counts and verify-join
+    * volume on exactly the production stages, never a re-implementation).
+    */
+  private[graft] def setsFrame(df: DataFrame, setCol: String,
+                               idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        array_distinct(col(setCol)).as("__arr"))
+      .withColumn("__na", size(col("__arr")))
+      .filter(col("__na") >= 1)
+
+  /** Candidate (\_\_a, \_\_b) pairs — the prefix-filter (or naive) stage
+    * shared by the production join and the bench.
+    */
+  private[graft] def candidatePairs(arr: DataFrame, tauPct: Int,
+                                    minElems: Int,
+                                    prefixFilter: Boolean): DataFrame = {
+    val postings = arr.select(col("__id").as("__b"),
+      explode(col("__arr")).as("__h"))
+    val aSide = arr.filter(col("__na") >= minElems)
+    if (!prefixFilter) {
+      aSide.select(col("__id").as("__a"), explode(col("__arr")).as("__h"))
+        .join(postings, "__h")
+        .filter(col("__a") =!= col("__b"))
+        .select("__a", "__b").distinct()
+    } else {
+      // global df per shingle via partial-agg groupBy (skew-flat:
+      // one row per (h, map partition) in the exchange)
+      val dfCounts = postings.groupBy("__h").agg(count("*").as("__df"))
+      // ⌊(1−τ)|S(a)|⌋+1 = n_a − ⌈τ·n_a/100⌉ + 1
+      val prefLen = (col("__na") -
+        floor((col("__na") * tauPct + lit(99)) / 100) + 1).cast("int")
+      val prefix = aSide
+        .select(col("__id").as("__a"), col("__na"),
+          explode(col("__arr")).as("__h"))
+        .join(dfCounts, "__h")
+        .groupBy("__a", "__na")
+        .agg(collect_list(struct(col("__df"), col("__h"))).as("__l"))
+        .select(col("__a"),
+          explode(slice(array_sort(col("__l")), lit(1), prefLen)).as("__p"))
+        .select(col("__a"), col("__p.__h").as("__h"))
+      prefix.join(postings, "__h")
+        .filter(col("__a") =!= col("__b"))
+        .select("__a", "__b").distinct()
+    }
   }
 }

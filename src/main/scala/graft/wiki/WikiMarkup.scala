@@ -435,8 +435,208 @@ object WikiMarkup {
     out
   }
 
+  // ---- parser functions (R28 continuation) -------------------------------
+  // The reference's own grammar comment (WikiExtractor.py:106) names the
+  // `{{ {{{|safesubst:}}} #if: ... }}` / `msg:` shapes it never implements
+  // (template expansion upstream is the FIXME at :370). Flag-on expansion
+  // here evaluates the common parser functions; flag-off byte parity is
+  // untouched (this code is only reachable through expandTemplates).
+
+  /** Numeric value of a trimmed operand if it parses as a PHP-ish number. */
+  private def numVal(s: String): Option[Double] =
+    try { if (s.isEmpty) None else Some(java.lang.Double.parseDouble(s)) }
+    catch { case _: NumberFormatException => None }
+
+  /** MediaWiki equality: numeric when both sides parse, else exact string. */
+  private def mwEquals(a: String, b: String): Boolean =
+    (numVal(a), numVal(b)) match {
+      case (Some(x), Some(y)) => x == y
+      case _ => a == b
+    }
+
+  /** `{{#expr:}}` result formatting: integral values print as integers
+    * (PHP's (string) cast rule); everything else as a plain decimal
+    * trimmed to 14 significant digits — the documented approximation of
+    * PHP precision=14 (scientific-notation edge magnitudes differ).
+    */
+  private def formatExpr(x: Double): String = {
+    if (x.isNaN || x.isInfinite) return x.toString
+    if (x == math.rint(x) && math.abs(x) < 1e15) return x.toLong.toString
+    java.math.BigDecimal.valueOf(x)
+      .round(new java.math.MathContext(14))
+      .stripTrailingZeros.toPlainString
+  }
+
+  /** Recursive-descent `#expr` evaluator: or/and/not, comparisons
+    * (= != <> < > <= >=), + -, * / mod, `x round n`, unary ±, parens.
+    */
+  private[wiki] def evalExpr(expr: String): Either[String, Double] = {
+    val s = expr
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def peekWord(w: String): Boolean = {
+      ws()
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i + w.length == s.length || !s.charAt(i + w.length).isLetter) &&
+        (w.forall(_.isLetter))
+    }
+    def eatWord(w: String): Boolean =
+      if (peekWord(w)) { i += w.length; true } else false
+    var err: String = null
+    def fail(m: String): Double = { if (err == null) err = m; Double.NaN }
+    def atom(): Double = {
+      ws()
+      if (i >= s.length) return fail("unexpected end")
+      val c = s.charAt(i)
+      if (c == '(') {
+        i += 1
+        val v = orExpr()
+        ws()
+        if (i < s.length && s.charAt(i) == ')') { i += 1; v }
+        else fail("missing )")
+      } else if (c == '-') { i += 1; -atom() }
+      else if (c == '+') { i += 1; atom() }
+      else if (eatWord("not")) { if (atom() == 0.0) 1.0 else 0.0 }
+      else {
+        val start = i
+        while (i < s.length &&
+          (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+            ((s.charAt(i) == 'e' || s.charAt(i) == 'E') && i > start &&
+              i + 1 < s.length &&
+              (s.charAt(i + 1).isDigit || s.charAt(i + 1) == '-' ||
+                s.charAt(i + 1) == '+')) ||
+            ((s.charAt(i) == '-' || s.charAt(i) == '+') && i > start &&
+              (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E'))))
+          i += 1
+        if (i == start) fail(s"bad token at '${s.substring(start)}'")
+        else numVal(s.substring(start, i)).getOrElse(fail("bad number"))
+      }
+    }
+    def mulExpr(): Double = {
+      var v = atom()
+      var go = true
+      while (go) {
+        ws()
+        if (i < s.length && s.charAt(i) == '*') { i += 1; v *= atom() }
+        else if (i < s.length && s.charAt(i) == '/') { i += 1
+          val d = atom(); if (d == 0.0) v = fail("division by zero") else v /= d }
+        else if (eatWord("mod")) {
+          val d = atom()
+          if (d == 0.0) v = fail("mod by zero")
+          else v = (v.toLong % d.toLong).toDouble // PHP integer mod
+        } else if (eatWord("round")) {
+          val p = atom()
+          val f = math.pow(10, p.toInt)
+          v = math.rint(v * f) / f // MW rounds half to even? PHP: half away
+        } else go = false
+      }
+      v
+    }
+    def addExpr(): Double = {
+      var v = mulExpr()
+      var go = true
+      while (go) {
+        ws()
+        if (i < s.length && s.charAt(i) == '+') { i += 1; v += mulExpr() }
+        else if (i < s.length && s.charAt(i) == '-') { i += 1; v -= mulExpr() }
+        else go = false
+      }
+      v
+    }
+    def cmpExpr(): Double = {
+      var v = addExpr()
+      var go = true
+      while (go) {
+        ws()
+        def b(x: Boolean) = if (x) 1.0 else 0.0
+        if (i + 1 < s.length && s.substring(i, i + 2) == "<>") { i += 2; v = b(v != addExpr()) }
+        else if (i + 1 < s.length && s.substring(i, i + 2) == "!=") { i += 2; v = b(v != addExpr()) }
+        else if (i + 1 < s.length && s.substring(i, i + 2) == "<=") { i += 2; v = b(v <= addExpr()) }
+        else if (i + 1 < s.length && s.substring(i, i + 2) == ">=") { i += 2; v = b(v >= addExpr()) }
+        else if (i < s.length && s.charAt(i) == '=') { i += 1; v = b(v == addExpr()) }
+        else if (i < s.length && s.charAt(i) == '<') { i += 1; v = b(v < addExpr()) }
+        else if (i < s.length && s.charAt(i) == '>') { i += 1; v = b(v > addExpr()) }
+        else go = false
+      }
+      v
+    }
+    def andExpr(): Double = {
+      var v = cmpExpr()
+      while (eatWord("and")) { val r = cmpExpr(); v = if (v != 0 && r != 0) 1.0 else 0.0 }
+      v
+    }
+    def orExpr(): Double = {
+      var v = andExpr()
+      while (eatWord("or")) { val r = andExpr(); v = if (v != 0 || r != 0) 1.0 else 0.0 }
+      v
+    }
+    val v = orExpr()
+    ws()
+    if (err != null) Left(err)
+    else if (i < s.length) Left(s"trailing input '${s.substring(i)}'")
+    else Right(v)
+  }
+
+  /** Evaluate a `{{#fn: ...}}` span whose inner text (arguments already
+    * one-level expanded) is `inner`. Returns None for unknown functions —
+    * the span then stays in place for dropNested, the unknown-template
+    * rule.
+    */
+  private def evalParserFunction(inner: String): Option[String] = {
+    val colon = inner.indexOf(':')
+    if (colon < 0) return None
+    val fn = inner.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+    val rest = inner.substring(colon + 1)
+    val parts = splitTopLevel(rest, '|')
+    def arg(i: Int): String = if (i < parts.length) parts(i).trim else ""
+    fn match {
+      case "#if" =>
+        Some(if (arg(0).nonEmpty) arg(1) else arg(2))
+      case "#ifeq" =>
+        Some(if (mwEquals(arg(0), arg(1))) arg(2) else arg(3))
+      case "#expr" =>
+        Some(evalExpr(rest.trim) match {
+          case Right(v) => formatExpr(v)
+          case Left(e) => s"""<strong class="error">Expression error: $e</strong>"""
+        })
+      case "#switch" =>
+        val key = arg(0)
+        var default = ""
+        var matched = false
+        var result: Option[String] = None
+        var k = 1
+        while (result.isEmpty && k < parts.length) {
+          val p = parts(k)
+          val eq = {
+            var depth = 0; var idx = -1; var j = 0
+            while (idx < 0 && j < p.length) {
+              val c = p.charAt(j)
+              if (c == '{' || c == '[') depth += 1
+              else if (c == '}' || c == ']') depth -= 1
+              else if (c == '=' && depth == 0) idx = j
+              j += 1
+            }
+            idx
+          }
+          if (eq >= 0) {
+            val caseKey = p.substring(0, eq).trim
+            val res = p.substring(eq + 1).trim
+            if (matched || mwEquals(caseKey, key)) result = Some(res)
+            else if (caseKey == "#default") default = res
+          } else {
+            val bare = p.trim
+            if (mwEquals(bare, key)) matched = true
+            else if (k == parts.length - 1 && !matched) default = bare // implicit default
+          }
+          k += 1
+        }
+        Some(result.getOrElse(default))
+      case _ => None
+    }
+  }
+
   private def expandOnce(text: String, templates: collection.Map[String, String]): String = {
-    if (templates.isEmpty) return text
+    if (templates.isEmpty && text.indexOf("{{#") < 0) return text
     val openRe = Pattern.compile("\\{\\{")
     val closeRe = Pattern.compile("\\}\\}")
     val om = openRe.matcher(text)
@@ -467,10 +667,37 @@ object WikiMarkup {
     for ((s, e) <- spans) {
       sb.append(text, cur, s)
       val inner = text.substring(s + 2, e - 2)
-      val parts = splitTopLevel(inner, '|')
-      templates.get(normalizeTemplateName(parts.head)) match {
-        case Some(body) => sb.append(substituteParams(body, parts.tail))
-        case None => sb.append(text, s, e) // unknown: dropNested handles it
+      if (inner.trim.startsWith("#")) {
+        // parser function: arguments expand FIRST (MediaWiki's order —
+        // the nested spans are top-level within `inner`, so one
+        // structural recursion bounded by the text's own brace depth),
+        // then the function evaluates; unknown #functions stay in place
+        // for dropNested, the unknown-template rule.
+        evalParserFunction(expandOnce(inner, templates)) match {
+          case Some(res) => sb.append(res)
+          case None => sb.append(text, s, e)
+        }
+      } else {
+        val parts = splitTopLevel(inner, '|')
+        val head = parts.head.trim
+        // msg:/msgnw: transclusion prefixes (the reference's grammar
+        // comment, WikiExtractor.py:106): msg: is an explicit "this is a
+        // template call"; msgnw: includes the template SOURCE without
+        // parameter substitution (nowiki semantics — later stages treat
+        // it as text-bearing markup).
+        val lower = head.toLowerCase(java.util.Locale.ROOT)
+        if (lower.startsWith("msgnw:")) {
+          templates.get(normalizeTemplateName(head.substring(6))) match {
+            case Some(body) => sb.append(body)
+            case None => sb.append(text, s, e)
+          }
+        } else {
+          val name = if (lower.startsWith("msg:")) head.substring(4) else parts.head
+          templates.get(normalizeTemplateName(name)) match {
+            case Some(body) => sb.append(substituteParams(body, parts.tail))
+            case None => sb.append(text, s, e) // unknown: dropNested handles it
+          }
+        }
       }
       cur = e
     }

@@ -113,9 +113,16 @@ object WikiPipeline {
     val structure = cfg.structure
     val ns = cfg.namespaces
     val levels = cfg.templateLevels
+    // expansion is explicit: with the flag off AND no library, text must
+    // flow straight to clean() (reference parity — parser functions now
+    // EVALUATE inside expandTemplates, so reaching it with an empty map is
+    // no longer behavior-neutral)
+    val doExpand = cfg.expandTemplates || templates.nonEmpty
     val bcTemplates = articles.sparkSession.sparkContext.broadcast(templates)
     val extractUdf = udf { (text: String) =>
-      val expanded = WikiMarkup.expandTemplates(text, bcTemplates.value, levels)
+      val expanded =
+        if (doExpand) WikiMarkup.expandTemplates(text, bcTemplates.value, levels)
+        else text
       WikiMarkup.compact(WikiMarkup.clean(expanded, keepLinks, ns), structure)
     }
     articles.toDF()

@@ -108,32 +108,65 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(WikiMarkup.expandTemplates("{{Hello|name=[[A|B]]}}", lib) == "Hello [[A|B]]!")
   }
 
-  test("parser functions and magic invocations stay in place and drop like the reference") {
-    // the reference's grammar comment (WikiExtractor.py:106) names parser
-    // functions ({{#if:}}, {{#expr:}}) and magic words; it drops ALL
-    // {{..}} spans via dropNested. With expansion ON these forms miss the
-    // template library (their normalized names — "#if: ..", "Msg:.." —
-    // never equal a Template: page key), so they are left in place by
-    // expandTemplates and then removed by clean(): reference-identical
-    // output, locked here so a future expansion change can't silently
-    // start evaluating them.
+  test("parser functions evaluate with expansion ON; magic words still drop") {
+    // R28 continuation (round-14): the reference's grammar comment
+    // (WikiExtractor.py:106) names {{#if:}}/msg: shapes it never
+    // implements — with expansion ON we evaluate the common parser
+    // functions (parity-PLUS; flag-off output is untouched because this
+    // path only runs inside expandTemplates, which the flag gates).
     val lib = Map("Hello" -> "Hello {{{name|world}}}!")
-    val pf = "a {{#if: x | then | else}} b"
-    assert(WikiMarkup.expandTemplates(pf, lib) == pf)
-    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(pf, lib)) == "a b")
-    // msg: is MediaWiki's explicit-transclusion prefix — the reference
-    // drops it unexpanded, so we must NOT resolve it to Template:Hello
-    val msg = "a {{msg:Hello}} b"
-    assert(WikiMarkup.expandTemplates(msg, lib) == msg)
-    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(msg, lib)) == "a b")
+    assert(WikiMarkup.expandTemplates("a {{#if: x | then | else}} b", lib)
+      == "a then b")
+    assert(WikiMarkup.expandTemplates("a {{#if: | then | else}} b", lib)
+      == "a else b")
+    assert(WikiMarkup.expandTemplates("a {{#if: x | then }} b", lib)
+      == "a then b")
+    assert(WikiMarkup.expandTemplates("a {{#if: | then }} b", lib) == "a  b")
+    // msg: resolves as an explicit transclusion; msgnw: includes the
+    // SOURCE without parameter substitution
+    assert(WikiMarkup.expandTemplates("a {{msg:Hello}} b", lib)
+      == "a Hello world! b")
+    assert(WikiMarkup.expandTemplates("a {{msgnw:Hello}} b", lib)
+      == "a Hello {{{name|world}}}! b")
     // magic words look like zero-arg templates; absent from the library
-    // they drop the same way
+    // they stay in place and drop through clean()
     val magic = "a {{PAGENAME}} b"
     assert(WikiMarkup.expandTemplates(magic, lib) == magic)
     assert(WikiMarkup.clean(WikiMarkup.expandTemplates(magic, lib)) == "a b")
-    // nested inside a known template's argument: the known layer expands,
-    // the parser function inside the substituted arg still drops
+    // unknown #functions keep the unknown-template rule
+    val unk = "a {{#time: Y}} b"
+    assert(WikiMarkup.expandTemplates(unk, lib) == unk)
+    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(unk, lib)) == "a b")
+    // nested inside a known template's argument: the known layer expands
+    // in pass 1, the spliced parser function evaluates in pass 2
     val mixed = "{{Hello|name={{#expr: 1+1}}}}"
-    assert(WikiMarkup.clean(WikiMarkup.expandTemplates(mixed, lib)) == "Hello !")
+    assert(WikiMarkup.expandTemplates(mixed, lib, levels = 2) == "Hello 2!")
+  }
+
+  test("#ifeq / #switch / #expr semantics") {
+    val lib = Map.empty[String, String]
+    def x(s: String) = WikiMarkup.expandTemplates(s, lib)
+    assert(x("{{#ifeq: 07 | 7 | eq | ne}}") == "eq")   // numeric compare
+    assert(x("{{#ifeq: a | A | eq | ne}}") == "ne")    // string, case-sensitive
+    assert(x("{{#switch: b | a = A | b = B | #default = D}}") == "B")
+    assert(x("{{#switch: z | a = A | b = B | #default = D}}") == "D")
+    assert(x("{{#switch: z | a = A | b = B | D}}") == "D") // implicit default
+    assert(x("{{#switch: a | a | b = AB | c = C}}") == "AB") // fall-through
+    assert(x("{{#switch: 2 | 2.0 = two | #default = D}}") == "two") // numeric
+    assert(x("{{#expr: 1 + 2 * 3}}") == "7")
+    assert(x("{{#expr: (1 + 2) * 3}}") == "9")
+    assert(x("{{#expr: 7 mod 3}}") == "1")
+    assert(x("{{#expr: 10 / 4}}") == "2.5")
+    assert(x("{{#expr: 2.345 round 2}}") == "2.35")
+    assert(x("{{#expr: -3 + 1}}") == "-2")
+    assert(x("{{#expr: 3 > 2}}") == "1")
+    assert(x("{{#expr: 3 < 2 or 1 = 1}}") == "1")
+    assert(x("{{#expr: not 0 and 2 >= 2}}") == "1")
+    assert(x("{{#expr: 1 / 0}}").contains("Expression error"))
+    assert(x("{{#expr: banana}}").contains("Expression error"))
+    // args-first: inner template expands before the function evaluates
+    val lib2 = Map("Coin" -> "", "Val" -> "5")
+    assert(WikiMarkup.expandTemplates("{{#if: {{Coin}} | H | T}}", lib2) == "T")
+    assert(WikiMarkup.expandTemplates("{{#expr: {{Val}} * 2}}", lib2) == "10")
   }
 }
