@@ -132,7 +132,40 @@ object ZOrderBench {
         f""""${q}_zorder_secs":${zW(i)._3}%.2f""",
         s""""total_rowgroups":$totRg""")
     }.distinct
-    val json = s"""{"rows":$rows,"files":$files,${fields.mkString(",")}}"""
+    // warehouse path: the same layout win through Warehouse.optimizeZorder
+    // on a BUCKETED table (bucket key orthogonal to the curve columns —
+    // the registry/index shape), measured as surviving row groups for the
+    // box predicate before/after the rewrite
+    val whTable = "zorderbench_wh"
+    val whBase = spark.range(rows).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(4096L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(4096L)).as("y"),
+      sha2(concat(col("id").cast("string"), lit("p")), 256).as("payload"))
+    graft.sources.Warehouse.writeBucketed(whBase, whTable, "id", 8)
+    def whLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(whTable)).location.toString
+    def whSurvivors() = {
+      val rgs = rowGroupStats(spark, whLoc)
+      val hit = rgs.count { case (xmin, xmax, ymin, ymax, _) =>
+        xmax >= 1000L && xmin <= 1063L && ymax >= 2000L && ymin <= 2063L }
+      (hit, rgs.size)
+    }
+    val (whHitBefore, whTotBefore) = whSurvivors()
+    val whT0 = System.nanoTime()
+    graft.sources.Warehouse.optimizeZorder(spark, whTable, Seq("x", "y"),
+      rowGroupBytes = 1024 * 1024)
+    val whRewriteSecs = (System.nanoTime() - whT0) / 1e9
+    val (whHitAfter, whTotAfter) = whSurvivors()
+    val whFields = Seq(
+      s""""wh_box_rowgroups_before":$whHitBefore""",
+      s""""wh_total_rowgroups_before":$whTotBefore""",
+      s""""wh_box_rowgroups_after":$whHitAfter""",
+      s""""wh_total_rowgroups_after":$whTotAfter""",
+      f""""wh_rewrite_secs":$whRewriteSecs%.1f""")
+    graft.sources.Warehouse.dropTableAndLocation(spark, whTable)
+
+    val json = s"""{"rows":$rows,"files":$files,${(fields ++ whFields).mkString(",")}}"""
     println(json)
     out.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), json.getBytes("UTF-8"))

@@ -180,38 +180,8 @@ object Warehouse {
     * recovery is `ALTER TABLE <table>__compacting RENAME TO <table>`.
     */
   def compact(spark: SparkSession, table: String): Unit = {
+    recoverStagingIfCrashed(spark, table, table + "__compacting")
     val cat = spark.sessionState.catalog
-    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    val si = org.apache.spark.sql.catalyst.TableIdentifier(table + "__compacting")
-    if (!cat.tableExists(ti) && cat.tableExists(si)) {
-      // a crash BETWEEN the drop and its directory delete can also leave a
-      // stale warehouse/<table> dir with no catalog entry — clear it first
-      // or the promote rename lands on (or nests under) the leftover. The
-      // stale path is derived from the STAGING table's catalog location
-      // (its sibling), never from the session's warehouse.dir + name: a
-      // session pointed at a different warehouse, or a table living in a
-      // <db>.db/ subtree, must not delete an unrelated same-named dir.
-      val sLoc = new org.apache.hadoop.fs.Path(
-        cat.getTableMetadata(si).location)
-      val p = new org.apache.hadoop.fs.Path(sLoc.getParent, table)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        // delete only what a managed-table write leaves behind; anything
-        // else means the path is NOT our leftover — stop and let a human
-        // look rather than destroy it
-        val entries = fs.listStatus(p)
-        val tableLike = entries.forall { st =>
-          val n = st.getPath.getName
-          n.startsWith("part-") || n == "_SUCCESS" || n.startsWith("_temporary") ||
-            n.startsWith(".") || (st.isDirectory && n.contains("="))
-        }
-        require(tableLike, s"compact($table): stale directory $p contains " +
-          "non-table files; refusing to delete it — remove it manually " +
-          s"and rename ${table}__compacting back")
-        fs.delete(p, true)
-      }
-      promoteStaging(spark, table + "__compacting", table)
-    }
     val meta = cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compact($table): not a bucketed table — nothing to co-locate"))
@@ -241,6 +211,112 @@ object Warehouse {
     }).saveAsTable(staging)
     dropTableAndLocation(spark, table)
     promoteStaging(spark, staging, table)
+  }
+
+  /** Rewrite a NON-PARTITIONED bucketed table curve-clustered on `zCols`
+    * (2 or 3 columns, domains per [[graft.operators.ZOrder]]'s zvalue
+    * contract) under its EXACT catalog bucket spec: same bucket keys,
+    * same bucket count, each bucket collapsed to one file ([[compact]]'s
+    * staging/promote machinery, same crash contract), but rows WITHIN
+    * each bucket file laid in Morton order with `rowGroupBytes`-sized
+    * parquet row groups — so a scan filtered on the z columns prunes row
+    * groups on tight min/max stats while every bucket-keyed join still
+    * co-locates with no exchange. Any catalog `sortBy` gives way to the
+    * curve order (the sort spec was only ever a file-internal layout
+    * hint; bucket pruning and co-location key off the bucket spec, which
+    * is preserved — spec-guarded, rows identical).
+    *
+    * Ordering note: the bucketed writer plans its own
+    * Sort(bucketIdExpression); the curve sort hides below an identity
+    * barrier so the optimizer can't eliminate it, and the writer's sort
+    * — stable over a per-task-constant bucket id — preserves the curve
+    * (the row-group pruning spec gates exactly this end to end).
+    */
+  def optimizeZorder(spark: SparkSession, table: String, zCols: Seq[String],
+                     rowGroupBytes: Long = 8L * 1024 * 1024): Unit = {
+    require(zCols.size == 2 || zCols.size == 3,
+      s"optimizeZorder($table): need 2 or 3 curve columns, got $zCols")
+    recoverStagingIfCrashed(spark, table, table + "__compacting")
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"optimizeZorder($table): not a bucketed table"))
+    require(meta.partitionColumnNames.isEmpty,
+      s"optimizeZorder($table): partitioned tables are not supported")
+    val keys = spec.bucketColumnNames
+    val staging = table + "__compacting"
+    dropTableAndLocation(spark, staging)
+    import org.apache.spark.sql.functions.col
+    val z =
+      if (zCols.size == 2)
+        graft.operators.ZOrder.zvalue2(col(zCols(0)), col(zCols(1)))
+      else
+        graft.operators.ZOrder.zvalue3(col(zCols(0)), col(zCols(1)),
+          col(zCols(2)))
+    // files-not-catalog read: same rationale as compact(). The curve sort
+    // sits BELOW a mapPartitions identity barrier: V1Writes plans its own
+    // Sort(bucketIdExpression) above the query, and EliminateSorts then
+    // removes any adjacent user sort as redundant — the barrier hides
+    // ours. The writer's sort runs over a key that is CONSTANT within
+    // each task (one bucket per task via the repartition), and Spark's
+    // in-memory sorts are stable, so the curve order laid down below the
+    // barrier survives into the file (gated end-to-end by the row-group
+    // pruning spec). The barrier's row (de)serialization pass is noise
+    // inside a whole-table rewrite.
+    val sorted = spark.read.schema(spark.table(table).schema)
+      .parquet(meta.location.toString)
+      .repartition(spec.numBuckets, keys.map(col): _*)
+      .withColumn("__zorder", z)
+      .sortWithinPartitions(col("__zorder"))
+      .drop("__zorder")
+    sorted.mapPartitions(identity(_))(
+        org.apache.spark.sql.Encoders.row(sorted.schema))
+      .write.mode("overwrite").format("parquet")
+      .option("parquet.block.size", rowGroupBytes)
+      .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+      .saveAsTable(staging)
+    dropTableAndLocation(spark, table)
+    promoteStaging(spark, staging, table)
+  }
+
+  // Crash recovery shared by the staged rewrites (compact, optimizeZorder):
+  // promote a complete staging copy left by a crash inside the drop→rename
+  // window, clearing any stale data directory the drop left behind.
+  private def recoverStagingIfCrashed(spark: SparkSession, table: String,
+                                      stagingName: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val si = org.apache.spark.sql.catalyst.TableIdentifier(stagingName)
+    if (!cat.tableExists(ti) && cat.tableExists(si)) {
+      // a crash BETWEEN the drop and its directory delete can also leave a
+      // stale warehouse/<table> dir with no catalog entry — clear it first
+      // or the promote rename lands on (or nests under) the leftover. The
+      // stale path is derived from the STAGING table's catalog location
+      // (its sibling), never from the session's warehouse.dir + name: a
+      // session pointed at a different warehouse, or a table living in a
+      // <db>.db/ subtree, must not delete an unrelated same-named dir.
+      val sLoc = new org.apache.hadoop.fs.Path(
+        cat.getTableMetadata(si).location)
+      val p = new org.apache.hadoop.fs.Path(sLoc.getParent, table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        // delete only what a managed-table write leaves behind; anything
+        // else means the path is NOT our leftover — stop and let a human
+        // look rather than destroy it
+        val entries = fs.listStatus(p)
+        val tableLike = entries.forall { st =>
+          val n = st.getPath.getName
+          n.startsWith("part-") || n == "_SUCCESS" || n.startsWith("_temporary") ||
+            n.startsWith(".") || (st.isDirectory && n.contains("="))
+        }
+        require(tableLike, s"recoverStaging($table): stale directory $p " +
+          "contains non-table files; refusing to delete it — remove it " +
+          s"manually and rename $stagingName back")
+        fs.delete(p, true)
+      }
+      promoteStaging(spark, stagingName, table)
+    }
   }
 
   // Rename the (complete) staging table over the target name and, for
