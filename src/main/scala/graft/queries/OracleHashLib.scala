@@ -219,4 +219,98 @@ object OracleHashLib {
     * DuckDB compare run sequentially on one host per scale factor.
     */
   val T14ModelExport = "/tmp/graft_oracle_export/t14_model.parquet"
+
+  /** Where t19 exports its learned BPE merge table (rank, a, b). */
+  val T19MergesExport = "/tmp/graft_oracle_export/t19_merges.parquet"
+
+  /** One unrolled greedy-BPE merge step: find each word's lowest-rank
+    * adjacent pair, merge ALL its non-overlapping occurrences
+    * left-to-right (the a==b overlap case resolves by run-offset parity —
+    * a run of k equal symbols merges at offsets 0,2,4…), words with no
+    * applicable pair pass through. MATERIALIZED per step: the e/p/g/b
+    * chain referenced un-materialized inlines exponentially.
+    */
+  private def bpeStep(k: Int): String = {
+    val prev = s"e${k - 1}"
+    s""", b$k AS MATERIALIZED (
+       #  SELECT t.word, min(m.rank) AS br
+       #  FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM $prev) t
+       #  JOIN merges m ON m.a = t.syms[i] AND m.b = t.syms[i+1]
+       #  GROUP BY t.word
+       #), p$k AS MATERIALIZED (
+       #  SELECT e.word, e.syms,
+       #    CASE WHEN b.br IS NULL THEN NULL ELSE
+       #      list_transform(range(1, len(e.syms)),
+       #        i -> CASE WHEN e.syms[i] = mm.a AND e.syms[i+1] = mm.b
+       #             THEN 1 ELSE 0 END)
+       #    END AS ml
+       #  FROM $prev e
+       #  LEFT JOIN b$k b USING (word)
+       #  LEFT JOIN merges mm ON mm.rank = b.br
+       #), g$k AS MATERIALIZED (
+       #  SELECT word, syms,
+       #    CASE WHEN ml IS NULL THEN NULL ELSE
+       #      list_transform(range(1, len(syms)),
+       #        i -> ml[i] = 1 AND
+       #             ((i - coalesce(list_max(list_filter(range(1, i),
+       #                 j -> ml[j] = 0)), 0) - 1) % 2 = 0))
+       #    END AS gl
+       #  FROM p$k
+       #), e$k AS MATERIALIZED (
+       #  SELECT word,
+       #    CASE WHEN gl IS NULL THEN syms ELSE
+       #      list_filter(list_transform(range(1, len(syms) + 1),
+       #        i -> CASE WHEN i < len(syms) AND gl[i] THEN syms[i] || syms[i+1]
+       #                  WHEN i > 1 AND gl[i-1] THEN NULL
+       #                  ELSE syms[i] END),
+       #        x -> x IS NOT NULL)
+       #    END AS syms
+       #  FROM g$k
+       #)""".stripMargin('#')
+  }
+
+  /** The t19 oracle: greedy-encode every DISTINCT word against the
+    * exported merge table through `steps` unrolled passes (one merge rank
+    * applied per pass per word — corpus words are ≤ 8 chars + the EOW
+    * marker, so 10 passes close any encode; a word still carrying a
+    * mergeable pair after the last pass nulls the whole answer, failing
+    * the gate LOUDLY rather than silently undercounting).
+    */
+  def t19OracleSql(steps: Int = 10): String = {
+    s"""WITH merges AS MATERIALIZED (
+       #  SELECT rank, a, b
+       #  FROM read_parquet('$T19MergesExport/*.parquet')
+       #), toks AS MATERIALIZED (
+       #  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+       #  FROM documents
+       #), words AS MATERIALIZED (
+       #  SELECT DISTINCT word FROM toks WHERE word <> ''
+       #), e0 AS (
+       #  SELECT word,
+       #    list_append(list_transform(range(1, length(word) + 1),
+       #      i -> word[i]), '</w>') AS syms
+       #  FROM words
+       #)""".stripMargin('#') +
+      (1 to steps).map(bpeStep).mkString +
+      s"""
+       #, leftover AS MATERIALIZED (
+       #  SELECT count(*) AS n FROM
+       #    (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM e$steps) t
+       #    JOIN merges m ON m.a = t.syms[i] AND m.b = t.syms[i+1]
+       #), wl AS (
+       #  SELECT word,
+       #    CASE WHEN (SELECT n FROM leftover) = 0 THEN len(syms) END AS wtoks
+       #  FROM e$steps
+       #), agg AS (
+       #  SELECT t.doc_id, sum(w.wtoks)::INT AS n_bpe
+       #  FROM toks t JOIN wl w USING (word)
+       #  WHERE t.word <> ''
+       #  GROUP BY t.doc_id
+       #)
+       #SELECT d.doc_id,
+       #  CASE WHEN d.text IS NULL THEN NULL
+       #       ELSE coalesce(a.n_bpe, 0) END AS n_bpe
+       #FROM documents d LEFT JOIN agg a USING (doc_id)
+       #ORDER BY d.doc_id""".stripMargin('#')
+  }
 }

@@ -272,6 +272,17 @@ object TextQ {
       val docs = Tables(s, dir, "documents")
       val model = Bpe.train(docs.filter(col("doc_id") < 100), "text",
         numMerges = 200)
+      // export the learned merges for the DuckDB oracle: training is
+      // Spark-side greedy-closure state (spec-gated), but greedy ENCODE
+      // against a given merge table is expressible in SQL (t14's
+      // export-the-state, verify-the-application pattern)
+      locally {
+        import s.implicits._
+        model.merges.zipWithIndex
+          .map { case ((a, b), i) => (i, a, b) }
+          .toDF("rank", "a", "b").coalesce(1).write.mode("overwrite")
+          .parquet(OracleHashLib.T19MergesExport)
+      }
       docs.select(col("doc_id"),
           Bpe.tokenCount(s, model, col("text")).as("n_bpe"))
         .orderBy("doc_id")
@@ -657,6 +668,11 @@ object TextQ {
           #FROM (SELECT doc_id, g_codes(coalesce(text, '')) AS cs,
           #             length(coalesce(text, '')) AS n FROM documents)
           #ORDER BY doc_id""".stripMargin('#')),
+
+    // t19: greedy BPE encode replayed in SQL against the merge table the
+    // query exports (training stays spec-gated state; encode+count is the
+    // verified application — the t14 pattern).
+    "t19_bpe_tokens" -> OracleHashLib.t19OracleSql(),
 
     // t14: the classifier's hashed-feature re-score against the weights
     // t14's query exports (training is Spark-side state, spec-gated; the

@@ -52,5 +52,9 @@ class OracleHashLibSpec extends AnyFunSuite {
       assert(oracles(q).startsWith("CREATE OR REPLACE MACRO g_mul64"),
         s"$q oracle missing the hash-lib preamble")
     }
+    // t19 rides the export-the-state pattern, no hash macros needed
+    assert(oracles.contains("t19_bpe_tokens"))
+    assert(oracles("t19_bpe_tokens").contains(
+      graft.queries.OracleHashLib.T19MergesExport))
   }
 }
