@@ -223,6 +223,12 @@ object OracleHashLib {
   /** Where t19 exports its learned BPE merge table (rank, a, b). */
   val T19MergesExport = "/tmp/graft_oracle_export/t19_merges.parquet"
 
+  /** Per-query IVF centroid export path (cell, centroid DOUBLE[]) — the
+    * Lloyd-trained state behind the s03/s04/s05/s06/s09 oracles.
+    */
+  def centroidExport(query: String): String =
+    s"/tmp/graft_oracle_export/${query}_centroids.parquet"
+
   /** One unrolled greedy-BPE merge step: find each word's lowest-rank
     * adjacent pair, merge ALL its non-overlapping occurrences
     * left-to-right (the a==b overlap case resolves by run-offset parity —

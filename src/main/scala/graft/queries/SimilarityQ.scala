@@ -40,8 +40,12 @@ object SimilarityQ {
 
     // L8: IVF probe-based approximate top-20 for the same query.
     "s03_knn_ivf" -> { (s, dir) =>
-      Similarity.ivfKnn(Tables(s, dir, "embeddings"), queryVec(s, dir),
-        "vec_id", "embedding", k = 20, nCentroids = 16, probes = 4)
+      val (assigned, centroids) = Similarity.ivfAssign(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 16, lloydIters = 1)
+      exportCentroids(s, centroids, "s03_knn_ivf")
+      Similarity.ivfKnnFromAssigned(assigned, centroids, queryVec(s, dir),
+        "vec_id", "embedding", k = 20, probes = 4)
     },
 
     // L52: cluster-balanced diversity sampling — 25 least-prototypical
@@ -51,8 +55,12 @@ object SimilarityQ {
     // spec-gated. Non-vacuous: every cell returns its quota (or its full
     // membership) with per-row distances.
     "s09_cluster_sample" -> { (s, dir) =>
-      Similarity.clusterSample(Tables(s, dir, "embeddings"), "vec_id",
-          "embedding", perCluster = 25, nCentroids = 8, lloydIters = 2)
+      val (assigned, centroids) = Similarity.ivfAssign(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 8, lloydIters = 2)
+      exportCentroids(s, centroids, "s09_cluster_sample")
+      Similarity.clusterSampleFromAssigned(assigned, centroids, "vec_id",
+          "embedding", perCluster = 25)
         .select(col("vec_id"), col("cell"), col("dist"))
         .orderBy("vec_id")
     },
@@ -63,8 +71,11 @@ object SimilarityQ {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
-      Similarity.ivfKnnBatch(emb, queries, "vec_id", "embedding", "probe_id",
-        k = 10, nCentroids = 16, probes = 4)
+      val (assigned, centroids) = Similarity.ivfAssign(
+        emb, "vec_id", "embedding", nCentroids = 16, lloydIters = 1)
+      exportCentroids(s, centroids, "s04_knn_ivf_batch")
+      Similarity.ivfKnnBatchFromAssigned(assigned, centroids, queries,
+          "vec_id", "embedding", "probe_id", k = 10, probes = 4)
         .orderBy("probe_id", "sim", "vec_id")
     },
 
@@ -75,6 +86,8 @@ object SimilarityQ {
     // rerank — no corpus scan, no per-query training.
     "s05_knn_ivf_indexed" -> { (s, dir) =>
       val table = ivfIndexTable(s, dir)
+      exportCentroids(s, Similarity.readIvfCentroids(s, table),
+        "s05_knn_ivf_indexed")
       Similarity.ivfProbePartitioned(s, table, queryVec(s, dir),
         "vec_id", "embedding", k = 20, probes = 4)
     },
@@ -84,6 +97,8 @@ object SimilarityQ {
     // cells), no training, no corpus scan. Row-identical to s04 by spec.
     "s06_knn_ivf_indexed_batch" -> { (s, dir) =>
       val table = ivfIndexTable(s, dir)
+      exportCentroids(s, Similarity.readIvfCentroids(s, table),
+        "s06_knn_ivf_indexed_batch")
       val probes = Tables(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("qvec"))
       Similarity.ivfProbePartitionedBatch(s, table, probes,
@@ -123,6 +138,8 @@ object SimilarityQ {
         Warehouse.dropTableAndLocation(s, tb)
       Similarity.writeIvfIndex(emb.filter(col("vec_id") < 250),
         "vec_id", "embedding", t, nCentroids = 8, lloydIters = 1, buckets = 8)
+      exportCentroids(s, Similarity.readIvfCentroids(s, t),
+        "s08_semantic_dedup_registry")
       val replays = emb
         .filter(col("vec_id") < 250 && col("vec_id") % 10 === 0)
         .withColumn("vec_id", col("vec_id") + 2000000)
@@ -186,6 +203,19 @@ object SimilarityQ {
         .orderBy("query_id")
     }
   )
+
+  /** Export a query's Lloyd-trained centroid matrix for the DuckDB
+    * oracle (the t14/t19 export-the-state pattern: training is Spark
+    * state, assignment + probe + rerank are the verified application).
+    */
+  private def exportCentroids(s: SparkSession,
+                              centroids: Array[(Int, Array[Double])],
+                              query: String): Unit = {
+    import s.implicits._
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid").coalesce(1).write.mode("overwrite")
+      .parquet(OracleHashLib.centroidExport(query))
+  }
 
   /** Build (once per sfDir per warehouse) the persisted IVF index s05
     * probes. Training parameters match s03's so the indexed probe is
@@ -308,6 +338,89 @@ object SimilarityQ {
   }
 
   val oracles: Map[String, String] = baseOracles +
+    ("s03_knn_ivf" -> ivfSingleOracle("s03_knn_ivf", k = 20, probes = 4)) +
+    ("s05_knn_ivf_indexed" ->
+      ivfSingleOracle("s05_knn_ivf_indexed", k = 20, probes = 4)) +
+    ("s04_knn_ivf_batch" ->
+      ivfBatchOracle("s04_knn_ivf_batch", k = 10, probes = 4)) +
+    ("s06_knn_ivf_indexed_batch" ->
+      ivfBatchOracle("s06_knn_ivf_indexed_batch", k = 10, probes = 4)) +
+    // s09: assignment from the exported (lloydIters=2) centroids; the
+    // prototypicality distance uses the FLOAT-cast centroid exactly as
+    // clusterSample's broadcast frame does; per-cell keep-25 most distant
+    // with (dist desc, id) — saltedTopN's total order.
+    ("s09_cluster_sample" ->
+      s"""WITH ${ivfAssignCtes("s09_cluster_sample")},
+         #cf AS (SELECT cell,
+         #  list_transform(centroid, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cd
+         #  FROM cents),
+         #scored AS (
+         #  SELECT e.vec_id, a.cell,
+         #    ROUND(1.0 -
+         #      list_dot_product(list_transform(e.embedding,
+         #                         x -> CAST(x AS DOUBLE)), cf.cd)
+         #      / (SQRT(list_dot_product(list_transform(e.embedding,
+         #                 x -> CAST(x AS DOUBLE)),
+         #               list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+         #       * SQRT(list_dot_product(cf.cd, cf.cd))), 6) AS dist
+         #  FROM embeddings e JOIN assign a USING (vec_id)
+         #  JOIN cf ON cf.cell = a.cell
+         #)
+         #SELECT vec_id, cell, dist FROM scored
+         #QUALIFY row_number() OVER (PARTITION BY cell
+         #                           ORDER BY dist DESC, vec_id) <= 25
+         #ORDER BY vec_id""".stripMargin('#')) +
+    // s08: the cross-run probe replayed against the exported centroids —
+    // index rows are day 0 (<250) assigned cells recomputed in SQL, the
+    // batch assigns the same way, same-cell pairs compare UNROUNDED
+    // double cosine >= 0.95 (replays hit their verbatim twin at exactly
+    // 1.0), survivors = batch minus dropped.
+    ("s08_semantic_dedup_registry" -> {
+      def assignBlock(src: String, p: String) =
+        s"""${p}d AS MATERIALIZED (
+           #  SELECT b.vec_id, b.embedding, c.cell,
+           #    list_reduce(list_prepend(0.0::DOUBLE,
+           #      list_transform(range(1, len(b.embedding) + 1),
+           #        i -> (b.embedding[i]::DOUBLE - c.centroid[i])
+           #             * (b.embedding[i]::DOUBLE - c.centroid[i]))),
+           #      (acc, v) -> acc + v) AS d
+           #  FROM $src b, cents c
+           #), ${p}assign AS MATERIALIZED (
+           #  SELECT vec_id, embedding, cell FROM ${p}d
+           #  QUALIFY row_number() OVER (PARTITION BY vec_id
+           #                             ORDER BY d, cell) = 1
+           #)""".stripMargin('#')
+      s"""WITH cents AS MATERIALIZED (
+         #  SELECT cell, centroid
+         #  FROM read_parquet('${OracleHashLib.centroidExport(
+              "s08_semantic_dedup_registry")}/*.parquet')
+         #), batch AS (
+         #  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 250
+         #  UNION ALL
+         #  SELECT vec_id + 2000000 AS vec_id, embedding
+         #  FROM embeddings WHERE vec_id < 250 AND vec_id % 10 = 0
+         #), day0 AS (
+         #  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 250
+         #), ${assignBlock("batch", "b")},
+         #${assignBlock("day0", "i")},
+         #dropped AS (
+         #  SELECT DISTINCT b.vec_id
+         #  FROM bassign b JOIN iassign i USING (cell)
+         #  WHERE list_dot_product(
+         #          list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+         #          list_transform(i.embedding, x -> CAST(x AS DOUBLE)))
+         #        / (SQRT(list_dot_product(
+         #             list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+         #             list_transform(b.embedding, x -> CAST(x AS DOUBLE))))
+         #         * SQRT(list_dot_product(
+         #             list_transform(i.embedding, x -> CAST(x AS DOUBLE)),
+         #             list_transform(i.embedding, x -> CAST(x AS DOUBLE)))))
+         #        >= 0.95
+         #)
+         #SELECT vec_id FROM batch
+         #WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         #ORDER BY vec_id""".stripMargin('#')
+    }) +
     ("s13_knn_projected" -> projectedOracle) +
     // s11 = RankingEval over s10's list vs s01's ids as binary truth: the
     // s10/s01 oracles run verbatim as subqueries; the DCG weight and
@@ -350,6 +463,98 @@ object SimilarityQ {
          |JOIN pf p ON p.n = LEAST($k, tn.n_truth)
          |ORDER BY tn.query_id""".stripMargin
     })
+
+  // ---- IVF-family oracles (export-the-state pattern) ----------------------
+  // Lloyd training is Spark-side state; each query exports its trained
+  // centroid matrix and the oracle replays the APPLICATION exactly:
+  // assignment (sequential double fold of (v[i]-c[i])^2 — the JVM loop
+  // order — argmin with first-wins tiebreak), probe-cell ranking (d, cell),
+  // and the s01-certified cosine + ROUND(,4) rerank with (sim desc, id)
+  // ordering.
+
+  /** cents/dist/assign CTE block over `embeddings` for `query`'s export. */
+  private def ivfAssignCtes(query: String): String =
+    s"""cents AS MATERIALIZED (
+       #  SELECT cell, centroid
+       #  FROM read_parquet('${OracleHashLib.centroidExport(query)}/*.parquet')
+       #), dist AS MATERIALIZED (
+       #  SELECT e.vec_id, c.cell,
+       #    list_reduce(list_prepend(0.0::DOUBLE,
+       #      list_transform(range(1, len(e.embedding) + 1),
+       #        i -> (e.embedding[i]::DOUBLE - c.centroid[i])
+       #             * (e.embedding[i]::DOUBLE - c.centroid[i]))),
+       #      (acc, v) -> acc + v) AS d
+       #  FROM embeddings e, cents c
+       #), assign AS MATERIALIZED (
+       #  SELECT vec_id, cell FROM dist
+       #  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+       #)""".stripMargin('#')
+
+  // lazy: referenced from the `oracles` val, which precedes this in
+  // declaration order
+  private lazy val cosQ: String =
+    """ROUND(
+      #      list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+      #                       list_transform(q.qvec, x -> CAST(x AS DOUBLE)))
+      #      / (SQRT(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+      #                               list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+      #       * SQRT(list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+      #                               list_transform(q.qvec, x -> CAST(x AS DOUBLE))))), 4)"""
+      .stripMargin('#')
+
+  /** Single-probe IVF oracle (s03/s05 shape): top-`k` by cosine inside
+    * the query's `probes` nearest cells.
+    */
+  private def ivfSingleOracle(query: String, k: Int, probes: Int): String =
+    s"""WITH ${ivfAssignCtes(query)},
+       #q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       #qd AS (
+       #  SELECT c.cell,
+       #    list_reduce(list_prepend(0.0::DOUBLE,
+       #      list_transform(range(1, len(q.qvec) + 1),
+       #        i -> (q.qvec[i]::DOUBLE - c.centroid[i])
+       #             * (q.qvec[i]::DOUBLE - c.centroid[i]))),
+       #      (acc, v) -> acc + v) AS d
+       #  FROM cents c, q
+       #), probe AS (SELECT cell FROM qd ORDER BY d, cell LIMIT $probes)
+       #SELECT e.vec_id, $cosQ AS sim
+       #FROM embeddings e JOIN assign a USING (vec_id), q
+       #WHERE a.cell IN (SELECT cell FROM probe)
+       #ORDER BY sim DESC, vec_id
+       #LIMIT $k""".stripMargin('#')
+
+  /** Batched IVF oracle (s04/s06 shape): vec_id < 10 probes, per-probe
+    * top-`k` via window rank.
+    */
+  private def ivfBatchOracle(query: String, k: Int, probes: Int): String =
+    s"""WITH ${ivfAssignCtes(query)},
+       #q0 AS (SELECT vec_id AS probe_id, embedding AS qvec
+       #       FROM embeddings WHERE vec_id < 10),
+       #qd AS (
+       #  SELECT q0.probe_id, c.cell,
+       #    list_reduce(list_prepend(0.0::DOUBLE,
+       #      list_transform(range(1, len(q0.qvec) + 1),
+       #        i -> (q0.qvec[i]::DOUBLE - c.centroid[i])
+       #             * (q0.qvec[i]::DOUBLE - c.centroid[i]))),
+       #      (acc, v) -> acc + v) AS d
+       #  FROM cents c, q0
+       #), probe AS (
+       #  SELECT probe_id, cell FROM qd
+       #  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell)
+       #          <= $probes
+       #), scored AS (
+       #  SELECT q.probe_id, e.vec_id, $cosQ AS sim
+       #  FROM embeddings e
+       #  JOIN assign a USING (vec_id)
+       #  JOIN probe p ON p.cell = a.cell
+       #  JOIN (SELECT vec_id AS probe_id, embedding AS qvec
+       #        FROM embeddings WHERE vec_id < 10) q
+       #    ON q.probe_id = p.probe_id
+       #)
+       #SELECT probe_id, vec_id, sim FROM scored
+       #QUALIFY row_number() OVER (PARTITION BY probe_id
+       #                           ORDER BY sim DESC, vec_id) <= $k
+       #ORDER BY probe_id, sim, vec_id""".stripMargin('#')
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s02_knn_lsh" -> lshOracle,

@@ -382,9 +382,21 @@ object Similarity {
     require(perCluster > 0 && saltParts > 0,
       s"perCluster=$perCluster saltParts=$saltParts")
     require(keep == "diverse" || keep == "prototypical", s"keep=$keep")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    clusterSampleFromAssigned(assigned, centroids, idCol, vecCol,
+      perCluster, keep, saltParts)
+  }
+
+  /** [[clusterSample]]'s scoring half over a pre-computed assignment (the
+    * [[ivfKnnFromAssigned]] split).
+    */
+  def clusterSampleFromAssigned(assigned: DataFrame,
+                                centroids: Array[(Int, Array[Double])],
+                                idCol: String, vecCol: String,
+                                perCluster: Int, keep: String = "diverse",
+                                saltParts: Int = 32): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val cdf = centroids.toSeq.map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
       .toDF("cell", "__c")
     val scored = assigned.join(broadcast(cdf), "cell")
@@ -408,6 +420,17 @@ object Similarity {
              k: Int, nCentroids: Int = 16, probes: Int = 4,
              lloydIters: Int = 1): DataFrame = {
     val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
+    ivfKnnFromAssigned(assigned, centroids, query, idCol, vecCol, k, probes)
+  }
+
+  /** [[ivfKnn]]'s serve half over a PRE-COMPUTED assignment — exposed so
+    * callers that need the trained centroids (exports, diagnostics) can
+    * run ivfAssign themselves without the serve path drifting.
+    */
+  def ivfKnnFromAssigned(assigned: DataFrame,
+                         centroids: Array[(Int, Array[Double])],
+                         query: DataFrame, idCol: String, vecCol: String,
+                         k: Int, probes: Int = 4): DataFrame = {
     val dim = centroids.head._2.length
     // cells nearest the query, ranked by squared distance
     val qAssigned = assignToCentroidsRanked(query, "qvec", centroids, dim, probes)
@@ -1096,9 +1119,20 @@ object Similarity {
                   probeIdCol: String, queryVecCol: String = "qvec",
                   k: Int = 10, nCentroids: Int = 16, probes: Int = 4,
                   lloydIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (assigned, centroids) = ivfAssign(emb, idCol, vecCol, nCentroids, lloydIters)
-    val dim = centroids.head._2.length
+    ivfKnnBatchFromAssigned(assigned, centroids, queries, idCol, vecCol,
+      probeIdCol, queryVecCol, k, probes)
+  }
+
+  /** [[ivfKnnBatch]]'s serve half over a pre-computed assignment (the
+    * [[ivfKnnFromAssigned]] split, batched).
+    */
+  def ivfKnnBatchFromAssigned(assigned: DataFrame,
+                              centroids: Array[(Int, Array[Double])],
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              probeIdCol: String, queryVecCol: String = "qvec",
+                              k: Int = 10, probes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qAssigned = queries.withColumn("probe_cells",
       probeCellsUdf(centroids, probes)(col(queryVecCol)))
       .withColumn("__norm_q", sqrt(dot(col(queryVecCol), col(queryVecCol))))
