@@ -574,48 +574,74 @@ object DedupQ {
     // vocabulary (the synthetic corpus vocabulary is tiny).
     ("d02_minhash_bands" ->
       (OracleHashLib.preamble +
-        s"""WITH ${OracleHashLib.permValues},
-           #${OracleHashLib.tokenHashCtes("documents",
-               s"g_scala_stringhash(t, ${OracleHashLib.AltSeed})")},
-           #th AS (
-           #  SELECT doc_id, list(h ORDER BY ord) AS hs
-           #  FROM toks JOIN vocab USING (t) GROUP BY doc_id
-           #), grams AS (
-           #  SELECT doc_id, unnest(CASE WHEN len(hs) < 3
-           #    THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, hs),
-           #          (acc, x) -> ((acc * 31 + x) & 18446744073709551615))]
-           #    ELSE list_transform(range(1, len(hs) - 1),
-           #      i0 -> ((g_mul64(((g_mul64((g_mul64(1125899906842597::HUGEINT,
-           #        1099511628211) + hs[i0]) & 18446744073709551615,
-           #        1099511628211) + hs[i0+1]) & 18446744073709551615),
-           #        1099511628211) + hs[i0+2]) & 18446744073709551615))
-           #    END) AS g
-           #  FROM th
-           #), dg AS (SELECT DISTINCT doc_id, g FROM grams),
-           #gv AS MATERIALIZED (
-           #  SELECT g, i, g_s64((g_mul64(a, g) + b) & 18446744073709551615) AS v
-           #  FROM (SELECT DISTINCT g FROM dg), perms
-           #), sigs AS (
-           #  SELECT doc_id, i, min(v) AS s
-           #  FROM dg JOIN gv USING (g) GROUP BY doc_id, i
-           #), siglist AS (
-           #  SELECT doc_id, list(g_us(s) ORDER BY i) AS sig FROM sigs
-           #  GROUP BY doc_id
-           #)
-           #SELECT doc_id, band, g_s64(bkt) AS bucket FROM (
-           #  SELECT doc_id, unnest(range(0, 16))::INT AS band,
-           #    unnest(list_transform(range(0, 16), bnd ->
-           #      g_mul64(xor(
-           #        g_mul64(xor(
-           #          g_mul64(xor(
-           #            g_mul64(xor(xor(14695981039346656037::HUGEINT,
-           #                            bnd::HUGEINT), sig[4*bnd+1]),
-           #              1099511628211),
-           #            sig[4*bnd+2]), 1099511628211),
-           #          sig[4*bnd+3]), 1099511628211),
-           #        sig[4*bnd+4]), 1099511628211))) AS bkt
-           #  FROM siglist)
+        s"""WITH ${OracleHashLib.minhashSiglistCtes("documents")}
+           #${OracleHashLib.bandSelect}
            #ORDER BY doc_id, band""".stripMargin('#'))) +
+    // d13: the cross-run MinHash index probe — day 0 (<250) is the index
+    // (band rows capped to the min-id 1000 per (band, bucket), the
+    // writeMinhashIndex cap), the batch (>=250) bands the same way,
+    // candidates share a (band, bucket), and the verify is the exact
+    // component-match fraction >= 0.7 (m/64 is exact in double).
+    ("d13_near_registry" ->
+      (OracleHashLib.preamble +
+        s"""WITH ${OracleHashLib.minhashSiglistCtes("documents")},
+           #allbands AS MATERIALIZED (
+           #  ${OracleHashLib.bandSelect}
+           #), ixbands AS (
+           #  SELECT doc_id, band, bucket FROM allbands WHERE doc_id < 250
+           #  QUALIFY row_number() OVER (PARTITION BY band, bucket
+           #                             ORDER BY doc_id) <= 1000
+           #), cand AS (
+           #  SELECT DISTINCT b.doc_id AS bid, i.doc_id AS cid
+           #  FROM allbands b JOIN ixbands i USING (band, bucket)
+           #  WHERE b.doc_id >= 250
+           #), dropped AS (
+           #  SELECT DISTINCT c.bid
+           #  FROM cand c
+           #  JOIN siglist sb ON sb.doc_id = c.bid
+           #  JOIN siglist sc ON sc.doc_id = c.cid
+           #  WHERE len(list_filter(range(1, 65),
+           #          i -> sb.sig[i] = sc.sig[i]))::DOUBLE / 64 >= 0.7
+           #)
+           #SELECT doc_id FROM documents
+           #WHERE doc_id >= 250
+           #  AND doc_id NOT IN (SELECT bid FROM dropped)
+           #ORDER BY doc_id""".stripMargin('#'))) +
+    // d15: the cross-run hamming index probe — day-0 SimHashes are the
+    // index, the batch (>=250 plus mutated +3000000 replays) drops every
+    // id within hamming 6 of ANY indexed fingerprint. Candidates via the
+    // same 7-block pigeonhole as d14 (lossless at radius 6), verified
+    // with bit_count(xor). (The index's 10000-per-bucket flood cap never
+    // engages on this corpus, as in d14's oracle.)
+    ("d15_hamming_registry" ->
+      (OracleHashLib.preamble +
+        s"""WITH docs AS (
+           #  SELECT doc_id, text FROM documents
+           #  UNION ALL
+           #  SELECT doc_id + 3000000 AS doc_id, text || ' graftmarker' AS text
+           #  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0
+           #), ${OracleHashLib.simhashCtes("docs")},
+           #blocks AS MATERIALIZED (
+           #  SELECT doc_id, h, bi,
+           #    CASE bi
+           #      WHEN 0 THEN (h >> 54) & 1023
+           #      WHEN 1 THEN (h >> 45) & 511
+           #      WHEN 2 THEN (h >> 36) & 511
+           #      WHEN 3 THEN (h >> 27) & 511
+           #      WHEN 4 THEN (h >> 18) & 511
+           #      WHEN 5 THEN (h >> 9) & 511
+           #      ELSE h & 511 END AS bv
+           #  FROM simh, (SELECT unnest(range(0, 7)) AS bi)
+           #), dropped AS (
+           #  SELECT DISTINCT b.doc_id
+           #  FROM blocks b JOIN blocks i USING (bi, bv)
+           #  WHERE i.doc_id < 250 AND NOT (b.doc_id < 250)
+           #    AND bit_count(xor(b.h, i.h)) <= 6
+           #)
+           #SELECT doc_id FROM docs
+           #WHERE doc_id >= 250
+           #  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+           #ORDER BY doc_id""".stripMargin('#'))) +
     // d03: SimHash recomputed — per-token (stringHash(t) << 32 |
     // stringHash(reverse(t))) and the per-bit majority vote.
     ("d03_simhash" ->

@@ -214,6 +214,58 @@ object OracleHashLib {
   /** d02's permutation parameter VALUES clause. */
   val permValues: String = s"perms(i, a, b) AS (VALUES $permRows)"
 
+  /** MinHash signature CTE block (k=3, 64 perms, seed 42 — the
+    * minhashSignatureFromText defaults): exposes
+    * `siglist(doc_id, sig)` with `sig` a 64-element unsigned-HUGEINT
+    * list, over `docsCte(doc_id, text)`. Shared by the d02 band oracle
+    * and the d13 cross-run index oracle.
+    */
+  def minhashSiglistCtes(docsCte: String): String =
+    s"""$permValues,
+       #${tokenHashCtes(docsCte, s"g_scala_stringhash(t, $AltSeed)")},
+       #th AS (
+       #  SELECT doc_id, list(h ORDER BY ord) AS hs
+       #  FROM toks JOIN vocab USING (t) GROUP BY doc_id
+       #), grams AS (
+       #  SELECT doc_id, unnest(CASE WHEN len(hs) < 3
+       #    THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, hs),
+       #          (acc, x) -> ((acc * 31 + x) & 18446744073709551615))]
+       #    ELSE list_transform(range(1, len(hs) - 1),
+       #      i0 -> ((g_mul64(((g_mul64((g_mul64(1125899906842597::HUGEINT,
+       #        1099511628211) + hs[i0]) & 18446744073709551615,
+       #        1099511628211) + hs[i0+1]) & 18446744073709551615),
+       #        1099511628211) + hs[i0+2]) & 18446744073709551615))
+       #    END) AS g
+       #  FROM th
+       #), dg AS (SELECT DISTINCT doc_id, g FROM grams),
+       #gv AS MATERIALIZED (
+       #  SELECT g, i, g_s64((g_mul64(a, g) + b) & 18446744073709551615) AS v
+       #  FROM (SELECT DISTINCT g FROM dg), perms
+       #), sigs AS (
+       #  SELECT doc_id, i, min(v) AS s
+       #  FROM dg JOIN gv USING (g) GROUP BY doc_id, i
+       #), siglist AS MATERIALIZED (
+       #  SELECT doc_id, list(g_us(s) ORDER BY i) AS sig FROM sigs
+       #  GROUP BY doc_id
+       #)""".stripMargin('#')
+
+  /** The 16-band FNV bucket fold over a `siglist` row — (band, bucket)
+    * pairs as an exploded SELECT fragment.
+    */
+  val bandSelect: String =
+    """SELECT doc_id, unnest(range(0, 16))::INT AS band,
+      #    unnest(list_transform(range(0, 16), bnd ->
+      #      g_s64(g_mul64(xor(
+      #        g_mul64(xor(
+      #          g_mul64(xor(
+      #            g_mul64(xor(xor(14695981039346656037::HUGEINT,
+      #                            bnd::HUGEINT), sig[4*bnd+1]),
+      #              1099511628211),
+      #            sig[4*bnd+2]), 1099511628211),
+      #          sig[4*bnd+3]), 1099511628211),
+      #        sig[4*bnd+4]), 1099511628211)))) AS bucket
+      #  FROM siglist""".stripMargin('#')
+
   /** Where t14 exports its trained weights for the oracle re-score. A
     * fixed host path on purpose: oracle SQL is static, and Verify + the
     * DuckDB compare run sequentially on one host per scale factor.
