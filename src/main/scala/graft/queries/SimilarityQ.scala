@@ -298,6 +298,76 @@ object SimilarityQ {
        |LIMIT 20""".stripMargin
   }
 
+  // s12: the MULTI-PROBE serving path replayed — the query's per-table
+  // base signature plus the nProbes lowest-margin bit-flip subsets,
+  // ranked exactly as the driver does: weakest bits sorted by (|proj|,
+  // bit), subset scores summed in weakest-list order (adding 0.0 for
+  // unselected bits is exact, so the partial-sum order matches the JVM's
+  // selected-only loop), ties broken by mask enumeration order (Scala's
+  // stable sortBy). Directions are the same seed-7 literals as s02's
+  // oracle; index signatures embed the table index in the high bits.
+  private lazy val multiProbeOracle: String = {
+    val dim = LshDim; val bits = LshBits; val tables = LshTables
+    val nProbes = 4; val k = 20
+    def dirLit(d: Array[Double]): String = d.mkString("[", ", ", "]")
+    def tableCtes(t: Int): String = {
+      val dirs = Similarity.directions(dim, bits, 7L + t)
+      val pjList = (0 until bits)
+        .map(j => s"list_dot_product(qe, ${dirLit(dirs(j))})")
+        .mkString("[", ",\n      ", "]")
+      s"""pt$t AS (
+         #  SELECT $pjList AS pj FROM q
+         #), wk$t AS (
+         #  SELECT pj,
+         #    list_sort(list_transform(range(1, ${bits + 1}),
+         #      j -> {'a': abs(pj[j]), 'j': j - 1})) AS wk
+         #  FROM pt$t
+         #), pr$t AS (
+         #  SELECT ((${t}::BIGINT << $bits) | xor(
+         #    list_sum(list_transform(range(1, ${bits + 1}),
+         #      j -> CASE WHEN pj[j] >= 0 THEN 1 << (j - 1) ELSE 0 END))::BIGINT,
+         #    list_sum(list_transform(range(1, ${bits + 1}),
+         #      jj -> CASE WHEN (mask & (1 << (jj - 1))) != 0
+         #            THEN 1 << wk[jj].j ELSE 0 END))::BIGINT)) AS psig
+         #  FROM wk$t, (SELECT unnest(range(0, ${1 << bits})) AS mask)
+         #  QUALIFY row_number() OVER (ORDER BY
+         #    list_reduce(list_prepend(0.0::DOUBLE,
+         #      list_transform(range(1, ${bits + 1}),
+         #        jj -> CASE WHEN (mask & (1 << (jj - 1))) != 0
+         #              THEN wk[jj].a ELSE 0.0 END)),
+         #      (acc, v) -> acc + v), mask) <= $nProbes
+         #)""".stripMargin('#')
+    }
+    def sigExpr(e: String, t: Int): String =
+      Similarity.directions(dim, bits, 7L + t).zipWithIndex.map { case (d, b) =>
+        s"(CASE WHEN list_dot_product($e, ${dirLit(d)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val fullSigs = (0 until tables)
+      .map(t => s"((${t}::BIGINT << $bits) | ${sigExpr("e", t)})")
+      .mkString("[", ",\n    ", "]")
+    s"""WITH n AS (
+       #  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       #  FROM embeddings
+       #), q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+       #${(0 until tables).map(tableCtes).mkString(",\n")},
+       #probesigs AS MATERIALIZED (
+       #  ${(0 until tables).map(t => s"SELECT psig FROM pr$t").mkString("\n  UNION ALL ")}
+       #), vsigs AS (
+       #  SELECT vec_id, unnest($fullSigs) AS vsig FROM n
+       #), cand AS (
+       #  SELECT DISTINCT v.vec_id, n.e
+       #  FROM vsigs v JOIN probesigs p ON v.vsig = p.psig
+       #  JOIN n ON n.vec_id = v.vec_id
+       #)
+       #SELECT c.vec_id,
+       #  ROUND(list_dot_product(c.e, q.qe)
+       #        / (SQRT(list_dot_product(c.e, c.e))
+       #         * SQRT(list_dot_product(q.qe, q.qe))), 4) AS sim
+       #FROM cand c, q
+       #ORDER BY sim DESC, vec_id
+       #LIMIT $k""".stripMargin('#')
+  }
+
   // s13: the JL candidate stage replayed with the SAME seed-derived
   // projection matrix printed as full-precision literals (s02's
   // generated-matrix discipline); each projected coordinate passes
@@ -421,6 +491,7 @@ object SimilarityQ {
          #WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          #ORDER BY vec_id""".stripMargin('#')
     }) +
+    ("s12_knn_lsh_multiprobe" -> multiProbeOracle) +
     ("s13_knn_projected" -> projectedOracle) +
     // s11 = RankingEval over s10's list vs s01's ids as binary truth: the
     // s10/s01 oracles run verbatim as subqueries; the DCG weight and
