@@ -106,6 +106,17 @@ object OracleHashLib {
        #           (h, k) -> g_mmh3_mix(h, k))
        #     END,
        #     length(s)))));
+       #CREATE OR REPLACE MACRO g_rotl64(x, r) AS
+       #  ((((x << r) | (x >> (64 - r))) & $M64));
+       #CREATE OR REPLACE MACRO g_xxh64_fmix(x0) AS
+       #  (g_xsr(g_mul64(g_xsr(g_mul64(g_xsr(x0, 33), 14029467366897019727),
+       #                       29), 1609587929392839161), 32));
+       #CREATE OR REPLACE MACRO g_xxh64long(l, seed) AS
+       #  (g_xxh64_fmix((g_mul64(g_rotl64(xor((seed + 2870177450012600261 + 8)
+       #      & $M64,
+       #      g_mul64(g_rotl64(g_mul64(l, 14029467366897019727), 31),
+       #              11400714785074694791)), 27), 11400714785074694791)
+       #    + 9650029242287828579) & $M64));
        #CREATE OR REPLACE MACRO g_cdc_warm(g5, start, d) AS
        #  (CASE d
        #     WHEN 0 THEN g5[start+17]::BIGINT
@@ -139,16 +150,16 @@ object OracleHashLib {
     * vocabulary is tiny, so hashing distinct tokens once dominates).
     * `lowSeedExpr(t)` builds the low 32 bits from token `t`.
     */
-  def tokenHashCtes(docsCte: String, lowExpr: String): String =
-    s"""toks AS (
+  def tokenHashCtes(docsCte: String, lowExpr: String, p: String = ""): String =
+    s"""${p}toks AS (
        #  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t,
        #         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS ord
        #  FROM $docsCte
-       #), vocab AS MATERIALIZED (
+       #), ${p}vocab AS MATERIALIZED (
        #  SELECT t,
        #    ((g_u32(g_scala_stringhash(t, $StringSeed))::HUGEINT << 32)
        #     | g_u32($lowExpr)::HUGEINT) AS h
-       #  FROM (SELECT DISTINCT t FROM toks)
+       #  FROM (SELECT DISTINCT t FROM ${p}toks)
        #)""".stripMargin('#')
 
   /** SimHash CTE block: per-document 64-bit SimHash as signed BIGINT,
@@ -220,13 +231,13 @@ object OracleHashLib {
     * list, over `docsCte(doc_id, text)`. Shared by the d02 band oracle
     * and the d13 cross-run index oracle.
     */
-  def minhashSiglistCtes(docsCte: String): String =
-    s"""$permValues,
-       #${tokenHashCtes(docsCte, s"g_scala_stringhash(t, $AltSeed)")},
-       #th AS (
+  def minhashSiglistCtes(docsCte: String, p: String = ""): String =
+    s"""${p}perms(i, a, b) AS (VALUES $permRows),
+       #${tokenHashCtes(docsCte, s"g_scala_stringhash(t, $AltSeed)", p)},
+       #${p}th AS MATERIALIZED (
        #  SELECT doc_id, list(h ORDER BY ord) AS hs
-       #  FROM toks JOIN vocab USING (t) GROUP BY doc_id
-       #), grams AS (
+       #  FROM ${p}toks JOIN ${p}vocab USING (t) GROUP BY doc_id
+       #), ${p}grams AS (
        #  SELECT doc_id, unnest(CASE WHEN len(hs) < 3
        #    THEN [list_reduce(list_prepend(1125899906842597::HUGEINT, hs),
        #          (acc, x) -> ((acc * 31 + x) & 18446744073709551615))]
@@ -236,24 +247,24 @@ object OracleHashLib {
        #        1099511628211) + hs[i0+1]) & 18446744073709551615),
        #        1099511628211) + hs[i0+2]) & 18446744073709551615))
        #    END) AS g
-       #  FROM th
-       #), dg AS (SELECT DISTINCT doc_id, g FROM grams),
-       #gv AS MATERIALIZED (
+       #  FROM ${p}th
+       #), ${p}dg AS (SELECT DISTINCT doc_id, g FROM ${p}grams),
+       #${p}gv AS MATERIALIZED (
        #  SELECT g, i, g_s64((g_mul64(a, g) + b) & 18446744073709551615) AS v
-       #  FROM (SELECT DISTINCT g FROM dg), perms
-       #), sigs AS (
+       #  FROM (SELECT DISTINCT g FROM ${p}dg), ${p}perms
+       #), ${p}sigs AS (
        #  SELECT doc_id, i, min(v) AS s
-       #  FROM dg JOIN gv USING (g) GROUP BY doc_id, i
-       #), siglist AS MATERIALIZED (
-       #  SELECT doc_id, list(g_us(s) ORDER BY i) AS sig FROM sigs
+       #  FROM ${p}dg JOIN ${p}gv USING (g) GROUP BY doc_id, i
+       #), ${p}siglist AS MATERIALIZED (
+       #  SELECT doc_id, list(g_us(s) ORDER BY i) AS sig FROM ${p}sigs
        #  GROUP BY doc_id
        #)""".stripMargin('#')
 
   /** The 16-band FNV bucket fold over a `siglist` row — (band, bucket)
     * pairs as an exploded SELECT fragment.
     */
-  val bandSelect: String =
-    """SELECT doc_id, unnest(range(0, 16))::INT AS band,
+  def bandSelectP(p: String): String =
+    s"""SELECT doc_id, unnest(range(0, 16))::INT AS band,
       #    unnest(list_transform(range(0, 16), bnd ->
       #      g_s64(g_mul64(xor(
       #        g_mul64(xor(
@@ -264,7 +275,9 @@ object OracleHashLib {
       #            sig[4*bnd+2]), 1099511628211),
       #          sig[4*bnd+3]), 1099511628211),
       #        sig[4*bnd+4]), 1099511628211)))) AS bucket
-      #  FROM siglist""".stripMargin('#')
+      #  FROM ${p}siglist""".stripMargin('#')
+
+  val bandSelect: String = bandSelectP("")
 
   /** Where t14 exports its trained weights for the oracle re-score. A
     * fixed host path on purpose: oracle SQL is static, and Verify + the

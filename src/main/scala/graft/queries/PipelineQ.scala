@@ -237,9 +237,53 @@ object PipelineQ {
   // fails day 2's own gate identically, so the ungated day-1 texts can
   // never matter. No benchmark on c05, so the contamination CTE degenerates
   // to an empty dirty set.
+  // The within-run MinHash near-dedup stage replayed INSIDE the curate
+  // composition (c01): signatures/bands via OracleHashLib's d02-certified
+  // machinery over the exact-stage survivors, exhaustive same-bucket
+  // candidate pairs (a < b), hashed-bigram Jaccard >= 0.7 verify
+  // (jaccardOfSets' exact integer arithmetic), drop every verified pair's
+  // b side — nearDedup's greedy rule. Mega-bucket chains (minhashCandidates'
+  // >1000-member cap) are NOT modeled: the guard forces an empty — loudly
+  // failing — result if any bucket exceeds the cap, rather than silently
+  // diverging (no bucket on this corpus family comes within 100x of it).
+  private lazy val nearDropSql: String =
+    s"""${OracleHashLib.minhashSiglistCtes("exact", "mh")},
+       #mhbands AS MATERIALIZED (
+       #  ${OracleHashLib.bandSelectP("mh")}
+       #), mhguard AS (
+       #  SELECT coalesce(max(c), 0) <= 1000 AS ok
+       #  FROM (SELECT count(*) AS c FROM mhbands GROUP BY band, bucket)
+       #), mhpairs AS (
+       #  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       #  FROM mhbands l JOIN mhbands r USING (band, bucket)
+       #  WHERE l.doc_id < r.doc_id
+       #), mhbg AS MATERIALIZED (
+       #  SELECT doc_id, list_distinct(CASE WHEN len(hs) < 2
+       #    THEN [g_s64(list_reduce(list_prepend(1125899906842597::HUGEINT, hs),
+       #          (acc, x) -> ((acc * 31 + x) & 18446744073709551615)))]
+       #    ELSE list_transform(range(1, len(hs)),
+       #      i -> g_s64((g_mul64((g_mul64(1125899906842597::HUGEINT,
+       #        1099511628211) + hs[i]) & 18446744073709551615,
+       #        1099511628211) + hs[i+1]) & 18446744073709551615))
+       #    END) AS gs
+       #  FROM mhth
+       #), mhver AS (
+       #  SELECT DISTINCT c.b
+       #  FROM mhpairs c
+       #  JOIN mhbg ga ON ga.doc_id = c.a
+       #  JOIN mhbg gb ON gb.doc_id = c.b
+       #  WHERE len(list_intersect(ga.gs, gb.gs))::DOUBLE
+       #        / (len(ga.gs) + len(gb.gs)
+       #           - len(list_intersect(ga.gs, gb.gs)))::DOUBLE >= 0.7
+       #), nearkept AS (
+       #  SELECT e.* FROM exact e, mhguard g
+       #  WHERE g.ok AND e.doc_id NOT IN (SELECT b FROM mhver)
+       #),""".stripMargin('#')
+
   private def curateOracle(spanStage: Boolean,
                            semanticStage: Boolean = false,
-                           registryStage: Boolean = false): String = {
+                           registryStage: Boolean = false,
+                           nearStage: Boolean = false): String = {
     val counts = TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
@@ -298,11 +342,14 @@ object PipelineQ {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
        |                  toks[i+3] || ' ' || toks[i+4])
        |      END)) AS gr
-       |  FROM ${if (semanticStage) "semkept" else "exact"}),
+       |  FROM ${if (semanticStage) "semkept"
+                  else if (nearStage) "nearkept" else "exact"}),
        |dirty AS (
        |  SELECT doc_id FROM cgrams JOIN bgrams USING (gr)
        |  GROUP BY doc_id HAVING COUNT(*) >= 1)""".stripMargin
-    val surv = if (semanticStage) "semkept" else "exact"
+    val surv = if (semanticStage) "semkept"
+      else if (nearStage) "nearkept" else "exact"
+    (if (nearStage) OracleHashLib.preamble else "") +
     s"""WITH ${rawCte}t AS (
        |  SELECT doc_id, text,
        |    string_split_regex(lower(text), '\\s+') AS ltoks,
@@ -340,7 +387,8 @@ object PipelineQ {
        |  SELECT * FROM gated
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
        |$exactCte
-       |${if (semanticStage) semanticDropSql else ""}$contamCtes
+       |__NEARSTAGE__${
+         if (semanticStage) semanticDropSql else ""}$contamCtes
        |SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split${
         if (spanStage) ",\n       |  md5(e.text) AS text_md5" else ""}
@@ -349,6 +397,9 @@ object PipelineQ {
        |      FROM $surv) e
        |WHERE e.doc_id NOT IN (SELECT doc_id FROM dirty)
        |ORDER BY e.doc_id""".stripMargin
+      // spliced AFTER the '|'-margin strip: the near block's SQL contains
+      // line-leading bitwise ORs that stripMargin would eat as margins
+      .replace("__NEARSTAGE__", if (nearStage) nearDropSql else "")
   }
 
   // The semantic stage replayed through the exact quadratic cosine path
@@ -522,6 +573,7 @@ object PipelineQ {
     val base = Map(
       "c06_frontier" -> frontierOracle,
       "c07_frontier_schedule" -> frontierScheduleOracle,
+      "c01_curate" -> curateOracle(spanStage = false, nearStage = true),
       "c02_curate_exact" -> curateOracle(spanStage = false),
       "c03_curate_span" -> curateOracle(spanStage = true),
       "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),
