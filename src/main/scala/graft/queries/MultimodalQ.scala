@@ -287,5 +287,72 @@ object MultimodalQ {
   )
 
   /** No SQL oracles: DuckDB cannot decode images (rows-only checks). */
-  val oracles: Map[String, String] = Map.empty
+  // m01's oracle sidesteps the decoder question entirely: the query's
+  // images are SYNTHESIZED from a seeded xorshift generator, so the
+  // oracle recomputes the pixels from the same recurrence (one recursive
+  // CTE step per byte — 768 per image), replays the nearest-pixel 9x8
+  // resize + gradient dHash arithmetic, and resolves the hamming<=4
+  // clusters with d14's recursive min-label closure. PNG/PPM decode
+  // correctness stays spec-gated (codec round-trips); what this gate
+  // certifies is the dHash + dedup semantics end to end — including the
+  // identical-pixel PPM twins collapsing and the undecodable blob
+  // surviving with a NULL fingerprint. m02-m04 stay rows-only: their
+  // gates hinge on container-header parsing and frame/PCM extraction of
+  // encoder OUTPUT bytes, which DuckDB cannot reproduce.
+  val oracles: Map[String, String] = Map(
+    "m01_perceptual_dedup" ->
+      (OracleHashLib.preamble +
+        s"""CREATE OR REPLACE MACRO g_xs(x) AS
+           #  (xor(xor(x, (x << 13) & 18446744073709551615),
+           #       xor(x, (x << 13) & 18446744073709551615) >> 7));
+           #CREATE OR REPLACE MACRO g_xs2(x) AS
+           #  (xor(g_xs(x), (g_xs(x) << 17) & 18446744073709551615)
+           #   & 18446744073709551615);
+           #CREATE OR REPLACE MACRO g_m01gray(bs, y, x) AS
+           #  (bs[(2*y*16 + (16*x)//9)*3 + 1]::INT
+           #   + bs[(2*y*16 + (16*x)//9)*3 + 2]::INT
+           #   + bs[(2*y*16 + (16*x)//9)*3 + 3]::INT);
+           #WITH media AS (
+           #  SELECT doc_id AS media_id, doc_id AS seed FROM documents
+           #  WHERE doc_id < 120
+           #  UNION ALL
+           #  SELECT doc_id + 5000, doc_id FROM documents
+           #  WHERE doc_id < 120 AND doc_id % 4 = 0
+           #), st AS (
+           #  WITH RECURSIVE r(media_id, i, x) AS (
+           #    SELECT media_id, 0,
+           #      CASE WHEN ((g_mul64(seed::HUGEINT, 6364136223846793005)
+           #                  + 1442695040888963407) & 18446744073709551615) = 0
+           #           THEN 1::HUGEINT
+           #           ELSE (g_mul64(seed::HUGEINT, 6364136223846793005)
+           #                 + 1442695040888963407) & 18446744073709551615 END
+           #    FROM media
+           #    UNION ALL
+           #    SELECT media_id, i + 1, g_xs2(x) FROM r WHERE i < 768
+           #  ) SELECT media_id, i, x FROM r WHERE i >= 1
+           #), blist AS MATERIALIZED (
+           #  SELECT media_id, list((x & 255)::INT ORDER BY i) AS bs
+           #  FROM st GROUP BY media_id
+           #), hashes AS MATERIALIZED (
+           #  SELECT media_id, g_s64(list_sum(list_transform(range(0, 64), k ->
+           #    CASE WHEN g_m01gray(bs, k // 8, k % 8)
+           #              > g_m01gray(bs, k // 8, k % 8 + 1)
+           #         THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))) AS h
+           #  FROM blist
+           #), reps AS (SELECT h, min(media_id) AS rep FROM hashes GROUP BY h),
+           #edges AS (
+           #  SELECT DISTINCT a.h AS h1, b.h AS h2 FROM reps a, reps b
+           #  WHERE a.h <> b.h AND bit_count(xor(a.h, b.h)) <= 4
+           #), comp AS (
+           #  WITH RECURSIVE c(h, lbl) AS (
+           #    SELECT h, rep FROM reps
+           #    UNION
+           #    SELECT e.h2, c.lbl FROM c JOIN edges e ON c.h = e.h1
+           #  ) SELECT h, min(lbl) AS lbl FROM c GROUP BY h
+           #)
+           #SELECT hh.media_id FROM hashes hh JOIN comp c USING (h)
+           #WHERE hh.media_id = c.lbl
+           #UNION ALL
+           #SELECT doc_id + 9999 FROM documents WHERE doc_id = 0
+           #ORDER BY media_id""".stripMargin('#')))
 }
