@@ -13,6 +13,17 @@ sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 # (heavy sf1 oracles make the full sweep hours; one new query needn't wait)
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
+# record which commit produced this gate run (the round-13 verdict asked
+# every dump/check artifact to pin its HEAD)
+import subprocess
+try:
+    head = subprocess.run(["git", "-C", os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "rev-parse", "HEAD"],
+        capture_output=True, text=True).stdout.strip()
+    print(f"check.py @ {head[:12]}  outdir={outdir}  sfdir={sfdir}")
+except Exception:
+    pass
+
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
