@@ -44,17 +44,30 @@ class OracleHashLibSpec extends AnyFunSuite {
 
   test("every converted oracle carries the macro preamble") {
     val converted = Seq("d02_minhash_bands", "d03_simhash",
-      "d14_simhash_near_dedup", "d25_cdc_containment", "d26_chunk_registry",
-      "t04_fingerprint", "t14_quality_classifier")
+      "d13_near_registry", "d14_simhash_near_dedup", "d15_hamming_registry",
+      "d25_cdc_containment", "d26_chunk_registry", "c01_curate",
+      "m01_perceptual_dedup", "t04_fingerprint", "t14_quality_classifier")
     val oracles = SparkEntry.oracleSql
     converted.foreach { q =>
       assert(oracles.contains(q), s"$q lost its oracle")
       assert(oracles(q).startsWith("CREATE OR REPLACE MACRO g_mul64"),
         s"$q oracle missing the hash-lib preamble")
     }
-    // t19 rides the export-the-state pattern, no hash macros needed
-    assert(oracles.contains("t19_bpe_tokens"))
+    // the export-the-state family needs no hash macros, only its exports
     assert(oracles("t19_bpe_tokens").contains(
       graft.queries.OracleHashLib.T19MergesExport))
+    Seq("s03_knn_ivf", "s04_knn_ivf_batch", "s05_knn_ivf_indexed",
+      "s06_knn_ivf_indexed_batch", "s08_semantic_dedup_registry",
+      "s09_cluster_sample").foreach { q =>
+      assert(oracles(q).contains(
+        graft.queries.OracleHashLib.centroidExport(q)), s"$q export path")
+    }
+    assert(oracles("s12_knn_lsh_multiprobe").contains("psig"))
+    // the five that stay rows-only, each decoder/codec-bound
+    Seq("m02_curate_media", "m03_audio_dedup", "m04_video_dedup",
+      "t35_compression_ratio", "t42_distinct_per_source").foreach { q =>
+      assert(!oracles.contains(q), s"$q unexpectedly gained an oracle")
+      assert(SparkEntry.queries.contains(q))
+    }
   }
 }
