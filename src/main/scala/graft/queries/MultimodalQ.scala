@@ -286,73 +286,272 @@ object MultimodalQ {
     }
   )
 
-  /** No SQL oracles: DuckDB cannot decode images (rows-only checks). */
-  // m01's oracle sidesteps the decoder question entirely: the query's
-  // images are SYNTHESIZED from a seeded xorshift generator, so the
-  // oracle recomputes the pixels from the same recurrence (one recursive
-  // CTE step per byte — 768 per image), replays the nearest-pixel 9x8
-  // resize + gradient dHash arithmetic, and resolves the hamming<=4
-  // clusters with d14's recursive min-label closure. PNG/PPM decode
-  // correctness stays spec-gated (codec round-trips); what this gate
-  // certifies is the dHash + dedup semantics end to end — including the
-  // identical-pixel PPM twins collapsing and the undecodable blob
-  // surviving with a NULL fingerprint. m02-m04 stay rows-only: their
-  // gates hinge on container-header parsing and frame/PCM extraction of
-  // encoder OUTPUT bytes, which DuckDB cannot reproduce.
+  // The m-family oracles sidestep the decoder question entirely: every
+  // blob is SYNTHESIZED from a deterministic generator (xorshift pixels,
+  // splitmix square-wave PCM, MDS-coded GIF edge patterns), so the oracle
+  // recomputes the CONTENT from the same recurrence and replays the
+  // fingerprint + dedup semantics exactly; codec round-trip correctness
+  // (PNG/PPM/GIF/WAV/AIFF encode->decode identity) stays spec-gated.
+  // Only t35 (DEFLATE) remains rows-only in this file's sibling TextQ.
+
+  // Shared m01/m02 machinery: xorshift pixel recurrence + 9x8 gradient
+  // dHash + hamming closure, parameterized by the id range and the final
+  // projection (m02's gate drops the 8x8 crops on the width floor and the
+  // unprobed blob BY CONSTRUCTION, so its oracle is the <100 slice with
+  // the probed 16x16 metadata emitted).
+  private def dhashDedupSql(maxId: Int, radius: Int, finalSelect: String,
+                            extraMedia: String): String =
+    s"""CREATE OR REPLACE MACRO g_xs(x) AS
+       #  (xor(xor(x, (x << 13) & 18446744073709551615),
+       #       xor(x, (x << 13) & 18446744073709551615) >> 7));
+       #CREATE OR REPLACE MACRO g_xs2(x) AS
+       #  (xor(g_xs(x), (g_xs(x) << 17) & 18446744073709551615)
+       #   & 18446744073709551615);
+       #CREATE OR REPLACE MACRO g_m01gray(bs, y, x) AS
+       #  (bs[(2*y*16 + (16*x)//9)*3 + 1]::INT
+       #   + bs[(2*y*16 + (16*x)//9)*3 + 2]::INT
+       #   + bs[(2*y*16 + (16*x)//9)*3 + 3]::INT);
+       #WITH media AS (
+       #  SELECT doc_id AS media_id, doc_id AS seed FROM documents
+       #  WHERE doc_id < $maxId
+       #  UNION ALL
+       #  SELECT doc_id + 5000, doc_id FROM documents
+       #  WHERE doc_id < $maxId AND doc_id % 4 = 0
+       #), st AS (
+       #  WITH RECURSIVE r(media_id, i, x) AS (
+       #    SELECT media_id, 0,
+       #      CASE WHEN ((g_mul64(seed::HUGEINT, 6364136223846793005)
+       #                  + 1442695040888963407) & 18446744073709551615) = 0
+       #           THEN 1::HUGEINT
+       #           ELSE (g_mul64(seed::HUGEINT, 6364136223846793005)
+       #                 + 1442695040888963407) & 18446744073709551615 END
+       #    FROM media
+       #    UNION ALL
+       #    SELECT media_id, i + 1, g_xs2(x) FROM r WHERE i < 768
+       #  ) SELECT media_id, i, x FROM r WHERE i >= 1
+       #), blist AS MATERIALIZED (
+       #  SELECT media_id, list((x & 255)::INT ORDER BY i) AS bs
+       #  FROM st GROUP BY media_id
+       #), hashes AS MATERIALIZED (
+       #  SELECT media_id, g_s64(list_sum(list_transform(range(0, 64), k ->
+       #    CASE WHEN g_m01gray(bs, k // 8, k % 8)
+       #              > g_m01gray(bs, k // 8, k % 8 + 1)
+       #         THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))) AS h
+       #  FROM blist
+       #), reps AS (SELECT h, min(media_id) AS rep FROM hashes GROUP BY h),
+       #edges AS (
+       #  SELECT DISTINCT a.h AS h1, b.h AS h2 FROM reps a, reps b
+       #  WHERE a.h <> b.h AND bit_count(xor(a.h, b.h)) <= $radius
+       #), comp AS (
+       #  WITH RECURSIVE c(h, lbl) AS (
+       #    SELECT h, rep FROM reps
+       #    UNION
+       #    SELECT e.h2, c.lbl FROM c JOIN edges e ON c.h = e.h1
+       #  ) SELECT h, min(lbl) AS lbl FROM c GROUP BY h
+       #)
+       #$finalSelect$extraMedia
+       #ORDER BY media_id""".stripMargin('#')
+
   val oracles: Map[String, String] = Map(
+    // m01: pixels recompute from the xorshift recurrence (one recursive
+    // CTE step per byte), then the 9x8 resize + gradient dHash and the
+    // hamming<=4 min-label closure replay exactly; the undecodable blob
+    // survives with a NULL fingerprint.
     "m01_perceptual_dedup" ->
+      (OracleHashLib.preamble + dhashDedupSql(120, 4,
+        s"""SELECT hh.media_id FROM hashes hh JOIN comp c USING (h)
+           #WHERE hh.media_id = c.lbl
+           #UNION ALL
+           #SELECT doc_id + 9999 FROM documents WHERE doc_id = 0"""
+          .stripMargin('#'), "")),
+
+    // m02: the gate is decided BY CONSTRUCTION (8x8 crops fail the
+    // minWidth=12 floor, the unparseable blob drops with keepUnprobed
+    // off), so the oracle is the <100 dHash dedup with the probed 16x16
+    // metadata; header-parsing correctness stays spec-gated.
+    "m02_curate_media" ->
+      (OracleHashLib.preamble + dhashDedupSql(100, 4,
+        s"""SELECT hh.media_id, 16::INT AS width, 16::INT AS height
+           #FROM hashes hh JOIN comp c USING (h)
+           #WHERE hh.media_id = c.lbl""".stripMargin('#'), "")),
+
+    // m03: the audio fingerprint replayed — the square-wave generator's
+    // window sums are EXACT integers (sums of a^2/|2a| below 2^53), so
+    // the double sqrt/division and the single float rounding per window
+    // are IEEE-identical in both engines; envelope bits compare adjacent
+    // 33-window RMS (= the window amplitude exactly), brightness bits
+    // compare mean |dsample| to RMS*tau in FLOAT. PCM decode correctness
+    // (WAV/AIFF round-trip) stays spec-gated.
+    "m03_audio_dedup" ->
       (OracleHashLib.preamble +
-        s"""CREATE OR REPLACE MACRO g_xs(x) AS
-           #  (xor(xor(x, (x << 13) & 18446744073709551615),
-           #       xor(x, (x << 13) & 18446744073709551615) >> 7));
-           #CREATE OR REPLACE MACRO g_xs2(x) AS
-           #  (xor(g_xs(x), (g_xs(x) << 17) & 18446744073709551615)
-           #   & 18446744073709551615);
-           #CREATE OR REPLACE MACRO g_m01gray(bs, y, x) AS
-           #  (bs[(2*y*16 + (16*x)//9)*3 + 1]::INT
-           #   + bs[(2*y*16 + (16*x)//9)*3 + 2]::INT
-           #   + bs[(2*y*16 + (16*x)//9)*3 + 3]::INT);
+        s"""CREATE OR REPLACE MACRO g_splitmix_a(x) AS
+           #  (g_mul64(xor((x + 11400714819323198485) & 18446744073709551615,
+           #               ((x + 11400714819323198485) & 18446744073709551615)
+           #                 >> 30), 13787848793156543929));
+           #CREATE OR REPLACE MACRO g_splitmix_b(x) AS
+           #  (g_mul64(xor(g_splitmix_a(x), g_splitmix_a(x) >> 27),
+           #           10723151780598845931));
+           #CREATE OR REPLACE MACRO g_splitmix(x) AS
+           #  (xor(g_splitmix_b(x), g_splitmix_b(x) >> 31));
            #WITH media AS (
-           #  SELECT doc_id AS media_id, doc_id AS seed FROM documents
-           #  WHERE doc_id < 120
+           #  SELECT doc_id AS media_id, doc_id AS seed, false AS dip
+           #  FROM documents WHERE doc_id < 60
            #  UNION ALL
-           #  SELECT doc_id + 5000, doc_id FROM documents
-           #  WHERE doc_id < 120 AND doc_id % 4 = 0
-           #), st AS (
-           #  WITH RECURSIVE r(media_id, i, x) AS (
-           #    SELECT media_id, 0,
-           #      CASE WHEN ((g_mul64(seed::HUGEINT, 6364136223846793005)
-           #                  + 1442695040888963407) & 18446744073709551615) = 0
-           #           THEN 1::HUGEINT
-           #           ELSE (g_mul64(seed::HUGEINT, 6364136223846793005)
-           #                 + 1442695040888963407) & 18446744073709551615 END
-           #    FROM media
-           #    UNION ALL
-           #    SELECT media_id, i + 1, g_xs2(x) FROM r WHERE i < 768
-           #  ) SELECT media_id, i, x FROM r WHERE i >= 1
-           #), blist AS MATERIALIZED (
-           #  SELECT media_id, list((x & 255)::INT ORDER BY i) AS bs
-           #  FROM st GROUP BY media_id
-           #), hashes AS MATERIALIZED (
-           #  SELECT media_id, g_s64(list_sum(list_transform(range(0, 64), k ->
-           #    CASE WHEN g_m01gray(bs, k // 8, k % 8)
-           #              > g_m01gray(bs, k // 8, k % 8 + 1)
-           #         THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))) AS h
-           #  FROM blist
-           #), reps AS (SELECT h, min(media_id) AS rep FROM hashes GROUP BY h),
+           #  SELECT doc_id + 5000, doc_id, false FROM documents
+           #  WHERE doc_id < 60 AND doc_id % 4 = 0
+           #  UNION ALL
+           #  SELECT doc_id + 7000, doc_id, true FROM documents
+           #  WHERE doc_id < 60 AND doc_id % 10 = 0
+           #),
+           #amps AS MATERIALIZED (
+           #  SELECT media_id, w,
+           #    trunc(30000.0 * (CASE WHEN dip AND w = 16
+           #      THEN (0.2 + 0.6 * ((g_splitmix((seed*33 + w)::HUGEINT) >> 11)::DOUBLE
+           #            / 9007199254740992.0)) * 0.08
+           #      ELSE 0.2 + 0.6 * ((g_splitmix((seed*33 + w)::HUGEINT) >> 11)::DOUBLE
+           #            / 9007199254740992.0) END))::BIGINT AS a
+           #  FROM media, (SELECT unnest(range(0, 33)) AS w)
+           #),
+           #rms33 AS (SELECT media_id, w, a::FLOAT AS rf FROM amps),
+           #samples AS MATERIALIZED (
+           #  SELECT m.media_id, i, a.a,
+           #    CASE WHEN (i // 8) % 2 = 0 THEN a.a ELSE -a.a END AS s
+           #  FROM media m, (SELECT unnest(range(0, 7920)) AS i) g
+           #  JOIN amps a ON true
+           #  WHERE a.media_id = m.media_id AND a.w = i // 240
+           #),
+           #rms32 AS (
+           #  SELECT media_id, (i * 32) // 7920 AS w,
+           #    (sqrt(sum(a*a)::DOUBLE / count(*)))::FLOAT AS rf
+           #  FROM samples GROUP BY 1, 2
+           #),
+           #deriv AS (
+           #  SELECT s1.media_id, (s1.i * 32) // 7920 AS w,
+           #    (sum(abs(s1.s - s0.s))::DOUBLE / count(*))::FLOAT AS df
+           #  FROM samples s1 JOIN samples s0
+           #    ON s0.media_id = s1.media_id AND s0.i = s1.i - 1
+           #  WHERE s1.i >= 1
+           #  GROUP BY 1, 2
+           #),
+           #fp AS MATERIALIZED (
+           #  SELECT m.media_id, g_s64(
+           #    (SELECT coalesce(sum(CASE WHEN b.rf > a.rf
+           #         THEN (1::HUGEINT << a.w::INT) ELSE 0::HUGEINT END),
+           #         0::HUGEINT)
+           #     FROM rms33 a JOIN rms33 b
+           #       ON b.media_id = a.media_id AND b.w = a.w + 1
+           #     WHERE a.media_id = m.media_id AND a.w < 32)
+           #    +
+           #    (SELECT coalesce(sum(CASE WHEN d.df >
+           #         (r.rf * (5.6569::FLOAT * 600.0::FLOAT / 8000.0::FLOAT))::FLOAT
+           #         THEN (1::HUGEINT << (32 + d.w::INT)) ELSE 0::HUGEINT END),
+           #         0::HUGEINT)
+           #     FROM deriv d JOIN rms32 r
+           #       ON r.media_id = d.media_id AND r.w = d.w
+           #     WHERE d.media_id = m.media_id)
+           #  ) AS h
+           #  FROM media m
+           #),
+           #reps AS (SELECT h, min(media_id) AS rep FROM fp GROUP BY h),
+           #exactdrop AS (
+           #  SELECT media_id FROM fp JOIN reps USING (h) WHERE media_id <> rep),
            #edges AS (
            #  SELECT DISTINCT a.h AS h1, b.h AS h2 FROM reps a, reps b
-           #  WHERE a.h <> b.h AND bit_count(xor(a.h, b.h)) <= 4
-           #), comp AS (
+           #  WHERE a.h <> b.h AND bit_count(xor(a.h, b.h)) <= 4),
+           #comp AS (
            #  WITH RECURSIVE c(h, lbl) AS (
            #    SELECT h, rep FROM reps
            #    UNION
            #    SELECT e.h2, c.lbl FROM c JOIN edges e ON c.h = e.h1
-           #  ) SELECT h, min(lbl) AS lbl FROM c GROUP BY h
-           #)
-           #SELECT hh.media_id FROM hashes hh JOIN comp c USING (h)
-           #WHERE hh.media_id = c.lbl
-           #UNION ALL
-           #SELECT doc_id + 9999 FROM documents WHERE doc_id = 0
+           #  ) SELECT h, min(lbl) AS lbl FROM c GROUP BY h),
+           #neardrop AS (
+           #  SELECT f.media_id FROM fp f JOIN comp c USING (h)
+           #  WHERE f.media_id <> c.lbl)
+           #SELECT media_id FROM (
+           #  SELECT media_id FROM media
+           #  UNION ALL SELECT doc_id + 9999 FROM documents WHERE doc_id = 0)
+           #WHERE media_id NOT IN (SELECT media_id FROM exactdrop)
+           #  AND media_id NOT IN (SELECT media_id FROM neardrop)
+           #ORDER BY media_id""".stripMargin('#')),
+
+    // m04: the GIF frames are DETERMINISTIC 8x8 light-left patterns
+    // (edge columns from the id's MDS code), and the nearest-pixel
+    // resize maps both the 8x8 and 16x16 encodes onto the SAME 9-wide
+    // sample columns, so each frame's dHash is a closed-form function of
+    // (edge, tweak). Exact tier (full-vector min-id), per-position
+    // hamming<=2 / >=2-matching-frames edge rule, min-label closure; the
+    // corrupt blob (no decodable frames) survives.
+    "m04_video_dedup" ->
+      (OracleHashLib.preamble +
+        s"""CREATE OR REPLACE MACRO g_m04light(sxv, e, tw, y) AS
+           #  (CASE WHEN tw AND y = 0 THEN sxv < e - 1 ELSE sxv < e END);
+           #CREATE OR REPLACE MACRO g_m04hash(e, tw) AS (
+           #  g_s64(list_sum(list_transform(range(0, 64), k ->
+           #    CASE WHEN g_m04light([0,0,1,2,3,4,5,6,7][(k % 8) + 1], e, tw, k // 8)
+           #          AND NOT g_m04light([0,0,1,2,3,4,5,6,7][(k % 8) + 2], e, tw, k // 8)
+           #         THEN (1::HUGEINT << k) ELSE 0::HUGEINT END))));
+           #WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+           #ed AS (
+           #  SELECT doc_id, (doc_id % 7)::INT + 1 AS e0,
+           #         ((doc_id // 7) % 7)::INT + 1 AS e1,
+           #         ((doc_id % 7 + (doc_id // 7) % 7) % 7)::INT + 1 AS e2
+           #  FROM ids),
+           #frames AS (
+           #  SELECT doc_id AS media_id, fi,
+           #    g_m04hash(CASE fi WHEN 0 THEN e0 WHEN 1 THEN e1 ELSE e2 END,
+           #              false) AS h
+           #  FROM ed, (SELECT unnest(range(0,3)) AS fi)
+           #  UNION ALL
+           #  SELECT doc_id + 5000, fi,
+           #    g_m04hash(CASE fi WHEN 0 THEN e0 WHEN 1 THEN e1 ELSE e2 END, false)
+           #  FROM ed, (SELECT unnest(range(0,3)) AS fi) WHERE doc_id % 4 = 0
+           #  UNION ALL
+           #  SELECT doc_id + 7000, fi,
+           #    g_m04hash(CASE fi WHEN 0 THEN e0 WHEN 1 THEN e1 ELSE e2 END, fi = 0)
+           #  FROM ed, (SELECT unnest(range(0,3)) AS fi) WHERE doc_id % 10 = 0
+           #  UNION ALL
+           #  SELECT doc_id + 8000, fi,
+           #    g_m04hash(CASE fi WHEN 0 THEN e1 WHEN 1 THEN e0 ELSE e2 END, false)
+           #  FROM ed, (SELECT unnest(range(0,3)) AS fi) WHERE doc_id = 13
+           #),
+           #allmedia AS (
+           #  SELECT doc_id AS media_id FROM ids
+           #  UNION ALL SELECT doc_id + 5000 FROM ids WHERE doc_id % 4 = 0
+           #  UNION ALL SELECT doc_id + 7000 FROM ids WHERE doc_id % 10 = 0
+           #  UNION ALL SELECT doc_id + 8000 FROM ids WHERE doc_id = 13
+           #  UNION ALL SELECT doc_id + 9999 FROM ids WHERE doc_id = 0
+           #),
+           #vecs AS (
+           #  SELECT media_id, list(h ORDER BY fi) AS v FROM frames
+           #  GROUP BY media_id),
+           #reps AS (SELECT v, min(media_id) AS rep FROM vecs GROUP BY v),
+           #exactdrop AS (
+           #  SELECT media_id FROM vecs JOIN reps USING (v) WHERE media_id <> rep),
+           #repframes AS (
+           #  SELECT f.media_id, f.fi, f.h FROM frames f
+           #  JOIN reps r ON r.rep = f.media_id),
+           #medges AS (
+           #  SELECT a, b FROM (
+           #    SELECT least(a.media_id, b.media_id) AS a,
+           #           greatest(a.media_id, b.media_id) AS b,
+           #           count(DISTINCT a.fi) AS k
+           #    FROM repframes a JOIN repframes b ON a.fi = b.fi
+           #      AND a.media_id < b.media_id
+           #      AND bit_count(xor(a.h, b.h)) <= 2
+           #    GROUP BY 1, 2)
+           #  WHERE k >= 2
+           #),
+           #sym AS (SELECT a, b FROM medges UNION SELECT b, a FROM medges),
+           #nodes AS (SELECT rep AS id FROM reps),
+           #comp AS (
+           #  WITH RECURSIVE c(id, lbl) AS (
+           #    SELECT id, id FROM nodes
+           #    UNION
+           #    SELECT s.b, c.lbl FROM c JOIN sym s ON c.id = s.a
+           #  ) SELECT id, min(lbl) AS lbl FROM c GROUP BY id),
+           #neardrop AS (SELECT id AS media_id FROM comp WHERE id <> lbl)
+           #SELECT media_id FROM allmedia
+           #WHERE media_id NOT IN (SELECT media_id FROM exactdrop)
+           #  AND media_id NOT IN (SELECT media_id FROM neardrop)
            #ORDER BY media_id""".stripMargin('#')))
 }

@@ -63,9 +63,9 @@ class OracleHashLibSpec extends AnyFunSuite {
         graft.queries.OracleHashLib.centroidExport(q)), s"$q export path")
     }
     assert(oracles("s12_knn_lsh_multiprobe").contains("psig"))
-    // the five that stay rows-only, each decoder/codec-bound
-    Seq("m02_curate_media", "m03_audio_dedup", "m04_video_dedup",
-      "t35_compression_ratio", "t42_distinct_per_source").foreach { q =>
+    // the one that stays rows-only: a bit-exact DEFLATE codec is the
+    // single primitive with no SQL expression
+    Seq("t35_compression_ratio").foreach { q =>
       assert(!oracles.contains(q), s"$q unexpectedly gained an oracle")
       assert(SparkEntry.queries.contains(q))
     }
