@@ -90,6 +90,19 @@ object ContainBench {
         }
       })
 
+    // The listener bus is async: without a settle, late onTaskEnd events
+    // can land after a counter read (lost) or after the next reset
+    // (attributed to the wrong phase). listenerBus is private[spark] only
+    // at the Scala level — bytecode is public, so reflection reaches
+    // waitUntilEmpty(); fall back to a sleep if the internals move.
+    def settle(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .fold(Thread.sleep(1000))(m => { m.invoke(bus); () })
+    } catch { case _: Throwable => Thread.sleep(1000) }
+
     val results = for (n <- Seq(small, big)) yield {
       val docs = corpus(spark, n).localCheckpoint() // corpus gen off the clock
       val sets = Containment.setsFrame(
@@ -98,12 +111,13 @@ object ContainBench {
         "__set", "doc_id").persist()
       val nDocs = sets.count()
       // candidate stage alone (the production stage, instrumented)
-      shufReadB.set(0); shufReadRec.set(0); maxTaskRows.set(0)
+      settle(); shufReadB.set(0); shufReadRec.set(0); maxTaskRows.set(0)
       val tc0 = System.nanoTime()
       val candCnt = Containment
         .candidatePairs(sets, tauPct = 80, minElems = 10, prefixFilter = true)
         .count()
       val candSecs = (System.nanoTime() - tc0) / 1e9
+      settle()
       val candBytes = shufReadB.get; val candMax = maxTaskRows.get
       // full production pass (candidates + size filter + verify join)
       shufReadB.set(0); shufReadRec.set(0); maxTaskRows.set(0)
@@ -113,6 +127,7 @@ object ContainBench {
           Containment.shingleHashes(col("text"), 3).as("__set")),
         "__set", "doc_id", tauPct = 80, minElems = 10).count()
       val fullSecs = (System.nanoTime() - tv0) / 1e9
+      settle()
       val fullBytes = shufReadB.get; val fullRec = shufReadRec.get
       val fullMax = maxTaskRows.get
       sets.unpersist()

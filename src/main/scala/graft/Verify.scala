@@ -15,6 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Key oracle trained-state exports by this run's outdir so dumping two
+    // scale factors before one compare pass can't clobber each other's
+    // state (and /tmp isn't shared with other local users). Must be set
+    // BOTH before queries run (writes) and before oracleSql renders
+    // (reads) — both happen below in this JVM.
+    sys.props("graft.oracle.exportRoot") =
+      new java.io.File(outDir, "oracle_export").getAbsolutePath
     // optional comma-separated filter for targeted re-runs (e.g. gating one
     // new query at sf1 without regenerating 70 dumps); the driver sets no
     // filter and always dumps everything

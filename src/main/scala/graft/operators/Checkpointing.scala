@@ -36,21 +36,36 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Checkpointing {
   private[graft] def cut(df: DataFrame, slot: String = ""): DataFrame
+
+  /** The invocation's LAST cut — the returned file lazily backs the
+    * operator's result frame, so it must never be deleted by a later
+    * cut. After this, the instance is spent: any further cut throws
+    * (under [[Checkpointing.Reliable]]), turning the silently-destructive
+    * instance-reuse mistake (a second run's first cut deleting the file
+    * behind the first run's returned frame) into a fail-fast error.
+    */
+  private[graft] def cutFinal(df: DataFrame, slot: String = ""): DataFrame =
+    cut(df, slot)
 }
 
 object Checkpointing {
 
-  /** Executor-local eager cut — fast, dies with an executor. */
+  /** Executor-local eager cut — fast, dies with an executor. Stateless,
+    * so reuse across invocations is safe and cutFinal == cut. */
   case object Local extends Checkpointing {
     private[graft] def cut(df: DataFrame, slot: String): DataFrame =
       df.localCheckpoint()
   }
 
-  /** Parquet round-trip under `dir` — survives executor loss. */
+  /** Parquet round-trip under `dir` — survives executor loss. One
+    * instance per operator invocation; the operator's terminal
+    * [[cutFinal]] marks the instance spent and later cuts throw.
+    */
   final case class Reliable(dir: String) extends Checkpointing {
     private val salt = java.util.UUID.randomUUID().toString.take(8)
     private val rounds =
       new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val spent = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     private def path(slot: String, i: Int) = {
       val s = if (slot.isEmpty) "v" else slot
@@ -58,6 +73,11 @@ object Checkpointing {
     }
 
     private[graft] def cut(df: DataFrame, slot: String): DataFrame = {
+      if (spent.get()) throw new IllegalStateException(
+        "Checkpointing.Reliable instance reused after its terminal cut: " +
+          "construct a fresh Reliable per operator invocation (a reused " +
+          "instance's next cut would delete the file backing the previous " +
+          "run's returned DataFrame)")
       val spark = df.sparkSession
       val i: Int =
         rounds.merge(slot, Integer.valueOf(0), (a, _) => Integer.valueOf(a + 1))
@@ -68,6 +88,13 @@ object Checkpointing {
         val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(prev, true)
       }
+      back
+    }
+
+    override private[graft] def cutFinal(df: DataFrame,
+                                         slot: String): DataFrame = {
+      val back = cut(df, slot)
+      spent.set(true)
       back
     }
   }

@@ -97,7 +97,7 @@ object Hits {
         a = checkpointing.cut(a, "a"); h = checkpointing.cut(h, "h")
       }
     }
-    val out = checkpointing.cut(
+    val out = checkpointing.cutFinal(
       h.join(a, Seq("node"))
         .select(col("node"), col("h_s").as("hub_scaled"),
           col("a_s").as("auth_scaled"),

@@ -94,7 +94,7 @@ object PageRank {
     // frames into the CacheManager. The final cut follows the same
     // strategy: under Reliable the returned frame is file-backed, so a
     // post-return executor loss can never invalidate it.
-    val out = checkpointing.cut(
+    val out = checkpointing.cutFinal(
       ranks.select(col("node"), col("rank_s").as("rank_scaled"),
         (col("rank_s") / lit(scale)).as("rank")),
       "out")

@@ -279,20 +279,27 @@ object OracleHashLib {
 
   val bandSelect: String = bandSelectP("")
 
-  /** Where t14 exports its trained weights for the oracle re-score. A
-    * fixed host path on purpose: oracle SQL is static, and Verify + the
-    * DuckDB compare run sequentially on one host per scale factor.
+  /** Root for trained-state exports the oracle SQL reads back. Keyed by
+    * the verify run (Verify sets `graft.oracle.exportRoot` to
+    * `<outDir>/oracle_export` before queries run AND before oracleSql is
+    * rendered, so the dumped SQL and the parquet writes agree) — a fixed
+    * shared /tmp path made dumping sf0.01 and sf1 before one check.py run
+    * destructive: the second dump overwrote the first sf's state.
     */
-  val T14ModelExport = "/tmp/graft_oracle_export/t14_model.parquet"
+  def exportRoot: String =
+    sys.props.getOrElse("graft.oracle.exportRoot", "/tmp/graft_oracle_export")
+
+  /** Where t14 exports its trained weights for the oracle re-score. */
+  def T14ModelExport = s"$exportRoot/t14_model.parquet"
 
   /** Where t19 exports its learned BPE merge table (rank, a, b). */
-  val T19MergesExport = "/tmp/graft_oracle_export/t19_merges.parquet"
+  def T19MergesExport = s"$exportRoot/t19_merges.parquet"
 
   /** Per-query IVF centroid export path (cell, centroid DOUBLE[]) — the
     * Lloyd-trained state behind the s03/s04/s05/s06/s09 oracles.
     */
   def centroidExport(query: String): String =
-    s"/tmp/graft_oracle_export/${query}_centroids.parquet"
+    s"$exportRoot/${query}_centroids.parquet"
 
   /** One unrolled greedy-BPE merge step: find each word's lowest-rank
     * adjacent pair, merge ALL its non-overlapping occurrences

@@ -522,8 +522,11 @@ object WikiMarkup {
           val d = atom(); if (d == 0.0) v = fail("division by zero") else v /= d }
         else if (eatWord("mod")) {
           val d = atom()
-          if (d == 0.0) v = fail("mod by zero")
-          else v = (v.toLong % d.toLong).toDouble // PHP integer mod
+          // PHP integer mod truncates BOTH operands first, so any |d| < 1
+          // is a mod-by-zero too ({{#expr: 7 mod 0.5}} errors in MediaWiki)
+          val dl = d.toLong
+          if (dl == 0L) v = fail("mod by zero")
+          else v = (v.toLong % dl).toDouble
         } else if (eatWord("round")) {
           val p = atom()
           val f = math.pow(10, p.toInt)

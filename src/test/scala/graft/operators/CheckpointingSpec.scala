@@ -55,4 +55,26 @@ class CheckpointingSpec extends SparkSpec {
     assert(left.count(_.contains("-a-round-")) == 1, left.mkString(","))
     assert(left.count(_.contains("-out-round-")) == 1, left.mkString(","))
   }
+
+  test("Reliable: reuse after a terminal cut fails fast, not destructively") {
+    val e = edges.toDF("src", "dst")
+    val dir = tmpDir("reuse")
+    val ckpt = Checkpointing.Reliable(dir.getAbsolutePath)
+    val first = PageRank.run(e, iters = 3, checkpointEvery = 2,
+      checkpointing = ckpt)
+    val firstRows = first.orderBy("node").collect().toSeq
+    // the documented one-instance-per-invocation rule is now enforced: a
+    // second run's first cut would otherwise delete the round file lazily
+    // backing `first`
+    val ex = intercept[IllegalStateException] {
+      PageRank.run(e, iters = 3, checkpointEvery = 2, checkpointing = ckpt)
+    }
+    assert(ex.getMessage.contains("reused"))
+    // and the first run's returned frame is still fully readable
+    assert(first.orderBy("node").collect().toSeq == firstRows)
+    // Local is stateless — reuse is fine
+    val l = Checkpointing.Local
+    PageRank.run(e, iters = 2, checkpointing = l)
+    PageRank.run(e, iters = 2, checkpointing = l)
+  }
 }

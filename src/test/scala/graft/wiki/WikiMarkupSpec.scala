@@ -156,6 +156,11 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(x("{{#expr: 1 + 2 * 3}}") == "7")
     assert(x("{{#expr: (1 + 2) * 3}}") == "9")
     assert(x("{{#expr: 7 mod 3}}") == "1")
+    // PHP integer mod truncates both operands: |divisor| < 1 → mod by
+    // zero ERROR SPAN, never an uncaught ArithmeticException in the UDF
+    assert(x("{{#expr: 7 mod 0.5}}").contains("Expression error"))
+    assert(x("{{#expr: 7 mod -0.9}}").contains("Expression error"))
+    assert(x("{{#expr: 7 mod 1.9}}") == "0") // truncates to mod 1
     assert(x("{{#expr: 10 / 4}}") == "2.5")
     assert(x("{{#expr: 2.345 round 2}}") == "2.35")
     assert(x("{{#expr: -3 + 1}}") == "-2")
