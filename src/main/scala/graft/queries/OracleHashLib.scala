@@ -301,6 +301,75 @@ object OracleHashLib {
   def centroidExport(query: String): String =
     s"$exportRoot/${query}_centroids.parquet"
 
+  /** t42's value-exact replay of the portable cardinality registry
+    * ([[graft.operators.Cardinality]]): xxhash64(doc_id) staged through
+    * MATERIALIZED CTEs (one multiply level per stage — the nested-macro
+    * form inlines exponentially and takes ~35 s to BIND for a single
+    * call), then the sparse/dense mode split and the exact-integer
+    * raw-HLL estimator on HUGEINT. Constants (lgK, sparse cap, alphaQ,
+    * the numerator) come from the operator object — one source of truth,
+    * so an estimator change breaks this oracle loudly instead of
+    * silently. Replays value-exact in BOTH regimes: exact distinct
+    * count at sf0.01 (25/source ≤ cap), dense register estimate at sf1
+    * (2500/source).
+    */
+  def t42OracleSql(): String = {
+    import graft.operators.Cardinality._
+    val lgK = PortableLgK
+    val m = 1 << lgK
+    val k = 64 - lgK + 1
+    val cap = PortableSparseCap
+    val num = PortableNum.toString
+    val seedBase = // 42 + PRIME64_5 + 8, wrapped — xxh64's 1-block accumulator
+      ((BigInt(42) + BigInt("2870177450012600261") + 8) &
+        ((BigInt(1) << 64) - 1)).toString
+    val p1 = "11400714785074694791"
+    val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161"
+    val p4 = "9650029242287828579"
+    preamble +
+      s"""WITH c0 AS MATERIALIZED (
+         #  SELECT source AS grp, g_us(doc_id::BIGINT) AS u
+         #  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2
+         #), c1 AS MATERIALIZED (
+         #  SELECT grp, g_mul64(g_rotl64(g_mul64(u, $p2), 31), $p1) AS k1
+         #  FROM c0
+         #), c2 AS MATERIALIZED (
+         #  SELECT grp, g_mul64(g_rotl64(xor($seedBase::HUGEINT, k1), 27),
+         #                      $p1) AS acc
+         #  FROM c1
+         #), c3 AS MATERIALIZED (
+         #  SELECT grp, g_mul64(g_xsr((acc + $p4) & $M64, 33), $p2) AS x1
+         #  FROM c2
+         #), c4 AS MATERIALIZED (
+         #  SELECT grp, g_xsr(g_mul64(g_xsr(x1, 29), $p3), 32) AS h FROM c3
+         #), hx AS MATERIALIZED (
+         #  SELECT DISTINCT grp, h FROM c4
+         #), d AS (
+         #  SELECT grp, count(*) AS n FROM hx GROUP BY grp
+         #), reg AS (
+         #  SELECT grp, (h >> ${64 - lgK}) AS bucket,
+         #    max(CASE WHEN (h & ((1::HUGEINT << ${64 - lgK}) - 1)) = 0
+         #         THEN $k
+         #         ELSE $k - length(format('{:b}',
+         #                (h & ((1::HUGEINT << ${64 - lgK}) - 1))::BIGINT))
+         #         END) AS mx
+         #  FROM hx GROUP BY grp, bucket
+         #), s AS (
+         #  SELECT grp, count(*) AS present,
+         #         sum(1::HUGEINT << ($k - mx)) AS sp
+         #  FROM reg GROUP BY grp
+         #)
+         #SELECT d.grp AS "group",
+         #  CASE WHEN d.n <= $cap THEN d.n::BIGINT
+         #       ELSE ($num::HUGEINT
+         #             // ((($m - s.present)::HUGEINT * (1::HUGEINT << $k)
+         #                  + s.sp) << 30)
+         #            )::BIGINT END AS n_distinct_est
+         #FROM d JOIN s USING (grp)
+         #ORDER BY "group"""".stripMargin('#')
+  }
+
   /** One unrolled greedy-BPE merge step: find each word's lowest-rank
     * adjacent pair, merge ALL its non-overlapping occurrences
     * left-to-right (the a==b overlap case resolves by run-offset parity —

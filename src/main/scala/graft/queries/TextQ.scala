@@ -406,23 +406,27 @@ object TextQ {
 
     // L91: cross-run distinct-cardinality registry — estimated distinct
     // docs per source over two appended "days" of sketches (the
-    // registry never stores values, only O(groups·2^lgK) sketch bytes
-    // per run). Rows-only: DataSketches HLL state has no DuckDB
-    // analogue and estimates are deliberately not exact counts;
-    // determinism is spec-pinned.
+    // registry never stores raw values once a group densifies; sparse
+    // groups keep their exact hash list, which is what makes small
+    // cardinalities exact). Uses the PORTABLE register sketch whose
+    // exact-integer estimator the DuckDB oracle replays value-exact at
+    // every gated scale — sparse (exact) at sf0.01, dense (raw-HLL
+    // integer estimate) at sf1. The DataSketches tier stays spec-gated
+    // (CardinalitySpec) as the high-accuracy production variant.
     "t42_distinct_per_source" -> { (s, dir) =>
-      val table = "graft_cardreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val table = "graft_cardregp_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       if (!s.catalog.tableExists(table)) {
         graft.sources.Warehouse.dropTableAndLocation(s, table)
-        graft.operators.Cardinality.createSketchRegistry(s, table, buckets = 4)
-        graft.operators.Cardinality.appendSketches(
+        graft.operators.Cardinality.createPortableRegistry(s, table,
+          buckets = 4)
+        graft.operators.Cardinality.appendPortableSketches(
           Tables(s, dir, "documents").filter(col("doc_id") < 250),
           "source", "doc_id", table)
-        graft.operators.Cardinality.appendSketches(
+        graft.operators.Cardinality.appendPortableSketches(
           Tables(s, dir, "documents").filter(col("doc_id") >= 250),
           "source", "doc_id", table)
       }
-      graft.operators.Cardinality.distinctPerGroup(s, table)
+      graft.operators.Cardinality.distinctPerGroupPortable(s, table)
         .orderBy("group")
     },
 
@@ -674,13 +678,14 @@ object TextQ {
     // verified application — the t14 pattern).
     "t19_bpe_tokens" -> OracleHashLib.t19OracleSql(),
 
-    // t42 deliberately has NO oracle: the sparse (coupon-exact) HLL regime
-    // makes COUNT(DISTINCT) a valid gate at sf0.01 (25 distinct/source),
-    // but at the sf1 gate's 2500 distinct/source the sketch is already
-    // estimating (measured: 2546 vs 2500, ~1.8% — exactly the error bound
-    // the operator documents), so an estimate-equality oracle cannot hold
-    // at every gated scale. Error bounds and merge semantics stay
-    // spec-gated (CardinalitySpec); the driver check is rows-only.
+    // t42: the portable register sketch's exact-integer estimator replayed
+    // in full — xxhash64, bucket/rho, sparse/dense mode split, HUGEINT
+    // raw-HLL division. Valid at EVERY scale (unlike the round-13/14
+    // coupon-exact attempt, withdrawn because DataSketches left its exact
+    // regime at sf1): sparse groups gate the exact distinct count, dense
+    // groups gate the identical integer estimate. The DataSketches tier's
+    // error bounds stay spec-gated (CardinalitySpec).
+    "t42_distinct_per_source" -> OracleHashLib.t42OracleSql(),
 
     // t14: the classifier's hashed-feature re-score against the weights
     // t14's query exports (training is Spark-side state, spec-gated; the

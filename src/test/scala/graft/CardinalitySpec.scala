@@ -57,4 +57,85 @@ class CardinalitySpec extends SparkSpec {
     assert(e1 === e2) // same inputs → same estimate at any partitioning
     assert(math.abs(e1 - 300L) <= 15, s"est $e1")
   }
+
+  // ---- portable (engine-agnostic) register sketch ----
+
+  test("spark xxhash64(long) matches the from-spec one-block xxh64") {
+    // the portable sketch's whole cross-engine story rests on this: the
+    // value 11570577783400690398 (signed -6876166290308861218) was
+    // derived from the published xxHash64 spec independently of Spark
+    // (and triple-checked against OracleHashLib.g_xxh64long in DuckDB)
+    val h = Seq(42L).toDF("v").select(xxhash64(col("v"))).collect()(0).getLong(0)
+    assert(h === -6876166290308861218L)
+    assert(Cardinality.PortableAlphaQ === 771239324L)
+  }
+
+  test("portable: exact below the sparse cap, including across runs") {
+    val reg = "card_port_exact"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    Cardinality.createPortableRegistry(spark, reg, buckets = 2)
+    val run1 = (0 until 400).map(i => ("A", i.toLong)) ++
+      (0 until 50).map(i => ("B", i.toLong))
+    val run2 = (300 until 600).map(i => ("A", i.toLong)) ++ // 200 new
+      (0 until 50).map(i => ("B", i.toLong))                // nothing new
+    Cardinality.appendPortableSketches(run1.toDF("src", "id"), "src", "id", reg)
+    Cardinality.appendPortableSketches(run2.toDF("src", "id"), "src", "id", reg)
+    val est = Cardinality.distinctPerGroupPortable(spark, reg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each RUN is sparse (≤640/group) and the union stays sparse for B
+    // (50) but crosses nothing for A either (600 ≤ 640): both EXACT
+    assert(est === Map("A" -> 600L, "B" -> 50L))
+  }
+
+  test("portable: dense estimate within raw-HLL bounds; union == one-pass") {
+    val reg = "card_port_dense"; val one = "card_port_one"
+    for (r <- Seq(reg, one)) {
+      graft.sources.Warehouse.dropTableAndLocation(spark, r)
+      Cardinality.createPortableRegistry(spark, r, buckets = 2)
+    }
+    // A: 5000 distinct split across two overlapping runs (run1 sparse?
+    // no — 3000 > 640 → dense; run2 dense too); B stays sparse-exact,
+    // pinning the mixed sparse/dense report path
+    val run1 = (0 until 3000).map(i => ("A", i.toLong)) ++
+      (0 until 30).map(i => ("B", i.toLong))
+    val run2 = (2000 until 5000).map(i => ("A", i.toLong))
+    Cardinality.appendPortableSketches(run1.toDF("src", "id"), "src", "id", reg)
+    Cardinality.appendPortableSketches(run2.toDF("src", "id"), "src", "id", reg)
+    val est = Cardinality.distinctPerGroupPortable(spark, reg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("B") === 30L)
+    // m=256 → ~6.5% relative error at 1 sigma; allow 3 sigma
+    assert(math.abs(est("A") - 5000L) <= 1000, s"A est ${est("A")}")
+    // union of run sketches is BIT-identical to a one-pass sketch (max
+    // of registers commutes) — unlike the DataSketches tier, estimates
+    // are exactly equal, not merely near
+    Cardinality.appendPortableSketches(
+      (run1 ++ run2).toDF("src", "id"), "src", "id", one)
+    val est1 = Cardinality.distinctPerGroupPortable(spark, one)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1 === est)
+  }
+
+  test("portable: sparse runs promote exactly when the union densifies") {
+    val reg = "card_port_promote"; val one = "card_port_promote_one"
+    for (r <- Seq(reg, one)) {
+      graft.sources.Warehouse.dropTableAndLocation(spark, r)
+      Cardinality.createPortableRegistry(spark, r, buckets = 2)
+    }
+    // three runs of 400 disjoint ids: each run sparse (400 ≤ 640), the
+    // union (1200) dense — the report must promote stored hash lists to
+    // registers and land on the same estimate as a one-pass dense sketch
+    val runs = (0 until 3).map(k =>
+      (k * 400 until (k + 1) * 400).map(i => ("A", i.toLong)))
+    runs.foreach(r => Cardinality.appendPortableSketches(
+      r.toDF("src", "id"), "src", "id", reg))
+    Cardinality.appendPortableSketches(
+      runs.flatten.toDF("src", "id"), "src", "id", one)
+    val a = Cardinality.distinctPerGroupPortable(spark, reg)
+      .collect()(0).getLong(1)
+    val b = Cardinality.distinctPerGroupPortable(spark, one)
+      .collect()(0).getLong(1)
+    assert(a === b, s"promoted $a vs one-pass $b")
+    assert(math.abs(a - 1200L) <= 250, s"est $a")
+  }
 }

@@ -63,10 +63,20 @@ class OracleHashLibSpec extends AnyFunSuite {
         graft.queries.OracleHashLib.centroidExport(q)), s"$q export path")
     }
     assert(oracles("s12_knn_lsh_multiprobe").contains("psig"))
-    // the two that stay rows-only: a bit-exact DEFLATE codec has no SQL
-    // expression, and t42's HLL is only coupon-exact below the sf1
-    // gate's cardinality (measured 2546 vs 2500 at 2.5k distinct/source)
-    Seq("t35_compression_ratio", "t42_distinct_per_source").foreach { q =>
+    // t42 regained an oracle in round 15 via the PORTABLE sketch: its
+    // exact-integer estimator replays at any cardinality (the r13/r14
+    // DataSketches coupon-exact oracle was withdrawn because estimates
+    // left the exact regime at sf1). Pin the estimator constants into
+    // the SQL so a drifted estimator fails here before the driver gate.
+    locally {
+      val t42 = oracles("t42_distinct_per_source")
+      assert(t42.startsWith("CREATE OR REPLACE MACRO g_mul64"))
+      assert(t42.contains(graft.operators.Cardinality.PortableNum.toString))
+      assert(t42.contains(s"<= ${graft.operators.Cardinality.PortableSparseCap}"))
+    }
+    // the one that stays rows-only: a bit-exact DEFLATE codec has no SQL
+    // expression (the signal IS java.util.zip level-6 output)
+    Seq("t35_compression_ratio").foreach { q =>
       assert(!oracles.contains(q), s"$q unexpectedly gained an oracle")
       assert(SparkEntry.queries.contains(q))
     }
