@@ -59,10 +59,12 @@ object Containment {
     */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, tauPct: Int = 80, minShingles: Int = 10,
-                       prefixFilter: Boolean = true): DataFrame =
+                       prefixFilter: Boolean = true,
+                       materialize: graft.pipeline.Materialize =
+                         graft.pipeline.Materialize.Local): DataFrame =
     containmentPairsFromSets(
       df.select(col(idCol), shingleHashes(col(textCol), k).as("__set")),
-      "__set", idCol, tauPct, minShingles, prefixFilter)
+      "__set", idCol, tauPct, minShingles, prefixFilter, materialize)
 
   /** Containment pairs over PRE-BUILT element-hash sets — the entry
     * point shared with the binary tier ([[Cdc.containmentPairs]] feeds
@@ -72,7 +74,9 @@ object Containment {
     */
   def containmentPairsFromSets(df: DataFrame, setCol: String, idCol: String,
                                tauPct: Int, minElems: Int,
-                               prefixFilter: Boolean = true): DataFrame = {
+                               prefixFilter: Boolean = true,
+                               materialize: graft.pipeline.Materialize =
+                                 graft.pipeline.Materialize.Local): DataFrame = {
     require(tauPct >= 1 && tauPct <= 100, s"tauPct out of (0,100]: $tauPct")
     require(minElems >= 1, s"minElems must be >= 1: $minElems")
     import org.apache.spark.sql.graftbridge.Bridge
@@ -103,11 +107,13 @@ object Containment {
         col("__nc").cast("long").as("n_common"),
         col("__na").cast("long").as("n_a"))
 
-    // eager: materialize the small verified pair set so the shingle
-    // persist can release before return (the minhashCandidates
-    // discipline — pairs are the corpus's duplicate structure, tiny
-    // next to the corpus itself)
-    val out = verified.localCheckpoint(true)
+    // eager via the caller's Materialize strategy (default Local — the
+    // former bare localCheckpoint; Reliable makes the returned frame
+    // survive executor loss on preemptible fleets): the small verified
+    // pair set must exist before the shingle persist releases below
+    // (the minhashCandidates discipline — pairs are the corpus's
+    // duplicate structure, tiny next to the corpus itself)
+    val out = materialize.cutEager(verified, "containment-pairs")
     release()
     out
   }

@@ -217,7 +217,9 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        materialize: graft.pipeline.Materialize =
+                          graft.pipeline.Materialize.Local): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.storage.StorageLevel
     val sigs = df.select(col(idCol),
@@ -307,11 +309,13 @@ object Dedup {
         col("__l.bucket") === col("__f.bucket"))
       .select(least(col(s"__l.$idCol"), col(s"__f.$idCol")).as("a"),
         greatest(col(s"__l.$idCol"), col(s"__f.$idCol")).as("b"))
-    // eager + lineage-truncated so the skeleton persists can be released
-    // NOW (the hammingDropIds fault-tolerance trade: the pair list is
-    // ids-only and linear in corpus size)
-    val result = exhaustive.union(inner).union(stitch).distinct()
-      .localCheckpoint()
+    // eager so the skeleton persists can be released NOW; the strategy
+    // is the caller's (default Local — the former bare localCheckpoint's
+    // hammingDropIds fault-tolerance trade; Reliable round-trips the
+    // ids-only pair list through parquet so the RETURNED frame survives
+    // executor loss on preemptible fleets)
+    val result = materialize.cutEager(
+      exhaustive.union(inner).union(stitch).distinct(), "minhash-pairs")
     releaseMega(); releaseBb()
     result
   }

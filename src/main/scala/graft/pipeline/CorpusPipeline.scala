@@ -31,7 +31,43 @@ import graft.text.TextOps
   *    spill files back the returned frame, so the caller owns deleting
   *    the directory after the run.
   */
-sealed trait Materialize
+sealed trait Materialize {
+  import org.apache.spark.sql.DataFrame
+
+  /** Apply this strategy to an intermediate that fans out into multiple
+    * downstream reads. Reliable spill paths are salted per call, so two
+    * runs sharing a dir never overwrite the files still lazily backing
+    * an earlier frame.
+    */
+  private[graft] def cut(df: DataFrame, tag: String): DataFrame = this match {
+    case Materialize.Off => df
+    case Materialize.Local => df.localCheckpoint()
+    case Materialize.Disk =>
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopy(df,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    case Materialize.Reliable(dir) =>
+      val path = s"$dir/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
+  /** [[cut]] for operators whose semantics REQUIRE materialization
+    * before return — a snapshot taken before registries append, or a
+    * result whose upstream persists are released on return. Off upgrades
+    * to Local (a lazy frame would re-read post-append registry state or
+    * recompute released skeletons), and Disk's lazy persist is forced so
+    * the blocks exist before any release runs.
+    */
+  private[graft] def cutEager(df: DataFrame, tag: String): DataFrame =
+    this match {
+      case Materialize.Off => df.localCheckpoint()
+      case Materialize.Disk =>
+        val out = cut(df, tag)
+        out.count()
+        out
+      case _ => cut(df, tag)
+    }
+}
 object Materialize {
   case object Off extends Materialize
   case object Local extends Materialize
@@ -408,24 +444,12 @@ object CorpusPipeline {
       }
 
     // Applied only where a stage genuinely fans out into multiple
-    // downstream reads; see Materialize for the strategy tradeoffs.
-    // Reliable spill paths are salted per curate() CALL: two runs sharing a
-    // dir would otherwise both write curate-spill-0 and the second would
-    // overwrite the parquet files still lazily backing the first run's
-    // returned frame. The caller still owns deleting the dir when done.
-    val runSalt = java.util.UUID.randomUUID().toString.take(8)
-    val spillId = new java.util.concurrent.atomic.AtomicInteger()
+    // downstream reads; see Materialize for the strategy tradeoffs
+    // (cut() salts Reliable spill paths per call, so concurrent runs
+    // sharing a dir never clobber each other's backing files; the
+    // caller still owns deleting the dir when done).
     def materialize(df: DataFrame, branches: Int): DataFrame =
-      if (branches <= 1) df
-      else cfg.materialize match {
-        case Materialize.Off => df
-        case Materialize.Local => df.localCheckpoint()
-        case Materialize.Disk => Bridge.persistedCopy(df, StorageLevel.DISK_ONLY)
-        case Materialize.Reliable(dir) =>
-          val path = s"$dir/curate-$runSalt-spill-${spillId.getAndIncrement()}"
-          df.write.mode("overwrite").parquet(path)
-          df.sparkSession.read.parquet(path)
-      }
+      if (branches <= 1) df else cfg.materialize.cut(df, "curate-spill")
 
     val nearDedupOn = cfg.nearDupThreshold <= 1.0
     val nearIndexOn = cfg.nearIndexTable.isDefined

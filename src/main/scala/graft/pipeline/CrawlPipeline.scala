@@ -129,11 +129,14 @@ object CrawlPipeline {
     *    the robots gate's own policy evidence; absent delays schedule
     *    immediately.
     *
-    * EAGER: the returned schedule is materialized (`localCheckpoint`)
-    * before the registries are appended, so the one plan executes once,
-    * the appends cannot invalidate the returned rows, and a long-lived
-    * driver holds no registry-dependent lineage (the c05 eager-append
-    * precedent; fault-tolerance trade as documented at hammingDropIds).
+    * EAGER: the returned schedule is materialized via `materialize`
+    * (default Local, i.e. the former `localCheckpoint`; Reliable spills
+    * parquet under its dir so the schedule survives executor loss on
+    * preemptible fleets; Off upgrades to Local — see
+    * [[Materialize.cutEager]]) BEFORE the registries are appended, so
+    * the one plan executes once, the appends cannot invalidate the
+    * returned rows, and a long-lived driver holds no registry-dependent
+    * lineage (the c05 eager-append precedent).
     *
     * Returns (url, host, n_refs, n_refs_total, crawl_delay, fetch_seq,
     * not_before_s).
@@ -146,7 +149,8 @@ object CrawlPipeline {
                           seenRegistryTable: Option[String] = None,
                           maxPerHost: Int = 10,
                           agent: String = "*",
-                          updateRegistries: Boolean = true): DataFrame = {
+                          updateRegistries: Boolean = true,
+                          materialize: Materialize = Materialize.Local): DataFrame = {
     require(maxPerHost > 0,
       s"frontierPrioritized schedules per-host lanes: maxPerHost=$maxPerHost")
     val spark = pages.sparkSession
@@ -216,7 +220,7 @@ object CrawlPipeline {
       .select(col("url"), col("host"), col("n_refs"), col("n_refs_total"),
         col("crawl_delay"), col("fetch_seq"), col("not_before_s"),
         col("content_hash"))
-      .localCheckpoint()
+    val schedSnap = materialize.cutEager(sched, "frontier-schedule")
     if (updateRegistries) {
       citationRegistryTable.foreach { t =>
         graft.sources.Warehouse.appendBucketedWithDelta(
@@ -224,10 +228,10 @@ object CrawlPipeline {
       }
       seenRegistryTable.foreach { t =>
         graft.sources.Warehouse.appendBucketedWithDelta(
-          sched.select(col("content_hash")), t, "content_hash")
+          schedSnap.select(col("content_hash")), t, "content_hash")
       }
     }
-    sched.drop("content_hash")
+    schedSnap.drop("content_hash")
   }
 
   /** [[frontier]]'s incremental twin for a live crawl intake: each

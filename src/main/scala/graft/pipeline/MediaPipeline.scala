@@ -97,16 +97,8 @@ object MediaPipeline {
     val probed = Multimodal.probeMetadata(media)
     val gated = probed.filter(gateCondition(cfg))
     // the ONE decode pass; every tier below reads phash from the row
-    val hashed = cfg.materialize match {
-      case Materialize.Off => Multimodal.perceptualHash(gated)
-      case Materialize.Local => Multimodal.perceptualHash(gated).localCheckpoint()
-      case Materialize.Disk =>
-        Bridge.persistedCopy(Multimodal.perceptualHash(gated), StorageLevel.DISK_ONLY)
-      case Materialize.Reliable(dir) =>
-        val path = s"$dir/curate-media-${java.util.UUID.randomUUID().toString.take(8)}"
-        Multimodal.perceptualHash(gated).write.mode("overwrite").parquet(path)
-        media.sparkSession.read.parquet(path)
-    }
+    val hashed = cfg.materialize.cut(Multimodal.perceptualHash(gated),
+      "curate-media")
     val ph = Some("phash")
     val withinRun = Multimodal.dedupePerceptual(hashed, cfg.maxHamming, ph)
     val afterRegistry = cfg.registryTable match {

@@ -71,6 +71,25 @@ class ContainmentSpec extends SparkSpec {
     assert(re === fast)
   }
 
+  test("every materialization strategy returns identical containment pairs") {
+    import graft.pipeline.Materialize
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc"),
+      (3L, "z y x w v u t s r q p o n m l k")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    def run(m: Materialize) = Containment.containmentPairs(docs, "text", "id",
+        k = 3, tauPct = 70, minShingles = 5, materialize = m)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = run(Materialize.Local)
+    for (m <- Seq(Materialize.Off, Materialize.Disk, Materialize.Reliable(dir)))
+      assert(run(m) == expected, s"strategy $m diverged")
+    // Reliable actually spilled (the returned frame is file-backed)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("containment-pairs-")))
+  }
+
   test("short docs excluded as contained side; sub-k docs shingle to empty") {
     val docs = Seq(
       (1L, "a b c"),          // 1 shingle — below minShingles

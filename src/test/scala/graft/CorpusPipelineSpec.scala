@@ -495,6 +495,31 @@ class CorpusPipelineSpec extends SparkSpec {
       out.toString)
   }
 
+  test("frontierPrioritized: Reliable schedule matches Local; snapshot still pre-append") {
+    import graft.pipeline.{CrawlPipeline, Materialize}
+    import graft.dedup.Dedup
+    val pages = Seq(("https://s.com/p.html",
+      "<a href=\"http://h.com/x\">1</a><a href=\"http://h.com/y\">2</a>"))
+      .toDF("url", "html")
+    def run(m: Materialize, seen: String) = {
+      graft.sources.Warehouse.dropTableAndLocation(spark, seen)
+      Dedup.createRegistry(spark, seen, buckets = 2)
+      CrawlPipeline.frontierPrioritized(pages, "url", "html",
+        seenRegistryTable = Some(seen), maxPerHost = 2, materialize = m)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp").toString
+    val local = run(Materialize.Local, "fp_m_l")
+    assert(local.nonEmpty)
+    // Reliable: identical rows, file-backed; Off upgrades to eager Local
+    // (a lazy schedule would re-read the seen registry AFTER its own
+    // append and return zero rows) — identical too
+    assert(run(Materialize.Reliable(dir), "fp_m_r") == local)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("frontier-schedule-")))
+    assert(run(Materialize.Off, "fp_m_o") == local)
+  }
+
   test("frontierStream admits each URL once in-horizon, registry- and robots-gated") {
     import graft.pipeline.CrawlPipeline
     import graft.dedup.Dedup

@@ -57,6 +57,19 @@ class OperatorSpec extends SparkSpec {
     assert(capped == base)
   }
 
+  test("minhashCandidates: every materialization strategy returns the same pairs") {
+    import graft.pipeline.Materialize
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    def run(m: Materialize) = Dedup.minhashCandidates(docs, "text", "doc_id",
+        k = 3, numHashes = 64, bands = 32, materialize = m)
+      .as[(Long, Long)].collect().toSet
+    val expected = run(Materialize.Local)
+    for (m <- Seq(Materialize.Off, Materialize.Disk, Materialize.Reliable(dir)))
+      assert(run(m) == expected, s"strategy $m diverged")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("minhash-pairs-")))
+  }
+
   test("dedupSpans removes repeated spans corpus-wide, keeping the first occurrence") {
     val corpus = Seq(
       (1L, "a1 a2 a3 b1 b2 b3"), // 2 spans, both corpus-first
