@@ -36,6 +36,45 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+# ---- local-only UDF gates -------------------------------------------------
+# t35's signal IS java.util.zip raw DEFLATE output (level 6, nowrap), which
+# no SQL engine expresses — but check.py is a Python harness and CPython's
+# zlib is the same zlib, so the ratio is value-exact replayable HERE. The
+# entry is injected locally instead of shipped in oracle_sql.json because
+# the driver's comparator has no UDF registration step: shipping it would
+# turn t35's honest no_oracle row into a FAIL ("function zdeflate_len does
+# not exist"). Rounding mirrors the JVM exactly: BigDecimal.decimal(double)
+# .setScale(4, HALF_UP) == Decimal(float).quantize(1e-4, ROUND_HALF_UP).
+def _register_local_udf_gates():
+    import zlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def zratio(s):
+        if s is None or s == "":
+            return None
+        raw = s.encode("utf-8")
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, level 6
+        n = len(c.compress(raw)) + len(c.flush())
+        return float(Decimal(n / len(raw)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+    try:
+        con.create_function("zratio", zratio, ["VARCHAR"], "DOUBLE",
+                            null_handling="special")
+    except Exception as e:
+        print(f"note: local zlib UDF unavailable ({e}); t35 stays rows-only")
+        return {}
+    return {"t35_compression_ratio":
+            "SELECT doc_id, zratio(text) AS compression_ratio "
+            "FROM documents ORDER BY doc_id"}
+
+local_gates = _register_local_udf_gates()
+for name, sql in local_gates.items():
+    if name not in oracle and (only is None or name in only) and \
+            glob.glob(f"{outdir}/{name}/*.parquet"):
+        oracle[name] = sql
+# ---------------------------------------------------------------------------
+
 n_pass = n_fail = 0
 for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")

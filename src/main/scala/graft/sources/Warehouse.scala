@@ -422,20 +422,28 @@ object Warehouse {
     *    committer; this protocol only removes the publish layer's own
     *    rename dependency.)
     *
-    * `format`: `parquet` (default) or `json` — gzipped JSONL, the
-    * training-data interchange most loaders stream natively; the
-    * manifest read-back then uses the caller's schema (no inference
-    * pass). `maxRecordsPerFile` > 0 bounds file size within a shard so a
-    * loader can parallelize inside one shard too.
+    * `format`: `parquet` (default), `json` — gzipped JSONL, the text
+    * training-data interchange most loaders stream natively (the
+    * manifest read-back then uses the caller's schema, no inference
+    * pass) — or `webdataset` — id-grouped POSIX tar shards, the
+    * MULTIMODAL loader interchange: each sample's `content`/`mime`
+    * columns become `<key>.<ext>` and the remaining columns a
+    * deterministic `<key>.json`, keyed by `keyCol` (see [[WebDataset]];
+    * manifest rows count landed SAMPLES per archive, tokens read -1).
+    * `maxRecordsPerFile` > 0 bounds file size within a shard so a
+    * loader can parallelize inside one shard too (parquet/json only).
     */
   def publishShards(df: DataFrame, root: String,
                     shardCol: String = "shard",
                     tokensCol: String = "n_tokens",
                     format: String = "parquet",
                     maxRecordsPerFile: Long = 0L,
-                    commitMode: String = "rename"): String = {
-    require(format == "parquet" || format == "json",
-      s"publishShards: unsupported format '$format' (parquet|json)")
+                    commitMode: String = "rename",
+                    keyCol: String = "media_id"): String = {
+    require(format == "parquet" || format == "json" ||
+      format == "webdataset",
+      s"publishShards: unsupported format '$format' " +
+        "(parquet|json|webdataset)")
     require(commitMode == "rename" || commitMode == "manifest",
       s"publishShards: unsupported commitMode '$commitMode' (rename|manifest)")
     val spark = df.sparkSession
@@ -486,32 +494,46 @@ object Warehouse {
         (reserved.get, v)
       }
 
-    val writer0 = df.write.partitionBy(shardCol)
-      // manifest mode writes into the reserved dir (which holds _STARTED)
-      .mode(if (commitMode == "manifest")
-        org.apache.spark.sql.SaveMode.Append
-      else org.apache.spark.sql.SaveMode.ErrorIfExists)
-    val writer =
-      if (maxRecordsPerFile > 0)
-        writer0.option("maxRecordsPerFile", maxRecordsPerFile)
-      else writer0
-    if (format == "json")
-      writer.option("compression", "gzip").json(dataDir.toString)
-    else writer.parquet(dataDir.toString)
-    // manifest from one partial-aggregated pass over the written files —
-    // counting what LANDED, not what was planned
-    val written =
-      if (format == "json") spark.read.schema(df.schema).json(dataDir.toString)
-      else spark.read.parquet(dataDir.toString)
-    val hasTokens = written.columns.contains(tokensCol)
-    val perShard = written.groupBy(shardCol).agg(
-        count(lit(1)).as("rows"),
-        (if (hasTokens) sum(col(tokensCol)) else lit(null).cast("long"))
-          .as("tokens"))
-      .collect()
-      .map(r => (r.get(0).toString,
-        r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
-      .sortBy(_._1)
+    if (format == "webdataset") {
+      // id-grouped POSIX tar shards (the multimodal loader interchange)
+      // — same staging/reserved dir, same landed-count manifest, same
+      // commit point below
+      WebDataset.writeShardTars(df, dataDir.toString, shardCol, keyCol)
+    } else {
+      val writer0 = df.write.partitionBy(shardCol)
+        // manifest mode writes into the reserved dir (which holds _STARTED)
+        .mode(if (commitMode == "manifest")
+          org.apache.spark.sql.SaveMode.Append
+        else org.apache.spark.sql.SaveMode.ErrorIfExists)
+      val writer =
+        if (maxRecordsPerFile > 0)
+          writer0.option("maxRecordsPerFile", maxRecordsPerFile)
+        else writer0
+      if (format == "json")
+        writer.option("compression", "gzip").json(dataDir.toString)
+      else writer.parquet(dataDir.toString)
+    }
+    // manifest from one pass over the written files — counting what
+    // LANDED, not what was planned (webdataset: samples per tar archive)
+    val perShard: Seq[(String, Long, Long)] =
+      if (format == "webdataset")
+        WebDataset.landedCounts(spark, dataDir.toString)
+          .map { case (s, n) => (s, n, -1L) }.sortBy(_._1)
+      else {
+        val written =
+          if (format == "json")
+            spark.read.schema(df.schema).json(dataDir.toString)
+          else spark.read.parquet(dataDir.toString)
+        val hasTokens = written.columns.contains(tokensCol)
+        written.groupBy(shardCol).agg(
+            count(lit(1)).as("rows"),
+            (if (hasTokens) sum(col(tokensCol)) else lit(null).cast("long"))
+              .as("tokens"))
+          .collect()
+          .map(r => (r.get(0).toString,
+            r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+          .sortBy(_._1).toSeq
+      }
     val manifest = perShard.map { case (s, rows, toks) =>
       s"""{"shard":"$s","rows":$rows,"tokens":$toks}"""
     }.mkString(s"""{"version":$version,"shards":[""", ",", "]}")

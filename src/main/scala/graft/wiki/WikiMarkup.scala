@@ -602,6 +602,39 @@ object WikiMarkup {
           case Right(v) => formatExpr(v)
           case Left(e) => s"""<strong class="error">Expression error: $e</strong>"""
         })
+      case "#ifexpr" =>
+        // empty condition is FALSE (no error span — MediaWiki's rule);
+        // an invalid expression yields the error span alone, no branch
+        Some(if (arg(0).isEmpty) arg(2)
+        else evalExpr(arg(0)) match {
+          case Right(v) => if (v != 0.0) arg(1) else arg(2)
+          case Left(e) =>
+            s"""<strong class="error">Expression error: $e</strong>"""
+        })
+      case "#tag" =>
+        // {{#tag:name|content|attr=val|…}} → <name attr="val">content</name>
+        // (no content argument at all → self-closing). The synthesized
+        // element flows through the SAME downstream tag rules as literal
+        // markup — a #tag:ref lands in the discard list, #tag:nowiki in
+        // the placeholder pass — which is the point of the function.
+        val tag = arg(0)
+        if (tag.isEmpty || !tag.forall(c => c.isLetterOrDigit)) None
+        else {
+          val attrs = parts.drop(2).map(_.trim).filter(_.nonEmpty).flatMap {
+            p =>
+              val eq = p.indexOf('=')
+              if (eq <= 0) None
+              else {
+                val k = p.substring(0, eq).trim
+                val v = p.substring(eq + 1).trim
+                  .stripPrefix("\"").stripSuffix("\"")
+                if (k.isEmpty) None else Some(s"""$k="$v"""")
+              }
+          }
+          val attrStr = if (attrs.isEmpty) "" else attrs.mkString(" ", " ", "")
+          Some(if (parts.length < 2) s"<$tag$attrStr/>"
+          else s"<$tag$attrStr>${arg(1)}</$tag>")
+        }
       case "#switch" =>
         val key = arg(0)
         var default = ""
@@ -638,8 +671,72 @@ object WikiMarkup {
     }
   }
 
+  /** Case/pad magic words ({{lc:}}, {{uc:}}, {{lcfirst:}}, {{ucfirst:}},
+    * {{padleft:}}, {{padright:}}) — the colon-form string functions real
+    * templates reach for next after the conditionals (MediaWiki's "string
+    * functions" subset of magic words; the reference's grammar comment at
+    * WikiExtractor.py:106 names the colon-call shape but implements
+    * none). Unknown names return None and the span falls to dropNested.
+    */
+  private def evalMagicWord(inner: String): Option[String] = {
+    val colon = inner.indexOf(':')
+    if (colon <= 0) return None
+    val fn = inner.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+    if (!MagicWords.contains(fn)) return None
+    val rest = inner.substring(colon + 1)
+    val parts = splitTopLevel(rest, '|')
+    def arg(i: Int): String = if (i < parts.length) parts(i).trim else ""
+    def caseFirst(s: String, up: Boolean): String =
+      if (s.isEmpty) s
+      else {
+        val n = Character.charCount(s.codePointAt(0))
+        val head = s.substring(0, n)
+        (if (up) head.toUpperCase(java.util.Locale.ROOT)
+         else head.toLowerCase(java.util.Locale.ROOT)) + s.substring(n)
+      }
+    // pad string repeats then truncates to the deficit (MediaWiki's
+    // rule); a value already at/over the target length passes through
+    // untouched (padleft never truncates the value). Length capped at
+    // 500 as upstream does.
+    def pad(v: String, left: Boolean): String = {
+      val len0 = arg(1)
+      val want0 = try len0.toInt catch { case _: NumberFormatException => 0 }
+      val want = math.min(want0, 500)
+      val padStr = { val p = if (parts.length > 2) arg(2) else ""
+        if (p.isEmpty) "0" else p }
+      if (want <= v.codePointCount(0, v.length)) v
+      else {
+        val deficit = want - v.codePointCount(0, v.length)
+        val fill = new java.lang.StringBuilder
+        var have = 0
+        val padCps = padStr.codePointCount(0, padStr.length)
+        while (have < deficit) { fill.append(padStr); have += padCps }
+        // trim to exactly `deficit` code points
+        val cut = fill.toString
+        val end = cut.offsetByCodePoints(0, deficit)
+        val f = cut.substring(0, end)
+        if (left) f + v else v + f
+      }
+    }
+    fn match {
+      case "lc" => Some(rest.trim.toLowerCase(java.util.Locale.ROOT))
+      case "uc" => Some(rest.trim.toUpperCase(java.util.Locale.ROOT))
+      case "lcfirst" => Some(caseFirst(rest.trim, up = false))
+      case "ucfirst" => Some(caseFirst(rest.trim, up = true))
+      case "padleft" => Some(pad(arg(0), left = true))
+      case "padright" => Some(pad(arg(0), left = false))
+      case _ => None
+    }
+  }
+
+  private val MagicWords =
+    Set("lc", "uc", "lcfirst", "ucfirst", "padleft", "padright")
+
   private def expandOnce(text: String, templates: collection.Map[String, String]): String = {
-    if (templates.isEmpty && text.indexOf("{{#") < 0) return text
+    // cheap bail-out only when NO span can possibly evaluate: magic
+    // words ({{lc:…}}) evaluate even with an empty template library, so
+    // the old `empty lib && no {{#` shortcut would skip them
+    if (text.indexOf("{{") < 0) return text
     val openRe = Pattern.compile("\\{\\{")
     val closeRe = Pattern.compile("\\}\\}")
     val om = openRe.matcher(text)
@@ -689,7 +786,18 @@ object WikiMarkup {
         // parameter substitution (nowiki semantics — later stages treat
         // it as text-bearing markup).
         val lower = head.toLowerCase(java.util.Locale.ROOT)
-        if (lower.startsWith("msgnw:")) {
+        val magicName = {
+          val c = lower.indexOf(':')
+          if (c > 0) lower.substring(0, c).trim else ""
+        }
+        if (MagicWords.contains(magicName)) {
+          // string magic words: args-first like the # functions (the
+          // span's nested templates expand, then the fold applies)
+          evalMagicWord(expandOnce(inner, templates)) match {
+            case Some(res) => sb.append(res)
+            case None => sb.append(text, s, e)
+          }
+        } else if (lower.startsWith("msgnw:")) {
           templates.get(normalizeTemplateName(head.substring(6))) match {
             case Some(body) => sb.append(body)
             case None => sb.append(text, s, e)

@@ -169,6 +169,24 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(x("{{#expr: not 0 and 2 >= 2}}") == "1")
     assert(x("{{#expr: 1 / 0}}").contains("Expression error"))
     assert(x("{{#expr: banana}}").contains("Expression error"))
+    // round-15 breadth: #ifexpr / #tag / case + pad magic words
+    assert(x("{{#ifexpr: 2 > 1 | yes | no}}") == "yes")
+    assert(x("{{#ifexpr: 1 = 2 | yes | no}}") == "no")
+    assert(x("{{#ifexpr: | yes | no}}") == "no") // empty condition = false
+    assert(x("{{#ifexpr: banana | yes | no}}").contains("Expression error"))
+    assert(x("{{#tag: b | bold text}}") == "<b>bold text</b>")
+    assert(x("{{#tag: span | hi | class=note}}") == "<span class=\"note\">hi</span>")
+    assert(x("{{#tag: br}}") == "<br/>")
+    assert(x("{{#tag: no tag | x}}") == "{{#tag: no tag | x}}") // bad name stays
+    assert(x("{{lc: MiXeD Case}}") == "mixed case")
+    assert(x("{{uc: MiXeD Case}}") == "MIXED CASE")
+    assert(x("{{lcfirst: Foo Bar}}") == "foo Bar")
+    assert(x("{{ucfirst: foo bar}}") == "Foo bar")
+    assert(x("{{padleft: xyz | 5 }}") == "00xyz")
+    assert(x("{{padleft: xyz | 6 | ab}}") == "abaxyz")
+    assert(x("{{padleft: xyz | 2 }}") == "xyz")    // never truncates
+    assert(x("{{padright: 7 | 3 }}") == "700")
+    assert(x("{{padleft: x | banana }}") == "x")   // bad length: unchanged
     // args-first: inner template expands before the function evaluates
     val lib2 = Map("Coin" -> "", "Val" -> "5")
     assert(WikiMarkup.expandTemplates("{{#if: {{Coin}} | H | T}}", lib2) == "T")
