@@ -142,6 +142,134 @@ object HeavyHitters {
     * partition's summary for g. Null groups are groups; null keys are
     * not counted. Output: (group, key, cnt).
     */
+  // ----------------------------------------------------------------------
+  // Cross-run FREQUENCY registry
+  // ----------------------------------------------------------------------
+  //
+  // The in-plan passes above answer "what is heavy in THIS frame". The
+  // registry answers "what has been heavy across EVERY run ever appended"
+  // (top domains over months of crawls, recurring boilerplate tokens)
+  // WITHOUT rescanning any previous run — the frequency member of the
+  // cross-run family (exact d12, MinHash d13, hamming d15, line d22,
+  // chunk d26, cardinality t42).
+  //
+  // Each append stores the run's keys whose EXACT in-run count clears the
+  // strict integer cutoff cnt·(k+1) > n_run (found at fixed memory by the
+  // same MG-candidates + exact-recount discipline as [[heavyHitters]]),
+  // plus one total row (n_run, k). Dropping a key in a run forfeits at
+  // most floor(n_run/(k+1)) of its count, so over all runs the stored sum
+  // S(key) satisfies T − Σ_r floor(n_r/(k_r+1)) ≤ S ≤ T for the true
+  // all-runs count T — the SAME ε = 1/(k+1) guarantee a merged
+  // Misra–Gries summary gives, but with a PARTITIONING-INDEPENDENT
+  // (hence engine-replayable) stored set: the exact counts make the
+  // appended rows a pure function of the run's data, which is what lets
+  // the driver oracle re-derive the whole registry in SQL. The report is
+  // then completeness-honest: it returns every key whose count COULD
+  // exceed the asked threshold ((S + B)·10⁶ > fracPpm·N where
+  // B = Σ floor(n_r/(k_r+1)) is the exact worst-case undercount computed
+  // from the stored total rows — no false negatives when k was sized for
+  // the threshold), flagging the subset whose stored lower bound ALREADY
+  // clears it (S·10⁶ > fracPpm·N — no false positives among flagged
+  // rows). Registry bytes per run: ≤ k+1 rows regardless of run size;
+  // bucketed on key so appends and the report merge co-locate and the
+  // report's group-by never shuffles. Append-only like every cross-run
+  // table — runs with different k mix soundly (the bound B sums each
+  // run's own forfeit).
+
+  /** Create the empty frequency registry: (key STRING, cnt BIGINT,
+    * kb INT) — kb non-null only on a run's total row (where key is null
+    * and cnt carries n_run) — bucketed on key.
+    */
+  def createFreqRegistry(spark: org.apache.spark.sql.SparkSession,
+                         table: String, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[(String, Long, Option[Int])].toDF("key", "cnt", "kb"),
+      table, "key", buckets)
+  }
+
+  /** Count this run's keys, keep those with exact count·(k+1) > n_run
+    * (fixed-memory two-pass — candidates from a per-partition MG sweep
+    * with k counters, whose completeness bound guarantees every key above
+    * n_run/(k+1) survives some partition's summary; exact recount of the
+    * bounded candidate set only), and append them plus the run's total
+    * row. Returns the number of key rows appended (total row excluded).
+    * `k` must cover the report thresholds this registry will serve:
+    * completeness at fracPpm needs k ≥ ⌈10⁶/fracPpm⌉ · (runs-appended
+    * margin is automatic — the report adds back the exact forfeit bound).
+    */
+  def appendRunCounts(df: DataFrame, keyCol: String, table: String,
+                      k: Int = 999): Long = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val keys: Dataset[String] = df.select(col(keyCol).cast("string")).as[String]
+    val (summaries, release) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        keys.mapPartitions { it =>
+          var n = 0L
+          val counted = it.map { s => if (s != null) n += 1; s }
+          val mg = misraGries(counted, k).toArray
+          mg.iterator ++ Iterator.single((null.asInstanceOf[String], -n - 1))
+        }.toDF("key", "mg_cnt"),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = summaries.filter(col("mg_cnt") < 0)
+      .agg(sum(-col("mg_cnt") - 1).as("__n"))
+    val candidates = summaries.filter(col("mg_cnt") > 0)
+      .select(col("key")).distinct()
+    // strict integer cutoff in DECIMAL (cnt·(k+1) overflows long only
+    // past ~9e15 rows, but the guard costs nothing)
+    val kept = keys.toDF("key").filter(col("key").isNotNull)
+      .join(broadcast(candidates), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("decimal(21,0)") *
+        lit(k + 1L).cast("decimal(10,0)") > col("__n").cast("decimal(21,0)"))
+      .select(col("key"), col("cnt"), lit(null).cast("int").as("kb"))
+    val totalRow = total.select(lit(null).cast("string").as("key"),
+      col("__n").cast("long").as("cnt"), lit(k).cast("int").as("kb"))
+    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+      kept.unionByName(totalRow), table, "key")
+    release()
+    if (delta.isEmpty) 0L
+    else spark.read.parquet(delta: _*).filter(col("key").isNotNull).count()
+  }
+
+  /** Keys whose ALL-RUNS count could exceed fracPpm·N/10⁶ over every run
+    * ever appended: (key, cnt_min, guaranteed) where cnt_min is the
+    * stored exact lower bound ΣS, `guaranteed` marks rows already above
+    * the threshold on the lower bound alone, and the row set admits
+    * every key within the registry's exact forfeit bound
+    * B = Σ floor(n_r/(k_r+1)) of the cut — so no true heavy hitter is
+    * missing whenever each run's k met ⌈10⁶/fracPpm⌉. One bucketed scan;
+    * the merge group-by rides the bucketing (no shuffle); totals ride a
+    * broadcast 1-row aggregate. Pure integer arithmetic end to end —
+    * any SQL engine replays the identical rows from the same registry.
+    */
+  def heavyHittersOverRuns(spark: org.apache.spark.sql.SparkSession,
+                           table: String, fracPpm: Long): DataFrame = {
+    require(fracPpm >= 1 && fracPpm < 1000000L,
+      s"fracPpm out of [1, 1e6): $fracPpm")
+    val rows = spark.table(table)
+    val tot = rows.filter(col("kb").isNotNull)
+      .agg(sum(col("cnt")).cast("decimal(21,0)").as("__n"),
+        // integral DIV, not floor-of-double — a float quotient can misround
+        // exactly at the bound the report exists to honor
+        sum(expr("cnt DIV (CAST(kb AS BIGINT) + 1)"))
+          .cast("decimal(21,0)").as("__b"))
+    val ppm = lit(1000000L).cast("decimal(7,0)")
+    val frac = lit(fracPpm).cast("decimal(7,0)")
+    rows.filter(col("kb").isNull)
+      .groupBy("key").agg(sum(col("cnt")).as("cnt_min"))
+      .crossJoin(broadcast(tot))
+      .filter((col("cnt_min").cast("decimal(21,0)") + col("__b")) * ppm >
+        frac * col("__n"))
+      .select(col("key"), col("cnt_min"),
+        (col("cnt_min").cast("decimal(21,0)") * ppm > frac * col("__n"))
+          .as("guaranteed"))
+  }
+
   def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
                           fracPpm: Long, counters: Int = 0,
                           maxGroups: Int = 100000): DataFrame = {

@@ -560,6 +560,57 @@ object TextQ {
       salted.select(col("doc_id"),
         TextOps.redactPii(col("pii_text")).as("redacted"))
         .orderBy("doc_id")
+    },
+
+    // L88c: cross-run FREQUENCY registry — tokens heavy over two appended
+    // "days" without rescanning day 1: each append stores the run's keys
+    // whose exact count clears the strict n_run/(k+1) cutoff (fixed-memory
+    // MG candidates + exact recount) plus a total row; the report merges
+    // stored lower bounds, adds back the exact forfeit bound
+    // B = Σ⌊n_r/(k+1)⌋, and flags rows already guaranteed on the lower
+    // bound alone. Pure integer arithmetic — the oracle replays the whole
+    // registry from the same token stream.
+    "t43_heavy_over_runs" -> { (s, dir) =>
+      val table = "graft_freqreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.HeavyHitters.createFreqRegistry(s, table, buckets = 4)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        graft.operators.HeavyHitters.appendRunCounts(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 0), "token", table,
+          k = 999)
+        graft.operators.HeavyHitters.appendRunCounts(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 1), "token", table,
+          k = 999)
+      }
+      graft.operators.HeavyHitters.heavyHittersOverRuns(s, table,
+          fracPpm = 5000)
+        .select(col("key").as("token"), col("cnt_min"),
+          col("guaranteed").cast("int").as("guaranteed"))
+        .orderBy("token")
+    },
+
+    // L92: cross-run DISTRIBUTION registry — per-source document-length
+    // quantile bounds over two appended "days": dyadic (bit-length) bins
+    // merge by exact addition, so the report over N runs equals a
+    // one-pass histogram; quantile rows return the smallest bin whose
+    // cumulative count reaches ⌈q·N⌉ with hard [lo, hi] dyadic bounds.
+    // Integer both ways (binary-string length ≡ DuckDB format('{:b}')).
+    "t44_length_quantiles" -> { (s, dir) =>
+      val table = "graft_histreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.Histograms.createHistRegistry(s, table, buckets = 4)
+        val lens = Tables(s, dir, "documents")
+          .withColumn("len", length(col("text")).cast("long"))
+        graft.operators.Histograms.appendHistogram(
+          lens.filter(col("doc_id") < 250), "source", "len", table)
+        graft.operators.Histograms.appendHistogram(
+          lens.filter(col("doc_id") >= 250), "source", "len", table)
+      }
+      graft.operators.Histograms.quantilesOverRuns(s, table,
+        Seq(250000L, 500000L, 900000L))
     }
   )
 
@@ -1469,7 +1520,63 @@ object TextQ {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM salted
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // t43: the registry replayed end to end — per-run exact counts above
+    // the strict cnt·(k+1) > n_run cutoff, merged lower bounds, the exact
+    // forfeit bound B = Σ(n_r // (k+1)) added back for the admission cut,
+    // and the guaranteed flag on the lower bound alone. All-integer.
+    "t43_heavy_over_runs" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 AS run, UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |runs AS (SELECT run, COUNT(*) AS n FROM t GROUP BY run),
+        |stored AS (
+        |  SELECT t.run, token, COUNT(*) AS cnt
+        |  FROM t JOIN runs USING (run)
+        |  GROUP BY t.run, token, runs.n
+        |  HAVING COUNT(*) * 1000 > runs.n),
+        |tot AS (SELECT SUM(n) AS n, SUM(n // 1000) AS b FROM runs),
+        |merged AS (SELECT token, SUM(cnt) AS cnt_min FROM stored GROUP BY token)
+        |SELECT token, CAST(cnt_min AS BIGINT) AS cnt_min,
+        |  (cnt_min * 1000000 > 5000 * tot.n)::INT AS guaranteed
+        |FROM merged, tot
+        |WHERE (cnt_min + tot.b) * 1000000 > 5000 * tot.n
+        |ORDER BY token""".stripMargin,
+
+    // t44: dyadic binning via binary-string length (no leading zeros, so
+    // length ≡ bit length), merged counts ≡ one-pass (addition), smallest
+    // bin whose cumulative count reaches ⌈q·N⌉, dyadic [lo, hi] bounds
+    // with the bin-63 hi special case mirrored.
+    "t44_length_quantiles" ->
+      """WITH v AS (
+        |  SELECT source AS grp, length(text) AS val
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT grp,
+        |    CASE WHEN val < 0 THEN -1 WHEN val = 0 THEN 0
+        |         ELSE length(format('{:b}', val)) END AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, bin,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM b),
+        |q AS (SELECT UNNEST([250000, 500000, 900000]) AS q_ppm),
+        |sel AS (
+        |  SELECT grp, q_ppm, MIN(bin) AS bin
+        |  FROM c, q WHERE cum * 1000000 >= q_ppm * n
+        |  GROUP BY grp, q_ppm)
+        |SELECT grp AS "group", CAST(q_ppm AS BIGINT) AS q_ppm,
+        |  CAST(bin AS INTEGER) AS bin,
+        |  CASE WHEN bin = -1 THEN NULL WHEN bin = 0 THEN 0
+        |       ELSE (1::BIGINT << (bin - 1)) END AS lo,
+        |  CASE WHEN bin = -1 THEN NULL WHEN bin = 0 THEN 0
+        |       WHEN bin = 63 THEN 9223372036854775807
+        |       ELSE (1::BIGINT << bin) - 1 END AS hi
+        |FROM sel
+        |ORDER BY "group", q_ppm""".stripMargin
   )
 }
 

@@ -144,4 +144,79 @@ class HeavyHittersSpec extends SparkSpec {
       HeavyHitters.heavyHitters(corpus(10), "key", 1000L, counters = 5)
     }
   }
+
+  // ---- cross-run frequency registry -------------------------------------
+
+  private def reportMap(table: String, fracPpm: Long) =
+    HeavyHitters.heavyHittersOverRuns(spark, table, fracPpm)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("registry: complete (no true hitter missing) and sound (guaranteed rows are true hitters)") {
+    val reg = "freq_reg_spec"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    HeavyHitters.createFreqRegistry(spark, reg, buckets = 4)
+    // run 1: "hot" 400/4000; run 2: "hot" 100/4000 and "warm" 350/4000 —
+    // "hot" is heavy overall (500/8000 = 6.25%), "warm" is 4.4%
+    val run1 = (Seq.fill(400)("hot") ++ (0 until 3600).map(i => s"a$i")).toDF("key")
+    val run2 = (Seq.fill(100)("hot") ++ Seq.fill(350)("warm") ++
+      (0 until 3550).map(i => s"b$i")).toDF("key")
+    HeavyHitters.appendRunCounts(run1, "key", reg, k = 99)
+    HeavyHitters.appendRunCounts(run2.repartition(13), "key", reg, k = 99)
+
+    val all = run1.unionByName(run2)
+    for (fracPpm <- Seq(50000L, 40000L, 20000L)) {
+      val exact = naive(all, fracPpm).toMap
+      val got = reportMap(reg, fracPpm)
+      // completeness: every exact hitter is reported
+      exact.keys.foreach(k => assert(got.contains(k), s"missing $k @ $fracPpm"))
+      // soundness of the flag + lower bound never exceeds the true count
+      got.foreach { case (k, (cntMin, guar)) =>
+        if (guar) assert(exact.contains(k), s"false guarantee $k @ $fracPpm")
+        assert(cntMin <= all.filter(col("key") === k).count())
+      }
+    }
+    // "hot"'s run counts both cleared the per-run cutoff → stored sum exact
+    assert(reportMap(reg, 50000L)("hot") === ((500L, true)))
+  }
+
+  test("registry: appended rows are partitioning-independent and <= k+1 per run") {
+    val regA = "freq_det_a"; val regB = "freq_det_b"
+    for (r <- Seq(regA, regB)) {
+      graft.sources.Warehouse.dropTableAndLocation(spark, r)
+      HeavyHitters.createFreqRegistry(spark, r, buckets = 2)
+    }
+    val run = (Seq.fill(120)("x") ++ Seq.fill(45)("y") ++
+      (0 until 800).map(i => s"n$i") :+ null).toDF("key")
+    val n1 = HeavyHitters.appendRunCounts(run, "key", regA, k = 19)
+    val n2 = HeavyHitters.appendRunCounts(run.repartition(17), "key", regB, k = 19)
+    assert(n1 === n2)
+    assert(n1 <= 19L)
+    val rows = (t: String) => spark.table(t)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows(regA) === rows(regB)) // exact counts, not MG residues
+    // the null key was not counted: total row carries 965, not 966
+    assert(spark.table(regA).filter(col("kb").isNotNull)
+      .select("cnt").collect()(0).getLong(0) === 965L)
+  }
+
+  test("registry: report merges runs with DIFFERENT k via each run's own forfeit bound") {
+    val reg = "freq_mixed_k"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    HeavyHitters.createFreqRegistry(spark, reg, buckets = 2)
+    // run 1 at k=9 (coarse: forfeit floor(1000/10)=100), run 2 at k=99
+    val run1 = (Seq.fill(150)("h") ++ (0 until 850).map(i => s"a$i")).toDF("key")
+    val run2 = (Seq.fill(90)("h") ++ (0 until 910).map(i => s"b$i")).toDF("key")
+    HeavyHitters.appendRunCounts(run1, "key", reg, k = 9)
+    HeavyHitters.appendRunCounts(run2, "key", reg, k = 99)
+    // run 2's 90 < 1000/100? no: cutoff is cnt*100 > 1000 → 90 stored too.
+    // total B = 1000/10 + 1000/100 = 110; h stored sum = 240 (exact)
+    val got = reportMap(reg, 100000L) // 10% of 2000 = 200 < 240
+    assert(got("h") === ((240L, true)))
+    // a key needing the bound: threshold 17.5% (350) — 240+110 = 350 NOT >
+    // 350, so h is admitted just below that cut (unguaranteed) and dropped
+    // at it; admission strictness pinned both ways
+    assert(reportMap(reg, 174999L)("h") === ((240L, false)))
+    assert(!reportMap(reg, 175000L).contains("h"))
+  }
 }
