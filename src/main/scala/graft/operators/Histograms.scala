@@ -67,13 +67,8 @@ object Histograms {
   def appendHistogram(df: DataFrame, groupCol: String, valueCol: String,
                       table: String): Long = {
     val spark = df.sparkSession
-    val perBin = df
-      .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("group"),
-        binOf(col(valueCol).cast("long")).as("bin"))
-      .groupBy("group", "bin").agg(count(lit(1)).as("cnt"))
     val delta = graft.sources.Warehouse.appendBucketedWithDelta(
-      perBin, table, "group")
+      histogramOf(df, groupCol, valueCol), table, "group")
     if (delta.isEmpty) 0L else spark.read.parquet(delta: _*).count()
   }
 
@@ -102,6 +97,68 @@ object Histograms {
       .select(col("group"), col("bin"), loOf(col("bin")).as("lo"),
         hiOf(col("bin")).as("hi"), col("cnt"))
       .orderBy("group", "bin")
+
+  /** Distribution DRIFT between two histogram registries, per group — the
+    * population-stability-index report a pipeline owner reads to decide
+    * whether "this month's crawl" still looks like "everything before it"
+    * (compare a current-era registry against a baseline era, or one
+    * source's registry against the global one). For each group present in
+    * either table: PSI = Σ_bins (pA − pB)·ln(pA/pB) and the L1 distance
+    * Σ|pA − pB|, where the probabilities are add-one smoothed over the
+    * UNION bin set ((cnt + 1)/(N + |bins|)) so a bin empty on one side is
+    * well-defined and both sides remain exact probability distributions.
+    * The standard reading: PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted. Rounded to `roundTo` decimals AFTER the sum (the ln-at-
+    * ROUND-4 cross-engine parity convention); everything before the ln is
+    * integer counts, so the report is engine-replayable at the rounded
+    * precision. Skeleton-sized work: ≤ 65 bins per group, one full-outer
+    * join of two merged histograms.
+    */
+  def driftReport(spark: SparkSession, tableA: String, tableB: String,
+                  roundTo: Int = 4): DataFrame =
+    driftBetween(spark.table(tableA), spark.table(tableB), roundTo)
+
+  /** [[driftReport]]'s core over raw (group, bin, cnt) frames — exposed
+    * so the STREAMING drift probe can compare a micro-batch's histogram
+    * against the persisted baseline without a table round-trip; PSI is
+    * symmetric in its two sides by construction ((pA−pB)·ln(pA/pB) is
+    * invariant under swap).
+    */
+  private[graft] def driftBetween(histA: DataFrame, histB: DataFrame,
+                                  roundTo: Int = 4): DataFrame = {
+    def merged(df: DataFrame, cn: String) = df
+      .groupBy("group", "bin").agg(sum(col("cnt")).as(cn))
+    val joined = merged(histA, "__ca")
+      .join(merged(histB, "__cb"), Seq("group", "bin"), "full_outer")
+      .select(col("group"), col("bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined.groupBy("group").agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"),
+      count(lit(1)).as("__bins"))
+    joined.join(totals, "group")
+      .select(col("group"),
+        ((col("__ca") + 1).cast("double") / (col("__na") + col("__bins")))
+          .as("__pa"),
+        ((col("__cb") + 1).cast("double") / (col("__nb") + col("__bins")))
+          .as("__pb"))
+      .groupBy("group").agg(
+        round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))),
+          roundTo).as("psi"),
+        round(sum(abs(col("__pa") - col("__pb"))), roundTo).as("l1"))
+      .orderBy("group")
+  }
+
+  /** One run's dyadic histogram as a plain (group, bin, cnt) frame — the
+    * shared binning of [[appendHistogram]] and the streaming drift probe,
+    * factored so the two can never bin differently.
+    */
+  private[graft] def histogramOf(df: DataFrame, groupCol: String,
+                                 valueCol: String): DataFrame = df
+    .filter(col(valueCol).isNotNull)
+    .select(col(groupCol).cast("string").as("group"),
+      binOf(col(valueCol).cast("long")).as("bin"))
+    .groupBy("group", "bin").agg(count(lit(1)).as("cnt"))
 
   /** Bin-resolution quantiles per group over every appended run: for each
     * q (in parts-per-million) the smallest bin whose cumulative count

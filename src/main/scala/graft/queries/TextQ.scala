@@ -611,6 +611,29 @@ object TextQ {
       }
       graft.operators.Histograms.quantilesOverRuns(s, table,
         Seq(250000L, 500000L, 900000L))
+    },
+
+    // L92b: distribution DRIFT between two histogram registries — the
+    // population-stability-index report over per-source length
+    // distributions of two corpus "eras" (PSI + L1, add-one smoothed
+    // over the union bin set so both sides stay exact probability
+    // distributions; ln-at-ROUND-4, the t13 cross-engine precedent).
+    "t45_length_drift" -> { (s, dir) =>
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ta = "graft_histdrift_a_" + suffix
+      val tb = "graft_histdrift_b_" + suffix
+      if (!s.catalog.tableExists(ta) || !s.catalog.tableExists(tb)) {
+        val lens = Tables(s, dir, "documents")
+          .withColumn("len", length(col("text")).cast("long"))
+        for ((t, pred) <- Seq(
+            ta -> (col("doc_id") < 250), tb -> (col("doc_id") >= 250))) {
+          graft.sources.Warehouse.dropTableAndLocation(s, t)
+          graft.operators.Histograms.createHistRegistry(s, t, buckets = 4)
+          graft.operators.Histograms.appendHistogram(
+            lens.filter(pred), "source", "len", t)
+        }
+      }
+      graft.operators.Histograms.driftReport(s, ta, tb)
     }
   )
 
@@ -1576,7 +1599,36 @@ object TextQ {
         |       WHEN bin = 63 THEN 9223372036854775807
         |       ELSE (1::BIGINT << bin) - 1 END AS hi
         |FROM sel
-        |ORDER BY "group", q_ppm""".stripMargin
+        |ORDER BY "group", q_ppm""".stripMargin,
+
+    // t45: PSI + L1 between the two eras' dyadic histograms — counts are
+    // integers up to the division, probabilities add-one smoothed over
+    // the union bin set (bins occupied by either era == the registries'
+    // full-outer join), ln summed then ROUND 4 (t13 precedent).
+    "t45_length_drift" ->
+      """WITH v AS (
+        |  SELECT source AS grp, (doc_id < 250) AS era_a, length(text) AS val
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT grp,
+        |    CASE WHEN val < 0 THEN -1 WHEN val = 0 THEN 0
+        |         ELSE length(format('{:b}', val)) END AS bin,
+        |    SUM(CASE WHEN era_a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN era_a THEN 0 ELSE 1 END) AS cb
+        |  FROM v GROUP BY 1, 2),
+        |t AS (
+        |  SELECT grp, SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS bins
+        |  FROM b GROUP BY grp),
+        |p AS (
+        |  SELECT b.grp,
+        |    (ca + 1.0) / (na + bins) AS pa,
+        |    (cb + 1.0) / (nb + bins) AS pb
+        |  FROM b JOIN t ON b.grp = t.grp)
+        |SELECT grp AS "group",
+        |  ROUND(SUM((pa - pb) * ln(pa / pb)), 4) AS psi,
+        |  ROUND(SUM(ABS(pa - pb)), 4) AS l1
+        |FROM p GROUP BY grp
+        |ORDER BY "group"""".stripMargin
   )
 }
 

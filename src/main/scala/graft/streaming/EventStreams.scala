@@ -903,6 +903,40 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DISTRIBUTION-drift probe — the live face of
+    * [[graft.operators.Histograms.driftReport]]: each micro-batch's
+    * per-group dyadic histogram is compared against the persisted
+    * baseline registry and reported as (group, psi, l1, batch_id) —
+    * "does this ingest window's length/score distribution still look
+    * like everything before it", the alarm a pipeline owner wants
+    * DURING a crawl, not after. foreachBatch → the batch core (the
+    * heavyHittersStream pattern — drift needs the batch's whole
+    * histogram, a static-frame computation), binning shared with the
+    * batch append ([[graft.operators.Histograms]]' histogramOf) so the
+    * two can never bin differently. Per-batch semantics are the point:
+    * each window is judged against the REGISTRY baseline, not against
+    * other windows. Probe-only, like every streaming registry twin:
+    * baseline appends stay the batch pass's job (the delta-file failure
+    * contract needs a batch write — and at-least-once foreachBatch
+    * retries would double-append counts, which probes are immune to).
+    */
+  def distributionDriftStream(values: DataFrame, groupCol: String,
+                              valueCol: String, baselineTable: String,
+                              roundTo: Int = 4)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val report = graft.operators.Histograms.driftBetween(
+            graft.operators.Histograms.histogramOf(batch, groupCol, valueCol),
+            spark.table(baselineTable), roundTo)
+          sink(report.withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming CHUNK-registry probe — the binary member of the
     * registry-probe matrix (exact L16f, MinHash L16g, hamming L16h,
     * lines above): blobs arriving on a stream report how many chunk

@@ -115,4 +115,73 @@ class HistogramsSpec extends SparkSpec {
       Histograms.quantilesOverRuns(spark, regA, Seq.empty)
     }
   }
+
+  // ---- drift report ------------------------------------------------------
+
+  private def mkReg(name: String, rows: Seq[(String, Long)]): String = {
+    graft.sources.Warehouse.dropTableAndLocation(spark, name)
+    Histograms.createHistRegistry(spark, name, buckets = 2)
+    if (rows.nonEmpty)
+      Histograms.appendHistogram(rows.toDF("g", "v"), "g", "v", name)
+    name
+  }
+
+  test("drift: identical registries score 0; shifted scores high; symmetric") {
+    val base = (0 until 1000).map(i => ("s", (i % 500 + 1).toLong))
+    val a = mkReg("drift_a", base)
+    val b = mkReg("drift_b", base)
+    // shifted: the same mass two dyadic decades up
+    val c = mkReg("drift_c", base.map { case (g, v) => (g, v * 1024) })
+    val report = (x: String, y: String) =>
+      Histograms.driftReport(spark, x, y).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val same = report(a, b)("s")
+    assert(same._1 === 0.0 && same._2 === 0.0)
+    val far = report(a, c)("s")
+    assert(far._1 > 0.25, s"psi ${far._1}") // the standard 'shifted' band
+    assert(far._2 > 0.5)
+    // PSI and L1 are symmetric by construction
+    assert(report(c, a)("s") === far)
+  }
+
+  test("drift: small perturbation stays in the stable band; one-sided group reported") {
+    val base = (0 until 2000).map(i => ("s", (i % 800 + 1).toLong))
+    val near = base.map { case (g, v) => (g, math.min(v + 3, 800L)) } ++
+      Seq(("only_b", 42L))
+    val a = mkReg("drift_sa", base)
+    val b = mkReg("drift_sb", near)
+    val got = Histograms.driftReport(spark, a, b).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("s") < 0.1, s"psi ${got("s")}") // stable band
+    assert(got.contains("only_b")) // group absent from A still reported
+  }
+
+  test("streaming drift probe: per-batch reports equal the batch core vs the baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = mkReg("drift_base_stream",
+      (0 until 500).map(i => ("s", (i % 100 + 1).toLong)))
+    val b1 = (0 until 200).map(i => ("s", (i % 100 + 1).toLong))     // stable
+    val b2 = (0 until 200).map(i => ("s", (i % 100 + 1) * 4096L))    // shifted
+    val in = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
+    val q = graft.streaming.EventStreams.distributionDriftStream(
+        in.toDF().toDF("g", "v"), "g", "v", baseline) { out =>
+      got ++= out.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(3)))
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = got.groupBy(_._3)
+    // batch 0 is the baseline's own shape; batch 1 is two decades away
+    assert(byBatch(0L).head._2 < 0.1, byBatch(0L).toString)
+    assert(byBatch(1L).head._2 > 0.25, byBatch(1L).toString)
+    // parity with the batch core on the same frames
+    val expect0 = Histograms.driftBetween(
+      Histograms.histogramOf(b1.toDF("g", "v"), "g", "v"),
+      spark.table(baseline)).collect().head.getDouble(1)
+    assert(byBatch(0L).head._2 === expect0)
+  }
 }
