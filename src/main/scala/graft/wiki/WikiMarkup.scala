@@ -667,8 +667,77 @@ object WikiMarkup {
           k += 1
         }
         Some(result.getOrElse(default))
+
+      // ---- ParserFunctions string module (round 15 breadth) ------------
+      // #len/#pos/#sub/#titleparts — the PUBLIC ParserFunctions string
+      // subset real templates reach for after the conditionals. All
+      // positions/lengths are Unicode CODE POINTS (PHP mb_* semantics);
+      // non-numeric numeric args fall to their documented defaults
+      // (lenient, never an error span — the PF string functions error
+      // only on the length LIMIT, which pad's 500 cap precedent covers).
+      case "#len" =>
+        Some(arg(0).codePointCount(0, arg(0).length).toString)
+      case "#pos" =>
+        // 0-based code-point index of the first occurrence at or after
+        // `offset`; EMPTY output when absent or the needle is empty.
+        val s = arg(0); val needle = arg(1)
+        val off = math.max(intArg(2, parts, 0), 0)
+        val n = s.codePointCount(0, s.length)
+        if (needle.isEmpty || off > n) Some("")
+        else {
+          val fromChar = s.offsetByCodePoints(0, off)
+          val at = s.indexOf(needle, fromChar)
+          Some(if (at < 0) "" else s.codePointCount(0, at).toString)
+        }
+      case "#sub" =>
+        // mb_substr: negative start counts from the end; omitted/empty
+        // length → to end; negative length leaves that many off the end;
+        // zero/non-numeric length → empty (PHP intval collapse).
+        val s = arg(0)
+        val n = s.codePointCount(0, s.length)
+        val start0 = intArg(1, parts, 0)
+        val from = if (start0 < 0) math.max(n + start0, 0) else math.min(start0, n)
+        val to =
+          if (arg(2).isEmpty) n
+          else {
+            val l = intArg(2, parts, 0)
+            if (l < 0) math.max(n + l, from) else math.min(from + l, n)
+          }
+        Some(if (to <= from) ""
+        else s.substring(s.offsetByCodePoints(0, from), s.offsetByCodePoints(0, to)))
+      case "#titleparts" =>
+        // slash segments of a title: `number` segments starting at the
+        // 1-based `first`; number ≤ 0/omitted → all from first, negative
+        // number strips that many from the end; negative first counts
+        // from the end. Titles over 25 segments pass through unprocessed
+        // (the documented PF guard).
+        val title = arg(0)
+        val segs = title.split("/", -1)
+        if (segs.length > 25) Some(title)
+        else {
+          val len = segs.length
+          val num = intArg(1, parts, 0)
+          val first0 = intArg(2, parts, 1)
+          val first = if (first0 < 0) math.max(len + first0 + 1, 1)
+                      else math.max(first0, 1)
+          val startIdx = math.min(first - 1, len)
+          val endIdx =
+            if (num > 0) math.min(startIdx + num, len)
+            else if (num == 0) len
+            else math.max(len + num, startIdx)
+          Some(segs.slice(startIdx, endIdx).mkString("/"))
+        }
       case _ => None
     }
+  }
+
+  // Lenient integer arg for the string parser functions: trimmed, full
+  // integer or the default (PHP's intval is MORE lenient — "3abc" → 3 —
+  // but templates in the wild pass clean integers or nothing; documented).
+  private def intArg(i: Int, parts: Seq[String], dflt: Int): Int = {
+    val s = if (i < parts.length) parts(i).trim else ""
+    if (s.isEmpty) dflt
+    else try s.toInt catch { case _: NumberFormatException => dflt }
   }
 
   /** Case/pad magic words ({{lc:}}, {{uc:}}, {{lcfirst:}}, {{ucfirst:}},
@@ -718,6 +787,44 @@ object WikiMarkup {
         if (left) f + v else v + f
       }
     }
+    // {{urlencode:}} percent-encodes the value's UTF-8 bytes (uppercase
+    // hex) under the mode's unreserved set — QUERY (default): PHP
+    // urlencode's [A-Za-z0-9_.-] with space → '+'; PATH: rawurlencode's
+    // [A-Za-z0-9_.~-] with space → %20; WIKI: page-title form — space →
+    // '_' and MediaWiki's wfUrlencode preserved set [;:@$!*(),/~] kept
+    // verbatim.
+    def urlencode(v: String, mode: String): String = {
+      val m = mode.trim.toUpperCase(java.util.Locale.ROOT)
+      val (space, keep) = m match {
+        case "PATH" => ("%20", "_.~-")
+        case "WIKI" => ("_", ";:@$!*(),/~_.-")
+        case _ => ("+", "_.-")
+      }
+      val sb = new java.lang.StringBuilder
+      for (b <- v.getBytes(java.nio.charset.StandardCharsets.UTF_8)) {
+        val c = (b & 0xFF).toChar
+        if (c == ' ') sb.append(space)
+        else if (c < 0x80 && (c.isLetterOrDigit || keep.indexOf(c) >= 0))
+          sb.append(c)
+        else sb.append(f"%%${b & 0xFF}%02X")
+      }
+      sb.toString
+    }
+    // {{formatnum:}} inserts the en thousands separators into a plain
+    // decimal number (sign and fraction preserved); anything else passes
+    // through untouched (MediaWiki is lenient); |R strips the separators.
+    def formatnum(v: String, mode: String): String = {
+      if (mode.trim.equalsIgnoreCase("R")) v.replace(",", "")
+      else if (v.matches("-?\\d+(\\.\\d+)?")) {
+        val neg = v.startsWith("-")
+        val body = if (neg) v.substring(1) else v
+        val dot = body.indexOf('.')
+        val intPart = if (dot < 0) body else body.substring(0, dot)
+        val frac = if (dot < 0) "" else body.substring(dot)
+        val grouped = intPart.reverse.grouped(3).mkString(",").reverse
+        (if (neg) "-" else "") + grouped + frac
+      } else v
+    }
     fn match {
       case "lc" => Some(rest.trim.toLowerCase(java.util.Locale.ROOT))
       case "uc" => Some(rest.trim.toUpperCase(java.util.Locale.ROOT))
@@ -725,12 +832,15 @@ object WikiMarkup {
       case "ucfirst" => Some(caseFirst(rest.trim, up = true))
       case "padleft" => Some(pad(arg(0), left = true))
       case "padright" => Some(pad(arg(0), left = false))
+      case "urlencode" => Some(urlencode(arg(0), arg(1)))
+      case "formatnum" => Some(formatnum(arg(0), arg(1)))
       case _ => None
     }
   }
 
   private val MagicWords =
-    Set("lc", "uc", "lcfirst", "ucfirst", "padleft", "padright")
+    Set("lc", "uc", "lcfirst", "ucfirst", "padleft", "padright",
+      "urlencode", "formatnum")
 
   private def expandOnce(text: String, templates: collection.Map[String, String]): String = {
     // cheap bail-out only when NO span can possibly evaluate: magic

@@ -192,4 +192,46 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(WikiMarkup.expandTemplates("{{#if: {{Coin}} | H | T}}", lib2) == "T")
     assert(WikiMarkup.expandTemplates("{{#expr: {{Val}} * 2}}", lib2) == "10")
   }
+
+  test("string parser functions and url/number magic words") {
+    def x(s: String) = WikiMarkup.expandTemplates(s, Map.empty[String, String])
+    // #len — code points of the trimmed arg
+    assert(x("{{#len: Icecream }}") == "8")
+    assert(x("{{#len:}}") == "0")
+    // #pos — 0-based, offset-aware, empty when absent or needle empty
+    assert(x("{{#pos: Icecream | cream}}") == "3")
+    assert(x("{{#pos: Icecream | banana}}") == "")
+    assert(x("{{#pos: abcabc | c | 3}}") == "5")
+    assert(x("{{#pos: abc |}}") == "")
+    // #sub — mb_substr: negative start/length, intval collapse
+    assert(x("{{#sub: Icecream | 3}}") == "cream")
+    assert(x("{{#sub: Icecream | 0 | 3}}") == "Ice")
+    assert(x("{{#sub: Icecream | -3}}") == "eam")
+    assert(x("{{#sub: Icecream | 2 | -3}}") == "ecr")
+    assert(x("{{#sub: Icecream | 2 | banana}}") == "")
+    // #titleparts — slash segments, 1-based first, negative forms
+    assert(x("{{#titleparts: Talk:Foo/Bar/Baz | 1 }}") == "Talk:Foo")
+    assert(x("{{#titleparts: Talk:Foo/Bar/Baz | 1 | 2 }}") == "Bar")
+    assert(x("{{#titleparts: Talk:Foo/Bar/Baz | | 2 }}") == "Bar/Baz")
+    assert(x("{{#titleparts: Talk:Foo/Bar/Baz | -1 }}") == "Talk:Foo/Bar")
+    assert(x("{{#titleparts: A/B/C | 1 | -1 }}") == "C")
+    // urlencode — QUERY/PATH/WIKI unreserved sets, UTF-8 percent bytes
+    assert(x("{{urlencode: x y/z?}}") == "x+y%2Fz%3F")
+    assert(x("{{urlencode: x y/z? | PATH}}") == "x%20y%2Fz%3F")
+    assert(x("{{urlencode: x y/z? | WIKI}}") == "x_y/z%3F")
+    assert(x("{{urlencode: é}}") == "%C3%A9")
+    // formatnum — en thousands grouping; R strips; non-numeric unchanged
+    assert(x("{{formatnum: 1234567.891}}") == "1,234,567.891")
+    assert(x("{{formatnum: -1234}}") == "-1,234")
+    assert(x("{{formatnum: 123}}") == "123")
+    assert(x("{{formatnum: 1,234,567 | R}}") == "1234567")
+    assert(x("{{formatnum: banana}}") == "banana")
+    // flag-off (the default pipeline path) DROPS the spans like any
+    // other template — never evaluates them — preserving the byte-parity
+    // contract the reference head-to-head pins
+    val raw = "a {{#len: xyz}} {{urlencode: b c}} d"
+    val cleaned = WikiMarkup.clean(raw)
+    assert(!cleaned.contains("3") && !cleaned.contains("%") &&
+      !cleaned.contains("b+c"), cleaned)
+  }
 }
