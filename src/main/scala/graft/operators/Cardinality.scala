@@ -171,6 +171,17 @@ object Cardinality {
   def appendPortableSketches(df: DataFrame, groupCol: String,
                              valueCol: String, table: String): Long = {
     val spark = df.sparkSession
+    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+      portableSketchOf(df, groupCol, valueCol), table, "group")
+    if (delta.isEmpty) 0L else spark.read.parquet(delta: _*).count()
+  }
+
+  /** One run's portable sketch rows (group, hashes, regs) — the shared
+    * build of [[appendPortableSketches]] and the streaming probe, factored
+    * so a probe can never sketch differently than an append would.
+    */
+  private[graft] def portableSketchOf(df: DataFrame, groupCol: String,
+                                      valueCol: String): DataFrame = {
     val hv = df
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("group"),
@@ -193,10 +204,7 @@ object Cardinality {
       .select(col("group"), lit(null).cast("array<bigint>").as("hashes"),
         expr(s"transform(sequence(0, ${MReg - 1}), " +
           "i -> coalesce(element_at(__bm, i), 0))").as("regs"))
-    val perGroup = sparse.unionByName(dense)
-    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
-      perGroup, table, "group")
-    if (delta.isEmpty) 0L else spark.read.parquet(delta: _*).count()
+    sparse.unionByName(dense)
   }
 
   /** Estimated distinct values per group over every appended run: exact
@@ -205,8 +213,27 @@ object Cardinality {
     * bucketed scan; register fan-out is groups·m rows — skeleton-sized.
     */
   def distinctPerGroupPortable(spark: SparkSession,
-                               table: String): DataFrame = {
-    val rows = spark.table(table)
+                               table: String): DataFrame =
+    portableEstimate(spark.table(table))
+
+  /** Per-group distinct estimate of the registry AS IF `batch` had been
+    * appended — the union rides in-plan (register max / hash-set union
+    * commute, the sketch's defining property), the registry is NOT
+    * touched. The novelty face of the cardinality family: estimate-with-
+    * batch minus the registry's own estimate says how many NEW distincts
+    * an ingest window brings, before committing its append. Probe-only
+    * by construction; the batch sketch is built by the SAME factored
+    * [[portableSketchOf]] as a real append, so probe-then-append can
+    * never disagree with what the append will register.
+    */
+  def distinctPerGroupPortableWithBatch(batch: DataFrame, groupCol: String,
+                                        valueCol: String,
+                                        table: String): DataFrame =
+    portableEstimate(batch.sparkSession.table(table)
+      .unionByName(portableSketchOf(batch, groupCol, valueCol)))
+
+  /** The estimate core over raw (group, hashes, regs) sketch rows. */
+  private def portableEstimate(rows: DataFrame): DataFrame = {
     val hx = rows.filter(col("hashes").isNotNull)
       .select(col("group"), explode(col("hashes")).as("h")).distinct()
     val dcnt = hx.groupBy("group").agg(count(lit(1)).as("__d"))

@@ -903,6 +903,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CARDINALITY probe — the live face of the portable sketch
+    * registry ([[graft.operators.Cardinality]]): each micro-batch reports,
+    * per group, the registry's distinct estimate AS IF the batch were
+    * appended (`n_distinct_est`) and the NOVELTY that implies
+    * (`novelty_est` = with-batch − registry-only, clamped at 0 — how many
+    * never-seen distincts this ingest window brings), WITHOUT touching
+    * the registry. The batch sketch is built by the same factored
+    * `portableSketchOf` as a real append, so the probe can never disagree
+    * with what a subsequent batch append will register. foreachBatch →
+    * the batch core (the heavyHittersStream pattern); probe-only like
+    * every streaming registry twin — appends stay the batch pass's job.
+    * Estimates are estimates (exact below the sparse cap, raw-HLL-bounded
+    * above): novelty is a TREND signal, never an exact gate.
+    */
+  def cardinalityProbeStream(values: DataFrame, groupCol: String,
+                             valueCol: String, table: String)
+                            (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val withB = graft.operators.Cardinality
+            .distinctPerGroupPortableWithBatch(batch, groupCol, valueCol,
+              table)
+          val base = graft.operators.Cardinality
+            .distinctPerGroupPortable(spark, table)
+            .withColumnRenamed("n_distinct_est", "__base")
+          val report = withB.join(base, Seq("group"), "left")
+            .select(col("group"), col("n_distinct_est"),
+              greatest(col("n_distinct_est") - coalesce(col("__base"), lit(0L)),
+                lit(0L)).as("novelty_est"),
+              lit(batchId).as("batch_id"))
+          sink(report.localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming DISTRIBUTION-drift probe — the live face of
     * [[graft.operators.Histograms.driftReport]]: each micro-batch's
     * per-group dyadic histogram is compared against the persisted

@@ -138,4 +138,58 @@ class CardinalitySpec extends SparkSpec {
     assert(a === b, s"promoted $a vs one-pass $b")
     assert(math.abs(a - 1200L) <= 250, s"est $a")
   }
+
+  test("portable with-batch probe: estimate equals append-then-report; registry untouched") {
+    val reg = "card_probe_reg"; val mirror = "card_probe_mirror"
+    for (r <- Seq(reg, mirror)) {
+      graft.sources.Warehouse.dropTableAndLocation(spark, r)
+      Cardinality.createPortableRegistry(spark, r, buckets = 2)
+    }
+    val day1 = (0 until 300).map(i => ("A", i.toLong))
+    val day2 = (150 until 450).map(i => ("A", i.toLong)) :+ ("B", 1L)
+    Cardinality.appendPortableSketches(day1.toDF("src", "id"), "src", "id", reg)
+    Cardinality.appendPortableSketches(day1.toDF("src", "id"), "src", "id", mirror)
+    val before = spark.table(reg).count()
+    val probed = Cardinality.distinctPerGroupPortableWithBatch(
+        day2.toDF("src", "id"), "src", "id", reg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spark.table(reg).count() === before) // probe never mutates
+    // the mirror REALLY appends day 2: the probe must have predicted it
+    Cardinality.appendPortableSketches(day2.toDF("src", "id"), "src", "id", mirror)
+    val real = Cardinality.distinctPerGroupPortable(spark, mirror)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probed === real)
+    assert(probed("A") === 450L) // still in the exact (sparse) regime
+    assert(probed("B") === 1L)   // batch-only group reported
+  }
+
+  test("streaming cardinality probe: per-batch novelty vs the registry baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reg = "card_probe_stream"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    Cardinality.createPortableRegistry(spark, reg, buckets = 2)
+    Cardinality.appendPortableSketches(
+      (0 until 200).map(i => ("A", i.toLong)).toDF("src", "id"),
+      "src", "id", reg)
+    val in = MemoryStream[(String, Long)]
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+    val q = graft.streaming.EventStreams.cardinalityProbeStream(
+        in.toDF().toDF("src", "id"), "src", "id", reg) { out =>
+      got ++= out.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      in.addData((0 until 200).map(i => ("A", i.toLong)): _*)   // all seen
+      q.processAllAvailable()
+      in.addData((200 until 300).map(i => ("A", i.toLong)): _*) // all new
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = got.groupBy(_._4)
+    assert(byBatch(0L).head === (("A", 200L, 0L, 0L)))   // zero novelty
+    assert(byBatch(1L).head === (("A", 300L, 100L, 1L))) // 100 new distincts
+    // the probe registered nothing: the registry still reports 200
+    assert(Cardinality.distinctPerGroupPortable(spark, reg)
+      .collect()(0).getLong(1) === 200L)
+  }
 }
