@@ -657,4 +657,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
       s"no partial-aggregatable argmax:\n$p")
   }
+
+  test("observability registry reports ride the bucketing: no hash exchange anywhere") {
+    // the t43/t44 scale claim: the report's merge group-by (and t44's
+    // per-group window) are satisfied by the registry's bucketed layout,
+    // so the ONLY exchanges in a report plan are the 1-row totals
+    // (SinglePartition) and the final orderBy (range) — a HashPartitioning
+    // exchange would mean the ever-growing registry is re-shuffled on
+    // every report. Pinned with AQE off (the r13 precedent: at test scale
+    // AQE hides the static shape that matters at 100 TB).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import graft.operators.{HeavyHitters, Histograms}
+    import spark.implicits._
+    graft.sources.Warehouse.dropTableAndLocation(spark, "freq_guard")
+    HeavyHitters.createFreqRegistry(spark, "freq_guard", buckets = 4)
+    HeavyHitters.appendRunCounts(
+      (Seq.fill(30)("hot") ++ (0 until 60).map(i => s"u$i")).toDF("key"),
+      "key", "freq_guard", k = 9)
+    graft.sources.Warehouse.dropTableAndLocation(spark, "hist_guard")
+    Histograms.createHistRegistry(spark, "hist_guard", buckets = 4)
+    Histograms.appendHistogram(
+      (1 to 500).map(i => ("s" + i % 3, i.toLong)).toDF("g", "v"),
+      "g", "v", "hist_guard")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def check(df: org.apache.spark.sql.DataFrame, frag: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(frag))
+          => f
+        }
+        // the MERGE path's scan must be bucketed; branches that never
+        // read the bucket column (t43's 1-row totals reads only cnt/kb)
+        // legitimately report "bucket column(s) not read"
+        assert(scans.nonEmpty && scans.exists(_.bucketedScan),
+          s"$frag merge scan missing or unbucketed:\n$plan")
+        val hashEx = plan.collect {
+          case s: ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+        }
+        assert(hashEx.isEmpty,
+          s"$frag report hash-shuffles (merge not riding the bucketing):\n$plan")
+      }
+      check(HeavyHitters.heavyHittersOverRuns(spark, "freq_guard", 100000L),
+        "freq_guard")
+      check(Histograms.histogramOverRuns(spark, "hist_guard"), "hist_guard")
+      check(Histograms.quantilesOverRuns(spark, "hist_guard",
+        Seq(500000L, 900000L)), "hist_guard")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
