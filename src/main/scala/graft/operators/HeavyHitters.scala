@@ -270,21 +270,111 @@ object HeavyHitters {
           .as("guaranteed"))
   }
 
-  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
-                          fracPpm: Long, counters: Int = 0,
-                          maxGroups: Int = 100000): DataFrame = {
+  /** Create the empty PER-GROUP frequency registry: (g STRING, key STRING,
+    * cnt BIGINT, kb INT) — kb non-null only on a run's per-group total row
+    * (key null, cnt = n_run,g) — bucketed on g so the report's merge and
+    * totals both ride the bucketing.
+    */
+  def createFreqRegistryByGroup(spark: org.apache.spark.sql.SparkSession,
+                                table: String, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.writeBucketed(
+      Seq.empty[(String, String, Long, Option[Int])]
+        .toDF("g", "key", "cnt", "kb"),
+      table, "g", buckets)
+  }
+
+  /** The grouped [[appendRunCounts]]: per group, keys whose EXACT in-run
+    * count clears cnt·(k+1) > n_run,g (grouped MG candidates at one state
+    * per local group per task — the loud `maxGroups` guard — then an exact
+    * recount of the candidate (group, key) pairs only), appended with one
+    * total row PER GROUP. Same per-group guarantee as the global registry:
+    * stored sum S(g, key) ≥ T − Σ_r ⌊n_r,g/(k_r+1)⌋, partitioning-
+    * independent because the counts are exact. A key dominating a SMALL
+    * group registers here where the global registry structurally can't
+    * see it. Null groups are groups; null keys are not counted. Returns
+    * key rows appended.
+    */
+  def appendRunCountsByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                             table: String, k: Int = 999,
+                             maxGroups: Int = 100000): Long = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val (summaries, release) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        groupedMgSummaries(df, groupCol, keyCol, k, maxGroups),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = summaries.filter(col("mg_cnt") < 0)
+      .groupBy("g").agg(sum(-col("mg_cnt") - 1).as("__n"))
+    val candidates = summaries.filter(col("mg_cnt") > 0)
+      .select(col("g").as("__cg"), col("key").as("__ck")).distinct()
+    val kept = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .join(candidates,
+        col("g") <=> col("__cg") && col("key") === col("__ck"), "left_semi")
+      .groupBy("g", "key").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals.withColumnRenamed("g", "__tg")),
+        col("g") <=> col("__tg"))
+      .filter(col("cnt").cast("decimal(21,0)") *
+        lit(k + 1L).cast("decimal(10,0)") > col("__n").cast("decimal(21,0)"))
+      .select(col("g"), col("key"), col("cnt"), lit(null).cast("int").as("kb"))
+    val totalRows = totals.select(col("g"),
+      lit(null).cast("string").as("key"), col("__n").cast("long").as("cnt"),
+      lit(k).cast("int").as("kb"))
+    val delta = graft.sources.Warehouse.appendBucketedWithDelta(
+      kept.unionByName(totalRows), table, "g")
+    release()
+    if (delta.isEmpty) 0L
+    else spark.read.parquet(delta: _*).filter(col("key").isNotNull).count()
+  }
+
+  /** The grouped [[heavyHittersOverRuns]]: per group, every key whose
+    * ALL-RUNS in-group count could exceed fracPpm·N_g/10⁶ — admission adds
+    * back the group's OWN exact forfeit bound B_g = Σ_r ⌊n_r,g/(k_r+1)⌋,
+    * `guaranteed` flags rows above the threshold on the stored lower bound
+    * alone. One bucketed scan: the merge AND the per-group totals both
+    * ride the g-bucketing; the totals join is an explicit broadcast
+    * (groups bounded — that is what makes a per-group registry sane).
+    * Output (group, key, cnt_min, guaranteed).
+    */
+  def heavyHittersOverRunsByGroup(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, fracPpm: Long): DataFrame = {
     require(fracPpm >= 1 && fracPpm < 1000000L,
       s"fracPpm out of [1, 1e6): $fracPpm")
-    val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt
-    val k = if (counters <= 0) kMin else counters
-    require(k >= kMin,
-      s"counters=$k breaks the completeness bound: need >= ceil(1e6/fracPpm)=$kMin")
+    val rows = spark.table(table)
+    val tot = rows.filter(col("kb").isNotNull)
+      .groupBy("g").agg(
+        sum(col("cnt")).cast("decimal(21,0)").as("__n"),
+        sum(expr("cnt DIV (CAST(kb AS BIGINT) + 1)"))
+          .cast("decimal(21,0)").as("__b"))
+      .withColumnRenamed("g", "__tg")
+    val ppm = lit(1000000L).cast("decimal(7,0)")
+    val frac = lit(fracPpm).cast("decimal(7,0)")
+    rows.filter(col("kb").isNull)
+      .groupBy("g", "key").agg(sum(col("cnt")).as("cnt_min"))
+      .join(broadcast(tot), col("g") <=> col("__tg"))
+      .filter((col("cnt_min").cast("decimal(21,0)") + col("__b")) * ppm >
+        frac * col("__n"))
+      .select(col("g").as("group"), col("key"), col("cnt_min"),
+        (col("cnt_min").cast("decimal(21,0)") * ppm > frac * col("__n"))
+          .as("guaranteed"))
+  }
+
+  /** Per-partition grouped Misra–Gries summaries + per-group per-partition
+    * totals, one frame: (g, key, mg_cnt) with total rows tagged key=null,
+    * mg_cnt = −n_p,g − 1 — the shared sweep of [[heavyHittersByGroup]] and
+    * the grouped cross-run append ([[appendRunCountsByGroup]]).
+    */
+  private def groupedMgSummaries(df: DataFrame, groupCol: String,
+                                 keyCol: String, k: Int,
+                                 maxGroups: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-
     val pairs = df.select(col(groupCol).cast("string"), col(keyCol).cast("string"))
       .as[(String, String)]
-    val summaries = pairs.mapPartitions { it =>
+    pairs.mapPartitions { it =>
       val states = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
       val totals = new java.util.HashMap[String, Long]()
       while (it.hasNext) {
@@ -294,7 +384,7 @@ object HeavyHitters {
           var counters0 = states.get(g)
           if (counters0 == null) {
             require(states.size < maxGroups,
-              s"heavyHittersByGroup: more than $maxGroups groups in one " +
+              s"grouped heavy hitters: more than $maxGroups groups in one " +
                 "task — a corpus-shaped group column; raise maxGroups only " +
                 "if group cardinality is genuinely bounded")
             counters0 = new java.util.HashMap[String, Long](k * 2)
@@ -319,6 +409,21 @@ object HeavyHitters {
       } ++ totals.entrySet().asScala.iterator
         .map(te => (te.getKey, null.asInstanceOf[String], -te.getValue - 1))
     }.toDF("g", "key", "mg_cnt")
+  }
+
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          fracPpm: Long, counters: Int = 0,
+                          maxGroups: Int = 100000): DataFrame = {
+    require(fracPpm >= 1 && fracPpm < 1000000L,
+      s"fracPpm out of [1, 1e6): $fracPpm")
+    val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt
+    val k = if (counters <= 0) kMin else counters
+    require(k >= kMin,
+      s"counters=$k breaks the completeness bound: need >= ceil(1e6/fracPpm)=$kMin")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val summaries = groupedMgSummaries(df, groupCol, keyCol, k, maxGroups)
     // three consumers (totals, candidates, and the returned plan) — one
     // lineage-cut persisted copy keeps the MG pass to a single execution
     val summarized = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(

@@ -634,6 +634,34 @@ object TextQ {
         }
       }
       graft.operators.Histograms.driftReport(s, ta, tb)
+    },
+
+    // L88d: PER-GROUP cross-run frequency registry — each language's
+    // tokens heavy over two appended "days": a key dominating a small
+    // group registers where the global t43 registry structurally can't
+    // see it; per-group exact-above-cutoff counts, per-group forfeit
+    // bounds, all-integer and fully replayed by the oracle.
+    "t46_heavy_by_lang_over_runs" -> { (s, dir) =>
+      val table = "graft_freqregg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.HeavyHitters.createFreqRegistryByGroup(s, table,
+          buckets = 4)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+        graft.operators.HeavyHitters.appendRunCountsByGroup(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "token",
+          table, k = 99)
+        graft.operators.HeavyHitters.appendRunCountsByGroup(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 1), "lang", "token",
+          table, k = 99)
+      }
+      graft.operators.HeavyHitters.heavyHittersOverRunsByGroup(s, table,
+          fracPpm = 20000)
+        .select(col("group"), col("key").as("token"), col("cnt_min"),
+          col("guaranteed").cast("int").as("guaranteed"))
+        .orderBy("group", "token")
     }
   )
 
@@ -1628,7 +1656,33 @@ object TextQ {
         |  ROUND(SUM((pa - pb) * ln(pa / pb)), 4) AS psi,
         |  ROUND(SUM(ABS(pa - pb)), 4) AS l1
         |FROM p GROUP BY grp
-        |ORDER BY "group"""".stripMargin
+        |ORDER BY "group"""".stripMargin,
+
+    // t46: the grouped registry replayed — per-(run, lang) exact counts
+    // above the strict cnt·(k+1) > n_run,lang cutoff, merged per lang
+    // with the group's own forfeit bound added back for admission.
+    "t46_heavy_by_lang_over_runs" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 AS run, lang,
+        |    UNNEST(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |runs AS (SELECT run, lang, COUNT(*) AS n FROM t GROUP BY run, lang),
+        |stored AS (
+        |  SELECT t.run, t.lang, token, COUNT(*) AS cnt
+        |  FROM t JOIN runs ON t.run = runs.run AND t.lang = runs.lang
+        |  GROUP BY t.run, t.lang, token, runs.n
+        |  HAVING COUNT(*) * 100 > runs.n),
+        |tot AS (
+        |  SELECT lang, SUM(n) AS n, SUM(n // 100) AS b
+        |  FROM runs GROUP BY lang),
+        |merged AS (
+        |  SELECT lang, token, SUM(cnt) AS cnt_min
+        |  FROM stored GROUP BY lang, token)
+        |SELECT m.lang AS "group", token, CAST(cnt_min AS BIGINT) AS cnt_min,
+        |  (cnt_min * 1000000 > 20000 * tot.n)::INT AS guaranteed
+        |FROM merged m JOIN tot ON m.lang = tot.lang
+        |WHERE (cnt_min + tot.b) * 1000000 > 20000 * tot.n
+        |ORDER BY "group", token""".stripMargin
   )
 }
 

@@ -219,4 +219,74 @@ class HeavyHittersSpec extends SparkSpec {
     assert(reportMap(reg, 174999L)("h") === ((240L, false)))
     assert(!reportMap(reg, 175000L).contains("h"))
   }
+
+  test("grouped registry: a small-group hitter invisible globally is found per group") {
+    val reg = "freq_grp_reg"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    HeavyHitters.createFreqRegistryByGroup(spark, reg, buckets = 4)
+    // "rare" dominates the tiny group (60% of it) but is 0.6% of the corpus
+    val run1 = ((0 until 3000).map(i => ("big", s"a$i")) ++
+      Seq.fill(12)(("tiny", "rare")) ++ (0 until 8).map(i => ("tiny", s"t$i")))
+      .toDF("g", "key")
+    val run2 = ((0 until 3000).map(i => ("big", s"b$i")) ++
+      Seq.fill(18)(("tiny", "rare")) ++ (0 until 2).map(i => ("tiny", s"u$i")))
+      .toDF("g", "key")
+    HeavyHitters.appendRunCountsByGroup(run1, "g", "key", reg, k = 9)
+    HeavyHitters.appendRunCountsByGroup(run2.repartition(7), "g", "key", reg,
+      k = 9)
+    val got = HeavyHitters.heavyHittersOverRunsByGroup(spark, reg, 300000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // 30/40 of tiny = 75% > 30%; stored counts exact (12 > 20/10, 18 > 20/10)
+    assert(got(("tiny", "rare")) === ((30L, true)))
+    // nothing in big clears 30% of its group
+    assert(got.keys.forall(_._1 == "tiny"), got.toString)
+    // and the GLOBAL registry at the same k cannot see it: 30/6040 ≈ 0.5%
+    val greg = "freq_grp_global"
+    graft.sources.Warehouse.dropTableAndLocation(spark, greg)
+    HeavyHitters.createFreqRegistry(spark, greg, buckets = 4)
+    HeavyHitters.appendRunCounts(run1.select("key"), "key", greg, k = 9)
+    HeavyHitters.appendRunCounts(run2.select("key"), "key", greg, k = 9)
+    assert(!reportMap(greg, 300000L).contains("rare"))
+  }
+
+  test("grouped registry: complete and sound vs the per-group exact plan; appends partitioning-independent") {
+    val reg = "freq_grp_cs"
+    graft.sources.Warehouse.dropTableAndLocation(spark, reg)
+    HeavyHitters.createFreqRegistryByGroup(spark, reg, buckets = 2)
+    def mk(seed: Int) = (0 until 2000).map { i =>
+      val g = "g" + (i % 3)
+      val key = if (i % 5 == 0) s"hot$g" else s"k$seed-$i"
+      (g, key)
+    }.toDF("g", "key")
+    HeavyHitters.appendRunCountsByGroup(mk(1), "g", "key", reg, k = 49)
+    HeavyHitters.appendRunCountsByGroup(mk(2).repartition(11), "g", "key",
+      reg, k = 49)
+    val all = mk(1).unionByName(mk(2))
+    val fracPpm = 100000L
+    val exact = all.groupBy("g", "key").agg(count(lit(1)).as("cnt"))
+      .withColumn("__n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("cnt") * 1000000L > lit(fracPpm) * col("__n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = HeavyHitters.heavyHittersOverRunsByGroup(spark, reg, fracPpm)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    exact.keys.foreach(kk => assert(got.contains(kk), s"missing $kk"))
+    got.foreach { case (kk, (cntMin, guar)) =>
+      if (guar) assert(exact.contains(kk), s"false guarantee $kk")
+      assert(cntMin <= exact.getOrElse(kk, Long.MaxValue))
+    }
+    // partitioning independence of the stored rows
+    val regB = "freq_grp_cs_b"
+    graft.sources.Warehouse.dropTableAndLocation(spark, regB)
+    HeavyHitters.createFreqRegistryByGroup(spark, regB, buckets = 2)
+    HeavyHitters.appendRunCountsByGroup(mk(1).repartition(17), "g", "key",
+      regB, k = 49)
+    val rowsOf = (t: String) => spark.table(t)
+      .filter(col("key").isNotNull)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    HeavyHitters.appendRunCountsByGroup(mk(2), "g", "key", regB, k = 49)
+    assert(rowsOf(reg) === rowsOf(regB))
+  }
 }

@@ -676,6 +676,12 @@ class PlanSpec extends SparkSpec {
     HeavyHitters.appendRunCounts(
       (Seq.fill(30)("hot") ++ (0 until 60).map(i => s"u$i")).toDF("key"),
       "key", "freq_guard", k = 9)
+    graft.sources.Warehouse.dropTableAndLocation(spark, "freq_guard_g")
+    HeavyHitters.createFreqRegistryByGroup(spark, "freq_guard_g", buckets = 4)
+    HeavyHitters.appendRunCountsByGroup(
+      (Seq.fill(20)(("a", "hot")) ++ (0 until 40).map(i => ("a", s"u$i")))
+        .toDF("g", "key"),
+      "g", "key", "freq_guard_g", k = 9)
     graft.sources.Warehouse.dropTableAndLocation(spark, "hist_guard")
     Histograms.createHistRegistry(spark, "hist_guard", buckets = 4)
     Histograms.appendHistogram(
@@ -704,6 +710,8 @@ class PlanSpec extends SparkSpec {
       }
       check(HeavyHitters.heavyHittersOverRuns(spark, "freq_guard", 100000L),
         "freq_guard")
+      check(HeavyHitters.heavyHittersOverRunsByGroup(spark, "freq_guard_g",
+        100000L), "freq_guard_g")
       check(Histograms.histogramOverRuns(spark, "hist_guard"), "hist_guard")
       check(Histograms.quantilesOverRuns(spark, "hist_guard",
         Seq(500000L, 900000L)), "hist_guard")
