@@ -413,7 +413,20 @@ object HeavyHitters {
 
   def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
                           fracPpm: Long, counters: Int = 0,
-                          maxGroups: Int = 100000): DataFrame = {
+                          maxGroups: Int = 100000): DataFrame =
+    heavyHittersByGroupReleasable(df, groupCol, keyCol, fracPpm, counters,
+      maxGroups)._1
+
+  /** [[heavyHittersByGroup]] plus a release thunk for the internal
+    * persisted grouped-MG summary — the variant PER-BATCH callers in a
+    * long-lived driver (the streaming twin) must use, exactly like the
+    * global [[heavyHittersReleasable]].
+    */
+  def heavyHittersByGroupReleasable(df: DataFrame, groupCol: String,
+                                    keyCol: String, fracPpm: Long,
+                                    counters: Int = 0,
+                                    maxGroups: Int = 100000)
+      : (DataFrame, () => Unit) = {
     require(fracPpm >= 1 && fracPpm < 1000000L,
       s"fracPpm out of [1, 1e6): $fracPpm")
     val kMin = ((1000000L + fracPpm - 1) / fracPpm).toInt
@@ -426,8 +439,9 @@ object HeavyHitters {
     val summaries = groupedMgSummaries(df, groupCol, keyCol, k, maxGroups)
     // three consumers (totals, candidates, and the returned plan) — one
     // lineage-cut persisted copy keeps the MG pass to a single execution
-    val summarized = org.apache.spark.sql.graftbridge.Bridge.persistedCopy(
-      summaries, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (summarized, release) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+        summaries, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val totals = summarized.filter(col("mg_cnt") < 0)
       .groupBy("g").agg(sum(-col("mg_cnt") - 1).as("__n"))
@@ -446,6 +460,7 @@ object HeavyHitters {
       // same DECIMAL cross-multiply as the global pass (long overflow guard)
       .filter(col("cnt").cast("decimal(21,0)") * lit(1000000L).cast("decimal(7,0)") >
         lit(fracPpm).cast("decimal(7,0)") * col("__n").cast("decimal(21,0)"))
-      .select(col("g").as(groupCol), col("key").as(keyCol), col("cnt"))
+      .select(col("g").as(groupCol), col("key").as(keyCol), col("cnt")) ->
+      release
   }
 }

@@ -903,6 +903,31 @@ object EventStreams {
       }
       .start()
 
+  /** Grouped [[heavyHittersStream]] — each micro-batch reports its own
+    * exact per-GROUP heavy hitters ("which token is suddenly hot in THIS
+    * window, per language"), via foreachBatch → the grouped batch
+    * operator. Same per-batch trend semantics; corpus-lifetime per-group
+    * frequency is the grouped cross-run registry's job
+    * ([[graft.operators.HeavyHitters.heavyHittersOverRunsByGroup]]).
+    */
+  def heavyHittersByGroupStream(pairs: DataFrame, groupCol: String,
+                                keyCol: String, fracPpm: Long)
+                               (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // releasable + eager: the per-batch persisted grouped-MG summary
+          // must not accumulate in a long-lived driver (the global twin's
+          // r13-advice discipline)
+          val (hh, release) = graft.operators.HeavyHitters
+            .heavyHittersByGroupReleasable(batch, groupCol, keyCol, fracPpm)
+          try sink(hh.withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+          finally release()
+        }
+      }
+      .start()
+
   /** Streaming CARDINALITY probe — the live face of the portable sketch
     * registry ([[graft.operators.Cardinality]]): each micro-batch reports,
     * per group, the registry's distinct estimate AS IF the batch were

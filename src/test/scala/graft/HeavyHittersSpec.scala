@@ -137,6 +137,26 @@ class HeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("grouped streaming per-batch heavy hitters equal the grouped batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq.fill(30)(("en", "hot")) ++ (0 until 20).map(i => ("en", s"u$i")) ++
+      Seq.fill(8)(("fr", "chaud")) ++ (0 until 2).map(i => ("fr", s"v$i"))
+    val in = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    val q = graft.streaming.EventStreams.heavyHittersByGroupStream(
+        in.toDF().toDF("g", "key"), "g", "key", fracPpm = 400000L) { out =>
+      got ++= out.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // en: hot 30/50 = 60% > 40%; fr: chaud 8/10 = 80% > 40%
+    assert(got.toSet === Set(("en", "hot", 30L, 0L), ("fr", "chaud", 8L, 0L)),
+      got.toString)
+  }
+
   test("empty input yields an empty frame; counters below the bound throw") {
     assert(HeavyHitters.heavyHitters(
       Seq.empty[String].toDF("key"), "key", 1000L).count() === 0)
