@@ -668,6 +668,17 @@ object WikiMarkup {
         }
         Some(result.getOrElse(default))
 
+      case "#iferror" =>
+        // branches on the error element the #expr/#ifexpr family emits
+        // (class="error") — the standard guard wrapping around arithmetic
+        // on possibly-empty template parameters. No second argument →
+        // empty on error (MediaWiki's default); no third → the trial
+        // value passes through unchanged.
+        val trial = arg(0)
+        Some(if (trial.contains("class=\"error\""))
+          (if (parts.length > 1) arg(1) else "")
+        else (if (parts.length > 2) arg(2) else trial))
+
       // ---- ParserFunctions string module (round 15 breadth) ------------
       // #len/#pos/#sub/#titleparts — the PUBLIC ParserFunctions string
       // subset real templates reach for after the conditionals. All

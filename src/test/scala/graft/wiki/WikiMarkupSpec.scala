@@ -215,6 +215,12 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(x("{{#titleparts: Talk:Foo/Bar/Baz | | 2 }}") == "Bar/Baz")
     assert(x("{{#titleparts: Talk:Foo/Bar/Baz | -1 }}") == "Talk:Foo/Bar")
     assert(x("{{#titleparts: A/B/C | 1 | -1 }}") == "C")
+    // #iferror — branches on the #expr family's error element
+    assert(x("{{#iferror: {{#expr: 1/0}} | fallback}}") == "fallback")
+    assert(x("{{#iferror: {{#expr: 1+1}} | fallback}}") == "2")
+    assert(x("{{#iferror: {{#expr: 1/0}} }}") == "") // no fallback → empty
+    assert(x("{{#iferror: ok }}") == "ok")
+    assert(x("{{#iferror: {{#expr: 2*3}} | bad | good}}") == "good")
     // urlencode — QUERY/PATH/WIKI unreserved sets, UTF-8 percent bytes
     assert(x("{{urlencode: x y/z?}}") == "x+y%2Fz%3F")
     assert(x("{{urlencode: x y/z? | PATH}}") == "x%20y%2Fz%3F")
