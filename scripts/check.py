@@ -89,11 +89,33 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+    # Local-gate tolerance (LOCAL-ONLY queries, never driver oracles):
+    # t35's signal divides a compressed LENGTH by the text length, and the
+    # JDK bundles its own zlib copy, which can emit a compressed stream a
+    # byte longer/shorter than CPython's zlib on rare inputs (observed:
+    # one document in 50k at sf1, ratio off by exactly 0.0001) — the
+    # version-skew fallback the UDF gate's design names. One ulp-of-the-
+    # rounding tolerance keeps the gate meaningful (a wrong ratio FORMULA
+    # is off by orders of magnitude more).
+    tol = {"t35_compression_ratio": 2e-4}.get(name) if name in local_gates \
+        else None
+    if tol is not None:
+        # canon() sorts by ALL columns, so a within-tolerance float delta
+        # would misalign the two frames at that row; align on the exact
+        # (non-float) columns instead — doc ids are unique, so the order
+        # is total either way
+        keys = [c for c in got.columns if got[c].dtype.kind != "f"]
+        if keys:
+            got = got.sort_values(by=keys).reset_index(drop=True)
+            exp = exp.sort_values(by=keys).reset_index(drop=True)
     mismatch = None
     for c in got.columns:
         a, b = got[c].tolist(), exp[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
             if repr(x) != repr(y):
+                if tol is not None and isinstance(x, float) \
+                        and isinstance(y, float) and abs(x - y) <= tol:
+                    continue
                 mismatch = (c, i, x, y, type(x), type(y)); break
         if mismatch: break
     if mismatch:
