@@ -418,6 +418,42 @@ object DedupQ {
         .agg(max(struct(col("sim"), (-col("vec_id")).as("neg_id"))).as("best"))
         .select(col("probe_id"), (-col("best.neg_id")).as("nn_id"), col("best.sim").as("sim"))
         .orderBy("probe_id")
+    },
+
+    // L94: cross-run MEMBERSHIP-SKETCH registry (Bloom) — "has this source
+    // possibly sent this token before", over two appended "days", at fixed
+    // bits per run and with NO keys stored (the privacy/space complement
+    // of the exact d12-family registries; the pipeline use is the cheap
+    // first gate in front of one). might_contain = 0 is definitive; OR'd
+    // bits make the union idempotent AND one-pass-identical, so the
+    // oracle replays the whole filter from the corpus directly. Probes:
+    // every seen (source, token) pair (all must hit — no false negatives)
+    // plus a planted never-seen key per source.
+    "d27_bloom_registry" -> { (s, dir) =>
+      val table = "graft_bloomreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.BloomReg.createBloomRegistry(s, table, buckets = 4)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+        graft.operators.BloomReg.appendBloom(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 0), "source", "token",
+          table)
+        graft.operators.BloomReg.appendBloom(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 1), "source", "token",
+          table)
+      }
+      val docs = Tables(s, dir, "documents")
+      val probes = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .unionByName(docs.select(col("source")).distinct()
+          .select(col("source"),
+            concat(lit("zz_never_"), col("source")).as("token")))
+      graft.operators.BloomReg.mightContain(probes, "source", "token", table)
+        .select(col("group"), col("key").as("token"), col("might_contain"))
+        .orderBy("group", "token")
     }
   )
 
@@ -1223,6 +1259,51 @@ object DedupQ {
         |  WHERE vec_id <> probe_id)
         |SELECT probe_id, vec_id AS nn_id, sim
         |FROM pairs WHERE rk = 1
-        |ORDER BY probe_id""".stripMargin
+        |ORDER BY probe_id""".stripMargin,
+
+    // d27: the Bloom registry replayed one-pass (OR'd bits are union- and
+    // idempotence-exact, so run-splitting is invisible): key64 as in t47,
+    // probe i's bit at xxh64(i, xxh64(key64, 42)) & 65535, 32-bit words
+    // OR'd per (source, word), might_contain = all 4 probed bits set.
+    "d27_bloom_registry" ->
+      (OracleHashLib.preamble +
+        s"""WITH t AS (
+          |  SELECT source, UNNEST(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |allk AS MATERIALIZED (
+          |  SELECT token, ${OracleHashLib.key64Sql("token")} AS k
+          |  FROM (SELECT DISTINCT token FROM t
+          |        UNION
+          |        SELECT 'zz_never_' || source AS token
+          |        FROM (SELECT DISTINCT source FROM documents))),
+          |${OracleHashLib.xxh64StagedCtes("a", "allk", Seq("token"),
+             "k", "42", "h1")},
+          |xr AS (
+          |  SELECT token, h1, UNNEST([0, 1, 2, 3])::BIGINT AS i FROM ax4),
+          |${OracleHashLib.xxh64StagedCtes("b", "xr", Seq("token", "i"),
+             "g_us(i)", "h1", "h2")},
+          |posn AS MATERIALIZED (
+          |  SELECT token, i, (h2 & 65535)::BIGINT AS pos FROM bx4),
+          |keys AS (SELECT DISTINCT source, token FROM t),
+          |words AS (
+          |  SELECT source, pos // 32 AS word,
+          |    bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+          |  FROM keys JOIN posn USING (token) GROUP BY 1, 2),
+          |probes AS (
+          |  SELECT source, token FROM keys
+          |  UNION ALL
+          |  SELECT source, 'zz_never_' || source AS token
+          |  FROM (SELECT DISTINCT source FROM documents)),
+          |pe AS (
+          |  SELECT p.source, p.token, n.pos
+          |  FROM probes p JOIN posn n USING (token))
+          |SELECT pe.source AS "group", pe.token,
+          |  CAST(CASE WHEN COUNT(*) FILTER (
+          |      WHERE (COALESCE(w.bits, 0) & (1::BIGINT << (pe.pos % 32)::INT)) <> 0)
+          |    = 4 THEN 1 ELSE 0 END AS INTEGER) AS might_contain
+          |FROM pe LEFT JOIN words w
+          |  ON w.source = pe.source AND w.word = pe.pos // 32
+          |GROUP BY 1, 2
+          |ORDER BY "group", pe.token""".stripMargin)
   )
 }

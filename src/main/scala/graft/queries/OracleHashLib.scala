@@ -279,6 +279,53 @@ object OracleHashLib {
 
   val bandSelect: String = bandSelectP("")
 
+  /** Staged one-block xxh64 (Spark's `xxhash64` on a single LONG) over a
+    * source CTE — four MATERIALIZED multiply levels, the t42 precedent:
+    * the nested `g_xxh64long` macro form inlines exponentially (g_mul64
+    * references each argument multiple times) and takes tens of seconds
+    * to BIND for a single call site, so every level here wraps only bare
+    * columns. Emits CTEs `{p}x1..{p}x4`; `{p}x4` carries `carry` plus
+    * `outCol` (the unsigned 64-bit hash as HUGEINT). `lExpr` is evaluated
+    * exactly once (in {p}x1), so it may be arbitrarily complex (e.g. the
+    * two-murmur key64 composition); `seedExpr` is likewise evaluated once
+    * — pass a literal (`"42"`) or a column (chaining two staged calls
+    * replays Spark's `xxhash64(a, b)` fold).
+    */
+  def xxh64StagedCtes(p: String, srcCte: String, carry: Seq[String],
+                      lExpr: String, seedExpr: String,
+                      outCol: String): String = {
+    val csc = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
+    val p1 = "11400714785074694791"
+    val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161"
+    val p4 = "9650029242287828579"
+    // PRIME64_5 + 8 pre-added; the seed column joins in x2 via one xor
+    s"""${p}x1 AS MATERIALIZED (
+       #  SELECT $csc ($seedExpr)::HUGEINT AS __sd,
+       #    g_mul64(g_rotl64(g_mul64(($lExpr), $p2), 31), $p1) AS __k1
+       #  FROM $srcCte
+       #), ${p}x2 AS MATERIALIZED (
+       #  SELECT $csc g_mul64(g_rotl64(
+       #      xor((__sd + 2870177450012600269) & $M64, __k1), 27), $p1) AS __acc
+       #  FROM ${p}x1
+       #), ${p}x3 AS MATERIALIZED (
+       #  SELECT $csc g_mul64(g_xsr((__acc + $p4) & $M64, 33), $p2) AS __f1
+       #  FROM ${p}x2
+       #), ${p}x4 AS MATERIALIZED (
+       #  SELECT $csc g_xsr(g_mul64(g_xsr(__f1, 29), $p3), 32) AS $outCol
+       #  FROM ${p}x3
+       #)""".stripMargin('#')
+  }
+
+  /** The two-murmur 64-bit key the sketch registries derive slots/bits
+    * from ([[graft.operators.KeyHash]].key64): high word
+    * `stringHash(s, stringSeed)`, low word `stringHash(s, 0x9747b28c)` —
+    * as an unsigned HUGEINT SQL expression over a string expression.
+    */
+  def key64Sql(sExpr: String): String =
+    s"((g_u32(g_scala_stringhash($sExpr, $StringSeed))::HUGEINT << 32)" +
+      s" | g_u32(g_scala_stringhash($sExpr, $AltSeed))::HUGEINT)"
+
   /** Root for trained-state exports the oracle SQL reads back. Keyed by
     * the verify run (Verify sets `graft.oracle.exportRoot` to
     * `<outDir>/oracle_export` before queries run AND before oracleSql is

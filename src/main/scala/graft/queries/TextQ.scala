@@ -662,6 +662,67 @@ object TextQ {
         .select(col("group"), col("key").as("token"), col("cnt_min"),
           col("guaranteed").cast("int").as("guaranteed"))
         .orderBy("group", "token")
+    },
+
+    // L93: cross-run FREQUENCY-ESTIMATE registry (Count–Min) — "about how
+    // often has THIS token appeared across every run ever appended", for
+    // ANY token (the heavy-hitter registry only answers for keys that
+    // cleared its cutoff). Two appended "days"; estimates are min-over-
+    // depth counters, can only overcount, and merge is exact addition so
+    // the oracle replays the whole matrix one-pass. Probes: every seen
+    // (lang, token) pair plus a planted never-seen token per lang (its
+    // estimate is whatever its cells collide into — 0 at this width).
+    "t47_cms_over_runs" -> { (s, dir) =>
+      val table = "graft_cmsreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        graft.sources.Warehouse.dropTableAndLocation(s, table)
+        graft.operators.CountMin.createCmsRegistry(s, table, buckets = 4)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("token"))
+        graft.operators.CountMin.appendCms(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 0), "lang", "token",
+          table)
+        graft.operators.CountMin.appendCms(
+          toks.filter(pmod(col("doc_id"), lit(2)) === 1), "lang", "token",
+          table)
+      }
+      val docs = Tables(s, dir, "documents")
+      val probes = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .unionByName(docs.select(col("lang")).distinct()
+          .select(col("lang"),
+            concat(lit("zz_absent_"), col("lang")).as("token")))
+      graft.operators.CountMin.cmsEstimates(probes, "lang", "token", table)
+        .select(col("group"), col("key").as("token"), col("cnt_est"))
+        .orderBy("group", "token")
+    },
+
+    // L95: per-document TF-IDF keywords — top-5 tokens per document by
+    // tf·ln((N+1)/(df+1)), scores ROUND 4 before ranking with token
+    // tie-breaks so the top-k boundary is engine-deterministic.
+    "t48_keywords" -> { (s, dir) =>
+      TextOps.keywords(Tables(s, dir, "documents"), "text", "doc_id", k = 5)
+        .orderBy("doc_id", "rank")
+    },
+
+    // L96: ftfy-lite text canonicalization — mojibake repair (all-or-
+    // nothing strict-UTF-8 re-decode of latin-1/cp1252-shaped code
+    // points), NFC, newline canon, control/zero-width strip. Salted with
+    // deterministic variants per doc_id: 2-byte and 3-byte mojibake (both
+    // the cp1252 and the raw-C1 flavor), decomposed accents, zero-width +
+    // CRLF, plain ASCII, and GENUINE Latin-1 text that must pass through
+    // untouched (the safety pin: one stray é never forms valid UTF-8).
+    "t49_fix_text" -> { (s, dir) =>
+      val salts = FixSalt.variants
+        .map(v => lit(new String(v.toArray, 0, v.length)))
+      Tables(s, dir, "documents").select(col("doc_id"),
+          TextOps.fixText(concat(
+            element_at(array(salts: _*),
+              (pmod(col("doc_id"), lit(salts.size)) + 1).cast("int")),
+            lit(" "), col("text"))).as("fixed"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1682,8 +1743,153 @@ object TextQ {
         |  (cnt_min * 1000000 > 20000 * tot.n)::INT AS guaranteed
         |FROM merged m JOIN tot ON m.lang = tot.lang
         |WHERE (cnt_min + tot.b) * 1000000 > 20000 * tot.n
-        |ORDER BY "group", token""".stripMargin
+        |ORDER BY "group", token""".stripMargin,
+
+    // t47: the Count–Min registry replayed one-pass (merge is exact
+    // addition, so run-splitting is invisible to the merged matrix):
+    // key64 = (stringhash(t, seedHi) << 32) | stringhash(t, seedLo), cell
+    // r's slot = xxh64(r, xxh64(key64, 42)) & (width−1), counters summed
+    // per (lang, row, slot), estimate = min over the 4 probed cells
+    // (missing cell → 0). All-integer.
+    "t47_cms_over_runs" ->
+      (OracleHashLib.preamble +
+        s"""WITH t AS (
+          |  SELECT lang, UNNEST(string_split(text, ' ')) AS token
+          |  FROM documents),
+          |allk AS MATERIALIZED (
+          |  SELECT token, ${OracleHashLib.key64Sql("token")} AS k
+          |  FROM (SELECT DISTINCT token FROM t
+          |        UNION
+          |        SELECT 'zz_absent_' || lang AS token
+          |        FROM (SELECT DISTINCT lang FROM documents))),
+          |${OracleHashLib.xxh64StagedCtes("a", "allk", Seq("token"),
+             "k", "42", "h1")},
+          |xr AS (
+          |  SELECT token, h1, UNNEST([0, 1, 2, 3])::BIGINT AS r FROM ax4),
+          |${OracleHashLib.xxh64StagedCtes("b", "xr", Seq("token", "r"),
+             "g_us(r)", "h1", "h2")},
+          |slots AS MATERIALIZED (
+          |  SELECT token, r, (h2 & 1023)::BIGINT AS slot FROM bx4),
+          |cnts AS (SELECT lang, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+          |cells AS (
+          |  SELECT lang, r, slot, SUM(c) AS cnt
+          |  FROM cnts JOIN slots USING (token)
+          |  GROUP BY 1, 2, 3),
+          |probes AS (
+          |  SELECT DISTINCT lang, token FROM t
+          |  UNION ALL
+          |  SELECT lang, 'zz_absent_' || lang AS token
+          |  FROM (SELECT DISTINCT lang FROM documents)),
+          |pe AS (
+          |  SELECT p.lang, p.token, s.r, s.slot
+          |  FROM probes p JOIN slots s USING (token))
+          |SELECT pe.lang AS "group", pe.token,
+          |  CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cnt_est
+          |FROM pe LEFT JOIN cells c
+          |  ON c.lang = pe.lang AND c.r = pe.r AND c.slot = pe.slot
+          |GROUP BY 1, 2
+          |ORDER BY "group", pe.token""".stripMargin),
+
+    // t48: same smoothed-IDF arithmetic, ROUND 4 before the rank (the t13
+    // ln parity precedent), DESC-score/ASC-token total order mirrored.
+    "t48_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |tt AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf
+        |  FROM t WHERE token <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(*) AS dfc FROM tt GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    ROUND(tf * ln((n.n + 1) / (dfc + 1.0)), 4) AS score
+        |  FROM tt JOIN dfq USING (token), n),
+        |rk AS (
+        |  SELECT doc_id, token, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, score
+        |FROM rk WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // t49: the whole fixText chain replayed — salt literals, the cp1252
+    // byte model, and the strip class are all GENERATED from the same
+    // Scala sources as the Spark side (the t01/t24 no-drift discipline);
+    // strict UTF-8 validity is the RFC-3629 grammar as a regex over the
+    // hex byte string (DuckDB 1.0 has no TRY(), so decode() is guarded
+    // by the validator, with CASE's lazy branches keeping it safe).
+    "t49_fix_text" -> fixTextOracle
   )
+
+  /** t49's salt variants as code-point sequences — ONE definition feeds
+    * the Spark `lit` strings and the oracle's chr() compositions. Each
+    * exercises a distinct fixText behavior (see the query comment).
+    */
+  private[queries] object FixSalt {
+    val variants: Seq[Seq[Int]] = Seq(
+      Seq[Int]('C', 'a', 'f', 0xC3, 0xA9),                  // 2-byte mojibake
+      Seq[Int]('d', 'o', 'n', 0xE2, 0x20AC, 0x2122, 't'),   // cp1252 3-byte
+      Seq[Int]('n', 'a', 0xC3, 0xAF, 'v', 'e'),             // naÃ¯ve
+      Seq[Int]('R', 'e', 's', 'u', 'm', 'e', 'e', 0x0301),  // NFC composes
+      Seq[Int]('A', 0x200B, 'B', 0x0D, 0x0A, 'C'),          // strip + CRLF
+      Seq[Int]('p', 'l', 'a', 'i', 'n'),                    // ASCII identity
+      Seq[Int]('C', 'a', 'f', 0xE9, ' ', '2', '5', 0xB0, 'C'), // REAL latin-1
+      Seq[Int]('q', 0xE2, 0x80, 0x99, 's'))                 // raw-C1 mojibake
+  }
+
+  private def fixTextOracle: String = {
+    val n = FixSalt.variants.size
+    val arms = FixSalt.variants.zipWithIndex.map { case (v, i) =>
+      s"WHEN $i THEN ${v.map(cp => s"chr($cp)").mkString(" || ")}"
+    }.mkString(" ")
+    val specials = TextOps.Cp1252Specials.map { case (cp, b) =>
+      s"WHEN c = $cp THEN $b"
+    }.mkString(" ")
+    val strip = "[" + TextOps.StripRanges.map { case (lo, hi) =>
+      if (lo == hi) f"\\x{$lo%04X}" else f"\\x{$lo%04X}-\\x{$hi%04X}"
+    }.mkString + "]"
+    val valid = "^(?:[0-7][0-9a-f]" +
+      "|(?:c[2-9a-f]|d[0-9a-f])[89ab][0-9a-f]" +
+      "|e0[ab][0-9a-f][89ab][0-9a-f]" +
+      "|e[1-9a-c][89ab][0-9a-f][89ab][0-9a-f]" +
+      "|ed[89][0-9a-f][89ab][0-9a-f]" +
+      "|e[ef][89ab][0-9a-f][89ab][0-9a-f]" +
+      "|f0[9ab][0-9a-f][89ab][0-9a-f][89ab][0-9a-f]" +
+      "|f[1-3][89ab][0-9a-f][89ab][0-9a-f][89ab][0-9a-f]" +
+      "|f48[0-9a-f][89ab][0-9a-f][89ab][0-9a-f])*$"
+    OracleHashLib.preamble +
+      s"""WITH input AS (
+        |  SELECT doc_id,
+        |    (CASE (doc_id % $n) $arms END) || ' ' || text AS text
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, unnest(g_codes(text)) AS c,
+        |         generate_subscripts(g_codes(text), 1) AS i
+        |  FROM input),
+        |bytes AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN c <= 255 THEN c $specials ELSE -1 END AS b
+        |  FROM chars),
+        |hx AS (
+        |  SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', greatest(b, 0) // 16 + 1, 1)
+        |      || substr('0123456789abcdef', greatest(b, 0) % 16 + 1, 1),
+        |      '' ORDER BY i) AS hex,
+        |    min(b) AS minb
+        |  FROM bytes GROUP BY doc_id),
+        |rep AS (
+        |  SELECT input.doc_id,
+        |    CASE WHEN hx.hex IS NOT NULL AND hx.minb >= 0
+        |           AND regexp_matches(hx.hex, '$valid')
+        |         THEN decode(from_hex(hx.hex)) ELSE input.text END AS t1
+        |  FROM input LEFT JOIN hx USING (doc_id))
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(nfc_normalize(t1), '\\r\\n|\\r',
+        |    chr(10), 'g'), '$strip', '', 'g') AS fixed
+        |FROM rep ORDER BY doc_id""".stripMargin
+  }
 }
 
 /** Deterministic HTML page salt for t24 — one definition feeding both the

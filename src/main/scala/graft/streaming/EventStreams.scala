@@ -1000,6 +1000,68 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming FREQUENCY-ESTIMATE probe — the live face of
+    * [[graft.operators.CountMin.cmsEstimates]]: each micro-batch's
+    * distinct (group, key) pairs are estimated against the persisted
+    * Count–Min registry and reported as (group, key, cnt_est, batch_id)
+    * — "roughly how often has everything arriving in this window been
+    * seen before", the signal a crawl scheduler reads to deprioritize
+    * already-hammered URLs DURING the crawl. foreachBatch → the batch
+    * core (the heavyHittersStream pattern); the probe addresses cells
+    * through the same [[graft.operators.KeyHash]] derivation an append
+    * uses, so probe and append can never hash apart. Probe-only, like
+    * every streaming registry twin: appends stay the batch pass's job
+    * (at-least-once foreachBatch retries would double-add counts — a
+    * probe is immune).
+    */
+  def cmsProbeStream(keys: DataFrame, groupCol: String, keyCol: String,
+                     table: String, depth: Int = 4, width: Int = 1024)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val probes = batch
+            .select(col(groupCol).cast("string").as(groupCol),
+              col(keyCol).cast("string").as(keyCol))
+            .distinct()
+          val report = graft.operators.CountMin.cmsEstimates(
+            probes, groupCol, keyCol, table, depth, width)
+          sink(report.withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true))
+        }
+      }
+      .start()
+
+  /** Streaming MEMBERSHIP probe — the live face of
+    * [[graft.operators.BloomReg.mightContain]]: each micro-batch's
+    * distinct (group, key) pairs are probed against the persisted Bloom
+    * registry and reported as (group, key, might_contain, batch_id).
+    * might_contain = 0 is DEFINITIVE (no false negatives), which is the
+    * point: it is the cheap admission gate in front of an exact
+    * registry — "definitely new" items skip the exact probe entirely,
+    * and only the "maybe" remainder pays the d12-family lookup.
+    * Probe-only, like every streaming registry twin.
+    */
+  def bloomProbeStream(keys: DataFrame, groupCol: String, keyCol: String,
+                       table: String, mBits: Int = 65536, kProbes: Int = 4)
+                      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val probes = batch
+            .select(col(groupCol).cast("string").as(groupCol),
+              col(keyCol).cast("string").as(keyCol))
+            .distinct()
+          val report = graft.operators.BloomReg.mightContain(
+            probes, groupCol, keyCol, table, mBits, kProbes)
+          sink(report.withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming CHUNK-registry probe — the binary member of the
     * registry-probe matrix (exact L16f, MinHash L16g, hamming L16h,
     * lines above): blobs arriving on a stream report how many chunk

@@ -611,6 +611,131 @@ object TextOps {
           .as("hapax_frac"))
   }
 
+  /** Windows-1252 "smart punctuation" specials: code point → the byte
+    * that encodes it. Together with the identity mapping for code points
+    * ≤ 0xFF this is [[fixText]]'s whole byte model — it covers mojibake
+    * minted by BOTH wrong decodes a crawl actually sees (latin-1, which
+    * surfaces C1 code points directly, and cp1252, which surfaces these
+    * specials). One source of truth: the oracle SQL generates its CASE
+    * arms from this seq.
+    */
+  private[graft] val Cp1252Specials: Seq[(Int, Int)] = Seq(
+    0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+    0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+    0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+    0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+    0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+    0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+    0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+  private val Cp1252Map: Map[Int, Int] = Cp1252Specials.toMap
+
+  /** Inclusive code-point ranges [[fixText]] strips after repair + NFC:
+    * C0 controls except tab/newline (CR handled by the newline
+    * canonicalization first), DEL, C1 controls, zero-width
+    * space/joiners, BOM-as-ZWNBSP. Shared source for the Java and
+    * DuckDB character classes.
+    */
+  private[graft] val StripRanges: Seq[(Int, Int)] = Seq(
+    (0x00, 0x08), (0x0B, 0x0C), (0x0E, 0x1F), (0x7F, 0x7F), (0x80, 0x9F),
+    (0x200B, 0x200D), (0xFEFF, 0xFEFF))
+
+  // mojibake repair + NFC — a deliberate UDF (byte-level recode, not
+  // column algebra; the t35 Deflater precedent). The repair is ftfy's
+  // core move made all-or-nothing per string: IF every code point maps
+  // to a byte (identity ≤ 0xFF, cp1252 specials above) AND the byte
+  // stream is STRICT RFC-3629 UTF-8, the string was a wrong decode —
+  // re-decode it. Real Latin-1 text ("Café 25°C") never forms
+  // valid UTF-8 runs, so it passes through untouched — the safety
+  // property that makes the pass corpus-wide safe. Single pass:
+  // double-encoded mojibake repairs one layer per call (documented).
+  private val RepairNfc = udf { (s: String) =>
+    if (s == null) Option.empty[String]
+    else {
+      val cps = s.codePoints.toArray
+      val bytes = new Array[Byte](cps.length)
+      var ok = cps.nonEmpty
+      var i = 0
+      while (ok && i < cps.length) {
+        val c = cps(i)
+        if (c <= 0xFF) bytes(i) = c.toByte
+        else Cp1252Map.get(c) match {
+          case Some(b) => bytes(i) = b.toByte
+          case None => ok = false
+        }
+        i += 1
+      }
+      val repaired =
+        if (!ok) s
+        else {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          catch { case _: java.nio.charset.CharacterCodingException => s }
+        }
+      Some(java.text.Normalizer.normalize(repaired,
+        java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  /** Text canonicalization (ftfy-lite) — the pass a crawl pipeline runs
+    * BEFORE hashing/dedup so that byte-level encoding accidents don't
+    * defeat content identity: (1) mojibake repair — a string whose code
+    * points, read back as latin-1/cp1252 bytes, form strict UTF-8 was a
+    * wrong decode and is re-decoded ("CafÃ©" → "Café", "donâ€™t" →
+    * "don’t"), all-or-nothing per string so genuine Latin-1 text can
+    * never be mangled; (2) Unicode NFC (decomposed accents compose, so
+    * "e"+U+0301 and "é" dedup together); (3) newline canonicalization
+    * (CRLF/CR → LF) and control/zero-width stripping ([[StripRanges]]).
+    * NFC parity note: Java's Normalizer and DuckDB's utf8proc may carry
+    * different Unicode VERSIONS — normalization is version-stable for
+    * assigned characters, so parity holds for any corpus of stable text
+    * (spec-pinned on the salted variants).
+    */
+  def fixText(text: Column): Column = {
+    val strip = "[" + StripRanges.map { case (lo, hi) =>
+      if (lo == hi) f"\\u$lo%04X" else f"\\u$lo%04X-\\u$hi%04X"
+    }.mkString + "]"
+    regexp_replace(
+      regexp_replace(RepairNfc(text), "\r\n|\r", "\n"),
+      strip, "")
+  }
+
+  /** Per-document TF-IDF keyword extraction — the topic/domain tagging
+    * signal a curation pipeline attaches before mixing (cluster labels,
+    * domain routing, dedup-cluster naming): the top-k tokens of each
+    * document ranked by tf · ln((N+1)/(df+1)) (add-one smoothed IDF — a
+    * token in every document scores exactly 0 instead of requiring an
+    * epsilon). Scores ROUND 4 before ranking (the t13 ln-at-ROUND-4
+    * cross-engine precedent) with token tie-breaks, so the top-k BOUNDARY
+    * is deterministic on any engine. Scale shape: document-frequency is a
+    * vocabulary-sized skeleton joined back onto (doc, token) counts; the
+    * corpus size is a 1-row broadcast; per-doc top-k is an AGGREGATION
+    * (sorted-slice over each doc's own scored tokens), not a window sort
+    * over a shuffled corpus. Output (id, rank, token, score), rank 1-based.
+    */
+  def keywords(df: org.apache.spark.sql.DataFrame, textCol: String,
+               idCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && k <= 64, s"keyword count out of [1,64]: $k")
+    val perDoc = df
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val dfreq = perDoc.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = perDoc.join(dfreq, "__t").crossJoin(broadcast(n))
+      .withColumn("__score",
+        round(col("__tf") * log((col("__n") + 1).cast("double") /
+          (col("__df") + 1)), 4))
+    scored.groupBy(col(idCol))
+      .agg(slice(sort_array(collect_list(
+        struct((-col("__score")).as("s"), col("__t").as("t")))), 1, k)
+        .as("__top"))
+      .select(col(idCol), posexplode(col("__top")))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.t").as("token"), (-col("col.s")).as("score"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
     * replaced with typed placeholders — the pass a training corpus runs
     * before anything is persisted for reuse. Deliberately conservative

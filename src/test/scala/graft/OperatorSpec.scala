@@ -970,6 +970,71 @@ class OperatorSpec extends SparkSpec {
       (3L, 1L, 2L, 1.0)))
   }
 
+  test("fixText repairs mojibake all-or-nothing, composes NFC, strips " +
+    "controls") {
+    import graft.text.TextOps
+    def fix(s: String): String = {
+      val out = Seq(Tuple1(s)).toDF("t")
+        .select(TextOps.fixText(col("t")).as("f")).collect()
+      out(0).getString(0)
+    }
+    // 2-byte mojibake: Caf + U+00C3 U+00A9 repairs to Caf + U+00E9
+    assert(fix("Caf\u00C3\u00A9") === "Caf\u00E9")
+    // cp1252 3-byte smart quote: don + U+00E2 U+20AC U+2122 + t
+    assert(fix("don\u00E2\u20AC\u2122t") === "don\u2019t")
+    // raw-C1 (latin-1 read) flavor: q + U+00E2 U+0080 U+0099 + s
+    assert(fix("q\u00E2\u0080\u0099s") === "q\u2019s")
+    // GENUINE latin-1 text untouched: e9+space is not valid UTF-8
+    assert(fix("Caf\u00E9 25\u00B0C") === "Caf\u00E9 25\u00B0C")
+    // all-or-nothing: one real e-acute blocks repair of the whole string
+    assert(fix("Caf\u00C3\u00A9 x\u00E9") === "Caf\u00C3\u00A9 x\u00E9")
+    // NFC composes decomposed accents: e + combining acute
+    assert(fix("Resume\u0301") === "Resum\u00E9")
+    // zero-width stripped, NUL stripped, CRLF/CR canonicalized, tab kept
+    assert(fix("A\u200BB\r\nC\rD\tE\u0000F") === "AB\nC\nD\tEF")
+    // null propagates; pure ASCII identity
+    assert(fix("plain text") === "plain text")
+    val nul = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextOps.fixText(col("t")).as("f")).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
+  test("keywords ranks by smoothed TF-IDF with deterministic tie-breaks") {
+    val docs = Seq(
+      (1L, Option("apple apple banana shared")),
+      (2L, Option("banana cherry shared")),
+      (3L, Option("shared shared durian")),
+      (4L, Option("x y")),      // equal scores: token breaks the tie
+      (5L, Option.empty[String]) // null text → no rows
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.keywords(docs, "text", "doc_id", k = 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // N=4 non-null-irrelevant: countDistinct(doc_id)=5 → ln((5+1)/(df+1))
+    val l6_2 = BigDecimal(2 * math.log(6.0 / 2)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble // apple tf2 df1
+    val l6_2a = BigDecimal(math.log(6.0 / 2)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble // tf1 df1
+    val l6_3 = BigDecimal(math.log(6.0 / 3)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble // banana tf1 df2
+    val l6_4 = BigDecimal(math.log(6.0 / 4)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble // shared df3
+    assert(out.filter(_._1 == 1L) === Seq(
+      (1L, 1, "apple", l6_2), (1L, 2, "banana", l6_3),
+      (1L, 3, "shared", l6_4)))
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3)) ===
+      Seq((1, "cherry"), (2, "banana"), (3, "shared")))
+    assert(out.filter(_._1 == 4L).map(r => (r._2, r._3)) ===
+      Seq((1, "x"), (2, "y"))) // tie → token ascending
+    assert(!out.exists(_._1 == 5L))
+    // k caps the fan-out
+    val k1 = graft.text.TextOps.keywords(docs, "text", "doc_id", k = 1)
+      .as[(Long, Int, String, Double)].collect()
+    assert(k1.count(_._1 == 1L) === 1)
+    intercept[IllegalArgumentException] {
+      graft.text.TextOps.keywords(docs, "text", "doc_id", k = 0)
+    }
+  }
+
   test("repetitionStats flags stuffed docs; redactPii masks planted PII") {
     import graft.text.TextOps
     val docs = Seq(

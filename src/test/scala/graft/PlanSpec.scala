@@ -717,4 +717,50 @@ class PlanSpec extends SparkSpec {
         Seq(500000L, 900000L)), "hist_guard")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("sketch registry probes: merge rides the bucketing, probe side " +
+    "never shuffled") {
+    // the t47/d27 scale claim: a sketch report's only exchanges are
+    // broadcasts (the merged skeleton ships to the probes; depth/kProbes
+    // single-column joins) — NO HashPartitioning exchange anywhere means
+    // both that the registry merge rode its bucketed layout AND that the
+    // unbounded probe side was never repartitioned. Pinned with AQE off.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import graft.operators.{BloomReg, CountMin}
+    import spark.implicits._
+    graft.sources.Warehouse.dropTableAndLocation(spark, "cms_guard")
+    CountMin.createCmsRegistry(spark, "cms_guard", buckets = 4)
+    CountMin.appendCms(
+      (Seq.fill(30)(("a", "hot")) ++ (0 until 60).map(i => ("a", s"u$i")))
+        .toDF("g", "k"), "g", "k", "cms_guard")
+    graft.sources.Warehouse.dropTableAndLocation(spark, "bloom_guard")
+    BloomReg.createBloomRegistry(spark, "bloom_guard", buckets = 4)
+    BloomReg.appendBloom((0 until 60).map(i => ("a", s"u$i")).toDF("g", "k"),
+      "g", "k", "bloom_guard")
+    val probes = (0 until 40).map(i => ("a", s"u$i")).toDF("g", "k")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def check(df: org.apache.spark.sql.DataFrame, frag: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        val scans = plan.collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(frag))
+          => f
+        }
+        assert(scans.nonEmpty && scans.exists(_.bucketedScan),
+          s"$frag merge scan missing or unbucketed:\n$plan")
+        val hashEx = plan.collect {
+          case s: ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[HashPartitioning] => s
+        }
+        assert(hashEx.isEmpty,
+          s"$frag probe plan hash-shuffles:\n$plan")
+      }
+      check(CountMin.cmsEstimates(probes, "g", "k", "cms_guard"), "cms_guard")
+      check(BloomReg.mightContain(probes, "g", "k", "bloom_guard"),
+        "bloom_guard")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
