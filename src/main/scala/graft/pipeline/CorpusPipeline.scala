@@ -160,6 +160,13 @@ object CorpusPipeline {
     *                          other stage, so all dedup identities key on
     *                          the cleaned text (a refetch with one more
     *                          repeated footer still dedups)
+    * @param fixEncoding       when true, apply [[TextOps.fixText]]
+    *                          (mojibake repair + NFC + control strip)
+    *                          FIRST of all — encoding accidents change
+    *                          the bytes every identity downstream keys
+    *                          on, so a page crawled once clean and once
+    *                          mis-decoded must canonicalize before it
+    *                          can dedup
     * @param maxBulletFrac     Gopher line-shape cap: drop docs whose
     *                          bullet-started line fraction exceeds this
     *                          (1.0 = gate off); null fractions pass
@@ -339,6 +346,7 @@ object CorpusPipeline {
       importanceTopN: Option[Int] = None,
       importanceHashBuckets: Option[Int] = None,
       dropRepeatedLines: Boolean = false,
+      fixEncoding: Boolean = false,
       maxBulletFrac: Double = 1.0,
       maxEllipsisFrac: Double = 1.0,
       substringWindowTokens: Option[Int] = None,
@@ -372,13 +380,19 @@ object CorpusPipeline {
       tables.foreach(t =>
         graft.sources.Warehouse.compactIfFragmented(spark, t, maxFiles))
     }
-    // C4-style per-page line cleanup FIRST: every identity downstream —
+    // encoding canonicalization FIRST of all (L96): mojibake repair/NFC
+    // changes the bytes every identity downstream keys on — the same
+    // page crawled once clean and once mis-decoded must hash identically
+    val encFixed =
+      if (!cfg.fixEncoding) docs
+      else docs.withColumn(textCol, TextOps.fixText(col(textCol)))
+    // C4-style per-page line cleanup next: every identity downstream —
     // content hashes, signatures, split assignment — keys on the CLEANED
     // text, so a page refetched with one more repeated footer line still
     // dedups against its original
     val lineCleaned =
-      if (!cfg.dropRepeatedLines) docs
-      else docs.withColumn(textCol, TextOps.dropRepeatedLines(col(textCol)))
+      if (!cfg.dropRepeatedLines) encFixed
+      else encFixed.withColumn(textCol, TextOps.dropRepeatedLines(col(textCol)))
     val heuristicGated = lineCleaned
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .withColumn("lang", col("__lq._1"))

@@ -42,6 +42,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.columns.contains("lang") && out.columns.contains("quality"))
   }
 
+  test("curate fixEncoding: a mojibake refetch dedups against the clean " +
+    "original") {
+    // doc 2 is doc 1 mis-decoded (the apostrophe U+2019 became the
+    // cp1252 triple U+00E2 U+20AC U+2122) — without repair the bytes
+    // differ and both survive exact dedup; with fixEncoding they
+    // canonicalize to the same text and the lower id wins
+    val clean = english + "and the engine’s log was dry"
+    val docs = Seq(
+      (1L, clean),
+      (2L, clean.replace("’", "â€™"))
+    ).toDF("doc_id", "text")
+    val without = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.99))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(without == Seq(1L, 2L), s"mojibake twin should survive: $without")
+    val out = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.99, fixEncoding = true))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L), s"repaired twin must collapse: $ids")
+    // the survivor's text is the canonical form
+    val t = out.select("text").as[String].collect().head
+    assert(t.contains("’") && !t.contains("€"))
+  }
+
   test("curate span-surgical decontamination keeps the clean remainder") {
     val benchmark = Seq(
       (100L, "benchmark question text that is the held out eval set for this run"))
