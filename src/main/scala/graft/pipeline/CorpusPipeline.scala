@@ -361,7 +361,16 @@ object CorpusPipeline {
     */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config(),
-             benchmark: Option[DataFrame] = None): DataFrame = {
+             benchmark: Option[DataFrame] = None): DataFrame =
+    curateTapped(docs, textCol, idCol, cfg, benchmark, (_, _) => ())
+
+  /** [[curate]] with a passive per-stage observer: `tap(stageName,
+    * survivors)` fires at each DROP stage's output, in pipeline order.
+    * The tap never changes dataflow — [[curateAudit]] is the consumer.
+    */
+  private def curateTapped(docs: DataFrame, textCol: String, idCol: String,
+                           cfg: Config, benchmark: Option[DataFrame],
+                           tap: (String, DataFrame) => Unit): DataFrame = {
     // config validation FIRST — before the compaction hook and the eager
     // registry/index appends inside the stages: a misconfigured run must
     // fail before it mutates any cross-run state (a batch registered but
@@ -400,6 +409,7 @@ object CorpusPipeline {
       .drop("__lq")
       .filter(col("lang").isin(cfg.langs.toSeq: _*) &&
         col("quality") >= cfg.minQuality)
+    tap("lang_quality", heuristicGated)
     // model-based gates ride the same row-local stage: broadcast passes,
     // no shuffle, run on the heuristic survivors (cheapest filter first)
     val classifierGated = cfg.qualityModel match {
@@ -408,6 +418,7 @@ object CorpusPipeline {
         graft.text.Classifier.score(docs.sparkSession, m, col(textCol)) >=
           cfg.minModelScore)
     }
+    tap("classifier", classifierGated)
     val biScored = cfg.lmModel match {
       case None => classifierGated
       case Some(lm) =>
@@ -415,6 +426,7 @@ object CorpusPipeline {
         // null = too short to judge → pass (the gate has no evidence)
         classifierGated.filter(ce.isNull || ce <= cfg.maxCrossEntropy)
     }
+    tap("lm_perplexity", biScored)
     // the KN tier composes with (not replaces) the bigram gate: a cheap
     // Laplace prefilter and a sharper KN ceiling can run in one pass
     val scored = cfg.knModel match {
@@ -423,6 +435,7 @@ object CorpusPipeline {
         val ce = graft.text.LangModel.scoreKnColumn(docs.sparkSession, kn, col(textCol))
         biScored.filter(ce.isNull || ce <= cfg.maxKnCrossEntropy)
     }
+    tap("kn_perplexity", scored)
     // blocklist gates (L83/L83b/L85): domain suffix test (row-local on
     // the in-config list — no join), word intersect, phrase automaton —
     // all before any dedup shuffle touches rows a list would have
@@ -432,10 +445,12 @@ object CorpusPipeline {
       if (cfg.blockedDomains.isEmpty) scored
       else scored.filter(
         !TextOps.blockedDomainHit(cfg.urlCol, cfg.blockedDomains))
+    tap("blocked_domain", domainGated)
     val wordGated =
       if (cfg.blockedWords.isEmpty) domainGated
       else domainGated.filter(
         TextOps.blockedWordCount(col(textCol), cfg.blockedWords) === 0)
+    tap("blocked_word", wordGated)
     val phraseGated =
       if (cfg.blockedPhrases.isEmpty) wordGated
       else {
@@ -443,6 +458,7 @@ object CorpusPipeline {
         graft.text.Phrases.filterBlockedPhrases(wordGated, textCol,
           cfg.blockedPhrases.toDF("phrase"))
       }
+    tap("blocked_phrase", phraseGated)
     // Gopher line-shape caps (bullet/ellipsis fractions) — row-local like
     // the other gates; null fractions (no non-blank lines) carry no
     // evidence and pass
@@ -456,6 +472,8 @@ object CorpusPipeline {
             (ls.getField("frac_ellipsis").isNull ||
               ls.getField("frac_ellipsis") <= cfg.maxEllipsisFrac))
       }
+
+    tap("line_shape", lineGated)
 
     // Applied only where a stage genuinely fans out into multiple
     // downstream reads; see Materialize for the strategy tradeoffs
@@ -496,10 +514,14 @@ object CorpusPipeline {
     }
     val exact = materialize(exactStage, exactBranches)
 
+    tap("exact_dup", exact)
+
     val withinRun =
       if (!nearDedupOn) exact
       else materialize(Dedup.nearDedup(exact, textCol, idCol, cfg.nearDupThreshold),
         fanOut(nearIndexOn, spanOn, substrOn, semanticOn, benchmark.isDefined))
+
+    tap("near_dup", withinRun)
 
     // cross-run near-dedup on the WITHIN-RUN survivors (cheapest input for
     // the signature pass), before the span rewrite so cross-run identity
@@ -512,6 +534,8 @@ object CorpusPipeline {
           cfg.nearIndexJaccard, cfg.nearIndexUpdate),
           fanOut(spanOn, substrOn, semanticOn, benchmark.isDefined))
     }
+
+    tap("near_index", deduped)
 
     val spanned = cfg.spanDedupTokens match {
       case None => deduped
@@ -526,6 +550,8 @@ object CorpusPipeline {
           fanOut(substrOn, semanticOn, benchmark.isDefined))
     }
 
+    tap("span_consumed", spanned)
+
     // sliding-window substring dedup (the Lee-et-al. tier) — the same
     // text-REWRITE shape as the span stage, catching the misaligned
     // repeats the span grid misses; later stages key on the rewritten text
@@ -539,6 +565,8 @@ object CorpusPipeline {
             .withColumnRenamed("dedup_text", textCol),
           fanOut(semanticOn, benchmark.isDefined))
     }
+
+    tap("substring_consumed", substringed)
 
     // embedding near-copies collapse to their min-id representative; keys
     // on idCol only, so the drop composes with the stages around it. Runs
@@ -559,6 +587,8 @@ object CorpusPipeline {
           fanOut(semanticIndexOn, benchmark.isDefined))
     }
 
+    tap("semantic_dup", semantic)
+
     // cross-run semantic dedup on the within-run survivors — the
     // embedding twin of the nearIndexTable stage (probe is eager and
     // checkpointed before the append; see semanticDedupAgainstIndex)
@@ -570,6 +600,8 @@ object CorpusPipeline {
           fanOut(benchmark.isDefined))
       case _ => semantic
     }
+
+    tap("semantic_index", crossSemantic)
 
     val decontaminated = (benchmark, cfg.decontaminateSpanTokens) match {
       case (None, _) => crossSemantic
@@ -595,6 +627,8 @@ object CorpusPipeline {
           .withColumnRenamed("clean_text", textCol)
     }
 
+    tap("contaminated", decontaminated)
+
     // distribution matching (DSIR): select the topN most target-like
     // documents from the clean pool. Reads its input 3× (the raw-side
     // ratio model, the scoring pass, the evidence join-back), hence the
@@ -609,6 +643,8 @@ object CorpusPipeline {
         pool.join(top, Seq(idCol))
     }
 
+    tap("importance", selected)
+
     // representation control over the corpus that actually ships: the
     // per-source cap runs after every dedup/decontamination stage (so the
     // quota counts distinct, clean survivors) and before split assignment
@@ -618,10 +654,58 @@ object CorpusPipeline {
         TextOps.sourceQuota(selected, cfg.sourceCol, idCol, n)
     }
 
+    tap("quota", quotaed)
+
     val split = quotaed.withColumn("split",
       TextOps.splitAssign(col(textCol), cfg.trainPct, cfg.valPct))
     if (cfg.redactPii) split.withColumn(textCol, TextOps.redactPii(col(textCol)))
     else split
+  }
+
+  /** Per-document drop ATTRIBUTION for a [[curate]] run — the audit
+    * report a pipeline owner reads when "why did my corpus shrink 40%"
+    * needs an answer per stage, not a guess: every input id labeled with
+    * the FIRST stage that dropped it (`lang_quality`, `exact_dup`,
+    * `near_dup`, `contaminated`, `quota`, …) or `kept`. Honesty by
+    * construction: `kept` comes from the REAL curate output (same
+    * config, same eager registry semantics), stage labels come from the
+    * stages' own survivor frames observed in flight (the passive tap —
+    * zero logic duplication, so the audit can never drift from the
+    * pipeline it explains), and any drop no tapped stage explains is
+    * labeled `dropped_other` instead of silently mislabeled (text
+    * REWRITE stages can only drop via their inner joins, which ARE
+    * tapped, so the catch-all is expected empty). Disabled stages pass
+    * their input through by reference and are skipped (no recompute, no
+    * join). Diagnostics mode, not the shipping path: attribution
+    * re-reads each enabled stage's output once more than curate itself
+    * would — `Config.materialize` bounds the recompute exactly as it
+    * does for curate's own fan-outs.
+    */
+  def curateAudit(docs: DataFrame, textCol: String, idCol: String,
+                  cfg: Config = Config(),
+                  benchmark: Option[DataFrame] = None): DataFrame = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+    var last: DataFrame = docs
+    val out = curateTapped(docs, textCol, idCol, cfg, benchmark,
+      (name, df) => {
+        if (!(df eq last)) stages += name -> df
+        last = df
+      })
+    val kept = out.select(col(idCol)).withColumn("__kept", lit(true))
+    var acc = docs.select(col(idCol))
+      .withColumn("verdict", lit(null).cast("string"))
+    for (((name, ids), i) <- stages.zipWithIndex) {
+      val s = ids.select(col(idCol)).withColumn(s"__s$i", lit(true))
+      acc = acc.join(s, Seq(idCol), "left")
+        .withColumn("verdict",
+          coalesce(col("verdict"), when(col(s"__s$i").isNull, lit(name))))
+        .drop(s"__s$i")
+    }
+    acc.join(kept, Seq(idCol), "left")
+      .withColumn("verdict", coalesce(col("verdict"),
+        when(col("__kept").isNotNull, lit("kept"))
+          .otherwise(lit("dropped_other"))))
+      .drop("__kept")
   }
 
   /** ONE-CALL training prep — the whole tail a run actually ships:

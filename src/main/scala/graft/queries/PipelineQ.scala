@@ -216,6 +216,23 @@ object PipelineQ {
           seenRegistryTable = Some(seen), maxPerHost = 2)
       run(col("doc_id") % 3 =!= 0) // run 1: eager — registries populated
       run(col("doc_id") % 3 === 0).orderBy("url")
+    },
+
+    // L97: per-document drop ATTRIBUTION over c01's exact composition —
+    // every input doc labeled with the FIRST stage that dropped it, or
+    // kept. The labels come from curate()'s own stage frames observed
+    // through the passive tap (zero logic duplication), 'kept' from the
+    // real output; the oracle replays the same attribution as ordered
+    // set membership over the already-replayed stage CTEs.
+    "c09_curate_audit" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      CorpusPipeline.curateAudit(
+        docs.filter(col("doc_id") >= 20), "text", "doc_id",
+        CorpusPipeline.Config(
+          langs = CurateLangs,
+          minQuality = 0.3, nearDupThreshold = 0.7, contaminationNgram = 5),
+        benchmark = Some(docs.filter(col("doc_id") < 20)))
+        .orderBy("doc_id")
     }
   )
 
@@ -283,7 +300,8 @@ object PipelineQ {
   private def curateOracle(spanStage: Boolean,
                            semanticStage: Boolean = false,
                            registryStage: Boolean = false,
-                           nearStage: Boolean = false): String = {
+                           nearStage: Boolean = false,
+                           audit: Boolean = false): String = {
     val counts = TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(ltoks, t -> list_contains([$lits], t))) AS c_$lang"
@@ -389,14 +407,31 @@ object PipelineQ {
        |$exactCte
        |__NEARSTAGE__${
          if (semanticStage) semanticDropSql else ""}$contamCtes
-       |SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
-       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split${
-        if (spanStage) ",\n       |  md5(e.text) AS text_md5" else ""}
-       |FROM (SELECT *,
-       |        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
-       |      FROM $surv) e
-       |WHERE e.doc_id NOT IN (SELECT doc_id FROM dirty)
-       |ORDER BY e.doc_id""".stripMargin
+       |${if (!audit)
+        s"""SELECT e.doc_id, e.lang, ROUND(e.quality, 4) AS quality,
+       #  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split${
+          if (spanStage) ",\n       #  md5(e.text) AS text_md5" else ""}
+       #FROM (SELECT *,
+       #        CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) % 100 AS b
+       #      FROM $surv) e
+       #WHERE e.doc_id NOT IN (SELECT doc_id FROM dirty)
+       #ORDER BY e.doc_id""".stripMargin('#')
+      else
+        // the audit face: every input doc labeled with the FIRST stage
+        // that dropped it — the CTE chain already exposes each stage's
+        // survivor set, so attribution is pure set membership in order
+        s"""SELECT s.doc_id,
+       #  CASE WHEN NOT (s.lang IN ($langList) AND s.quality >= 0.3)
+       #         THEN 'lang_quality'
+       #       WHEN s.doc_id NOT IN (SELECT doc_id FROM exact0)
+       #         THEN 'exact_dup'
+       #       WHEN s.doc_id NOT IN (SELECT doc_id FROM $surv)
+       #         THEN 'near_dup'
+       #       WHEN s.doc_id IN (SELECT doc_id FROM dirty)
+       #         THEN 'contaminated'
+       #       ELSE 'kept' END AS verdict
+       #FROM scored s
+       #ORDER BY s.doc_id""".stripMargin('#')}""".stripMargin
       // spliced AFTER the '|'-margin strip: the near block's SQL contains
       // line-leading bitwise ORs that stripMargin would eat as margins
       .replace("__NEARSTAGE__", if (nearStage) nearDropSql else "")
@@ -577,7 +612,9 @@ object PipelineQ {
       "c02_curate_exact" -> curateOracle(spanStage = false),
       "c03_curate_span" -> curateOracle(spanStage = true),
       "c04_curate_semantic" -> curateOracle(spanStage = false, semanticStage = true),
-      "c05_curate_registry" -> curateOracle(spanStage = false, registryStage = true))
+      "c05_curate_registry" -> curateOracle(spanStage = false, registryStage = true),
+      "c09_curate_audit" -> curateOracle(spanStage = false, nearStage = true,
+        audit = true))
     // c08 = c02's survivors chunked: the c02 oracle runs verbatim as the
     // kept-id subquery, then t32's stride/slice math over their text.
     base + ("c08_curate_chunks" ->

@@ -845,13 +845,56 @@ object WikiMarkup {
       case "padright" => Some(pad(arg(0), left = false))
       case "urlencode" => Some(urlencode(arg(0), arg(1)))
       case "formatnum" => Some(formatnum(arg(0), arg(1)))
+      case "plural" => Some(plural(arg(0), parts.drop(1).map(_.trim)))
+      case "ns" => nsName(arg(0))
       case _ => None
     }
   }
 
+  /** {{PLURAL:n|one|other}} under the English (CLDR) rule the dump
+    * corpus this extractor targets uses: the 'one' form exactly when the
+    * count is the integer 1 WITH no visible fraction digits ("1.0" is
+    * 'other', per CLDR's v = 0 condition); anything unparseable counts
+    * as 'other' (MediaWiki's lenient fallback). Extra forms beyond the
+    * two English slots are ignored; a single form serves both.
+    */
+  private def plural(n0: String, forms: Seq[String]): String = {
+    if (forms.isEmpty) return ""
+    val n = n0.replace(",", "")
+    val isOne = !n.contains('.') &&
+      (try BigDecimal(n).compare(BigDecimal(1)) == 0
+       catch { case _: NumberFormatException => false })
+    forms(math.min(if (isOne) 0 else 1, forms.length - 1))
+  }
+
+  /** {{ns:}} — canonical English namespace names for the standard ids
+    * and their name/alias forms (Image → File). Unknown NUMERIC ids
+    * resolve to the empty string (an unregistered namespace has no
+    * name); unknown names return None so the span falls to dropNested
+    * like an unknown template.
+    */
+  private val NsById = Map(
+    -2 -> "Media", -1 -> "Special", 0 -> "", 1 -> "Talk", 2 -> "User",
+    3 -> "User talk", 4 -> "Project", 5 -> "Project talk", 6 -> "File",
+    7 -> "File talk", 8 -> "MediaWiki", 9 -> "MediaWiki talk",
+    10 -> "Template", 11 -> "Template talk", 12 -> "Help",
+    13 -> "Help talk", 14 -> "Category", 15 -> "Category talk")
+  private val NsByName: Map[String, String] = {
+    val canon = NsById.values.filter(_.nonEmpty)
+      .map(n => n.toLowerCase(java.util.Locale.ROOT) -> n).toMap
+    canon ++ Map("image" -> "File", "image talk" -> "File talk")
+  }
+  private def nsName(a: String): Option[String] = {
+    val key = a.trim.replace('_', ' ')
+    if (key.matches("[+-]?\\d+"))
+      Some(try NsById.getOrElse(key.toInt, "")
+      catch { case _: NumberFormatException => "" })
+    else NsByName.get(key.toLowerCase(java.util.Locale.ROOT))
+  }
+
   private val MagicWords =
     Set("lc", "uc", "lcfirst", "ucfirst", "padleft", "padright",
-      "urlencode", "formatnum")
+      "urlencode", "formatnum", "plural", "ns")
 
   private def expandOnce(text: String, templates: collection.Map[String, String]): String = {
     // cheap bail-out only when NO span can possibly evaluate: magic
@@ -898,6 +941,12 @@ object WikiMarkup {
           case Some(res) => sb.append(res)
           case None => sb.append(text, s, e)
         }
+      } else if (inner.trim == "!" || inner.trim == "=") {
+        // the pipe/equals escape magic words ({{!}} → "|", {{=}} → "=")
+        // — how real templates smuggle structural characters past
+        // argument splitting; after expansion they are plain characters
+        // for the downstream table/link passes
+        sb.append(if (inner.trim == "!") "|" else "=")
       } else {
         val parts = splitTopLevel(inner, '|')
         val head = parts.head.trim

@@ -42,6 +42,46 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.columns.contains("lang") && out.columns.contains("quality"))
   }
 
+  test("curateAudit labels every input with the first stage that " +
+    "dropped it") {
+    val benchmark = Seq((100L, "benchmark question text that is the held out eval set for this run"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, english + "one"),                              // kept
+      (2L, english + "one"),                              // exact dup of 1
+      (3L, english + "two"),                              // near dup of 1
+      (4L, "le chat est dans la maison et il est content et le jour est bon " * 3),
+      (5L, "x"),                                          // low quality
+      (6L, "the full benchmark question text that is the held out eval set for this run " +
+        "was pasted into the web and then it was scraped back with more of the text around it " +
+        "so the tokens keep the original run intact for the gate to catch with room to spare"),
+      (7L, "an entirely different english document about the history of the spark engine " +
+        "that is long enough to pass the quality gate and it was written for this test " * 2)
+    ).toDF("doc_id", "text")
+    val audit = CorpusPipeline.curateAudit(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, contaminationNgram = 8),
+      benchmark = Some(benchmark))
+      .as[(Long, String)].collect().toMap
+    assert(audit === Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "lang_quality", 5L -> "lang_quality",
+      6L -> "contaminated", 7L -> "kept"))
+    // audit agrees with the real output and explains every drop
+    assert(!audit.values.exists(_ == "dropped_other"))
+    val kept = CorpusPipeline.curate(docs, "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, contaminationNgram = 8),
+      benchmark = Some(benchmark)).select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "kept").keySet === kept)
+    // quota drops label as quota (a later stage than the dedups)
+    val qa = CorpusPipeline.curateAudit(
+      docs.withColumn("source", lit("s1")), "text", "doc_id",
+      CorpusPipeline.Config(nearDupThreshold = 0.6, contaminationNgram = 8,
+        maxPerSource = Some(1)),
+      benchmark = Some(benchmark)).as[(Long, String)].collect().toMap
+    assert(qa.values.count(_ == "kept") === 1)
+    assert(qa.values.count(_ == "quota") === 1)
+  }
+
   test("curate fixEncoding: a mojibake refetch dedups against the clean " +
     "original") {
     // doc 2 is doc 1 mis-decoded (the apostrophe U+2019 became the

@@ -193,6 +193,35 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(WikiMarkup.expandTemplates("{{#expr: {{Val}} * 2}}", lib2) == "10")
   }
 
+  test("plural/ns magic words and the pipe/equals escapes") {
+    def x(s: String) = WikiMarkup.expandTemplates(s, Map.empty[String, String])
+    // PLURAL — English CLDR: integer 1 (no visible fraction) is 'one'
+    assert(x("{{PLURAL: 1 | page | pages}}") == "page")
+    assert(x("{{plural: 2 | page | pages}}") == "pages")
+    assert(x("{{PLURAL: 0 | page | pages}}") == "pages")
+    assert(x("{{PLURAL: 1.0 | page | pages}}") == "pages") // v > 0 → other
+    assert(x("{{PLURAL: 1,001 | page | pages}}") == "pages")
+    assert(x("{{PLURAL: banana | page | pages}}") == "pages") // lenient
+    assert(x("{{PLURAL: 1 | page}}") == "page") // single form serves both
+    assert(x("{{PLURAL: 5 | page}}") == "page")
+    // ns — canonical names by id and by (aliased) name
+    assert(x("{{ns: 10}}") == "Template")
+    assert(x("{{ns: 14}}") == "Category")
+    assert(x("{{ns: 0}}") == "")
+    assert(x("{{ns: -1}}") == "Special")
+    assert(x("{{ns: 99}}") == "") // unregistered id → empty
+    assert(x("{{ns: image}}") == "File")
+    assert(x("{{ns: user_talk}}") == "User talk")
+    assert(x("{{ns: nosuch}}") == "{{ns: nosuch}}") // unknown name stays
+    // the structural-character escapes
+    assert(x("a {{!}} b") == "a | b")
+    assert(x("a {{=}} b") == "a = b")
+    // args-first composition: {{!}} from a parameter side
+    val lib = Map("N" -> "1")
+    assert(WikiMarkup.expandTemplates("{{PLURAL: {{N}} | one | many}}", lib)
+      == "one")
+  }
+
   test("string parser functions and url/number magic words") {
     def x(s: String) = WikiMarkup.expandTemplates(s, Map.empty[String, String])
     // #len — code points of the trimmed arg
