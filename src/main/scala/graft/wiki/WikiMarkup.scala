@@ -497,6 +497,29 @@ object WikiMarkup {
       } else if (c == '-') { i += 1; -atom() }
       else if (c == '+') { i += 1; atom() }
       else if (eatWord("not")) { if (atom() == 0.0) 1.0 else 0.0 }
+      // ParserFunctions' unary function keywords — prefix operators on
+      // the following unary expression ("sin 30 + 1" is sin(30) + 1),
+      // plus the e/pi constants. Domain errors follow PHP: the NaN flows
+      // through and formats as NaN (no error span), matching the
+      // reference grammar's function list at its precision.
+      else if (eatWord("exp")) math.exp(atom())
+      else if (eatWord("ln")) math.log(atom())
+      else if (eatWord("abs")) math.abs(atom())
+      else if (eatWord("sqrt")) math.sqrt(atom())
+      else if (eatWord("trunc")) atom().toLong.toDouble
+      else if (eatWord("floor")) math.floor(atom())
+      else if (eatWord("ceil")) math.ceil(atom())
+      else if (eatWord("sin")) math.sin(atom())
+      else if (eatWord("cos")) math.cos(atom())
+      else if (eatWord("tan")) math.tan(atom())
+      else if (eatWord("asin")) math.asin(atom())
+      else if (eatWord("acos")) math.acos(atom())
+      else if (eatWord("atan")) math.atan(atom())
+      else if (peekWord("pi")) { i += 2; math.Pi }
+      else if (peekWord("e") && !(i + 1 < s.length &&
+        (s.charAt(i + 1).isDigit || s.charAt(i + 1) == '.'))) {
+        i += 1; math.E
+      }
       else {
         val start = i
         while (i < s.length &&
@@ -519,6 +542,8 @@ object WikiMarkup {
         ws()
         if (i < s.length && s.charAt(i) == '*') { i += 1; v *= atom() }
         else if (i < s.length && s.charAt(i) == '/') { i += 1
+          val d = atom(); if (d == 0.0) v = fail("division by zero") else v /= d }
+        else if (eatWord("div")) { // ParserFunctions alias for real division
           val d = atom(); if (d == 0.0) v = fail("division by zero") else v /= d }
         else if (eatWord("mod")) {
           val d = atom()

@@ -193,6 +193,30 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(WikiMarkup.expandTemplates("{{#expr: {{Val}} * 2}}", lib2) == "10")
   }
 
+  test("#expr function vocabulary: unary keywords, constants, div") {
+    def x(s: String) = WikiMarkup.expandTemplates(s, Map.empty[String, String])
+    assert(x("{{#expr: abs -3}}") == "3")
+    assert(x("{{#expr: trunc 3.9}}") == "3")
+    assert(x("{{#expr: trunc -3.9}}") == "-3")   // toward zero, not floor
+    assert(x("{{#expr: floor -3.1}}") == "-4")
+    assert(x("{{#expr: ceil 3.1}}") == "4")
+    assert(x("{{#expr: sqrt 16}}") == "4")
+    assert(x("{{#expr: sqrt 2 round 3}}") == "1.414")
+    assert(x("{{#expr: exp 0}}") == "1")
+    assert(x("{{#expr: ln 1}}") == "0")
+    assert(x("{{#expr: sin 0}}") == "0")
+    assert(x("{{#expr: 10 div 4}}") == "2.5")
+    assert(x("{{#expr: 10 div 0}}").contains("Expression error"))
+    assert(x("{{#expr: pi round 4}}") == "3.1416")
+    assert(x("{{#expr: e > 2.7}}") == "1")
+    // prefix-unary binding: the function takes the following unary
+    // expression, not the whole sum
+    assert(x("{{#expr: 2 * abs -3}}") == "6")
+    assert(x("{{#expr: ceil 2.5 + 1}}") == "4")  // ceil(2.5) + 1
+    // e-notation numbers still win over the constant
+    assert(x("{{#expr: 2e3 + 1}}") == "2001")
+  }
+
   test("plural/ns magic words and the pipe/equals escapes") {
     def x(s: String) = WikiMarkup.expandTemplates(s, Map.empty[String, String])
     // PLURAL — English CLDR: integer 1 (no visible fraction) is 'one'
