@@ -201,6 +201,17 @@ object SimilarityQ {
       graft.operators.RankingEval.metrics(fused, truth, "query_id",
           "doc_id", "rrf_score", k = 15)
         .orderBy("query_id")
+    },
+
+    // L98: HARD-NEGATIVE mining — per anchor (the first 20 vectors), the
+    // top-5 candidates with cosine in [0.15, 0.9): informative-but-not-
+    // duplicate training negatives. Band and rank cut on ROUND-4 sims
+    // with id tie-breaks (engine-deterministic boundaries).
+    "s14_hard_negatives" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, loSim = 0.15, hiSim = 0.9)
+        .orderBy("anchor_id", "rank")
     }
   )
 
@@ -715,5 +726,31 @@ object SimilarityQ {
         |  QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 15)
         |SELECT 'q1' AS query_id, doc_id, rrf_score FROM topk
         |ORDER BY doc_id""".stripMargin
-  )
+  ) +
+    // s14: d05's double-cast cosine arithmetic per (anchor, candidate),
+    // ROUND 4 before the band and the rank (both boundaries exact),
+    // QUALIFY per-anchor top-5 under the (sim desc, id) total order.
+    ("s14_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM n),
+        |a AS (SELECT vec_id AS anchor_id, e AS ae, nrm AS anrm
+        |      FROM m WHERE vec_id < 20),
+        |sc AS (
+        |  SELECT a.anchor_id, b.vec_id AS negative_id,
+        |    ROUND(list_dot_product(b.e, a.ae) / (b.nrm * a.anrm), 4) AS sim
+        |  FROM m b CROSS JOIN a
+        |  WHERE b.vec_id <> a.anchor_id),
+        |banded AS (SELECT * FROM sc WHERE sim >= 0.15 AND sim < 0.9),
+        |ranked AS (
+        |  SELECT anchor_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |                            ORDER BY sim DESC, negative_id) AS INTEGER)
+        |      AS rank,
+        |    negative_id, sim
+        |  FROM banded)
+        |SELECT anchor_id, rank, negative_id, sim
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin)
 }

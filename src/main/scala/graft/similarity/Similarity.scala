@@ -45,6 +45,43 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** HARD-NEGATIVE mining for embedding-model training — per anchor, the
+    * top-k candidates whose cosine lands in [loSim, hiSim): similar
+    * enough to be informative negatives, strictly below the near-
+    * duplicate band so positives/copies are excluded (the standard
+    * contrastive-training recipe: negatives that the current embedding
+    * space already confuses are the ones worth training on). Anchors are
+    * a bounded probe frame (the batched-serving contract) broadcast to a
+    * single corpus scan; scoring is row-local with norms factored per
+    * side, the band filter prunes BEFORE the only shuffle (band
+    * survivors to per-anchor windows), and sims round to `roundTo`
+    * before the band/rank cuts so both boundaries are engine-
+    * deterministic (s01's convention; ties break by id).
+    */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, k: Int, loSim: Double, hiSim: Double,
+                    roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(loSim < hiSim, s"empty band: [$loSim, $hiSim)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col(idCol))
+    val a = broadcast(anchors
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("__avec"))
+      .withColumn("__na", sqrt(dot(col("__avec"), col("__avec")))))
+    emb.withColumn("__nb", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(a)
+      .filter(col(idCol) =!= col("anchor_id"))
+      .withColumn("sim",
+        round(dot(col(vecCol), col("__avec")) / (col("__nb") * col("__na")),
+          roundTo))
+      .filter(col("sim") >= loSim && col("sim") < hiSim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col(idCol).as("negative_id"),
+        col("sim"))
+  }
+
   /** Johnson–Lindenstrauss projection of an embedding column to
     * `outDim` dims (codegen'd [[graft.functions.ProjectVec]] kernel) —
     * the build-time materialization for [[bruteForceKnnProjected]]: at

@@ -970,6 +970,34 @@ class OperatorSpec extends SparkSpec {
       (3L, 1L, 2L, 1.0)))
   }
 
+  test("hardNegatives: band excludes dups and dissimilars, per-anchor " +
+    "top-k with id tie-breaks") {
+    val rows = Seq(
+      (0L, Array(1f, 0f)),      // anchor
+      (1L, Array(1f, 0f)),      // duplicate: sim 1.0 -> above hi, excluded
+      (2L, Array(0.6f, 0.8f)),  // sim 0.6 -> in band
+      (3L, Array(0f, 1f)),      // sim 0.0 -> below lo, excluded
+      (4L, Array(0.8f, 0.6f)),  // sim 0.8 -> in band, ranks first
+      (5L, Array(-1f, 0f)),     // sim -1 -> excluded
+      (6L, Array(0.6f, -0.8f))  // sim 0.6 -> ties with 2, loses by id
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(rows,
+        rows.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 3, loSim = 0.2, hiSim = 0.9)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(out === Seq(
+      (0L, 1, 4L, 0.8), (0L, 2, 2L, 0.6), (0L, 3, 6L, 0.6)))
+    // k caps; anchor never its own negative
+    val k1 = Similarity.hardNegatives(rows,
+      rows.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 1, loSim = 0.2, hiSim = 0.9).collect()
+    assert(k1.length === 1 && k1.head.getLong(2) === 4L)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(rows, rows, "vec_id", "embedding",
+        k = 1, loSim = 0.9, hiSim = 0.2)
+    }
+  }
+
   test("fixText repairs mojibake all-or-nothing, composes NFC, strips " +
     "controls") {
     import graft.text.TextOps
