@@ -507,4 +507,144 @@ object OracleHashLib {
        #FROM documents d LEFT JOIN agg a USING (doc_id)
        #ORDER BY d.doc_id""".stripMargin('#')
   }
+
+  /** Where t50 exports its trained unigram vocabulary
+    * (piece, score, kind ∈ piece|unk) — integer micro-nat scores, so the
+    * Viterbi DP below is exact-integer on both engines.
+    */
+  def T50VocabExport = s"$exportRoot/t50_vocab.parquet"
+
+  /** The t50 oracle: Viterbi-encode every DISTINCT word against the
+    * exported unigram vocabulary via an UNROLLED position DP — CTE `pK`
+    * holds the best (score, np) state after consuming K characters, built
+    * from the states `p(K-l)` for every piece length l ≤ `maxPieceLen`
+    * plus the always-available single-char `<unk>` fallback; candidate
+    * order (score DESC, np ASC, last-piece-length DESC) is the exact
+    * comparator `Unigram.viterbiWord` applies, and scores are integer
+    * micro-nats, so the argmax is bit-identical across engines. Corpus
+    * words are ≤ 8 chars; `maxLen` = 12 leaves headroom, and any longer
+    * word nulls the whole answer (the t19 loud-failure pattern) rather
+    * than silently truncating.
+    */
+  /** Where t51 exports its (identically trained) vocabulary — own path so
+    * the t51 oracle never depends on t50 having run in the same dump.
+    */
+  def T51VocabExport = s"$exportRoot/t51_vocab.parquet"
+
+  /** Shared Viterbi-DP CTE chain (no leading WITH): tokenize `textExpr`
+    * over documents, then unrolled integer DP per distinct word; ends in
+    * `fin(word, np, score, nu)` — piece count, total micro-nat score, and
+    * `<unk>` piece count for the canonical segmentation. `toks` carries
+    * (doc_id, source, word) so callers can aggregate either way.
+    */
+  private def uniDpCtes(vocabExport: String, textExpr: String,
+                        maxLen: Int, maxPieceLen: Int): String = {
+    def step(k: Int): String = {
+      val pieceArms = (1 to math.min(maxPieceLen, k)).map { l =>
+        s"""
+           #    SELECT p.word, p.score + v.score AS score, p.np + 1 AS np,
+           #           p.nu AS nu, $l AS ll
+           #    FROM p${k - l} p JOIN w ON w.word = p.word
+           #    JOIN vocab v ON v.piece = substr(p.word, ${k - l + 1}, $l)
+           #    WHERE w.n >= $k""".stripMargin('#')
+      }
+      val unkArm =
+        s"""
+           #    SELECT p.word, p.score + (SELECT score FROM unk) AS score,
+           #           p.np + 1 AS np, p.nu + 1 AS nu, 1 AS ll
+           #    FROM p${k - 1} p JOIN w ON w.word = p.word
+           #    WHERE w.n >= $k""".stripMargin('#')
+      s"""
+         #, p$k AS MATERIALIZED (
+         #  SELECT word, score, np, nu FROM (${(pieceArms :+ unkArm).mkString("\n    UNION ALL")}
+         #  )
+         #  QUALIFY row_number() OVER (PARTITION BY word
+         #    ORDER BY score DESC, np ASC, ll DESC) = 1
+         #)""".stripMargin('#')
+    }
+    val allp = (1 to maxLen)
+      .map(k => s"  SELECT $k AS k, word, score, np, nu FROM p$k")
+      .mkString("\n  UNION ALL\n")
+    s"""vall AS MATERIALIZED (
+       #  SELECT piece, score, kind
+       #  FROM read_parquet('$vocabExport/*.parquet')
+       #), vocab AS MATERIALIZED (
+       #  SELECT piece, score FROM vall WHERE kind = 'piece'
+       #), unk AS MATERIALIZED (
+       #  SELECT score FROM vall WHERE kind = 'unk'
+       #), toks AS MATERIALIZED (
+       #  SELECT doc_id, source,
+       #    unnest(string_split_regex($textExpr, '\\s+')) AS word
+       #  FROM documents
+       #), w AS MATERIALIZED (
+       #  SELECT word, length(word) AS n
+       #  FROM (SELECT DISTINCT word FROM toks WHERE word <> '')
+       #), p0 AS (
+       #  SELECT word, 0::BIGINT AS score, 0 AS np, 0 AS nu FROM w
+       #)""".stripMargin('#') +
+      (1 to maxLen).map(step).mkString +
+      s"""
+       #, over_cap AS MATERIALIZED (
+       #  SELECT count(*) AS n FROM w WHERE n > $maxLen
+       #), fin AS MATERIALIZED (
+       #  SELECT w.word,
+       #    CASE WHEN (SELECT n FROM over_cap) = 0 THEN p.np END AS np,
+       #    CASE WHEN (SELECT n FROM over_cap) = 0 THEN p.score END AS score,
+       #    CASE WHEN (SELECT n FROM over_cap) = 0 THEN p.nu END AS nu
+       #  FROM w JOIN (
+       #$allp
+       #  ) p ON p.word = w.word AND p.k = w.n
+       #)""".stripMargin('#')
+  }
+
+  def t50OracleSql(maxLen: Int = 12, maxPieceLen: Int = 3): String =
+    "WITH " + uniDpCtes(T50VocabExport, "text", maxLen, maxPieceLen) +
+      s"""
+       #, agg AS (
+       #  SELECT t.doc_id, sum(f.np)::INT AS n_uni,
+       #         sum(f.score)::BIGINT AS uscore_micro
+       #  FROM toks t JOIN fin f ON f.word = t.word
+       #  WHERE t.word <> ''
+       #  GROUP BY t.doc_id
+       #)
+       #SELECT d.doc_id,
+       #  CASE WHEN d.text IS NULL THEN NULL
+       #       ELSE coalesce(a.n_uni, 0) END AS n_uni,
+       #  CASE WHEN d.text IS NULL THEN NULL
+       #       ELSE coalesce(a.uscore_micro, 0::BIGINT) END AS uscore_micro
+       #FROM documents d LEFT JOIN agg a USING (doc_id)
+       #ORDER BY d.doc_id""".stripMargin('#')
+
+  /** The SQL rendering of t51's probe salt — documents text with appended
+    * digit-bearing tokens (digits are outside the training alphabet, so
+    * they exercise the `<unk>` path deterministically). Must mirror the
+    * Spark column in TextQ's t51 exactly; null text propagates.
+    */
+  def t51SaltSqlExpr: String =
+    "text || ' v' || CAST(doc_id % 7 AS STRING) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' x' || CAST(doc_id % 11 AS STRING) " +
+      "ELSE '' END"
+
+  /** The t51 oracle: the same unrolled Viterbi DP as t50 (run against
+    * t51's own vocabulary export and the salted probe text), aggregated
+    * per SOURCE into tokenizer-coverage counters — total pieces, `<unk>`
+    * pieces, and integral parts-per-million OOV rate.
+    */
+  def t51OracleSql(maxLen: Int = 12, maxPieceLen: Int = 3): String =
+    "WITH " + uniDpCtes(T51VocabExport, s"($t51SaltSqlExpr)", maxLen,
+      maxPieceLen) +
+      s"""
+       #, agg AS (
+       #  SELECT t.source, sum(f.np)::BIGINT AS n_pieces,
+       #         sum(f.nu)::BIGINT AS n_unk
+       #  FROM toks t JOIN fin f ON f.word = t.word
+       #  WHERE t.word <> ''
+       #  GROUP BY t.source
+       #)
+       #SELECT s.source, a.n_pieces, a.n_unk,
+       #  CASE WHEN coalesce(a.n_pieces, 0) > 0
+       #       THEN (a.n_unk * 1000000) // a.n_pieces END AS oov_ppm
+       #FROM (SELECT DISTINCT source FROM documents) s
+       #LEFT JOIN agg a USING (source)
+       #ORDER BY s.source""".stripMargin('#')
 }

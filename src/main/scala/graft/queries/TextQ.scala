@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.text.{Bpe, Classifier, Html, Importance, LangModel, Search, TextOps}
+import graft.text.{Bpe, Classifier, Html, Importance, LangModel, Search, TextOps, Unigram}
 
 /** Text-analysis queries over documents. Everything except t04 (wrapping
   * rolling hash) is oracle-checked — t01's oracle is generated from the
@@ -286,6 +286,61 @@ object TextQ {
       docs.select(col("doc_id"),
           Bpe.tokenCount(s, model, col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // L99: unigram-LM (SentencePiece-family) tokenizer — pieces learned by
+    // Viterbi hard-EM over the corpus's word histogram (same doc_id < 100
+    // training slice as t19), every doc encoded row-local under the
+    // broadcast scored vocabulary. Integer micro-nat scores make the
+    // Viterbi argmax engine-exact, so BOTH the piece count and the total
+    // log-likelihood gate against the DuckDB unrolled-DP oracle. Training
+    // itself stays Spark-side state (spec-gated, the t14/t19 export-the-
+    // state pattern). maxPieceLen 3 against 3-8 char words forces real
+    // multi-piece segmentations (non-vacuous: n_uni varies per doc and
+    // exceeds the whitespace token count).
+    "t50_unigram_tokens" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Unigram.train(docs.filter(col("doc_id") < 100), "text",
+        vocabSize = 40, maxPieceLen = 3, emIters = 3)
+      locally {
+        import s.implicits._
+        (model.pieces.map { case (p, sc) => (p, sc, "piece") }
+          :+ (("", model.unkScore, "unk")))
+          .toDF("piece", "score", "kind").coalesce(1).write.mode("overwrite")
+          .parquet(OracleHashLib.T50VocabExport)
+      }
+      docs
+        .select(col("doc_id"),
+          Unigram.encodeDetail(s, model, col("text")).as("e"))
+        .select(col("doc_id"), col("e.n").as("n_uni"),
+          col("e.score").as("uscore_micro"))
+        .orderBy("doc_id")
+    },
+
+    // L99b: tokenizer OOV-coverage report — the monitoring face of t50:
+    // per source, how much of the incoming stream the trained vocabulary
+    // actually covers (total pieces, <unk> pieces, integral ppm). The
+    // operational question this answers at 100 TB: "is this crawl slice
+    // drifting outside my tokenizer's alphabet" BEFORE a training run
+    // burns budget on <unk> soup. Probe text is salted with digit-bearing
+    // tokens (digits are outside the training alphabet) so the <unk> path
+    // is exercised deterministically; the salt expression is single-
+    // sourced against the oracle (OracleHashLib.t51SaltSqlExpr). One
+    // corpus scan, row-local encode, one partial-agg shuffle on source.
+    "t51_oov_by_source" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = Unigram.train(docs.filter(col("doc_id") < 100), "text",
+        vocabSize = 40, maxPieceLen = 3, emIters = 3)
+      locally {
+        import s.implicits._
+        (model.pieces.map { case (p, sc) => (p, sc, "piece") }
+          :+ (("", model.unkScore, "unk")))
+          .toDF("piece", "score", "kind").coalesce(1).write.mode("overwrite")
+          .parquet(OracleHashLib.T51VocabExport)
+      }
+      val salted = docs.withColumn("qtext", expr(OracleHashLib.t51SaltSqlExpr))
+      Unigram.oovReport(s, salted, "qtext", "source", model)
+        .orderBy("source")
     },
 
     // L50: global token-budget sharding — the training-data writer's
@@ -840,6 +895,16 @@ object TextQ {
     // query exports (training stays spec-gated state; encode+count is the
     // verified application — the t14 pattern).
     "t19_bpe_tokens" -> OracleHashLib.t19OracleSql(),
+
+    // t50: Viterbi encode replayed in SQL as an unrolled integer position
+    // DP against the exported micro-nat vocabulary — piece count AND total
+    // log-likelihood both hash-gated (training stays spec-gated Spark
+    // state, the t19 convention)
+    "t50_unigram_tokens" -> OracleHashLib.t50OracleSql(),
+
+    // t51: the same DP against t51's own vocab export, salted probe text,
+    // per-source coverage counters with integral-ppm OOV rate
+    "t51_oov_by_source" -> OracleHashLib.t51OracleSql(),
 
     // t42: the portable register sketch's exact-integer estimator replayed
     // in full — xxhash64, bucket/rho, sparse/dense mode split, HUGEINT

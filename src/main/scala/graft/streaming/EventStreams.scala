@@ -1062,6 +1062,36 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming tokenizer-coverage probe — the live face of the t51 OOV
+    * report: each micro-batch of documents is Viterbi-encoded under the
+    * PERSISTED unigram vocabulary ([[graft.text.Unigram.loadModel]],
+    * loaded once at stream start — the tokenizer is a pinned artifact,
+    * not something a stream retrains) and scored per group as
+    * (group, n_pieces, n_unk, oov_ppm, batch_id) through the SAME
+    * factored [[graft.text.Unigram.oovReport]] as the batch query, so
+    * the two can never diverge. The operational alarm: a rising oov_ppm
+    * on a live crawl means the intake is drifting outside the trained
+    * alphabet NOW, before the next training run pays for it. Probe-only,
+    * like every streaming registry twin (at-least-once foreachBatch
+    * retries would corrupt any state this wrote; probes are immune).
+    */
+  def oovProbeStream(docs: DataFrame, groupCol: String, textCol: String,
+                     modelTable: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val model = graft.text.Unigram.loadModel(spark, modelTable)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.text.Unigram.oovReport(
+            spark, batch, textCol, groupCol, model)
+          sink(report.withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true))
+        }
+      }
+      .start()
+  }
+
   /** Streaming CHUNK-registry probe — the binary member of the
     * registry-probe matrix (exact L16f, MinHash L16g, hamming L16h,
     * lines above): blobs arriving on a stream report how many chunk
