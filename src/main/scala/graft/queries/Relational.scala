@@ -264,6 +264,52 @@ object Relational {
           round(sum(round(col("c_acctbal") * 100).cast("long")) / 100.0, 2)
             .as("sum_bal"))
         .orderBy("s_suppkey")
+    },
+
+    // A6b: the distribution-window suite — ntile / percent_rank /
+    // cume_dist / dense_rank per customer. Two window specs on purpose:
+    // rank-family functions order by the COARSE key (o_orderpriority, 5
+    // values → real peer groups, which is what percent_rank/cume_dist
+    // tie semantics are about), while ntile orders by a TOTAL key
+    // (priority, orderkey) because ntile assigns by physical row order —
+    // over a non-total order its split of a peer group is engine-
+    // dependent, the exact nondeterminism a hash gate must exclude. The
+    // ratios are single IEEE divisions of exact small integers, so both
+    // engines produce bit-identical doubles with no rounding hack. One
+    // shuffle on o_custkey serves both specs (same partition key).
+    "q21_window_suite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byCust = Window.partitionBy(col("o_custkey"))
+      val coarse = byCust.orderBy(col("priority"))
+      val total = byCust.orderBy(col("priority"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderpriority").as("priority"))
+        .withColumn("nt", ntile(4).over(total))
+        .withColumn("drnk", dense_rank().over(coarse))
+        .withColumn("prnk", percent_rank().over(coarse))
+        .withColumn("cd", cume_dist().over(coarse))
+        .orderBy("o_custkey", "priority", "o_orderkey")
+    },
+
+    // A12b: arbitrary GROUPING SETS — the lattice rollup/cube can't
+    // express (here: by-flag-and-status, by-status alone, and the grand
+    // total, deliberately SKIPPING by-flag — the asymmetry is the point).
+    // grouping_id() disambiguates "aggregated-away" from a genuinely
+    // NULL group value, the correctness trap the coalesce('ALL') display
+    // hack papers over. Catalyst plans one Expand + a single hash agg
+    // shuffle regardless of set count — same shape as rollup/cube.
+    "q22_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT grouping_id(l_returnflag, l_linestatus) AS gid,
+              |  coalesce(l_returnflag, 'ALL') AS returnflag,
+              |  coalesce(l_linestatus, 'ALL') AS linestatus,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  COUNT(*) AS n
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_linestatus), ())
+              |ORDER BY gid, returnflag, linestatus""".stripMargin)
     }
   )
 
@@ -451,6 +497,30 @@ object Relational {
         |FROM customer JOIN supplier
         |  ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
         |GROUP BY s_suppkey
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority AS priority,
+        |  NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderpriority, o_orderkey) AS nt,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  PERCENT_RANK() OVER w AS prnk,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+        |ORDER BY o_custkey, priority, o_orderkey""".stripMargin,
+
+    // GROUPING() in DuckDB == Spark's grouping_id(): a bitmask with bit i
+    // set when column i is aggregated away in that grouping set
+    "q22_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin
   )
 }
