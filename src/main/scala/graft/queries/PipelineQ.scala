@@ -233,6 +233,37 @@ object PipelineQ {
           minQuality = 0.3, nearDupThreshold = 0.7, contaminationNgram = 5),
         benchmark = Some(docs.filter(col("doc_id") < 20)))
         .orderBy("doc_id")
+    },
+
+    // L57b: published-snapshot version diff — corpus-iteration
+    // observability over the atomic versioned publishing tier: publish
+    // two deterministic curations of the corpus as v1/v2 under a
+    // run-scoped root, then ask the warehouse what changed. v2 drops the
+    // doc_id % 3 == 0 slice (removed), gains the % 4 == 0 docs v1
+    // lacked (added), and revises text where doc_id % 5 == 0 (changed);
+    // unchanged rows are suppressed, the at-scale default. Spark
+    // compares 64-bit row-local content fingerprints so the join ships
+    // 16 bytes/row; the oracle compares CONTENT directly (IS DISTINCT
+    // FROM over a recomputed full-outer join) — an independent
+    // formulation, so a fingerprint bug cannot hide.
+    "c10_version_diff" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val root = graft.queries.OracleHashLib.exportRoot + "/c10_pub"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fixed v1/v2 on re-runs
+      val base = Tables(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      Warehouse.publishShards(
+        base.filter(col("doc_id") % 4 =!= 0), root)
+      Warehouse.publishShards(
+        base.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+        root)
+      Warehouse.diffVersions(s, root, 1, 2, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy("doc_id")
     }
   )
 
@@ -636,6 +667,30 @@ object PipelineQ {
          |  array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ') AS chunk_text,
          |  LEAST(40, n - chunk_id * 32) AS n_tokens
          |FROM cc2
-         |ORDER BY doc_id, chunk_id""".stripMargin)
+         |ORDER BY doc_id, chunk_id""".stripMargin) +
+    // c10: the version diff replayed as a recomputed FULL OUTER JOIN with
+    // DIRECT content comparison (IS DISTINCT FROM) — deliberately NOT the
+    // fingerprint the Spark side ships, so a hash bug cannot hide
+    ("c10_version_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id % 4 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |j AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN (a.text IS DISTINCT FROM b.text)
+        |           OR (a.lang IS DISTINCT FROM b.lang)
+        |           OR (a.source IS DISTINCT FROM b.source) THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j
+        |WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -184,6 +184,48 @@ class SourcesSpec extends SparkSpec {
     assert(names.filter(_.matches("v\\d+")).sorted == Seq("v1", "v2"))
   }
 
+  test("diffVersions: hand-planted add/remove/change matrix, null vs empty " +
+    "distinct, uncommitted snapshots rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_diff").toString
+    val v1 = Seq(
+      (1L, "same", 0L), (2L, "old", 0L), (3L, "gone", 0L),
+      (4L, null.asInstanceOf[String], 0L), (5L, "", 0L))
+      .toDF("doc_id", "text", "shard")
+    val v2 = Seq(
+      (1L, "same", 0L), (2L, "new", 0L), (6L, "fresh", 0L),
+      (4L, "", 0L), (5L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "text", "shard")
+    Warehouse.publishShards(v1, root)
+    Warehouse.publishShards(v2, root)
+    val got = Warehouse.diffVersions(spark, root, 1, 2, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (suppressed), 2 changed, 3 removed, 6 added, and the
+    // null↔empty swaps on 4/5 MUST read as changed (JSON omits a null
+    // field but keeps an empty string, so the fingerprints differ)
+    assert(got == Map(2L -> "changed", 3L -> "removed", 6L -> "added",
+      4L -> "changed", 5L -> "changed"), s"$got")
+    val all = Warehouse.diffVersions(spark, root, 1, 2, "doc_id",
+        Seq("text"), includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "unchanged" && all.size == 6, s"$all")
+    // direction flips with argument order
+    val rev = Warehouse.diffVersions(spark, root, 2, 1, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev(3L) == "added" && rev(6L) == "removed", s"$rev")
+    // an uncommitted (manifest-less) version dir is not diffable
+    Files.createDirectory(Paths.get(root, "v3"))
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.diffVersions(spark, root, 1, 3, "doc_id", Seq("text")).collect()
+    }
+    assert(e.getMessage.contains("committed"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.diffVersions(spark, root, 1, 1, "doc_id", Seq("text"))
+    }
+    assert(e2.getMessage.contains("vA == vB"), e2.getMessage)
+  }
+
   test("publishShards webdataset: tar shards round-trip and manifest counts landed samples") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
