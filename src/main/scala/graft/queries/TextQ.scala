@@ -343,6 +343,18 @@ object TextQ {
         .orderBy("source")
     },
 
+    // L100: deterministic stratified sampling — 5 docs per source by
+    // hash order (key64(doc_id), doc_id): the balanced eval-carve-out /
+    // per-stratum inspection op, engine-replayable because the sample is
+    // a pure function of the ids. WindowGroupLimit keeps the shuffle at
+    // O(tasks·n) rows per group (plan-guarded).
+    "t52_stratified_sample" -> { (s, dir) =>
+      TextOps.stratifiedSample(Tables(s, dir, "documents"), "source",
+          "doc_id", n = 5)
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "sample_rank")
+    },
+
     // L50: global token-budget sharding — the training-data writer's
     // layout step. 2048-token shards over the id-ordered corpus; the
     // distributed prefix-sum must reproduce the naive global window.
@@ -905,6 +917,22 @@ object TextQ {
     // t51: the same DP against t51's own vocab export, salted probe text,
     // per-source coverage counters with integral-ppm OOV rate
     "t51_oov_by_source" -> OracleHashLib.t51OracleSql(),
+
+    // t52: the hash-order sample replayed via the certified two-murmur
+    // key64 macros — SIGNED 64-bit order (g_s64) because Spark sorts the
+    // key as a signed long
+    "t52_stratified_sample" ->
+      (OracleHashLib.preamble +
+        s"""WITH k AS (
+           |  SELECT source, doc_id,
+           |    g_s64(${OracleHashLib.key64Sql("CAST(doc_id AS STRING)")}) AS hk
+           |  FROM documents)
+           |SELECT source, doc_id,
+           |  CAST(row_number() OVER (
+           |    PARTITION BY source ORDER BY hk, doc_id) AS INT) AS sample_rank
+           |FROM k
+           |QUALIFY sample_rank <= 5
+           |ORDER BY source, sample_rank""".stripMargin),
 
     // t42: the portable register sketch's exact-integer estimator replayed
     // in full — xxhash64, bucket/rho, sparse/dense mode split, HUGEINT

@@ -248,6 +248,34 @@ object TextOps {
     * range-boundary pass is an approxQuantile; string ids need a numeric
     * surrogate key (loudly require'd, not a runtime analysis error).
     */
+  /** Deterministic per-group (stratified) sample: the `n` rows of each
+    * group with the smallest `(key64(id), id)` — a hash-order carve-out,
+    * the balanced eval-set / per-stratum inspection op. Hashing the id
+    * scrambles any correlation between id order and content (crawl ids
+    * are assigned by time and host, so "first n per group" would be a
+    * badly biased sample), while staying a pure function of the id: the
+    * SAME rows are sampled on any cluster layout, any run, any engine —
+    * no RNG, no seed bookkeeping, and a re-run after appends keeps every
+    * previously sampled row whose rank still clears `n` (hash order is
+    * stable under insertion, unlike a reshuffled random sample).
+    *
+    * Scale shape: `row_number` under a rank≤n filter plans Spark's
+    * WindowGroupLimit — each map task keeps only its local top-n per
+    * group BEFORE the exchange, so the shuffle carries O(tasks·n) rows
+    * per group, never the group (plan-guarded). Ids must be non-null
+    * (null hash keys order differently across engines).
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                       idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"stratifiedSample: n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(graft.operators.KeyHash.key64(col(idCol).cast("string")),
+        col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   def shardByTokenBudget(df: org.apache.spark.sql.DataFrame, textCol: String,
                          idCol: String, shardTokens: Long,
                          parts: Int = 0,

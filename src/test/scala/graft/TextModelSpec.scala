@@ -552,6 +552,40 @@ class TextModelSpec extends SparkSpec {
     assert(e.getMessage.contains("maxWords"))
   }
 
+  // --- deterministic stratified sampling ------------------------------
+
+  test("stratifiedSample: n per group, invariant to layout, insertion-stable") {
+    val docs = (1L to 200L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "src")
+    val a = TextOps.stratifiedSample(docs, "src", "doc_id", 5).collect()
+    assert(a.length == 20)
+    val byG = a.groupBy(_.getString(1))
+    assert(byG.size == 4 &&
+      byG.values.forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 5)),
+      s"ranks not contiguous 1..5: ${a.toList}")
+    // the sample is a pure function of the ids: any partitioning, any
+    // input order, same rows and ranks
+    val b = TextOps.stratifiedSample(
+      docs.repartition(7).orderBy(col("doc_id").desc), "src", "doc_id", 5)
+      .collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+      b.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet)
+    // insertion-stable: a row sampled from the grown corpus that already
+    // existed in the smaller one was sampled there too (hash order is
+    // stable under appends — ranks only shrink as rows are removed)
+    val small = TextOps.stratifiedSample(
+      docs.filter(col("doc_id") <= 100), "src", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromBig = a.filter(_.getLong(0) <= 100)
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromBig.subsetOf(small), s"$fromBig not within $small")
+    // a group smaller than n returns whole; n=0 throws
+    val tiny = Seq((1L, "g"), (2L, "g")).toDF("doc_id", "src")
+    assert(TextOps.stratifiedSample(tiny, "src", "doc_id", 5).count() == 2)
+    intercept[IllegalArgumentException] {
+      TextOps.stratifiedSample(tiny, "src", "doc_id", 0)
+    }
+  }
+
   // --- global token-budget sharding ----------------------------------
 
   test("shardByTokenBudget: hand-computed shard cuts, null text counts 0") {
