@@ -620,6 +620,19 @@ object OracleHashLib {
     * they exercise the `<unk>` path deterministically). Must mirror the
     * Spark column in TextQ's t51 exactly; null text propagates.
     */
+  /** The SQL rendering of t53's multilingual probe salt — each document
+    * becomes its own text, a Spanish-stopword line, the text again, and
+    * (on even ids) a German-stopword line, so per-line language votes and
+    * segment boundaries are exercised deterministically. Must mirror the
+    * Spark column in TextQ's t53 exactly (single-sourced, the t51
+    * convention); chr(10) because '\n' escapes differently in the two
+    * engines' string literals; null text propagates.
+    */
+  def t53SaltSqlExpr: String =
+    "text || chr(10) || 'el los las del por con es y' || chr(10) || text || " +
+      "CASE WHEN doc_id % 2 = 0 " +
+      "THEN chr(10) || 'der die das und den von zu mit' ELSE '' END"
+
   def t51SaltSqlExpr: String =
     "text || ' v' || CAST(doc_id % 7 AS STRING) || " +
       "CASE WHEN doc_id % 3 = 0 THEN ' x' || CAST(doc_id % 11 AS STRING) " +

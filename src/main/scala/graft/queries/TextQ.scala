@@ -343,6 +343,20 @@ object TextQ {
         .orderBy("source")
     },
 
+    // L101: mixed-language document segmentation — per-line langId votes
+    // merged into contiguous same-language segments, the multilingual-
+    // crawl splitter. Probe text is the single-sourced t53 salt (own text
+    // + a Spanish line + own text + a German line on even ids) so votes
+    // AND boundaries are exercised deterministically; the whole chain
+    // (per-line vote, lag break, running-sum segment ids, per-segment
+    // agg) replays in the oracle from the SAME vote SQL as t01.
+    "t53_lang_segments" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents")
+        .withColumn("qtext", expr(OracleHashLib.t53SaltSqlExpr))
+      TextOps.langSegments(salted, "qtext", "doc_id")
+        .orderBy("doc_id", "seg_id")
+    },
+
     // L100: deterministic stratified sampling — 5 docs per source by
     // hash order (key64(doc_id), doc_id): the balanced eval-carve-out /
     // per-stratum inspection op, engine-replayable because the sample is
@@ -797,15 +811,27 @@ object TextQ {
   // lists can never drift from the Scala ones. Mirrors langId exactly:
   // stopword votes (first language in list order wins ties), CJK override,
   // "und" when no stopword hits.
-  private val langIdOracle: String = {
-    val counts = TextOps.stopwords.map { case (lang, words) =>
+  // The langId vote rendered in SQL, shared by t01 (whole document) and
+  // t53 (per line) so the two oracles can never disagree on the vote:
+  // stopword-count select items over a `toks` list column, the GREATEST,
+  // and the CASE arms in the Scala fold's exact language order.
+  private val langCountsSql: String =
+    TextOps.stopwords.map { case (lang, words) =>
       val lits = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, t -> list_contains([$lits], t))) AS c_$lang"
     }.mkString(",\n    ")
+  private val langBestSql: String =
+    TextOps.stopwords.map(l => s"c_${l._1}").mkString("GREATEST(", ", ", ")")
+  private val langVoteCaseSql: String = {
     val langs = TextOps.stopwords.map(_._1)
-    val best = langs.map(l => s"c_$l").mkString("GREATEST(", ", ", ")")
-    val vote = langs.init.map(l => s"WHEN c_$l = best THEN '$l'").mkString("\n       ") +
+    langs.init.map(l => s"WHEN c_$l = best THEN '$l'").mkString("\n       ") +
       s"\n       ELSE '${langs.last}'"
+  }
+
+  private val langIdOracle: String = {
+    val counts = langCountsSql
+    val best = langBestSql
+    val vote = langVoteCaseSql
     s"""WITH t AS (
        |  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks
        |  FROM documents),
@@ -917,6 +943,57 @@ object TextQ {
     // t51: the same DP against t51's own vocab export, salted probe text,
     // per-source coverage counters with integral-ppm OOV rate
     "t51_oov_by_source" -> OracleHashLib.t51OracleSql(),
+
+    // t53: per-line langId votes (the t01 machinery over each salted
+    // line) + IS DISTINCT FROM breaks + running-sum segment ids,
+    // aggregated per (doc, segment)
+    "t53_lang_segments" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${OracleHashLib.t53SaltSqlExpr} AS qtext
+         |  FROM documents),
+         |lx AS (
+         |  SELECT doc_id, string_split(qtext, chr(10)) AS lines FROM raw),
+         |li AS (
+         |  SELECT doc_id, unnest(range(1, len(lines) + 1)) AS i, lines
+         |  FROM lx),
+         |l AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS line_no, lines[i] AS line,
+         |    string_split_regex(lower(lines[i]), '\\s+') AS toks
+         |  FROM li),
+         |c AS (
+         |  SELECT doc_id, line_no,
+         |    CAST(len(regexp_extract_all(line, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS cjk,
+         |    CAST(len(regexp_extract_all(line, '[\\x{3040}-\\x{30FF}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS kana,
+         |    CAST(len(regexp_extract_all(line, '[\\x{AC00}-\\x{D7A3}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS hangul,
+         |    $langCountsSql
+         |  FROM l),
+         |b AS (SELECT *, $langBestSql AS best FROM c),
+         |v AS (
+         |  SELECT doc_id, line_no,
+         |    CASE WHEN hangul > 0.25 THEN 'ko'
+         |         WHEN kana > 0.10 THEN 'ja'
+         |         WHEN cjk > 0.25 THEN 'zh'
+         |         WHEN best = 0 THEN 'und'
+         |         $langVoteCaseSql END AS lang
+         |  FROM b),
+         |s0 AS (
+         |  SELECT doc_id, line_no, lang,
+         |    CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY line_no)
+         |         IS DISTINCT FROM lang THEN 1 ELSE 0 END AS new_seg
+         |  FROM v),
+         |s1 AS (
+         |  SELECT doc_id, line_no, lang,
+         |    SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY line_no) - 1
+         |      AS seg_id
+         |  FROM s0)
+         |SELECT doc_id, CAST(seg_id AS INT) AS seg_id, lang,
+         |  CAST(MIN(line_no) AS INT) AS start_line, COUNT(*) AS n_lines
+         |FROM s1
+         |GROUP BY doc_id, seg_id, lang
+         |ORDER BY doc_id, seg_id""".stripMargin,
 
     // t52: the hash-order sample replayed via the certified two-murmur
     // key64 macros — SIGNED 64-bit order (g_s64) because Spark sorts the

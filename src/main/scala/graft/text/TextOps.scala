@@ -93,6 +93,40 @@ object TextOps {
       .when(best === 0, lit("und")).otherwise(vote)
   }
 
+  /** Mixed-language document segmentation — the multilingual-crawl
+    * splitter: a page that interleaves languages (boilerplate in one,
+    * content in another; forum quotes; parallel translations) should not
+    * be gated or routed under ONE language label. Each line gets the
+    * [[langId]] vote, consecutive same-language lines merge into a
+    * segment, and the result is one row per (doc, segment) with the
+    * language, first line number, and line count — ready for per-language
+    * routing, per-segment quality gating, or dropping the navigation
+    * language while keeping the content language.
+    *
+    * Scale shape: explode to lines (row-local), the codegen'd [[langId]]
+    * expression per line (no UDF), then ONE per-document window
+    * (lag + running sum — partitioned on the doc id, never a hot key)
+    * and a partial-agg group-by on (doc, segment). Null text yields no
+    * rows, the explode convention.
+    */
+  def langSegments(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy("line_no")
+    df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lang", langId(col("line")))
+      // a segment break is a null-safe language change vs the previous line
+      .withColumn("new_seg",
+        when(lag(col("lang"), 1).over(w) <=> col("lang"), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("seg_id", (sum("new_seg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+        .cast("int"))
+      .groupBy(col(idCol), col("seg_id"), col("lang"))
+      .agg(min("line_no").as("start_line"), count(lit(1)).as("n_lines"))
+  }
+
   private val WS = java.util.regex.Pattern.compile("\\s+")
   private val langCodes: Array[String] = stopwords.map(_._1).toArray
   // token → bitmask of languages whose stopword list contains it: the

@@ -552,6 +552,23 @@ class TextModelSpec extends SparkSpec {
     assert(e.getMessage.contains("maxWords"))
   }
 
+  // --- mixed-language segmentation -------------------------------------
+
+  test("langSegments: per-line votes merge into contiguous segments") {
+    val docs = Seq(
+      (1L, "the of and to\nel los de la\nel es la y\nder und die das"),
+      (2L, "the of and to"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.langSegments(docs, "text", "doc_id")
+      .orderBy("doc_id", "seg_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getLong(4)))
+    // doc 1: en / es+es (merged) / de; doc 2 single segment; doc 3 no rows
+    assert(got.toList == List(
+      (1L, 0, "en", 0, 1L), (1L, 1, "es", 1, 2L), (1L, 2, "de", 3, 1L),
+      (2L, 0, "en", 0, 1L)), s"${got.toList}")
+  }
+
   // --- deterministic stratified sampling ------------------------------
 
   test("stratifiedSample: n per group, invariant to layout, insertion-stable") {
