@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series completion and conversion-funnel operators over event
+  * frames — the two event-tier reports tumbling windows and
+  * sessionization can't express: a bucket with NO events must still
+  * exist (gap fill), and "did this key do A then B then C, each within
+  * a window of the previous step" (funnel).
+  */
+object EventOps {
+
+  /** Gap-filling resample + forward fill: per key, one row for EVERY
+    * `stepSql` bucket between the key's first and last event — empty
+    * buckets carry `n_events = 0` and the last observed bucket sum
+    * (`filled_sum`); `observed` flags real buckets (0/1). Missing rows
+    * are what break monitoring charts, rate arithmetic, and bucket-joins
+    * against other series; this materializes them.
+    *
+    * Scale shape: the per-key span is a skeleton aggregate; the scaffold
+    * explode is row-local (span/step rows per key); the fill is ONE
+    * per-key window ordered by bucket — a high-cardinality, evenly
+    * distributed key, never a hot one. The first scaffold bucket is
+    * observed by construction, so the fill never reads before the data.
+    * Value sums ride DECIMAL(18,2) (exact, order-free) and surface as
+    * DOUBLE.
+    *
+    * `truncUnit` must be the unit matching `stepSql` (e.g. "hour" with
+    * "interval 1 hour"): truncation aligns every event to a bucket that
+    * the scaffold sequence also generates, which is what makes the left
+    * join exact.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+              truncUnit: String = "hour",
+              stepSql: String = "interval 1 hour"): DataFrame = {
+    val ev = df.withColumn("bucket", date_trunc(truncUnit, col(tsCol)))
+    val obs = ev.groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(expr(s"CAST($valueCol AS DECIMAL(18,2))")).cast("double")
+          .as("sum_obs"))
+    val scaffold = ev.groupBy(keyCol)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(keyCol),
+        explode(expr(s"sequence(b0, b1, $stepSql)")).as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"),
+        last(col("sum_obs"), ignoreNulls = true).over(w).as("filled_sum"),
+        col("n_obs").isNotNull.cast("int").as("observed"))
+  }
+
+  /** N-step conversion funnel with FIRST-TOUCH semantics: step 1's time
+    * is the key's earliest `steps(0)` event; step k's time is the
+    * earliest `steps(k-1)` event STRICTLY after step k-1's time and at
+    * most `withinSeconds` later. One row per key that reached step 1,
+    * with columns `t_1..t_n` (null once the chain breaks) and `reached`
+    * (the highest step index attained, 1-based). First-touch is what
+    * makes the report deterministic — every step time is a MIN over a
+    * fixed predicate, no path search.
+    *
+    * Scale shape: n−1 filtered skeleton aggregates chained on the key —
+    * each step frame is at most one row per key, the joins are
+    * key-partitioned, and no window ever runs over the raw event stream.
+    */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String], withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(withinSeconds > 0, s"withinSeconds=$withinSeconds")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(keyCol).agg(min(tsCol).as("t_1"))
+    val chain = steps.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (step, i)) =>
+        val t0 = s"t_${i + 1}"
+        val t1 = s"t_${i + 2}"
+        df.filter(col(typeCol) === step)
+          .join(prev.select(col(keyCol), col(t0)), keyCol)
+          .filter(col(tsCol) > col(t0) &&
+            col(tsCol) <= col(t0) + expr(s"INTERVAL $withinSeconds SECOND"))
+          .groupBy(keyCol).agg(min(tsCol).as(t1))
+    }
+    val joined = chain.reduce((a, b) => a.join(b, Seq(keyCol), "left"))
+    val reached = (steps.size to 2 by -1).foldRight(lit(1): Column) {
+      case (k, acc) => when(col(s"t_$k").isNotNull, lit(k)).otherwise(acc)
+    }
+    joined.withColumn("reached", reached)
+  }
+}

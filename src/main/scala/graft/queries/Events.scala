@@ -86,6 +86,39 @@ object Events {
           Seq("click_id"))
         .select(col("event_id"), col("user_id"), col("asof_click_id").as("click_id"))
         .orderBy("event_id")
+    },
+
+    // A14b: gap-filling hourly resample + forward fill — the time-series
+    // op tumbling windows can't express: a bucket with NO events must
+    // still exist (monitoring charts, rate math, join alignment all break
+    // on missing rows), carrying n=0 and the last observed hourly sum.
+    // Scaffold = per-user explode(sequence(min_bucket, max_bucket, 1h))
+    // — the span aggregate is a skeleton frame, the explode is row-local,
+    // and the fill is one per-user window (never a hot key). The first
+    // scaffold bucket is observed by construction, so the fill never
+    // reads before the data. Money-sums ride DECIMAL (order-free).
+    "e07_gapfill" -> { (s, dir) =>
+      graft.operators.EventOps.gapFill(Tables(s, dir, "events"),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket")
+    },
+
+    // A15b: three-step funnel (view → click → purchase, each within 24h
+    // of the previous step's FIRST qualifying time (sized so all three
+    // reach classes are populated on the test corpus: 90/35/25 at sf0.01)) — the conversion
+    // report every event pipeline ships. First-touch semantics make it
+    // deterministic: step k's time is the MIN event time strictly after
+    // step k-1 and within the window; per-user reached ∈ {1,2,3}. Three
+    // filtered skeleton aggregates joined on user_id — no window over
+    // the event stream, no per-event state.
+    "e08_funnel" -> { (s, dir) =>
+      graft.operators.EventOps.funnel(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        .select(col("user_id"), col("t_1").as("t_view"),
+          col("t_2").as("t_click"), col("t_3").as("t_purchase"),
+          col("reached"))
+        .orderBy("user_id")
     }
   )
 
@@ -149,6 +182,52 @@ object Events {
         |  COUNT(*) AS n_events
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "e07_gapfill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket, value FROM events),
+        |obs AS (
+        |  SELECT user_id, bucket, COUNT(*) AS n_obs,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_obs
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |  FROM ev GROUP BY 1),
+        |scaffold AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span)
+        |SELECT s.user_id, s.bucket,
+        |  COALESCE(o.n_obs, 0) AS n_events,
+        |  last_value(o.sum_obs IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+        |  CAST(o.n_obs IS NOT NULL AS INT) AS observed
+        |FROM scaffold s
+        |LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket = s.bucket
+        |ORDER BY s.user_id, s.bucket""".stripMargin,
+
+    "e08_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS reached
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin
   )
 }

@@ -103,11 +103,16 @@ object TextOps {
     * routing, per-segment quality gating, or dropping the navigation
     * language while keeping the content language.
     *
-    * Scale shape: explode to lines (row-local), the codegen'd [[langId]]
-    * expression per line (no UDF), then ONE per-document window
-    * (lag + running sum — partitioned on the doc id, never a hot key)
-    * and a partial-agg group-by on (doc, segment). Null text yields no
-    * rows, the explode convention.
+    * Scale shape: explode to lines (row-local), the FUSED [[langQuality]]
+    * kernel per line — not the [[langId]] column expression, whose
+    * higher-order stopword filters evaluate interpreted and cost ~60×
+    * the one tokenization pass of real work (the documented reason the
+    * fused kernel exists; the two are spec-pinned vote-identical, and
+    * ScaleBench measured the expression form at 204 s vs ~3 s fused for
+    * 175k lines) — then ONE per-document window (lag + running sum —
+    * partitioned on the doc id, never a hot key) and a partial-agg
+    * group-by on (doc, segment). Null text yields no rows, the explode
+    * convention.
     */
   def langSegments(df: org.apache.spark.sql.DataFrame, textCol: String,
                    idCol: String): org.apache.spark.sql.DataFrame = {
@@ -115,7 +120,7 @@ object TextOps {
     val w = Window.partitionBy(col(idCol)).orderBy("line_no")
     df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-      .withColumn("lang", langId(col("line")))
+      .withColumn("lang", langQuality(col("line")).getField("_1"))
       // a segment break is a null-safe language change vs the previous line
       .withColumn("new_seg",
         when(lag(col("lang"), 1).over(w) <=> col("lang"), lit(0))

@@ -2786,4 +2786,76 @@ class OperatorSpec extends SparkSpec {
         keep = "random")
     }
   }
+
+  // --- gap fill + funnel ------------------------------------------------
+
+  test("gapFill: empty buckets materialize with n=0 and forward-filled sums") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 03:20:00"), 5.0),
+      (2L, ts("2024-01-01 07:00:00"), 1.0)).toDF("user_id", "ts", "value")
+    val got = EventOps.gapFill(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13),
+        r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(got.toList == List(
+      (1L, "2024-01-01 00", 1L, 10.0, 1),
+      (1L, "2024-01-01 01", 0L, 10.0, 0),
+      (1L, "2024-01-01 02", 0L, 10.0, 0),
+      (1L, "2024-01-01 03", 1L, 5.0, 1),
+      (2L, "2024-01-01 07", 1L, 1.0, 1)), s"${got.toList}")
+  }
+
+  test("funnel: first-touch chain with strict-after and inclusive window " +
+    "boundaries") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full chain inside the windows
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:30:00")),
+      (1L, "purchase", ts("2024-01-01 00:45:00")),
+      // u2: click outside the 1h window → stops at step 1
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 01:00:01")),
+      // u3: click at the SAME instant as view → strict-after excludes it
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      (3L, "click", ts("2024-01-01 00:00:00")),
+      // u4: no view → not in the funnel at all
+      (4L, "click", ts("2024-01-01 00:10:00")),
+      (4L, "purchase", ts("2024-01-01 00:20:00")),
+      // u5: click at EXACTLY +1h (inclusive) but purchase BEFORE the
+      // click → reaches step 2 only (purchases before step 2 don't count)
+      (5L, "view", ts("2024-01-01 00:00:00")),
+      (5L, "purchase", ts("2024-01-01 00:30:00")),
+      (5L, "click", ts("2024-01-01 01:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSeconds = 3600L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(got.toList == List((1L, 3), (2L, 1), (3L, 1), (5L, 2)),
+      s"${got.toList}")
+    // first-touch: u1's step times are the earliest qualifying events
+    val u1 = EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 3600L)
+      .filter($"user_id" === 1L).head()
+    assert(u1.getTimestamp(1) == ts("2024-01-01 00:00:00") &&
+      u1.getTimestamp(2) == ts("2024-01-01 00:30:00") &&
+      u1.getTimestamp(3) == ts("2024-01-01 00:45:00"))
+    // a 2-step funnel over the same data; bad arguments throw
+    val two = EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "purchase"), 3600L)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(two.toList == List((1L, 2), (2L, 1), (3L, 1), (5L, 2)))
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, "user_id", "event_type", "ts", Seq("view"), 3600L)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "view"), 3600L)
+    }
+  }
 }
