@@ -53,6 +53,45 @@ object EventOps {
         col("n_obs").isNotNull.cast("int").as("observed"))
   }
 
+  /** Cohort RETENTION analysis — the funnel's companion report: keys are
+    * cohorted by the period of their FIRST event, and each (cohort,
+    * period-offset) cell reports how many of that cohort were active
+    * again k periods later, absolute and as integral parts-per-million
+    * of the cohort (exact integer division — engine-stable, no float
+    * ratio in the gate). `truncUnit` is any `date_trunc` unit; offsets
+    * are exact integer quotients of epoch-second deltas between
+    * truncated period starts (both engines truncate weeks to ISO
+    * Monday), with the period length in seconds supplied by the caller
+    * for non-fixed-length units left unsupported on purpose — month
+    * arithmetic is calendar-dependent and would need its own oracle
+    * treatment.
+    *
+    * Scale shape: one distinct-collapse to (key, period) skeletons, one
+    * skeleton aggregate for cohorts, a key-partitioned join, and a
+    * group-by on (cohort, offset) — nothing ever carries more than one
+    * row per key per active period.
+    */
+  def retention(df: DataFrame, keyCol: String, tsCol: String,
+                truncUnit: String = "week",
+                periodSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    require(periodSeconds > 0, s"periodSeconds=$periodSeconds")
+    val active = df
+      .select(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("period"))
+      .filter(col("period").isNotNull)
+      .distinct()
+    val cohorts = active.groupBy(keyCol).agg(min("period").as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(cohorts, keyCol)
+      .withColumn("week_offset",
+        ((col("period").cast("long") - col("cohort").cast("long")) /
+          periodSeconds).cast("long"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention_ppm",
+        expr("n_active * CAST(1000000 AS BIGINT) div n_cohort"))
+  }
+
   /** N-step conversion funnel with FIRST-TOUCH semantics: step 1's time
     * is the key's earliest `steps(0)` event; step k's time is the
     * earliest `steps(k-1)` event STRICTLY after step k-1's time and at

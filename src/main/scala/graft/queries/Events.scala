@@ -111,6 +111,23 @@ object Events {
     // step k-1 and within the window; per-user reached ∈ {1,2,3}. Three
     // filtered skeleton aggregates joined on user_id — no window over
     // the event stream, no per-event state.
+    // A15c: weekly cohort retention — keys cohorted by the ISO week of
+    // their first qualifying event; each (cohort, offset) cell counts
+    // the cohort members active again k weeks later, with an
+    // integral-ppm rate. The activity definition is high-value
+    // purchases (sparse, ~3% of events), so the curve actually DECAYS
+    // on the test corpus (dense all-events activity saturates every
+    // cell at 100%): four cohorts, rates from 100% down to 28% at
+    // sf0.01. Skeleton frames end to end: distinct (user, week)
+    // collapse, cohort min, one key join, one (cohort, offset) group-by.
+    "e09_retention" -> { (s, dir) =>
+      graft.operators.EventOps.retention(
+          Tables(s, dir, "events")
+            .filter(col("event_type") === "purchase" && col("value") > 47.5),
+          "user_id", "ts")
+        .orderBy("cohort", "week_offset")
+    },
+
     "e08_funnel" -> { (s, dir) =>
       graft.operators.EventOps.funnel(Tables(s, dir, "events"),
           "user_id", "event_type", "ts",
@@ -207,6 +224,27 @@ object Events {
         |FROM scaffold s
         |LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket = s.bucket
         |ORDER BY s.user_id, s.bucket""".stripMargin,
+
+    "e09_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase' AND value > 47.5),
+        |cohorts AS (
+        |  SELECT user_id, MIN(period) AS cohort FROM active GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort,
+        |    (epoch(a.period)::BIGINT - epoch(c.cohort)::BIGINT) // 604800
+        |      AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM active a JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort, cells.week_offset, cells.n_active, s.n_cohort,
+        |  (cells.n_active * 1000000) // s.n_cohort AS retention_ppm
+        |FROM cells JOIN sizes s USING (cohort)
+        |ORDER BY cells.cohort, cells.week_offset""".stripMargin,
 
     "e08_funnel" ->
       """WITH v AS (

@@ -14,6 +14,14 @@ case class Session(user_id: Long, session_id: Long, n_events: Long,
 
 private case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, count: Long)
 
+/** One funnel-progress emission: the key just attained `step` (1-based)
+  * of the configured chain at event time `t_step`.
+  */
+case class FunnelProgress(user_id: Long, step: Int, step_name: String,
+                          t_step: Timestamp)
+
+private case class FunnelState(timesMs: Seq[Long], lastMs: Long)
+
 /** Structured Streaming mirrors of the batch event analytics
   * (graft.queries.Events): same semantics, incremental execution.
   *
@@ -106,6 +114,72 @@ object EventStreams {
                 state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
+          }
+      }
+  }
+
+  /** Streaming N-step conversion funnel — the incremental twin of
+    * [[graft.operators.EventOps.funnel]]: per key, one [[FunnelProgress]]
+    * row the moment a step is attained (step k's event strictly after
+    * step k−1's time and within `withinSeconds` of it, first touch).
+    * On an event-time-ordered stream the emitted step times are exactly
+    * the batch funnel's (spec-pinned); each micro-batch's rows are
+    * folded in (ts, event_id) order so within-batch disorder never
+    * matters. Cross-batch stragglers follow the sessionize contract:
+    * an EARLIER step-1 event arriving late tightens the stored time
+    * (downstream gating uses the tightened value) but the already
+    * emitted progress row is not retracted — append-mode streams don't
+    * un-ring bells; exact replay of heavily disordered history is the
+    * batch operator's job.
+    *
+    * State per key: `steps.size` longs + a timestamp, dropped
+    * `retentionSec` after the key's last event (event-time timeout) —
+    * bounded by active keys in the horizon, sharded by the state store.
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   withinSeconds: Long, watermark: String = "1 hour",
+                   retentionSec: Long = 7L * 86400): Dataset[FunnelProgress] = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(withinSeconds > 0, s"withinSeconds=$withinSeconds")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.size
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val times = state.getOption.map(_.timesMs.toArray)
+              .getOrElse(Array.fill(nSteps)(-1L))
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(-1L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val t = e.ts.getTime
+              lastMs = math.max(lastMs, t)
+              val k = stepIdx(e.event_type)
+              if (k == 0) {
+                if (times(0) < 0) {
+                  times(0) = t
+                  out += FunnelProgress(userId, 1, steps(0), e.ts)
+                } else if (t < times(0) && times(1) < 0) {
+                  times(0) = t // late straggler: tighten, no re-emission
+                }
+              } else if (times(k) < 0 && times(k - 1) >= 0 &&
+                  t > times(k - 1) &&
+                  t <= times(k - 1) + withinSeconds * 1000) {
+                times(k) = t
+                out += FunnelProgress(userId, k + 1, steps(k), e.ts)
+              }
+            }
+            state.update(FunnelState(times.toSeq, lastMs))
+            state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
       }
   }

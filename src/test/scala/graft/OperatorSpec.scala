@@ -2808,6 +2808,29 @@ class OperatorSpec extends SparkSpec {
       (2L, "2024-01-01 07", 1L, 1.0, 1)), s"${got.toList}")
   }
 
+  test("retention: hand-computed weekly cohort cells with integral ppm") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday: W0 = 01-01, W1 = 01-08, W2 = 01-15
+    val ev = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // u1 cohort W0
+      (1L, ts("2024-01-16 10:00:00")), // u1 active W2
+      (1L, ts("2024-01-17 11:00:00")), // same week — distinct collapses
+      (2L, ts("2024-01-05 09:00:00")), // u2 cohort W0, never again
+      (3L, ts("2024-01-08 00:00:00")), // u3 cohort W1 (boundary instant)
+      (3L, ts("2024-01-19 23:00:00"))) // u3 active W2
+      .toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts")
+      .orderBy("cohort", "week_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toList == List(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L),
+      ("2024-01-01", 2L, 1L, 2L, 500000L),
+      ("2024-01-08", 0L, 1L, 1L, 1000000L),
+      ("2024-01-08", 1L, 1L, 1L, 1000000L)), s"${got.toList}")
+  }
+
   test("funnel: first-touch chain with strict-after and inclusive window " +
     "boundaries") {
     import graft.operators.EventOps

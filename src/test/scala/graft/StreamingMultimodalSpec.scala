@@ -35,6 +35,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: step progress across batches ≡ the batch funnel " +
+    "on an in-order stream; boundaries match") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val steps = Seq("view", "click", "purchase")
+    val query = EventStreams.funnelStream(input.toDS(), steps,
+        withinSeconds = 300)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val all = Seq(
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(2), 7, "click", 1.0),    // +2 min, inside the 5-min window
+      Event(3, ts(0), 8, "view", 1.0),
+      Event(4, ts(0), 8, "click", 1.0),    // same instant: strict-after excludes
+      Event(5, ts(5), 7, "purchase", 1.0), // +3 min after the click
+      Event(6, ts(9), 8, "click", 1.0))    // +9 min > window: excluded
+    try {
+      input.addData(all.take(4): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      query.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .as[(Long, Int, String, Timestamp)].collect().toSeq.sorted
+      assert(got == Seq(
+        (7L, 1, "view", ts(0)), (7L, 2, "click", ts(2)),
+        (7L, 3, "purchase", ts(5)), (8L, 1, "view", ts(0))), s"$got")
+      // in-order parity: max emitted step and step times equal the batch
+      // operator's over the union of both micro-batches
+      val batch = graft.operators.EventOps.funnel(
+          all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "event_type", "ts", steps, 300L)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(4), Seq(1, 2, 3).map(i =>
+            Option(r.getTimestamp(i)).map(_.getTime).getOrElse(-1L))))
+        .toMap
+      val streamed = got.groupBy(_._1).map { case (u, rows) =>
+        u -> (rows.map(_._2).max,
+          steps.indices.map(i => rows.find(_._2 == i + 1)
+            .map(_._4.getTime).getOrElse(-1L)))
+      }
+      assert(streamed.keySet == batch.keySet)
+      for ((u, (reached, times)) <- streamed) {
+        assert(batch(u)._1 == reached, s"user $u reached")
+        assert(batch(u)._2 == times, s"user $u times")
+      }
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.funnelStream(input.toDS(), Seq("view"), 300)
+    }
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
