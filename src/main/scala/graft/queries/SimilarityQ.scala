@@ -212,8 +212,28 @@ object SimilarityQ {
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 5, loSim = 0.15, hiSim = 0.9)
         .orderBy("anchor_id", "rank")
+    },
+
+    // L102: MMR diversified reranking — 8 query vectors, top-20
+    // relevance candidates each, greedy λ=0.7 marginal selection of 5.
+    // All sims/scores ROUND 4 before every comparison with id
+    // tie-breaks, so the greedy path is engine-deterministic and the
+    // whole selection replays in SQL (unrolled picks). The (1−λ)
+    // multiplier is emitted into the oracle from the SAME Scala double
+    // (1 − 0.7 is NOT the literal 0.3 in binary — a hand-written 0.3
+    // would diverge at round boundaries).
+    "s15_mmr_rerank" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, topN = 20, lambdaRel = MmrLambda)
+        .orderBy("query_id", "mmr_rank")
     }
   )
+
+  /** s15's trade-off constant, shared with the oracle generator so both
+    * engines multiply by bit-identical doubles.
+    */
+  private val MmrLambda = 0.7
 
   /** Export a query's Lloyd-trained centroid matrix for the DuckDB
     * oracle (the t14/t19 export-the-state pattern: training is Spark
@@ -418,7 +438,80 @@ object SimilarityQ {
        |LIMIT $k""".stripMargin
   }
 
+  /** s15: the greedy MMR selection unrolled pick by pick — each step
+    * scores the unselected candidates as λ·rel − (1−λ)·max(sim to the
+    * selected set) from ROUND-4 inputs, rounds, and takes the
+    * (score DESC, id) argmax — exactly `Similarity.mmrRerank`'s
+    * comparator. λ and 1−λ are interpolated from the SAME Scala doubles
+    * the operator multiplies by.
+    */
+  private def mmrOracle(k: Int = 5, topN: Int = 20,
+                        lam: Double = MmrLambda): String = {
+    val om = 1.0 - lam
+    def pickCtes(i: Int): String =
+      if (i == 1)
+        s""",
+           |s1 AS (
+           |  SELECT query_id, cand_id, rel,
+           |    ROUND($lam * rel - $om * 0, 4) AS mmr_score, 1 AS mmr_rank
+           |  FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY ROUND($lam * rel - $om * 0, 4) DESC, cand_id) = 1),
+           |sel1 AS (SELECT query_id, cand_id FROM s1)""".stripMargin
+      else
+        s""",
+           |c$i AS (
+           |  SELECT c.query_id, c.cand_id, c.rel,
+           |    ROUND($lam * c.rel - $om * ms.m, 4) AS mmr_score
+           |  FROM cand c
+           |  JOIN (SELECT p.query_id, p.b_id AS cand_id, MAX(p.sim) AS m
+           |        FROM ps p JOIN sel${i - 1} s
+           |          ON s.query_id = p.query_id AND s.cand_id = p.a_id
+           |        GROUP BY 1, 2) ms
+           |    ON ms.query_id = c.query_id AND ms.cand_id = c.cand_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+           |    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+           |s$i AS (
+           |  SELECT query_id, cand_id, rel, mmr_score, $i AS mmr_rank
+           |  FROM c$i
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY mmr_score DESC, cand_id) = 1),
+           |sel$i AS (SELECT query_id, cand_id FROM sel${i - 1}
+           |          UNION ALL SELECT query_id, cand_id FROM s$i)""".stripMargin
+    val finalUnion = (1 to k)
+      .map(i => s"  SELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM s$i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH nn AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM nn),
+       |qs AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+       |       FROM m WHERE vec_id < 8),
+       |relt AS (
+       |  SELECT q.query_id, b.vec_id AS cand_id,
+       |    ROUND(list_dot_product(b.e, q.qe) / (b.nrm * q.qn), 4) AS rel,
+       |    b.e, b.nrm
+       |  FROM m b CROSS JOIN qs q
+       |  WHERE b.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT * FROM relt
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, cand_id) <= $topN),
+       |ps AS (
+       |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |    ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id)""".stripMargin +
+      (1 to k).map(pickCtes).mkString +
+      s"""
+       |SELECT query_id, mmr_rank, cand_id, rel, mmr_score FROM (
+       |$finalUnion
+       |)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("s15_mmr_rerank" -> mmrOracle()) +
     ("s03_knn_ivf" -> ivfSingleOracle("s03_knn_ivf", k = 20, probes = 4)) +
     ("s05_knn_ivf_indexed" ->
       ivfSingleOracle("s05_knn_ivf_indexed", k = 20, probes = 4)) +

@@ -82,6 +82,137 @@ object Similarity {
         col("sim"))
   }
 
+  /** One MMR selection: rank within the query's rerank, the chosen id,
+    * its relevance, and the marginal score at selection time. Public so
+    * whole-stage codegen can read the accessors (the Unigram.UniEnc
+    * lesson: a private result case class silently drops the projection
+    * to interpreter mode).
+    */
+  final case class MmrPick(mmr_rank: Int, cand_id: Long, rel: Double,
+                           mmr_score: Double)
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k reranking — the search-serving op that fixes
+    * "my top 10 are ten near-copies of the same document": greedily pick
+    * k of the topN relevance candidates, each pick maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
+    * against redundancy with what's already shown. In a dedup'd training
+    * pipeline the same op diversifies retrieval-augmented context
+    * selection.
+    *
+    * Determinism (the hash-gate contract): relevance and every pairwise
+    * sim are ROUND(roundTo) before any comparison; the marginal score is
+    * recomputed from those rounded inputs and rounded again before the
+    * argmax; ties break by smallest id. The first pick's score is
+    * λ·rel − (1−λ)·0 — one uniform formula, no special case for the
+    * oracle to mirror.
+    *
+    * Scale shape: the batched-serving contract — queries broadcast to
+    * ONE corpus scan, per-query topN via a rank≤N filter (map-side
+    * WindowGroupLimit), and the O(topN²·k) greedy runs ROW-LOCAL per
+    * query on its collected candidate slice (topN is require-bounded).
+    * At 100 TB the corpus scan dominates; the rerank never touches more
+    * than topN rows per query.
+    */
+  def mmrRerank(emb: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, topN: Int, lambdaRel: Double,
+                roundTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(topN >= k && topN <= 4096, s"topN=$topN (need k <= topN <= 4096)")
+    require(lambdaRel > 0.0 && lambdaRel <= 1.0, s"lambdaRel=$lambdaRel")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("rel").desc, col(idCol))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"))
+      .withColumn("__nq", sqrt(dot(col("__qvec"), col("__qvec")))))
+    val cands = emb
+      .withColumn("__nb", sqrt(dot(col(vecCol), col(vecCol))))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("rel",
+        round(dot(col(vecCol), col("__qvec")) / (col("__nb") * col("__nq")),
+          roundTo))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topN)
+      .select(col("query_id"), col(idCol).as("cand_id"), col("rel"),
+        col(vecCol).as("__cvec"))
+    val lam = lambdaRel
+    val oneMinus = 1.0 - lambdaRel
+    val kk = k
+    val rt = roundTo
+    val greedy = udf {
+      (ids: Seq[Long], rels: Seq[Double], vecs: Seq[Seq[Float]]) =>
+        // DuckDB's DOUBLE ROUND is round(v·10^s)/10^s with half away from
+        // zero — the SCALED value decides (0.7·0.3245 scales to exactly
+        // 2271.5 → 0.2272 even though the unscaled binary is below the
+        // boundary; 0.7·0.3985 scales to 2789.4999… → 0.2789). Neither
+        // BigDecimal path (valueOf decimal-string OR exact-binary)
+        // reproduces both; the scaled-floor form does, verified against
+        // the engine at the gate's own boundary cases.
+        val pow = math.pow(10, rt)
+        def rnd(v: Double): Double =
+          (if (v >= 0) math.floor(v * pow + 0.5)
+           else math.ceil(v * pow - 0.5)) / pow
+        val n = ids.length
+        val va = vecs.map(_.toArray).toArray
+        val norms = va.map { v =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(s)
+        }
+        def sim(a: Int, b: Int): Double = {
+          val x = va(a); val y = va(b)
+          var s = 0.0; var i = 0
+          while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+          rnd(s / (norms(a) * norms(b)))
+        }
+        val picked = new Array[Boolean](n)
+        // TRUE max rounded sim to the selected set — may be negative, so
+        // it only becomes defined after the first pick (the first pick's
+        // redundancy term is exactly 0, one uniform formula)
+        val maxSim = new Array[Double](n)
+        var anySelected = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var r = 1
+        while (r <= math.min(kk, n)) {
+          var bi = -1
+          var bs = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val ms = if (anySelected) maxSim(i) else 0.0
+              val s = rnd(lam * rels(i) - oneMinus * ms)
+              if (s > bs || (s == bs && (bi < 0 || ids(i) < ids(bi)))) {
+                bs = s; bi = i
+              }
+            }
+            i += 1
+          }
+          picked(bi) = true
+          out += MmrPick(r, ids(bi), rels(bi), bs)
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val sj = sim(j, bi)
+              if (!anySelected || sj > maxSim(j)) maxSim(j) = sj
+            }
+            j += 1
+          }
+          anySelected = true
+          r += 1
+        }
+        out.toSeq
+    }
+    cands.groupBy("query_id")
+      .agg(collect_list("cand_id").as("__ids"),
+        collect_list("rel").as("__rels"),
+        collect_list("__cvec").as("__vecs"))
+      .select(col("query_id"),
+        explode(greedy(col("__ids"), col("__rels"), col("__vecs"))).as("p"))
+      .select(col("query_id"), col("p.mmr_rank"), col("p.cand_id"),
+        col("p.rel"), col("p.mmr_score"))
+  }
+
   /** Johnson–Lindenstrauss projection of an embedding column to
     * `outDim` dims (codegen'd [[graft.functions.ProjectVec]] kernel) —
     * the build-time materialization for [[bruteForceKnnProjected]]: at

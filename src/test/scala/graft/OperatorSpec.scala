@@ -2787,6 +2787,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  // --- MMR diversified reranking ----------------------------------------
+
+  test("mmrRerank: the second pick trades relevance for diversity; " +
+    "deterministic under layout") {
+    import graft.similarity.Similarity
+    // q = (1,1,0). c(id 3) is most relevant; a(id 1) and b(id 2) tie on
+    // relevance (0.7071) but a is MORE similar to c (0.743 vs 0.669), so
+    // MMR picks b second — pure relevance with id tie-break would pick a.
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(1f, 0.9f, 0f)),
+      (9L, Seq(1f, 1f, 0f))) // the query vector
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 9L)
+    val got = Similarity.mmrRerank(emb, q, "vec_id", "embedding",
+        k = 3, topN = 10, lambdaRel = 0.7)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toList == List((1, 3L), (2, 2L), (3, 1L)), s"${got.toList}")
+    // layout-invariant
+    val got7 = Similarity.mmrRerank(emb.repartition(7), q, "vec_id",
+        "embedding", k = 3, topN = 10, lambdaRel = 0.7)
+      .orderBy("mmr_rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got7.toList == got.toList)
+    // k beyond the candidate count returns what exists; bad args throw
+    assert(Similarity.mmrRerank(emb, q, "vec_id", "embedding",
+      k = 9, topN = 10, lambdaRel = 0.7).count() == 3)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, "vec_id", "embedding", 5, 4, 0.7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(emb, q, "vec_id", "embedding", 2, 10, 0.0)
+    }
+  }
+
   // --- gap fill + funnel ------------------------------------------------
 
   test("gapFill: empty buckets materialize with n=0 and forward-filled sums") {
