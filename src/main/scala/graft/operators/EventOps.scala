@@ -53,6 +53,53 @@ object EventOps {
         col("n_obs").isNotNull.cast("int").as("observed"))
   }
 
+  /** Session PATH mining — "what do sessions actually look like": events
+    * are cut into gap-based sessions (the e02 rule: a new session after
+    * `gapSec` of inactivity), each session becomes its ordered
+    * event-type path truncated to the first `maxLen` steps (the prefix
+    * is the analyzable object — full paths are near-unique), and the
+    * report is the top-`topK` paths by session count. The product
+    * question this answers: which flows dominate, where do they diverge.
+    *
+    * Determinism: per-session order is (ts, event_id) — materialized by
+    * sort_array over collected (ts, event_id, type) structs, so the
+    * collect order never matters; top-k cuts on (count DESC, path ASC),
+    * a total order.
+    *
+    * Scale shape: ONE per-key window (the sessionize shuffle), a
+    * (key, session) aggregate whose state is ≤ maxLen+structs per
+    * session... collected structs per session are bounded by the
+    * session's own length — the same bound e02's count/min/max carry —
+    * then a path-keyed partial-agg count and a TakeOrdered top-k. No
+    * corpus-wide window anywhere.
+    */
+  def sessionPaths(df: DataFrame, keyCol: String, typeCol: String,
+                   tsCol: String, gapSec: Long = 1800,
+                   maxLen: Int = 8, topK: Int = 25,
+                   tieCol: String = "event_id"): DataFrame = {
+    require(gapSec > 0 && maxLen >= 1 && topK >= 1,
+      s"gapSec=$gapSec maxLen=$maxLen topK=$topK")
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val running = byKey.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.withColumn("__tsec", col(tsCol).cast("double"))
+      .withColumn("__gap", col("__tsec") - lag(col("__tsec"), 1).over(byKey))
+      .withColumn("__new",
+        when(col("__gap").isNull || col("__gap") > gapSec.toDouble, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(running))
+      .groupBy(col(keyCol), col("__sess"))
+      .agg(collect_list(struct(col(tsCol).as("t"), col(tieCol),
+        col(typeCol).as("et"))).as("__evs"))
+      .select(array_join(
+        slice(transform(sort_array(col("__evs")), e => e.getField("et")),
+          1, maxLen), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Cohort RETENTION analysis — the funnel's companion report: keys are
     * cohorted by the period of their FIRST event, and each (cohort,
     * period-offset) cell reports how many of that cohort were active

@@ -111,6 +111,14 @@ object Events {
     // step k-1 and within the window; per-user reached ∈ {1,2,3}. Three
     // filtered skeleton aggregates joined on user_id — no window over
     // the event stream, no per-event state.
+    // A15d: session path mining — gap-based sessions (the e02 rule)
+    // reduced to their ordered event-type 8-prefix paths, counted
+    // corpus-wide, top-25 under the (count DESC, path) total order.
+    "e10_session_paths" -> { (s, dir) =>
+      graft.operators.EventOps.sessionPaths(Tables(s, dir, "events"),
+        "user_id", "event_type", "ts")
+    },
+
     // A15c: weekly cohort retention — keys cohorted by the ISO week of
     // their first qualifying event; each (cohort, offset) cell counts
     // the cohort members active again k weeks later, with an
@@ -224,6 +232,29 @@ object Events {
         |FROM scaffold s
         |LEFT JOIN obs o ON o.user_id = s.user_id AND o.bucket = s.bucket
         |ORDER BY s.user_id, s.bucket""".stripMargin,
+
+    "e10_session_paths" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+        |      - LAG(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |paths AS (
+        |  SELECT array_to_string(
+        |    list_slice(list(event_type ORDER BY ts, event_id), 1, 8),
+        |    '>') AS path
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 25""".stripMargin,
 
     "e09_retention" ->
       """WITH active AS (

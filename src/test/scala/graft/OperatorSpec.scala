@@ -2844,6 +2844,41 @@ class OperatorSpec extends SparkSpec {
       (2L, "2024-01-01 07", 1L, 1.0, 1)), s"${got.toList}")
   }
 
+  test("sessionPaths: gap-cut 8-prefix paths counted under a total order") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 session 1: a>b>c ; session 2 (after a 40-min gap): d
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:05:00"), 1L, "b"),
+      (3L, ts("2024-01-01 00:10:00"), 1L, "c"),
+      (4L, ts("2024-01-01 00:50:00"), 1L, "d"),
+      // u2: a>b>c (same path as u1's first session)
+      (5L, ts("2024-01-01 00:00:00"), 2L, "a"),
+      (6L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (7L, ts("2024-01-01 00:02:00"), 2L, "c"),
+      // u3: ten events — the path truncates at the 8-prefix
+      ) ++ (0 until 10).map(i =>
+        (10L + i, ts(f"2024-01-01 01:${i}%02d:00"), 3L, s"e$i"))
+    val got = EventOps.sessionPaths(
+        ev.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "event_type", "ts", gapSec = 1800, maxLen = 8, topK = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toList == List(
+      ("a>b>c", 2L), ("d", 1L),
+      ("e0>e1>e2>e3>e4>e5>e6>e7", 1L)), s"${got.toList}")
+    // topK truncates under the same total order
+    val top1 = EventOps.sessionPaths(
+        ev.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "event_type", "ts", topK = 1)
+      .collect().map(_.getString(0))
+    assert(top1.toList == List("a>b>c"))
+    intercept[IllegalArgumentException] {
+      EventOps.sessionPaths(ev.toDF("event_id", "ts", "user_id",
+        "event_type"), "user_id", "event_type", "ts", maxLen = 0)
+    }
+  }
+
   test("retention: hand-computed weekly cohort cells with integral ppm") {
     import graft.operators.EventOps
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
