@@ -763,7 +763,101 @@ object WikiMarkup {
             else math.max(len + num, startIdx)
           Some(segs.slice(startIdx, endIdx).mkString("/"))
         }
+      case "#time" => Some(evalTime(arg(0), arg(1)))
       case _ => None
+    }
+  }
+
+  // English month/day name tables for #time — hand-pinned rather than
+  // JVM-locale-derived, so output can never drift with the runtime locale
+  private val TimeMonths = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+  private val TimeDays = Array("Monday", "Tuesday", "Wednesday", "Thursday",
+    "Friday", "Saturday", "Sunday") // index 0 = ISO day 1
+
+  /** `{{#time: format | datetime }}` — the PHP-date-vocabulary time
+    * formatter (the last big ParserFunctions surface; the reference's
+    * grammar comment names the shape, implements nothing). DETERMINISM
+    * CONTRACT, deliberately narrower than MediaWiki: the datetime
+    * argument is REQUIRED (MediaWiki defaults to page-render time — a
+    * nondeterministic output is a bug in a batch corpus tool, so an
+    * omitted or unparsable argument yields the standard error span), and
+    * accepted forms are the unambiguous ones: `YYYY-MM-DD`,
+    * `YYYY-MM-DD HH:MM:SS` (or `T` separator), the 14-digit MediaWiki
+    * timestamp, and `@<unix seconds>`. All arithmetic is UTC (MediaWiki's
+    * default). Format codes are the PHP `date()` core set — Y y L n m M
+    * F t j d z N w D l a A g h G H i s U c — with `\x` escaping the next
+    * character and every unrecognized character passing through
+    * literally (PHP's rule).
+    */
+  private def evalTime(format: String, datetime: String): String = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    def err = """<strong class="error">Error: Invalid time.</strong>"""
+    val dtStr = datetime.trim
+    val parsed: Option[LocalDateTime] =
+      try {
+        if (dtStr.isEmpty) None
+        else if (dtStr.startsWith("@"))
+          Some(LocalDateTime.ofEpochSecond(dtStr.drop(1).toLong, 0,
+            ZoneOffset.UTC))
+        else if (dtStr.matches("\\d{14}"))
+          Some(LocalDateTime.of(
+            dtStr.substring(0, 4).toInt, dtStr.substring(4, 6).toInt,
+            dtStr.substring(6, 8).toInt, dtStr.substring(8, 10).toInt,
+            dtStr.substring(10, 12).toInt, dtStr.substring(12, 14).toInt))
+        else if (dtStr.matches("\\d{4}-\\d{2}-\\d{2}"))
+          Some(LocalDate.parse(dtStr).atStartOfDay())
+        else if (dtStr.matches("\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}:\\d{2}"))
+          Some(LocalDateTime.parse(dtStr.replace(' ', 'T')))
+        else None
+      } catch { case _: RuntimeException => None }
+    parsed match {
+      case None => err
+      case Some(dt) =>
+        val sb = new StringBuilder
+        var i = 0
+        def pad2(v: Int) = f"$v%02d"
+        while (i < format.length) {
+          val c = format.charAt(i)
+          if (c == '\\' && i + 1 < format.length) {
+            sb.append(format.charAt(i + 1)); i += 2
+          } else {
+            val isoDow = dt.getDayOfWeek.getValue // Mon=1..Sun=7
+            sb.append(c match {
+              case 'Y' => dt.getYear.toString
+              case 'y' => pad2(dt.getYear % 100)
+              case 'L' => if (dt.toLocalDate.isLeapYear) "1" else "0"
+              case 'n' => dt.getMonthValue.toString
+              case 'm' => pad2(dt.getMonthValue)
+              case 'M' => TimeMonths(dt.getMonthValue - 1).take(3)
+              case 'F' => TimeMonths(dt.getMonthValue - 1)
+              case 't' => dt.toLocalDate.lengthOfMonth.toString
+              case 'j' => dt.getDayOfMonth.toString
+              case 'd' => pad2(dt.getDayOfMonth)
+              case 'z' => (dt.getDayOfYear - 1).toString
+              case 'N' => isoDow.toString
+              case 'w' => (isoDow % 7).toString
+              case 'D' => TimeDays(isoDow - 1).take(3)
+              case 'l' => TimeDays(isoDow - 1)
+              case 'a' => if (dt.getHour < 12) "am" else "pm"
+              case 'A' => if (dt.getHour < 12) "AM" else "PM"
+              case 'g' => (((dt.getHour + 11) % 12) + 1).toString
+              case 'h' => pad2(((dt.getHour + 11) % 12) + 1)
+              case 'G' => dt.getHour.toString
+              case 'H' => pad2(dt.getHour)
+              case 'i' => pad2(dt.getMinute)
+              case 's' => pad2(dt.getSecond)
+              case 'U' => dt.toEpochSecond(ZoneOffset.UTC).toString
+              case 'c' => dt.toLocalDate.toString + "T" +
+                pad2(dt.getHour) + ":" + pad2(dt.getMinute) + ":" +
+                pad2(dt.getSecond) + "+00:00"
+              case other => other.toString
+            })
+            i += 1
+          }
+        }
+        sb.toString
     }
   }
 

@@ -133,8 +133,9 @@ class WikiMarkupSpec extends AnyFunSuite {
     val magic = "a {{PAGENAME}} b"
     assert(WikiMarkup.expandTemplates(magic, lib) == magic)
     assert(WikiMarkup.clean(WikiMarkup.expandTemplates(magic, lib)) == "a b")
-    // unknown #functions keep the unknown-template rule
-    val unk = "a {{#time: Y}} b"
+    // unknown #functions keep the unknown-template rule (#invoke is Lua,
+    // out of scope by design — #time is implemented since round 15)
+    val unk = "a {{#invoke: foo | bar}} b"
     assert(WikiMarkup.expandTemplates(unk, lib) == unk)
     assert(WikiMarkup.clean(WikiMarkup.expandTemplates(unk, lib)) == "a b")
     // nested inside a known template's argument: the known layer expands
@@ -169,6 +170,27 @@ class WikiMarkupSpec extends AnyFunSuite {
     assert(x("{{#expr: not 0 and 2 >= 2}}") == "1")
     assert(x("{{#expr: 1 / 0}}").contains("Expression error"))
     assert(x("{{#expr: banana}}").contains("Expression error"))
+    // round-15 #time: PHP date vocabulary over an EXPLICIT datetime
+    // (deterministic contract: no argument / unparsable → error span,
+    // never page-render time)
+    assert(x("{{#time: Y-m-d | 2024-02-29 }}") == "2024-02-29")
+    assert(x("{{#time: j F Y | 2024-02-29 }}") == "29 February 2024")
+    assert(x("{{#time: D N w | 2024-01-01 }}") == "Mon 1 1") // ISO Monday
+    assert(x("{{#time: l | 2024-01-07 }}") == "Sunday")
+    assert(x("{{#time: w | 2024-01-07 }}") == "0") // PHP w: Sunday = 0
+    assert(x("{{#time: L t z | 2024-02-29 }}") == "1 29 59")
+    assert(x("{{#time: H:i:s g A | 2024-01-01 13:05:09 }}") == "13:05:09 1 PM")
+    assert(x("{{#time: g a | 2024-01-01 00:30:00 }}") == "12 am")
+    assert(x("{{#time: U | 2024-01-01 00:00:00 }}") == "1704067200")
+    assert(x("{{#time: Y-m-d H:i:s | @1704067200 }}") == "2024-01-01 00:00:00")
+    assert(x("{{#time: c | 20240105100000 }}") == "2024-01-05T10:00:00+00:00")
+    // escaping and literal pass-through (PHP's rule)
+    assert(x("""{{#time: \Y=Y | 2024-01-01 }}""") == "Y=2024")
+    assert(x("{{#time: Y? | 2024-01-01 }}") == "2024?")
+    // the deterministic-contract error spans
+    assert(x("{{#time: Y }}").contains("Invalid time"))
+    assert(x("{{#time: Y | next Tuesday }}").contains("Invalid time"))
+    assert(x("{{#time: Y | 2024-13-40 }}").contains("Invalid time"))
     // round-15 breadth: #ifexpr / #tag / case + pad magic words
     assert(x("{{#ifexpr: 2 > 1 | yes | no}}") == "yes")
     assert(x("{{#ifexpr: 1 = 2 | yes | no}}") == "no")
