@@ -28,6 +28,43 @@ private[graft] trait DedupNgram { this: Dedup.type =>
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
+  /** Near-dup pair EXPLANATION — the human-readable evidence behind a
+    * dedup verdict: for each (a, b) pair, both sides' distinct n-gram
+    * counts, the SHARED count, the integral-ppm Jaccard, and the
+    * lexicographically smallest shared n-gram as a concrete example —
+    * "these two documents share 84% of their bigrams, e.g. 'click the'".
+    * The d23 cluster profile answers what dedup found in aggregate; this
+    * answers WHY for a specific pair, which is what a curation reviewer
+    * auditing borderline drops actually reads.
+    *
+    * Determinism: grams are [[ngramSet]]'s (textual twin of the hashed
+    * join representation), the ppm is exact integer division, the
+    * example is a MIN over the shared set (order-free). Scale shape:
+    * `pairs` is a bounded skeleton by contract (an audit sample, not the
+    * corpus pair closure); the gram projection runs once per REFERENCED
+    * document via the pair joins, and everything after the two joins is
+    * row-local array algebra.
+    */
+  def explainPairs(docs: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n=$n")
+    val g = docs.select(col(idCol).as("__id"), ngramSet(col(textCol), n).as("__g"))
+    pairs
+      .join(g.select(col("__id").as("a"), col("__g").as("__ga")), "a")
+      .join(g.select(col("__id").as("b"), col("__g").as("__gb")), "b")
+      .withColumn("__sh", array_intersect(col("__ga"), col("__gb")))
+      .withColumn("n_a", size(col("__ga")))
+      .withColumn("n_b", size(col("__gb")))
+      .withColumn("n_shared", size(col("__sh")))
+      .withColumn("jaccard_ppm",
+        when(col("n_a") + col("n_b") - col("n_shared") > 0,
+          expr("CAST(n_shared AS BIGINT) * 1000000 div " +
+            "CAST(n_a + n_b - n_shared AS BIGINT)")))
+      .withColumn("example_gram", array_min(col("__sh")))
+      .select("a", "b", "n_a", "n_b", "n_shared", "jaccard_ppm",
+        "example_gram")
+  }
+
   /** Distinct word n-gram set as 64-bit hashes, built in one tight loop
     * (token murmur hashes combined per gram). The join-side representation
     * for Jaccard verification at scale: 8-byte elements instead of strings

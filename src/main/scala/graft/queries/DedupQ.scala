@@ -185,6 +185,22 @@ object DedupQ {
         .limit(50)
     },
 
+    // L80b: near-dup pair explanation — d04's adjacent pairs with the
+    // human-readable evidence: both gram counts, the shared count, the
+    // integral-ppm Jaccard, and the smallest shared bigram as a concrete
+    // example. The reviewer-facing "WHY was this pair flagged" report.
+    "d28_dup_explain" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val docs = Tables(s, dir, "documents")
+      val pairs = docs.select(col("doc_id"), col("source"))
+        .withColumn("b", lead(col("doc_id"), 1).over(w))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id").as("a"), col("b"))
+      Dedup.explainPairs(docs, pairs, "text", "doc_id")
+        .orderBy("a", "b")
+    },
+
     // L20: benchmark contamination — corpus docs (id ≥ 20) sharing distinct
     // 5-grams with the "benchmark" slice (id < 20). Hashed grams in Spark ≡
     // string grams in the oracle, same argument as d04.
@@ -1065,6 +1081,34 @@ object DedupQ {
         |FROM p
         |ORDER BY jaccard DESC, a, b
         |LIMIT 50""".stripMargin,
+
+    // d28: the same adjacent pairs and textual bigram sets as d04's
+    // oracle, surfaced as evidence columns (integral-ppm Jaccard, min
+    // shared gram)
+    "d28_dup_explain" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    list_distinct(CASE WHEN len(toks) < 2
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1]) END) AS grams
+        |  FROM t),
+        |j AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, a.grams AS ga, b.grams AS gb,
+        |    list_intersect(a.grams, b.grams) AS sh
+        |  FROM g a JOIN g b ON a.source = b.source AND b.rn = a.rn + 1)
+        |SELECT a, b, CAST(len(ga) AS INT) AS n_a, CAST(len(gb) AS INT) AS n_b,
+        |  CAST(len(sh) AS INT) AS n_shared,
+        |  CASE WHEN len(ga) + len(gb) - len(sh) > 0
+        |       THEN (len(sh) * 1000000) // (len(ga) + len(gb) - len(sh))
+        |  END AS jaccard_ppm,
+        |  list_aggregate(sh, 'min') AS example_gram
+        |FROM j
+        |ORDER BY a, b""".stripMargin,
 
     // Same 5-gram sets as Dedup.contamination, spelled with string grams.
     "d06_contamination" ->

@@ -2787,6 +2787,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  // --- near-dup pair explanation ------------------------------------------
+
+  test("explainPairs: shared-gram evidence with integral ppm and min example") {
+    import graft.dedup.Dedup
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "x y"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Dedup.explainPairs(docs, pairs, "text", "doc_id")
+      .orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getString(6)))
+    // (1,2): grams {a b, b c, c d} vs {b c, c d, d e} → 2 shared of 4 union
+    assert(got.toList == List(
+      (1L, 2L, 3, 3, 2, 500000L, "b c"),
+      (2L, 3L, 3, 1, 0, 0L, null),
+      (3L, 4L, 1, -1, -1, -1L, null)), s"${got.toList}")
+  }
+
   // --- MMR diversified reranking ----------------------------------------
 
   test("mmrRerank: the second pick trades relevance for diversity; " +
