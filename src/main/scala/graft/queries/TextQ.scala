@@ -357,6 +357,17 @@ object TextQ {
         .orderBy("doc_id", "seg_id")
     },
 
+    // L101b: per-document language purity over the t53 multilingual salt
+    // — dominant per-line language, line counts, integral-ppm purity:
+    // the threshold signal a curation gate reads instead of trusting the
+    // whole-document vote on mixed pages.
+    "t54_lang_purity" -> { (s, dir) =>
+      val salted = Tables(s, dir, "documents")
+        .withColumn("qtext", expr(OracleHashLib.t53SaltSqlExpr))
+      TextOps.langPurity(salted, "qtext", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // L100: deterministic stratified sampling — 5 docs per source by
     // hash order (key64(doc_id), doc_id): the balanced eval-carve-out /
     // per-stratum inspection op, engine-replayable because the sample is
@@ -994,6 +1005,54 @@ object TextQ {
          |FROM s1
          |GROUP BY doc_id, seg_id, lang
          |ORDER BY doc_id, seg_id""".stripMargin,
+
+    // t54: the t53 per-line vote fragments + per-doc (count DESC, lang)
+    // argmax + integral-ppm purity
+    "t54_lang_purity" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${OracleHashLib.t53SaltSqlExpr} AS qtext
+         |  FROM documents),
+         |lx AS (
+         |  SELECT doc_id, string_split(qtext, chr(10)) AS lines FROM raw),
+         |li AS (
+         |  SELECT doc_id, unnest(range(1, len(lines) + 1)) AS i, lines
+         |  FROM lx),
+         |l AS (
+         |  SELECT doc_id, lines[i] AS line,
+         |    string_split_regex(lower(lines[i]), '\\s+') AS toks
+         |  FROM li),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(line, '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS cjk,
+         |    CAST(len(regexp_extract_all(line, '[\\x{3040}-\\x{30FF}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS kana,
+         |    CAST(len(regexp_extract_all(line, '[\\x{AC00}-\\x{D7A3}]')) AS DOUBLE)
+         |      / GREATEST(CAST(LENGTH(line) AS DOUBLE), 1.0) AS hangul,
+         |    $langCountsSql
+         |  FROM l),
+         |b AS (SELECT *, $langBestSql AS best FROM c),
+         |v AS (
+         |  SELECT doc_id,
+         |    CASE WHEN hangul > 0.25 THEN 'ko'
+         |         WHEN kana > 0.10 THEN 'ja'
+         |         WHEN cjk > 0.25 THEN 'zh'
+         |         WHEN best = 0 THEN 'und'
+         |         $langVoteCaseSql END AS lang
+         |  FROM b),
+         |cnts AS (
+         |  SELECT doc_id, lang, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines
+         |        FROM cnts GROUP BY 1),
+         |dom AS (
+         |  SELECT doc_id, lang AS dominant_lang, cnt AS n_dominant
+         |  FROM cnts
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, lang) = 1)
+         |SELECT d.doc_id, d.dominant_lang, t.n_lines, d.n_dominant,
+         |  (d.n_dominant * 1000000) // t.n_lines AS purity_ppm
+         |FROM dom d JOIN tot t USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // t52: the hash-order sample replayed via the certified two-murmur
     // key64 macros — SIGNED 64-bit order (g_s64) because Spark sorts the

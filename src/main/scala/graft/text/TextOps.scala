@@ -132,6 +132,36 @@ object TextOps {
       .agg(min("line_no").as("start_line"), count(lit(1)).as("n_lines"))
   }
 
+  /** Per-document language PURITY — the gate signal [[langSegments]]
+    * exists to feed: the document's dominant per-line language, its line
+    * count, the dominant-language line count, and the integral-ppm
+    * purity. A multilingual page (navigation in one language, content in
+    * another) scores well below 10⁶; a curation pipeline thresholds on
+    * purity_ppm instead of trusting the whole-document vote. Dominance
+    * ties break by (count DESC, lang ASC) — deterministic on any engine.
+    * Same scale shape as langSegments: row-local explode + fused vote,
+    * one per-document window over ≤ |langs| count rows.
+    */
+  def langPurity(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol),
+        explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("lang", langQuality(col("line")).getField("_1"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cnt").desc, col("lang"))
+    counts
+      .withColumn("__r", row_number().over(w))
+      .withColumn("n_lines", sum("cnt").over(Window.partitionBy(col(idCol))))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("lang").as("dominant_lang"),
+        col("n_lines"), col("cnt").as("n_dominant"),
+        expr("cnt * CAST(1000000 AS BIGINT) div n_lines").as("purity_ppm"))
+  }
+
   private val WS = java.util.regex.Pattern.compile("\\s+")
   private val langCodes: Array[String] = stopwords.map(_._1).toArray
   // token → bitmask of languages whose stopword list contains it: the

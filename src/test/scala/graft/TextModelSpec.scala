@@ -569,6 +569,20 @@ class TextModelSpec extends SparkSpec {
       (2L, 0, "en", 0, 1L)), s"${got.toList}")
   }
 
+  test("langPurity: dominant-language share with deterministic tie-break") {
+    val docs = Seq(
+      (1L, "the of and to\nel los de la\nel es la y\nder und die das"),
+      (2L, "the of and to\nel los de la"), // 1-1 tie → lang ASC → en
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.langPurity(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toList == List(
+      (1L, "es", 4L, 2L, 500000L),
+      (2L, "en", 2L, 1L, 500000L)), s"${got.toList}")
+  }
+
   // --- deterministic stratified sampling ------------------------------
 
   test("stratifiedSample: n per group, invariant to layout, insertion-stable") {
