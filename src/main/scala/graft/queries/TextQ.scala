@@ -357,6 +357,14 @@ object TextQ {
         .orderBy("doc_id", "seg_id")
     },
 
+    // L103: one-row corpus health snapshot — doc/null/token counters,
+    // source/language cardinalities, mean tokens, and the
+    // language-distribution Shannon entropy (ROUND-4 nats).
+    "t55_corpus_health" -> { (s, dir) =>
+      TextOps.corpusHealth(Tables(s, dir, "documents"), "text", "lang",
+        "source")
+    },
+
     // L101b: per-document language purity over the t53 multilingual salt
     // — dominant per-line language, line counts, integral-ppm purity:
     // the threshold signal a curation gate reads instead of trusting the
@@ -1005,6 +1013,29 @@ object TextQ {
          |FROM s1
          |GROUP BY doc_id, seg_id, lang
          |ORDER BY doc_id, seg_id""".stripMargin,
+
+    // t55: exact counters + one IEEE division + the ln-sum-then-ROUND-4
+    // entropy convention
+    "t55_corpus_health" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_text,
+        |    CAST(SUM(COALESCE(len(list_filter(
+        |      string_split_regex(text, '\s+'), x -> x <> '')), 0)) AS BIGINT)
+        |      AS n_tokens,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM documents),
+        |lt AS (SELECT COUNT(*) AS nl FROM documents WHERE lang IS NOT NULL),
+        |ent AS (
+        |  SELECT ROUND(SUM(-p * LN(p)), 4) AS lang_entropy
+        |  FROM (SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT nl FROM lt) AS p
+        |        FROM documents WHERE lang IS NOT NULL GROUP BY lang))
+        |SELECT n_docs, n_null_text, n_tokens, n_sources, n_langs,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens,
+        |  lang_entropy
+        |FROM base CROSS JOIN ent""".stripMargin,
 
     // t54: the t53 per-line vote fragments + per-doc (count DESC, lang)
     // argmax + integral-ppm purity

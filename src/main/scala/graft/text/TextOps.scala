@@ -162,6 +162,43 @@ object TextOps {
         expr("cnt * CAST(1000000 AS BIGINT) div n_lines").as("purity_ppm"))
   }
 
+  /** One-row corpus HEALTH snapshot — the numbers an operator glances at
+    * before and after every pipeline run: document/null counts, total
+    * whitespace tokens, mean tokens per doc, source/language
+    * cardinalities, and the language-distribution Shannon entropy in
+    * nats (0 = monolingual; ln(k) = uniform over k) — the one scalar
+    * that flags "this crawl slice lost its language mix" at a glance.
+    * Entropy terms sum then ROUND 4 (the t13/t45 cross-engine ln
+    * convention); every other column is exact integers or one IEEE
+    * division of exact integers.
+    *
+    * Scale shape: one scan with map-side partial aggregation for the
+    * scalar counters, one ≤|langs| skeleton aggregate for the entropy,
+    * and a 1×1 broadcast cross join to stitch the row — nothing keyed,
+    * nothing hot.
+    */
+  def corpusHealth(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   langCol: String, sourceCol: String):
+      org.apache.spark.sql.DataFrame = {
+    val toks = size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+      sum(coalesce(toks.cast("long"), lit(0L))).as("n_tokens"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"))
+      .withColumn("mean_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 4))
+    val langTotal = df.filter(col(langCol).isNotNull)
+      .agg(count(lit(1)).as("__nl"))
+    val entropy = df.filter(col(langCol).isNotNull)
+      .groupBy(col(langCol)).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(langTotal))
+      .select((col("__c").cast("double") / col("__nl")).as("__p"))
+      .agg(round(sum(-col("__p") * log(col("__p"))), 4).as("lang_entropy"))
+    base.crossJoin(broadcast(entropy))
+  }
+
   private val WS = java.util.regex.Pattern.compile("\\s+")
   private val langCodes: Array[String] = stopwords.map(_._1).toArray
   // token → bitmask of languages whose stopword list contains it: the
