@@ -569,6 +569,20 @@ class TextModelSpec extends SparkSpec {
       (2L, 0, "en", 0, 1L)), s"${got.toList}")
   }
 
+  test("corpusHealth: hand-computed counters and language entropy") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s0"), (2L, "d e", "en", "s0"),
+      (3L, null.asInstanceOf[String], "fr", "s1"),
+      (4L, "f", null.asInstanceOf[String], "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.corpusHealth(docs, "text", "lang", "source").head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 2 && r.getLong(4) == 2)
+    assert(r.getDouble(5) == 1.5) // 6 tokens / 4 docs
+    // langs over non-null: en 2/3, fr 1/3 → H = −Σ p ln p ≈ 0.6365
+    assert(r.getDouble(6) == 0.6365, s"entropy ${r.getDouble(6)}")
+  }
+
   test("langPurity: dominant-language share with deterministic tie-break") {
     val docs = Seq(
       (1L, "the of and to\nel los de la\nel es la y\nder und die das"),
