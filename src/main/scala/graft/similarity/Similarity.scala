@@ -31,6 +31,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Scaled-floor half-away-from-zero ROUND of a double column — DuckDB's
+    * DOUBLE ROUND semantics (`round(v·10^s)/10^s`, the SCALED binary
+    * value decides) mirrored in native column algebra: floor/ceil, fully
+    * codegen'd, no UDF. Spark's `round()` renders through BigDecimal
+    * HALF_UP on the decimal string, which diverges at scaled-boundary
+    * values (0.7·0.3245 scales to exactly 2271.5 → DuckDB says 0.2272,
+    * BigDecimal says 0.2271) — so every rounded quantity that feeds BOTH
+    * a hash gate and downstream arithmetic (mmrRerank's rel/sim/score)
+    * must round HERE, one semantics for all three. Long-range safe for
+    * |v| ≤ 2^63/10^s — cosine-scale inputs by construction.
+    */
+  def duckRound(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    when(c >= 0, floor(c * p + lit(0.5)).cast("double") / p)
+      .otherwise(ceil(c * p - lit(0.5)).cast("double") / p)
+  }
+
   /** Exact top-k by cosine against one query vector (as a 1-row broadcast
     * DataFrame with column `qvec`). Ties broken by id for determinism.
     * Norms are computed once per side before the join — per pair only the
@@ -129,8 +146,12 @@ object Similarity {
       .withColumn("__nb", sqrt(dot(col(vecCol), col(vecCol))))
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
+      // duckRound, NOT Spark round: rel is both hash-gated output AND an
+      // input to the greedy's λ·rel − (1−λ)·maxSim — it must share the
+      // scaled-floor semantics sim and mmr_score already use, or a
+      // boundary rel fails the gate and can flip a pick
       .withColumn("rel",
-        round(dot(col(vecCol), col("__qvec")) / (col("__nb") * col("__nq")),
+        duckRound(dot(col(vecCol), col("__qvec")) / (col("__nb") * col("__nq")),
           roundTo))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topN)

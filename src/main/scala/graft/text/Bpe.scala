@@ -198,19 +198,19 @@ object Bpe {
     val bc = spark.sparkContext.broadcast {
       val m = new java.util.HashMap[(String, String), Int](model.merges.size * 2)
       model.merges.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
-      m
+      (m, modelTokens.incrementAndGet())
     }
     val u = udf { (s: String) =>
       if (s == null) null
       else {
-        val ranks = bc.value
+        val (ranks, token) = bc.value
         val cache = encodeCache.get()
         s.split("\\s+").filter(_.nonEmpty).flatMap { w =>
-          var enc = cache.get((System.identityHashCode(ranks), w))
+          var enc = cache.get((token, w))
           if (enc == null) {
             enc = encodeWord(w, ranks)
             if (cache.size < (1 << 16))
-              cache.put((System.identityHashCode(ranks), w), enc)
+              cache.put((token, w), enc)
           }
           enc
         }
@@ -225,10 +225,15 @@ object Bpe {
   def tokenCount(spark: SparkSession, model: BpeModel, text: Column): Column =
     size(encode(spark, model, text))
 
-  // per-executor (thread-shared) word→encoding cache, keyed by model
-  // identity so two models never cross-contaminate
+  // per-executor (thread-shared) word→encoding cache, keyed by a
+  // per-broadcast model token so two models never cross-contaminate.
+  // The token is an AtomicLong draw at broadcast-build time — NOT
+  // System.identityHashCode of the rank map, which is not guaranteed
+  // unique among live objects (two concurrently live models in one JVM
+  // could collide and silently return the other model's encoding).
+  private[text] val modelTokens = new java.util.concurrent.atomic.AtomicLong()
   private lazy val encodeCache =
-    new ThreadLocal[java.util.HashMap[(Int, String), Array[String]]] {
+    new ThreadLocal[java.util.HashMap[(Long, String), Array[String]]] {
       override def initialValue() = new java.util.HashMap()
     }
 }

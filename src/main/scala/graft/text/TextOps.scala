@@ -368,16 +368,24 @@ object TextOps {
     * Scale shape: `row_number` under a rank≤n filter plans Spark's
     * WindowGroupLimit — each map task keeps only its local top-n per
     * group BEFORE the exchange, so the shuffle carries O(tasks·n) rows
-    * per group, never the group (plan-guarded). Ids must be non-null
-    * (null hash keys order differently across engines).
+    * per group, never the group (plan-guarded). Ids must be non-null —
+    * ENFORCED: a null id raises at execution (null hash keys would sort
+    * NULLS FIRST in Spark's window but NULLS LAST under DuckDB's
+    * default, silently diverging the sample; the repo convention is to
+    * fail loudly instead, cf. shardByTokenBudget's surrogate require).
     */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
                        idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"stratifiedSample: n=$n")
     import org.apache.spark.sql.expressions.Window
+    // the guard lives INSIDE the hashed order key so it cannot be pruned:
+    // any row reaching the window sort evaluates it
+    val idChecked = when(col(idCol).isNotNull, col(idCol).cast("string"))
+      .otherwise(raise_error(lit(s"stratifiedSample: null $idCol — " +
+        "null ids order differently across engines; filter or " +
+        "surrogate-key them before sampling")))
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(graft.operators.KeyHash.key64(col(idCol).cast("string")),
-        col(idCol))
+      .orderBy(graft.operators.KeyHash.key64(idChecked), col(idCol))
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }

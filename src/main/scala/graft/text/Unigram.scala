@@ -203,19 +203,19 @@ object Unigram {
     val bc = spark.sparkContext.broadcast {
       val m = new java.util.HashMap[String, java.lang.Long](model.pieces.size * 2)
       model.pieces.foreach { case (p, s) => m.put(p, s) }
-      (m, model.unkScore, model.maxPieceLen)
+      (m, model.unkScore, model.maxPieceLen, modelTokens.incrementAndGet())
     }
     udf { (s: String) =>
       if (s == null) null
       else {
-        val (scores, unk, lMax) = bc.value
+        val (scores, unk, lMax, token) = bc.value
         val cache = encodeCache.get()
         var n = 0
         var total = 0L
         val acc = scala.collection.mutable.ArrayBuffer[String]()
         s.split("\\s+").foreach { w =>
           if (w.nonEmpty) {
-            val key = (System.identityHashCode(scores), w)
+            val key = (token, w)
             var e = cache.get(key)
             if (e == null) {
               e = viterbiWord(w, scores, unk, lMax)
@@ -299,10 +299,16 @@ object Unigram {
     UnigramModel(pieces, unk.head, meta.head.toInt)
   }
 
-  // per-executor word→(pieces, score) cache, keyed by model identity so two
-  // models never cross-contaminate (the Bpe.encodeCache pattern)
+  // per-executor word→(pieces, score) cache, keyed by a per-broadcast model
+  // token so two models never cross-contaminate (the Bpe.encodeCache
+  // pattern). The token is an AtomicLong draw at broadcast-build time —
+  // NOT System.identityHashCode of the broadcast map, which is not
+  // guaranteed unique among live objects (two concurrently live models in
+  // one JVM could collide and silently return the other model's
+  // segmentation).
+  private[text] val modelTokens = new java.util.concurrent.atomic.AtomicLong()
   private lazy val encodeCache =
-    new ThreadLocal[java.util.HashMap[(Int, String), (Array[String], Long)]] {
+    new ThreadLocal[java.util.HashMap[(Long, String), (Array[String], Long)]] {
       override def initialValue() = new java.util.HashMap()
     }
 }
