@@ -108,10 +108,14 @@ object EventOps {
     * ratio in the gate). `truncUnit` is any `date_trunc` unit; offsets
     * are exact integer quotients of epoch-second deltas between
     * truncated period starts (both engines truncate weeks to ISO
-    * Monday), with the period length in seconds supplied by the caller
-    * for non-fixed-length units left unsupported on purpose — month
-    * arithmetic is calendar-dependent and would need its own oracle
-    * treatment.
+    * Monday), with the period length in seconds supplied by the caller.
+    * FIXED-LENGTH periods assume a DST-free session timezone (the repo
+    * runs UTC, Spark's recommended cluster default): under a DST-shifting
+    * zone, `date_trunc('week')` deltas are NOT always multiples of
+    * 604800 s and the truncated quotient would misassign cells — weeks
+    * included, not just months. Calendar-length units (month / quarter /
+    * year) are deliberately NOT approximated here; they get exact
+    * calendar arithmetic in [[retentionCalendar]].
     *
     * Scale shape: one distinct-collapse to (key, period) skeletons, one
     * skeleton aggregate for cohorts, a key-partitioned join, and a
@@ -139,6 +143,48 @@ object EventOps {
         expr("n_active * CAST(1000000 AS BIGINT) div n_cohort"))
   }
 
+  /** [[retention]] for CALENDAR-length periods — month / quarter / year
+    * cohorts, the units fixed-second division cannot express (a month is
+    * 28–31 days; dividing epoch deltas by any constant misassigns
+    * cells). Offsets are exact calendar-unit differences between the
+    * truncated period starts: `months_between` on two month-truncated
+    * timestamps is integral by construction (both sit on day 1,
+    * 00:00:00), and quarter/year offsets are that integer divided by
+    * 3/12 — no float boundary anywhere, engine-replayable as DuckDB's
+    * `date_diff('month', cohort, period)`. Output shape mirrors
+    * [[retention]] with `period_offset` counting `truncUnit`s.
+    *
+    * Scale shape: identical to [[retention]] — distinct-collapse to
+    * (key, period) skeletons, a skeleton cohort aggregate, one
+    * key-partitioned join, one (cohort, offset) group-by.
+    */
+  def retentionCalendar(df: DataFrame, keyCol: String, tsCol: String,
+                        truncUnit: String = "month"): DataFrame = {
+    val monthsPer = truncUnit.toLowerCase match {
+      case "month" => 1
+      case "quarter" => 3
+      case "year" => 12
+      case u => throw new IllegalArgumentException(
+        s"retentionCalendar: unsupported unit '$u' — fixed-length units " +
+          "(week/day/hour) belong to retention(periodSeconds)")
+    }
+    val active = df
+      .select(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("period"))
+      .filter(col("period").isNotNull)
+      .distinct()
+    val cohorts = active.groupBy(keyCol).agg(min("period").as("cohort"))
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    active.join(cohorts, keyCol)
+      .withColumn("period_offset",
+        (months_between(col("period"), col("cohort")) / monthsPer)
+          .cast("long"))
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention_ppm",
+        expr("n_active * CAST(1000000 AS BIGINT) div n_cohort"))
+  }
+
   /** N-step conversion funnel with FIRST-TOUCH semantics: step 1's time
     * is the key's earliest `steps(0)` event; step k's time is the
     * earliest `steps(k-1)` event STRICTLY after step k-1's time and at
@@ -146,24 +192,38 @@ object EventOps {
     * with columns `t_1..t_n` (null once the chain breaks) and `reached`
     * (the highest step index attained, 1-based). First-touch is what
     * makes the report deterministic — every step time is a MIN over a
-    * fixed predicate, no path search.
+    * fixed predicate, no path search. Repeated step types are allowed
+    * (view>click>view>click — the re-engagement funnel): each step is
+    * still a MIN strictly after the previous step's time, so the
+    * semantics stay unambiguous.
     *
-    * Scale shape: n−1 filtered skeleton aggregates chained on the key —
-    * each step frame is at most one row per key, the joins are
-    * key-partitioned, and no window ever runs over the raw event stream.
+    * Scale shape: ONE pass over the event frame keeps only step-typed
+    * rows and the three funnel columns, materialized via `materialize`
+    * (default `Materialize.Local`) — an N-step funnel then reads that
+    * (typically far smaller) frame N times instead of paying N full
+    * corpus scans at 100 TB. The chain itself is n−1 filtered skeleton
+    * aggregates on the key — each step frame is at most one row per key,
+    * the joins are key-partitioned, and no window ever runs over the raw
+    * event stream. `Materialize.Off` restores the lazy N-scan form for
+    * callers whose input is already materialized (a cached table, a
+    * small frame).
     */
   def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
-             steps: Seq[String], withinSeconds: Long): DataFrame = {
+             steps: Seq[String], withinSeconds: Long,
+             materialize: graft.pipeline.Materialize =
+               graft.pipeline.Materialize.Local): DataFrame = {
     require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
-    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     require(withinSeconds > 0, s"withinSeconds=$withinSeconds")
-    val first = df.filter(col(typeCol) === steps.head)
+    val stepEvents = materialize.cut(
+      df.filter(col(typeCol).isin(steps.distinct: _*))
+        .select(col(keyCol), col(typeCol), col(tsCol)), "funnel-steps")
+    val first = stepEvents.filter(col(typeCol) === steps.head)
       .groupBy(keyCol).agg(min(tsCol).as("t_1"))
     val chain = steps.tail.zipWithIndex.scanLeft(first) {
       case (prev, (step, i)) =>
         val t0 = s"t_${i + 1}"
         val t1 = s"t_${i + 2}"
-        df.filter(col(typeCol) === step)
+        stepEvents.filter(col(typeCol) === step)
           .join(prev.select(col(keyCol), col(t0)), keyCol)
           .filter(col(tsCol) > col(t0) &&
             col(tsCol) <= col(t0) + expr(s"INTERVAL $withinSeconds SECOND"))

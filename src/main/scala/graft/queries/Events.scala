@@ -144,6 +144,37 @@ object Events {
           col("t_2").as("t_click"), col("t_3").as("t_purchase"),
           col("reached"))
         .orderBy("user_id")
+    },
+
+    // A15b (deep variant): SIX-step funnel with REPEATED step types —
+    // the re-engagement shape (signup → view → click → view → click →
+    // purchase). The chain reads the step-typed pre-filter ONCE (the
+    // round-16 single-scan funnel: one corpus scan materialized, then
+    // six skeleton aggregates over it — not six corpus scans), and the
+    // repeated types exercise the lifted distinct-steps restriction.
+    "e12_funnel6" -> { (s, dir) =>
+      graft.operators.EventOps.funnel(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "view", "click", "purchase"),
+          withinSeconds = 86400L)
+        .orderBy("user_id")
+    },
+
+    // A15c (calendar variant): MONTH-cohort retention — the calendar-
+    // length periods e09's fixed-second division deliberately refuses
+    // (a month is 28–31 days). Runs over ORDERS, not events: the events
+    // table spans one calendar month (a single degenerate cohort cell),
+    // while orders spans 1995–2001 — 79 month offsets, 1845 cells at
+    // sf0.01. Offsets are months_between on month-truncated starts
+    // (integral by construction) ↔ DuckDB date_diff('month', …): exact
+    // calendar arithmetic on both sides, no float boundary.
+    "e11_retention_month" -> { (s, dir) =>
+      graft.operators.EventOps.retentionCalendar(
+          Tables(s, dir, "orders")
+            .select(col("o_custkey").as("user_id"),
+              col("o_orderdate").as("ts")),
+          "user_id", "ts", "month")
+        .orderBy("cohort", "period_offset")
     }
   )
 
@@ -297,6 +328,65 @@ object Events {
         |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
         |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS reached
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY v.user_id""".stripMargin
+        |ORDER BY v.user_id""".stripMargin,
+
+    "e12_funnel6" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t_1
+        |    AND e.ts <= s1.t_1 + INTERVAL 24 HOUR GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t_2
+        |    AND e.ts <= s2.t_2 + INTERVAL 24 HOUR GROUP BY 1),
+        |s4 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_4
+        |  FROM events e JOIN s3 ON s3.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s3.t_3
+        |    AND e.ts <= s3.t_3 + INTERVAL 24 HOUR GROUP BY 1),
+        |s5 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_5
+        |  FROM events e JOIN s4 ON s4.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s4.t_4
+        |    AND e.ts <= s4.t_4 + INTERVAL 24 HOUR GROUP BY 1),
+        |s6 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_6
+        |  FROM events e JOIN s5 ON s5.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s5.t_5
+        |    AND e.ts <= s5.t_5 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT user_id, t_1, t_2, t_3, t_4, t_5, t_6,
+        |  CASE WHEN t_6 IS NOT NULL THEN 6 WHEN t_5 IS NOT NULL THEN 5
+        |       WHEN t_4 IS NOT NULL THEN 4 WHEN t_3 IS NOT NULL THEN 3
+        |       WHEN t_2 IS NOT NULL THEN 2 ELSE 1 END AS reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |  LEFT JOIN s4 USING (user_id) LEFT JOIN s5 USING (user_id)
+        |  LEFT JOIN s6 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "e11_retention_month" ->
+      """WITH active AS (
+        |  SELECT DISTINCT o_custkey AS user_id,
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        |cohorts AS (
+        |  SELECT user_id, MIN(period) AS cohort FROM active GROUP BY 1),
+        |sizes AS (
+        |  SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort,
+        |    date_diff('month', c.cohort, a.period) AS period_offset,
+        |    COUNT(*) AS n_active
+        |  FROM active a JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cells.cohort, cells.period_offset, cells.n_active,
+        |  s.n_cohort,
+        |  (cells.n_active * 1000000) // s.n_cohort AS retention_ppm
+        |FROM cells JOIN sizes s USING (cohort)
+        |ORDER BY cells.cohort, cells.period_offset""".stripMargin
   )
 }

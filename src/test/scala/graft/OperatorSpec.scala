@@ -2969,9 +2969,59 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventOps.funnel(ev, "user_id", "event_type", "ts", Seq("view"), 3600L)
     }
+    // repeated step types (the re-engagement funnel): each occurrence is
+    // still a MIN strictly after the previous step's time — u5 has one
+    // view then one click then nothing, so view>click>view stops at 2
+    val rep = EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "view"), 3600L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(rep.toList == List((1L, 2), (2L, 1), (3L, 1), (5L, 2)),
+      s"${rep.toList}")
+    // Materialize.Off restores the lazy (unmaterialized) form — same rows
+    val lazyGot = EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), 3600L,
+        materialize = graft.pipeline.Materialize.Off)
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(lazyGot.toList == List((1L, 3), (2L, 1), (3L, 1), (5L, 2)))
+  }
+
+  test("retentionCalendar: month cohorts use calendar arithmetic, not " +
+    "fixed-length division") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 cohort Jan; active again Feb (28 days — 31-day division
+      // would call Jan-31→Feb-29 "offset 0") and Apr
+      (1L, ts("2024-01-31 10:00:00")),
+      (1L, ts("2024-02-29 10:00:00")),
+      (1L, ts("2024-04-01 00:00:00")),
+      // u2 cohort Jan, never again
+      (2L, ts("2024-01-05 09:00:00")),
+      // u3 cohort Mar (boundary instant), active Apr twice — distinct
+      // collapses the second April row
+      (3L, ts("2024-03-01 00:00:00")),
+      (3L, ts("2024-04-20 23:00:00")),
+      (3L, ts("2024-04-25 01:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.retentionCalendar(ev, "user_id", "ts", "month")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toList == List(
+      ("2024-01-01", 0L, 2L, 2L, 1000000L),
+      ("2024-01-01", 1L, 1L, 2L, 500000L),
+      ("2024-01-01", 3L, 1L, 2L, 500000L),
+      ("2024-03-01", 0L, 1L, 1L, 1000000L),
+      ("2024-03-01", 1L, 1L, 1L, 1000000L)), s"${got.toList}")
+    // quarter offsets are month offsets div 3; years div 12
+    val q = EventOps.retentionCalendar(ev, "user_id", "ts", "quarter")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1)))
+    assert(q.toList == List(
+      ("2024-01-01", 0L), ("2024-01-01", 1L)), s"${q.toList}")
     intercept[IllegalArgumentException] {
-      EventOps.funnel(ev, "user_id", "event_type", "ts",
-        Seq("view", "view"), 3600L)
+      EventOps.retentionCalendar(ev, "user_id", "ts", "week")
     }
   }
 }

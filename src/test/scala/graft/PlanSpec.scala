@@ -828,4 +828,39 @@ class PlanSpec extends SparkSpec {
           s"exchange ships content column ${a.name}:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("funnel scans the event table once: the step chain reads the " +
+    "materialized step frame, never parquet") {
+    // the round-16 single-scan claim: EventOps.funnel pre-filters
+    // step-typed events in ONE pass and materializes it; each of the N
+    // step aggregates then reads that frame. If a refactor dropped the
+    // cut, N parquet scans of the event table would reappear here — at
+    // 100 TB a 6-step funnel would pay 6 corpus scans.
+    // pinned with AQE off: AdaptiveSparkPlan hides its inner plan from
+    // collect, which would make the zero-scan assertion pass vacuously
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("e08_funnel", "e12_funnel6")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan
+        val parquetScans = plan.collect { case f: FileSourceScanExec => f }
+        assert(parquetScans.isEmpty,
+          s"$q: step chain rescans parquet (${parquetScans.size} scans):\n$plan")
+        // and it does read SOMETHING — the checkpointed step frame
+        assert(plan.toString.contains("Scan ExistingRDD"),
+          s"$q: expected the materialized step frame in the plan:\n$plan")
+      }
+      // Materialize.Off is the documented lazy escape hatch — there the N
+      // scans ARE the plan (one per step frame + the first-step aggregate)
+      val lazyPlan = graft.operators.EventOps.funnel(
+          Tables(spark, sf, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), 86400L,
+          materialize = graft.pipeline.Materialize.Off)
+        .queryExecution.executedPlan
+      val lazyScans = lazyPlan.collect { case f: FileSourceScanExec => f }
+      assert(lazyScans.size >= 3,
+        s"expected >=3 parquet scans under Off:\n$lazyPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
