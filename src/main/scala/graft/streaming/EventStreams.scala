@@ -15,10 +15,14 @@ case class Session(user_id: Long, session_id: Long, n_events: Long,
 private case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, count: Long)
 
 /** One funnel-progress emission: the key just attained `step` (1-based)
-  * of the configured chain at event time `t_step`.
+  * of the configured chain at event time `t_step`. `correction = true`
+  * marks a SUPERSEDING row: a late straggler tightened an already
+  * emitted step time (append streams cannot retract, so the correction
+  * rides as a second row — downstream keeps the minimum `t_step` per
+  * (user_id, step), which corrections only ever lower).
   */
 case class FunnelProgress(user_id: Long, step: Int, step_name: String,
-                          t_step: Timestamp)
+                          t_step: Timestamp, correction: Boolean = false)
 
 private case class FunnelState(timesMs: Seq[Long], lastMs: Long)
 
@@ -125,12 +129,18 @@ object EventStreams {
     * On an event-time-ordered stream the emitted step times are exactly
     * the batch funnel's (spec-pinned); each micro-batch's rows are
     * folded in (ts, event_id) order so within-batch disorder never
-    * matters. Cross-batch stragglers follow the sessionize contract:
-    * an EARLIER step-1 event arriving late tightens the stored time
-    * (downstream gating uses the tightened value) but the already
-    * emitted progress row is not retracted — append-mode streams don't
-    * un-ring bells; exact replay of heavily disordered history is the
-    * batch operator's job.
+    * matters. Cross-batch stragglers: an EARLIER qualifying event
+    * arriving late tightens the stored step time whenever the chain
+    * above it is not yet anchored (the next step unattained — a later
+    * step's time was gated on the OLD value and stays truthful), and
+    * the tightening is SURFACED as a `correction = true` row for the
+    * same (key, step): append-mode streams cannot retract an emitted
+    * row, so the correction supersedes it instead — downstream keeps
+    * the minimum `t_step` per (key, step), which corrections only ever
+    * lower. What corrections do NOT do is re-evaluate events that were
+    * rejected against the old time and are no longer in state; exact
+    * replay of heavily disordered history remains the batch operator's
+    * job (the sessionize contract).
     *
     * State per key: `steps.size` longs + a timestamp, dropped
     * `retentionSec` after the key's last event (event-time timeout) —
@@ -162,18 +172,24 @@ object EventStreams {
               val t = e.ts.getTime
               lastMs = math.max(lastMs, t)
               val k = stepIdx(e.event_type)
-              if (k == 0) {
-                if (times(0) < 0) {
-                  times(0) = t
-                  out += FunnelProgress(userId, 1, steps(0), e.ts)
-                } else if (t < times(0) && times(1) < 0) {
-                  times(0) = t // late straggler: tighten, no re-emission
+              // step k qualifies against the step below it (step 1
+              // against nothing): strictly after, within the window
+              val prevOk = k == 0 || (times(k - 1) >= 0 &&
+                t > times(k - 1) && t <= times(k - 1) + withinSeconds * 1000)
+              if (times(k) < 0) {
+                if (prevOk) {
+                  times(k) = t
+                  out += FunnelProgress(userId, k + 1, steps(k), e.ts)
                 }
-              } else if (times(k) < 0 && times(k - 1) >= 0 &&
-                  t > times(k - 1) &&
-                  t <= times(k - 1) + withinSeconds * 1000) {
+              } else if (t < times(k) && prevOk &&
+                  (k == nSteps - 1 || times(k + 1) < 0)) {
+                // late straggler tightens an EMITTED step: allowed only
+                // while the next step is unanchored (a later step's time
+                // was gated on the old value and must stay truthful) —
+                // and surfaced as a correction row, not silently
                 times(k) = t
-                out += FunnelProgress(userId, k + 1, steps(k), e.ts)
+                out += FunnelProgress(userId, k + 1, steps(k), e.ts,
+                  correction = true)
               }
             }
             state.update(FunnelState(times.toSeq, lastMs))

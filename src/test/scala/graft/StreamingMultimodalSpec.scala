@@ -57,10 +57,13 @@ class StreamingMultimodalSpec extends SparkSpec {
       input.addData(all.drop(4): _*)
       query.processAllAvailable()
       val got = spark.table("funnel_out")
+        .select("user_id", "step", "step_name", "t_step")
         .as[(Long, Int, String, Timestamp)].collect().toSeq.sorted
       assert(got == Seq(
         (7L, 1, "view", ts(0)), (7L, 2, "click", ts(2)),
         (7L, 3, "purchase", ts(5)), (8L, 1, "view", ts(0))), s"$got")
+      // an in-order stream never corrects
+      assert(spark.table("funnel_out").filter(col("correction")).count() == 0)
       // in-order parity: max emitted step and step times equal the batch
       // operator's over the union of both micro-batches
       val batch = graft.operators.EventOps.funnel(
@@ -84,6 +87,67 @@ class StreamingMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventStreams.funnelStream(input.toDS(), Seq("view"), 300)
     }
+  }
+
+  test("streaming funnel: late stragglers emit correction rows that " +
+    "tighten step times; anchored chains stay untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val steps = Seq("view", "click", "purchase")
+    val query = EventStreams.funnelStream(input.toDS(), steps,
+        withinSeconds = 300)
+      .writeStream.format("memory").queryName("funnel_corr_out")
+      .outputMode("append").start()
+    def emitted(): Seq[(Long, Int, Timestamp, Boolean)] =
+      spark.table("funnel_corr_out")
+        .select("user_id", "step", "t_step", "correction")
+        .as[(Long, Int, Timestamp, Boolean)].collect().toSeq.sorted
+    try {
+      // batch 1: u7 attains step 1 at 00:10; u8 runs the full chain;
+      // u9 attains steps 1-2
+      input.addData(
+        Event(1, ts(10), 7, "view", 1.0),
+        Event(2, ts(1), 8, "view", 1.0),
+        Event(3, ts(3), 8, "click", 1.0),
+        Event(4, ts(4), 8, "purchase", 1.0),
+        Event(5, ts(10), 9, "view", 1.0),
+        Event(6, ts(12), 9, "click", 1.0))
+      query.processAllAvailable()
+      val b1 = emitted()
+      assert(b1 == Seq(
+        (7L, 1, ts(10), false),
+        (8L, 1, ts(1), false), (8L, 2, ts(3), false), (8L, 3, ts(4), false),
+        (9L, 1, ts(10), false), (9L, 2, ts(12), false)), s"$b1")
+
+      // batch 2, stragglers: u7's earlier view tightens (step 2 unset) →
+      // correction; u8's earlier purchase tightens (last step, nothing
+      // anchored above) → correction; u9's earlier view does NOT (its
+      // click was gated on the old time — the chain above is anchored)
+      input.addData(
+        Event(7, ts(5), 7, "view", 1.0),
+        Event(8, ts(3, 30), 8, "purchase", 1.0),
+        Event(9, ts(8), 9, "view", 1.0))
+      query.processAllAvailable()
+      val b2 = emitted().diff(b1)
+      assert(b2 == Seq(
+        (7L, 1, ts(5), true),
+        (8L, 3, ts(3, 30), true)), s"$b2")
+
+      // batch 3: u7's click at 00:09 qualifies against the TIGHTENED
+      // step-1 time (strict-after 00:05, within 5 min) — it would have
+      // failed strict-after against the superseded 00:10
+      input.addData(Event(10, ts(9), 7, "click", 1.0))
+      query.processAllAvailable()
+      val b3 = emitted().diff(b1).diff(b2)
+      assert(b3 == Seq((7L, 2, ts(9), false)), s"$b3")
+
+      // downstream contract: min t_step per (user, step) is the truth —
+      // for u7 step 1 that is the corrected 00:05
+      val u7s1 = spark.table("funnel_corr_out")
+        .filter(col("user_id") === 7 && col("step") === 1)
+        .agg(min("t_step")).as[Timestamp].head()
+      assert(u7s1 == ts(5))
+    } finally query.stop()
   }
 
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
