@@ -8,7 +8,7 @@ import graft.Tables
   * {{{
   *   runMain graft.wiki.WikiMain --infn DUMP [--out DIR] [--incubator LANG]
   *     [--vitalfn FILE] [--compress] [--keep-links] [--structure]
-  *     [--expand-templates]
+  *     [--expand-templates | --expand-templates=best-effort]
   * }}}
   *
   * Reads a MediaWiki dump (plain/gz/bz2), extracts and cleans articles, and
@@ -27,6 +27,7 @@ object WikiMain {
     var keepLinks = false
     var structure = false
     var expandTemplates = false
+    var templateBestEffort = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -38,6 +39,8 @@ object WikiMain {
         case "--keep-links" => keepLinks = true; i += 1
         case "--structure" => structure = true; i += 1
         case "--expand-templates" => expandTemplates = true; i += 1
+        case "--expand-templates=best-effort" =>
+          expandTemplates = true; templateBestEffort = true; i += 1
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -48,7 +51,10 @@ object WikiMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = Tables.newSession("graft-wiki", s"local[$cpus]", cpus)
     val cfg = WikiPipeline.Config(keepLinks = keepLinks, structure = structure,
-      incubator = incubator, vitalFn = vitalfn, expandTemplates = expandTemplates)
+      incubator = incubator, vitalFn = vitalfn, expandTemplates = expandTemplates,
+      templateOverflow =
+        if (templateBestEffort) WikiPipeline.TemplateOverflow.BestEffort
+        else WikiPipeline.TemplateOverflow.Fail)
     val t0 = System.nanoTime()
     val rendered = WikiPipeline.run(spark, infn, cfg)
     WikiPipeline.write(rendered, out, compress = compress)

@@ -31,7 +31,29 @@ object WikiPipeline {
       namespaces: Set[String] = WikiMarkup.acceptedNamespaces,
       vitalFn: Option[String] = None,
       expandTemplates: Boolean = false,
-      templateLevels: Int = 1)
+      templateLevels: Int = 1,
+      templateOverflow: TemplateOverflow = TemplateOverflow.Fail)
+
+  /** What to do when `expandTemplates` is requested but the dump's
+    * template library exceeds the driver-collect bound: a caller who
+    * passed `--expand-templates` asked for expanded output, so silently
+    * degrading to drop-all-templates (a log-level WARN was the only
+    * trace) is the wrong default — the run FAILS with the measured size
+    * and the remediation in the message unless the caller explicitly
+    * accepted best-effort (`--expand-templates=best-effort`).
+    */
+  sealed trait TemplateOverflow
+  object TemplateOverflow {
+    /** Refuse the run loudly (default): the caller asked for expansion
+      * and would otherwise get un-expanded output with no visible signal.
+      */
+    case object Fail extends TemplateOverflow
+    /** Log and proceed with expansion disabled — the parity direction
+      * (the reference drops all templates anyway), for callers who want
+      * expansion opportunistically.
+      */
+    case object BestEffort extends TemplateOverflow
+  }
 
   /** The dump's Template: pages as a name → transcluded-body map, for
     * broadcast into [[extract]]. The template namespace is a small slice of
@@ -41,14 +63,18 @@ object WikiPipeline {
     *
     * Guarded: the library's size is measured distributed BEFORE anything
     * is collected, and if it exceeds `maxChars` (en-wiki's ~10⁶ templates
-    * can reach driver-OOM territory) the collect is skipped and the
-    * library comes back empty — expansion soft-disables instead of killing
-    * the driver. The refusal is logged with the measured size so the
-    * operator can raise the bound (with driver memory to match) or
+    * can reach driver-OOM territory) the collect is skipped — under
+    * [[TemplateOverflow.Fail]] (default) the run refuses with the
+    * measured size and the remediation in the exception; under
+    * [[TemplateOverflow.BestEffort]] the library comes back empty and
+    * expansion soft-disables with a WARN carrying the same numbers, so
+    * the operator can raise the bound (with driver memory to match) or
     * pre-filter the namespace.
     */
   def templateLibrary(pages: Dataset[WikiPage],
-                      maxChars: Long = 256L * 1024 * 1024): Map[String, String] = {
+                      maxChars: Long = 256L * 1024 * 1024,
+                      overflow: TemplateOverflow = TemplateOverflow.Fail)
+      : Map[String, String] = {
     import pages.sparkSession.implicits._
     // persisted: the size guard and the collect otherwise each re-run the
     // namespace filter + transclusionBody parse over the whole dump slice
@@ -63,10 +89,21 @@ object WikiPipeline {
         .head().getAs[java.lang.Long](0)
       val size = Option(totalChars).map(_.toLong).getOrElse(0L)
       if (size > maxChars) {
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"template library is $size chars (> $maxChars bound): " +
-            "skipping collect, template expansion disabled for this run")
-        Map.empty
+        val msg = s"template library is $size chars (> $maxChars bound); " +
+          "raise maxChars (with driver memory to match) or pre-filter " +
+          "the Template: namespace"
+        overflow match {
+          case TemplateOverflow.Fail =>
+            throw new IllegalStateException(
+              s"template expansion requested but $msg — or pass " +
+                "best-effort overflow (--expand-templates=best-effort) " +
+                "to proceed with expansion disabled")
+          case TemplateOverflow.BestEffort =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"$msg: skipping collect, template expansion " +
+                "DISABLED for this run (best-effort overflow)")
+            Map.empty
+        }
       } else tpl.collect().toMap
     } finally tpl.unpersist()
   }
@@ -191,7 +228,9 @@ object WikiPipeline {
     val pages = WikiXmlSource.pages(spark, dumpPath)
     // template library from the raw pages (articles() filters Template: out)
     val templates =
-      if (cfg.expandTemplates) templateLibrary(pages) else Map.empty[String, String]
+      if (cfg.expandTemplates)
+        templateLibrary(pages, overflow = cfg.templateOverflow)
+      else Map.empty[String, String]
     val arts = articles(pages, cfg)
     cfg.vitalFn match {
       case None => toSentenceFormat(extract(arts, cfg, templates))

@@ -65,8 +65,17 @@ class WikiPipelineSpec extends SparkSpec {
     // under the bound: both templates collected
     val ok = WikiPipeline.templateLibrary(pages, maxChars = 1L << 20)
     assert(ok.keySet == Set("Big1", "Big2"))
-    // over the bound: soft-fail to an empty library (expansion off), no throw
-    val refused = WikiPipeline.templateLibrary(pages, maxChars = 5000L)
+    // over the bound, default policy: FAIL loudly with the measured size
+    // (round 16 — a caller who asked for expansion must not silently get
+    // un-expanded output)
+    val ex = intercept[IllegalStateException] {
+      WikiPipeline.templateLibrary(pages, maxChars = 5000L)
+    }
+    assert(ex.getMessage.contains("20008 chars") &&
+      ex.getMessage.contains("> 5000 bound"), ex.getMessage)
+    // explicit best-effort: soft-fail to an empty library, no throw
+    val refused = WikiPipeline.templateLibrary(pages, maxChars = 5000L,
+      overflow = WikiPipeline.TemplateOverflow.BestEffort)
     assert(refused.isEmpty)
   }
 
@@ -217,6 +226,24 @@ class WikiPipelineSpec extends SparkSpec {
     assert(plain.contains("Opening then then closing."), s"got: $plain")
     // Template: pages never appear as articles either way
     assert(!expanded.contains("Template:Hello") && !plain.contains("Template:Hello"))
+
+    // overflow contract: a caller who asked for expansion FAILS loudly
+    // when the library exceeds the collect bound (default Fail policy),
+    // with the measured size and the bound in the message...
+    val pages = graft.sources.WikiXmlSource.pages(spark, p.toString)
+    val ex = intercept[IllegalStateException] {
+      WikiPipeline.templateLibrary(pages, maxChars = 4L)
+    }
+    assert(ex.getMessage.contains("> 4 bound") &&
+      ex.getMessage.contains("best-effort"), ex.getMessage)
+    // ...and only the explicit best-effort policy soft-disables (the
+    // pre-round-16 behavior): empty library, run proceeds un-expanded
+    val lib = WikiPipeline.templateLibrary(pages, maxChars = 4L,
+      overflow = WikiPipeline.TemplateOverflow.BestEffort)
+    assert(lib.isEmpty)
+    val bestEffort = render(WikiPipeline.Config(expandTemplates = true,
+      templateOverflow = WikiPipeline.TemplateOverflow.BestEffort))
+    assert(bestEffort.contains("Opening Hello Spark! then Hello world! then closing."))
   }
 
   test("planted conditional template evaluates through the pipeline e2e") {
