@@ -38,13 +38,16 @@ def canon(df):
 
 # ---- local-only UDF gates -------------------------------------------------
 # t35's signal IS java.util.zip raw DEFLATE output (level 6, nowrap), which
-# no SQL engine expresses — but check.py is a Python harness and CPython's
-# zlib is the same zlib, so the ratio is value-exact replayable HERE. The
-# entry is injected locally instead of shipped in oracle_sql.json because
-# the driver's comparator has no UDF registration step: shipping it would
-# turn t35's honest no_oracle row into a FAIL ("function zdeflate_len does
-# not exist"). Rounding mirrors the JVM exactly: BigDecimal.decimal(double)
-# .setScale(4, HALF_UP) == Decimal(float).quantize(1e-4, ROUND_HALF_UP).
+# no SQL engine expresses. Since round 16 the SHIPPED oracle covers it: at
+# dump time Verify exports the expected ratios computed by CPython zlib (a
+# python3 subprocess — independent implementation, independent runtime) and
+# oracle_sql.json reads that parquet back, so the driver's plain-SQL
+# comparator gate-checks t35 like any other query. The UDF below remains as
+# the belt-and-braces DIRECT gate: it recomputes the ratios from the raw
+# documents table in THIS process and is injected only when a run's
+# oracle_sql.json lacks the t35 entry (pre-round-16 dumps). Rounding
+# mirrors the JVM exactly: BigDecimal.decimal(double).setScale(4, HALF_UP)
+# == Decimal(float).quantize(1e-4, ROUND_HALF_UP).
 def _register_local_udf_gates():
     import zlib
     from decimal import Decimal, ROUND_HALF_UP

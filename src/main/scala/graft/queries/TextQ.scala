@@ -12,6 +12,79 @@ import graft.text.{Bpe, Classifier, Html, Importance, LangModel, Search, TextOps
   */
 object TextQ {
 
+  // one export per (exportRoot, sfDir) per JVM: Bench calls the query
+  // lambda four times per recording and the subprocess isn't free
+  private val t35Exported =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** t35's oracle export: the EXPECTED compression ratios, computed by
+    * CPython's zlib (raw deflate, level 6 — the identical parameters the
+    * Spark UDF hands java.util.zip.Deflater, but an independent
+    * implementation reached through an independent runtime), written as
+    * one parquet file under the oracle export root. DuckDB itself has no
+    * deflate scalar and the driver's comparator registers no UDFs, so
+    * this is the only shape in which the driver can hash-gate a codec
+    * output; the rounding mirrors the JVM exactly
+    * (BigDecimal.setScale(4, HALF_UP) == Decimal.quantize(1e-4,
+    * ROUND_HALF_UP) on the double's shortest decimal rendering — the
+    * established check.py zratio formula, value-exact across both
+    * runtimes on every corpus gated since round 13).
+    *
+    * If python3/duckdb are unavailable (not the driver environment, but
+    * a user's cluster may differ) the export falls back to the JVM
+    * Deflater — the gate then degrades from independent-implementation
+    * to replay (still catching every regression outside the codec call
+    * itself) and says so on stderr.
+    */
+  private def exportT35Expected(s: SparkSession, dir: String): Unit = {
+    val root = OracleHashLib.exportRoot
+    if (!t35Exported.add((root, dir))) return
+    val outFile = new java.io.File(root, "t35_expected.parquet")
+    new java.io.File(root).mkdirs()
+    val py =
+      """import duckdb, zlib, sys
+        |from decimal import Decimal, ROUND_HALF_UP
+        |src, out = sys.argv[1], sys.argv[2]
+        |con = duckdb.connect()
+        |def zratio(t):
+        |    if t is None or t == "":
+        |        return None
+        |    raw = t.encode("utf-8")
+        |    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        |    n = len(c.compress(raw)) + len(c.flush())
+        |    return float(Decimal(n / len(raw)).quantize(
+        |        Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        |con.create_function("zratio", zratio, ["VARCHAR"], "DOUBLE",
+        |                    null_handling="special")
+        |con.sql(f"COPY (SELECT doc_id, zratio(text) AS compression_ratio "
+        |        f"FROM '{src}/documents.parquet' ORDER BY doc_id) "
+        |        f"TO '{out}' (FORMAT PARQUET)")
+        |""".stripMargin
+    val ok =
+      try {
+        val p = new ProcessBuilder("python3", "-c", py,
+          dir, outFile.getPath).inheritIO().start()
+        p.waitFor() == 0 && outFile.isFile
+      } catch { case _: java.io.IOException => false }
+    if (!ok) {
+      System.err.println("[t35-export] python3/duckdb unavailable — " +
+        "falling back to the JVM Deflater (gate degrades from " +
+        "independent-implementation to replay)")
+      val tmp = new java.io.File(root, "t35_expected_tmp")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextOps.compressionRatio(col("text"))
+            .as("compression_ratio"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"t35 fallback export produced no parquet part in $tmp"))
+      java.nio.file.Files.move(part.toPath, outFile.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L9: language ID (stopword vote + CJK ratio). Rows-only.
     "t01_langid" -> { (s, dir) =>
@@ -561,10 +634,18 @@ object TextQ {
         .orderBy("doc_id")
     },
 
-    // L81: DEFLATE compression-ratio quality signal (rows-only: DuckDB
-    // has no deflate; determinism + junk/natural/noise separation are
-    // spec-pinned).
+    // L81: DEFLATE compression-ratio quality signal. DuckDB has no
+    // deflate scalar (probed: duckdb_functions() lists none, v1.0.0),
+    // so the oracle follows the t14/t19 export-the-state pattern with
+    // the roles reversed: the EXPECTED values are computed by an
+    // INDEPENDENT implementation — CPython's zlib via a python3
+    // subprocess (guaranteed driver-side next to duckdb itself) — and
+    // exported as parquet the oracle SQL reads back. check.py's local
+    // zratio UDF gate (the same CPython formula) stays as the
+    // belt-and-braces check; determinism + junk/natural/noise
+    // separation remain spec-pinned.
     "t35_compression_ratio" -> { (s, dir) =>
+      exportT35Expected(s, dir)
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.compressionRatio(col("text")).as("compression_ratio"))
@@ -923,6 +1004,14 @@ object TextQ {
         |LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t35: expected side is the CPython-zlib export (independent
+    // implementation of the same RFC 1951 deflate, level 6 / raw) — see
+    // exportT35Expected; the SQL just reads it back in gate shape.
+    "t35_compression_ratio" ->
+      s"""SELECT doc_id, compression_ratio
+         |FROM read_parquet('${OracleHashLib.exportRoot}/t35_expected.parquet')
+         |ORDER BY doc_id""".stripMargin,
+
     "t01_langid" -> langIdOracle,
 
     // t04: the rolling 16-char polynomial fingerprint recomputed — the
