@@ -53,8 +53,10 @@ object Checkpointing {
   /** Executor-local eager cut — fast, dies with an executor. Stateless,
     * so reuse across invocations is safe and cutFinal == cut. */
   case object Local extends Checkpointing {
-    private[graft] def cut(df: DataFrame, slot: String): DataFrame =
+    private[graft] def cut(df: DataFrame, slot: String): DataFrame = {
+      graft.plans.PlanTap.record(s"ckpt:$slot", df)
       df.localCheckpoint()
+    }
   }
 
   /** Parquet round-trip under `dir` — survives executor loss. One
@@ -78,6 +80,7 @@ object Checkpointing {
           "construct a fresh Reliable per operator invocation (a reused " +
           "instance's next cut would delete the file backing the previous " +
           "run's returned DataFrame)")
+      graft.plans.PlanTap.record(s"ckpt:$slot", df)
       val spark = df.sparkSession
       val i: Int =
         rounds.merge(slot, Integer.valueOf(0), (a, _) => Integer.valueOf(a + 1))

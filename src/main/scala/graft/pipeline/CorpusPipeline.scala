@@ -41,11 +41,15 @@ sealed trait Materialize {
     */
   private[graft] def cut(df: DataFrame, tag: String): DataFrame = this match {
     case Materialize.Off => df
-    case Materialize.Local => df.localCheckpoint()
+    case Materialize.Local =>
+      graft.plans.PlanTap.record(s"cut:$tag", df)
+      df.localCheckpoint()
     case Materialize.Disk =>
+      graft.plans.PlanTap.record(s"cut:$tag", df)
       org.apache.spark.sql.graftbridge.Bridge.persistedCopy(df,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     case Materialize.Reliable(dir) =>
+      graft.plans.PlanTap.record(s"cut:$tag", df)
       val path = s"$dir/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
@@ -60,7 +64,9 @@ sealed trait Materialize {
     */
   private[graft] def cutEager(df: DataFrame, tag: String): DataFrame =
     this match {
-      case Materialize.Off => df.localCheckpoint()
+      case Materialize.Off =>
+        graft.plans.PlanTap.record(s"cutEager:$tag", df)
+        df.localCheckpoint()
       case Materialize.Disk =>
         val out = cut(df, tag)
         out.count()

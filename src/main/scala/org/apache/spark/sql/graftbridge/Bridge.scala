@@ -40,6 +40,7 @@ object Bridge {
   def persistedCopyReleasable(df: org.apache.spark.sql.DataFrame,
                               level: org.apache.spark.storage.StorageLevel):
       (org.apache.spark.sql.DataFrame, () => Unit) = {
+    graft.plans.PlanTap.record("persistedCopy", df)
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
@@ -66,6 +67,7 @@ object Bridge {
   def persistedCopyAutoRelease(df: org.apache.spark.sql.DataFrame,
                                level: org.apache.spark.storage.StorageLevel):
       org.apache.spark.sql.DataFrame = {
+    graft.plans.PlanTap.record("persistedCopyAutoRelease", df)
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
