@@ -12,6 +12,24 @@ import org.apache.spark.sql.SparkSession
   * noisy to gate on (one GC pause or page-cache miss reads as a 2.5×
   * regression on unchanged code); the median absorbs one-off stalls in
   * either direction. Total JVM/session bring-up is excluded.
+  *
+  * Alongside wall seconds, a SparkListener accumulates per-query EXECUTOR
+  * CPU seconds (executorCpuTime + executorDeserializeCpuTime over every
+  * task of the timed run) — the host-load-independent number: on a shared
+  * host, co-tenant load inflates wall (the thread is runnable but not
+  * running) while CPU time barely moves, so round-over-round comparisons
+  * made on cpu_s survive a loaded recording that wall_s cannot (three
+  * rounds of `load_untrusted` artifacts motivated this). CPU medians are
+  * taken independently of wall medians — cpu is stable per run, and tying
+  * it to the wall-median run would import wall's noise. Driver-side time
+  * (planning, collect decode) is excluded by construction; for the
+  * scan/shuffle-bound suite the executor side IS the work.
+  *
+  * The printed line keeps the driver's compact schema (wall only — the
+  * driver parses it from a BOUNDED tail capture; doubling the map once
+  * pushed the line past the window and recorded "parsed": null). The full
+  * {wall_s, cpu_s} detail is written to SPARK_GRAFT_DETAIL_OUT when set —
+  * the BENCH_LOCAL_r{N} recording path.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,27 +40,44 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark: SparkSession = Tables.newSession("graft-bench", s"local[$cpus]", cpus)
 
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+        }
+      })
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val secs =
+      val (wall, cpu) =
         try {
           fn(spark, sfDir).count() // warmup: plan + codegen + IO caches
           val runs = Seq.fill(3) {
+            // the listener bus is async: drain before reset and before
+            // read, or a prior run's task-end events leak into this one
+            org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+            cpuNs.set(0L)
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            val w = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+            (w, cpuNs.get / 1e9)
           }
-          runs.sorted.apply(1)
-        } catch { case _: Throwable => -1.0 }
-      name -> secs
+          (runs.map(_._1).sorted.apply(1), runs.map(_._2).sorted.apply(1))
+        } catch { case _: Throwable => (-1.0, -1.0) }
+      name -> ((wall, cpu))
     }
     // millisecond precision: the driver parses this line from a BOUNDED
     // tail capture of the run log, and full double reprs pushed the
     // 68-query line past the capture window (round 9's artifact recorded
     // "parsed": null) — 3 decimals is below bench noise and ~40% shorter
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = results.map { case (k, (w, _)) => f""""$k":$w%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // Host-load self-diagnosis: q03/q05 are stable, CI-plan-guarded queries
     // whose unloaded sf0.1 medians have been flat across rounds (~0.51 s /
     // ~0.52 s, the min over five recorded rounds). The ratio of this run's
@@ -50,10 +85,11 @@ object Bench {
     // recording is the code or the machine — a shared-host stall once made
     // two UNTOUCHED queries read 9× slower and took a full re-run to
     // adjudicate. load_factor ≈ 1 → trust the medians; load_factor ≫ 1 →
-    // the whole recording is inflated by roughly that factor.
+    // the whole recording is inflated by roughly that factor (and the
+    // cpu_s detail is the number to compare instead).
     val sentinelRefs = Map(
       "sf0.1" -> Map("q03_join_agg" -> 0.51, "q05_star_join" -> 0.52))
-    val measured = results.toMap
+    val measured = results.map { case (k, (w, _)) => k -> w }.toMap
     val loadFactor = sentinelRefs.get(new java.io.File(sfDir).getName)
       .map(_.flatMap { case (q, ref) => measured.get(q).filter(_ > 0).map(_ / ref) }
         .toSeq.sorted)
@@ -69,6 +105,17 @@ object Bench {
       (if (untrusted) ""","load_untrusted":true""" else "")
     val sfName = new java.io.File(sfDir).getName
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$lf,"sf":"$sfName"}""")
+    sys.env.get("SPARK_GRAFT_DETAIL_OUT").foreach { p =>
+      val body = results.map { case (k, (w, c)) =>
+        f""""$k":{"wall_s":$w%.3f,"cpu_s":$c%.3f}"""
+      }.mkString("{", ",", "}")
+      val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        f"""{"metric":"bench_detail","sf":"$sfName","cpus":$cpus,""" +
+          f""""wall_total_s":$total%.2f,"cpu_total_s":$cpuTotal%.2f""" +
+          s"""$lf,"queries":$body}""" + "\n")
+      println(s"[bench] detail written to $p")
+    }
     spark.stop()
   }
 }
