@@ -235,6 +235,26 @@ object Relational {
         .limit(100)
     },
 
+    // A29c: HILBERT-curve clustering (round 16) — the better-locality
+    // sibling of q19's Morton interleave and what lakehouse clustering
+    // actually prefers: the curve is CONTINUOUS (consecutive positions
+    // always Manhattan distance 1; Morton jumps corner-to-corner at
+    // power-of-two boundaries), so curve-contiguous row groups cover
+    // tighter rectangles and box predicates prune strictly better at
+    // block boundaries. Stateful across bit levels → a codegen'd
+    // Catalyst expression (one O(bits) loop), not mask-shift algebra;
+    // oracle = the identical per-level algebra as a generated CTE chain.
+    "q23_hilbert" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024L)).as("hx"),
+          pmod(col("l_suppkey"), lit(1024L)).as("hy"))
+        .withColumn("hval",
+          graft.functions.HilbertCurve2(col("hx"), col("hy"), bits = 10))
+        .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    },
+
     // A29b: the 3-column Morton interleave (host-bucket × day × band
     // layouts) — same generated-oracle discipline as q19.
     "q20_zorder3" -> { (s, dir) =>
@@ -466,6 +486,20 @@ object Relational {
          |  $z AS zval
          |FROM lineitem
          |ORDER BY zval, l_orderkey, l_linenumber
+         |LIMIT 100""".stripMargin
+    },
+
+    "q23_hilbert" -> {
+      val stages = graft.functions.HilbertCurve2.duckStages(
+        "src", bits = 10, carry = Seq("l_orderkey", "l_linenumber", "hx", "hy"))
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 1024 AS hx, l_suppkey % 1024 AS hy
+         |  FROM lineitem),
+         |$stages
+         |SELECT l_orderkey, l_linenumber, hx, hy, hval
+         |FROM hf
+         |ORDER BY hval, l_orderkey, l_linenumber
          |LIMIT 100""".stripMargin
     },
 
