@@ -4,19 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** As-of (point-in-time) join: for each left row, the latest right row with
-  * `rightTs <= leftTs` for the same key — the canonical "state at event
-  * time" lookup Spark has no built-in operator for.
+/** As-of (point-in-time) join: for each left row, the nearest right row
+  * at-or-before (`backward`, default) or at-or-after (`forward`) the
+  * left timestamp for the same key — the canonical "state at event time"
+  * lookup Spark has no built-in operator for, with the pandas
+  * `merge_asof` surface: direction and an optional match TOLERANCE (a
+  * nearest match staler than the tolerance yields nulls, the way a
+  * production feature-store lookup refuses stale state).
   *
   * Implemented by composition (preference (a) of the custom-operator
   * ladder): tag both sides, union, and carry the last non-null right
   * payload forward with a running window — ONE shuffle on the key, no
-  * range-condition nested-loop join, no per-key collect. Left rows with no
-  * preceding right row get nulls (left-outer as-of semantics).
+  * range-condition nested-loop join, no per-key collect. `forward` is
+  * the same traversal over descending timestamps. Left rows with no
+  * qualifying right row get nulls (left-outer as-of semantics).
   *
-  * Scale: the single shuffle partitions by key; the within-partition sort
-  * is (ts, side), so cost is the same as any windowed analytic over the
-  * combined stream. Skewed keys fall under AQE's skew handling.
+  * Scale: the single shuffle partitions by key; the within-partition
+  * sort is (ts, side), so cost is the same as any windowed analytic over
+  * the combined stream. Skewed keys fall under AQE's skew handling. The
+  * tolerance is applied AFTER the window as a row-local null-out — it
+  * never becomes a range-join predicate.
   */
 object AsofJoin {
 
@@ -26,11 +33,28 @@ object AsofJoin {
     * @param leftTs      left timestamp column
     * @param rightTs     right timestamp column
     * @param rightCols   right columns to carry (emitted as `asof_<name>`)
+    * @param direction   "backward" (nearest rightTs <= leftTs, default)
+    *                    or "forward" (nearest rightTs >= leftTs)
+    * @param toleranceSeconds  max |leftTs - rightTs| for a match to
+    *                    count; non-positive = unbounded (default)
     */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
-            leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+            leftTs: String, rightTs: String, rightCols: Seq[String],
+            direction: String = "backward",
+            toleranceSeconds: Double = 0.0): DataFrame = {
+    val forward = direction.toLowerCase match {
+      case "backward" => false
+      case "forward" => true
+      case d => throw new IllegalArgumentException(
+        s"asof direction '$d' (backward | forward)")
+    }
     val leftCols = left.columns.toSeq
-    val payloadType = right.select(rightCols.map(col): _*).schema
+    // the matched right timestamp rides INSIDE the payload struct (last
+    // field: among rows tying on (key, ts) it equals __ts, so the
+    // payload tie-break order is unchanged) — the tolerance check needs
+    // it after the window
+    val payloadType = right
+      .select(rightCols.map(col) :+ col(rightTs).as("__rts"): _*).schema
     val lrowType = left.schema
 
     val l = left.select(
@@ -42,19 +66,32 @@ object AsofJoin {
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__side"),
-        struct(rightCols.map(col): _*).as("__payload"),
+        struct(rightCols.map(col) :+ col(rightTs).as("__rts"): _*)
+          .as("__payload"),
         lit(null).cast(lrowType).as("__lrow")): _*)
 
-    // rights sort before lefts at equal ts → "<=" semantics; __payload as the
-    // final key makes the order total when several right rows share a
-    // (key, ts) — last() then deterministically picks the greatest payload
-    // instead of whichever shuffled last (a latent exact-compare flake).
+    // rights sort before lefts at equal ts → inclusive boundary on both
+    // directions; __payload as the final key makes the order total when
+    // several right rows share a (key, ts) — last() then
+    // deterministically picks the greatest payload instead of whichever
+    // shuffled last (a latent exact-compare flake). Forward = identical
+    // traversal over DESCENDING ts: the last right seen before a left is
+    // the nearest rightTs >= leftTs.
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__payload"))
+      .orderBy(tsOrder, col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val raw = last(col("__payload"), ignoreNulls = true).over(w)
+    val gap =
+      if (forward) col("__m.__rts").cast("double") - col("__ts").cast("double")
+      else col("__ts").cast("double") - col("__m.__rts").cast("double")
     val matched = l.unionByName(r)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__m", raw)
+      .withColumn("__match",
+        if (toleranceSeconds > 0)
+          when(gap <= lit(toleranceSeconds), col("__m"))
+        else col("__m"))
       .filter(col("__side") === 1)
 
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++

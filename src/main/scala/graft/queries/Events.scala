@@ -146,6 +146,44 @@ object Events {
         .orderBy("user_id")
     },
 
+    // A18b: as-of join with a match TOLERANCE (round 16) — the
+    // feature-store contract: a nearest preceding click STALER than 4
+    // hours yields null instead of silently serving stale state. Same
+    // single-shuffle union+window plan as e04; the tolerance is a
+    // row-local null-out after the window, never a range predicate.
+    "e13_asof_tolerance" -> { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), toleranceSeconds = 4 * 3600.0)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"))
+        .orderBy("event_id")
+    },
+
+    // A18c: FORWARD as-of join (round 16) — "the next purchase after
+    // this click, within an hour": the other merge_asof direction,
+    // same one-shuffle traversal over descending timestamps. DuckDB
+    // ASOF is backward-only, so the oracle replays the union+window
+    // formulation itself (tie-break included: greatest payload among
+    // equal-timestamp rights).
+    "e14_asof_forward" -> { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.operators.AsofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id"), direction = "forward",
+          toleranceSeconds = 3600.0)
+        .select(col("event_id"), col("user_id"),
+          col("asof_purchase_id").as("next_purchase_id"))
+        .orderBy("event_id")
+    },
+
     // A15b (deep variant): SIX-step funnel with REPEATED step types —
     // the re-engagement shape (signup → view → click → view → click →
     // purchase). The chain reads the step-typed pre-filter ONCE (the
@@ -158,6 +196,24 @@ object Events {
           Seq("signup", "view", "click", "view", "click", "purchase"),
           withinSeconds = 86400L)
         .orderBy("user_id")
+    },
+
+    // A31: SCD2 validity intervals (round 16) — the warehouse temporal
+    // model: per customer, consecutive orders with the SAME status
+    // collapse (no-op updates are the bulk of change streams) and each
+    // surviving version carries [valid_from, valid_to) + version +
+    // is_current. 15000 orders → 10508 versions, up to 18 per customer
+    // at sf0.01. Two windows over ONE (key × (date, orderkey)) sort.
+    "e15_scd2" -> { (s, dir) =>
+      graft.operators.Temporal.validityIntervals(
+          Tables(s, dir, "orders")
+            .select(col("o_custkey").as("custkey"),
+              col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+              col("o_orderstatus").as("status")),
+          "custkey", "ts", Seq("status"), "tie")
+        .select(col("custkey"), col("status"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy("custkey", "version")
     },
 
     // A15c (calendar variant): MONTH-cohort retention — the calendar-
@@ -329,6 +385,65 @@ object Events {
         |       WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS reached
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY v.user_id""".stripMargin,
+
+    "e15_scd2" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |    o_orderkey AS tie, o_orderstatus AS status
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, (lag(status) OVER w IS DISTINCT FROM status
+        |             OR lag(tie) OVER w IS NULL) AS chg
+        |  FROM src WINDOW w AS (PARTITION BY custkey ORDER BY ts, tie)),
+        |kept AS (SELECT custkey, ts, tie, status FROM marked WHERE chg),
+        |v AS (
+        |  SELECT custkey, status, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to,
+        |    row_number() OVER w2 AS version
+        |  FROM kept WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, tie))
+        |SELECT custkey, status, valid_from, valid_to, version,
+        |  CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM v
+        |ORDER BY custkey, version""".stripMargin,
+
+    "e13_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 4 HOUR THEN c.click_id END
+        |    AS click_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS click_id FROM events
+        |   WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "e14_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS pid,
+        |    NULL::TIMESTAMP AS pts, event_id AS cid
+        |  FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, ts, 0 AS side, event_id, ts, NULL
+        |  FROM purchases),
+        |m AS (
+        |  SELECT *,
+        |    last_value(pid IGNORE NULLS) OVER w AS match_pid,
+        |    last_value(pts IGNORE NULLS) OVER w AS match_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, pid
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cid AS event_id, user_id,
+        |  CASE WHEN match_ts <= ts + INTERVAL 1 HOUR THEN match_pid END
+        |    AS next_purchase_id
+        |FROM m WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
 
     "e12_funnel6" ->
       """WITH s1 AS (

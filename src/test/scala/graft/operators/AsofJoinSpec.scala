@@ -36,4 +36,53 @@ class AsofJoinSpec extends SparkSpec {
       .select("asof_click_id").as[Option[Long]].head()
     assert(out.contains(102L))
   }
+
+  test("tolerance nulls out stale matches without changing WHICH row matches") {
+    val left = Seq(
+      (1L, 10L, t(100)), // nearest preceding is r2 at t(60): 40s stale
+      (2L, 10L, t(65))   // nearest preceding is r2: 5s fresh
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, t(10)),
+      (102L, 10L, t(60))
+    ).toDF("click_id", "user_id", "rts")
+    val out = AsofJoin(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id"), toleranceSeconds = 10.0)
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    // row 1: r2 is the nearest but stale → null (NOT r1, which is within
+    // nothing — tolerance is a null-out on the nearest, not a search)
+    assert(out == Map(1L -> None, 2L -> Some(102L)), s"$out")
+  }
+
+  test("forward direction picks the earliest right at-or-after; inclusive " +
+    "boundary; tolerance applies") {
+    val left = Seq(
+      (1L, 10L, t(50)),  // rights at 60, 90 follow → picks 60
+      (2L, 10L, t(60)),  // equal instant → inclusive, picks 60
+      (3L, 10L, t(95)),  // nothing after → null
+      (4L, 20L, t(50))   // no rights for key → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (102L, 10L, t(60)),
+      (103L, 10L, t(90))
+    ).toDF("click_id", "user_id", "rts")
+    val out = AsofJoin(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id"), direction = "forward")
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out == Map(1L -> Some(102L), 2L -> Some(102L), 3L -> None,
+      4L -> None), s"$out")
+    val tol = AsofJoin(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id"), direction = "forward", toleranceSeconds = 5.0)
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    // row 1's nearest following (60) is 10s ahead → stale under 5s
+    assert(tol == Map(1L -> None, 2L -> Some(102L), 3L -> None,
+      4L -> None), s"$tol")
+    intercept[IllegalArgumentException] {
+      AsofJoin(left, right, Seq("user_id"), "ts", "rts", Seq("click_id"),
+        direction = "sideways")
+    }
+  }
 }
