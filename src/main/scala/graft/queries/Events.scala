@@ -64,6 +64,27 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A22b: time-RANGE window frame (round 16) — the row-frame A22's
+    // missing sibling: "sum over the PRECEDING HOUR by event time", a
+    // frame whose width is a time interval, not a row count (row frames
+    // misreport whenever event density varies — 4 rows can span 4
+    // seconds or 4 days). Order key = floor epoch seconds on BOTH
+    // engines (Spark cast timestamp→long floors; DuckDB epoch_us //
+    // 1e6 floors — epoch()::BIGINT would ROUND and misplace
+    // half-second boundaries). Range frames include every tied order
+    // key by definition, so tie order never matters; sums ride DECIMAL.
+    "e16_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+        .rangeBetween(-3600L, 0L)
+      Tables(s, dir, "events")
+        .withColumn("tsec", col("ts").cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).over(w).cast("double")
+            .as("hour_sum"),
+          count(lit(1)).over(w).as("n_in_hour"))
+        .orderBy("event_id")
+    },
+
     // A23: lead/lag — inter-event gap seconds per user.
     "e06_lag_delta" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -270,6 +291,17 @@ object Events {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "e16_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS hour_sum,
+        |  COUNT(*) OVER w AS n_in_hour
+        |FROM (SELECT event_id, user_id, value,
+        |        (epoch_us(ts) // 1000000) AS tsec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "e06_lag_delta" ->

@@ -264,6 +264,37 @@ object PipelineQ {
       Warehouse.diffVersions(s, root, 1, 2, "doc_id",
           Seq("text", "lang", "source"))
         .orderBy("doc_id")
+    },
+
+    // L104 → c11: CDC MERGE apply (round 16) — the lakehouse MERGE INTO
+    // primitive in batch form: a synthesized change batch (updates on
+    // %7 keys, deletes on %11 — seq 2, so on %77 keys the delete wins
+    // the per-key election over the seq-1 update — inserts on new %13
+    // keys) folds into the orders snapshot. The winner election windows
+    // over the BATCH only; the base pays one key-partitioned anti-join
+    // (bucketed base tables ride their bucketing — the d12 discipline).
+    "c11_merge_upserts" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val upd = base.filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("UPD").as("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"),
+          lit("U").as("op"), lit(1L).as("seq"))
+      val del = base.filter(pmod(col("o_orderkey"), lit(11L)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          lit("D").as("op"), lit(2L).as("seq"))
+      val ins = base.filter(pmod(col("o_orderkey"), lit(13L)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("NEW").as("o_orderstatus"),
+          col("o_totalprice"), lit("I").as("op"), lit(1L).as("seq"))
+      Warehouse.applyChanges(base,
+          upd.unionByName(del).unionByName(ins),
+          "o_orderkey", Seq("seq"), "op")
+        .orderBy("o_orderkey")
     }
   )
 
@@ -691,6 +722,36 @@ object PipelineQ {
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT doc_id, status FROM j
         |WHERE status <> 'unchanged'
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin) +
+    // c11: the CDC merge replayed — same synthesized batch, winner per
+    // key by (seq DESC, payload-row DESC, op DESC) exactly as
+    // Warehouse.applyChanges orders its window, then anti-join + union
+    ("c11_merge_upserts" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, 'UPD' AS o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice, 'U' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'D', 2 FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'NEW', o_totalprice,
+        |    'I', 1 FROM base WHERE o_orderkey % 13 = 0),
+        |latest AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC,
+        |      ROW(o_custkey, o_orderstatus, o_totalprice) DESC,
+        |      op DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin)
   }
 }

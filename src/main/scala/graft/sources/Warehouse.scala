@@ -688,6 +688,49 @@ object Warehouse {
     if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
   }
 
+  /** CDC MERGE apply (the lakehouse `MERGE INTO` primitive, batch
+    * form): fold a change batch — full-row upserts and deletes — into a
+    * keyed base snapshot. Per key, the WINNING change is the greatest
+    * by `seqCols` (lexicographic, e.g. (commit_ts, change_seq)), with a
+    * deterministic final tie-break on the change's full payload struct
+    * (the AsofJoin convention — a tied sequence must not pick whichever
+    * row shuffled last). `opCol == deleteOp` drops the key; any other
+    * op replaces the base row with the change's payload; keys without
+    * changes pass through; change keys absent from the base insert.
+    *
+    * `changes` must carry every base column plus `opCol` and `seqCols`;
+    * the result has exactly the base schema.
+    *
+    * Scale shape: the winner election is a per-key window over the
+    * CHANGE BATCH only (a day's changes, not the corpus); the base
+    * contributes one key-partitioned anti-join — on a Warehouse
+    * bucketed table that join rides the bucketing, so the base never
+    * reshuffles and only the batch moves (the d12 registry discipline).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+                   seqCols: Seq[String], opCol: String,
+                   deleteOp: String = "D"): DataFrame = {
+    require(seqCols.nonEmpty, "applyChanges: no sequence columns")
+    val baseCols = base.columns.toSeq
+    val missing = (baseCols :+ opCol) ++ seqCols diff changes.columns.toSeq
+    require(missing.isEmpty, s"applyChanges: changes lack columns $missing")
+    import org.apache.spark.sql.expressions.Window
+    val payload = org.apache.spark.sql.functions.struct(
+      baseCols.filterNot(_ == keyCol).map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((seqCols.map(col(_).desc) :+ payload.desc :+
+        col(opCol).desc): _*)
+    val latest = changes
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+    val survivors = base.join(
+      latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val upserts = latest.filter(col(opCol) =!= lit(deleteOp))
+      .select(baseCols.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+
   /** Drop a managed table AND its warehouse directory. With a
     * non-persistent (in-memory) catalog, a previous JVM's managed-table
     * directory survives while the catalog forgets it, and the next
