@@ -233,9 +233,15 @@ object Warehouse {
     * (the row-group pruning spec gates exactly this end to end).
     */
   def optimizeZorder(spark: SparkSession, table: String, zCols: Seq[String],
-                     rowGroupBytes: Long = 8L * 1024 * 1024): Unit = {
+                     rowGroupBytes: Long = 8L * 1024 * 1024,
+                     curve: String = "morton"): Unit = {
     require(zCols.size == 2 || zCols.size == 3,
       s"optimizeZorder($table): need 2 or 3 curve columns, got $zCols")
+    require(curve == "morton" || curve == "hilbert",
+      s"optimizeZorder($table): curve '$curve' (morton | hilbert)")
+    require(curve == "morton" || zCols.size == 2,
+      s"optimizeZorder($table): the hilbert curve supports 2 columns " +
+        s"(got ${zCols.size}); use morton for 3")
     recoverStagingIfCrashed(spark, table, table + "__compacting")
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(
@@ -248,8 +254,14 @@ object Warehouse {
     val staging = table + "__compacting"
     dropTableAndLocation(spark, staging)
     import org.apache.spark.sql.functions.col
+    // hilbert shares morton's [0, 2^31) input contract (bits = 31), so
+    // switching curves never changes a caller's domain prep — only the
+    // visit order (hilbert's unit-step continuity → tighter row-group
+    // rectangles at power-of-two boundaries, see HilbertCurve2)
     val z =
-      if (zCols.size == 2)
+      if (curve == "hilbert")
+        graft.functions.HilbertCurve2(col(zCols(0)), col(zCols(1)), 31)
+      else if (zCols.size == 2)
         graft.operators.ZOrder.zvalue2(col(zCols(0)), col(zCols(1)))
       else
         graft.operators.ZOrder.zvalue3(col(zCols(0)), col(zCols(1)),

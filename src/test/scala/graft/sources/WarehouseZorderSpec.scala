@@ -99,4 +99,38 @@ class WarehouseZorderSpec extends SparkSpec {
     }
     Warehouse.dropTableAndLocation(spark, t)
   }
+
+  test("curve = hilbert: rows identical, spec preserved, pruning at least " +
+    "as strong as the bucket-key layout; bad curve args refused") {
+    val table = "wh_hilbert_spec"
+    Warehouse.dropTableAndLocation(spark, table)
+    val df = spark.range(200000).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(4096L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(4096L)).as("y"),
+      sha2(col("id").cast("string"), 256).as("payload"))
+    Warehouse.writeBucketed(df, table, "id", 4)
+    val before = spark.table(table).orderBy("id").collect().toSeq
+    Warehouse.optimizeZorder(spark, table, Seq("x", "y"),
+      rowGroupBytes = 128 * 1024, curve = "hilbert")
+    val after = spark.table(table).orderBy("id").collect().toSeq
+    assert(after == before)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    assert(meta.bucketSpec.get.numBuckets == 4)
+    assert(Warehouse.maxFilesPerBucket(spark, table) == 1)
+    val rg = rowGroupRanges(meta.location.toString)
+    assert(rg.size >= 8, s"need multiple row groups, got ${rg.size}")
+    val s = boxSurvivors(rg, 1000L, 1063L)
+    assert(s * 3 <= rg.size,
+      s"hilbert pruning too weak: $s of ${rg.size} row groups")
+    intercept[IllegalArgumentException] {
+      Warehouse.optimizeZorder(spark, table, Seq("x", "y", "x"),
+        curve = "hilbert")
+    }
+    intercept[IllegalArgumentException] {
+      Warehouse.optimizeZorder(spark, table, Seq("x", "y"), curve = "peano")
+    }
+    Warehouse.dropTableAndLocation(spark, table)
+  }
 }
