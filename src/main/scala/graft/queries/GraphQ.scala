@@ -50,6 +50,26 @@ object GraphQ {
             pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
       graft.operators.Hits.run(edges, iters = Iters)
         .orderBy("node")
+    },
+
+    // A33 / L105: bounded-hop BFS reachability (round 16) — "which
+    // pages sit within 4 clicks of these seeds, and how few": focused-
+    // crawl scoping, blast-radius analysis. Frontier expansion with an
+    // anti-join visited set (each node expanded once, per-round work ∝
+    // frontier); early exit on a drained frontier. Oracle = DuckDB
+    // WITH RECURSIVE enumeration + MIN(hops) — an independent
+    // formulation of the same minimum.
+    "g03_reachability" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(1000)),
+            pmod(col("doc_id") * 7 + 34, lit(1000)),
+            pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
+      val seeds = Seq(0L, 500L).toDF("node")
+      graft.operators.Reachability.bounded(edges, seeds, maxHops = 4)
+        .orderBy("node")
     })
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +156,23 @@ object GraphQ {
          |  h.h_s / 1e12 AS hub, a.a_s / 1e12 AS auth
          |FROM h$Iters h JOIN a$Iters a ON h.node = a.node
          |ORDER BY h.node""".stripMargin
-    })
+    },
+
+    "g03_reachability" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+34) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+65) % 1000 FROM documents),
+        |reach(node, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS hops
+        |  FROM (VALUES (CAST(0 AS BIGINT)), (CAST(500 AS BIGINT))) s(node)
+        |  UNION
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 4)
+        |SELECT node, MIN(hops) AS hops
+        |FROM reach GROUP BY node
+        |ORDER BY node""".stripMargin)
 }
