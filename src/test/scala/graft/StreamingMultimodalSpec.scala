@@ -1640,4 +1640,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.count() == 4)
     assert(frames.agg(max("frame_idx")).head().getInt(0) == 3)
   }
+
+  test("streaming CDC apply: each batch publishes the next committed " +
+    "snapshot version; history diffs cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_stream_root").toString + "/snap"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_stream_ckpt").toString
+    // (k, v, op, seq)
+    val input = MemoryStream[(Long, String, String, Long)]
+    val query = graft.streaming.WarehouseStreams.applyChangesStream(
+      input.toDF().toDF("k", "v", "op", "seq"), root, "k", Seq("seq"),
+      "op", ckpt, numShards = 2)
+    try {
+      // batch 1: insert-only bootstrap onto the empty root
+      input.addData((1L, "a", "I", 1L), (2L, "b", "I", 1L))
+      query.processAllAvailable()
+      val v1 = Warehouse.latestShards(spark, root).get
+      assert(v1.endsWith("/v1"), v1)
+      val s1 = spark.read.parquet(v1).select("k", "v")
+        .as[(Long, String)].collect().toSet
+      assert(s1 == Set((1L, "a"), (2L, "b")), s"$s1")
+      // batch 2: update 2, delete 1, insert 3 — applies on v1's snapshot
+      input.addData((2L, "b2", "U", 2L), (1L, "a", "D", 2L),
+        (3L, "c", "I", 1L))
+      query.processAllAvailable()
+      val v2 = Warehouse.latestShards(spark, root).get
+      assert(v2.endsWith("/v2"), v2)
+      val s2 = spark.read.parquet(v2).select("k", "v")
+        .as[(Long, String)].collect().toSet
+      assert(s2 == Set((2L, "b2"), (3L, "c")), s"$s2")
+      // the version history doubles as the change audit
+      val diff = Warehouse.diffVersions(spark, root, 1, 2, "k", Seq("v"))
+        .as[(Long, String)].collect().toMap
+      assert(diff == Map(1L -> "removed", 2L -> "changed", 3L -> "added"),
+        s"$diff")
+    } finally query.stop()
+  }
 }
