@@ -201,6 +201,23 @@ object DedupQ {
         .orderBy("a", "b")
     },
 
+    // L106: edit-distance similarity join (round 16; Ed-Join/Gravano
+    // q-gram prefix filtering) — fuzzy identity for SHORT strings
+    // (titles/names/URLs), the one-character-typo near-dups word-level
+    // MinHash is blind to. 24-char prefixes as the title proxy, k = 6,
+    // bigrams; the id < 2000 slice keeps the BRUTE-FORCE oracle
+    // tractable at sf1 (the Spark side still runs the full blocking
+    // machinery on the slice — blocking changes nothing in the output
+    // set, which is why brute force IS a valid oracle).
+    "d29_fuzzy_titles" -> { (s, dir) =>
+      val titles = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      graft.dedup.FuzzyJoin.editDistancePairs(titles, "doc_id", "title",
+          maxDist = 6)
+        .orderBy("a_id", "b_id")
+    },
+
     // L20: benchmark contamination — corpus docs (id ≥ 20) sharing distinct
     // 5-grams with the "benchmark" slice (id < 20). Hashed grams in Spark ≡
     // string grams in the oracle, same argument as d04.
@@ -574,6 +591,19 @@ object DedupQ {
        |__kept AS (SELECT doc_id, span, pos FROM __kw WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // d29: BRUTE FORCE is the oracle — blocking is a pure optimization
+    // on the Spark side (recall-exact by the prefix-filter theorem), so
+    // the verified pair set must equal the all-pairs scan. DuckDB's
+    // levenshtein counts code points like Spark's.
+    ("d29_fuzzy_titles" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+        |  WHERE doc_id < 2000)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 6
+        |ORDER BY a_id, b_id""".stripMargin) +
     // d23 = the cluster-size histogram over d09's pairs: DuckDB computes
     // the connected components with a recursive min-label closure (labels
     // propagate along symmetric edges until the fixpoint; UNION dedup
