@@ -218,6 +218,25 @@ object DedupQ {
         .orderBy("a_id", "b_id")
     },
 
+    // L106b: ENTITY RESOLUTION end-to-end (round 16) — d29's fuzzy
+    // pairs closed into connected components: every member of a typo
+    // cluster maps to one canonical entity_id (the min-label id), which
+    // is the deliverable an ER pipeline actually ships. Pairs from the
+    // blocking+verify join; components via the pointer-jumping
+    // dupClusters engine (O(log d) rounds); singletons absent by the
+    // d23 convention (no pair → no cluster).
+    "d30_fuzzy_clusters" -> { (s, dir) =>
+      val titles = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      val pairs = graft.dedup.FuzzyJoin.editDistancePairs(titles,
+          "doc_id", "title", maxDist = 6)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      Dedup.dupClusters(pairs)
+        .select(col("id"), col("label").as("entity_id"))
+        .orderBy("id")
+    },
+
     // L20: benchmark contamination — corpus docs (id ≥ 20) sharing distinct
     // 5-grams with the "benchmark" slice (id < 20). Hashed grams in Spark ≡
     // string grams in the oracle, same argument as d04.
@@ -604,6 +623,24 @@ object DedupQ {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) <= 6
         |ORDER BY a_id, b_id""".stripMargin) +
+    // d30: the same brute-force pair set closed with the d23 recursive
+    // min-label fixpoint — entity_id = MIN reachable id
+    ("d30_fuzzy_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+        |  WHERE doc_id < 2000),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE levenshtein(a.title, b.title) <= 6),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r AS (
+        |  SELECT id, id AS label FROM nodes
+        |  UNION
+        |  SELECT e.a AS id, r.label FROM e JOIN r ON r.id = e.b)
+        |SELECT id, MIN(label) AS entity_id FROM r GROUP BY id
+        |ORDER BY id""".stripMargin) +
     // d23 = the cluster-size histogram over d09's pairs: DuckDB computes
     // the connected components with a recursive min-label closure (labels
     // propagate along symmetric edges until the fixpoint; UNION dedup
