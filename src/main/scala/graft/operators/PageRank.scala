@@ -101,4 +101,82 @@ object PageRank {
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     out
   }
+
+  /** PERSONALIZED PageRank: the teleport vector concentrates on `seeds`
+    * (uniform over them, zero elsewhere) instead of the whole node set —
+    * rank becomes "authority AS SEEN FROM these pages", the
+    * focused-crawl / related-pages / topic-sensitive ranking signal
+    * (Haveliwala 2002). Dangling mass returns to the seeds too, so total
+    * rank stays conserved on the seed-reachable subgraph and nodes the
+    * seeds cannot reach hold rank 0 exactly (integer grid, no float
+    * dust). Seeds need not appear in the edge list — they join the node
+    * set and simply dangle.
+    *
+    * Deliberately a SEPARATE body from [[run]] rather than a shared
+    * parameterized core: the uniform path's float expressions are
+    * mirrored term-for-term by the g01 oracle, and factoring them
+    * through a teleport column would reorder the IEEE operations and
+    * break bit-identity. Same scaled-integer discipline, same
+    * shuffle/broadcast/checkpoint shape (see [[run]]).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   damping: Double = 0.85, scale: Double = 1e12,
+                   checkpointEvery: Int = 3,
+                   checkpointing: Checkpointing = Checkpointing.Local)
+      : DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val spark = edges.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.DISK_ONLY)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.DISK_ONLY)
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("__seed", lit(1))
+      .persist(StorageLevel.DISK_ONLY)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "PageRank.personalized: no seed nodes")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("node")))
+      .distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    require(nodes.count() > 0, "PageRank.personalized: empty graph")
+    var ranks = nodes.join(sd, Seq("node"), "left")
+      .withColumn("rank_s",
+        when(col("__seed").isNotNull, lit(math.round(scale / nSeeds)))
+          .otherwise(lit(0L)))
+      .select(col("node"), col("rank_s"))
+    for (i <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
+      val dangRow = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank_s")), lit(0L)).as("__dang"))
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("node"),
+          round(col("rank_s") / col("outdeg")).cast("long").as("c"))
+        .join(e, col("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("in_c"))
+      val updated = nodes.join(contribs, Seq("node"), "left")
+        .join(sd, Seq("node"), "left")
+        .crossJoin(broadcast(dangRow))
+        .withColumn("rank_s", round(
+          when(col("__seed").isNotNull,
+            lit((1.0 - damping) / nSeeds * scale) + lit(damping) *
+              (coalesce(col("in_c"), lit(0L)) +
+                col("__dang").cast("double") / lit(nSeeds.toDouble)))
+            .otherwise(lit(damping) * coalesce(col("in_c"), lit(0L))))
+          .cast("long"))
+        .select(col("node"), col("rank_s"))
+      ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
+        else updated
+    }
+    val out = checkpointing.cutFinal(
+      ranks.select(col("node"), col("rank_s").as("rank_scaled"),
+        (col("rank_s") / lit(scale)).as("rank")),
+      "out")
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist(); sd.unpersist()
+    out
+  }
 }

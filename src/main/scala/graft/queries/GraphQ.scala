@@ -52,6 +52,24 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // L69b: PERSONALIZED PageRank (round 16; Haveliwala 2002) — the
+    // teleport vector concentrates on two seed pages, so rank becomes
+    // "authority as seen FROM the seeds" (focused-crawl / related-pages
+    // ranking); unreachable nodes hold exact integer 0. Same
+    // scaled-integer lockstep-oracle discipline as g01.
+    "g04_ppr" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(1000)),
+            pmod(col("doc_id") * 7 + 34, lit(1000)),
+            pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
+      val seeds = Seq(0L, 500L).toDF("node")
+      graft.operators.PageRank.personalized(edges, seeds, iters = Iters)
+        .orderBy("node")
+    },
+
     // A33 / L105: bounded-hop BFS reachability (round 16) — "which
     // pages sit within 4 clicks of these seeds, and how few": focused-
     // crawl scoping, blast-radius analysis. Frontier expansion with an
@@ -156,6 +174,58 @@ object GraphQ {
          |  h.h_s / 1e12 AS hub, a.a_s / 1e12 AS auth
          |FROM h$Iters h JOIN a$Iters a ON h.node = a.node
          |ORDER BY h.node""".stripMargin
+    },
+
+    "g04_ppr" -> {
+      // PageRank.personalized mirrored term for term: seed-only teleport
+      // and seed-only dangling return, non-seeds get ROUND(0.85 * in_c)
+      val iterCtes = (1 to Iters).map { i =>
+        val p = i - 1
+        s"""d$i AS (
+           |  SELECT COALESCE(SUM(r.rank_s), 0) AS dang
+           |  FROM r$p r LEFT JOIN outdeg o ON r.node = o.src
+           |  WHERE o.src IS NULL),
+           |c$i AS (
+           |  SELECT e.dst AS node,
+           |    SUM(CAST(ROUND(r.rank_s / o.outdeg) AS BIGINT)) AS in_c
+           |  FROM r$p r
+           |  JOIN outdeg o ON r.node = o.src
+           |  JOIN edges e ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (
+           |  SELECT nd.node,
+           |    CAST(ROUND(CASE WHEN s.node IS NOT NULL THEN
+           |      (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / ns.n * 1e12 +
+           |      CAST(0.85 AS DOUBLE) *
+           |        (COALESCE(c.in_c, 0) + CAST(d.dang AS DOUBLE) / ns.n)
+           |    ELSE CAST(0.85 AS DOUBLE) * COALESCE(c.in_c, 0)
+           |    END) AS BIGINT) AS rank_s
+           |  FROM nodes nd CROSS JOIN ns CROSS JOIN d$i d
+           |  LEFT JOIN c$i c ON nd.node = c.node
+           |  LEFT JOIN sds s ON s.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + off) % 1000 AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest([3, 34, 65]) AS off)),
+         |sds AS (SELECT unnest([CAST(0 AS BIGINT), CAST(500 AS BIGINT)]) AS node),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM (
+         |    SELECT src AS node FROM edges
+         |    UNION ALL SELECT dst AS node FROM edges
+         |    UNION ALL SELECT node FROM sds)),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sds),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT nd.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN CAST(ROUND(1e12 / ns.n) AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS rank_s
+         |  FROM nodes nd CROSS JOIN ns
+         |  LEFT JOIN sds s ON s.node = nd.node),
+         |$iterCtes
+         |SELECT node, rank_s AS rank_scaled, rank_s / 1e12 AS rank
+         |FROM r$Iters
+         |ORDER BY node""".stripMargin
     },
 
     "g03_reachability" ->

@@ -56,4 +56,32 @@ class PageRankSpec extends SparkSpec {
       .select(col("rank_scaled"), col("rank")).head()
     assert(one.getDouble(1) == one.getLong(0) / 1e12)
   }
+
+  test("personalized: unreachable nodes hold exact 0; rank concentrates " +
+    "near the seeds; seeds outside the edge list dangle but count") {
+    // two disjoint components: 1→2→3 and 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val r = PageRank.personalized(edges, Seq(1L).toDF("node"), iters = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // the 10→11 component is unreachable from seed 1: EXACT integer 0
+    assert(r(10L) == 0L && r(11L) == 0L, s"$r")
+    assert(r(1L) > 0L && r(2L) > 0L && r(3L) > 0L)
+    // the seed's own teleport share keeps it ranked above the far tail
+    assert(r(1L) > r(3L), s"$r")
+    // a seed with no edges at all still holds (and re-teleports) mass
+    val r2 = PageRank.personalized(edges, Seq(99L).toDF("node"), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2(99L) > 0L && r2(1L) == 0L, s"$r2")
+    // partitioning-invariant like the uniform path
+    val a = PageRank.personalized(edges, Seq(1L).toDF("node"), iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val b = PageRank.personalized(edges.repartition(7),
+        Seq(1L).toDF("node"), iters = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, spark.emptyDataFrame
+        .withColumn("node", lit(1L)).limit(0), iters = 2)
+    }
+  }
 }
