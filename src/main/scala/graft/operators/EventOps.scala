@@ -185,6 +185,83 @@ object EventOps {
         expr("n_active * CAST(1000000 AS BIGINT) div n_cohort"))
   }
 
+  /** Exponentially TIME-DECAYED sum per key — the ranking/feature-eng
+    * staple ("engagement, but recent counts more"): each event
+    * contributes `value · 2^(−⌊(asOf − t)/halfLife⌋)`. Most engines
+    * compute `exp(−λΔt)` per row and pray the float sum is stable; this
+    * formulation is ENGINE-EXACT by construction, three facts deep:
+    * (1) the decay exponent is an integer floor quotient (both engines'
+    * integral division agrees on the non-negative diffs the
+    * `ts <= asOf` filter guarantees), so every weight is an exact power
+    * of two; (2) per-(key, bucket) sums ride DECIMAL (exact,
+    * order-free), and DECIMAL(18,2)→double is exact below 2^53;
+    * (3) the per-key total is a FIXED left-to-right chain of
+    * `bucketSum_k · 2^−k` terms, k = 0..maxBuckets−1 — same IEEE
+    * operation order on any engine, no HOF, no collect. Events older
+    * than `maxBuckets` half-lives are dropped (weight < 2^−maxBuckets —
+    * sub-ULP against any recent activity; the oracle truncates
+    * identically, so the contract is part of the operator, not a
+    * mismatch).
+    *
+    * Scale shape: one filter + one group-by on the key with maxBuckets
+    * conditional partial aggregates — map-side combined, no window, no
+    * per-key state beyond the fixed bucket vector.
+    */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, asOf: java.sql.Timestamp,
+                 halfLifeSeconds: Long,
+                 maxBuckets: Int = 64): DataFrame = {
+    require(halfLifeSeconds > 0, s"halfLifeSeconds=$halfLifeSeconds")
+    require(maxBuckets >= 1 && maxBuckets <= 256, s"maxBuckets=$maxBuckets")
+    require(asOf.getTime % 1000 == 0,
+      s"asOf must be whole-second (epoch-second bucket arithmetic): $asOf")
+    val asOfSec = asOf.getTime / 1000
+    val base = df
+      .filter(col(tsCol) <= lit(asOf))
+      .withColumn("__k",
+        expr(s"($asOfSec - CAST($tsCol AS LONG)) div $halfLifeSeconds"))
+      .filter(col("__k") < maxBuckets)
+    val dec = expr(s"CAST($valueCol AS DECIMAL(18,2))")
+    val aggs = (0 until maxBuckets).map(k =>
+      sum(when(col("__k") === k, dec)).as(s"__b$k"))
+    val total = (0 until maxBuckets).map(k =>
+      coalesce(col(s"__b$k"), lit(0).cast("decimal(18,2)")).cast("double") *
+        lit(math.pow(2, -k)))
+      .reduceLeft(_ + _)
+    base.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol), total.as("decayed_sum"))
+  }
+
+  /** [[decayedSum]]'s oracle arm: the identical fixed-order fold as one
+    * generated SQL expression over the same weight doubles (rendered by
+    * the same `math.pow`, so the literals round-trip to the same
+    * binary), for the lockstep-generation convention.
+    */
+  def decayedSumOracleSql(table: String, keyCol: String, tsCol: String,
+                          valueCol: String, asOfLiteral: String,
+                          asOfSec: Long, halfLifeSeconds: Long,
+                          maxBuckets: Int = 64): String = {
+    val sums = (0 until maxBuckets).map(k =>
+      s"    SUM(CASE WHEN k = $k THEN CAST($valueCol AS DECIMAL(18,2)) " +
+        s"END) AS b$k").mkString(",\n")
+    val fold = (0 until maxBuckets).map(k =>
+      s"CAST(COALESCE(b$k, 0) AS DOUBLE) * ${math.pow(2, -k)}")
+      .mkString("\n    + ")
+    s"""SELECT $keyCol,
+       |  ($fold) AS decayed_sum
+       |FROM (
+       |  SELECT $keyCol,
+       |$sums
+       |  FROM (
+       |    SELECT $keyCol, $valueCol,
+       |      ($asOfSec - (epoch_us($tsCol) // 1000000))
+       |        // $halfLifeSeconds AS k
+       |    FROM $table WHERE $tsCol <= TIMESTAMP '$asOfLiteral')
+       |  WHERE k < $maxBuckets
+       |  GROUP BY $keyCol)
+       |ORDER BY $keyCol""".stripMargin
+  }
+
   /** N-step conversion funnel with FIRST-TOUCH semantics: step 1's time
     * is the key's earliest `steps(0)` event; step k's time is the
     * earliest `steps(k-1)` event STRICTLY after step k-1's time and at

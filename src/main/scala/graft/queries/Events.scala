@@ -85,6 +85,20 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A34: exponentially time-decayed engagement sum (round 16) — the
+    // ranking/feature staple, made ENGINE-EXACT: integer half-life
+    // bucket quotients give exact power-of-two weights, DECIMAL bucket
+    // sums are order-free, and the per-key total is a fixed
+    // left-to-right 64-term chain — bit-identical across engines with
+    // no ROUND anywhere (the only transcendental-free decay).
+    "e17_decayed_sum" -> { (s, dir) =>
+      graft.operators.EventOps.decayedSum(Tables(s, dir, "events"),
+          "user_id", "ts", "value",
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+          halfLifeSeconds = 86400L)
+        .orderBy("user_id")
+    },
+
     // A23: lead/lag — inter-event gap seconds per user.
     "e06_lag_delta" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -292,6 +306,12 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "e17_decayed_sum" ->
+      graft.operators.EventOps.decayedSumOracleSql("events", "user_id",
+        "ts", "value", "2024-02-01 00:00:00",
+        asOfSec = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+          .getTime / 1000, halfLifeSeconds = 86400L),
 
     "e16_range_frame" ->
       """SELECT event_id, user_id,

@@ -2986,6 +2986,40 @@ class OperatorSpec extends SparkSpec {
     assert(lazyGot.toList == List((1L, 3), (2L, 1), (3L, 1), (5L, 2)))
   }
 
+  test("decayedSum: exact power-of-two weights, bucket truncation, " +
+    "post-asOf events excluded") {
+    import graft.operators.EventOps
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val asOf = ts("2024-01-11 00:00:00")
+    val ev = Seq(
+      // u1: 8.0 in bucket 0 (same day), 4.0 in bucket 1, 2.0 in bucket 2
+      (1L, ts("2024-01-10 12:00:00"), 8.0),
+      (1L, ts("2024-01-09 12:00:00"), 4.0),
+      (1L, ts("2024-01-08 12:00:00"), 2.0),
+      // u2: only a post-asOf event → filtered out entirely, no row
+      (2L, ts("2024-01-12 00:00:00"), 100.0),
+      // u3: exactly at asOf → bucket 0; plus one beyond the 3-bucket
+      // horizon → dropped by truncation
+      (3L, ts("2024-01-11 00:00:00"), 1.0),
+      (3L, ts("2024-01-01 00:00:00"), 1000.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventOps.decayedSum(ev, "user_id", "ts", "value", asOf,
+        halfLifeSeconds = 86400L, maxBuckets = 3)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // u1: 8·2^0? no — 8.0 is 0.5 days old → bucket 0 weight 1; 4.0 is
+    // 1.5 days → bucket 1 weight 0.5; 2.0 is 2.5 days → bucket 2
+    // weight 0.25 ⇒ 8 + 2 + 0.5 = 10.5 exactly (all powers of two)
+    assert(got.toList == List((1L, 10.5), (3L, 1.0)), s"${got.toList}")
+    intercept[IllegalArgumentException] {
+      EventOps.decayedSum(ev, "user_id", "ts", "value",
+        new java.sql.Timestamp(asOf.getTime + 1), 86400L)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.decayedSum(ev, "user_id", "ts", "value", asOf, 0L)
+    }
+  }
+
   test("retentionCalendar: month cohorts use calendar arithmetic, not " +
     "fixed-length division") {
     import graft.operators.EventOps

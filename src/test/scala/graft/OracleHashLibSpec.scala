@@ -74,11 +74,16 @@ class OracleHashLibSpec extends AnyFunSuite {
       assert(t42.contains(graft.operators.Cardinality.PortableNum.toString))
       assert(t42.contains(s"<= ${graft.operators.Cardinality.PortableSparseCap}"))
     }
-    // the one that stays rows-only: a bit-exact DEFLATE codec has no SQL
-    // expression (the signal IS java.util.zip level-6 output)
-    Seq("t35_compression_ratio").foreach { q =>
-      assert(!oracles.contains(q), s"$q unexpectedly gained an oracle")
-      assert(SparkEntry.queries.contains(q))
+    // t35 (round 16): a bit-exact DEFLATE codec still has no SQL
+    // expression — its oracle is the export-the-state pattern with the
+    // roles reversed: expected ratios computed by CPython zlib at dump
+    // time, read back from the export root
+    locally {
+      val t35 = oracles("t35_compression_ratio")
+      assert(t35.contains(
+        s"${graft.queries.OracleHashLib.exportRoot}/t35_expected.parquet"),
+        s"t35 oracle must read the zlib export: $t35")
+      assert(SparkEntry.queries.contains("t35_compression_ratio"))
     }
   }
 }
