@@ -185,6 +185,27 @@ object EventOps {
         expr("n_active * CAST(1000000 AS BIGINT) div n_cohort"))
   }
 
+  /** Stateless DEBOUNCE: keep an event iff the key's previous event (by
+    * (ts, tie) order) is more than `cooldownSeconds` older — alert
+    * de-noising, notification rate capping, sensor chatter suppression.
+    * STATELESS by contract: the gap is measured against the previous
+    * RAW event, not the previous KEPT one (the kept-chain variant is a
+    * sequential per-key fold — order-dependent state that no SQL engine
+    * replays; a pipeline wanting it runs this first and iterates).
+    * One per-key window, never corpus-wide.
+    */
+  def debounce(df: DataFrame, keyCol: String, tsCol: String,
+               cooldownSeconds: Long,
+               tieCol: String = "event_id"): DataFrame = {
+    require(cooldownSeconds > 0, s"cooldownSeconds=$cooldownSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNull ||
+        col(tsCol).cast("double") - col("__prev").cast("double") >
+          cooldownSeconds.toDouble)
+      .drop("__prev")
+  }
+
   /** Exponentially TIME-DECAYED sum per key — the ranking/feature-eng
     * staple ("engagement, but recent counts more"): each event
     * contributes `value · 2^(−⌊(asOf − t)/halfLife⌋)`. Most engines

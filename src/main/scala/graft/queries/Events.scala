@@ -85,6 +85,35 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A14c: HOPPING (sliding) windows (round 16) — e01's tumbling agg
+    // with overlap: 10-minute windows every 5 minutes, each event in
+    // exactly two (dashboards smooth series with exactly this). Same
+    // epoch/time_bucket alignment argument as e01; the oracle unrolls
+    // the overlap as k ∈ {0,1} bucket offsets.
+    "e18_hopping" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(value AS DECIMAL(18,2))")).cast("double")
+            .as("sum_value"))
+        .select(col("w.start").as("bucket"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    },
+
+    // A15f: stateless DEBOUNCE (round 16) — keep an event iff the
+    // key's previous raw event is > 10 minutes older: alert
+    // de-noising / rate capping. Stateless by contract (vs previous
+    // RAW, not previous KEPT — the kept-chain is a sequential fold no
+    // engine replays); one per-key window.
+    "e19_debounce" -> { (s, dir) =>
+      graft.operators.EventOps.debounce(Tables(s, dir, "events"),
+          "user_id", "ts", cooldownSeconds = 600L)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy("event_id")
+    },
+
     // A34: exponentially time-decayed engagement sum (round 16) — the
     // ranking/feature staple, made ENGINE-EXACT: integer half-life
     // bucket quotients give exact power-of-two weights, DECIMAL bucket
@@ -305,6 +334,26 @@ object Events {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "e18_hopping" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts)
+        |    - k * INTERVAL '5 minutes' AS bucket,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "e19_debounce" ->
+      """SELECT event_id, user_id, ts FROM (
+        |  SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events)
+        |WHERE prev IS NULL
+        |  OR CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+        |     - CAST(epoch_us(prev) AS DOUBLE) / 1000000.0 > 600.0
         |ORDER BY event_id""".stripMargin,
 
     "e17_decayed_sum" ->

@@ -70,6 +70,24 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // L107: per-node TRIANGLE counts (round 16; Schank–Wagner degree
+    // ordering) — the local clustering signal: spam farms and link
+    // rings are triangle-dense, organic neighborhoods sparse. Wedges
+    // build from OUT-edges of the (degree, node) orientation only, so
+    // the hub d² blow-up cannot happen (out-degree is O(√m) on any
+    // graph); a denser %200 target space than g01's so the sf0.01
+    // fixture actually closes triangles (54 of them; sf1 is dense).
+    "g05_triangles" -> { (s, dir) =>
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(200)),
+            pmod(col("doc_id") * 7 + 34, lit(200)),
+            pmod(col("doc_id") * 7 + 65, lit(200)))).as("dst"))
+      graft.operators.Triangles.perNode(edges)
+        .orderBy("node")
+    },
+
     // A33 / L105: bounded-hop BFS reachability (round 16) — "which
     // pages sit within 4 clicks of these seeds, and how few": focused-
     // crawl scoping, blast-radius analysis. Frontier expansion with an
@@ -227,6 +245,27 @@ object GraphQ {
          |FROM r$Iters
          |ORDER BY node""".stripMargin
     },
+
+    // g05: the canonical-triple formulation — x<y<z with all three
+    // edges present counts each triangle exactly once; per-node counts
+    // by unnesting the corners. An independent formulation of the same
+    // set (the operator finds each triangle at its orientation source).
+    "g05_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + off) % 200 AS dst
+        |  FROM documents CROSS JOIN (SELECT unnest([3, 34, 65]) AS off)),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        |GROUP BY node
+        |ORDER BY node""".stripMargin,
 
     "g03_reachability" ->
       """WITH RECURSIVE e AS (
