@@ -88,6 +88,26 @@ object GraphQ {
         .orderBy("node")
     },
 
+    // L108: k-CORE membership (round 16) — the robustness complement:
+    // PageRank can be farmed with pendant chains, but surviving the
+    // 5-core requires five mutually-supporting neighbors that
+    // themselves survive (dense-nucleus / spam-ring extraction).
+    // Iterative peeling with early exit (3 rounds on this fixture:
+    // the 50k sources peel first — degree 3 — then the target-space
+    // fringe); the oracle unrolls SIX peeling rounds, a safe
+    // over-count because peeling is a fixpoint and extra rounds are
+    // no-ops.
+    "g06_kcore" -> { (s, dir) =>
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(200)),
+            pmod(col("doc_id") * 7 + 34, lit(200)),
+            pmod(col("doc_id") * 7 + 65, lit(200)))).as("dst"))
+      graft.operators.KCore.membership(edges, k = 5)
+        .orderBy("node")
+    },
+
     // A33 / L105: bounded-hop BFS reachability (round 16) — "which
     // pages sit within 4 clicks of these seeds, and how few": focused-
     // crawl scoping, blast-radius analysis. Frontier expansion with an
@@ -266,6 +286,37 @@ object GraphQ {
         |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
         |GROUP BY node
         |ORDER BY node""".stripMargin,
+
+    "g06_kcore" -> {
+      // AS MATERIALIZED is load-bearing: each round references the
+      // previous 3×, so inlined CTEs re-evaluate 3^6 times — the plan
+      // exploded into hundreds of parquet re-scans ("too many open
+      // files") before computing anything
+      val rounds = (1 to 6).map { i =>
+        val p = i - 1
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, COUNT(*) AS deg FROM (
+           |    SELECT a AS node FROM e$p
+           |    UNION ALL SELECT b AS node FROM e$p)
+           |  GROUP BY node),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 5),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e$p e
+           |  JOIN k$i x ON x.node = e.a
+           |  JOIN k$i y ON y.node = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT doc_id AS src, (doc_id * 7 + off) % 200 AS dst
+         |  FROM documents CROSS JOIN (SELECT unnest([3, 34, 65]) AS off)),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |$rounds
+         |SELECT node, COUNT(*) AS core_deg FROM (
+         |  SELECT a AS node FROM e6 UNION ALL SELECT b AS node FROM e6)
+         |GROUP BY node
+         |ORDER BY node""".stripMargin
+    },
 
     "g03_reachability" ->
       """WITH RECURSIVE e AS (

@@ -255,6 +255,21 @@ object Relational {
         .limit(100)
     },
 
+    // A19b: exact WEIGHTED quantiles (round 16) — "the price at which
+    // half the QUANTITY traded": q15's unweighted percentiles answer
+    // the wrong question when rows carry different mass, and no engine
+    // ships a built-in. Left-continuous definition, DECIMAL weights,
+    // integer-scaled threshold (cum·1e6 ≥ ppm·total — no 0.5 float in
+    // the comparison), window over DISTINCT values per group.
+    "q24_weighted_quantile" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val med = graft.operators.WeightedQuantile.perGroup(li,
+        "l_returnflag", "l_extendedprice", "l_quantity", 500000L)
+      val p90 = graft.operators.WeightedQuantile.perGroup(li,
+        "l_returnflag", "l_extendedprice", "l_quantity", 900000L)
+      med.join(p90, "l_returnflag").orderBy("l_returnflag")
+    },
+
     // A29b: the 3-column Morton interleave (host-bucket × day × band
     // layouts) — same generated-oracle discipline as q19.
     "q20_zorder3" -> { (s, dir) =>
@@ -488,6 +503,25 @@ object Relational {
          |ORDER BY zval, l_orderkey, l_linenumber
          |LIMIT 100""".stripMargin
     },
+
+    "q24_weighted_quantile" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM bv)
+        |SELECT m.l_returnflag, m.wq_500000, p.wq_900000
+        |FROM (SELECT l_returnflag, MIN(v) AS wq_500000 FROM c
+        |      WHERE cw * 1000000 >= 500000 * tw GROUP BY 1) m
+        |JOIN (SELECT l_returnflag, MIN(v) AS wq_900000 FROM c
+        |      WHERE cw * 1000000 >= 900000 * tw GROUP BY 1) p
+        |  USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q23_hilbert" -> {
       val stages = graft.functions.HilbertCurve2.duckStages(
