@@ -18,9 +18,20 @@ import org.apache.spark.sql.expressions.Window
   * retention_ppm convention) so no 0.5 float ever enters the
   * comparison — both engines agree row-for-row by construction.
   *
-  * Scale shape: one (group, value) partial-aggregated collapse, one
-  * per-group window over DISTINCT values (bounded by value cardinality
-  * per group, not row count), one min-aggregate. Never a corpus sort.
+  * Scale shape — the t33 two-pass histogram discipline, NOT one window
+  * over each group's full value set (few groups × many distinct values
+  * is the classic hot-key funnel: a 3-group corpus would push a third
+  * of all distinct values through one window task): pass 1 bins the
+  * (group, value) weight sums into `bins` equi-width buckets and finds
+  * each group's THRESHOLD BIN from a <= `bins`-row-per-group cumulative
+  * (tiny); pass 2 runs the exact ordered cumulative over the threshold
+  * bin's values ONLY (~1/bins of the group), offset by the exact
+  * below-bin mass. Binning float math only decides which values land
+  * where — the answer is binning-independent, so the oracle stays the
+  * direct one-window formulation. A group whose mass all collapses
+  * into one bin degrades to the direct shape for that group
+  * (documented; one recursion level would close it and has not been
+  * needed).
   */
 object WeightedQuantile {
 
@@ -28,17 +39,47 @@ object WeightedQuantile {
     * `quantilePpm` parts-per-million (500000 = weighted median).
     */
   def perGroup(df: DataFrame, groupCol: String, valueCol: String,
-               weightCol: String, quantilePpm: Long): DataFrame = {
+               weightCol: String, quantilePpm: Long,
+               bins: Int = 64): DataFrame = {
     require(quantilePpm >= 1 && quantilePpm <= 1000000,
       s"quantilePpm=$quantilePpm")
+    require(bins >= 1 && bins <= 100000, s"bins=$bins")
     val byVal = df.groupBy(col(groupCol), col(valueCol))
       .agg(sum(expr(s"CAST($weightCol AS DECIMAL(18,2))")).as("__w"))
-    val cum = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val stats = byVal.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+        sum(col("__w")).as("__tw"))
+    // stats/thresh are one-row-per-group skeletons: BROADCAST them — a
+    // hash join on a 3-value group key would shuffle every (group,
+    // value) row onto 3 tasks, the exact funnel the histogram pass
+    // exists to avoid (caught by ScaleBench max-task, not by eyesight)
+    val binned = byVal.join(broadcast(stats), groupCol)
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col(valueCol) - col("__mn")) /
+              (col("__mx") - col("__mn")) * bins))))
+    // pass 1: threshold bin per group from a <= bins-row cumulative
+    val binW = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__w")).as("__bw"))
+    val cumBins = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col(groupCol))
-    byVal
-      .withColumn("__cw", sum(col("__w")).over(cum))
-      .withColumn("__tw", sum(col("__w")).over(tot))
+    val thresh = binW
+      .join(broadcast(stats.select(col(groupCol), col("__tw"))), groupCol)
+      .withColumn("__cb", sum(col("__bw")).over(cumBins))
+      .filter(col("__cb") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(min_by(struct(col("__bin"), (col("__cb") - col("__bw"))
+        .as("__below")), col("__bin")).as("__t"))
+      .select(col(groupCol), col("__t.__bin").as("__tbin"),
+        col("__t.__below").as("__below"))
+    // pass 2: exact ordered cumulative over the threshold bin only
+    val cand = binned.join(broadcast(thresh), groupCol)
+      .filter(col("__bin") === col("__tbin"))
+    val cumVals = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cand
+      .withColumn("__cw", col("__below") + sum(col("__w")).over(cumVals))
       .filter(col("__cw") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as(s"wq_$quantilePpm"))
