@@ -200,6 +200,50 @@ object EventStreams {
       }
   }
 
+  /** Streaming DEBOUNCE — [[graft.operators.EventOps.debounce]]'s
+    * incremental twin: emit an event iff the key's previous RAW event
+    * (same stateless contract as the batch operator) is more than
+    * `cooldownSeconds` older. State is ONE timestamp per key, dropped
+    * `retentionSec` of event time after the key's last event;
+    * within-batch disorder is absorbed by the (ts, event_id) sort. A
+    * cross-batch straggler older than the stored last-event time is
+    * evaluated against that newer time (it gets suppressed) and never
+    * rewinds state — append streams don't retract already-emitted rows
+    * and the batch operator would have re-evaluated the whole
+    * neighborhood; exact disordered replay is its job (the sessionize
+    * contract).
+    */
+  def debounceStream(events: Dataset[Event], cooldownSeconds: Long,
+                     watermark: String = "1 hour",
+                     retentionSec: Long = 7L * 86400): Dataset[Event] = {
+    require(cooldownSeconds > 0, s"cooldownSeconds=$cooldownSeconds")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var lastMs = state.getOption.getOrElse(Long.MinValue)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val t = e.ts.getTime
+              if (lastMs == Long.MinValue || t - lastMs > cooldownSeconds * 1000)
+                out += e
+              // vs previous RAW event: state advances whether or not
+              // the event was emitted — the batch operator's contract
+              lastMs = math.max(lastMs, t)
+            }
+            state.update(lastMs)
+            state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark window — the incremental twin of
     * [[graft.dedup.Dedup.exact]]. State is one 32-byte hash per distinct

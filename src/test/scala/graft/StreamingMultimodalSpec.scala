@@ -1641,6 +1641,42 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.agg(max("frame_idx")).head().getInt(0) == 3)
   }
 
+  test("streaming debounce: in-order parity with the batch operator; " +
+    "state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStreams.debounceStream(input.toDS(),
+        cooldownSeconds = 300)
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode("append").start()
+    val all = Seq(
+      Event(1, ts(0), 7, "a", 1.0),   // kept (first)
+      Event(2, ts(2), 7, "a", 1.0),   // 2 min gap -> suppressed
+      Event(3, ts(10), 7, "a", 1.0),  // 8 min after e2 -> kept
+      Event(4, ts(12), 8, "a", 1.0),  // other key, first -> kept
+      // batch 2: gap measured against e3 (10:00), not e1
+      Event(5, ts(14), 7, "a", 1.0),  // 4 min after e3 -> suppressed
+      Event(6, ts(20), 7, "a", 1.0))  // 6 min after e5 -> kept
+    try {
+      input.addData(all.take(4): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(4): _*)
+      query.processAllAvailable()
+      val got = spark.table("debounce_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L, 4L, 6L), s"$got")
+      // in-order parity with the batch operator over the union
+      val batch = graft.operators.EventOps.debounce(
+          all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "ts", 300L)
+        .select("event_id").as[Long].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.debounceStream(input.toDS(), 0)
+    }
+  }
+
   test("streaming CDC apply: each batch publishes the next committed " +
     "snapshot version; history diffs cleanly") {
     implicit val sqlCtx = spark.sqlContext
