@@ -255,6 +255,26 @@ object Relational {
         .limit(100)
     },
 
+    // A35: declarative DATA-QUALITY constraints (round 16; the
+    // Deequ-family publish gate) — one report row per declared rule
+    // with the EXACT violation count: row-local rules fold into one
+    // conditional-count pass, uniqueness is one key group-by,
+    // referential integrity one anti-join against the (broadcast)
+    // dimension. The fixture mixes passing and failing rules on
+    // purpose: counts, not booleans, are the signal.
+    "q25_constraints" -> { (s, dir) =>
+      import graft.operators.Constraints._
+      val activeCustomers = Tables(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(3L)) =!= 0)
+      check(Tables(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        InSet("o_orderstatus", Seq("F", "O")),
+        RefIntegrity("o_custkey", activeCustomers, "c_custkey")))
+        .orderBy("rule")
+    },
+
     // A19b: exact WEIGHTED quantiles (round 16) — "the price at which
     // half the QUANTITY traded": q15's unweighted percentiles answer
     // the wrong question when rows carry different mass, and no engine
@@ -503,6 +523,39 @@ object Relational {
          |ORDER BY zval, l_orderkey, l_linenumber
          |LIMIT 100""".stripMargin
     },
+
+    "q25_constraints" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |v AS (
+        |  SELECT 'not_null:o_custkey' AS rule,
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+        |      AS violations
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    (SELECT COALESCE(SUM(c), 0) FROM (
+        |       SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        |       HAVING COUNT(*) > 1))
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_totalprice IS NULL OR o_totalprice < 0
+        |        OR o_totalprice > 300000)
+        |  UNION ALL
+        |  SELECT 'in_set:o_orderstatus',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_orderstatus IS NULL
+        |        OR o_orderstatus NOT IN ('F', 'O'))
+        |  UNION ALL
+        |  SELECT 'ref:o_custkey',
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM customer c
+        |       WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0)))
+        |SELECT v.rule, CAST(v.violations AS BIGINT) AS violations,
+        |  CAST(n.n_rows AS BIGINT) AS n_rows,
+        |  CAST(v.violations = 0 AS INT) AS pass
+        |FROM v CROSS JOIN n
+        |ORDER BY rule""".stripMargin,
 
     "q24_weighted_quantile" ->
       """WITH bv AS (
