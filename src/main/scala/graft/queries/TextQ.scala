@@ -497,6 +497,17 @@ object TextQ {
         "window merge scan", topK = 25)
     },
 
+    // L66d: exact PHRASE search (round 16) — "these tokens, ADJACENT,
+    // in this order": positional postings intersected on (doc, pos−i),
+    // rarest-term-first. The oracle is the independent sliding-window
+    // formulation over the tokenized list — two different algorithms,
+    // one answer.
+    "t56_phrase_search" -> { (s, dir) =>
+      Search.phraseSearch(Tables(s, dir, "documents"), "text", "doc_id",
+          "table hash")
+        .orderBy("doc_id")
+    },
+
     // L66b: the same query served from the PERSISTED inverted index —
     // t27's oracle gates it (the s05/d06 indexed≡direct pattern): the
     // probe reads only the query's term buckets, never the corpus.
@@ -1004,6 +1015,20 @@ object TextQ {
         |LIMIT 25""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // t56: the sliding-window check — an independent algorithm from the
+    // positional-postings intersection the engine runs
+    "t56_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_matches
+        |FROM t, UNNEST(generate_series(1, len(toks) - 1)) s(i)
+        |WHERE toks[i] = 'table' AND toks[i+1] = 'hash'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // t35: expected side is the CPython-zlib export (independent
     // implementation of the same RFC 1951 deflate, level 6 / raw) — see
     // exportT35Expected; the SQL just reads it back in gate shape.

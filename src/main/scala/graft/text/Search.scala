@@ -26,6 +26,48 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Exact PHRASE search via positional postings — the retrieval
+    * surface BM25's bag-of-words scoring cannot express: "these tokens,
+    * ADJACENT, in this order" (quoted-phrase queries, boilerplate
+    * sentence lookup, citation matching). Returns (idCol, n_matches)
+    * for documents containing the phrase at least once; tokenization is
+    * lowercase-exact whitespace (the bm25 convention).
+    *
+    * Scale shape: ONE corpus scan posts only the phrase's terms as
+    * (doc, pos) skeletons; each phrase slot i becomes a posting keyed
+    * by (doc, pos − i), so a phrase occurrence is the k-way
+    * INTERSECTION of the slots on that composite key — and the joins
+    * run RAREST-TERM-FIRST (document frequencies are one tiny aggregate
+    * collected up front, the centroid-export precedent), so candidate
+    * volume is bounded by the rarest postings list, never the
+    * commonest ("the" anchors nothing). Repeated phrase terms work
+    * naturally: each slot is its own offset posting.
+    */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, s"phraseSearch: need >= 2 tokens: '$phrase'")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+      df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
+        .filter(col("__term").isin(terms.distinct: _*)),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // rarest-first join order from one tiny collected aggregate
+    val dfs = posted.groupBy("__term")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slots = terms.zipWithIndex
+      .sortBy { case (t, _) => (dfs.getOrElse(t, 0L), t) }
+      .map { case (t, i) =>
+        posted.filter(col("__term") === t)
+          .select(col(idCol), (col("__pos") - i).as("__start"))
+      }
+    slots.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
+      .filter(col("__start") >= 0)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Top-`topK` documents for a whitespace query, scored by BM25.
     * Returns (idCol, score) ordered by (score desc, id); zero-score and
     * null-text documents are excluded. Matching is lowercase-exact on

@@ -2146,6 +2146,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch: adjacency and order are strict; repeated terms, " +
+    "multi-occurrence counts, missing terms") {
+    import graft.text.Search
+    val docs = Seq(
+      (1L, "big table hash join on the table hash path"), // 2 matches
+      (2L, "hash table is the reverse order"),            // order matters
+      (3L, "table of hash"),                              // not adjacent
+      (4L, "TABLE HASH uppercase"),                       // lowercased: match
+      (5L, "hash hash hash")                              // repeated-term probe
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "text", "doc_id", "table hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), s"$got")
+    // repeated phrase terms: "hash hash" matches overlapping starts
+    val rep = Search.phraseSearch(docs, "text", "doc_id", "hash hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == Map(5L -> 2L), s"$rep")
+    // a term absent from the corpus → empty, not an error
+    assert(Search.phraseSearch(docs, "text", "doc_id",
+      "table nosuchterm").count() == 0)
+    intercept[IllegalArgumentException] {
+      Search.phraseSearch(docs, "text", "doc_id", "single")
+    }
+  }
+
   test("bm25 index probe row-equals the direct scan, bucket-pruned") {
     import graft.text.Search
     val docs = (1L to 60L).map(i => (i,
