@@ -78,4 +78,31 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.editDistancePairs(rows.toDF("id", "s"), "id", "s", -1)
     }
   }
+
+  test("low-gram-diversity corner: pairs whose entire gram intersection " +
+    "one edit can destroy still surface (r16 ADVICE regression)") {
+    // "abc"/"axc" at k=1: bigram sets {ab,bc} vs {ax,xc} are disjoint and
+    // both of size 2 = gramLen*k — the prefix pigeonhole gives nothing.
+    val r1 = Seq((1L, "abc"), (2L, "axc"), (3L, "abd"), (4L, "zzz"))
+    assert(pairs(r1, k = 1) == brute(r1, 1))
+    assert(pairs(r1, k = 1).contains((1L, 2L, 1L)))
+    // "abababab"/"cbcbcbcb" at d29's k=6: 2 distinct bigrams each,
+    // disjoint sets, ed = 4 <= 6.
+    val r2 = Seq((1L, "abababab"), (2L, "cbcbcbcb"), (3L, "ababab"))
+    assert(pairs(r2, k = 6) == brute(r2, 6))
+    assert(pairs(r2, k = 6).contains((1L, 2L, 4L)))
+    // pseudo-random low-alphabet corpus (diversity hovers around the
+    // sentinel threshold) stays recall-exact at several k
+    def h(x: Long) = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      math.abs(z ^ (z >>> 27))
+    }
+    val rows = (0L until 40L).map { i =>
+      (i, (0 until (4 + (h(i) % 8).toInt))
+        .map(j => "abc"((h(i * 31 + j) % 3).toInt)).mkString)
+    }
+    for (k <- Seq(1, 2, 3))
+      assert(pairs(rows, k) == brute(rows, k), s"k=$k")
+  }
 }
