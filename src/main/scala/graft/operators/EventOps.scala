@@ -206,6 +206,61 @@ object EventOps {
       .drop("__prev")
   }
 
+  /** KEPT-CHAIN debounce — the true-cooldown variant a rate limiter /
+    * alert suppressor actually wants: per key in (ts, tie) order, the
+    * FIRST event is kept and every later event is kept iff it is more
+    * than `cooldownSeconds` after the last KEPT event (not the previous
+    * raw one — [[debounce]]'s stateless contract drops a steady drizzle
+    * forever; this one re-fires once per cooldown window). A sequential
+    * per-key fold no window frame expresses (the reset is
+    * order-dependent state with unbounded lookback), so it runs as the
+    * classic secondary-sort: ONE hash repartition on the key, ONE
+    * within-partition sort on (key, ts, tie), then a streaming
+    * `mapPartitions` fold holding O(1) state — one (key, lastKeptMicros)
+    * pair — per task. No per-key buffering, no driver state; partition
+    * count rides `spark.sql.shuffle.partitions`, so a cluster scales it
+    * with input like any exchange.
+    *
+    * Cross-engine exactness: the gap test is pure INTEGER microseconds
+    * (`us − lastKeptUs > cooldownSeconds·10⁶` — strictly greater), so a
+    * DuckDB per-key recursive CTE over `epoch_us` replays the fold
+    * bit-for-bit with zero float arithmetic. Null timestamps are
+    * rejected loudly: a fold over engine-dependent null ordering is not
+    * a defined operator.
+    */
+  def debounceChain(df: DataFrame, keyCol: String, tsCol: String,
+                    cooldownSeconds: Long,
+                    tieCol: String = "event_id"): DataFrame = {
+    require(cooldownSeconds > 0, s"cooldownSeconds=$cooldownSeconds")
+    val schema = df.schema
+    val ki = schema.fieldIndex(keyCol)
+    val ti = schema.fieldIndex(tsCol)
+    val cooldownUs = cooldownSeconds * 1000000L
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(tsCol), col(tieCol))
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var lastKeptUs = 0L
+      var haveKept = false
+      it.filter { row =>
+        val k = row.get(ki)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; haveKept = false
+        }
+        val ts = row.getAs[java.sql.Timestamp](ti)
+        if (ts == null) throw new IllegalStateException(
+          s"debounceChain: null $tsCol for key $k — the kept-chain fold " +
+            "is undefined over engine-ordered nulls; filter them first")
+        val us = math.floorDiv(ts.getTime, 1000L) * 1000000L +
+          ts.getNanos / 1000L
+        val keep = !haveKept || us - lastKeptUs > cooldownUs
+        if (keep) { lastKeptUs = us; haveKept = true }
+        keep
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Exponentially TIME-DECAYED sum per key — the ranking/feature-eng
     * staple ("engagement, but recent counts more"): each event
     * contributes `value · 2^(−⌊(asOf − t)/halfLife⌋)`. Most engines

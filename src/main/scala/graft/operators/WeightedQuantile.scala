@@ -28,10 +28,14 @@ import org.apache.spark.sql.expressions.Window
   * bin's values ONLY (~1/bins of the group), offset by the exact
   * below-bin mass. Binning float math only decides which values land
   * where — the answer is binning-independent, so the oracle stays the
-  * direct one-window formulation. A group whose mass all collapses
-  * into one bin degrades to the direct shape for that group
-  * (documented; one recursion level would close it and has not been
-  * needed).
+  * direct one-window formulation. A group whose threshold bin holds
+  * more than 1/bins of its mass (constant-heavy domains) gets ONE
+  * recursion level — a re-bin within that bin's own range — before the
+  * exact cumulative, so the window pass stays ~1/bins² of the group
+  * even when the top-level histogram fails to split; a further
+  * concentration inside the sub-bin degrades to the direct shape for
+  * that sub-bin (bounded by one more 1/bins factor than the
+  * pre-recursion worst case).
   */
 object WeightedQuantile {
 
@@ -76,10 +80,49 @@ object WeightedQuantile {
     // pass 2: exact ordered cumulative over the threshold bin only
     val cand = binned.join(broadcast(thresh), groupCol)
       .filter(col("__bin") === col("__tbin"))
+    // RECURSION, one level (constant-heavy domains — price ladders,
+    // zero-inflated counts): when a group's threshold bin holds more
+    // than 1/bins of its mass (the equi-width histogram failed to
+    // split — an outlier stretched the range, or the mass piles up),
+    // re-bin WITHIN the threshold bin's own [min, max] before the
+    // exact cumulative, so the window pass sees ~1/bins of the bin
+    // instead of (worst case) the whole group. Binning float math
+    // still only routes values — the answer stays binning-independent,
+    // so the oracle is unchanged. A single-VALUE heavy bin can't split
+    // (min = max) and doesn't need to: it is one row already.
+    val candStats = cand.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"),
+        sum(col("__w")).as("__binw"))
+    val cand2 = cand.join(broadcast(candStats), groupCol)
+      .withColumn("__rec",
+        col("__binw") * lit(bins) > col("__tw") && col("__bmx") > col("__bmn"))
+      .withColumn("__sbin",
+        when(!col("__rec"), lit(0L))
+          .otherwise(least(lit(bins - 1L),
+            floor((col(valueCol) - col("__bmn")) /
+              (col("__bmx") - col("__bmn")) * bins))))
+    val subBinW = cand2.groupBy(col(groupCol), col("__sbin"))
+      .agg(sum(col("__w")).as("__sbw"), first(col("__tw")).as("__stw"),
+        first(col("__below")).as("__sbelow"))
+    val cumSub = Window.partitionBy(col(groupCol)).orderBy(col("__sbin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshSub = subBinW
+      .withColumn("__cs", sum(col("__sbw")).over(cumSub))
+      .filter((col("__sbelow") + col("__cs")) * lit(1000000L) >=
+        lit(quantilePpm) * col("__stw"))
+      .groupBy(col(groupCol))
+      .agg(min_by(struct(col("__sbin"),
+        (col("__sbelow") + col("__cs") - col("__sbw")).as("__below2")),
+        col("__sbin")).as("__t2"))
+      .select(col(groupCol), col("__t2.__sbin").as("__tsbin"),
+        col("__t2.__below2").as("__below2"))
+    // exact ordered cumulative over the (sub-)threshold bin only
+    val finalCand = cand2.join(broadcast(threshSub), groupCol)
+      .filter(col("__sbin") === col("__tsbin"))
     val cumVals = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cand
-      .withColumn("__cw", col("__below") + sum(col("__w")).over(cumVals))
+    finalCand
+      .withColumn("__cw", col("__below2") + sum(col("__w")).over(cumVals))
       .filter(col("__cw") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as(s"wq_$quantilePpm"))

@@ -114,6 +114,19 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A15g: KEPT-CHAIN debounce (round 17) — the true-cooldown rate
+    // limiter: keep iff > 10 min after the last KEPT event. A
+    // sequential per-key fold (secondary sort + O(1)-state
+    // mapPartitions); the oracle is a per-key recursive CTE advancing
+    // each key's chain one kept event per iteration — two different
+    // algorithms, one integer-microsecond contract.
+    "e20_debounce_chain" -> { (s, dir) =>
+      graft.operators.EventOps.debounceChain(Tables(s, dir, "events"),
+          "user_id", "ts", cooldownSeconds = 600L)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy("event_id")
+    },
+
     // A34: exponentially time-decayed engagement sum (round 16) — the
     // ranking/feature staple, made ENGINE-EXACT: integer half-life
     // bucket quotients give exact power-of-two weights, DECIMAL bucket
@@ -354,6 +367,31 @@ object Events {
         |WHERE prev IS NULL
         |  OR CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
         |     - CAST(epoch_us(prev) AS DOUBLE) / 1000000.0 > 600.0
+        |ORDER BY event_id""".stripMargin,
+
+    // e20: the kept-chain fold as a recursive CTE — each iteration
+    // advances every key's chain by one kept event (the next event
+    // strictly > cooldown micros after the current kept one, (ts,
+    // event_id) order); iterations = the longest chain. Pure integer
+    // epoch_us arithmetic, mirroring the engine's fold register.
+    "e20_debounce_chain" ->
+      """WITH RECURSIVE kept AS (
+        |  (SELECT user_id, ts, event_id FROM (
+        |     SELECT user_id, ts, event_id,
+        |            row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS rn
+        |     FROM events) WHERE rn = 1)
+        |  UNION ALL
+        |  SELECT nxt.user_id, nxt.ts, nxt.event_id
+        |  FROM kept, LATERAL (
+        |    SELECT e.user_id, e.ts, e.event_id
+        |    FROM events e
+        |    WHERE e.user_id = kept.user_id
+        |      AND epoch_us(e.ts) - epoch_us(kept.ts) > 600 * 1000000
+        |    ORDER BY e.ts, e.event_id
+        |    LIMIT 1) nxt
+        |)
+        |SELECT event_id, user_id, ts FROM kept
         |ORDER BY event_id""".stripMargin,
 
     "e17_decayed_sum" ->

@@ -508,6 +508,23 @@ object TextQ {
         .orderBy("doc_id")
     },
 
+    // L66e: BATCHED phrase search (round 17) — many standing phrases in
+    // ONE corpus pass: the batch's term union prunes one positional-
+    // postings scan, each phrase anchors on its RAREST term, and a
+    // single (doc, pos, term)-keyed join verifies every phrase's
+    // remaining slots. The set includes a 3-gram, a 4-gram, a
+    // REPEATED-term phrase (each slot probes its own offset), and a
+    // corpus-absent phrase (must match nothing). Oracle: the
+    // independent per-phrase sliding window, generated lockstep from
+    // the same phrase list.
+    "t57_phrase_batch" -> { (s, dir) =>
+      import s.implicits._
+      val phrases = t57Phrases.toDF("query_id", "phrase")
+      Search.phraseSearchBatch(Tables(s, dir, "documents"), "text",
+          "doc_id", phrases, "query_id", "phrase")
+        .orderBy("query_id", "doc_id")
+    },
+
     // L66b: the same query served from the PERSISTED inverted index —
     // t27's oracle gates it (the s05/d06 indexed≡direct pattern): the
     // probe reads only the query's term buckets, never the corpus.
@@ -1014,7 +1031,44 @@ object TextQ {
         |ORDER BY score DESC, doc_id
         |LIMIT 25""".stripMargin
 
+  // t57's standing phrases — ONE list feeds both the Spark query and the
+  // generated DuckDB oracle (the lockstep-generation convention): a
+  // 2-gram, another 2-gram, a 3-gram, a repeated-term phrase, a 4-gram,
+  // and a phrase whose terms never occur in the corpus
+  private val t57Phrases = Seq(
+    ("p1_table_hash", "table hash"),
+    ("p2_sort_merge", "sort merge"),
+    ("p3_tri", "value table part"),
+    ("p4_repeat", "table table"),
+    ("p5_quad", "big query value customer"),
+    ("p6_absent", "quick zebra"))
+
+  // the per-phrase sliding-window arm of the t57 oracle, generated from
+  // the same phrase list the engine serves
+  private def t57OracleSql: String = {
+    val per = t57Phrases.map { case (q, p) =>
+      val ts = p.split(" ").toSeq
+      val conds = ts.zipWithIndex
+        .map { case (t, j) => s"toks[i+$j] = '$t'" }.mkString(" AND ")
+      s"""SELECT '$q' AS query_id, doc_id
+         |  FROM t, UNNEST(generate_series(1, len(toks) - ${ts.length - 1})) s(i)
+         |  WHERE $conds""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents)
+       |SELECT query_id, doc_id, COUNT(*) AS n_matches
+       |FROM (
+       |  $per)
+       |GROUP BY query_id, doc_id
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t57_phrase_batch" -> t57OracleSql,
+
     // t56: the sliding-window check — an independent algorithm from the
     // positional-postings intersection the engine runs
     "t56_phrase_search" ->

@@ -24,7 +24,15 @@ private case class SessionState(sessionId: Long, startMs: Long, lastMs: Long, co
 case class FunnelProgress(user_id: Long, step: Int, step_name: String,
                           t_step: Timestamp, correction: Boolean = false)
 
-private case class FunnelState(timesMs: Seq[Long], lastMs: Long)
+/** A step-typed event the funnel REJECTED against state that a later
+  * correction might revise: kept (bounded) so corrections can
+  * re-qualify it — the r16-documented miss, closed.
+  */
+private case class FunnelBuf(tsMs: Long, nanos: Int, eventId: Long,
+                             step: Int)
+
+private case class FunnelState(timesMs: Seq[Long], lastMs: Long,
+                               buf: Seq[FunnelBuf] = Seq.empty)
 
 /** Structured Streaming mirrors of the batch event analytics
   * (graft.queries.Events): same semantics, incremental execution.
@@ -137,21 +145,36 @@ object EventStreams {
     * same (key, step): append-mode streams cannot retract an emitted
     * row, so the correction supersedes it instead — downstream keeps
     * the minimum `t_step` per (key, step), which corrections only ever
-    * lower. What corrections do NOT do is re-evaluate events that were
-    * rejected against the old time and are no longer in state; exact
-    * replay of heavily disordered history remains the batch operator's
-    * job (the sessionize contract).
+    * lower. Corrections also RE-EVALUATE rejected events (round 17,
+    * closing the r16-documented miss): every step-typed event rejected
+    * against state a later correction might revise — its step unanchored,
+    * or a potential tightener gated by a stale anchor — is kept in a
+    * BOUNDED per-key buffer, and whenever a batch changes an anchor the
+    * buffer replays (in event order, to a fixpoint ≤ steps passes) so a
+    * correction can anchor a step whose event arrived before it. The
+    * buffer holds only events that could still matter: entries below
+    * the watermark are pruned (a correction cascade's new anchor values
+    * are always ≥ the watermark — stragglers are — so sub-watermark
+    * entries can never re-qualify: provable by induction up the chain),
+    * entries whose step anchored at or below their time are never
+    * admitted, and `maxBuffered` caps the rest (keeping the earliest;
+    * overflow degrades to the pre-r17 behavior for the dropped tail).
+    * Exact replay of heavily disordered history beyond the buffer
+    * remains the batch operator's job (the sessionize contract).
     *
-    * State per key: `steps.size` longs + a timestamp, dropped
-    * `retentionSec` after the key's last event (event-time timeout) —
-    * bounded by active keys in the horizon, sharded by the state store.
+    * State per key: `steps.size` longs + a timestamp + the bounded
+    * buffer, dropped `retentionSec` after the key's last event
+    * (event-time timeout) — bounded by active keys in the horizon,
+    * sharded by the state store.
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
                    withinSeconds: Long, watermark: String = "1 hour",
-                   retentionSec: Long = 7L * 86400): Dataset[FunnelProgress] = {
+                   retentionSec: Long = 7L * 86400,
+                   maxBuffered: Int = 512): Dataset[FunnelProgress] = {
     require(steps.size >= 2, s"funnel needs >= 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
     require(withinSeconds > 0, s"withinSeconds=$withinSeconds")
+    require(maxBuffered >= 0, s"maxBuffered=$maxBuffered")
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
@@ -167,20 +190,22 @@ object EventStreams {
             val times = state.getOption.map(_.timesMs.toArray)
               .getOrElse(Array.fill(nSteps)(-1L))
             var lastMs = state.getOption.map(_.lastMs).getOrElse(-1L)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[FunnelBuf]
+            state.getOption.foreach(buf ++= _.buf)
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelProgress]
-            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-              val t = e.ts.getTime
-              lastMs = math.max(lastMs, t)
-              val k = stepIdx(e.event_type)
-              // step k qualifies against the step below it (step 1
-              // against nothing): strictly after, within the window
+            var changed = false
+            // (ts, tie)-ordered qualification of one event against the
+            // current anchors; returns true iff it changed an anchor
+            def tryQualify(t: Long, k: Int, tsOut: Timestamp): Boolean = {
               val prevOk = k == 0 || (times(k - 1) >= 0 &&
                 t > times(k - 1) && t <= times(k - 1) + withinSeconds * 1000)
               if (times(k) < 0) {
                 if (prevOk) {
                   times(k) = t
-                  out += FunnelProgress(userId, k + 1, steps(k), e.ts)
-                }
+                  out += FunnelProgress(userId, k + 1, steps(k), tsOut,
+                    correction = false)
+                  true
+                } else false
               } else if (t < times(k) && prevOk &&
                   (k == nSteps - 1 || times(k + 1) < 0)) {
                 // late straggler tightens an EMITTED step: allowed only
@@ -188,11 +213,48 @@ object EventStreams {
                 // was gated on the old value and must stay truthful) —
                 // and surfaced as a correction row, not silently
                 times(k) = t
-                out += FunnelProgress(userId, k + 1, steps(k), e.ts,
+                out += FunnelProgress(userId, k + 1, steps(k), tsOut,
                   correction = true)
+                true
+              } else false
+            }
+            // a rejected event is worth buffering iff a future
+            // correction could revise the state it was judged against
+            def bufferable(t: Long, k: Int): Boolean =
+              times(k) < 0 ||
+                (t < times(k) && (k == nSteps - 1 || times(k + 1) < 0))
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val t = e.ts.getTime
+              lastMs = math.max(lastMs, t)
+              val k = stepIdx(e.event_type)
+              if (tryQualify(t, k, e.ts)) changed = true
+              else if (bufferable(t, k))
+                buf += FunnelBuf(t, e.ts.getNanos, e.event_id, k)
+            }
+            // re-evaluation: replay the buffer whenever an anchor moved,
+            // to a fixpoint — each pass either changes an anchor (≤
+            // nSteps times total) or stops
+            var progress = changed
+            while (progress) {
+              progress = false
+              val ordered = buf.sortBy(b => (b.tsMs, b.eventId)).toSeq
+              for (b <- ordered) {
+                val ts = new Timestamp(b.tsMs)
+                ts.setNanos(b.nanos)
+                if (tryQualify(b.tsMs, b.step, ts)) {
+                  buf -= b
+                  progress = true
+                }
               }
             }
-            state.update(FunnelState(times.toSeq, lastMs))
+            // prune: sub-watermark entries can never re-qualify; entries
+            // no longer bufferable (their step anchored at/below their
+            // time, or tightening got sealed) are dead weight; cap keeps
+            // the earliest (ts, tie) entries
+            val wm = state.getCurrentWatermarkMs()
+            val kept = buf.filter(b => b.tsMs >= wm && bufferable(b.tsMs, b.step))
+              .sortBy(b => (b.tsMs, b.eventId)).take(maxBuffered).toSeq
+            state.update(FunnelState(times.toSeq, lastMs, kept))
             state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
@@ -238,6 +300,57 @@ object EventStreams {
             }
             state.update(lastMs)
             state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming KEPT-CHAIN debounce — the incremental twin of
+    * [[graft.operators.EventOps.debounceChain]]: emit an event iff it is
+    * more than `cooldownSeconds` after the key's last EMITTED event (the
+    * true-cooldown rate-limiter contract — state only advances on a
+    * keep, so a steady drizzle re-fires once per window instead of
+    * being suppressed forever). State is ONE timestamp per key — the
+    * last KEPT one — which is exactly the batch fold's O(1) register,
+    * so on an event-time-ordered stream the output row set equals the
+    * batch operator's (spec-pinned parity). Cross-batch stragglers
+    * older than the stored kept time are evaluated against it and never
+    * rewind state (the sessionize contract: exact disordered replay is
+    * the batch operator's job). The gap test is the same pure-integer
+    * microseconds comparison as the batch side.
+    */
+  def debounceChainStream(events: Dataset[Event], cooldownSeconds: Long,
+                          watermark: String = "1 hour",
+                          retentionSec: Long = 7L * 86400): Dataset[Event] = {
+    require(cooldownSeconds > 0, s"cooldownSeconds=$cooldownSeconds")
+    val cooldownUs = cooldownSeconds * 1000000L
+    import events.sparkSession.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var lastKeptUs = state.getOption.getOrElse(Long.MinValue)
+            var lastSeenUs = lastKeptUs
+            val out = scala.collection.mutable.ArrayBuffer.empty[Event]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val us = micros(e.ts)
+              lastSeenUs = math.max(lastSeenUs, us)
+              if (lastKeptUs == Long.MinValue || us - lastKeptUs > cooldownUs) {
+                out += e
+                // kept-chain contract: state advances ONLY on a keep
+                lastKeptUs = us
+              }
+            }
+            state.update(lastKeptUs)
+            state.setTimeoutTimestamp(math.max(
+              lastSeenUs / 1000L + retentionSec * 1000,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword search over the corpus — BM25 (Robertson/Spärck Jones; the
@@ -65,6 +66,84 @@ object Search {
     slots.reduce((a, b) => a.join(b, Seq(idCol, "__start")))
       .filter(col("__start") >= 0)
       .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** MANY standing phrases in ONE corpus pass — [[phraseSearch]]'s
+    * batched serving shape (the t31 batched-BM25 convention): a
+    * retrieval service never serves one phrase at a time, and re-scanning
+    * the corpus per phrase multiplies the only linear term.
+    *
+    * Shape: the batch's distinct terms (collected — bounded by the
+    * batch's total token count, the [[bm25ProbeBatch]] contract) prune
+    * ONE positional-postings scan, persisted and shared by every
+    * downstream step. Instead of per-phrase k-way join chains, the batch
+    * runs RAREST-ANCHORED verification: per phrase, the slot whose term
+    * has the smallest document frequency (dfs derive DISTRIBUTED from
+    * the same pruned postings — a tiny term-keyed aggregate) anchors
+    * candidate starts, so candidate volume is Σ_phrase (rarest term's
+    * postings) — "the" anchors nothing — and one (doc, pos, term)-keyed
+    * join verifies ALL phrases' remaining slots in a single shuffle
+    * (per-candidate fan-out = phrase length). A start is a match iff
+    * every slot finds its posting. Repeated phrase terms work naturally:
+    * each slot probes its own offset.
+    *
+    * Returns (queryIdCol, idCol, n_matches) for documents containing
+    * each phrase at least once; counts are exact integers (no float
+    * anywhere). Every phrase needs >= 2 tokens (the [[phraseSearch]]
+    * contract); a phrase with a corpus-absent term simply matches
+    * nothing.
+    */
+  def phraseSearchBatch(df: DataFrame, textCol: String, idCol: String,
+                        phrases: DataFrame, queryIdCol: String,
+                        queryTextCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    // (query, slot, term) — tiny by contract; collected once to validate
+    val qt = phrases.select(col(queryIdCol),
+      posexplode(filter(split(lower(col(queryTextCol)), "\\s+"),
+        t => t =!= "")).as(Seq("__slot", "__qterm")))
+    val qtRows = qt.collect()
+    require(qtRows.nonEmpty, "phraseSearchBatch: no phrases")
+    val slotCounts = qtRows.groupBy(_.get(0)).map { case (q, rs) =>
+      q -> rs.length }
+    slotCounts.foreach { case (q, n) =>
+      require(n >= 2, s"phraseSearchBatch: phrase '$q' needs >= 2 tokens") }
+    val terms = qtRows.map(_.getString(2)).distinct.toSeq
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+      df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
+        .filter(col("__term").isin(terms: _*)),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // per-term dfs: a term-keyed aggregate over the SAME pruned read;
+    // absent terms rank rarest (df 0), anchoring their phrase to an
+    // empty postings list — the correct empty result
+    val dfs = posted.groupBy(col("__term"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val rankW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__df").asc_nulls_first, col("__qterm"), col("__slot"))
+    val anchors = qt.join(dfs, col("__qterm") === col("__term"), "left")
+      .withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") === 1)
+      .select(col(queryIdCol), col("__slot").as("__aslot"),
+        col("__qterm").as("__aterm"))
+    val cands = posted.join(broadcast(anchors),
+        col("__term") === col("__aterm"))
+      .select(col(queryIdCol), col(idCol),
+        (col("__pos") - col("__aslot")).as("__start"))
+      .filter(col("__start") >= 0)
+    // one (doc, pos, term)-keyed join verifies every slot of every
+    // candidate; a start matches iff all slots found their posting
+    val nSlots = qt.groupBy(col(queryIdCol))
+      .agg(count(lit(1)).as("__n"))
+    val probes = cands.join(broadcast(qt), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol), col("__start"),
+        (col("__start") + col("__slot")).as("__pos"), col("__qterm"))
+    probes.join(posted.withColumnRenamed("__term", "__qterm"),
+        Seq(idCol, "__pos", "__qterm"))
+      .groupBy(col(queryIdCol), col(idCol), col("__start"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(nSlots), Seq(queryIdCol))
+      .filter(col("__hit") === col("__n"))
+      .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
 

@@ -863,4 +863,43 @@ class PlanSpec extends SparkSpec {
         s"expected >=3 parquet scans under Off:\n$lazyPlan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("batched phrase search pays ONE corpus pass: every downstream " +
+    "step reads the shared persisted postings, and anchors/slots ride " +
+    "broadcasts") {
+    // the t31/s04 batched-serving discipline applied to phrases: if a
+    // refactor dropped the persist, each phrase's verify join would
+    // rescan documents — at 100 TB, |phrases|+1 corpus scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("t57_phrase_batch")(spark, sf)
+        .queryExecution.executedPlan
+      val parquetScans = plan.collect { case f: FileSourceScanExec => f }
+      assert(parquetScans.isEmpty,
+        s"t57: downstream steps rescan parquet (${parquetScans.size}):\n$plan")
+      // the shared postings surface as the materialized frame (the
+      // persist cut its lineage — same signature as the funnel's)
+      assert(plan.toString.contains("Scan ExistingRDD"),
+        s"t57: expected the shared persisted postings in the plan:\n$plan")
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"t57: anchors/slots should broadcast, not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("kept-chain debounce is one exchange + one within-partition sort: " +
+    "the fold never shuffles rows twice and never widens beyond the key " +
+    "partitioning") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("e20_debounce_chain")(spark, sf)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      // the key repartition + the final orderBy's range exchange; the
+      // fold itself adds NO exchange of its own
+      assert(shuffles.size <= 2,
+        s"e20: expected <=2 exchanges (key hash + output range):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

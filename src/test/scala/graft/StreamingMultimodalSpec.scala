@@ -150,6 +150,51 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel: a correction RE-QUALIFIES an event rejected " +
+    "against the stale step time (r17, closing the r16-documented miss)") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click")
+    val all1 = Seq(
+      // ts order within the batch: the click at 00:15 is judged BEFORE
+      // the view at 00:20 and rejected (no anchor yet) → buffered
+      Event(1, ts(15), 7, "click", 1.0),
+      Event(2, ts(20), 7, "view", 1.0))
+    val straggler = Event(3, ts(12), 7, "view", 1.0)
+    def run(maxBuffered: Int, name: String) = {
+      val input = MemoryStream[Event]
+      val query = EventStreams.funnelStream(input.toDS(), steps,
+          withinSeconds = 300, maxBuffered = maxBuffered)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(all1: _*)
+        query.processAllAvailable()
+        // batch 2: the straggler tightens view 00:20 → 00:12; the
+        // buffered click (00:15) now sits strictly inside [12, 17]
+        input.addData(straggler)
+        query.processAllAvailable()
+      } finally query.stop()
+      spark.table(name).select("user_id", "step", "t_step", "correction")
+        .as[(Long, Int, Timestamp, Boolean)].collect().toSeq.sorted
+    }
+    val got = run(maxBuffered = 512, "funnel_requal_out")
+    assert(got == Seq(
+      (7L, 1, ts(12), true), (7L, 1, ts(20), false),
+      (7L, 2, ts(15), false)), s"$got")
+    // parity: the batch funnel over the full history agrees
+    val batch = graft.operators.EventOps.funnel(
+        (all1 :+ straggler)
+          .toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "event_type", "ts", steps, 300L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(batch.toSeq == Seq((7L, ts(12), ts(15))), s"${batch.toSeq}")
+    // maxBuffered = 0 pins the degradation path: no buffer, no
+    // re-qualification — exactly the pre-r17 behavior
+    val got0 = run(maxBuffered = 0, "funnel_requal0_out")
+    assert(got0 == Seq(
+      (7L, 1, ts(12), true), (7L, 1, ts(20), false)), s"$got0")
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -1674,6 +1719,54 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
     intercept[IllegalArgumentException] {
       EventStreams.debounceStream(input.toDS(), 0)
+    }
+  }
+
+  test("kept-chain debounce: gap measured against the last KEPT event — " +
+    "a steady drizzle re-fires once per cooldown; batch/stream parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // drizzle every 2 min, cooldown 5 min: raw-gap debounce keeps only
+    // the first event forever; the kept-chain re-fires at 6, 12, 18 min
+    val all = (0 until 10).map(i =>
+      Event(i + 1L, ts(2 * i), 7, "a", 1.0)) :+
+      Event(100L, ts(2), 8, "a", 1.0) // other key, first -> kept
+    val df = all.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val chain = graft.operators.EventOps.debounceChain(
+        df, "user_id", "ts", 300L)
+      .select("event_id").as[Long].collect().toSet
+    // key 7: 0,6,12,18 min -> events 1,4,7,10
+    assert(chain == Set(1L, 4L, 7L, 10L, 100L), s"$chain")
+    // the stateless operator on the same drizzle: only the firsts
+    val raw = graft.operators.EventOps.debounce(df, "user_id", "ts", 300L)
+      .select("event_id").as[Long].collect().toSet
+    assert(raw == Set(1L, 100L), s"$raw")
+    // streaming twin: same rows, state carries across batches
+    val input = MemoryStream[Event]
+    val query = EventStreams.debounceChainStream(input.toDS(),
+        cooldownSeconds = 300)
+      .writeStream.format("memory").queryName("debounce_chain_out")
+      .outputMode("append").start()
+    try {
+      input.addData(all.take(5): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(5): _*)
+      query.processAllAvailable()
+      val got = spark.table("debounce_chain_out").select("event_id")
+        .as[Long].collect().toSet
+      assert(got == chain, s"stream $got vs batch $chain")
+    } finally query.stop()
+    // null ts is rejected loudly, not silently ordered
+    val withNull = df.unionByName(
+      Seq((200L, 7L, "a", 1.0)).toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts", lit(null).cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.EventOps.debounceChain(
+        withNull, "user_id", "ts", 300L).count()
+    }
+    assert(ex.getMessage != null)
+    intercept[IllegalArgumentException] {
+      EventStreams.debounceChainStream(input.toDS(), 0)
     }
   }
 

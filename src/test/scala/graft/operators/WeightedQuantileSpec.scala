@@ -40,4 +40,42 @@ class WeightedQuantileSpec extends SparkSpec {
       WeightedQuantile.perGroup(rows, "g", "v", "w", 0L)
     }
   }
+
+  test("single-bin recursion: a constant-heavy group (99% of mass on one " +
+    "value, outlier-stretched range) re-bins the threshold bin and still " +
+    "answers exactly") {
+    // group z: one value (10.0) carries 9900 of ~10000 mass, 100 ladder
+    // values sit just above it, and an outlier at 64000 stretches the
+    // top-level equi-width range so bins 1..63 are empty — EVERYTHING
+    // lands in bin 0, which therefore holds ~all the mass and triggers
+    // the recursion; the sub-bin histogram over [10, 110] then splits
+    // the ladder
+    val heavy = Seq(("z", 10.0, 9900.0)) ++
+      (1 to 100).map(i => ("z", 10.0 + i, 1.0)) ++
+      Seq(("z", 64000.0, 1.0)) ++
+      // group u: uniform — must be untouched by z's recursion branch
+      (1 to 9).map(i => ("u", i.toDouble, 1.0))
+    val df = heavy.toDF("g", "v", "w")
+    // same integer-scaled threshold test as the operator (weights here
+    // are integer-valued, so the arithmetic is exact in doubles)
+    def brute(ppm: Long): Double = {
+      val zs = heavy.filter(_._1 == "z").groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = zs.map(_._2).sum
+      var cum = 0.0
+      zs.find { case (_, w) => cum += w; cum * 1e6 >= ppm * tot }.get._1
+    }
+    for (ppm <- Seq(500000L, 990001L, 995000L, 999991L)) {
+      val got = WeightedQuantile.perGroup(df, "g", "v", "w", ppm)
+        .as[(String, Double)].collect().toMap
+      assert(got("z") == brute(ppm), s"ppm=$ppm: $got")
+      assert(got("u") == (if (ppm <= 500000L) 5.0 else 9.0),
+        s"ppm=$ppm u: $got")
+    }
+    // median of z is the heavy value itself (bin 0's single-value floor:
+    // recursion picks the sub-bin holding 10.0 — one row, exact)
+    val med = WeightedQuantile.perGroup(df, "g", "v", "w", 500000L)
+      .as[(String, Double)].collect().toMap
+    assert(med("z") == 10.0 && med("u") == 5.0, s"$med")
+  }
 }
