@@ -305,4 +305,37 @@ object Dedup extends DedupMinhash with DedupHamming with DedupNgram
     */
   def ngramJaccard(a: Column, b: Column, n: Int = 2): Column =
     jaccardOfSets(ngramSet(a, n), ngramSet(b, n))
+
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware refinement of
+    * the content-hash split (t07): a plain per-document split puts two
+    * NEAR-duplicates of the same document on opposite sides of the
+    * train/eval fence (benchmark leakage, the exact failure
+    * decontamination audits hunt), because near-dups hash differently.
+    * Here the unit of assignment is the NEAR-DUP CLUSTER: duplicate
+    * pairs close into components ([[dupClusters]] — min-label,
+    * pointer-jumping), every member inherits its cluster's label
+    * (singletons label themselves), and the split is the t07 md5-bucket
+    * convention applied to the LABEL — so an entire cluster lands in one
+    * split, deterministically, at any partitioning.
+    *
+    * `pairs` is any duplicate-pair frame with (a, b) columns — exact,
+    * MinHash-banded, SimHash, cosine, edit-distance: the caller picks
+    * the dup definition; this operator guarantees the split respects it.
+    *
+    * Scale shape: the CC engine's (bounded rounds over edge skeletons);
+    * one left join of ids against the label frame; the split expression
+    * is row-local. Returns `ids` plus (`cluster`, `split`).
+    */
+  def leakageSafeSplit(ids: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"leakageSafeSplit: trainPct=$trainPct valPct=$valPct")
+    val lab = dupClusters(pairs)
+      .select(col("id").as("__lid"), col("label").as("__label"))
+    ids.join(lab, ids(idCol) === col("__lid"), "left")
+      .withColumn("cluster", coalesce(col("__label"), ids(idCol)))
+      .withColumn("split", graft.text.TextOps.splitAssign(
+        col("cluster").cast("string"), trainPct, valPct))
+      .drop("__lid", "__label")
+  }
 }

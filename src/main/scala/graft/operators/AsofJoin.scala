@@ -5,19 +5,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** As-of (point-in-time) join: for each left row, the nearest right row
-  * at-or-before (`backward`, default) or at-or-after (`forward`) the
-  * left timestamp for the same key — the canonical "state at event time"
-  * lookup Spark has no built-in operator for, with the pandas
-  * `merge_asof` surface: direction and an optional match TOLERANCE (a
-  * nearest match staler than the tolerance yields nulls, the way a
-  * production feature-store lookup refuses stale state).
+  * at-or-before (`backward`, default), at-or-after (`forward`), or
+  * closest-in-either-direction (`nearest`) the left timestamp for the
+  * same key — the canonical "state at event time" lookup Spark has no
+  * built-in operator for, with the pandas `merge_asof` surface:
+  * direction and an optional match TOLERANCE (a nearest match staler
+  * than the tolerance yields nulls, the way a production feature-store
+  * lookup refuses stale state).
   *
   * Implemented by composition (preference (a) of the custom-operator
   * ladder): tag both sides, union, and carry the last non-null right
   * payload forward with a running window — ONE shuffle on the key, no
   * range-condition nested-loop join, no per-key collect. `forward` is
-  * the same traversal over descending timestamps. Left rows with no
-  * qualifying right row get nulls (left-outer as-of semantics).
+  * the same traversal over descending timestamps; `nearest` runs BOTH
+  * windows over the one exchange (same partitioning → one shuffle, two
+  * within-partition sorts) and picks per left row the match with the
+  * smaller |gap|, ties toward backward (tolerance null-outs apply per
+  * direction BEFORE the choice, so a stale backward match loses to an
+  * in-tolerance forward one). Left rows with no qualifying right row
+  * get nulls (left-outer as-of semantics).
   *
   * Scale: the single shuffle partitions by key; the within-partition
   * sort is (ts, side), so cost is the same as any windowed analytic over
@@ -42,12 +48,10 @@ object AsofJoin {
             leftTs: String, rightTs: String, rightCols: Seq[String],
             direction: String = "backward",
             toleranceSeconds: Double = 0.0): DataFrame = {
-    val forward = direction.toLowerCase match {
-      case "backward" => false
-      case "forward" => true
-      case d => throw new IllegalArgumentException(
-        s"asof direction '$d' (backward | forward)")
-    }
+    val dir = direction.toLowerCase
+    require(dir == "backward" || dir == "forward" || dir == "nearest",
+      s"asof direction '$direction' (backward | forward | nearest)")
+    val forward = dir == "forward"
     val leftCols = left.columns.toSeq
     // the matched right timestamp rides INSIDE the payload struct (last
     // field: among rows tying on (key, ts) it equals __ts, so the
@@ -77,22 +81,47 @@ object AsofJoin {
     // shuffled last (a latent exact-compare flake). Forward = identical
     // traversal over DESCENDING ts: the last right seen before a left is
     // the nearest rightTs >= leftTs.
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrder, col("__side"), col("__payload"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def windowOver(desc: Boolean) = {
+      val tsOrder = if (desc) col("__ts").desc else col("__ts").asc
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(tsOrder, col("__side"), col("__payload"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def gapOf(m: Column, fwd: Boolean) =
+      if (fwd) m.getField("__rts").cast("double") - col("__ts").cast("double")
+      else col("__ts").cast("double") - m.getField("__rts").cast("double")
+    def withTolerance(m: Column, fwd: Boolean): Column =
+      if (toleranceSeconds > 0)
+        when(gapOf(m, fwd) <= lit(toleranceSeconds), m)
+      else m
 
-    val raw = last(col("__payload"), ignoreNulls = true).over(w)
-    val gap =
-      if (forward) col("__m.__rts").cast("double") - col("__ts").cast("double")
-      else col("__ts").cast("double") - col("__m.__rts").cast("double")
-    val matched = l.unionByName(r)
-      .withColumn("__m", raw)
-      .withColumn("__match",
-        if (toleranceSeconds > 0)
-          when(gap <= lit(toleranceSeconds), col("__m"))
-        else col("__m"))
-      .filter(col("__side") === 1)
+    val matched =
+      if (dir == "nearest") {
+        // both traversals over the ONE key exchange (same partitioning:
+        // the second window adds a sort, not a shuffle); per-direction
+        // tolerance null-outs, then the smaller-|gap| match wins, ties
+        // toward backward
+        l.unionByName(r)
+          .withColumn("__mbRaw",
+            last(col("__payload"), ignoreNulls = true).over(windowOver(false)))
+          .withColumn("__mfRaw",
+            last(col("__payload"), ignoreNulls = true).over(windowOver(true)))
+          .withColumn("__mb", withTolerance(col("__mbRaw"), fwd = false))
+          .withColumn("__mf", withTolerance(col("__mfRaw"), fwd = true))
+          .withColumn("__match",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(gapOf(col("__mf"), fwd = true) <
+                gapOf(col("__mb"), fwd = false), col("__mf"))
+              .otherwise(col("__mb")))
+          .filter(col("__side") === 1)
+      } else {
+        l.unionByName(r)
+          .withColumn("__m",
+            last(col("__payload"), ignoreNulls = true).over(windowOver(forward)))
+          .withColumn("__match", withTolerance(col("__m"), forward))
+          .filter(col("__side") === 1)
+      }
 
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       rightCols.map(c => col(s"__match.$c").as(s"asof_$c"))

@@ -48,6 +48,12 @@ object WeightedQuantile {
     require(quantilePpm >= 1 && quantilePpm <= 1000000,
       s"quantilePpm=$quantilePpm")
     require(bins >= 1 && bins <= 100000, s"bins=$bins")
+    // the (group, value) collapse is the only corpus-sized frame; its
+    // downstream references (stats, the bin histogram, the threshold-bin
+    // cut) share ONE execution via exchange reuse — the collapse ends in
+    // an exchange, and identical exchanges dedup within a job, so no
+    // persist is needed here (measured: a DISK_ONLY persist ADDED
+    // serialize cpu without removing a pass)
     val byVal = df.groupBy(col(groupCol), col(valueCol))
       .agg(sum(expr(s"CAST($weightCol AS DECIMAL(18,2))")).as("__w"))
     val stats = byVal.groupBy(col(groupCol))
@@ -77,9 +83,16 @@ object WeightedQuantile {
         .as("__below")), col("__bin")).as("__t"))
       .select(col(groupCol), col("__t.__bin").as("__tbin"),
         col("__t.__below").as("__below"))
-    // pass 2: exact ordered cumulative over the threshold bin only
-    val cand = binned.join(broadcast(thresh), groupCol)
-      .filter(col("__bin") === col("__tbin"))
+    // pass 2: exact ordered cumulative over the threshold bin only.
+    // PERSISTED (small: ~1/bins of the distinct values): the recursion
+    // below references this frame four times — un-persisted, each
+    // reference would re-execute the corpus aggregation above (the
+    // funnel's N-scan anti-pattern; caught by the r17 cpu_s record at
+    // 6× the r16 cost)
+    val cand = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+      binned.join(broadcast(thresh), groupCol)
+        .filter(col("__bin") === col("__tbin")),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // RECURSION, one level (constant-heavy domains — price ladders,
     // zero-inflated counts): when a group's threshold bin holds more
     // than 1/bins of its mass (the equi-width histogram failed to
@@ -93,9 +106,30 @@ object WeightedQuantile {
     val candStats = cand.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"),
         sum(col("__w")).as("__binw"))
+    // trigger only on a CLEARLY failed split — the bin holds more than
+    // 2× its equi-width fair share (a constant-heavy bin holds ~bins×;
+    // a uniform distribution sits at ~1.0× and must NOT pay the
+    // recursion stages — at exactly 1/bins the test is noise)
+    val recCond =
+      col("__binw") * lit(bins) > col("__tw") * 2 && col("__bmx") > col("__bmn")
+    // short-circuit: one cheap probe job over the CACHED bin frame
+    // decides whether ANY group needs the recursion — when none does
+    // (the common case: the top-level histogram split every group), the
+    // plan stays the direct pass-2, paying zero recursion stages (no
+    // driver data moves — an isEmpty on a filtered skeleton)
+    val anyRec = !cand.join(broadcast(candStats), groupCol)
+      .filter(recCond).isEmpty
+    if (!anyRec) {
+      val cumVals = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return cand
+        .withColumn("__cw", col("__below") + sum(col("__w")).over(cumVals))
+        .filter(col("__cw") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
+        .groupBy(col(groupCol))
+        .agg(min(col(valueCol)).as(s"wq_$quantilePpm"))
+    }
     val cand2 = cand.join(broadcast(candStats), groupCol)
-      .withColumn("__rec",
-        col("__binw") * lit(bins) > col("__tw") && col("__bmx") > col("__bmn"))
+      .withColumn("__rec", recCond)
       .withColumn("__sbin",
         when(!col("__rec"), lit(0L))
           .otherwise(least(lit(bins - 1L),

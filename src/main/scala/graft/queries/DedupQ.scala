@@ -237,6 +237,30 @@ object DedupQ {
         .orderBy("id")
     },
 
+    // L18b: LEAKAGE-SAFE cluster split (round 17) — t07's deterministic
+    // split with the NEAR-DUP CLUSTER as the unit of assignment: a
+    // per-document split puts near-duplicates on opposite sides of the
+    // train/eval fence (they hash differently); here d09's cosine dup
+    // pairs close into components and the whole cluster rides one
+    // md5-bucket draw on its min label. Oracle: d09's pair SQL → the
+    // d23 recursive min-label closure → the t07 split expression on the
+    // label.
+    "d31_cluster_split" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val all = emb.unionByName(twins)
+      val pairs = Dedup.cosineDupPairsExact(all, "vec_id", "embedding",
+          threshold = 0.8)
+        .select(col("a"), col("b"))
+      Dedup.leakageSafeSplit(all.select("vec_id"), "vec_id", pairs)
+        .select(col("vec_id"), col("cluster"), col("split"))
+        .orderBy("vec_id")
+    },
+
     // L20: benchmark contamination — corpus docs (id ≥ 20) sharing distinct
     // 5-grams with the "benchmark" slice (id < 20). Hashed grams in Spark ≡
     // string grams in the oracle, same argument as d04.
@@ -662,6 +686,36 @@ object DedupQ {
          |  cluster_size * COUNT(*) AS n_docs
          |FROM sz GROUP BY cluster_size
          |ORDER BY cluster_size DESC""".stripMargin) +
+    // d31: d09's pairs → the d23 recursive min-label closure → every id
+    // (the base slice PLUS the planted twins — singletons label
+    // themselves) → the t07 md5-bucket split applied to the LABEL string
+    ("d31_cluster_split" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a, b FROM (
+         |${baseOracles("d09_cosine_dup_pairs")})),
+         |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |r AS (
+         |  SELECT id, id AS label FROM nodes
+         |  UNION
+         |  SELECT e.a AS id, r.label FROM e JOIN r ON r.id = e.b),
+         |lab AS (SELECT id, MIN(label) AS label FROM r GROUP BY id),
+         |ids AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id < 1000
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 FROM embeddings
+         |  WHERE vec_id < 1000 AND vec_id % 10 = 0),
+         |cl AS (
+         |  SELECT ids.vec_id, COALESCE(lab.label, ids.vec_id) AS cluster
+         |  FROM ids LEFT JOIN lab ON lab.id = ids.vec_id)
+         |SELECT vec_id, cluster,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT vec_id, cluster,
+         |        CAST(('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 6))
+         |             AS BIGINT) % 100 AS b
+         |      FROM cl)
+         |ORDER BY vec_id""".stripMargin) +
     // d24: the naive full-postings containment join over STRING shingles
     // (the engine joins 64-bit shingle hashes and prefix-filters the
     // candidate side — count-identical absent a 2^-65 collision; the

@@ -261,6 +261,42 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A18c (SURVEY row): NEAREST as-of join (round 17) — the third merge_asof
+    // direction: the closest click in EITHER direction within 24h,
+    // ties toward backward. Both traversals ride ONE key exchange
+    // (second window = a sort, not a shuffle); per-direction tolerance
+    // null-outs precede the |gap| choice. Oracle: an independent
+    // direct-search LATERAL (order by |gap|, side, payload) — two
+    // algorithms, one answer.
+    "e21_asof_nearest" -> { (s, dir) =>
+      val events = Tables(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), direction = "nearest",
+          toleranceSeconds = 86400.0)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click_id").as("click_id"))
+        .orderBy("event_id")
+    },
+
+    // A36: MULTI-TOUCH attribution (round 17) — which touch types get
+    // credit for conversions: each touch attributes to the user's NEXT
+    // purchase within 24h (single-attribution, as-of traversal — no
+    // interval join), position model (40/20/40), credit as exact
+    // integer ppm with the floor remainder on the last touch — every
+    // aggregate is an order-free long sum both engines replay.
+    "e22_attribution" -> { (s, dir) =>
+      graft.operators.Attribution.report(Tables(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          conversionType = "purchase",
+          touchTypes = Seq("view", "click", "signup"),
+          lookbackSeconds = 86400L)
+        .orderBy("event_type")
+    },
+
     // A15b (deep variant): SIX-step funnel with REPEATED step types —
     // the re-engagement shape (signup → view → click → view → click →
     // purchase). The chain reads the step-typed pre-filter ONCE (the
@@ -555,6 +591,70 @@ object Events {
         |  (SELECT user_id, ts, event_id AS click_id FROM events
         |   WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // e22: the same as-of traversal + rank + integer-ppm credit,
+    // replayed natively (the union/window lockstep convention)
+    "e22_attribution" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click', 'signup')),
+        |m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_conv = 1 THEN us END IGNORE NULLS)
+        |      OVER w AS conv_us,
+        |    last_value(CASE WHEN is_conv = 1 THEN event_id END IGNORE NULLS)
+        |      OVER w AS conv_id
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id
+        |               ORDER BY us DESC, is_conv ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT * FROM m
+        |  WHERE is_conv = 0 AND conv_id IS NOT NULL
+        |    AND us < conv_us AND conv_us - us <= 86400::BIGINT * 1000000),
+        |r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY us, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM t)
+        |SELECT event_type, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_ppm
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 THEN 400000
+        |         WHEN rn = n THEN 600000 - (n - 2) * (200000 // (n - 2))
+        |         ELSE 200000 // (n - 2) END AS credit
+        |  FROM r)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // e21: the independent direct-search formulation — nearest |gap|
+    // first, backward preferred on ties, greatest click_id among
+    // equal-timestamp rights (the engine's max-payload tie-break)
+    "e21_asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, nxt.click_id
+        |FROM purchases p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id
+        |  FROM clicks c
+        |  WHERE c.user_id = p.user_id
+        |    AND abs(epoch_us(c.ts) - epoch_us(p.ts))
+        |        <= 86400::BIGINT * 1000000
+        |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        |           (epoch_us(c.ts) > epoch_us(p.ts)),
+        |           c.event_id DESC
+        |  LIMIT 1) nxt ON TRUE
         |ORDER BY p.event_id""".stripMargin,
 
     "e14_asof_forward" ->

@@ -525,6 +525,32 @@ object TextQ {
         .orderBy("query_id", "doc_id")
     },
 
+    // L66f: t56's phrase served from the PERSISTED positional index —
+    // the build-once/serve-many split for phrase retrieval; t56's
+    // sliding-window oracle gates it (the s05/t29 indexed≡direct
+    // pattern). The probe reads only the phrase's term buckets and
+    // explodes only their position lists.
+    "t58_phrase_indexed" -> { (s, dir) =>
+      val table = phraseIndexTable(s, dir)
+      val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      probe.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Search.phraseProbe(probe, table, "doc_id", "table hash")
+        .orderBy("doc_id")
+    },
+
+    // L66f (batch face): the t57 standing-phrase set from ONE
+    // bucket-pruned index read — t57's lockstep oracle gates it.
+    "t59_phrase_indexed_batch" -> { (s, dir) =>
+      import s.implicits._
+      val table = phraseIndexTable(s, dir)
+      val probe = org.apache.spark.sql.graftbridge.Bridge.cloneSession(s)
+      probe.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val phrases = t57Phrases.toDF("query_id", "phrase")
+      Search.phraseProbeBatch(probe, table, "doc_id", phrases,
+          "query_id", "phrase")
+        .orderBy("query_id", "doc_id")
+    },
+
     // L66b: the same query served from the PERSISTED inverted index —
     // t27's oracle gates it (the s05/d06 indexed≡direct pattern): the
     // probe reads only the query's term buckets, never the corpus.
@@ -989,6 +1015,16 @@ object TextQ {
     * documents corpus tokenized into term-bucketed postings + the stats
     * sibling, so the probe serves without touching the corpus.
     */
+  private def phraseIndexTable(s: SparkSession, dir: String): String = {
+    val table = "graft_phrasepos_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Warehouse.dropTableAndLocation(s, table)
+      Search.writePhraseIndex(Tables(s, dir, "documents"), "text", "doc_id",
+        table, buckets = 16)
+    }
+    table
+  }
+
   private def bm25IndexTable(s: SparkSession, dir: String): String = {
     val table = "graft_bm25_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!s.catalog.tableExists(table) || !s.catalog.tableExists(s"${table}_stats")) {
@@ -1066,22 +1102,26 @@ object TextQ {
        |ORDER BY query_id, doc_id""".stripMargin
   }
 
+  // t56: the sliding-window check — an independent algorithm from the
+  // positional-postings intersection the engine runs; also gates the
+  // indexed probe t58 (indexed ≡ direct by construction)
+  private val t56OracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_matches
+      |FROM t, UNNEST(generate_series(1, len(toks) - 1)) s(i)
+      |WHERE toks[i] = 'table' AND toks[i+1] = 'hash'
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t57_phrase_batch" -> t57OracleSql,
-
-    // t56: the sliding-window check — an independent algorithm from the
-    // positional-postings intersection the engine runs
-    "t56_phrase_search" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
-        |                x -> x <> '') AS toks
-        |  FROM documents)
-        |SELECT doc_id, COUNT(*) AS n_matches
-        |FROM t, UNNEST(generate_series(1, len(toks) - 1)) s(i)
-        |WHERE toks[i] = 'table' AND toks[i+1] = 'hash'
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "t59_phrase_indexed_batch" -> t57OracleSql,
+    "t56_phrase_search" -> t56OracleSql,
+    "t58_phrase_indexed" -> t56OracleSql,
 
     // t35: expected side is the CPython-zlib export (independent
     // implementation of the same RFC 1951 deflate, level 6 / raw) — see

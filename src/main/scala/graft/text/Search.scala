@@ -46,13 +46,26 @@ object Search {
     */
   def phraseSearch(df: DataFrame, textCol: String, idCol: String,
                    phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    require(terms.length >= 2, s"phraseSearch: need >= 2 tokens: '$phrase'")
+    val terms = phraseTerms(phrase)
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
       df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
         .filter(col("__term").isin(terms.distinct: _*)),
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    slotIntersect(posted, idCol, terms)
+  }
+
+  private def phraseTerms(phrase: String): Seq[String] = {
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.length >= 2, s"phraseSearch: need >= 2 tokens: '$phrase'")
+    terms
+  }
+
+  // the single-phrase rarest-first slot intersection over a
+  // (idCol, __pos, __term) postings frame — shared by the corpus-scan
+  // and index-probe paths
+  private def slotIntersect(posted: DataFrame, idCol: String,
+                            terms: Seq[String]): DataFrame = {
     // rarest-first join order from one tiny collected aggregate
     val dfs = posted.groupBy("__term")
       .agg(countDistinct(col(idCol)).as("__df"))
@@ -97,22 +110,35 @@ object Search {
   def phraseSearchBatch(df: DataFrame, textCol: String, idCol: String,
                         phrases: DataFrame, queryIdCol: String,
                         queryTextCol: String): DataFrame = {
+    val (qt, terms) = phraseBatchTerms(phrases, queryIdCol, queryTextCol)
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    // (query, slot, term) — tiny by contract; collected once to validate
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+      df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
+        .filter(col("__term").isin(terms: _*)),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    batchSlotVerify(posted, qt, queryIdCol, idCol)
+  }
+
+  // the (query, slot, term) frame + distinct term union of a phrase
+  // batch — tiny by contract; collected once to validate arity
+  private def phraseBatchTerms(phrases: DataFrame, queryIdCol: String,
+                               queryTextCol: String): (DataFrame, Seq[String]) = {
     val qt = phrases.select(col(queryIdCol),
       posexplode(filter(split(lower(col(queryTextCol)), "\\s+"),
         t => t =!= "")).as(Seq("__slot", "__qterm")))
     val qtRows = qt.collect()
     require(qtRows.nonEmpty, "phraseSearchBatch: no phrases")
-    val slotCounts = qtRows.groupBy(_.get(0)).map { case (q, rs) =>
-      q -> rs.length }
-    slotCounts.foreach { case (q, n) =>
-      require(n >= 2, s"phraseSearchBatch: phrase '$q' needs >= 2 tokens") }
-    val terms = qtRows.map(_.getString(2)).distinct.toSeq
-    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
-      df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
-        .filter(col("__term").isin(terms: _*)),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    qtRows.groupBy(_.get(0)).foreach { case (q, rs) =>
+      require(rs.length >= 2,
+        s"phraseSearchBatch: phrase '$q' needs >= 2 tokens") }
+    (qt, qtRows.map(_.getString(2)).distinct.toSeq)
+  }
+
+  // the rarest-anchored multi-phrase verification over a shared
+  // (idCol, __pos, __term) postings frame — shared by the corpus-scan
+  // and index-probe batch paths
+  private def batchSlotVerify(posted: DataFrame, qt: DataFrame,
+                              queryIdCol: String, idCol: String): DataFrame = {
     // per-term dfs: a term-keyed aggregate over the SAME pruned read;
     // absent terms rank rarest (df 0), anchoring their phrase to an
     // empty postings list — the correct empty result
@@ -145,6 +171,89 @@ object Search {
       .filter(col("__hit") === col("__n"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Persisted POSITIONAL index for [[phraseSearch]] — the
+    * build-once/serve-many split ([[writeBm25Index]]'s) applied to
+    * phrase retrieval: the batch operators re-tokenize the corpus per
+    * call, which is the right shape for an audit but not for standing
+    * interactive phrase service over a fixed corpus.
+    *
+    * Layout: `<table>` = (term, idCol, positions ARRAY<INT> sorted) —
+    * occurrences collapse to one row per (term, doc) with the position
+    * list inline (the Lucene positional-postings shape), BUCKETED on the
+    * term so a probe's `term IN (…)` filter bucket-prunes the read
+    * (needs autoBucketedScan disabled in probe sessions, the t29
+    * caveat). Probes explode only the queried terms' position lists and
+    * run the SAME intersection cores as the scan path, so indexed ≡
+    * direct row-for-row by construction (the s05/t29 pattern — the
+    * direct query's oracle gates the probe).
+    */
+  def writePhraseIndex(df: DataFrame, textCol: String, idCol: String,
+                       table: String, buckets: Int = 32): Unit = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val postings = df
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    graft.sources.Warehouse.writeBucketed(
+      postings.select(col("term"), col(idCol), col("positions")),
+      table, "term", buckets)
+  }
+
+  /** Append new documents' postings to a [[writePhraseIndex]] table
+    * WITHOUT a rebuild — position lists are per-document, so appended
+    * rows never interact with existing ones and a probe after append is
+    * row-identical to a full rebuild over the union (spec-pinned; no
+    * stats sibling to merge — the probe derives everything from the
+    * postings it reads). Caller contract as every index append:
+    * `newRows` must be NEW documents; single writer; fragmentation is
+    * [[graft.sources.Warehouse.compact]]'s job. Returns the delta files.
+    */
+  def appendToPhraseIndex(newRows: DataFrame, textCol: String, idCol: String,
+                          table: String): Seq[String] = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val postings = newRows
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("term"), col(idCol), col("positions"))
+    graft.sources.Warehouse.appendBucketedWithDelta(postings, table, "term")
+  }
+
+  // a (idCol, __pos, __term) postings frame from the index, pruned to
+  // the queried terms before the bucket-pruned read explodes positions
+  private def indexPostings(spark: org.apache.spark.sql.SparkSession,
+                            table: String, idCol: String,
+                            terms: Seq[String]): DataFrame =
+    spark.table(table).filter(col("term").isin(terms: _*))
+      .select(col(idCol), col("term").as("__term"),
+        explode(col("positions")).as("__pos"))
+
+  /** One phrase served from a [[writePhraseIndex]] table — row-identical
+    * to [[phraseSearch]] over the indexed corpus by construction (same
+    * slot-intersection core over the same postings, read bucket-pruned
+    * instead of scanned).
+    */
+  def phraseProbe(spark: org.apache.spark.sql.SparkSession, table: String,
+                  idCol: String, phrase: String): DataFrame = {
+    val terms = phraseTerms(phrase)
+    slotIntersect(indexPostings(spark, table, idCol, terms.distinct),
+      idCol, terms)
+  }
+
+  /** Many standing phrases served from ONE bucket-pruned index read —
+    * [[phraseSearchBatch]]'s verification over [[writePhraseIndex]]
+    * postings (row-identical to the scan path by construction).
+    */
+  def phraseProbeBatch(spark: org.apache.spark.sql.SparkSession,
+                       table: String, idCol: String, phrases: DataFrame,
+                       queryIdCol: String, queryTextCol: String): DataFrame = {
+    val (qt, terms) = phraseBatchTerms(phrases, queryIdCol, queryTextCol)
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+      indexPostings(spark, table, idCol, terms),
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    batchSlotVerify(posted, qt, queryIdCol, idCol)
   }
 
   /** Top-`topK` documents for a whitespace query, scored by BM25.

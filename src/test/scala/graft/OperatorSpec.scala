@@ -1122,6 +1122,33 @@ class OperatorSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("leakage-safe split: a near-dup cluster lands in ONE split; " +
+    "singletons split independently; the draw matches t07's convention " +
+    "on the label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val ids = (1L to 20L).toDF("vec_id")
+    val out = Dedup.leakageSafeSplit(ids, "vec_id", pairs)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // clusters: {1,2,3} label 1, {7,8} label 7; the rest label themselves
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(7L)._1 == 7L && out(8L)._1 == 7L)
+    assert(out(4L)._1 == 4L && out(20L)._1 == 20L)
+    // the leakage guarantee: every cluster member shares one split
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    assert(out(7L)._2 == out(8L)._2)
+    // and the draw is exactly splitAssign(label) — t07's md5 convention
+    val expect = (1L to 20L)
+      .map(i => i.toString).toDF("s")
+      .select(col("s"), graft.text.TextOps.splitAssign(col("s")).as("split"))
+      .as[(String, String)].collect().toMap
+    for (i <- 1L to 20L)
+      assert(out(i)._2 == expect(out(i)._1.toString), s"id $i")
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(ids, "vec_id", pairs, trainPct = 80, valPct = 30)
+    }
+  }
+
   test("dupClusters with a reliable checkpoint dir matches the local mode") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (10L, 11L), (11L, 12L), (12L, 13L))
       .toDF("a", "b")
@@ -2199,6 +2226,69 @@ class OperatorSpec extends SparkSpec {
       assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         "probe read every bucket")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("phrase index probe row-equals the direct scan (single and batch), " +
+    "bucket-pruned") {
+    import graft.text.Search
+    val docs = Seq(
+      (1L, "the table hash join uses a table hash"),
+      (2L, "hash table inverted order"),
+      (3L, "a table hash here too"),
+      (4L, "sort merge join"),
+      (5L, "hash hash hash overlapping"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    graft.sources.Warehouse.dropTableAndLocation(spark, "phrase_idx")
+    Search.writePhraseIndex(docs, "text", "doc_id", "phrase_idx",
+      buckets = 16)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      for (p <- Seq("table hash", "hash hash", "sort merge join",
+          "table nosuchterm")) {
+        val direct = Search.phraseSearch(docs, "text", "doc_id", p)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val probe = Search.phraseProbe(spark, "phrase_idx", "doc_id", p)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(probe == direct, s"phrase '$p': $probe vs $direct")
+      }
+      val phrases = Seq(("a", "table hash"), ("b", "hash hash"),
+        ("c", "zz unseen")).toDF("qid", "phrase")
+      val directB = Search.phraseSearchBatch(docs, "text", "doc_id",
+          phrases, "qid", "phrase")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val probeB = Search.phraseProbeBatch(spark, "phrase_idx", "doc_id",
+          phrases, "qid", "phrase")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probeB == directB, s"batch: $probeB vs $directB")
+      assert(directB.nonEmpty)
+      // the serving claim: the read is the phrase's term buckets only
+      val plan = Search.phraseProbe(spark, "phrase_idx", "doc_id", "table hash")
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        "probe read every bucket")
+      intercept[IllegalArgumentException] {
+        Search.phraseProbe(spark, "phrase_idx", "doc_id", "single")
+      }
+      // append: grown index probes row-equal a full rebuild (position
+      // lists are per-document — appended rows never interact)
+      graft.sources.Warehouse.dropTableAndLocation(spark, "phrase_app")
+      Search.writePhraseIndex(docs.filter($"doc_id" <= 3), "text", "doc_id",
+        "phrase_app", buckets = 16)
+      val delta = Search.appendToPhraseIndex(docs.filter($"doc_id" > 3),
+        "text", "doc_id", "phrase_app")
+      assert(delta.nonEmpty, "append produced no postings delta")
+      for (p <- Seq("table hash", "hash hash", "sort merge join")) {
+        val full = Search.phraseProbe(spark, "phrase_idx", "doc_id", p)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val grown = Search.phraseProbe(spark, "phrase_app", "doc_id", p)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(grown == full, s"phrase '$p': $grown vs $full")
+      }
     } finally
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
