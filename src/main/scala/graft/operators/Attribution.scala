@@ -39,6 +39,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Attribution {
 
+  /** The per-touch ppm credit as a plain function — the same integer
+    * arithmetic the batch column expressions compute (positive longs:
+    * Scala `/` truncation ≡ SQL `div` floor), shared with the streaming
+    * twin and parity-pinned by spec.
+    */
+  private[graft] def creditPpm(model: String, rn: Long, n: Long): Long =
+    model match {
+      case "linear" =>
+        if (rn == n) 1000000L - (n - 1) * (1000000L / n) else 1000000L / n
+      case _ =>
+        if (n == 1) 1000000L
+        else if (n == 2) 500000L
+        else if (rn == 1) 400000L
+        else if (rn == n) 600000L - (n - 2) * (200000L / (n - 2))
+        else 200000L / (n - 2)
+    }
+
   /** Per touch-type credit report: (typeCol, n_touches, credit_ppm). */
   def report(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
              conversionType: String, touchTypes: Seq[String],

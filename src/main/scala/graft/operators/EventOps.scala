@@ -12,6 +12,57 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
+  /** Rate ANOMALY detection — the monitoring staple over event streams:
+    * flag the (key, bucket) windows whose event count deviates more
+    * than `k` standard deviations from the trailing-`trailing`-bucket
+    * mean. The statistical test is EXACT INTEGER arithmetic — no float
+    * ever enters: with n prior observed buckets, S = Σc, Sq = Σc², the
+    * z-test |c − μ| > k·σ cross-multiplies to
+    *
+    *    (n·c − S)² > k² · (n·Sq − S²)
+    *
+    * (both sides are products of counts — longs; μ = S/n and
+    * σ² = (n·Sq − S²)/n² never materialize), so both engines agree
+    * bit-for-bit with zero rounding discipline needed. A constant
+    * trailing window (σ = 0) flags ANY deviation — mathematically
+    * right (a departure from a constant rate is infinitely many σ).
+    *
+    * The trailing frame is the last `trailing` OBSERVED buckets of the
+    * key (rows-based; buckets with zero events don't exist in the
+    * count series — run [[gapFill]] first for calendar-true trailing
+    * windows), and a row is only judged when its frame is FULL, so
+    * cold-start buckets never alarm.
+    *
+    * Scale shape: one (key, bucket) partial-aggregated count pass, one
+    * per-key window ordered by bucket — high-cardinality evenly
+    * distributed keys, bounded frames, no corpus-wide anything.
+    */
+  def rateAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                    bucketWidth: String = "5 minutes", trailing: Int = 12,
+                    k: Long = 3): DataFrame = {
+    require(trailing >= 2, s"trailing=$trailing")
+    require(k >= 1, s"k=$k")
+    val counts = df
+      .groupBy(col(keyCol), window(col(tsCol), bucketWidth).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("__w.start").as("bucket"), col("n_events"))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__s", sum(col("n_events")).over(frame))
+      .withColumn("__sq", sum(col("n_events") * col("n_events")).over(frame))
+      .filter(col("__n") === trailing)
+      .withColumn("__lhs",
+        (col("__n") * col("n_events") - col("__s")) *
+          (col("__n") * col("n_events") - col("__s")))
+      .withColumn("__rhs",
+        lit(k * k) * (col("__n") * col("__sq") - col("__s") * col("__s")))
+      .filter(col("__lhs") > col("__rhs"))
+      .select(col(keyCol), col("bucket"), col("n_events"),
+        col("__s").as("trailing_sum"))
+  }
+
   /** Gap-filling resample + forward fill: per key, one row for EVERY
     * `stepSql` bucket between the key's first and last event — empty
     * buckets carry `n_events = 0` and the last observed bucket sum

@@ -282,6 +282,18 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A37: exact integer RATE-ANOMALY detection (round 17) — flag the
+    // (type, 5-min bucket) windows whose count deviates > 3σ from the
+    // trailing-12-bucket mean. The z-test cross-multiplies to
+    // (n·c−S)² > k²·(n·Sq−S²) — pure long arithmetic, no float, no
+    // rounding discipline: both engines agree bit-for-bit.
+    "e23_rate_anomaly" -> { (s, dir) =>
+      graft.operators.EventOps.rateAnomalies(Tables(s, dir, "events"),
+          "event_type", "ts", bucketWidth = "5 minutes",
+          trailing = 12, k = 3)
+        .orderBy("event_type", "bucket")
+    },
+
     // A36: MULTI-TOUCH attribution (round 17) — which touch types get
     // credit for conversions: each touch attributes to the user's NEXT
     // purchase within 24h (single-attribution, as-of traversal — no
@@ -592,6 +604,30 @@ object Events {
         |   WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // e23: the same integer cross-multiplied z-test over the same
+    // trailing frame — time_bucket ≡ Spark's window() for
+    // minute-divisible widths (the e01 alignment argument)
+    "e23_rate_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts)
+        |    AS bucket, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, n_events,
+        |    COUNT(*) OVER f AS n,
+        |    SUM(n_events) OVER f AS s,
+        |    SUM(n_events * n_events) OVER f AS sq
+        |  FROM c
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, n_events,
+        |  CAST(s AS BIGINT) AS trailing_sum
+        |FROM w
+        |WHERE n = 12
+        |  AND (n * n_events - s) * (n * n_events - s)
+        |      > 9 * (n * sq - s * s)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // e22: the same as-of traversal + rank + integer-ppm credit,
     // replayed natively (the union/window lockstep convention)

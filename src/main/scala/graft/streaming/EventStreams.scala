@@ -34,6 +34,18 @@ private case class FunnelBuf(tsMs: Long, nanos: Int, eventId: Long,
 private case class FunnelState(timesMs: Seq[Long], lastMs: Long,
                                buf: Seq[FunnelBuf] = Seq.empty)
 
+/** One streaming attribution emission: `touch_event_id` (of
+  * `touch_type`) earned `credit_ppm` toward conversion
+  * `conv_event_id` — the per-conversion grain; a dashboard aggregates
+  * by touch_type to recover the batch report.
+  */
+case class TouchCredit(user_id: Long, conv_event_id: Long,
+                       touch_event_id: Long, touch_type: String,
+                       credit_ppm: Long)
+
+private case class AttributionState(tsUs: Seq[Long], eventId: Seq[Long],
+                                    touchType: Seq[String], lastMs: Long)
+
 /** Structured Streaming mirrors of the batch event analytics
   * (graft.queries.Events): same semantics, incremental execution.
   *
@@ -351,6 +363,89 @@ object EventStreams {
             state.update(lastKeptUs)
             state.setTimeoutTimestamp(math.max(
               lastSeenUs / 1000L + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming MULTI-TOUCH attribution — the incremental twin of
+    * [[graft.operators.Attribution.report]]: per key, touch events
+    * buffer (bounded) until the key's next conversion arrives, at which
+    * point the qualifying touches (strictly before, within the
+    * lookback) are ranked and credited with the SAME integer-ppm
+    * arithmetic as the batch operator and emitted as one
+    * [[TouchCredit]] row each — the per-conversion grain a live credit
+    * dashboard aggregates. Every conversion CONSUMES all buffered
+    * touches at or before it (credited or too stale), matching the
+    * batch next-conversion-only contract, so on an event-time-ordered
+    * stream the aggregated credits equal the batch report
+    * (spec-pinned). State: the touch buffer (capped at `maxBuffered`,
+    * keeping the LATEST — the ones the next conversion credits),
+    * dropped `retentionSec` after the key's last event; cross-batch
+    * stragglers follow the sessionize contract (evaluated against
+    * current state, never rewound).
+    */
+  def attributionStream(events: Dataset[Event], conversionType: String,
+                        touchTypes: Seq[String], lookbackSeconds: Long,
+                        model: String = "position",
+                        watermark: String = "1 hour",
+                        retentionSec: Long = 7L * 86400,
+                        maxBuffered: Int = 1024): Dataset[TouchCredit] = {
+    require(touchTypes.nonEmpty, "attributionStream: no touch types")
+    require(!touchTypes.contains(conversionType),
+      s"attributionStream: conversion type '$conversionType' cannot be a touch")
+    require(lookbackSeconds > 0, s"lookbackSeconds=$lookbackSeconds")
+    require(model == "position" || model == "linear",
+      s"attribution model '$model' (position | linear)")
+    require(maxBuffered >= 1, s"maxBuffered=$maxBuffered")
+    import events.sparkSession.implicits._
+    val touchSet = touchTypes.toSet
+    val lookbackUs = lookbackSeconds * 1000000L
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .filter(e => touchSet.contains(e.event_type) ||
+        e.event_type == conversionType)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttributionState, TouchCredit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[AttributionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, String)] // (tsUs, eventId, type)
+            state.getOption.foreach(s =>
+              buf ++= s.tsUs.lazyZip(s.eventId).lazyZip(s.touchType))
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(-1L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[TouchCredit]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              lastMs = math.max(lastMs, e.ts.getTime)
+              val us = micros(e.ts)
+              if (e.event_type == conversionType) {
+                // the conversion consumes every touch at or before it:
+                // qualifying ones get credited, stale ones are spent
+                // (next-conversion-only, the batch contract)
+                val (before, after) = buf.partition(_._1 < us)
+                val qual = before
+                  .filter(t => us - t._1 <= lookbackUs)
+                  .sortBy(t => (t._1, t._2))
+                val n = qual.size
+                qual.zipWithIndex.foreach { case ((_, tid, tt), i) =>
+                  out += TouchCredit(userId, e.event_id, tid, tt,
+                    graft.operators.Attribution.creditPpm(model, i + 1L, n))
+                }
+                buf.clear(); buf ++= after
+              } else {
+                buf += ((us, e.event_id, e.event_type))
+              }
+            }
+            val kept = buf.sortBy(t => (t._1, t._2)).takeRight(maxBuffered)
+            state.update(AttributionState(kept.map(_._1).toSeq,
+              kept.map(_._2).toSeq, kept.map(_._3).toSeq, lastMs))
+            state.setTimeoutTimestamp(math.max(lastMs + retentionSec * 1000,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

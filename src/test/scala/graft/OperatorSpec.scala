@@ -2962,6 +2962,41 @@ class OperatorSpec extends SparkSpec {
 
   // --- gap fill + funnel ------------------------------------------------
 
+  test("rateAnomalies: the integer cross-multiplied z-test flags a spike " +
+    "after a full trailing frame, never during cold start") {
+    import graft.operators.EventOps
+    // base aligned to a 5-minute epoch boundary (1700000100000 ms =
+    // 300 s × 5666667) so each fixture minute-offset lands in the
+    // intended bucket
+    def ts(min: Int) = new java.sql.Timestamp(1700000100000L + min * 60000L)
+    // key "a": 12 buckets of exactly 2 events (σ = 0), then a bucket of
+    // 3 — ANY deviation from a constant trail flags; then a 2 (no flag)
+    val steady = (0 until 12).flatMap(b =>
+      Seq((s"a", ts(b * 5)), ("a", ts(b * 5 + 1))))
+    val spike = Seq(("a", ts(60)), ("a", ts(61)), ("a", ts(62)))
+    val calm = Seq(("a", ts(65)), ("a", ts(66)))
+    // key "b": too few buckets for a frame — never judged
+    val cold = (0 until 5).map(b => ("b", ts(b * 5)))
+    val ev = (steady ++ spike ++ calm ++ cold).toDF("k", "ts")
+    val got = EventOps.rateAnomalies(ev, "k", "ts",
+        bucketWidth = "5 minutes", trailing = 12, k = 3)
+      .select("k", "n_events", "trailing_sum")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 24L)), s"$got")
+    // noisy trail (variance > 0): a same-size bump inside 3σ stays quiet
+    val noisy = (0 until 12).flatMap(b =>
+      (0 until (if (b % 2 == 0) 1 else 3)).map(i => ("c", ts(b * 5 + i)))) ++
+      Seq(("c", ts(60)), ("c", ts(61)), ("c", ts(62)))  // 3 vs mean 2, σ = 1
+    assert(EventOps.rateAnomalies(noisy.toDF("k", "ts"), "k", "ts",
+      trailing = 12, k = 3).count() == 0)
+    intercept[IllegalArgumentException] {
+      EventOps.rateAnomalies(ev, "k", "ts", trailing = 1)
+    }
+    intercept[IllegalArgumentException] {
+      EventOps.rateAnomalies(ev, "k", "ts", k = 0)
+    }
+  }
+
   test("gapFill: empty buckets materialize with n=0 and forward-filled sums") {
     import graft.operators.EventOps
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -195,6 +195,59 @@ class StreamingMultimodalSpec extends SparkSpec {
       (7L, 1, ts(12), true), (7L, 1, ts(20), false)), s"$got0")
   }
 
+  test("streaming attribution: per-conversion credits across batches " +
+    "aggregate to the batch report; a conversion consumes its touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      // u7: 3 touches then a purchase (linear remainder case), then one
+      // touch + a second purchase in the NEXT micro-batch (state carry)
+      Event(1, ts(0), 7, "view", 1.0),
+      Event(2, ts(2), 7, "click", 1.0),
+      Event(3, ts(4), 7, "signup", 1.0),
+      Event(4, ts(6), 7, "purchase", 1.0),
+      Event(5, ts(8), 7, "click", 1.0),
+      // u8: a touch too stale for the 10-min lookback — consumed, not
+      // credited
+      Event(6, ts(0), 8, "view", 1.0),
+      Event(7, ts(20), 8, "purchase", 1.0),
+      // batch 2
+      Event(8, ts(12), 7, "purchase", 1.0))
+    val input = MemoryStream[Event]
+    val query = EventStreams.attributionStream(input.toDS(), "purchase",
+        Seq("view", "click", "signup"), lookbackSeconds = 600,
+        model = "position")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(all.take(7): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(7): _*)
+      query.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .select("conv_event_id", "touch_event_id", "touch_type", "credit_ppm")
+        .as[(Long, Long, String, Long)].collect().toSet
+      // conv 4: three touches 40/20/40; conv 8: the post-conv-4 click
+      // alone; conv 7: nothing (the view was stale and consumed)
+      assert(rows == Set(
+        (4L, 1L, "view", 400000L), (4L, 2L, "click", 200000L),
+        (4L, 3L, "signup", 400000L), (8L, 5L, "click", 1000000L)), s"$rows")
+      // aggregated ≡ the batch report over the union
+      val batch = graft.operators.Attribution.report(
+          all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "ts", "event_type", "purchase",
+          Seq("view", "click", "signup"), 600L, "position")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val streamed = rows.groupBy(_._3).map { case (t, rs) =>
+        t -> ((rs.size.toLong, rs.toSeq.map(_._4).sum)) }
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.attributionStream(input.toDS(), "purchase",
+        Seq("purchase"), 600)
+    }
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
