@@ -282,6 +282,30 @@ object Events {
         .orderBy("event_id")
     },
 
+    // A15h: funnel step-LATENCY distribution (round 17) — the question
+    // right after "who converts" is "how long each step takes": per
+    // funnel step, exact percentiles of (t_k − t_{k−1}) seconds across
+    // converting users. Composes the single-scan funnel with the q15
+    // percentile convention (Spark percentile ↔ quantile_cont, ROUND 4;
+    // gaps as double epoch-second differences on both engines).
+    "e24_funnel_latency" -> { (s, dir) =>
+      val f = graft.operators.EventOps.funnel(Tables(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSeconds = 86400L)
+      val g2 = f.filter(col("t_2").isNotNull)
+        .select(lit(2L).as("step"),
+          (col("t_2").cast("double") - col("t_1").cast("double")).as("gap"))
+      val g3 = f.filter(col("t_3").isNotNull)
+        .select(lit(3L).as("step"),
+          (col("t_3").cast("double") - col("t_2").cast("double")).as("gap"))
+      g2.unionByName(g3)
+        .groupBy(col("step"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(gap, 0.5)"), 4).as("p50_sec"),
+          round(expr("percentile(gap, 0.9)"), 4).as("p90_sec"))
+        .orderBy("step")
+    },
+
     // A37: exact integer RATE-ANOMALY detection (round 17) — flag the
     // (type, 5-min bucket) windows whose count deviates > 3σ from the
     // trailing-12-bucket mean. The z-test cross-multiplies to
@@ -604,6 +628,40 @@ object Events {
         |   WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // e24: e08's funnel CTEs + per-step gap percentiles (quantile_cont
+    // ↔ Spark percentile under ROUND 4, the q15 precedent; gaps as
+    // double epoch-second differences, one division per value on both
+    // engines)
+    "e24_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(2 AS BIGINT) AS step,
+        |    epoch_us(t_click) / 1000000.0 - epoch_us(t_view) / 1000000.0
+        |      AS gap
+        |  FROM v JOIN c USING (user_id)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |    epoch_us(t_purchase) / 1000000.0 - epoch_us(t_click) / 1000000.0
+        |  FROM c JOIN p USING (user_id))
+        |SELECT step, COUNT(*) AS n,
+        |  ROUND(quantile_cont(gap, 0.5), 4) AS p50_sec,
+        |  ROUND(quantile_cont(gap, 0.9), 4) AS p90_sec
+        |FROM g GROUP BY step ORDER BY step""".stripMargin,
 
     // e23: the same integer cross-multiplied z-test over the same
     // trailing frame — time_bucket ≡ Spark's window() for
