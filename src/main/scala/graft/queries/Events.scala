@@ -365,6 +365,25 @@ object Events {
         .orderBy("custkey", "version")
     },
 
+    // A31b: SCD2 POINT-IN-TIME snapshot (round 17) — the lookup the
+    // intervals exist FOR: one version per key valid at T
+    // (valid_from <= T < valid_to, current when valid_to null). A pure
+    // filter over e15's frame — no window, no shuffle; at a warehouse
+    // this is a partition-pruned scan. Same SCD2 oracle + the same
+    // filter.
+    "e25_scd2_snapshot" -> { (s, dir) =>
+      val v = graft.operators.Temporal.validityIntervals(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"),
+            col("o_orderdate").as("ts"), col("o_orderkey").as("tie"),
+            col("o_orderstatus").as("status")),
+        "custkey", "ts", Seq("status"), "tie")
+      graft.operators.Temporal.snapshotAt(v, lit("1997-06-15").cast("date"))
+        .select(col("custkey"), col("status"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy("custkey")
+    },
+
     // A15c (calendar variant): MONTH-cohort retention — the calendar-
     // length periods e09's fixed-second division deliberately refuses
     // (a month is 28–31 days). Runs over ORDERS, not events: the events
@@ -616,6 +635,29 @@ object Events {
         |  CAST(valid_to IS NULL AS INT) AS is_current
         |FROM v
         |ORDER BY custkey, version""".stripMargin,
+
+    // e25: the same SCD2 CTEs + the half-open point-in-time filter
+    "e25_scd2_snapshot" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS ts,
+        |    o_orderkey AS tie, o_orderstatus AS status
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, (lag(status) OVER w IS DISTINCT FROM status
+        |             OR lag(tie) OVER w IS NULL) AS chg
+        |  FROM src WINDOW w AS (PARTITION BY custkey ORDER BY ts, tie)),
+        |kept AS (SELECT custkey, ts, tie, status FROM marked WHERE chg),
+        |v AS (
+        |  SELECT custkey, status, ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to,
+        |    row_number() OVER w2 AS version
+        |  FROM kept WINDOW w2 AS (PARTITION BY custkey ORDER BY ts, tie))
+        |SELECT custkey, status, valid_from, valid_to, version,
+        |  CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM v
+        |WHERE valid_from <= DATE '1997-06-15'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1997-06-15')
+        |ORDER BY custkey""".stripMargin,
 
     "e13_asof_tolerance" ->
       """SELECT p.event_id, p.user_id,

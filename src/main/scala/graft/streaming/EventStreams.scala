@@ -46,6 +46,30 @@ case class TouchCredit(user_id: Long, conv_event_id: Long,
 private case class AttributionState(tsUs: Seq[Long], eventId: Seq[Long],
                                     touchType: Seq[String], lastMs: Long)
 
+/** One CLOSED SCD2 version from the stream: the key held `status` over
+  * [valid_from, valid_to) — the half-open interval contract of the
+  * batch [[graft.operators.Temporal.validityIntervals]]; the OPEN
+  * (current) version lives in state and closes when the next change
+  * arrives (append sinks can't update a previously emitted open row).
+  */
+case class ScdVersion(user_id: Long, status: String, valid_from: Timestamp,
+                      valid_to: Timestamp, version: Long)
+
+private case class ScdState(status: String, fromMs: Long, fromNanos: Int,
+                            version: Long, lastMs: Long)
+
+/** One streaming rate-anomaly emission: the key's `bucket` closed with
+  * `n_events`, deviating > k·σ from its trailing window (sum
+  * `trailing_sum`) — row-identical to the batch
+  * [[graft.operators.EventOps.rateAnomalies]] on ordered streams.
+  */
+case class RateAnomaly(event_type: String, bucket: Timestamp,
+                       n_events: Long, trailing_sum: Long)
+
+private case class RateState(openStarts: Seq[Long], openCounts: Seq[Long],
+                             ringStarts: Seq[Long], ringCounts: Seq[Long],
+                             lastMs: Long)
+
 /** Structured Streaming mirrors of the batch event analytics
   * (graft.queries.Events): same semantics, incremental execution.
   *
@@ -449,6 +473,139 @@ object EventStreams {
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
+      }
+  }
+
+  /** Streaming SCD2 — the incremental twin of
+    * [[graft.operators.Temporal.validityIntervals]] with `event_type`
+    * as the tracked attribute: per key, consecutive same-status events
+    * COLLAPSE (no-op updates never version), and a status CHANGE closes
+    * the open version — emitting one [[ScdVersion]] row with
+    * `valid_to` = the change's event time (half-open, the batch
+    * contract) — and opens the next. On an event-time-ordered stream
+    * the emitted rows equal the batch operator's CLOSED versions
+    * (`is_current = 0` rows; spec-pinned): the open version is state,
+    * not output, because an append sink cannot update it — a live
+    * "current status" view is [[graft.operators.Temporal.snapshotAt]]
+    * over the batch frame, or this stream's state store. Cross-batch
+    * stragglers follow the sessionize contract (evaluated against the
+    * open version, never rewound). State per key: one (status,
+    * valid_from, version) triple + a timestamp, dropped `retentionSec`
+    * after the key's last event.
+    */
+  def scd2Stream(events: Dataset[Event], watermark: String = "1 hour",
+                 retentionSec: Long = 7L * 86400): Dataset[ScdVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdVersion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ScdState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              if (st == null) {
+                st = ScdState(e.event_type, e.ts.getTime, e.ts.getNanos,
+                  1L, e.ts.getTime)
+              } else if (e.event_type != st.status) {
+                val from = new Timestamp(st.fromMs)
+                from.setNanos(st.fromNanos)
+                out += ScdVersion(userId, st.status, from, e.ts, st.version)
+                st = ScdState(e.event_type, e.ts.getTime, e.ts.getNanos,
+                  st.version + 1, math.max(st.lastMs, e.ts.getTime))
+              } else {
+                st = st.copy(lastMs = math.max(st.lastMs, e.ts.getTime))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.lastMs + retentionSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming RATE-ANOMALY detection — the incremental twin of
+    * [[graft.operators.EventOps.rateAnomalies]]: per event type, event
+    * counts accumulate in OPEN epoch-aligned buckets; when the
+    * watermark passes a bucket's end it CLOSES (in bucket order), is
+    * judged against the trailing ring of the last `trailing` closed
+    * buckets with the SAME cross-multiplied integer z-test —
+    * (n·c − S)² > k²·(n·Sq − S²), pure longs, zero float — and joins
+    * the ring. Zero-event buckets don't exist (the batch
+    * observed-buckets contract), a bucket is judged only when the ring
+    * is FULL (cold starts never alarm), and on ordered streams the
+    * emitted rows equal the batch report (spec-pinned).
+    *
+    * State per key: ≤ horizon/width open (bucket, count) pairs + the
+    * `trailing`-bucket ring + a timestamp; an event-time timeout fires
+    * at the earliest open bucket's close (so quiet keys still flush)
+    * and drops the key entirely `retentionSec` after its last event.
+    */
+  def rateAnomalyStream(events: Dataset[Event],
+                        bucketWidthSeconds: Long = 300, trailing: Int = 12,
+                        k: Long = 3, watermark: String = "1 hour",
+                        retentionSec: Long = 7L * 86400): Dataset[RateAnomaly] = {
+    require(bucketWidthSeconds > 0, s"bucketWidthSeconds=$bucketWidthSeconds")
+    require(trailing >= 2, s"trailing=$trailing")
+    require(k >= 1, s"k=$k")
+    import events.sparkSession.implicits._
+    val widthMs = bucketWidthSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[RateState]) =>
+          val open = scala.collection.mutable.SortedMap.empty[Long, Long]
+          val ring = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var lastMs = -1L
+          state.getOption.foreach { s =>
+            open ++= s.openStarts.zip(s.openCounts)
+            ring ++= s.ringStarts.zip(s.ringCounts)
+            lastMs = s.lastMs
+          }
+          for (e <- rows) {
+            val t = e.ts.getTime
+            lastMs = math.max(lastMs, t)
+            val b = math.floorDiv(t, widthMs) * widthMs
+            open(b) = open.getOrElse(b, 0L) + 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+          // close every open bucket the watermark has passed, in order:
+          // judge against the ring BEFORE it joins (the batch
+          // (-trailing, -1) rows frame), then rotate
+          for (b <- open.keys.toSeq.sorted if b + widthMs <= wm) {
+            val c = open.remove(b).get
+            if (ring.size == trailing) {
+              val n = trailing.toLong
+              val s = ring.map(_._2).sum
+              val sq = ring.map(r => r._2 * r._2).sum
+              val lhs = (n * c - s) * (n * c - s)
+              val rhs = k * k * (n * sq - s * s)
+              if (lhs > rhs)
+                out += RateAnomaly(key, new Timestamp(b), c, s)
+            }
+            ring += ((b, c))
+            if (ring.size > trailing) ring.remove(0)
+          }
+          if (state.hasTimedOut && open.isEmpty &&
+            wm > lastMs + retentionSec * 1000) {
+            state.remove()
+          } else {
+            state.update(RateState(open.keys.toSeq, open.values.toSeq,
+              ring.map(_._1).toSeq, ring.map(_._2).toSeq, lastMs))
+            // wake at the earliest open close so quiet keys still flush;
+            // otherwise hold until retention expiry
+            val next = open.keys.minOption.map(_ + widthMs)
+              .getOrElse(lastMs + retentionSec * 1000)
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          out.iterator
       }
   }
 

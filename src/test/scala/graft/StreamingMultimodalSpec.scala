@@ -248,6 +248,89 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming rate anomalies: buckets close in watermark order, the " +
+    "spike flags against the trailing ring, and rows equal the batch " +
+    "report") {
+    implicit val sqlCtx = spark.sqlContext
+    // aligned base (300 s × 5666667) so minute offsets land in the
+    // intended 5-min buckets — the batch spec's fixture
+    def at(min: Int, id: Long, typ: String) = Event(id,
+      new Timestamp(1700000100000L + min * 60000L), 1, typ, 1.0)
+    val steady = (0 until 12).flatMap(b => Seq(
+      at(b * 5, b * 2 + 1, "a"), at(b * 5 + 1, b * 2 + 2, "a")))
+    val spike = Seq(at(60, 101, "a"), at(61, 102, "a"), at(62, 103, "a"))
+    val calm = Seq(at(65, 104, "a"), at(66, 105, "a"))
+    val input = MemoryStream[Event]
+    val query = EventStreams.rateAnomalyStream(input.toDS(),
+        bucketWidthSeconds = 300, trailing = 12, k = 3,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(steady ++ spike ++ calm: _*)
+      query.processAllAvailable()
+      // advance the watermark past the spike bucket's end: the timeout
+      // flushes key "a" even though this batch carries no "a" rows
+      input.addData(at(200, 900, "z"))
+      query.processAllAvailable()
+      input.addData(at(300, 901, "z"))
+      query.processAllAvailable()
+      val got = spark.table("rate_out")
+        .select("event_type", "n_events", "trailing_sum")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == Seq(("a", 3L, 24L)), s"$got")
+      // batch parity over the union
+      val all = steady ++ spike ++ calm ++
+        Seq(at(200, 900, "z"), at(300, 901, "z"))
+      val batch = graft.operators.EventOps.rateAnomalies(
+          all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "event_type", "ts", "5 minutes", trailing = 12, k = 3)
+        .select("event_type", "n_events", "trailing_sum")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      EventStreams.rateAnomalyStream(input.toDS(), trailing = 1)
+    }
+  }
+
+  test("streaming SCD2: no-op updates collapse, a status change closes " +
+    "the open version; closed rows equal the batch intervals") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Event(1, ts(0), 7, "bronze", 1.0),
+      Event(2, ts(2), 7, "bronze", 1.0),   // no-op: collapses
+      Event(3, ts(5), 7, "silver", 1.0),   // closes v1 [0, 5)
+      // batch 2: state carries — v2 closes at 00:09
+      Event(4, ts(9), 7, "gold", 1.0),
+      Event(5, ts(3), 8, "bronze", 1.0))   // other key, stays open
+    val input = MemoryStream[Event]
+    val query = EventStreams.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      input.addData(all.take(3): _*)
+      query.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      query.processAllAvailable()
+      val got = spark.table("scd2_out")
+        .select("user_id", "status", "valid_from", "valid_to", "version")
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSeq.sorted
+      assert(got == Seq(
+        (7L, "bronze", ts(0), ts(5), 1L),
+        (7L, "silver", ts(5), ts(9), 2L)), s"$got")
+      // parity: the batch intervals' CLOSED rows over the union
+      val batch = graft.operators.Temporal.validityIntervals(
+          all.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "ts", Seq("event_type"), "event_id")
+        .filter(col("is_current") === 0)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("version"))
+        .as[(Long, String, Timestamp, Timestamp, Long)].collect().toSeq.sorted
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
