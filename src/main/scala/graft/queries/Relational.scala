@@ -255,6 +255,31 @@ object Relational {
         .limit(100)
     },
 
+    // A38: the TPC-H Q3 composition (round 17) — shipping-priority:
+    // selective dim filter → two fact joins → grouped DECIMAL revenue →
+    // global top-10. The one classic the relational tier lacked as a
+    // COMPOSED whole: filter pushdown on all three scans, the filtered
+    // customer dim broadcasts, revenue = Σ extendedprice·(1−discount)
+    // rides DECIMAL (exact, order-free) and surfaces as DOUBLE, and the
+    // top-k is TakeOrdered with a total tie order.
+    "q26_shipping_priority" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))") *
+          (lit(1) - expr("CAST(l_discount AS DECIMAL(18,2))")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
     // A35: declarative DATA-QUALITY constraints (round 16; the
     // Deequ-family publish gate) — one report row per declared rule
     // with the EXACT violation count: row-local rules fold into one
@@ -369,6 +394,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // q26: the same Q3 composition natively; DECIMAL revenue surfaces
+    // as DOUBLE on both engines, total tie order
+    "q26_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
