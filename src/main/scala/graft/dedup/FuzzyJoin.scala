@@ -84,11 +84,15 @@ object FuzzyJoin {
           abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .distinct()
+    // BANDED verify (Spark's thresholded levenshtein: Ukkonen-style
+    // O(k·n) early exit, −1 above the bound — the exact distance is
+    // unchanged for qualifying pairs, so the oracle contract holds;
+    // the full O(n·m) DP was the candidate tier's dominant cpu term)
     cands
       .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 }
