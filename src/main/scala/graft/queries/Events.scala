@@ -333,6 +333,27 @@ object Events {
         .orderBy("event_type")
     },
 
+    // A15i: next-event TRANSITION matrix (round 17) — the Markov view
+    // of user behavior ("after a click, what happens next?"): per key
+    // in (ts, tie) order, count (type → next_type) transitions and
+    // normalize per source type to INTEGER ppm (count·10⁶ div total —
+    // the retention_ppm convention, exact at any partitioning). One
+    // per-key lag window + one tiny (from, to) group-by.
+    "e26_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p_ppm",
+          expr("n * CAST(1000000 AS BIGINT) div SUM(n) OVER " +
+            "(PARTITION BY from_type)"))
+        .orderBy("from_type", "next_type")
+    },
+
     // A15b (deep variant): SIX-step funnel with REPEATED step types —
     // the re-engagement shape (signup → view → click → view → click →
     // purchase). The chain reads the step-typed pre-filter ONCE (the
@@ -670,6 +691,23 @@ object Events {
         |   WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // e26: the same lead pairs + integer-ppm normalization
+    "e26_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, next_type, COUNT(*) AS n
+        |  FROM p WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, next_type, n,
+        |  CAST((n * CAST(1000000 AS BIGINT))
+        |       // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+        |FROM c
+        |ORDER BY from_type, next_type""".stripMargin,
 
     // e24: e08's funnel CTEs + per-step gap percentiles (quantile_cont
     // ↔ Spark percentile under ROUND 4, the q15 precedent; gaps as
