@@ -333,6 +333,30 @@ object Events {
         .orderBy("event_type")
     },
 
+    // A15j: DAU/WAU STICKINESS (round 17) — the product-health staple:
+    // per day, daily actives / trailing-7-day weekly actives as exact
+    // integer ppm. Sliding-window COUNT DISTINCT without a distinct
+    // window frame: (user, day) skeletons expand each activity day to
+    // its 7 covering window-days, distinct-collapse, count — raw
+    // events never ride past the first distinct. Oracle: the direct
+    // correlated count-distinct (independent algorithm).
+    "e27_stickiness" -> { (s, dir) =>
+      val ud = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + interval 6 days, " +
+            "interval 1 day)")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .withColumn("stickiness_ppm",
+          expr("dau * CAST(1000000 AS BIGINT) div wau"))
+        .orderBy("day")
+    },
+
     // A15i: next-event TRANSITION matrix (round 17) — the Markov view
     // of user behavior ("after a click, what happens next?"): per key
     // in (ts, tie) order, count (type → next_type) transitions and
@@ -691,6 +715,23 @@ object Events {
         |   WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // e27: the direct correlated count-distinct — an independent
+    // algorithm from the engine's skeleton expansion
+    "e27_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+        |SELECT d.day, d.dau,
+        |  (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+        |   WHERE u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS wau,
+        |  CAST(d.dau * CAST(1000000 AS BIGINT) //
+        |       (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+        |        WHERE u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+        |       AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau d ORDER BY d.day""".stripMargin,
 
     // e26: the same lead pairs + integer-ppm normalization
     "e26_transitions" ->
