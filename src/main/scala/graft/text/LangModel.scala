@@ -345,15 +345,15 @@ object LangModel {
         "score with knCrossEntropy() or train on a smaller reference")
     val tm = new java.util.HashMap[String, Long]((nTri * 2).toInt)
     lm.trigrams.collect().foreach(r => tm.put(
-      r.getString(0) + " " + r.getString(1) + " " + r.getString(2),
+      r.getString(0) + "\u0000" + r.getString(1) + "\u0000" + r.getString(2),
       r.getLong(3)))
     val c2 = new java.util.HashMap[String, Array[Long]]()
     lm.ctx2.collect().foreach(r => c2.put(
-      r.getString(0) + " " + r.getString(1),
+      r.getString(0) + "\u0000" + r.getString(1),
       Array(r.getLong(2), r.getLong(3))))
     val cb = new java.util.HashMap[String, Long]()
     lm.contBi.collect().foreach(r =>
-      cb.put(r.getString(0) + " " + r.getString(1), r.getLong(2)))
+      cb.put(r.getString(0) + "\u0000" + r.getString(1), r.getLong(2)))
     val c1 = new java.util.HashMap[String, Array[Long]]()
     lm.ctx1.collect().foreach(r =>
       c1.put(r.getString(0), Array(r.getLong(1), r.getLong(2))))
@@ -389,13 +389,13 @@ object LangModel {
               m.cuni.getOrDefault(w3, 0L).toDouble - d, 0.0) / nn + floor
             val s1 = m.ctx1.get(w2)
             val p2 = if (s1 == null) p1
-              else math.max(m.cbi.getOrDefault(w2 + " " + w3, 0L)
+              else math.max(m.cbi.getOrDefault(w2 + "\u0000" + w3, 0L)
                 .toDouble - d, 0.0) / s1(0).toDouble +
                 d * s1(1).toDouble / s1(0).toDouble * p1
-            val s2 = m.ctx2.get(w1 + " " + w2)
+            val s2 = m.ctx2.get(w1 + "\u0000" + w2)
             val p3 = if (s2 == null) p2
               else math.max(m.tri.getOrDefault(
-                w1 + " " + w2 + " " + w3, 0L).toDouble - d, 0.0) /
+                w1 + "\u0000" + w2 + "\u0000" + w3, 0L).toDouble - d, 0.0) /
                 s2(0).toDouble +
                 d * s2(1).toDouble / s2(0).toDouble * p2
             sum -= math.log(p3)
