@@ -88,9 +88,14 @@ object Attribution {
       .filter(col("__isConv") === 0 && col("__conv").isNotNull &&
         col("__us") < col("__conv.us") &&
         col("__conv.us") - col("__us") <= lit(lookbackSeconds * 1000000L))
-    val wRank = Window.partitionBy(col("__conv.id"))
+    // credit groups partition by (key, conversion tie): the key prefix
+    // removes any global-uniqueness assumption on tieCol (per-user event
+    // counters are fine — two users sharing a counter value can no
+    // longer merge into one credit group), and keeps the shuffle key
+    // aligned with the preceding per-key pass
+    val wRank = Window.partitionBy(col(keyCol), col("__conv.id"))
       .orderBy(col("__us").asc, col(tieCol).asc)
-    val wN = Window.partitionBy(col("__conv.id"))
+    val wN = Window.partitionBy(col(keyCol), col("__conv.id"))
     val ranked = assigned
       .withColumn("__rn", row_number().over(wRank))
       .withColumn("__n", count(lit(1)).over(wN))

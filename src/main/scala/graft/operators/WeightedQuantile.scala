@@ -69,9 +69,14 @@ object WeightedQuantile {
           .otherwise(least(lit(bins - 1L),
             floor((col(valueCol) - col("__mn")) /
               (col("__mx") - col("__mn")) * bins))))
-    // pass 1: threshold bin per group from a <= bins-row cumulative
+    // pass 1: threshold bin per group from a <= bins-row cumulative.
+    // The per-bin VALUE EXTENT and bin weight ride the same aggregation
+    // and travel through the min_by struct, so the recursion trigger
+    // below is decided from this <= 1-row-per-group skeleton — no
+    // second corpus-sized aggregation (the r17 candStats frame) exists.
     val binW = binned.groupBy(col(groupCol), col("__bin"))
-      .agg(sum(col("__w")).as("__bw"))
+      .agg(sum(col("__w")).as("__bw"), min(col(valueCol)).as("__bvmn"),
+        max(col(valueCol)).as("__bvmx"))
     val cumBins = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thresh = binW
@@ -80,19 +85,28 @@ object WeightedQuantile {
       .filter(col("__cb") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
       .groupBy(col(groupCol))
       .agg(min_by(struct(col("__bin"), (col("__cb") - col("__bw"))
-        .as("__below")), col("__bin")).as("__t"))
+        .as("__below"), col("__bw"), col("__bvmn"), col("__bvmx")),
+        col("__bin")).as("__t"))
       .select(col(groupCol), col("__t.__bin").as("__tbin"),
-        col("__t.__below").as("__below"))
+        col("__t.__below").as("__below"), col("__t.__bw").as("__tbw"),
+        col("__t.__bvmn").as("__bmn"), col("__t.__bvmx").as("__bmx"))
     // pass 2: exact ordered cumulative over the threshold bin only.
     // PERSISTED (small: ~1/bins of the distinct values): the recursion
     // below references this frame four times — un-persisted, each
     // reference would re-execute the corpus aggregation above (the
     // funnel's N-scan anti-pattern; caught by the r17 cpu_s record at
-    // 6× the r16 cost)
-    val cand = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
-      binned.join(broadcast(thresh), groupCol)
-        .filter(col("__bin") === col("__tbin")),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // 6× the r16 cost). ARMABLE, not auto-release: the trigger probe
+    // below is itself the first action over this frame — with the
+    // listener already armed it would release (racing the async
+    // listener bus) the very cache the caller's materialization needs,
+    // re-paying the corpus aggregation it exists to save (the r17
+    // advisory). Probe first, THEN arm: the probe fills the cache, the
+    // caller's action consumes and releases it.
+    val (cand, armRelease) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyArmable(
+        binned.join(broadcast(thresh), groupCol)
+          .filter(col("__bin") === col("__tbin")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // RECURSION, one level (constant-heavy domains — price ladders,
     // zero-inflated counts): when a group's threshold bin holds more
     // than 1/bins of its mass (the equi-width histogram failed to
@@ -103,22 +117,21 @@ object WeightedQuantile {
     // still only routes values — the answer stays binning-independent,
     // so the oracle is unchanged. A single-VALUE heavy bin can't split
     // (min = max) and doesn't need to: it is one row already.
-    val candStats = cand.groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("__bmn"), max(col(valueCol)).as("__bmx"),
-        sum(col("__w")).as("__binw"))
-    // trigger only on a CLEARLY failed split — the bin holds more than
+    //
+    // Trigger only on a CLEARLY failed split — the bin holds more than
     // 2× its equi-width fair share (a constant-heavy bin holds ~bins×;
     // a uniform distribution sits at ~1.0× and must NOT pay the
-    // recursion stages — at exactly 1/bins the test is noise)
+    // recursion stages — at exactly 1/bins the test is noise). All
+    // trigger inputs ride `cand` from the broadcast thresh skeleton.
     val recCond =
-      col("__binw") * lit(bins) > col("__tw") * 2 && col("__bmx") > col("__bmn")
-    // short-circuit: one cheap probe job over the CACHED bin frame
+      col("__tbw") * lit(bins) > col("__tw") * 2 && col("__bmx") > col("__bmn")
+    // short-circuit probe: one action over the persisted bin frame
     // decides whether ANY group needs the recursion — when none does
     // (the common case: the top-level histogram split every group), the
-    // plan stays the direct pass-2, paying zero recursion stages (no
-    // driver data moves — an isEmpty on a filtered skeleton)
-    val anyRec = !cand.join(broadcast(candStats), groupCol)
-      .filter(recCond).isEmpty
+    // plan stays the direct pass-2, paying zero recursion stages. The
+    // probe doubles as the cache FILL (the listener is not yet armed).
+    val anyRec = !cand.filter(recCond).isEmpty
+    armRelease()
     if (!anyRec) {
       val cumVals = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -128,7 +141,7 @@ object WeightedQuantile {
         .groupBy(col(groupCol))
         .agg(min(col(valueCol)).as(s"wq_$quantilePpm"))
     }
-    val cand2 = cand.join(broadcast(candStats), groupCol)
+    val cand2 = cand
       .withColumn("__rec", recCond)
       .withColumn("__sbin",
         when(!col("__rec"), lit(0L))

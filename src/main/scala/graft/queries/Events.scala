@@ -832,9 +832,9 @@ object Events {
         |    AND us < conv_us AND conv_us - us <= 86400::BIGINT * 1000000),
         |r AS (
         |  SELECT event_type,
-        |    row_number() OVER (PARTITION BY conv_id ORDER BY us, event_id)
-        |      AS rn,
-        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |    row_number() OVER (PARTITION BY user_id, conv_id
+        |                       ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, conv_id) AS n
         |  FROM t)
         |SELECT event_type, COUNT(*) AS n_touches,
         |  CAST(SUM(credit) AS BIGINT) AS credit_ppm

@@ -48,11 +48,17 @@ object Search {
                    phrase: String): DataFrame = {
     val terms = phraseTerms(phrase)
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
-      df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
-        .filter(col("__term").isin(terms.distinct: _*)),
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    slotIntersect(posted, idCol, terms)
+    // ARMABLE persist (the r17 advisory): slotIntersect's dfs collect is
+    // itself the first action over this frame — an already-armed
+    // auto-release would free the cache on the collect and every slot
+    // branch of the k-way join would re-tokenize the corpus. The collect
+    // FILLS the cache; slotIntersect arms after it.
+    val (posted, armRelease) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyArmable(
+        df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
+          .filter(col("__term").isin(terms.distinct: _*)),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    slotIntersect(posted, idCol, terms, armRelease)
   }
 
   private def phraseTerms(phrase: String): Seq[String] = {
@@ -65,11 +71,15 @@ object Search {
   // (idCol, __pos, __term) postings frame — shared by the corpus-scan
   // and index-probe paths
   private def slotIntersect(posted: DataFrame, idCol: String,
-                            terms: Seq[String]): DataFrame = {
-    // rarest-first join order from one tiny collected aggregate
+                            terms: Seq[String],
+                            armRelease: () => Unit = () => ()): DataFrame = {
+    // rarest-first join order from one tiny collected aggregate; a
+    // persisted caller arms its release AFTER this action (see
+    // phraseSearch) so the collect fills the cache instead of consuming it
     val dfs = posted.groupBy("__term")
       .agg(countDistinct(col(idCol)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    armRelease()
     val slots = terms.zipWithIndex
       .sortBy { case (t, _) => (dfs.getOrElse(t, 0L), t) }
       .map { case (t, i) =>

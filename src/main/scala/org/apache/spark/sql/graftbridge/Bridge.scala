@@ -71,7 +71,34 @@ object Bridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
+    armReleaseOnUse(ds.sparkSession, rdd)
+    ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
+  }
+
+  /** [[persistedCopy]] plus a thunk that ARMS the release-on-first-use
+    * listener — for operators that must run a PROBE action over the
+    * persisted frame before handing it to the caller (the weighted-
+    * quantile recursion trigger): probe first (the probe's query finishes
+    * with no listener registered, so it FILLS the cache instead of
+    * consuming it), then arm; the first CALLER query that references the
+    * frame releases the blocks. An unarmed frame falls back to the
+    * ContextCleaner on GC, same as [[persistedCopy]].
+    */
+  def persistedCopyArmable(df: org.apache.spark.sql.DataFrame,
+                           level: org.apache.spark.storage.StorageLevel):
+      (org.apache.spark.sql.DataFrame, () => Unit) = {
+    graft.plans.PlanTap.record("persistedCopyArmable", df)
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
     val session = ds.sparkSession
+    (session.internalCreateDataFrame(rdd, ds.schema),
+      () => armReleaseOnUse(session, rdd))
+  }
+
+  private def armReleaseOnUse(
+      session: org.apache.spark.sql.classic.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
     val rddId = rdd.id
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -93,7 +120,6 @@ object Bridge {
                              exception: Exception): Unit = maybeRelease(qe)
     }
     session.listenerManager.register(listener)
-    session.internalCreateDataFrame(rdd, ds.schema)
   }
 
   /** A clone of `s` sharing its SparkContext, shared state, and catalog

@@ -82,4 +82,20 @@ class AttributionSpec extends SparkSpec {
         "user_id", "ts", "event_type", "purchase", Seq("purchase"), 100L)
     }
   }
+
+  test("tieCol needs no global uniqueness: two users sharing per-user " +
+    "event counters keep separate credit groups (the r17 advisory)") {
+    // both users use event_ids 1..3 (per-user counters); if credit
+    // groups partitioned by conv id alone, the two conversions (both
+    // id=3) would merge into one 4-touch group and mis-split the ppm
+    val rows = Seq(
+      (1L, t(10), 10L, "view"), (2L, t(20), 10L, "click"),
+      (3L, t(30), 10L, "purchase"),
+      (1L, t(10), 20L, "view"), (2L, t(20), 20L, "click"),
+      (3L, t(30), 20L, "purchase"))
+    val got = report(rows, "position")
+    // per user: 2 touches → 50/50; merged they'd be rn1=400k/mid/mid/last
+    assert(got == Map("view" -> ((2L, 1000000L)),
+      "click" -> ((2L, 1000000L))), s"$got")
+  }
 }
