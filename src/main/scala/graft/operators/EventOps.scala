@@ -439,4 +439,55 @@ object EventOps {
     }
     joined.withColumn("reached", reached)
   }
+
+  /** Next-event TRANSITION matrix (A15i) — the Markov view of behavior
+    * ("after a click, what happens next?"): per key in (ts, tie) order,
+    * count (type → next_type) transitions and normalize per source type
+    * to INTEGER ppm (count·10⁶ div total — the retention_ppm convention,
+    * exact at any partitioning). One per-key lag window + one tiny
+    * (from, to) group-by; the e26 oracle gate, shared by the streaming
+    * per-batch twin.
+    *
+    * Returns (from_type, next_type, n, p_ppm).
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("next_type", lead(col(typeCol), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * CAST(1000000 AS BIGINT) div SUM(n) OVER " +
+          "(PARTITION BY from_type)"))
+  }
+
+  /** DAU/WAU STICKINESS (A15j) — the product-health staple: per day,
+    * daily actives / trailing-7-day weekly actives as exact integer ppm.
+    * Sliding-window COUNT DISTINCT without a distinct window frame:
+    * (key, day) skeletons expand each activity day to its 7 covering
+    * window-days, distinct-collapse, count — raw events never ride past
+    * the first distinct. The e27 oracle gate, shared by the streaming
+    * per-batch twin.
+    *
+    * Returns (day, dau, wau, stickiness_ppm). Note wau covers the 7-day
+    * window ENDING at each day; days near the frame's start count only
+    * the activity inside the frame (the batch contract — a per-batch
+    * streaming probe is a within-window statement).
+    */
+  def stickiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val ud = df
+      .select(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col(keyCol),
+        explode(expr("sequence(day, day + interval 6 days, " +
+          "interval 1 day)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness_ppm",
+        expr("dau * CAST(1000000 AS BIGINT) div wau"))
+  }
 }

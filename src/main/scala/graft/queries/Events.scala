@@ -341,19 +341,8 @@ object Events {
     // events never ride past the first distinct. Oracle: the direct
     // correlated count-distinct (independent algorithm).
     "e27_stickiness" -> { (s, dir) =>
-      val ud = Tables(s, dir, "events")
-        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-        .distinct()
-      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-      val wau = ud
-        .select(col("user_id"),
-          explode(expr("sequence(day, day + interval 6 days, " +
-            "interval 1 day)")).as("day"))
-        .distinct()
-        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-      dau.join(wau, "day")
-        .withColumn("stickiness_ppm",
-          expr("dau * CAST(1000000 AS BIGINT) div wau"))
+      graft.operators.EventOps.stickiness(Tables(s, dir, "events"),
+          "user_id", "ts")
         .orderBy("day")
     },
 
@@ -364,17 +353,8 @@ object Events {
     // the retention_ppm convention, exact at any partitioning). One
     // per-key lag window + one tiny (from, to) group-by.
     "e26_transitions" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = Tables(s, dir, "events")
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
-      pairs
-        .withColumn("p_ppm",
-          expr("n * CAST(1000000 AS BIGINT) div SUM(n) OVER " +
-            "(PARTITION BY from_type)"))
+      graft.operators.EventOps.transitionMatrix(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
         .orderBy("from_type", "next_type")
     },
 

@@ -609,6 +609,48 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-batch TRANSITION matrix — the monitoring face of
+    * [[graft.operators.EventOps.transitionMatrix]] ("what does behavior
+    * look like in THIS ingest window — did click→purchase collapse?"),
+    * via foreachBatch → the batch core (the heavyHittersStream pattern:
+    * the matrix needs the whole window's pairs, a per-window statement
+    * by design; corpus-lifetime transitions are the batch operator's job
+    * over the accumulated table). On an event-time-ordered stream whose
+    * batch covers the window, the report row-equals the batch operator
+    * on the same rows (spec-pinned). Each row carries the batch id.
+    */
+  def transitionsStream(events: Dataset[Event])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.EventOps.transitionMatrix(batch,
+              "user_id", "event_type", "ts", "event_id")
+            .withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+        }
+      }
+      .start()
+
+  /** Streaming per-batch DAU/WAU STICKINESS probe — the live face of
+    * [[graft.operators.EventOps.stickiness]]: each micro-batch reports
+    * the sliding daily/weekly-active ratio over ITS OWN window (the
+    * dashboard probe between full batch refreshes), via foreachBatch →
+    * the batch core. Per-batch semantics are the point — wau counts the
+    * 7-day windows covered by the batch's activity days; the
+    * corpus-lifetime ratio is the batch operator's job. Row-equals the
+    * batch operator on the same rows (spec-pinned); rows carry batch_id.
+    */
+  def stickinessStream(events: Dataset[Event])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.EventOps.stickiness(batch, "user_id", "ts")
+            .withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark window — the incremental twin of
     * [[graft.dedup.Dedup.exact]]. State is one 32-byte hash per distinct

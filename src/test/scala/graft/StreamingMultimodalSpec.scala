@@ -331,6 +331,69 @@ class StreamingMultimodalSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming per-batch transition matrix equals the batch operator " +
+    "on the same rows; batches report independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Event(1, ts(0), 7, "view", 1.0), Event(2, ts(1), 7, "click", 1.0),
+      Event(3, ts(2), 7, "purchase", 1.0),
+      Event(4, ts(0), 8, "view", 1.0), Event(5, ts(1), 8, "click", 1.0))
+    val b2 = Seq(
+      Event(6, ts(0), 9, "view", 1.0), Event(7, ts(1), 9, "view", 1.0))
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
+    val q = EventStreams.transitionsStream(input.toDS()) { out =>
+      got ++= out.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1: view→click ×2 (1e6 ppm), click→purchase ×1 of 1 click-out;
+    // batch 2 reports ITS OWN window: view→view ×1
+    assert(got.toSet == Set(
+      ("view", "click", 2L, 1000000L, 0L),
+      ("click", "purchase", 1L, 1000000L, 0L),
+      ("view", "view", 1L, 1000000L, 1L)), got.toString)
+    // parity with the batch core on batch 1's rows
+    val batch = graft.operators.EventOps.transitionMatrix(
+        b1.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got.filter(_._5 == 0L).map(t => (t._1, t._2, t._3, t._4)).toSet
+      == batch)
+  }
+
+  test("streaming per-batch stickiness probe equals the batch operator " +
+    "on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def dts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    val b1 = Seq(
+      Event(1, dts(1), 7, "view", 1.0), Event(2, dts(1), 8, "view", 1.0),
+      Event(3, dts(2), 7, "click", 1.0))
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.ArrayBuffer[(Timestamp, Long, Long, Long, Long)]()
+    val q = EventStreams.stickinessStream(input.toDS()) { out =>
+      got ++= out.collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // day1: dau 2, wau 2 → 1e6; day2: dau 1, wau 2 (both active in the
+    // trailing window) → 500000
+    val day = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    assert(got.toSet == Set(
+      (day(1), 2L, 2L, 1000000L, 0L),
+      (day(2), 1L, 2L, 500000L, 0L)), got.toString)
+    val batch = graft.operators.EventOps.stickiness(
+        b1.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "ts")
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == batch)
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
