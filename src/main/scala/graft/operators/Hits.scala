@@ -48,8 +48,33 @@ object Hits {
     */
   def run(edges: DataFrame, iters: Int, scale: Double = 1e12,
           checkpointEvery: Int = 1,
-          checkpointing: Checkpointing = Checkpointing.Local): DataFrame = {
-    require(iters >= 1)
+          checkpointing: Checkpointing = Checkpointing.Local): DataFrame =
+    core(edges, iters, scale, checkpointEvery, checkpointing,
+      fixpoint = false)._1
+
+  /** [[run]] that STOPS once a full iteration is a FIXPOINT of BOTH
+    * vectors — hub and authority unchanged bit-for-bit on the scaled-
+    * integer grid (an exact comparison; once one full iteration
+    * reproduces both vectors, every further iteration does too, so the
+    * result equals `run(edges, k)` for ANY k >= the stop point —
+    * spec-pinned). The PRODUCTION entry for real converging graphs;
+    * fixed-iteration [[run]] remains for the unrolled g02 oracle.
+    * Cuts already happen every iteration here (see class doc) — the
+    * fixpoint variant alternates each vector between two slots so a cut
+    * never deletes the previous iteration's backing file under
+    * [[Checkpointing.Reliable]] before the comparison reads it. Returns
+    * (scores, iterations actually run — `maxIters` if never converged).
+    */
+  def runUntilFixpoint(edges: DataFrame, maxIters: Int,
+                       scale: Double = 1e12,
+                       checkpointing: Checkpointing = Checkpointing.Local)
+      : (DataFrame, Int) =
+    core(edges, maxIters, scale, 1, checkpointing, fixpoint = true)
+
+  private def core(edges: DataFrame, maxIters: Int, scale: Double,
+                   checkpointEvery: Int, checkpointing: Checkpointing,
+                   fixpoint: Boolean): (DataFrame, Int) = {
+    require(maxIters >= 1)
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     // distinct column names per copy: both derive from the same frame,
@@ -80,14 +105,37 @@ object Hits {
 
     var h = nodes.withColumn("h_s", lit(math.round(scale / n)))
     var a: DataFrame = null
-    for (i <- 1 to iters) {
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
+    var itersUsed = maxIters
+    var i = 1
+    var done = false
+    while (i <= maxIters && !done) {
       val araw = h.join(eSrc, h("node") === col("e_src"))
         .groupBy(col("e_dst").as("node")).agg(sum(col("h_s")).as("raw"))
       a = normalized(araw, "a_s")
       val hraw = a.join(eDst, a("node") === col("f_dst"))
         .groupBy(col("f_src").as("node")).agg(sum(col("a_s")).as("raw"))
       h = normalized(hraw, "h_s")
-      if (i % checkpointEvery == 0) {
+      if (fixpoint) {
+        // per-iteration cuts on ALTERNATING per-vector slots (a cut only
+        // deletes its own slot's previous file — two rounds back — so
+        // the comparison below can still read the previous iteration's
+        // materialization under Reliable); a before h, see the fixed
+        // path's ordering note
+        a = checkpointing.cut(a, s"a${i % 2}")
+        h = checkpointing.cut(h, s"h${i % 2}")
+        // exact integer fixpoint over the two materialized skeletons
+        // (node sets are constant — nodes left-join in normalized)
+        if (prevA != null &&
+            a.join(prevA.withColumnRenamed("a_s", "__p"), Seq("node"))
+              .filter(col("a_s") =!= col("__p")).isEmpty &&
+            h.join(prevH.withColumnRenamed("h_s", "__p"), Seq("node"))
+              .filter(col("h_s") =!= col("__p")).isEmpty) {
+          itersUsed = i; done = true
+        }
+        prevA = a; prevH = h
+      } else if (i % checkpointEvery == 0) {
         // distinct slots: both vectors stay live across the cut, so one's
         // round file must never be deleted by the other's next cut. ORDER
         // matters under Reliable: `a` is cut FIRST because the pending
@@ -96,6 +144,7 @@ object Hits {
         // delete that file under a's feet.
         a = checkpointing.cut(a, "a"); h = checkpointing.cut(h, "h")
       }
+      i += 1
     }
     val out = checkpointing.cutFinal(
       h.join(a, Seq("node"))
@@ -105,6 +154,6 @@ object Hits {
           (col("a_s") / lit(scale)).as("auth")),
       "out")
     eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
-    out
+    (out, itersUsed)
   }
 }

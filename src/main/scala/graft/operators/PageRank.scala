@@ -44,8 +44,40 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
           scale: Double = 1e12, checkpointEvery: Int = 3,
-          checkpointing: Checkpointing = Checkpointing.Local): DataFrame = {
-    require(iters >= 1 && damping > 0 && damping < 1)
+          checkpointing: Checkpointing = Checkpointing.Local): DataFrame =
+    core(edges, iters, damping, scale, checkpointEvery, checkpointing,
+      fixpoint = false)._1
+
+  /** [[run]] that STOPS once a full iteration is a FIXPOINT — the
+    * scaled-integer grid makes "vector unchanged" an EXACT comparison
+    * (no epsilon, no float dust), and once iteration i reproduces
+    * iteration i−1's vector bit-for-bit, every further iteration does
+    * too: the result equals `run(edges, k)` for ANY k >= the stop point
+    * (spec-pinned). On real link graphs the power method converges on
+    * the 1e-12 grid long before a safe fixed budget, so this is the
+    * production entry; fixed-iteration [[run]] remains for callers
+    * mirroring an unrolled oracle.
+    *
+    * Mechanics: every iteration's vector is cut (the vector is a
+    * (node, long) skeleton — cutting it beats re-executing a half-step,
+    * the [[Hits]] every-1 measurement), alternating between two slots so
+    * a cut never deletes the PREVIOUS iteration's backing file under
+    * [[Checkpointing.Reliable]] before the comparison reads it; the
+    * comparison joins two materialized skeletons and short-circuits
+    * (isEmpty). Returns (ranks, iterations actually run — `maxIters` if
+    * no fixpoint was reached).
+    */
+  def runUntilFixpoint(edges: DataFrame, maxIters: Int,
+                       damping: Double = 0.85, scale: Double = 1e12,
+                       checkpointing: Checkpointing = Checkpointing.Local)
+      : (DataFrame, Int) =
+    core(edges, maxIters, damping, scale, 1, checkpointing, fixpoint = true)
+
+  private def core(edges: DataFrame, maxIters: Int, damping: Double,
+                   scale: Double, checkpointEvery: Int,
+                   checkpointing: Checkpointing, fixpoint: Boolean)
+      : (DataFrame, Int) = {
+    require(maxIters >= 1 && damping > 0 && damping < 1)
     val spark = edges.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val e = edges.select(col("src"), col("dst"))
@@ -62,7 +94,11 @@ object PageRank {
     // ranks and the dangling division would emit NaN — silent garbage
     require(n > 0, "PageRank.run: edge frame has no nodes")
     var ranks = nodes.withColumn("rank_s", lit(math.round(scale / n)))
-    for (i <- 1 to iters) {
+    var prev: DataFrame = null
+    var itersUsed = maxIters
+    var i = 1
+    var done = false
+    while (i <= maxIters && !done) {
       val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
       // dangling nodes donate their whole (already-integer) rank to the
       // uniform pool — kept as a broadcast 1-row frame, NOT a driver
@@ -86,8 +122,23 @@ object PageRank {
               col("__dang").cast("double") / lit(n.toDouble)))
           .cast("long"))
         .select(col("node"), col("rank_s"))
-      ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
-        else updated
+      if (fixpoint) {
+        // exact integer fixpoint test over two MATERIALIZED skeletons
+        // (the node set is constant — nodes left-join — so the inner
+        // join covers the whole vector)
+        val cut = checkpointing.cut(updated, s"fp${i % 2}")
+        if (prev != null && cut
+              .join(prev.withColumnRenamed("rank_s", "__p"), Seq("node"))
+              .filter(col("rank_s") =!= col("__p")).isEmpty) {
+          itersUsed = i; done = true
+        }
+        prev = cut
+        ranks = cut
+      } else {
+        ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
+          else updated
+      }
+      i += 1
     }
     // materialize the final vector, then release the iteration scaffolding
     // (edges/outdeg/nodes) — without this every run leaks three persisted
@@ -99,7 +150,7 @@ object PageRank {
         (col("rank_s") / lit(scale)).as("rank")),
       "out")
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
-    out
+    (out, itersUsed)
   }
 
   /** PERSONALIZED PageRank: the teleport vector concentrates on `seeds`

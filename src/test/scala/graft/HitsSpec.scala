@@ -70,6 +70,37 @@ class HitsSpec extends SparkSpec {
     assert(math.abs(authSum - 1e12.toLong) <= rows.length)
   }
 
+  test("fixpoint early-exit: stops when BOTH vectors reproduce exactly, " +
+    "equals fixed-iters, honors maxIters, Reliable-safe") {
+    // a 4-cycle: hub = auth = uniform from iteration 1 on (each node has
+    // in/out degree 1) — fixpoint detected at iteration 2
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (fp, used) = Hits.runUntilFixpoint(ring, maxIters = 15)
+    assert(used == 2, s"used=$used")
+    val got = fp.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fixed = Hits.run(ring, iters = 15).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == fixed)
+    // a still-moving graph runs all maxIters and matches the fixed path
+    val (fp2, used2) = Hits.runUntilFixpoint(graph.toDF("src", "dst"),
+      maxIters = 2)
+    assert(used2 == 2, s"used2=$used2")
+    val got2 = fp2.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fixed2 = Hits.run(graph.toDF("src", "dst"), iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2 == fixed2)
+    // Reliable: alternating per-vector slots keep the previous iteration
+    // readable for the comparison
+    val dir = java.nio.file.Files.createTempDirectory("hits-fp").toString
+    val (fp3, used3) = Hits.runUntilFixpoint(ring, maxIters = 15,
+      checkpointing = graft.operators.Checkpointing.Reliable(dir))
+    assert(used3 == 2)
+    assert(fp3.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == got)
+  }
+
   test("empty edge frame fails loudly") {
     intercept[IllegalArgumentException] {
       Hits.run(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 2)

@@ -57,6 +57,35 @@ class PageRankSpec extends SparkSpec {
     assert(one.getDouble(1) == one.getLong(0) / 1e12)
   }
 
+  test("fixpoint early-exit: stops once an iteration reproduces the " +
+    "vector exactly, equals fixed-iters, and honors maxIters") {
+    // a 4-cycle is an exact fixpoint after iteration 1 (uniform rank,
+    // scale/n integral): detected at iteration 2
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (fp, used) = PageRank.runUntilFixpoint(ring, maxIters = 20)
+    assert(used == 2, s"used=$used")
+    val got = fp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fixed = PageRank.run(ring, iters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == fixed)
+    // a graph still moving at maxIters runs all of them and matches the
+    // fixed path at that count (A→B dangles mass back and forth)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val (fp2, used2) = PageRank.runUntilFixpoint(chain, maxIters = 2)
+    assert(used2 == 2, s"used2=$used2")
+    val got2 = fp2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fixed2 = PageRank.run(chain, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == fixed2)
+    // Reliable strategy: the alternating-slot files keep the previous
+    // iteration readable for the comparison; result identical
+    val dir = java.nio.file.Files.createTempDirectory("pr-fp").toString
+    val (fp3, used3) = PageRank.runUntilFixpoint(ring, maxIters = 20,
+      checkpointing = Checkpointing.Reliable(dir))
+    assert(used3 == 2)
+    assert(fp3.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == got)
+  }
+
   test("personalized: unreachable nodes hold exact 0; rank concentrates " +
     "near the seeds; seeds outside the edge list dangle but count") {
     // two disjoint components: 1→2→3 and 10→11
