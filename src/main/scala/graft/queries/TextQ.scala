@@ -726,6 +726,16 @@ object TextQ {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // L76b: SENTENCE-ALIGNED chunking (round 18) — 40-token budget,
+    // boundaries snap to the last sentence end within budget (t26's
+    // terminal-punctuation rule); only an oversized single sentence is
+    // cut mid-sentence. Row-local span UDF + posexplode, no shuffle.
+    "t60_sentence_chunks" -> { (s, dir) =>
+      TextOps.sentenceChunks(Tables(s, dir, "documents"), "text", "doc_id",
+          maxTokens = 40)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // L77: quality-threshold calibration — keep the best ~30% by quality
     // score via the two-pass histogram cut (no global sort; driver state
     // = 64 bin counts). The kept set is every row at or above the cut
@@ -1662,6 +1672,42 @@ object TextQ {
         |  LEAST(40, n - chunk_id * 32) AS n_tokens
         |FROM c2
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // The same greedy recursion, independently: sentence-end offsets as
+    // a per-document list (t26's terminal rule + doc end), then a
+    // recursive CTE walks chunk starts — each chunk ends at the max end
+    // within budget, falling back to start+40 (an oversized sentence).
+    "t60_sentence_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |nn AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n
+        |  FROM base WHERE len(toks) > 0),
+        |se AS (
+        |  SELECT doc_id, toks, n,
+        |    list_sort(list_distinct(list_append(
+        |      list_filter(range(1, n + 1),
+        |                  i -> regexp_matches(toks[i], '[.!?"”]$')),
+        |      CAST(n AS BIGINT)))) AS ends
+        |  FROM nn),
+        |ch AS (
+        |  WITH RECURSIVE r AS (
+        |    SELECT doc_id, toks, n, ends, 0 AS chunk_id, 0 AS s,
+        |      CAST(COALESCE(list_max(list_filter(ends,
+        |        e -> e > 0 AND e <= 40)), 40) AS INTEGER) AS e
+        |    FROM se
+        |    UNION ALL
+        |    SELECT doc_id, toks, n, ends, chunk_id + 1, e AS s,
+        |      CAST(COALESCE(list_max(list_filter(ends,
+        |        x -> x > e AND x <= e + 40)), e + 40) AS INTEGER) AS e2
+        |    FROM r WHERE e < n)
+        |  SELECT * FROM r)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(toks, s + 1, e), ' ') AS chunk_text,
+        |  e - s AS n_tokens
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Rendered from the SAME steps/thresholds as the Spark side (the t24
     // lockstep-oracle pattern).

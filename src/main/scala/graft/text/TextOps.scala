@@ -476,6 +476,85 @@ object TextOps {
           .as("n_tokens"))
   }
 
+  /** A chunk's token span — public so the UDF's generated code can call
+    * the accessors (a `private` case class silently drops the projection
+    * to interpreter mode, the Unigram.UniEnc precedent).
+    */
+  case class ChunkSpan(start: Int, len: Int)
+
+  /** SENTENCE-ALIGNED long-document chunking — [[chunkDocs]]'s real
+    * long-context ingestion cut: fixed-stride windows slice mid-sentence,
+    * and a training/retrieval chunk that opens or closes mid-thought
+    * degrades both. Boundaries SNAP to sentence ends with the token
+    * budget as a hard cap:
+    *
+    *  - a sentence ends at a token whose last character is terminal
+    *    punctuation (`[.!?"”]`, the t26 lineStats rule); the document
+    *    end always closes the last sentence;
+    *  - each chunk ends at the LAST sentence end within `maxTokens` of
+    *    its start (greedy packing — deterministic, order-free);
+    *  - only a single sentence longer than the window is cut mid-sentence
+    *    (at exactly `maxTokens`, resuming the sentence in the next
+    *    chunk) — spec-pinned.
+    *
+    * Chunks tile the document exactly (no overlap — overlap is
+    * ill-defined under snapping; concatenating chunk texts reproduces
+    * the tokenized document). ROW-LOCAL like chunkDocs: one
+    * tokenization, one O(n) two-pointer span UDF per row (arrays stay
+    * in Tungsten; the slice/join stay codegen'd columns), `posexplode`,
+    * no shuffle — streams through a 100 TB scan. Empty/null docs yield
+    * no chunks.
+    *
+    * Returns (idCol, chunk_id, chunk_text, n_tokens); `chunk_id` counts
+    * from 0 within each document. Oracle: the same greedy recursion as a
+    * per-document recursive CTE over sentence-end offsets (t60).
+    */
+  def sentenceChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, maxTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"sentenceChunks: maxTokens=$maxTokens")
+    val spans = udf { (toks: Seq[String]) =>
+      val n = toks.length
+      // sentence-end offsets (1-based token counts), doc end included
+      val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        val c = t.charAt(t.length - 1)
+        if (c == '.' || c == '!' || c == '?' || c == '"' || c == '”')
+          ends += i + 1
+        i += 1
+      }
+      if (ends.isEmpty || ends.last != n) ends += n
+      // greedy: each chunk ends at the last sentence end within budget;
+      // a budget window holding no end (one oversized sentence) cuts at
+      // exactly maxTokens — two-pointer, O(n) total
+      val out = new scala.collection.mutable.ArrayBuffer[ChunkSpan]()
+      var s = 0
+      var ei = 0
+      while (s < n) {
+        val limit = s + maxTokens
+        while (ei < ends.length && ends(ei) <= s) ei += 1
+        var last = -1
+        var j = ei
+        while (j < ends.length && ends(j) <= limit) { last = ends(j); j += 1 }
+        val e = if (last > s) last else limit
+        out += ChunkSpan(s, e - s)
+        s = e
+      }
+      out.toSeq
+    }
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(spans(col("__toks"))).as(Seq("chunk_id", "__sp")))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__sp.start") + lit(1),
+          col("__sp.len")), " ").as("chunk_text"),
+        col("__sp.len").as("n_tokens"))
+  }
+
   /** Keep the top `keepFrac` of rows by `scoreCol` WITHOUT a global
     * sort — threshold calibration for quality filtering ("keep the best
     * 30%") at corpus scale: one aggregate for (min, max, count), one

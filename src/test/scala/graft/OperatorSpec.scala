@@ -2466,6 +2466,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sentenceChunks: boundaries snap to sentence ends; only an " +
+    "oversized single sentence cuts mid-sentence; chunks tile exactly") {
+    val docs = Seq(
+      // two sentences of 3+4; budget 5 → the first chunk takes only the
+      // first sentence (snaps BACK from the mid-sentence position 5)
+      (1L, "a b c. d e f g."),
+      // one 8-token sentence, budget 5 → mid-sentence cut at exactly 5,
+      // remainder in chunk 1
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8."),
+      // no terminal punctuation at all → doc end closes the sentence;
+      // 7 tokens, budget 5 → 5 + 2 (the fallback path, then the tail)
+      (3L, "x1 x2 x3 x4 x5 x6 x7"),
+      // quote and ”-terminals count (the t26 rule); ! and ? too
+      (4L, """he said "yes" now! b c? d e”"""),
+      (5L, ""), (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.sentenceChunks(docs, "text", "doc_id", maxTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0, "a b c.", 3), (1L, 1, "d e f g.", 4),
+      (2L, 0, "w1 w2 w3 w4 w5", 5), (2L, 1, "w6 w7 w8.", 3),
+      (3L, 0, "x1 x2 x3 x4 x5", 5), (3L, 1, "x6 x7", 2),
+      // ends after "yes" (3), now! (4), c? (6), e” (8): greedy from 0
+      // takes 4 ("he said \"yes\" now!"), then 5..8 fits in one chunk
+      (4L, 0, "he said \"yes\" now!", 4), (4L, 1, "b c? d e”", 4)),
+      got.toString)
+    // chunks tile the tokenized document exactly at any budget
+    for (max <- Seq(1, 2, 3, 5, 8, 40)) {
+      val flat = TextOps.sentenceChunks(docs.filter(col("doc_id") === 4),
+          "text", "doc_id", max)
+        .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+      assert(flat == "he said \"yes\" now! b c? d e”", s"max=$max")
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.sentenceChunks(docs, "text", "doc_id", maxTokens = 0)
+    }
+  }
+
   test("chunkDocs invariants over an (n, maxTokens, overlap) sweep") {
     for (n <- Seq(1, 2, 3, 7, 16, 33); max <- Seq(1, 3, 5, 8);
          ov <- Seq(0, 1, max - 1).distinct if ov >= 0 && ov < max) {
