@@ -280,6 +280,66 @@ object Relational {
         .limit(10)
     },
 
+    // A39: the TPC-H Q18 composition (round 18) — large-volume customer:
+    // a grouped-HAVING filter over the fact table feeds the join chain,
+    // and the Spark-first plan computes the per-order quantity sum ONCE
+    // (the HAVING aggregate IS the output aggregate — no second lineitem
+    // pass, no IN-subquery re-scan). Quantity rides DECIMAL (exact),
+    // surfaces as DOUBLE; total tie order under the top-100.
+    "q27_large_volume" -> { (s, dir) =>
+      val bigq = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("__sq"))
+        .filter(col("__sq") > 250)
+        .select(col("l_orderkey"), col("__sq").cast("double").as("sum_qty"))
+      bigq
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    },
+
+    // A40: the TPC-H Q21 composition (round 18) — the EXISTS/NOT-EXISTS
+    // self-join chain over lineitem ("suppliers who kept waiting",
+    // adapted to this schema's fault signal: the supplier whose line was
+    // the ONLY returned one in a multi-supplier finished order). The
+    // nation-filtered supplier dim broadcasts FIRST (1/25 selectivity
+    // before the fact-fact shuffles); the EXISTS is a left-semi and the
+    // NOT EXISTS a left-anti, each an equi-join on orderkey with the
+    // supplier inequality as residual — both orderkey-partitioned, no
+    // per-order window, no all-pairs.
+    "q28_single_fault_supplier" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val sn = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l2 = li.select(col("l_orderkey").as("l2_ok"),
+        col("l_suppkey").as("l2_sk"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+      li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("l2_ok") &&
+          col("l_suppkey") =!= col("l2_sk"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_ok") &&
+          col("l_suppkey") =!= col("l3_sk"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+
     // A35: declarative DATA-QUALITY constraints (round 16; the
     // Deequ-family publish gate) — one report row per declared rule
     // with the EXACT violation count: row-local rules fold into one
@@ -410,6 +470,43 @@ object Relational {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    // q27: the same Q18 composition natively — grouped HAVING on the
+    // DECIMAL quantity sum, reused as the output aggregate
+    "q27_large_volume" ->
+      """WITH bigq AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, b.sum_qty
+        |FROM bigq b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // q28: the same Q21 chain natively — correlated EXISTS/NOT EXISTS
+    "q28_single_fault_supplier" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  AND n.n_name = 'NATION_7'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 100""".stripMargin,
+
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
