@@ -126,6 +126,28 @@ object GraphQ {
       val seeds = Seq(0L, 500L).toDF("node")
       graft.operators.Reachability.bounded(edges, seeds, maxHops = 4)
         .orderBy("node")
+    },
+
+    // A42 / L110: weighted single-source SHORTEST PATHS (round 18) —
+    // g03's distance complement ("how cheap is the best route", not
+    // just "within k clicks"). Deterministic integer weights 1..19 on
+    // the same synthetic graph; frontier Bellman–Ford with the exact
+    // integer fixpoint exit (an empty frontier before the 8-round
+    // bound IS unbounded SSSP). Oracle: hop-bounded recursive path
+    // enumeration + MIN — an independent formulation of the same
+    // minimum.
+    "g07_sssp" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Tables(s, dir, "documents")
+        .select(col("doc_id").as("src"),
+          explode(array(
+            pmod(col("doc_id") * 7 + 3, lit(1000)),
+            pmod(col("doc_id") * 7 + 34, lit(1000)),
+            pmod(col("doc_id") * 7 + 65, lit(1000)))).as("dst"))
+        .withColumn("w", pmod(col("src") * 13 + col("dst") * 7, lit(19)) + 1)
+      val seeds = Seq(0L, 500L).toDF("node")
+      graft.operators.ShortestPaths.run(edges, seeds, maxRounds = 8)._1
+        .orderBy("node")
     })
 
   val oracles: Map[String, String] = Map(
@@ -334,5 +356,29 @@ object GraphQ {
         |  WHERE r.hops < 4)
         |SELECT node, MIN(hops) AS hops
         |FROM reach GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    // Hop-bounded path enumeration + MIN — distinct (node, dist, hops)
+    // states stay bounded (dist ≤ 8·19, node space 0..999), so the
+    // blind enumeration is safe HERE while the operator's frontier
+    // relaxation is the form that scales.
+    "g07_sssp" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, (doc_id*7+3) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+34) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*7+65) % 1000 FROM documents),
+        |ew AS (
+        |  SELECT src, dst, (src*13 + dst*7) % 19 + 1 AS w
+        |  FROM (SELECT DISTINCT src, dst FROM e)),
+        |p(node, dist, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops
+        |  FROM (VALUES (CAST(0 AS BIGINT)), (CAST(500 AS BIGINT))) s(node)
+        |  UNION
+        |  SELECT ew.dst, p.dist + ew.w, p.hops + 1
+        |  FROM p JOIN ew ON ew.src = p.node
+        |  WHERE p.hops < 8)
+        |SELECT node, MIN(dist) AS dist FROM p GROUP BY node
         |ORDER BY node""".stripMargin)
 }
