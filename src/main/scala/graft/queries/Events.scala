@@ -424,6 +424,23 @@ object Events {
               col("o_orderdate").as("ts")),
           "user_id", "ts", "month")
         .orderBy("cohort", "period_offset")
+    },
+
+    // A41: market-basket CO-OCCURRENCE (round 18) — "behaviors that
+    // co-occur within a user-day": baskets at the (user, day) grain
+    // (sizes 1–5 on this fixture), items = event types. maxBasket=4
+    // exercises the whole-basket drop (the 5-item power-user days are
+    // excluded — all statistics describe the kept population);
+    // minSupport=2 the tail prune. All ppm stats exact integer (lift =
+    // the documented floor composition). Oracle: independent self-join
+    // formulation over the same kept baskets.
+    "e28_cooccurrence" -> { (s, dir) =>
+      val baskets = Tables(s, dir, "events")
+        .withColumn("__b",
+          concat_ws(":", col("user_id"), col("ts").cast("date")))
+      graft.operators.Cooccurrence.pairs(baskets, "__b", "event_type",
+          maxBasket = 4, minSupport = 2)
+        .orderBy("item_a", "item_b")
     }
   )
 
@@ -936,6 +953,38 @@ object Events {
         |  s.n_cohort,
         |  (cells.n_active * 1000000) // s.n_cohort AS retention_ppm
         |FROM cells JOIN sizes s USING (cohort)
-        |ORDER BY cells.cohort, cells.period_offset""".stripMargin
+        |ORDER BY cells.cohort, cells.period_offset""".stripMargin,
+
+    // e28: independent formulation — the basket self-join (the very plan
+    // the operator avoids) over the same kept population, same integer
+    // ppm floors incl. lift's documented composition.
+    "e28_cooccurrence" ->
+      """WITH items AS (
+        |  SELECT DISTINCT
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(CAST(ts AS DATE) AS VARCHAR) AS basket,
+        |    event_type AS item
+        |  FROM events),
+        |kept AS (SELECT basket FROM items GROUP BY basket
+        |         HAVING COUNT(*) <= 4),
+        |ki AS (SELECT i.basket, i.item
+        |       FROM items i JOIN kept k ON i.basket = k.basket),
+        |tot AS (SELECT COUNT(*) AS total FROM kept),
+        |ic AS (SELECT item, COUNT(*) AS n_i FROM ki GROUP BY item),
+        |pc AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+        |  FROM ki a JOIN ki b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pc.item_a, pc.item_b, pc.n_pair, ca.n_i AS n_a,
+        |  cb.n_i AS n_b,
+        |  pc.n_pair * 1000000 // tot.total AS support_ppm,
+        |  pc.n_pair * 1000000 // ca.n_i AS conf_a_to_b_ppm,
+        |  pc.n_pair * 1000000 // cb.n_i AS conf_b_to_a_ppm,
+        |  (pc.n_pair * 1000000 // ca.n_i) * tot.total // cb.n_i
+        |    AS lift_ppm
+        |FROM pc CROSS JOIN tot
+        |  JOIN ic ca ON ca.item = pc.item_a
+        |  JOIN ic cb ON cb.item = pc.item_b
+        |ORDER BY pc.item_a, pc.item_b""".stripMargin
   )
 }
