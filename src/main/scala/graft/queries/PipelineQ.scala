@@ -295,6 +295,32 @@ object PipelineQ {
           upd.unionByName(del).unionByName(ins),
           "o_orderkey", Seq("seq"), "op")
         .orderBy("o_orderkey")
+    },
+
+    // L111: incremental MATERIALIZED-AGGREGATE maintenance (round 18) —
+    // the metrics view kept current by appending per-run partial states
+    // (n, sum, min, max) and merging at read on the bucketing; two
+    // "days" of events appended, snapshot vs the direct one-shot
+    // group-by oracle. Sums ride DECIMAL through the registry (exact,
+    // run-order free).
+    "c12_incremental_agg" -> { (s, dir) =>
+      import graft.sources.Warehouse
+      val table = "graft_aggreg_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(table)) {
+        Warehouse.dropTableAndLocation(s, table)
+        Warehouse.createAggRegistry(s, table)
+        val ev = Tables(s, dir, "events")
+        Warehouse.appendAggDelta(
+          ev.filter(pmod(col("event_id"), lit(2L)) === 0),
+          "event_type", "value", table)
+        Warehouse.appendAggDelta(
+          ev.filter(pmod(col("event_id"), lit(2L)) === 1),
+          "event_type", "value", table)
+      }
+      Warehouse.aggSnapshot(s, table)
+        .select(col("key").as("event_type"), col("n_rows"),
+          col("sum_value"), col("min_value"), col("max_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -752,6 +778,17 @@ object PipelineQ {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM latest WHERE op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin) +
+    // c12: the incremental view's invariant IS the oracle — N appended
+    // partial states merge to exactly the one-shot group-by (DECIMAL
+    // sums make the merge order-free)
+    ("c12_incremental_agg" ->
+      """SELECT event_type, COUNT(value) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
   }
 }

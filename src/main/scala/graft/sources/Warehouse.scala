@@ -743,6 +743,78 @@ object Warehouse {
     survivors.unionByName(upserts)
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance — the metrics view
+    * kept current without rescanning history (per-source token totals,
+    * per-customer lifetime value, per-type event extents): a bucketed
+    * registry stores one MERGEABLE partial state per (run, key) —
+    * (n, sum, min, max), the closed-under-merge algebra that also
+    * yields avg — and each day appends ONLY the day's partial
+    * aggregation (key-cardinality rows, never the corpus). The
+    * snapshot merges states with a bucket-colocated group-by: the scan
+    * provides the key hash-partitioning, so the report NEVER shuffles
+    * regardless of how many runs accumulated. Append-only like every
+    * cross-run table; [[compactIfFragmented]] collapses run files when
+    * the read-side merge grows (the L29 hook — merging partial states
+    * via compaction is sound because the algebra is associative).
+    *
+    * Sums ride DECIMAL(38,6) from a DECIMAL(18,6) value cast — exact,
+    * order-free merge (double sums would drift with run boundaries and
+    * break both the oracle hash and run-order independence).
+    */
+  def createAggRegistry(spark: SparkSession, table: String,
+                        buckets: Int = 8): Unit = {
+    import spark.implicits._
+    writeBucketed(
+      Seq.empty[(String, Long, BigDecimal, BigDecimal, BigDecimal)]
+        .toDF("key", "n", "sum", "mn", "mx")
+        .select(col("key"), col("n"),
+          col("sum").cast("decimal(38,6)").as("sum"),
+          col("mn").cast("decimal(18,6)").as("mn"),
+          col("mx").cast("decimal(18,6)").as("mx")),
+      table, "key", buckets)
+  }
+
+  /** Partially aggregate a delta batch and append its states — one row
+    * per key present in the batch. Null values are ignored (the SQL
+    * aggregate convention); a key whose batch values are ALL null does
+    * not appear in the appended states. Returns the number of state
+    * rows appended, counted from the append's own delta files (one
+    * bounded read — never a rescan of the accumulated table).
+    */
+  def appendAggDelta(delta: DataFrame, keyCol: String, valueCol: String,
+                     table: String): Long = {
+    val states = delta
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions.count(col("__v")).as("n"),
+        org.apache.spark.sql.functions.sum(col("__v"))
+          .cast("decimal(38,6)").as("sum"),
+        org.apache.spark.sql.functions.min(col("__v")).as("mn"),
+        org.apache.spark.sql.functions.max(col("__v")).as("mx"))
+    val files = appendBucketedWithDelta(states, table, "key")
+    if (files.isEmpty) 0L
+    else delta.sparkSession.read.parquet(files: _*).count()
+  }
+
+  /** The current view: all runs' states merged per key — n/sum add,
+    * min/max fold; avg = sum/n is the caller's division. The group-by
+    * rides the table's bucketing (no exchange — plan-guarded in spec).
+    * Returns (key, n_rows, sum_value, min_value, max_value) with the
+    * decimals surfaced as DOUBLE (the q01 reporting convention).
+    */
+  def aggSnapshot(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+      .groupBy(col("key"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("sum"))
+          .cast("double").as("sum_value"),
+        org.apache.spark.sql.functions.min(col("mn"))
+          .cast("double").as("min_value"),
+        org.apache.spark.sql.functions.max(col("mx"))
+          .cast("double").as("max_value"))
+
   /** Drop a managed table AND its warehouse directory. With a
     * non-persistent (in-memory) catalog, a previous JVM's managed-table
     * directory survives while the catalog forgets it, and the next

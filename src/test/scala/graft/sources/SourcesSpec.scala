@@ -142,6 +142,32 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("agg registry: appended deltas merge to the full recompute; " +
+    "all-null keys drop; snapshot group-by rides the bucketing") {
+    dropTable("aggreg_t")
+    Warehouse.createAggRegistry(spark, "aggreg_t", buckets = 4)
+    import spark.implicits._
+    val d1 = Seq(("a", Option(1.5)), ("a", Option(2.25)),
+      ("b", Option(-3.0))).toDF("k", "v")
+    val d2 = Seq(("a", Option(-0.75)), ("c", Option.empty[Double]))
+      .toDF("k", "v")
+    assert(Warehouse.appendAggDelta(d1, "k", "v", "aggreg_t") == 2)
+    assert(Warehouse.appendAggDelta(d2, "k", "v", "aggreg_t") == 1)
+    val snap = Warehouse.aggSnapshot(spark, "aggreg_t")
+    val got = snap.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3.0, -0.75, 2.25)),
+      "b" -> ((1L, -3.0, -3.0, -3.0))), got.toString)
+    val plan = snap.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"snapshot must ride the bucketing, got shuffles:\n$plan")
+  }
+
   test("partitioned+bucketed write prunes partitions on read") {
     val sf = "/root/testdata/sf0.001"
     dropTable("orders_pb")
