@@ -340,6 +340,33 @@ object Relational {
         .limit(100)
     },
 
+    // A43: the TPC-H Q17 composition (round 18) — small-quantity-order
+    // revenue: "what do orders below 20% of a part's average quantity
+    // earn" (the discontinued-inventory question). The correlated AVG
+    // subquery decorrelates into ONE per-part aggregate over the
+    // brand's rows; the comparison is exact DECIMAL cross-multiplied
+    // (qty·5·cnt < sum — no float average, no boundary drift), the
+    // brand dim broadcasts, and the brand's lineitem slice is computed
+    // once (persisted auto-release: both the stats and the final filter
+    // reference it inside the caller's single query).
+    "q29_small_qty_revenue" -> { (s, dir) =>
+      val partsF = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      val liF = org.apache.spark.sql.graftbridge.Bridge
+        .persistedCopyAutoRelease(
+          Tables(s, dir, "lineitem")
+            .join(broadcast(partsF), col("l_partkey") === col("p_partkey"))
+            .select(col("l_partkey"),
+              expr("CAST(l_quantity AS DECIMAL(18,2))").as("__q"),
+              expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("__p")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = liF.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__q")).as("__sq"), count(lit(1)).as("__n"))
+      liF.join(broadcast(stats), col("l_partkey") === col("__pk"))
+        .filter(col("__q") * lit(5) * col("__n") < col("__sq"))
+        .agg((sum(col("__p")).cast("double") / lit(7.0)).as("avg_yearly"))
+    },
+
     // A35: declarative DATA-QUALITY constraints (round 16; the
     // Deequ-family publish gate) — one report row per declared rule
     // with the EXACT violation count: row-local rules fold into one
@@ -506,6 +533,24 @@ object Relational {
         |GROUP BY s.s_name
         |ORDER BY numwait DESC, s.s_name
         |LIMIT 100""".stripMargin,
+
+    // q29: the same Q17 composition natively — correlated per-part
+    // aggregate, same exact cross-multiplied DECIMAL comparison
+    "q29_small_qty_revenue" ->
+      """WITH st AS (
+        |  SELECT l.l_partkey AS pk,
+        |    SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sq,
+        |    COUNT(*) AS n
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_brand = 'Brand#1'
+        |  GROUP BY l.l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        |         AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+        |JOIN st ON st.pk = l.l_partkey
+        |WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * st.n < st.sq""".stripMargin,
 
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -651,6 +651,30 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming per-batch CO-OCCURRENCE probe — the monitoring face of
+    * [[graft.operators.Cooccurrence]] ("did the view↔purchase affinity
+    * collapse in THIS ingest window?"): foreachBatch → the batch core
+    * over (user, day) baskets built from the batch's own rows, the e28
+    * grain. Per-window semantics are the point — corpus-lifetime
+    * affinities are the batch operator's job over the accumulated
+    * table. Row-equals the batch core on the same rows (spec-pinned);
+    * rows carry batch_id.
+    */
+  def cooccurrenceStream(events: Dataset[Event], maxBasket: Int = 4,
+                         minSupport: Long = 1L)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Cooccurrence.pairs(
+              batch.withColumn("__b",
+                concat_ws(":", col("user_id"), col("ts").cast("date"))),
+              "__b", "event_type", maxBasket, minSupport)
+            .withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark window — the incremental twin of
     * [[graft.dedup.Dedup.exact]]. State is one 32-byte hash per distinct

@@ -394,6 +394,33 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == batch)
   }
 
+  test("streaming per-batch co-occurrence probe equals the batch " +
+    "operator on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      Event(1, ts(0), 7, "view", 1.0), Event(2, ts(1), 7, "click", 1.0),
+      Event(3, ts(2), 8, "view", 1.0), Event(4, ts(3), 8, "click", 1.0),
+      Event(5, ts(4), 9, "view", 1.0))
+    val input = MemoryStream[Event]
+    val got = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long)]()
+    val q = EventStreams.cooccurrenceStream(input.toDS()) { out =>
+      got ++= out.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(9)))
+    }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    // one basket per user-day: u7 {view,click}, u8 {view,click}, u9 {view}
+    assert(got.toList == List(("click", "view", 2L, 0L)), got.toString)
+    val batch = graft.operators.Cooccurrence.pairs(
+        b1.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("__b", concat_ws(":", col("user_id"),
+            col("ts").cast("date"))),
+        "__b", "event_type", maxBasket = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(t => (t._1, t._2, t._3)).toList == batch.toList)
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
