@@ -95,4 +95,36 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
+
+  /** Blocked pairs SCORED by Jaro–Winkler — the record-linkage combo
+    * (Febrl-style): the q-gram prefix filter blocks to within `maxDist`
+    * edits (complete for that block by [[editDistancePairs]]'s
+    * pigeonhole), then the codegen'd
+    * [[graft.functions.JaroWinkler]] scores each candidate and
+    * `minJw` keeps the high-confidence matches. JW is the right scorer
+    * for SHORT names/titles (a 1-letter typo in a 5-char name is 20% of
+    * it by edit distance; JW weighs the shared prefix humans rarely
+    * mistype). The block is part of the contract: pairs beyond
+    * `maxDist` edits are out of scope regardless of their JW (at high
+    * thresholds ≥0.9 on bounded-length strings the block is vacuous in
+    * practice — high JW forces high character overlap).
+    *
+    * Returns (a_id, b_id, jw) with a_id < b_id, jw >= minJw.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       maxDist: Int, minJw: Double,
+                       gramLen: Int = 2): DataFrame = {
+    require(minJw > 0 && minJw <= 1, s"minJw=$minJw")
+    val base = df.select(col(idCol).as("__jid"), col(strCol).as("__js"))
+      .filter(col("__js").isNotNull)
+    editDistancePairs(df, idCol, strCol, maxDist, gramLen)
+      .join(base.select(col("__jid").as("a_id"), col("__js").as("__ja")),
+        "a_id")
+      .join(base.select(col("__jid").as("b_id"), col("__js").as("__jb")),
+        "b_id")
+      .withColumn("jw",
+        graft.functions.JaroWinkler(col("__ja"), col("__jb")))
+      .filter(col("jw") >= minJw)
+      .select(col("a_id"), col("b_id"), col("jw"))
+  }
 }

@@ -218,6 +218,20 @@ object DedupQ {
         .orderBy("a_id", "b_id")
     },
 
+    // L106c: Jaro–Winkler SCORED matching (round 18) — d29's blocked
+    // candidates scored by the codegen'd JW expression (the
+    // record-linkage combo: q-gram block, JW verify at 0.8). The
+    // oracle's jaro_winkler_similarity is an independent C++
+    // implementation — the gate pins bit-identical doubles.
+    "d32_jw_titles" -> { (s, dir) =>
+      val titles = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      graft.dedup.FuzzyJoin.jaroWinklerPairs(titles, "doc_id", "title",
+          maxDist = 6, minJw = 0.8)
+        .orderBy("a_id", "b_id")
+    },
+
     // L106b: ENTITY RESOLUTION end-to-end (round 16) — d29's fuzzy
     // pairs closed into connected components: every member of a typo
     // cluster maps to one canonical entity_id (the min-label id), which
@@ -646,6 +660,20 @@ object DedupQ {
         |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) <= 6
+        |ORDER BY a_id, b_id""".stripMargin) +
+    // d32: brute-force block + DuckDB's own jaro_winkler_similarity —
+    // an independent implementation; the double scores must match
+    // bit-for-bit (same standard: window matching, half-transpositions,
+    // 0.7-thresholded Winkler boost)
+    ("d32_jw_titles" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+        |  WHERE doc_id < 2000)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  jaro_winkler_similarity(a.title, b.title) AS jw
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 6
+        |  AND jaro_winkler_similarity(a.title, b.title) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) +
     // d30: the same brute-force pair set closed with the d23 recursive
     // min-label fixpoint — entity_id = MIN reachable id
