@@ -441,6 +441,46 @@ object Events {
       graft.operators.Cooccurrence.pairs(baskets, "__b", "event_type",
           maxBasket = 4, minSupport = 2)
         .orderBy("item_a", "item_b")
+    },
+
+    // A44: RFM SEGMENTATION (round 18) — the lifecycle-marketing
+    // staple: quintile scores for Recency (last activity — 5 = most
+    // recent), Frequency (event count), Monetary (DECIMAL value sum),
+    // composed into the 111..555 segment code. Exact SQL-NTILE
+    // semantics WITHOUT the single-partition window: each score rides
+    // GlobalRank's two-phase range-partitioned rank (A44's real
+    // content); ties broken by user_id so every score is
+    // partitioning-independent. The user skeleton is persisted once
+    // for its three ranking passes.
+    "e29_rfm" -> { (s, dir) =>
+      // ARMABLE, armed only after the third ranking is built: each
+      // withNtile runs its count probe at construction, so an
+      // auto-release u would be freed by the FIRST probe's query end
+      // and the next two would re-execute the corpus aggregation (the
+      // r17 advisory race, avoided by construction here)
+      val (u, armU) = org.apache.spark.sql.graftbridge.Bridge
+        .persistedCopyArmable(
+          Tables(s, dir, "events").groupBy(col("user_id"))
+            .agg(max(col("ts")).as("last_ts"),
+              count(lit(1)).as("n_events"),
+              coalesce(sum(expr("CAST(value AS DECIMAL(18,6))")),
+                lit(0).cast("decimal(38,6)")).as("__mon")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import graft.operators.GlobalRank
+      val rs = GlobalRank.withNtile(u,
+          Seq(col("last_ts"), col("user_id")), 5, "r_score")
+        .select(col("user_id"), col("r_score"))
+      val fs = GlobalRank.withNtile(u,
+          Seq(col("n_events"), col("user_id")), 5, "f_score")
+        .select(col("user_id"), col("f_score"))
+      val ms = GlobalRank.withNtile(u,
+          Seq(col("__mon"), col("user_id")), 5, "m_score")
+        .select(col("user_id"), col("m_score"))
+      armU()
+      rs.join(fs, "user_id").join(ms, "user_id")
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("user_id")
     }
   )
 
@@ -985,6 +1025,25 @@ object Events {
         |FROM pc CROSS JOIN tot
         |  JOIN ic ca ON ca.item = pc.item_a
         |  JOIN ic cb ON cb.item = pc.item_b
-        |ORDER BY pc.item_a, pc.item_b""".stripMargin
+        |ORDER BY pc.item_a, pc.item_b""".stripMargin,
+
+    // e29: NTILE natively — the two-phase distributed rank must equal
+    // the single-window form bit-for-bit (total order via the user_id
+    // tie-break makes both partitioning-independent)
+    "e29_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events,
+        |    COALESCE(SUM(CAST(value AS DECIMAL(18,6))),
+        |             CAST(0 AS DECIMAL(38,6))) AS mon
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id,
+        |    NTILE(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+        |    NTILE(5) OVER (ORDER BY n_events, user_id) AS f_score,
+        |    NTILE(5) OVER (ORDER BY mon, user_id) AS m_score
+        |  FROM u)
+        |SELECT user_id, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm
+        |FROM s ORDER BY user_id""".stripMargin
   )
 }
