@@ -48,9 +48,30 @@ object FuzzyJoin {
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int, gramLen: Int = 2): DataFrame = {
+    val (cands, base) =
+      candidates(df, idCol, strCol, maxDist, gramLen, gramLen)
+    cands
+      .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
+      .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
+
+  /** The shared blocking stage: (candidate id pairs, base frame).
+    * `damagePerEdit` is the max distinct q-grams ONE edit unit can
+    * destroy under the verify metric — `gramLen` for plain Levenshtein
+    * (substitution/ins/del touch gramLen grams); `gramLen + 1` for
+    * Damerau (an adjacent transposition touches gramLen + 1 grams).
+    * The prefix length, sentinel threshold, and length filter all
+    * scale with it, keeping the pigeonhole recall-exact per metric.
+    */
+  private def candidates(df: DataFrame, idCol: String, strCol: String,
+                         maxDist: Int, gramLen: Int,
+                         damagePerEdit: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 0, s"maxDist=$maxDist")
     require(gramLen >= 1, s"gramLen=$gramLen")
-    val prefixLen = gramLen * maxDist + 1
+    val prefixLen = damagePerEdit * maxDist + 1
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__len", length(col("__s")))
@@ -65,12 +86,12 @@ object FuzzyJoin {
       .withColumn("__sig", slice(array_sort(transform(
         col("__grams"),
         g => struct(xxhash64(g).as("h"), g.as("g")))), 1, prefixLen))
-      // sentinel whenever the distinct-gram count is <= gramLen*k: below
+      // sentinel whenever the distinct-gram count is <= damage*k: below
       // that, k edits can destroy the ENTIRE gram intersection, so the
       // prefix pigeonhole gives no guarantee (subsumes len < gramLen,
       // whose gram set is empty)
       .withColumn("__sig",
-        when(size(col("__grams")) <= gramLen * maxDist,
+        when(size(col("__grams")) <= damagePerEdit * maxDist,
           array_union(col("__sig"),
             array(struct(lit(Long.MinValue).as("h"),
               lit("\u0000short").as("g")))))
@@ -78,21 +99,40 @@ object FuzzyJoin {
       .select(col("__id"), col("__len"),
         explode(col("__sig")).as("__e"))
       .select(col("__id"), col("__len"), col("__e.g").as("__g"))
-    val cands = sig.as("a").join(sig.as("b"),
+    // BANDED verify downstream (editDistancePairs uses Spark's
+    // thresholded levenshtein: Ukkonen-style O(k·n) early exit, −1
+    // above the bound — the exact distance is unchanged for qualifying
+    // pairs, so the oracle contract holds; the full O(n·m) DP was the
+    // candidate tier's dominant cpu term)
+    (sig.as("a").join(sig.as("b"),
         col("a.__g") === col("b.__g") &&
           col("a.__id") < col("b.__id") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
-      .distinct()
-    // BANDED verify (Spark's thresholded levenshtein: Ukkonen-style
-    // O(k·n) early exit, −1 above the bound — the exact distance is
-    // unchanged for qualifying pairs, so the oracle contract holds;
-    // the full O(n·m) DP was the candidate tier's dominant cpu term)
+      .distinct(), base)
+  }
+
+  /** All unordered pairs (a_id < b_id) with unrestricted
+    * DAMERAU–Levenshtein <= maxDist — the typo metric where an
+    * adjacent transposition ("teh" → "the") costs ONE edit; plain
+    * [[editDistancePairs]] double-charges it, so a k-budget misses
+    * exactly the most common typo class. Blocking widens per edit
+    * (a transposition damages gramLen+1 distinct grams — the
+    * `damagePerEdit` knob), keeping recall exact for the Damerau ball;
+    * verify is the codegen'd [[graft.functions.Damerau]] kernel (the
+    * oracle's own function is an independent implementation of the
+    * same unrestricted variant). Returns (a_id, b_id, dist).
+    */
+  def damerauPairs(df: DataFrame, idCol: String, strCol: String,
+                   maxDist: Int, gramLen: Int = 2): DataFrame = {
+    val (cands, base) =
+      candidates(df, idCol, strCol, maxDist, gramLen, gramLen + 1)
     cands
       .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
-      .filter(col("dist") >= 0)
+      .withColumn("dist",
+        graft.functions.Damerau(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 

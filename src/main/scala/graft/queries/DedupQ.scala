@@ -232,6 +232,21 @@ object DedupQ {
         .orderBy("a_id", "b_id")
     },
 
+    // L106d: DAMERAU-Levenshtein matching (round 18) — the typo metric
+    // (adjacent transposition = ONE edit) over the same titles;
+    // blocking widened to gramLen+1 damage per edit, verify = the
+    // codegen'd unrestricted Lowrance–Wagner kernel, oracle = DuckDB's
+    // independent implementation of the same variant. Pure integer
+    // cross-engine gate.
+    "d33_damerau_titles" -> { (s, dir) =>
+      val titles = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      graft.dedup.FuzzyJoin.damerauPairs(titles, "doc_id", "title",
+          maxDist = 6)
+        .orderBy("a_id", "b_id")
+    },
+
     // L106b: ENTITY RESOLUTION end-to-end (round 16) — d29's fuzzy
     // pairs closed into connected components: every member of a typo
     // cluster maps to one canonical entity_id (the min-label id), which
@@ -674,6 +689,18 @@ object DedupQ {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.title, b.title) <= 6
         |  AND jaro_winkler_similarity(a.title, b.title) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin) +
+    // d33: brute force with DuckDB's own unrestricted
+    // damerau_levenshtein — an independent implementation of the same
+    // Lowrance–Wagner metric (CA→ABC = 2 pins the variant)
+    ("d33_damerau_titles" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS title FROM documents
+        |  WHERE doc_id < 2000)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(damerau_levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE damerau_levenshtein(a.title, b.title) <= 6
         |ORDER BY a_id, b_id""".stripMargin) +
     // d30: the same brute-force pair set closed with the d23 recursive
     // min-label fixpoint — entity_id = MIN reachable id
