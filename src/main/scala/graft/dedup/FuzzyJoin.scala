@@ -130,6 +130,15 @@ object FuzzyJoin {
     cands
       .join(base.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(base.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
+      // cheap banded PRE-verify: one transposition replaces at most two
+      // plain edits, so DL <= k forces levenshtein <= 2k — the
+      // O(k·n)-banded built-in discards the junk candidates before the
+      // full O(n·m) Damerau DP runs (the d29 banding lesson applied to
+      // a metric whose own DP cannot band — the unrestricted
+      // transposition term reaches outside any diagonal band)
+      .withColumn("__lv",
+        levenshtein(col("__sa"), col("__sb"), maxDist * 2))
+      .filter(col("__lv") >= 0)
       .withColumn("dist",
         graft.functions.Damerau(col("__sa"), col("__sb")))
       .filter(col("dist") <= maxDist)

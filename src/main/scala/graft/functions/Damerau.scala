@@ -23,6 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DamerauFn {
 
+  // last-occurrence table per thread: a full char-indexed int array,
+  // reset via a touched-list after each call (the kernel runs once per
+  // candidate PAIR — a boxed HashMap here was the d33 verify's
+  // dominant cpu term, ~3× the DP itself)
+  private val daTl = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](1 << 16)
+  }
+  private val touchedTl = new ThreadLocal[Array[Char]] {
+    override def initialValue(): Array[Char] = new Array[Char](512)
+  }
+
   def dist(ua: UTF8String, ub: UTF8String): Int = {
     val a = ua.toString
     val b = ub.toString
@@ -40,15 +51,17 @@ object DamerauFn {
     var j = 0
     while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
     // last row index (1-based) where each char occurred in `a`
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = daTl.get()
+    val touched =
+      if (n <= touchedTl.get().length) touchedTl.get()
+      else new Array[Char](n)
+    var nTouched = 0
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val k: Int = {
-          val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v.intValue()
-        }
+        val k = da(b.charAt(j - 1))
         val l = db
         val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 }
           else 1
@@ -63,10 +76,15 @@ object DamerauFn {
         d((i + 1) * w + j + 1) = best
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      val c = a.charAt(i - 1)
+      if (da(c) == 0) { touched(nTouched) = c; nTouched += 1 }
+      da(c) = i
       i += 1
     }
-    d((n + 1) * w + m + 1)
+    val out = d((n + 1) * w + m + 1)
+    i = 0
+    while (i < nTouched) { da(touched(i)) = 0; i += 1 }
+    out
   }
 }
 

@@ -242,8 +242,13 @@ object DedupQ {
       val titles = Tables(s, dir, "documents")
         .filter(col("doc_id") < 2000)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("title"))
+      // k=4, not d29's 6: a Damerau budget is naturally tighter
+      // (transpositions no longer double-charge), and at k=6 the
+      // widened sentinel threshold (3·6 = 18 distinct grams) would be
+      // near-universal on 24-char titles — k=4 keeps the non-sentinel
+      // blocking path dominant (threshold 12, the d29 cutoff)
       graft.dedup.FuzzyJoin.damerauPairs(titles, "doc_id", "title",
-          maxDist = 6)
+          maxDist = 4)
         .orderBy("a_id", "b_id")
     },
 
@@ -700,7 +705,7 @@ object DedupQ {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(damerau_levenshtein(a.title, b.title) AS BIGINT) AS dist
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
-        |WHERE damerau_levenshtein(a.title, b.title) <= 6
+        |WHERE damerau_levenshtein(a.title, b.title) <= 4
         |ORDER BY a_id, b_id""".stripMargin) +
     // d30: the same brute-force pair set closed with the d23 recursive
     // min-label fixpoint — entity_id = MIN reachable id
