@@ -85,22 +85,28 @@ object WeightedQuantile {
       .filter(col("__cb") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
       .groupBy(col(groupCol))
       .agg(min_by(struct(col("__bin"), (col("__cb") - col("__bw"))
-        .as("__below"), col("__bw"), col("__bvmn"), col("__bvmx"),
-        col("__tw")), col("__bin")).as("__t"))
+        .as("__below"), col("__bw"), col("__bvmn"), col("__bvmx")),
+        col("__bin")).as("__t"))
       .select(col(groupCol), col("__t.__bin").as("__tbin"),
         col("__t.__below").as("__below"), col("__t.__bw").as("__tbw"),
-        col("__t.__bvmn").as("__bmn"), col("__t.__bvmx").as("__bmx"),
-        col("__t.__tw").as("__ttw"))
-    // The THRESHOLD SKELETON (one row per group) is what the recursion
-    // trigger reads, so IT is the persisted frame — the probe fills a
-    // skeleton-sized cache, not a bin-slice of the corpus (the r18
-    // follow-up to the r17 advisory: probing the bin-slice paid its
-    // join+filter+disk persist even when no group recursed). ARMABLE:
-    // probe first (fills), arm, and the caller's one real action
-    // consumes the cached skeleton through its broadcast and releases.
-    val (threshP, armRelease) =
+        col("__t.__bvmn").as("__bmn"), col("__t.__bvmx").as("__bmx"))
+    // pass 2: exact ordered cumulative over the threshold bin only.
+    // PERSISTED (small: ~1/bins of the distinct values): the recursion
+    // below references this frame four times — un-persisted, each
+    // reference would re-execute the corpus aggregation above (the
+    // funnel's N-scan anti-pattern; caught by the r17 cpu_s record at
+    // 6× the r16 cost). ARMABLE, not auto-release: the trigger probe
+    // below is itself the first action over this frame — with the
+    // listener already armed it would release (racing the async
+    // listener bus) the very cache the caller's materialization needs,
+    // re-paying the corpus aggregation it exists to save (the r17
+    // advisory). Probe first, THEN arm: the probe fills the cache, the
+    // caller's action consumes and releases it.
+    val (cand, armRelease) =
       org.apache.spark.sql.graftbridge.Bridge.persistedCopyArmable(
-        thresh, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        binned.join(broadcast(thresh), groupCol)
+          .filter(col("__bin") === col("__tbin")),
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // RECURSION, one level (constant-heavy domains — price ladders,
     // zero-inflated counts): when a group's threshold bin holds more
     // than 1/bins of its mass (the equi-width histogram failed to
@@ -115,38 +121,26 @@ object WeightedQuantile {
     // Trigger only on a CLEARLY failed split — the bin holds more than
     // 2× its equi-width fair share (a constant-heavy bin holds ~bins×;
     // a uniform distribution sits at ~1.0× and must NOT pay the
-    // recursion stages — at exactly 1/bins the test is noise).
+    // recursion stages — at exactly 1/bins the test is noise). All
+    // trigger inputs ride `cand` from the broadcast thresh skeleton.
     val recCond =
       col("__tbw") * lit(bins) > col("__tw") * 2 && col("__bmx") > col("__bmn")
-    // short-circuit probe ON THE SKELETON: one cheap action (rows =
-    // groups) decides whether ANY group needs the recursion — when none
-    // does (the common case: the top-level histogram split every
-    // group), the plan stays the direct pass-2 and the bin-slice is
-    // never persisted at all. The probe doubles as the cache FILL (the
-    // listener is not yet armed).
-    val anyRec = !threshP.filter(col("__tbw") * lit(bins) >
-      col("__ttw") * 2 && col("__bmx") > col("__bmn")).isEmpty
+    // short-circuit probe: one action over the persisted bin frame
+    // decides whether ANY group needs the recursion — when none does
+    // (the common case: the top-level histogram split every group), the
+    // plan stays the direct pass-2, paying zero recursion stages. The
+    // probe doubles as the cache FILL (the listener is not yet armed).
+    val anyRec = !cand.filter(recCond).isEmpty
     armRelease()
-    // pass 2 input: the threshold bin's rows only (~1/bins of the
-    // distinct values), with the cached skeleton riding a broadcast
-    val candBase = binned
-      .join(broadcast(threshP.drop("__ttw")), groupCol)
-      .filter(col("__bin") === col("__tbin"))
     if (!anyRec) {
       val cumVals = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return candBase
+      return cand
         .withColumn("__cw", col("__below") + sum(col("__w")).over(cumVals))
         .filter(col("__cw") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
         .groupBy(col(groupCol))
         .agg(min(col(valueCol)).as(s"wq_$quantilePpm"))
     }
-    // RECURSION path: the bin-slice IS referenced four times below, so
-    // it is persisted — auto-release (all four references live inside
-    // the caller's single materializing query; its end releases)
-    val cand = org.apache.spark.sql.graftbridge.Bridge
-      .persistedCopyAutoRelease(candBase,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cand2 = cand
       .withColumn("__rec", recCond)
       .withColumn("__sbin",
