@@ -675,6 +675,35 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING materialized-aggregate maintenance — the live face of
+    * [[graft.sources.Warehouse.createAggRegistry]]'s c12 triple: each
+    * micro-batch appends its partial (n, sum, min, max) states to the
+    * bucketed registry (key-cardinality rows — the batch is aggregated
+    * BEFORE it touches the table) and the sink receives the refreshed
+    * zero-exchange snapshot. Exactly-once caveat (documented, the
+    * registry-append family's contract): the append is idempotent only
+    * per batch file set — a replayed batch after a crash between append
+    * and checkpoint double-counts; production pairs this with the
+    * foreachBatch batchId-dedup idiom (skip batchIds at or below the
+    * table's recorded high-water mark).
+    */
+  def aggRegistryStream(events: Dataset[Event], table: String,
+                        keyCol: String = "event_type",
+                        valueCol: String = "value")
+                       (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Warehouse.appendAggDelta(
+            batch, keyCol, valueCol, table)
+          sink(graft.sources.Warehouse
+            .aggSnapshot(batch.sparkSession, table)
+            .withColumn("batch_id", lit(batchId)).localCheckpoint(true))
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop rows whose content hash was already seen
     * within the watermark window — the incremental twin of
     * [[graft.dedup.Dedup.exact]]. State is one 32-byte hash per distinct

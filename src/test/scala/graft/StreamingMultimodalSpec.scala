@@ -421,6 +421,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3)).toList == batch.toList)
   }
 
+  test("streaming agg-registry maintenance: snapshots accumulate " +
+    "across batches and equal the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = "aggreg_stream_t"
+    graft.sources.Warehouse.dropTableAndLocation(spark, table)
+    graft.sources.Warehouse.createAggRegistry(spark, table, buckets = 4)
+    val b1 = Seq(Event(1, ts(0), 7, "view", 2.5),
+      Event(2, ts(1), 8, "view", 1.25), Event(3, ts(2), 7, "click", -1.0))
+    val b2 = Seq(Event(4, ts(3), 9, "view", 4.0))
+    val input = MemoryStream[Event]
+    val snaps = scala.collection.mutable.ArrayBuffer[
+      (Long, Map[String, (Long, Double, Double, Double)])]()
+    val q = EventStreams.aggRegistryStream(input.toDS(), table) { out =>
+      val rows = out.collect()
+      snaps += rows.head.getLong(5) -> rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    }
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(snaps.map(_._1).toList == List(0L, 1L))
+    assert(snaps(0)._2 == Map(
+      "view" -> ((2L, 3.75, 1.25, 2.5)),
+      "click" -> ((1L, -1.0, -1.0, -1.0))), snaps(0).toString)
+    // after batch 2 the snapshot equals the one-shot recompute over
+    // everything ever ingested
+    assert(snaps(1)._2 == Map(
+      "view" -> ((3L, 7.75, 1.25, 4.0)),
+      "click" -> ((1L, -1.0, -1.0, -1.0))), snaps(1).toString)
+  }
+
   test("streaming sessionization closes sessions on gap and keeps state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
