@@ -27,11 +27,37 @@ import graft.wiki.WikiMarkup
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.floatDotDescriptor)
+    ext.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftExtensions.damerauDescriptor)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 
 object GraftExtensions {
+
+  private def binaryStringDescriptor(
+      name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"$name requires exactly 2 arguments, got ${children.length}")
+        build(children.head, children(1))
+      })
+
+  // the round-18 string-similarity expressions, SQL-surfaced for
+  // spark.sql users (string inputs resolve through Catalyst's normal
+  // implicit casts — no builder-side coercion needed)
+  private[plans] val jaroWinklerDescriptor =
+    binaryStringDescriptor("jaro_winkler",
+      classOf[graft.functions.JaroWinklerSim],
+      graft.functions.JaroWinklerSim(_, _))
+  private[plans] val damerauDescriptor =
+    binaryStringDescriptor("damerau_levenshtein",
+      classOf[graft.functions.DamerauDistance],
+      graft.functions.DamerauDistance(_, _))
 
   private[plans] val floatDotDescriptor =
     (new FunctionIdentifier("float_dot"),
@@ -55,6 +81,11 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       floatDotDescriptor._1, floatDotDescriptor._2, floatDotDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      jaroWinklerDescriptor._1, jaroWinklerDescriptor._2,
+      jaroWinklerDescriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      damerauDescriptor._1, damerauDescriptor._2, damerauDescriptor._3)
     spark.udf.register("wiki_clean", (t: String) => WikiMarkup.clean(t))
     spark.udf.register("wiki_compact",
       (t: String) => WikiMarkup.compact(WikiMarkup.clean(t)))

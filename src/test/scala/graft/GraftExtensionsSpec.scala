@@ -31,6 +31,21 @@ class GraftExtensionsSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("jaro_winkler and damerau_levenshtein are SQL-callable and " +
+    "match the kernels (incl. wrong arity)") {
+    GraftExtensions.register(spark)
+    val jw = spark.sql("SELECT jaro_winkler('DWAYNE', 'DUANE') AS s")
+      .head().getDouble(0)
+    assert(jw == 0.8400000000000001)
+    val dl = spark.sql("SELECT damerau_levenshtein('CA', 'ABC') AS d")
+      .head().getInt(0)
+    assert(dl == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 arguments"), e.getMessage)
+  }
+
   test("wiki functions are SQL-callable") {
     GraftExtensions.register(spark)
     val cleaned = spark.sql("SELECT wiki_clean(\"{{tpl}}Hello [[Target|world]]\") AS c")
