@@ -63,7 +63,11 @@ object Containment {
                        materialize: graft.pipeline.Materialize =
                          graft.pipeline.Materialize.Local): DataFrame =
     containmentPairsFromSets(
-      df.select(col(idCol), shingleHashes(col(textCol), k).as("__set")),
+      // shingling is the expensive row-local stage: balance an
+      // under-split scan across cores first (no-op on well-split inputs;
+      // measured 6.8 cpu-s serialized on ONE task at sf0.1 without it)
+      graft.operators.Balance.input(df)
+        .select(col(idCol), shingleHashes(col(textCol), k).as("__set")),
       "__set", idCol, tauPct, minShingles, prefixFilter, materialize)
 
   /** Containment pairs over PRE-BUILT element-hash sets — the entry
@@ -82,9 +86,18 @@ object Containment {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.storage.StorageLevel
 
-    // one set-building pass, shared by postings / prefix / verify reads
-    val (arr, release) = Bridge.persistedCopyReleasable(
-      setsFrame(df, setCol, idCol), StorageLevel.MEMORY_AND_DISK)
+    // one set-building pass, shared by postings / prefix / verify reads.
+    // The empty-set filter is applied ABOVE the persist barrier, not
+    // inside the persisted plan (round 18): pushed below, the predicate
+    // (size of the distinct gram array) re-evaluates the whole
+    // shingle pipeline at the SCAN — before any Balance repartition —
+    // so the corpus tokenization ran twice, once of it serialized on
+    // the scan's task count (measured: 3.9 cpu-s on one task at sf0.1).
+    // Against the RDD leaf nothing pushes down; the filter is a cheap
+    // int comparison per cached row.
+    val (arrAll, release) = Bridge.persistedCopyReleasable(
+      setsFrameUnfiltered(df, setCol, idCol), StorageLevel.MEMORY_AND_DISK)
+    val arr = arrAll.filter(col("__na") >= 1)
 
     val cand = candidatePairs(arr, tauPct, minElems, prefixFilter)
 
@@ -125,10 +138,13 @@ object Containment {
     */
   private[graft] def setsFrame(df: DataFrame, setCol: String,
                                idCol: String): DataFrame =
+    setsFrameUnfiltered(df, setCol, idCol).filter(col("__na") >= 1)
+
+  private[graft] def setsFrameUnfiltered(df: DataFrame, setCol: String,
+                                         idCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
         array_distinct(col(setCol)).as("__arr"))
       .withColumn("__na", size(col("__arr")))
-      .filter(col("__na") >= 1)
 
   /** Candidate (\_\_a, \_\_b) pairs — the prefix-filter (or naive) stage
     * shared by the production join and the bench.

@@ -44,7 +44,10 @@ object Hits {
     * half-step then hub half-step, the classical order). `edges` needs
     * `src`/`dst`; multi-edges count multiply (pre-`distinct` for
     * simple-graph semantics). Returns
-    * (node, hub_scaled, auth_scaled, hub, auth).
+    * (node, hub_scaled, auth_scaled, hub, auth). Lineage is cut on each
+    * half-step's RAW aggregate every iteration (see core);
+    * `checkpointEvery` is kept for API compatibility — results never
+    * depended on it.
     */
   def run(edges: DataFrame, iters: Int, scale: Double = 1e12,
           checkpointEvery: Int = 1,
@@ -105,44 +108,52 @@ object Hits {
 
     var h = nodes.withColumn("h_s", lit(math.round(scale / n)))
     var a: DataFrame = null
-    var prevA: DataFrame = null
-    var prevH: DataFrame = null
+    var prevAraw: DataFrame = null
+    var prevHraw: DataFrame = null
     var itersUsed = maxIters
     var i = 1
     var done = false
     while (i <= maxIters && !done) {
-      val araw = h.join(eSrc, h("node") === col("e_src"))
-        .groupBy(col("e_dst").as("node")).agg(sum(col("h_s")).as("raw"))
+      // Cut the HALF-STEP AGGREGATE (node, raw) — not the normalized
+      // vector — so the edge join+agg chain executes exactly ONCE per
+      // half-step (optimization round 18): `normalized` consumes its
+      // input twice (the sum-total broadcast's own job plus the caller's
+      // materialization), so cutting only the normalized vector paid the
+      // edge-scan chain 2× per half-step (measured: 4× total per
+      // iteration). The raw skeleton is as small as the vector, and every
+      // downstream read (the total, the nodes left-join, the next
+      // half-step, the fixpoint compare) now reads a materialized frame.
+      // Alternating slots in fixpoint mode keep the previous round's file
+      // alive under Reliable for the comparison below.
+      val araw = checkpointing.cut(
+        h.join(eSrc, h("node") === col("e_src"))
+          .groupBy(col("e_dst").as("node")).agg(sum(col("h_s")).as("raw")),
+        if (fixpoint) s"ar${i % 2}" else "ar")
       a = normalized(araw, "a_s")
-      val hraw = a.join(eDst, a("node") === col("f_dst"))
-        .groupBy(col("f_src").as("node")).agg(sum(col("a_s")).as("raw"))
+      val hraw = checkpointing.cut(
+        a.join(eDst, a("node") === col("f_dst"))
+          .groupBy(col("f_src").as("node")).agg(sum(col("a_s")).as("raw")),
+        if (fixpoint) s"hr${i % 2}" else "hr")
       h = normalized(hraw, "h_s")
       if (fixpoint) {
-        // per-iteration cuts on ALTERNATING per-vector slots (a cut only
-        // deletes its own slot's previous file — two rounds back — so
-        // the comparison below can still read the previous iteration's
-        // materialization under Reliable); a before h, see the fixed
-        // path's ordering note
-        a = checkpointing.cut(a, s"a${i % 2}")
-        h = checkpointing.cut(h, s"h${i % 2}")
-        // exact integer fixpoint over the two materialized skeletons
-        // (node sets are constant — nodes left-join in normalized)
-        if (prevA != null &&
-            a.join(prevA.withColumnRenamed("a_s", "__p"), Seq("node"))
-              .filter(col("a_s") =!= col("__p")).isEmpty &&
-            h.join(prevH.withColumnRenamed("h_s", "__p"), Seq("node"))
-              .filter(col("h_s") =!= col("__p")).isEmpty) {
+        // exact integer fixpoint over the two materialized RAW skeletons:
+        // normalization is a deterministic function of the raw vector
+        // (and the constant node set), so raw_i == raw_{i-1} for BOTH
+        // half-steps implies a_i == a_{i-1} and h_i == h_{i-1} — the same
+        // stop point the normalized comparison found, one compare earlier
+        // in the chain. Raw frames omit zero-indegree nodes, but the
+        // omitted set is edge-structure-constant across iterations, so
+        // the inner join still covers every row that can change.
+        if (prevAraw != null &&
+            araw.join(prevAraw.withColumnRenamed("raw", "__p"), Seq("node"))
+              .filter(col("raw") =!= col("__p")).isEmpty &&
+            araw.count() == prevAraw.count() &&
+            hraw.join(prevHraw.withColumnRenamed("raw", "__p"), Seq("node"))
+              .filter(col("raw") =!= col("__p")).isEmpty &&
+            hraw.count() == prevHraw.count()) {
           itersUsed = i; done = true
         }
-        prevA = a; prevH = h
-      } else if (i % checkpointEvery == 0) {
-        // distinct slots: both vectors stay live across the cut, so one's
-        // round file must never be deleted by the other's next cut. ORDER
-        // matters under Reliable: `a` is cut FIRST because the pending
-        // `h` plan reads a's new materialization while the pending `a`
-        // plan reads h's PREVIOUS round file — cutting h first would
-        // delete that file under a's feet.
-        a = checkpointing.cut(a, "a"); h = checkpointing.cut(h, "h")
+        prevAraw = araw; prevHraw = hraw
       }
       i += 1
     }

@@ -29,11 +29,14 @@ import org.apache.spark.storage.StorageLevel
   * aggregation, both partial-aggregated map-side). The dangling mass is
   * a broadcast 1-row aggregate INSIDE the plan — a driver collect per
   * iteration would re-execute the rank lineage back to the last
-  * checkpoint every iteration. Lineage is cut every `checkpointEvery`
-  * iterations via the pluggable [[Checkpointing]] strategy — Local
-  * (default) for stable executors, Reliable(dir) on a preemptible fleet
-  * where a long run must survive executor loss — so plan depth stays
-  * constant at any iteration count.
+  * checkpoint every iteration. Lineage is cut EVERY iteration via the
+  * pluggable [[Checkpointing]] strategy — Local (default) for stable
+  * executors, Reliable(dir) on a preemptible fleet where a long run must
+  * survive executor loss — so plan depth stays constant at any iteration
+  * count, and because the vector is consumed twice per iteration (the
+  * dangling broadcast's job plus the next cut), an uncut chain would
+  * re-execute ancestors ~2^k across k iterations (`checkpointEvery` is
+  * kept for API compatibility; results never depended on it).
   */
 object PageRank {
 
@@ -93,22 +96,35 @@ object PageRank {
     // an empty graph must fail loudly: scale/0 would seed Long.MaxValue
     // ranks and the dangling division would emit NaN — silent garbage
     require(n > 0, "PageRank.run: edge frame has no nodes")
-    var ranks = nodes.withColumn("rank_s", lit(math.round(scale / n)))
+    // the DANGLING node set is edge-structure-constant: compute it ONCE
+    // (optimization round 18) instead of re-deriving it per iteration via
+    // a ranks⨝outdeg left join — the per-iteration dangling mass then
+    // reads the MATERIALIZED rank vector through a semi-join against this
+    // skeleton, so the broadcast's own job never re-executes the
+    // contribution chain (the withDeg frame was consumed twice per
+    // iteration: once by the dangling aggregate's broadcast job, once by
+    // the main materialization — each consumption re-ran the whole
+    // iteration chain when the vector was not cut that round)
+    val dangNodes = nodes.join(outdeg, nodes("node") === outdeg("src"),
+        "left_anti")
+      .persist(StorageLevel.DISK_ONLY)
+    var ranks = checkpointing.cut(
+      nodes.withColumn("rank_s", lit(math.round(scale / n))), "r0")
     var prev: DataFrame = null
     var itersUsed = maxIters
     var i = 1
     var done = false
     while (i <= maxIters && !done) {
-      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
       // dangling nodes donate their whole (already-integer) rank to the
       // uniform pool — kept as a broadcast 1-row frame, NOT a driver
-      // collect: a per-iteration action would recompute the rank lineage
-      // back to the last checkpoint every iteration
-      val dangRow = withDeg.filter(col("outdeg").isNull)
+      // collect; the semi-join reads the materialized vector, value-
+      // identical to the former left-join + outdeg IS NULL filter
+      val dangRow = ranks.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank_s")), lit(0L)).as("__dang"))
       // linked nodes split their rank across outlinks, each share
-      // rounded to the integer grid before the exact sum
-      val contribs = withDeg.filter(col("outdeg").isNotNull)
+      // rounded to the integer grid before the exact sum (inner join ≡
+      // the former left-join + outdeg IS NOT NULL filter)
+      val contribs = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(col("node"),
           round(col("rank_s") / col("outdeg")).cast("long").as("c"))
         .join(e, col("node") === e("src"))
@@ -122,22 +138,25 @@ object PageRank {
               col("__dang").cast("double") / lit(n.toDouble)))
           .cast("long"))
         .select(col("node"), col("rank_s"))
+      // cut EVERY iteration (round 18): the vector is consumed twice per
+      // iteration (the dangling broadcast's job + the next cut's job), so
+      // an uncut chain re-executes ancestors ~2^k across k iterations —
+      // the Hits every-1 measurement, now structural here too. The
+      // materialized frame is a (node, long) skeleton: at any corpus
+      // scale, one cut is cheaper than one chain re-execution.
+      val cut = checkpointing.cut(updated, s"fp${i % 2}")
       if (fixpoint) {
         // exact integer fixpoint test over two MATERIALIZED skeletons
         // (the node set is constant — nodes left-join — so the inner
         // join covers the whole vector)
-        val cut = checkpointing.cut(updated, s"fp${i % 2}")
         if (prev != null && cut
               .join(prev.withColumnRenamed("rank_s", "__p"), Seq("node"))
               .filter(col("rank_s") =!= col("__p")).isEmpty) {
           itersUsed = i; done = true
         }
         prev = cut
-        ranks = cut
-      } else {
-        ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
-          else updated
       }
+      ranks = cut
       i += 1
     }
     // materialize the final vector, then release the iteration scaffolding
@@ -150,6 +169,7 @@ object PageRank {
         (col("rank_s") / lit(scale)).as("rank")),
       "out")
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    dangNodes.unpersist()
     (out, itersUsed)
   }
 
@@ -194,16 +214,22 @@ object PageRank {
       .distinct()
       .persist(StorageLevel.DISK_ONLY)
     require(nodes.count() > 0, "PageRank.personalized: empty graph")
-    var ranks = nodes.join(sd, Seq("node"), "left")
-      .withColumn("rank_s",
-        when(col("__seed").isNotNull, lit(math.round(scale / nSeeds)))
-          .otherwise(lit(0L)))
-      .select(col("node"), col("rank_s"))
+    // same round-18 shape as [[run]]'s core: constant dangling skeleton,
+    // vector cut every iteration, chain executed once per iteration
+    val dangNodes = nodes.join(outdeg, nodes("node") === outdeg("src"),
+        "left_anti")
+      .persist(StorageLevel.DISK_ONLY)
+    var ranks = checkpointing.cut(
+      nodes.join(sd, Seq("node"), "left")
+        .withColumn("rank_s",
+          when(col("__seed").isNotNull, lit(math.round(scale / nSeeds)))
+            .otherwise(lit(0L)))
+        .select(col("node"), col("rank_s")),
+      "r0")
     for (i <- 1 to iters) {
-      val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
-      val dangRow = withDeg.filter(col("outdeg").isNull)
+      val dangRow = ranks.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank_s")), lit(0L)).as("__dang"))
-      val contribs = withDeg.filter(col("outdeg").isNotNull)
+      val contribs = ranks.join(outdeg, ranks("node") === outdeg("src"))
         .select(col("node"),
           round(col("rank_s") / col("outdeg")).cast("long").as("c"))
         .join(e, col("node") === e("src"))
@@ -220,14 +246,14 @@ object PageRank {
             .otherwise(lit(damping) * coalesce(col("in_c"), lit(0L))))
           .cast("long"))
         .select(col("node"), col("rank_s"))
-      ranks = if (i % checkpointEvery == 0) checkpointing.cut(updated)
-        else updated
+      ranks = checkpointing.cut(updated, s"fp${i % 2}")
     }
     val out = checkpointing.cutFinal(
       ranks.select(col("node"), col("rank_s").as("rank_scaled"),
         (col("rank_s") / lit(scale)).as("rank")),
       "out")
     e.unpersist(); outdeg.unpersist(); nodes.unpersist(); sd.unpersist()
+    dangNodes.unpersist()
     out
   }
 }

@@ -395,11 +395,12 @@ object Relational {
     // the comparison), window over DISTINCT values per group.
     "q24_weighted_quantile" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val med = graft.operators.WeightedQuantile.perGroup(li,
-        "l_returnflag", "l_extendedprice", "l_quantity", 500000L)
-      val p90 = graft.operators.WeightedQuantile.perGroup(li,
-        "l_returnflag", "l_extendedprice", "l_quantity", 900000L)
-      med.join(p90, "l_returnflag").orderBy("l_returnflag")
+      // one shared corpus pass for both quantiles (round-18 perGroupMany:
+      // the (group, value) collapse + bin histogram are ppm-independent)
+      val wq = graft.operators.WeightedQuantile.perGroupMany(li,
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        Seq(500000L, 900000L))
+      wq(500000L).join(wq(900000L), "l_returnflag").orderBy("l_returnflag")
     },
 
     // A29b: the 3-column Morton interleave (host-bucket × day × band

@@ -32,10 +32,13 @@ class CheckpointingSpec extends SparkSpec {
         checkpointing = Checkpointing.Reliable(dir.getAbsolutePath))
       .orderBy("node").collect().toSeq
     assert(reliable == local)
-    // per-slot cleanup: 5 iters / every-2 = 2 vector cuts collapse to the
-    // latest round file, plus the final "out" cut — 2 files remain
+    // per-slot cleanup (round-18 layout: the vector is cut EVERY
+    // iteration on alternating fp0/fp1 slots, plus the seed r0 and the
+    // final out): each slot collapses to its latest round file
     val left = dir.listFiles().map(_.getName).sorted
-    assert(left.count(_.contains("-v-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-fp0-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-fp1-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-r0-round-")) == 1, left.mkString(","))
     assert(left.count(_.contains("-out-round-")) == 1, left.mkString(","))
   }
 
@@ -48,11 +51,12 @@ class CheckpointingSpec extends SparkSpec {
         checkpointing = Checkpointing.Reliable(dir.getAbsolutePath))
       .orderBy("node").collect().toSeq
     assert(reliable == local)
-    // 4 per-iteration cuts per slot collapse to one file per slot (h, a)
+    // 4 per-iteration cuts per slot collapse to one file per slot — the
+    // round-18 layout cuts each half-step's RAW aggregate (ar, hr) —
     // plus the final out file
     val left = dir.listFiles().map(_.getName).sorted
-    assert(left.count(_.contains("-h-round-")) == 1, left.mkString(","))
-    assert(left.count(_.contains("-a-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-ar-round-")) == 1, left.mkString(","))
+    assert(left.count(_.contains("-hr-round-")) == 1, left.mkString(","))
     assert(left.count(_.contains("-out-round-")) == 1, left.mkString(","))
   }
 
