@@ -319,8 +319,10 @@ private[graft] trait DedupSpans { this: Dedup.type =>
                       hashWindows: Boolean = false): DataFrame = {
     require(windowTokens >= 2, s"windowTokens=$windowTokens")
     val L = windowTokens
-    val tokenized = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val tokenized = graft.operators.Balance
+      .input(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val nWin = size(col("__toks")) - L + 1
     val winsRaw = tokenized.select(col(idCol),
       posexplode(when(nWin >= 1,
@@ -514,8 +516,10 @@ private[graft] trait DedupSpans { this: Dedup.type =>
                    minTokens: Int = 4, engine: String = "strings"): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens")
     val L = minTokens
-    val tokenized = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val tokenized = graft.operators.Balance
+      .input(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val (keyed, keys) = engine match {
       case "strings" =>
         val nWin = size(col("__toks")) - L + 1
@@ -590,8 +594,10 @@ private[graft] trait DedupSpans { this: Dedup.type =>
                     minTokens: Int = 4, topK: Int = 100): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens")
     val L = minTokens
-    val tokenized = df.select(col(idCol),
-      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val tokenized = graft.operators.Balance
+      .input(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val nWin = size(col("__toks")) - L + 1
     val wins = tokenized.select(col(idCol),
       posexplode(when(nWin >= 1,

@@ -72,8 +72,13 @@ object FuzzyJoin {
     require(maxDist >= 0, s"maxDist=$maxDist")
     require(gramLen >= 1, s"gramLen=$gramLen")
     val prefixLen = damagePerEdit * maxDist + 1
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull)
+    // gram extraction (distinct + hash-sort signature) and the
+    // broadcast self-join both evaluate on the scan's partitioning —
+    // balance an under-split input first so they parallelize (no-op on
+    // well-split inputs; round 18, see Balance)
+    val base = graft.operators.Balance.input(
+        df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+          .filter(col("__s").isNotNull))
       .withColumn("__len", length(col("__s")))
     // canonical-order signature: grams sorted by (xxhash64, gram), first
     // prefixLen; the sentinel closes the short-string corner
