@@ -25,11 +25,15 @@ import org.apache.spark.sql.SparkSession
   * (planning, collect decode) is excluded by construction; for the
   * scan/shuffle-bound suite the executor side IS the work.
   *
-  * The printed line keeps the driver's compact schema (wall only — the
-  * driver parses it from a BOUNDED tail capture; doubling the map once
-  * pushed the line past the window and recorded "parsed": null). The full
-  * {wall_s, cpu_s} detail is written to SPARK_GRAFT_DETAIL_OUT when set —
-  * the BENCH_LOCAL_r{N} recording path.
+  * Output is TWO lines of the same driver schema: the full per-query line
+  * (every declared query, wall seconds — the complete record), and a
+  * COMPACT line printed last whose whole span fits the driver's bounded
+  * tail capture (measured 2000 chars; the full line's 190 names alone are
+  * ~3 KB, which is why BENCH_r01..r18 all recorded "parsed": null). The
+  * compact line carries the top queries by wall plus per-tier totals —
+  * see the inline comment at its construction. The full {wall_s, cpu_s}
+  * detail is written to SPARK_GRAFT_DETAIL_OUT when set — the
+  * BENCH_LOCAL_r{N} recording path.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -105,6 +109,36 @@ object Bench {
       (if (untrusted) ""","load_untrusted":true""" else "")
     val sfName = new java.io.File(sfDir).getName
     println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$lf,"sf":"$sfName"}""")
+    // DRIVER-PARSEABLE compact line (optimization round 19): the full
+    // per-query line above has outgrown the driver's bounded tail capture
+    // (measured: the artifact stores the LAST 2000 chars of the run log,
+    // and BENCH_r01..r18 all record "parsed": null — the 190 query names
+    // alone are ~3 KB, so no value format can ever fit them). The driver
+    // needs SOME line whose head-to-tail span survives the window, so a
+    // second, compact line is printed LAST (after spark.stop(), so no
+    // shutdown log can land beyond it): the same schema, `value` = the
+    // same wall total, and `queries` holding (a) the most expensive
+    // individual queries by wall seconds up to a byte budget that keeps
+    // the WHOLE line ≤ ~1600 bytes (the scaling signal lives in the slow
+    // queries; sub-0.3 s rows are driver-latency noise at sf0.1), plus
+    // (b) per-tier wall totals (`tier_<x>`) so the dropped tail is still
+    // accounted for. Entries here are ADDITIVE aliases — the full line
+    // above keeps every query name and its number, unchanged.
+    val budget = 1600
+    val header = f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{"""
+    val tiers = results.filter(_._2._1 >= 0)
+      .groupBy(_._1.head).toSeq.sortBy(_._1)
+      .map { case (t, rs) => f""""tier_$t":${rs.map(_._2._1).sum}%.2f""" }
+    val tail = tiers.mkString(",", ",", "") + "}" + lf +
+      s""","sf":"$sfName"}"""
+    val fixed = header.length + tail.length
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = fixed
+    for ((k, (w, _)) <- results.filter(_._2._1 >= 0).sortBy(-_._2._1)) {
+      val e = f""""$k":$w%.3f"""
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val compact = header + entries.sorted.mkString(",") + tail
     sys.env.get("SPARK_GRAFT_DETAIL_OUT").foreach { p =>
       val body = results.map { case (k, (w, c)) =>
         f""""$k":{"wall_s":$w%.3f,"cpu_s":$c%.3f}"""
@@ -117,5 +151,7 @@ object Bench {
       println(s"[bench] detail written to $p")
     }
     spark.stop()
+    // last line of the run on purpose — see the compact-line comment above
+    println(compact)
   }
 }

@@ -73,9 +73,23 @@ object OptProbe {
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      val jobWall = jobs.values.map(j => (j.t1 - j.t0) / 1e3).sum
       println(s"== $name  wall=${f"$wall%.3f"}s jobs=${jobs.size} " +
         s"tasks=${jobs.values.map(_.tasks).sum} " +
-        s"cpu=${f"${jobs.values.map(_.cpuNs).sum / 1e9}%.3f"}s")
+        s"cpu=${f"${jobs.values.map(_.cpuNs).sum / 1e9}%.3f"}s " +
+        f"jobwall=$jobWall%.3f")
+      // driver-side gaps: time between consecutive jobs (planning, AQE
+      // re-optimization, catalog ops, commit protocol) — the latency the
+      // per-job rows cannot attribute
+      val timeline = jobs.toSeq.sortBy(_._2.t0)
+      timeline.sliding(2).foreach {
+        case Seq((aid, a), (bid, b)) =>
+          val gap = (b.t0 - a.t1) / 1e3
+          if (gap > 0.05)
+            println(f"  gap=$gap%6.3f between job=$aid and job=$bid " +
+              s" next=${b.site.take(80)}")
+        case _ =>
+      }
       jobs.toSeq.sortBy(-_._2.cpuNs).take(40).foreach { case (id, j) =>
         println(f"  job=$id%4d tasks=${j.tasks}%4d cpu=${j.cpuNs / 1e9}%7.3f " +
           f"deser=${j.deserNs / 1e9}%6.3f gc=${j.gcMs / 1e3}%5.2f " +

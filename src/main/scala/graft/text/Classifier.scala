@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: the feature space is a fixed 2^bits hash domain, so the
   * dense weight vector is a few hundred KB — broadcast to executors for
-  * scoring, and the per-iteration gradient aggregates map-side into at
-  * most 2^bits rows before ONE bounded driver collect per iteration (the
+  * scoring, and each iteration's gradient is folded into ONE dense
+  * 2^bits-slot array per task and reduced to the driver (the
   * IVF-centroid precedent: the driver holds model-sized state, never
-  * data-sized). Each iteration is one pass over the cached feature rows;
-  * the corpus text is tokenized and hashed exactly once up front.
+  * data-sized). Each iteration is one single-stage pass over the cached
+  * feature rows; the corpus text is tokenized and hashed exactly once
+  * up front.
   *
   * Batch gradient descent, not SGD, on purpose: gradients are sums over
   * the full training frame, so convergence does not depend on partition
@@ -62,8 +63,8 @@ object Classifier {
 
   /** Train by full-batch gradient descent on `df`: `labelCol` must be
     * 0.0/1.0. One tokenize+hash pass is cached; each of `iters`
-    * iterations runs one margin pass (broadcast weights) and one
-    * map-side-combined gradient aggregation bounded at 2^bits rows.
+    * iterations runs one single-stage pass (broadcast weights) folding
+    * dense per-task gradient arrays, reduced at the driver.
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
             bits: Int = 18, iters: Int = 30, lr: Double = 2.0,
@@ -71,43 +72,64 @@ object Classifier {
     require(bits >= 4 && bits <= 24, s"bits=$bits outside [4,24]")
     val spark = df.sparkSession
     val dim = 1 << bits
-    val feats = df.select(col(labelCol).cast("double").as("__y"),
+    // the featurize pass is heavy row-local work on a fresh scan — spread
+    // an under-split input across cores first (no-op on well-split input)
+    val feats = graft.operators.Balance.input(df)
+      .select(col(labelCol).cast("double").as("__y"),
         featUdf(bits)(col(textCol)).as("__f"))
       .select(col("__y"), col("__f._1").as("__ks"), col("__f._2").as("__vs"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = feats.count().toDouble
     val w = new Array[Double](dim)
     var b = 0.0
+    if (n == 0) { feats.unpersist(); return LinearModel(w, b, bits) }
+    // each iteration is ONE single-stage RDD job: every task folds its
+    // partition's rows into a dense gradient array (2^bits + 1 doubles —
+    // model-sized, the bias rides the last slot) and the driver merges
+    // the partials. The former expression pipeline (residual UDF →
+    // explode → groupBy(bucket) → collect) computed the same sums but
+    // paid, PER ITERATION, a Catalyst analyze/optimize/codegen round
+    // (~60 ms of driver gap between iterations, OptProbe r19), an
+    // exchange job under AQE, and the explode's row blow-up. 20-iteration
+    // training ran 47 sequential driver jobs; this shape runs 1 + iters.
+    // Gradient values differ from the expression path only in float-sum
+    // ORDER (per-bucket fold vs shuffled partial sums) — the same
+    // associativity freedom the shuffle already had run-to-run; the spec
+    // pins convergence with a tolerance, and consumers (t14, the c-tier
+    // gates) re-score with whatever weights the run trained.
+    val featRdd = feats.select(col("__y"), col("__ks"), col("__vs")).rdd
     var it = 0
     while (it < iters) {
       val bw = spark.sparkContext.broadcast(w)
       val bb = b
-      // residual r = sigmoid(w·x + b) − y per row, then gradient rows
-      // (bucket, Σ r·x) partial-aggregated map-side; bias rides bucket −1
-      val residUdf = udf { (y: Double, ks: Seq[Int], vs: Seq[Double]) =>
+      val grad = featRdd.mapPartitions { rows =>
         val wv = bw.value
-        var m = bb
+        val g = new Array[Double](wv.length + 1)
+        rows.foreach { r =>
+          val y = r.getDouble(0)
+          val ks = r.getSeq[Int](1)
+          val vs = r.getSeq[Double](2)
+          var m = bb
+          var i = 0
+          while (i < ks.length) { m += wv(ks(i)) * vs(i); i += 1 }
+          val res = 1.0 / (1.0 + math.exp(-m)) - y
+          i = 0
+          while (i < ks.length) { g(ks(i)) += res * vs(i); i += 1 }
+          g(wv.length) += res
+        }
+        Iterator.single(g)
+      }.reduce { (a, bArr) =>
         var i = 0
-        while (i < ks.length) { m += wv(ks(i)) * vs(i); i += 1 }
-        1.0 / (1.0 + math.exp(-m)) - y
+        while (i < a.length) { a(i) += bArr(i); i += 1 }
+        a
       }
-      val grad = feats
-        .withColumn("__r", residUdf(col("__y"), col("__ks"), col("__vs")))
-        .select(explode(concat(
-          zip_with(col("__ks"), col("__vs"),
-            (k, v) => struct(k.as("b"), (col("__r") * v).as("g"))),
-          array(struct(lit(-1).as("b"), col("__r").as("g"))))).as("e"))
-        .groupBy(col("e.b")).agg(sum(col("e.g")).as("g"))
-        .collect()
-      var gi = 0
-      while (gi < grad.length) {
-        val row = grad(gi)
-        val bk = row.getInt(0)
-        val g = row.getDouble(1) / n
-        if (bk < 0) b -= lr * g
-        else w(bk) = w(bk) - lr * (g + l2 * w(bk))
-        gi += 1
+      var bk = 0
+      while (bk < dim) {
+        if (grad(bk) != 0.0 || w(bk) != 0.0)
+          w(bk) = w(bk) - lr * (grad(bk) / n + l2 * w(bk))
+        bk += 1
       }
+      b -= lr * (grad(dim) / n)
       bw.destroy()
       it += 1
     }
