@@ -9,17 +9,20 @@ import java.nio.file.{Files, Paths}
   * PlanDump rationale). Usage:
   *
   *   sbt "runMain graft.PlanSnap r18 before g02_hits q24_weighted_quantile"
+  *
+  * Data dir from SPARK_GRAFT_SF_DIR (default the sf0.01 test tables).
   */
 object PlanSnap {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: PlanSnap <round> <tag> <query>...")
     val (round, tag, names) = (args(0), args(1), args.drop(2).toSeq)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = Tables.newSession("plansnap", "local[4]", 4)
     Files.createDirectories(Paths.get(s"plans/$round"))
     graft.plans.PlanTap.enable()
     for (n <- names) {
       graft.plans.PlanTap.drain()
-      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      val df = SparkEntry.queries(n)(spark, sfDir)
       val sb = new StringBuilder
       sb.append(s"# $n ($tag) — explain(formatted) at sf0.01\n\n")
       sb.append(df.queryExecution.explainString(

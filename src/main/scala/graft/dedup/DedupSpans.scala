@@ -307,36 +307,46 @@ private[graft] trait DedupSpans { this: Dedup.type =>
     * marking is row-local (`exists` over the doc's removed-start list);
     * reassembly re-reads the corpus once (2 parquet scans total, the d16
     * shape — verdict rows carry no payload back). Window STRINGS ride
-    * the exchange by default
+    * the exchange at local/test scale
     * (the d08 convention: cross-engine comparability over a 64-bit
-    * hash's collision risk); `hashWindows = true` is the 100 TB escape
-    * hatch — the exchange key becomes `xxhash64(window)` (~6× fewer
-    * shuffled bytes at 8-token windows), results identical barring a
-    * 64-bit collision (spec-pinned equal on a planted corpus).
+    * hash's collision risk); `engine` (see [[resolveRankEngine]] —
+    * default `"auto"`) switches huge inputs to the prefix-doubling rank
+    * keys whose exchange never carries text; `hashWindows = true` is the
+    * caller-forced escape hatch — the exchange key becomes
+    * `xxhash64(window)` (~6× fewer shuffled bytes at 8-token windows),
+    * results identical barring a 64-bit collision (spec-pinned equal on
+    * a planted corpus).
     */
   def dedupSubstrings(df: DataFrame, textCol: String, idCol: String,
                       windowTokens: Int = 8,
-                      hashWindows: Boolean = false): DataFrame = {
+                      hashWindows: Boolean = false,
+                      engine: String = "auto"): DataFrame = {
     require(windowTokens >= 2, s"windowTokens=$windowTokens")
     val L = windowTokens
     val tokenized = graft.operators.Balance
       .input(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
-    val nWin = size(col("__toks")) - L + 1
-    val winsRaw = tokenized.select(col(idCol),
-      posexplode(when(nWin >= 1,
-        transform(sequence(lit(0), (nWin - 1).cast("int")),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
-        .otherwise(array()))
-        .as(Seq("pos", "win")))
-    val wins =
-      if (!hashWindows) winsRaw
-      else winsRaw.withColumn("win", xxhash64(col("win")))
+    val (keyed, keys) =
+      if (resolveRankEngine(df, engine, hashWindows))
+        (rankKeyedWindows(tokenized, idCol, L), Seq("__k0", "__k1"))
+      else {
+        val nWin = size(col("__toks")) - L + 1
+        val winsRaw = tokenized.select(col(idCol),
+          posexplode(when(nWin >= 1,
+            transform(sequence(lit(0), (nWin - 1).cast("int")),
+              i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
+            .otherwise(array()))
+            .as(Seq("pos", "win")))
+        val wins =
+          if (!hashWindows) winsRaw
+          else winsRaw.withColumn("win", xxhash64(col("win")))
+        (wins, Seq("win"))
+      }
     // corpus-first winner per distinct window: salted two-phase min +
     // composite join-back (markCorpusFirst) — a win-partitioned window
     // would sort a hot window's whole containing-doc set in one task
-    val removed = removedWindowStarts(wins, Seq("win"), idCol)
+    val removed = removedWindowStarts(keyed, keys, idCol)
     tokenized.join(removed, Seq(idCol), "left")
       .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
         filter(col("__toks"), (_, j) =>
@@ -347,6 +357,44 @@ private[graft] trait DedupSpans { this: Dedup.type =>
       .select(col(idCol), col("n_tokens"), col("n_kept"),
         array_join(col("__kept"), " ").as("dedup_text"))
   }
+
+  /** Engine selection for the window-keyed dedup tiers (round 19, guide
+    * §2.3/§5): `"strings"` and `"ranks"` force their engine (results
+    * identical — spec-pinned); `"auto"` picks the prefix-doubling RANK
+    * engine once the INPUT's estimated bytes reach
+    * `spark.graft.dedup.rankEngineMinBytes` (conf, else env
+    * `SPARK_GRAFT_RANK_MIN_BYTES`, default 64 GiB) and the window-string
+    * engine below it. Rationale, measured honestly (RepeatDedupBench):
+    * at local/in-memory shuffle speeds the one wide window-string
+    * exchange wins wall clock ~4×, but its exchange bytes are
+    * O(L × token bytes) per position (~6× the corpus at L=8, ~40× at the
+    * Lee-et-al. L=50) where the rank engine shuffles O(log L) fixed
+    * 24-byte rounds — the axis that binds once the exchange crosses a
+    * real network (guide §2.2/§2.3: shuffle fewer bytes). A 64 GiB+ text
+    * input's window-string exchange is multi-hundred-GB — plainly
+    * network-bound on any real deployment — while every local/test scale
+    * stays on strings, keeping the bench comparable. `hashWindows = true`
+    * (the caller's explicit hashed-string escape hatch) pins the strings
+    * engine. The estimate is the optimizer's static `sizeInBytes` — no
+    * job runs.
+    */
+  private def resolveRankEngine(df: DataFrame, engine: String,
+                                hashWindows: Boolean): Boolean =
+    engine match {
+      case "strings" => false
+      case "ranks" => true
+      case "auto" =>
+        !hashWindows && {
+          val thr = df.sparkSession.conf
+            .getOption("spark.graft.dedup.rankEngineMinBytes")
+            .orElse(sys.env.get("SPARK_GRAFT_RANK_MIN_BYTES"))
+            .map(_.toLong).getOrElse(64L << 30)
+          df.queryExecution.optimizedPlan.stats.sizeInBytes >= thr
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"engine=$other (strings|ranks|auto)")
+    }
 
   /** The shared d19/d20 removal-verdict middle: from one row per
     * stride-1 window occurrence `(idCol, pos, keyCols…)`, collapse
@@ -489,7 +537,7 @@ private[graft] trait DedupSpans { this: Dedup.type =>
     * unit a curation pipeline audits.
     *
     * Engines (results identical — spec-pinned):
-    *  - `"strings"` (default): stride-1 window strings, the d08/d19
+    *  - `"strings"`: stride-1 window strings, the d08/d19
     *    cross-engine-comparable convention — this is the oracle-gated
     *    path.
     *  - `"ranks"`: [[rankKeyedWindows]]' prefix-doubling dense labels —
@@ -498,6 +546,9 @@ private[graft] trait DedupSpans { this: Dedup.type =>
     *    Slower at local[32] (measured — see rankKeyedWindows); choose it
     *    when exchange bytes or hash-collision exposure, not local CPU,
     *    is the binding constraint.
+    *  - `"auto"` (default): strings below
+    *    `spark.graft.dedup.rankEngineMinBytes` of estimated input, ranks
+    *    above — see [[resolveRankEngine]].
     *
     * Returns (idCol, n_tokens, n_kept, n_repeats_removed,
     * max_repeat_len, dedup_text): removed-extent count and longest
@@ -513,15 +564,17 @@ private[graft] trait DedupSpans { this: Dedup.type =>
     * fold over each document's covered-position flags.
     */
   def dedupRepeats(df: DataFrame, textCol: String, idCol: String,
-                   minTokens: Int = 4, engine: String = "strings"): DataFrame = {
+                   minTokens: Int = 4, engine: String = "auto"): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens")
     val L = minTokens
     val tokenized = graft.operators.Balance
       .input(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
-    val (keyed, keys) = engine match {
-      case "strings" =>
+    val (keyed, keys) =
+      if (resolveRankEngine(df, engine, hashWindows = false))
+        (rankKeyedWindows(tokenized, idCol, L), Seq("__k0", "__k1"))
+      else {
         val nWin = size(col("__toks")) - L + 1
         (tokenized.select(col(idCol),
           posexplode(when(nWin >= 1,
@@ -529,11 +582,7 @@ private[graft] trait DedupSpans { this: Dedup.type =>
               i => concat_ws(" ", slice(col("__toks"), i + 1, lit(L)))))
             .otherwise(array()))
             .as(Seq("pos", "__k0"))), Seq("__k0"))
-      case "ranks" =>
-        (rankKeyedWindows(tokenized, idCol, L), Seq("__k0", "__k1"))
-      case other =>
-        throw new IllegalArgumentException(s"engine=$other (strings|ranks)")
-    }
+      }
     val removed = removedWindowStarts(keyed, keys, idCol)
     val n = size(col("__toks"))
     // covered-position flags, then maximal-run lengths via a row-local

@@ -142,15 +142,23 @@ object Hits {
         // half-steps implies a_i == a_{i-1} and h_i == h_{i-1} — the same
         // stop point the normalized comparison found, one compare earlier
         // in the chain. Raw frames omit zero-indegree nodes, but the
-        // omitted set is edge-structure-constant across iterations, so
-        // the inner join still covers every row that can change.
-        if (prevAraw != null &&
-            araw.join(prevAraw.withColumnRenamed("raw", "__p"), Seq("node"))
-              .filter(col("raw") =!= col("__p")).isEmpty &&
-            araw.count() == prevAraw.count() &&
-            hraw.join(prevHraw.withColumnRenamed("raw", "__p"), Seq("node"))
-              .filter(col("raw") =!= col("__p")).isEmpty &&
-            hraw.count() == prevHraw.count()) {
+        // omitted set is EDGE-STRUCTURE-CONSTANT across iterations (a
+        // node appears iff it has an in-edge — h/a cover every node each
+        // round), so the inner join covers every row that can change and
+        // the r18 count()-equality guards were provably always true —
+        // dropped (optimization round 19, with the per-iteration compare
+        // fused into ONE action: both half-steps' mismatch sets union
+        // into a single isEmpty probe; this was 4 driver actions per
+        // fixpoint iteration, now 1).
+        if (prevAraw != null && {
+          val aMis = araw
+            .join(prevAraw.withColumnRenamed("raw", "__p"), Seq("node"))
+            .filter(col("raw") =!= col("__p")).select(lit(1).as("__m"))
+          val hMis = hraw
+            .join(prevHraw.withColumnRenamed("raw", "__p"), Seq("node"))
+            .filter(col("raw") =!= col("__p")).select(lit(1).as("__m"))
+          aMis.union(hMis).isEmpty
+        }) {
           itersUsed = i; done = true
         }
         prevAraw = araw; prevHraw = hraw

@@ -523,10 +523,13 @@ object Similarity {
     */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int = 16, lloydIters: Int = 1): (DataFrame, Array[(Int, Array[Double])]) = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // the dimension rides the seed collect (one fewer driver action —
+    // every semantic-dedup/IVF path pays this per call)
     val seedRows = emb.orderBy(xxhash64(col(idCol))).limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "ivfAssign: empty embedding input")
+    val dim = seedRows(0).length
     var centroids = seedRows.zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until lloydIters) {
       val assigned = assignToCentroids(emb, vecCol, centroids, dim)

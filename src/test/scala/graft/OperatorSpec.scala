@@ -2051,6 +2051,31 @@ class OperatorSpec extends SparkSpec {
     assert(hashed == out)
   }
 
+  test("dedupSubstrings rank engine equals the string engine; auto switches") {
+    import graft.dedup.Dedup
+    val p = "a1 a2 a3 a4 a5 a6 a7 a8" // exactly the d19 default window
+    val docs = Seq(
+      (1L, s"$p tail1 tail2"), // corpus-first, kept whole
+      (2L, s"pre1 $p post1"), // the repeat at offset 1
+      (3L, p), // pure replay → disappears
+      (4L, "w1 w2 w3 w4 w5 w6 w7"), // sub-window doc passes through
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    def run(engine: String) =
+      Dedup.dedupSubstrings(docs, "text", "id", windowTokens = 8,
+          engine = engine)
+        .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    val s = run("strings")
+    assert(run("ranks") == s)
+    // auto resolves by the estimated-input-bytes threshold: a 1-byte
+    // threshold forces the rank path, the default (64 GiB) keeps strings
+    // — results identical either way (the engine contract)
+    spark.conf.set("spark.graft.dedup.rankEngineMinBytes", "1")
+    try assert(run("auto") == s)
+    finally spark.conf.unset("spark.graft.dedup.rankEngineMinBytes")
+    assert(run("auto") == s)
+  }
+
   test("dedupRepeats removes sub-L repeats at exact boundaries that dedupSubstrings misses") {
     import graft.dedup.Dedup
     val p = "the quick brown fox jumps" // 5 tokens — below d19's L = 8
