@@ -58,6 +58,19 @@ object Tables {
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Subset-key co-partitioning for joins (optimization round 19,
+      // guide §2.4): by default the planner only skips a join's
+      // exchanges when the children are hash-partitioned on the FULL
+      // join key set; with this off, a child partitioned on a SUBSET of
+      // the keys (e.g. postings laid out by doc id joining on
+      // (id, pos, term)) is accepted, which is what makes the
+      // doc-partitioned serving layouts exchange-free. The default
+      // guards against skewed subset keys; this engine's join keys are
+      // either unskewed by construction (doc ids) or explicitly salted
+      // (Skew.saltedTopN/saltedJoin), and AQE skew-join remains on.
+      // Parameterised for A/B: SPARK_GRAFT_COPART_ALL overrides.
+      .config("spark.sql.requireAllClusterKeysForCoPartition",
+        sys.env.getOrElse("SPARK_GRAFT_COPART_ALL", "false"))
       // let AQE re-plan (skew splits, broadcast conversion) inside cached
       // plans too — the default false pins a cached pipeline stage to its
       // static plan, which is exactly where a skewed dedup join needs the

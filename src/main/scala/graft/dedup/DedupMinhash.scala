@@ -215,8 +215,26 @@ private[graft] trait DedupMinhash { this: Dedup.type =>
       .filter(col("__bsz") > maxBucket)
       .select(col("band"), col("bucket"))
       .localCheckpoint()
-    val mk =
-      if (megaKeys.count() <= 4000000L) broadcast(megaKeys) else megaKeys
+    val nMega = megaKeys.count()
+    // EMPTY-MEGA FAST PATH (round 19, guide §1.2 — don't compute things
+    // you throw away): no bucket over the cap — the overwhelmingly
+    // common case below boilerplate-flood scale — means the anti-join
+    // is an identity and the whole chain branch (the mega persist, the
+    // partition-id window, the boundary stitch) is provably empty.
+    // Skipping it drops ~6 driver actions/AQE stages of empty-frame
+    // machinery per call; corpora WITH mega buckets take the full path
+    // unchanged. Results identical by construction (anti-join with an
+    // empty right side is the input; union with empty is the input).
+    if (nMega == 0L) {
+      val l = bb.select(col(idCol).as("a"), col("band"), col("bucket"))
+      val r = bb.select(col(idCol).as("b"), col("band"), col("bucket"))
+      val result = materialize.cutEager(
+        l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+          .select("a", "b").distinct(), "minhash-pairs")
+      releaseBb()
+      return result
+    }
+    val mk = if (nMega <= 4000000L) broadcast(megaKeys) else megaKeys
     val small = bb.join(mk, Seq("band", "bucket"), "left_anti")
     val l = small.select(col(idCol).as("a"), col("band"), col("bucket"))
     val r = small.select(col(idCol).as("b"), col("band"), col("bucket"))

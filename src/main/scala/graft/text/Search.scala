@@ -122,9 +122,14 @@ object Search {
                         queryTextCol: String): DataFrame = {
     val (qt, terms) = phraseBatchTerms(phrases, queryIdCol, queryTextCol)
     val toks = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
+    // doc-partitioned like phraseProbeBatch: one idCol repartition before
+    // the layout-preserving persist buys every downstream postings-volume
+    // exchange (same explicit-N contract)
+    val spark = df.sparkSession
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyPartitionedAutoRelease(
       df.select(col(idCol), posexplode(toks).as(Seq("__pos", "__term")))
-        .filter(col("__term").isin(terms: _*)),
+        .filter(col("__term").isin(terms: _*))
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol)),
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     batchSlotVerify(posted, qt, queryIdCol, idCol)
   }
@@ -260,8 +265,20 @@ object Search {
                        table: String, idCol: String, phrases: DataFrame,
                        queryIdCol: String, queryTextCol: String): DataFrame = {
     val (qt, terms) = phraseBatchTerms(phrases, queryIdCol, queryTextCol)
-    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyAutoRelease(
-      indexPostings(spark, table, idCol, terms),
+    // DOC-partitioned postings (round 19, guide §2.4): hash the pruned
+    // read by idCol ONCE before the persist, and persist PRESERVING that
+    // layout. Every postings-volume step of batchSlotVerify clusters on
+    // a key set containing idCol (the slot-verify join on (id, pos,
+    // term), both aggregations), and HashPartitioning(id) satisfies each
+    // of those distributions — so the single repartition replaces the
+    // verify join's two exchanges and the candidate aggregation's
+    // exchange. Explicit partition count (the preserved-partitioning
+    // contract: AQE never re-coalesces a user-pinned N), conf-driven via
+    // the session's shuffle parallelism, so the layout stays
+    // cluster-configured rather than local-tuned.
+    val posted = org.apache.spark.sql.graftbridge.Bridge.persistedCopyPartitionedAutoRelease(
+      indexPostings(spark, table, idCol, terms)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col(idCol)),
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     batchSlotVerify(posted, qt, queryIdCol, idCol)
   }
@@ -453,12 +470,26 @@ object Search {
           split(lower(col(queryTextCol)), "\\s+"), t => t =!= ""))).as("term"))
     val terms = qt.select("term").distinct().collect().map(_.getString(0))
     require(terms.nonEmpty, "bm25ProbeBatch: no query terms")
-    val matched = spark.table(table).filter(col("term").isin(terms.toSeq: _*))
-    val dfs = matched.groupBy("term")
+    // DOC-partitioned postings (round 19, guide §2.3/§2.4): the bucketed
+    // read arrives term-partitioned, but every postings-volume consumer
+    // downstream clusters on a key set containing idCol — so one idCol
+    // repartition up front makes the (query, doc) score aggregation
+    // exchange-free (HashPartitioning(id) satisfies its distribution),
+    // replacing the exchange that previously moved every contribution
+    // row. The per-term dfs join becomes an explicit broadcast (≤ one
+    // row per distinct batch term — tiny by the collected-terms
+    // contract), which also drops the sort-merge sorts the term-keyed
+    // join paid over the full postings.
+    val pruned = spark.table(table).filter(col("term").isin(terms.toSeq: _*))
+    val matched = pruned.repartition(col(idCol))
+    // dfs from the RAW bucket-pruned scan: the partial aggregate
+    // collapses map-side to one row per (partition, term), so the tiny
+    // broadcast build never waits on (or re-runs) the repartition
+    val dfs = pruned.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))
-    val contrib = matched.join(dfs, "term")
+    val contrib = matched.join(broadcast(dfs), "term")
       .join(broadcast(qt), Seq("term"))
       .withColumn("__c", round(idf * col("tf") * lit(k1 + 1.0) /
         (col("tf") +

@@ -75,6 +75,54 @@ object Bridge {
     ds.sparkSession.internalCreateDataFrame(rdd, ds.schema)
   }
 
+  /** [[persistedCopyAutoRelease]] that PRESERVES the input plan's output
+    * partitioning (and ordering) on the persisted leaf — `LogicalRDD.
+    * fromDataset`, the same attribute-rewriting capture `Dataset
+    * .checkpoint` uses — so consumers whose required distribution the
+    * layout already satisfies plan NO exchange over the cached frame
+    * (a bare `internalCreateDataFrame` leaf reports Unknown partitioning
+    * and every downstream join/aggregate re-shuffles it).
+    *
+    * Caller contract: the input's partitioning must be EXACT at runtime —
+    * i.e. the frame should be rooted at a `repartition(n, cols…)` with an
+    * explicit partition count, which AQE never re-coalesces. Preserving a
+    * partitioning that AQE could still change underneath would let a
+    * downstream join against OTHER data skip an exchange it actually
+    * needs. (Self-joins/aggregations over this same frame are safe either
+    * way — hash co-location within the frame is layout-stable.)
+    */
+  def persistedCopyPartitionedAutoRelease(df: org.apache.spark.sql.DataFrame,
+                                          level: org.apache.spark.storage.StorageLevel):
+      org.apache.spark.sql.DataFrame = {
+    graft.plans.PlanTap.record("persistedCopyPartitionedAutoRelease", df)
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(level)
+    armReleaseOnUse(ds.sparkSession, rdd)
+    // Derive the layout from the ANALYZED plan root rather than
+    // `LogicalRDD.fromDataset` (which reads the physical root's
+    // outputPartitioning — under lazily-built AQE that is
+    // UnknownPartitioning, so the capture silently degrades to the bare
+    // leaf). Only an explicit-N hash repartition qualifies: its
+    // partition expressions ARE the child's output attributes (the same
+    // attrs the new leaf exposes), and AQE never re-coalesces a
+    // user-pinned partition count, so declared == actual at runtime.
+    // LogicalRDD is a MultiInstanceRelation whose newInstance() rewrites
+    // the partitioning onto fresh attrs, so self-joins stay exchange-free.
+    val partitioning = ds.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+          if r.optNumPartitions.isDefined &&
+            r.partitionExpressions.nonEmpty =>
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+          r.partitionExpressions, r.optNumPartitions.get)
+      case _ =>
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD(
+        ds.queryExecution.analyzed.output, rdd, partitioning)(ds.sparkSession))
+  }
+
   /** [[persistedCopy]] plus a thunk that ARMS the release-on-first-use
     * listener — for operators that must run a PROBE action over the
     * persisted frame before handing it to the caller (the weighted-
