@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.graftbridge.Bridge
 
 /** Exact WEIGHTED quantiles per group — "the price at which half the
   * QUANTITY has traded", "the latency below which 95% of BYTES were
@@ -77,14 +76,17 @@ object WeightedQuantile {
     // exists to avoid (caught by ScaleBench max-task, not by eyesight)
     //
     // the binned (group, value, weight, bin) collapse is the only
-    // corpus-sized frame; persist it once (a skeleton of the distinct
-    // values, not the corpus). Round 19: its ONLY consumers are now the
-    // two skeleton fills below (threshold table + candidate union), both
-    // filled by the recursion-trigger probes, so it is released
-    // EXPLICITLY right after the probes — the returned per-ppm frames
-    // never reference it.
-    val (binned, releaseBinned) =
-      org.apache.spark.sql.graftbridge.Bridge.persistedCopyReleasable(
+    // corpus-sized frame and EVERY downstream stage of every ppm reads
+    // it: persist it once (DISK_ONLY — a skeleton of the distinct
+    // values, not the corpus). ARMABLE, not auto-release: the recursion
+    // trigger probes below are themselves the first actions over the
+    // frame — with the listener already armed the FIRST probe's query
+    // end would release (racing the async listener bus) the cache every
+    // later probe and the caller's materialization need (the r17
+    // advisory). Probe first, THEN arm: the probes fill the cache, the
+    // caller's first action consumes and releases it.
+    val (binned, armRelease) =
+      org.apache.spark.sql.graftbridge.Bridge.persistedCopyArmable(
         byVal.join(broadcast(stats), groupCol)
           .withColumn("__bin",
             when(col("__mx") === col("__mn"), lit(0L))
@@ -114,50 +116,19 @@ object WeightedQuantile {
     val cumBins = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumB = binW.withColumn("__cb", sum(col("__bw")).over(cumBins))
-    // ALL ppms' threshold bins from ONE pass over the histogram skeleton
-    // (optimization round 19): the per-ppm formulation re-derived `thresh`
-    // from the big binned cache inside EVERY consuming query's broadcast
-    // (broadcasts are rebuilt per query — measured ~8 cache scans per q24
-    // evaluation: 2 probes + the caller's action, each re-running the
-    // binW aggregation AND the candidate filter over the corpus-sized
-    // collapse). The cross join against the ≤ bins-row-per-group
-    // cumulative is rows × |ppms| — still a skeleton; per-(group, ppm)
-    // min_by is expression-for-expression the single-ppm threshold, so
-    // values are bit-identical.
-    import binned.sparkSession.implicits._
-    val ppmDf = ppms.toDF("__ppm")
-    val threshAll0 = cumB.crossJoin(broadcast(ppmDf))
-      .filter(col("__cb") * lit(1000000L) >= col("__ppm") * col("__tw"))
-      .groupBy(col(groupCol), col("__ppm"))
-      .agg(min_by(struct(col("__bin"), (col("__cb") - col("__bw"))
-        .as("__below"), col("__bw"), col("__bvmn"), col("__bvmx")),
-        col("__bin")).as("__t"))
-      .select(col(groupCol), col("__ppm"), col("__t.__bin").as("__tbin"),
-        col("__t.__below").as("__below"), col("__t.__bw").as("__tbw"),
-        col("__t.__bvmn").as("__bmn"), col("__t.__bvmx").as("__bmx"))
-    // the threshold skeleton (groups × ppms rows) and the UNION of every
-    // ppm's threshold-bin rows are persisted so the per-ppm plans below
-    // read these small caches instead of re-scanning the corpus-sized
-    // collapse: `binned` is consumed exactly twice per evaluation (the
-    // threshold fill and the candidate fill) and released right after
-    // the probes — every later stage touches only skeleton-sized caches.
-    val (threshAll, armThreshRelease) = Bridge.persistedCopyArmable(
-      threshAll0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candBins = threshAll.select(col(groupCol), col("__tbin").as("__cbin"))
-      .distinct()
-    val (candU, armCandRelease) = Bridge.persistedCopyArmable(
-      binned.join(broadcast(candBins), groupCol)
-        .filter(col("__bin") === col("__cbin")).drop("__cbin"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = ppms.map { quantilePpm =>
-      val thresh = threshAll.filter(col("__ppm") === quantilePpm)
-        .drop("__ppm")
+      val thresh = cumB
+        .filter(col("__cb") * lit(1000000L) >= lit(quantilePpm) * col("__tw"))
+        .groupBy(col(groupCol))
+        .agg(min_by(struct(col("__bin"), (col("__cb") - col("__bw"))
+          .as("__below"), col("__bw"), col("__bvmn"), col("__bvmx")),
+          col("__bin")).as("__t"))
+        .select(col(groupCol), col("__t.__bin").as("__tbin"),
+          col("__t.__below").as("__below"), col("__t.__bw").as("__tbw"),
+          col("__t.__bvmn").as("__bmn"), col("__t.__bvmx").as("__bmx"))
       // pass 2: exact ordered cumulative over the threshold bin only —
-      // a filter over the SHARED persisted candidate union (~|ppms|/bins
-      // of the collapse); joining the ppm's threshold row re-attaches
-      // (__below, __tbw, __bmn, __bmx) and keeps exactly the rows the
-      // single-ppm extraction kept (a row's __bin matches one tbin)
-      val cand = candU.join(broadcast(thresh), groupCol)
+      // a filter over the SHARED persisted collapse (~1/bins of it)
+      val cand = binned.join(broadcast(thresh), groupCol)
         .filter(col("__bin") === col("__tbin"))
       // RECURSION, one level (constant-heavy domains — price ladders,
       // zero-inflated counts): when a group's threshold bin holds more
@@ -229,18 +200,7 @@ object WeightedQuantile {
       }
       quantilePpm -> branch
     }.toMap
-    // the probes above were the last consumers of the corpus-sized
-    // collapse (they filled the skeleton caches through it) — free it
-    // now; then arm the skeletons' release-on-first-use so the CALLER's
-    // first action consumes and releases them. One-action consumption
-    // contract (r18 advisory): a caller that materializes each returned
-    // frame with a SEPARATE action recomputes the collapse from lineage
-    // for every frame after the first — correct, just unshared. q24
-    // joins both frames into one action; multi-action callers should
-    // persist the returned frames themselves.
-    releaseBinned()
-    armThreshRelease()
-    armCandRelease()
+    armRelease()
     out
   }
 }
